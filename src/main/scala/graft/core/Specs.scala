@@ -1,0 +1,144 @@
+package graft.core
+
+/** Configuration spec tree for the enrichment engine.
+  *
+  * Mirrors the validated spec tree of the reference
+  * (ondine/core/specifications.py:552-566: DatasetSpec, PromptSpec, LlmSpec,
+  * ProcessingSpec, OutputSpec) re-expressed as Scala case classes. Specs are
+  * pure data (serializable); live objects (clients, listeners) are passed
+  * separately, matching the reference's spec/component split
+  * (ondine/api/pipeline.py:139-144).
+  */
+object MergeStrategy extends Enumeration {
+  /** Column-merge semantics of the result writer
+    * (reference: ondine/stages/result_writer_stage.py:74-125):
+    *  - Replace: new column overwrites an existing column of the same name.
+    *  - Append: error if the output column already exists.
+    *  - Update: only non-null new values overwrite (coalesce(new, old)).
+    */
+  val Replace, Append, Update = Value
+}
+
+object ErrorPolicy extends Enumeration {
+  /** Row-level failure handling (reference: ondine/core/error_handler.py:38-250):
+    *  - Retry: exhaust retries then fail the run.
+    *  - Skip: emit the `[SKIPPED]` sentinel and continue.
+    *  - Fail: fail the run on first error.
+    *  - UseDefault: emit a configured default value.
+    */
+  val Retry, Skip, Fail, UseDefault = Value
+}
+
+object ResponseFormat extends Enumeration {
+  /** Parser selection (reference: ondine/core/specifications.py:134-144). */
+  val Raw, Json, Regex = Value
+}
+
+/** Failure sentinel written into output cells for skipped rows
+  * (reference: ondine/core/models.py:14-18).
+  */
+object Sentinels {
+  val SkippedOutput = "[SKIPPED]"
+  /** Padding value for batch items the model failed to answer
+    * (reference: ondine/stages/batch_disaggregator_stage.py:158-163).
+    */
+  val MissingBatchItem: String = null
+}
+
+/** What data to read and which columns feed the prompt.
+  * (reference: ondine/core/specifications.py:60-118)
+  */
+final case class DatasetSpec(
+    inputColumns: Seq[String],
+    /** Conjunction of equality filters applied at load
+      * (reference: ondine/stages/data_loader_stage.py:158-175). */
+    filters: Map[String, String] = Map.empty,
+    delimiter: String = ",",
+    encoding: String = "UTF-8")
+
+/** Prompt construction.
+  * (reference: ondine/core/specifications.py:120-200)
+  */
+final case class PromptSpec(
+    /** `{column}` placeholder template (python str.format semantics:
+      * reference ondine/stages/prompt_formatter_stage.py:139-144). */
+    template: String,
+    systemMessage: Option[String] = None,
+    /** >1 enables mega-prompt batching: N rows per API call
+      * (reference: ondine/stages/batch_aggregator_stage.py). */
+    batchSize: Int = 1,
+    /** Few-shot examples prepended to every prompt
+      * (reference: ondine/stages/prompt_formatter_stage.py:163-167). */
+    fewShot: Seq[(String, String)] = Nil)
+
+/** Model + invocation governance.
+  * (reference: ondine/core/specifications.py:202-446)
+  */
+final case class LlmSpec(
+    model: String = "mock",
+    inputCostPer1k: BigDecimal = BigDecimal("0.0"),
+    outputCostPer1k: BigDecimal = BigDecimal("0.0"),
+    /** Max in-flight requests per executor partition-group. */
+    concurrency: Int = 8,
+    /** Requests/minute across the whole run; divided across partitions. */
+    requestsPerMinute: Option[Int] = None,
+    maxRetries: Int = 3,
+    /** Exponential backoff base in ms (1x, 2x, 4x..., capped). */
+    backoffBaseMs: Long = 10L,
+    backoffCapMs: Long = 60000L)
+
+/** Run-level processing controls.
+  * (reference: ondine/core/specifications.py:400-480)
+  */
+final case class ProcessingSpec(
+    errorPolicy: ErrorPolicy.Value = ErrorPolicy.Retry,
+    defaultValue: String = "",
+    /** Hard cost cap; run stops between chunks when exceeded
+      * (reference: ondine/utils/budget_controller.py:20-131). */
+    maxBudget: Option[BigDecimal] = None,
+    /** Driver-side chunk size in rows for budget checks + durability cadence
+      * (mirrors execute_stream_async chunking, ondine/api/pipeline.py:1326-1497). */
+    chunkRows: Int = 100000,
+    /** Auto-retry passes over rows whose outputs are all null/empty
+      * (reference: ondine/api/pipeline.py:1741-1879). */
+    autoRetryAttempts: Int = 0,
+    preprocessInput: Boolean = false,
+    /** Word-boundary truncation limit for preprocessed input; None = no cap. */
+    maxInputLength: Option[Int] = None)
+
+/** Output shape: columns to create, parser, merge semantics.
+  * (reference: ondine/core/specifications.py:482-548)
+  */
+final case class OutputSpec(
+    outputColumns: Seq[String],
+    responseFormat: ResponseFormat.Value = ResponseFormat.Raw,
+    /** Named regex patterns when responseFormat = Regex
+      * (reference: ondine/stages/response_parser_stage.py:118-149). */
+    regexPatterns: Map[String, String] = Map.empty,
+    mergeStrategy: MergeStrategy.Value = MergeStrategy.Replace)
+
+final case class PipelineSpec(
+    dataset: DatasetSpec,
+    prompt: PromptSpec,
+    llm: LlmSpec = LlmSpec(),
+    processing: ProcessingSpec = ProcessingSpec(),
+    output: OutputSpec) {
+
+  /** Spec-combination validation, mirroring the reference's build() checks
+    * (ondine/api/pipeline.py:202-216, specifications.py:108-118,155-163).
+    */
+  def validate(): Unit = {
+    val vars = TemplateCompiler.variables(prompt.template)
+    require(vars.nonEmpty, s"template has no {placeholders}: ${prompt.template}")
+    val missing = vars.filterNot(dataset.inputColumns.contains)
+    require(missing.isEmpty,
+      s"template variables not in input columns: ${missing.mkString(",")}")
+    val overlap = dataset.inputColumns.intersect(output.outputColumns)
+    require(overlap.isEmpty,
+      s"input/output column overlap: ${overlap.mkString(",")}")
+    require(prompt.batchSize >= 1, "batchSize must be >= 1")
+    if (output.responseFormat == ResponseFormat.Regex)
+      require(output.outputColumns.forall(output.regexPatterns.contains),
+        "every output column needs a regex pattern in Regex format")
+  }
+}

@@ -1,0 +1,78 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Compiles a `{column}` prompt template into a single Catalyst `concat`
+  * expression — the whole-row render happens inside whole-stage codegen, no
+  * UDF, no per-row interpretation.
+  *
+  * Semantics follow the reference's python `str.format(**row)` renderer
+  * (ondine/stages/prompt_formatter_stage.py:139-144) with one deliberate
+  * deviation: null column values render as the empty string (python would
+  * render "None"), which is the sane choice for prompt text. `{{`/`}}`
+  * escape to literal braces, as in str.format.
+  */
+object TemplateCompiler {
+
+  sealed trait Part
+  final case class Lit(s: String) extends Part
+  final case class Var(name: String) extends Part
+
+  /** Parse the template into literal / variable parts. */
+  def parse(template: String): Seq[Part] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Part]
+    val lit = new StringBuilder
+    var i = 0
+    val n = template.length
+    while (i < n) {
+      val c = template.charAt(i)
+      if (c == '{' && i + 1 < n && template.charAt(i + 1) == '{') {
+        lit.append('{'); i += 2
+      } else if (c == '}' && i + 1 < n && template.charAt(i + 1) == '}') {
+        lit.append('}'); i += 2
+      } else if (c == '{') {
+        val close = template.indexOf('}', i)
+        require(close > i, s"unclosed placeholder at offset $i in: $template")
+        if (lit.nonEmpty) { parts += Lit(lit.toString); lit.clear() }
+        parts += Var(template.substring(i + 1, close).trim)
+        i = close + 1
+      } else {
+        lit.append(c); i += 1
+      }
+    }
+    if (lit.nonEmpty) parts += Lit(lit.toString)
+    parts.toSeq
+  }
+
+  /** Column names referenced by the template, in order of first use. */
+  def variables(template: String): Seq[String] =
+    parse(template).collect { case Var(name) => name }.distinct
+
+  /** Compile to one Column. Null-safe: missing values become "". */
+  def compile(template: String): Column = {
+    val cols = parse(template).map {
+      case Lit(s)    => lit(s)
+      case Var(name) => coalesce(col(name).cast("string"), lit(""))
+    }
+    if (cols.isEmpty) lit("") else concat(cols: _*)
+  }
+
+  /** Compile with few-shot examples and optional context columns prepended,
+    * mirroring the formatter's assembly order: few-shot block, then KB
+    * context, then the rendered row template
+    * (reference: ondine/stages/prompt_formatter_stage.py:148-167).
+    */
+  def compileFull(spec: PromptSpec, contextCol: Option[Column] = None): Column = {
+    val base = compile(spec.template)
+    val fewShotText =
+      if (spec.fewShot.isEmpty) lit("")
+      else lit(spec.fewShot.map { case (q, a) => s"$q\n$a" }
+        .mkString("", "\n\n", "\n\n"))
+    val ctx = contextCol match {
+      case Some(c) => concat(lit("Context:\n"), coalesce(c, lit("")), lit("\n\n"))
+      case None    => lit("")
+    }
+    concat(fewShotText, ctx, base)
+  }
+}

@@ -1,0 +1,181 @@
+package graft.ops
+
+import java.util.concurrent.{ConcurrentHashMap, Executors}
+import scala.concurrent.{Await, ExecutionContext, ExecutionContextExecutorService, Future}
+import scala.concurrent.duration.Duration
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+import graft.core.{ErrorPolicy, LlmSpec, ProcessingSpec, PromptSpec}
+import graft.llm._
+
+/** Per-executor singletons for the Invoke operator: one rate-limit bucket and
+  * one bounded call pool per run per JVM. On a cluster each executor holds a
+  * bucket with rate = rpm / numExecutors (the reference's per-worker split;
+  * its Redis bucket is the exact-global answer — ondine/utils/
+  * redis_rate_limiter.py's scope-key design ports directly when needed).
+  */
+object ClientPool {
+  private val limiters = new ConcurrentHashMap[String, RateLimiter]()
+  private val pools = new ConcurrentHashMap[String, ExecutionContextExecutorService]()
+
+  def limiter(runId: String, rpm: Int, burst: Int): RateLimiter =
+    limiters.computeIfAbsent(runId, _ => new RateLimiter(rpm, burst))
+
+  def pool(runId: String, size: Int): ExecutionContextExecutorService =
+    pools.computeIfAbsent(runId, _ =>
+      ExecutionContext.fromExecutorService(
+        Executors.newFixedThreadPool(size, r => {
+          val t = new Thread(r, s"graft-invoke-$runId")
+          t.setDaemon(true)
+          t
+        })))
+
+  def shutdown(runId: String): Unit = {
+    Option(pools.remove(runId)).foreach(_.shutdown())
+    limiters.remove(runId)
+  }
+}
+
+/** The one genuinely custom operator (SURVEY §7.3): LLM invocation as a
+  * `mapPartitions` stage. A UDF would be 1-row-synchronous, defeating
+  * concurrency, rate limiting, retry-after propagation and batch calls
+  * (reference: ondine/stages/llm_invocation_stage.py:39-636 +
+  * concurrency_controller.py:31-189).
+  *
+  * Design for scale:
+  *  - Batching is PARTITION-LOCAL: rows are grouped into mega-prompts of
+  *    `batchSize` inside each partition (`Iterator.grouped`), so forming
+  *    batches costs zero shuffle — unlike a groupBy(floor(idx/N)) which
+  *    would shuffle every prompt byte. Batch membership stays deterministic
+  *    because `_row_index` is deterministic and partitioning is fixed for a
+  *    given input (see RowIndex).
+  *  - Disaggregation is fused: the mega-prompt reply is decoded in place and
+  *    per-row results are emitted from the same partition pass
+  *    (reference does this as two stages; fusing keeps the stage narrow).
+  *  - Bounded in-flight window per partition + a per-executor thread pool
+  *    capped at `concurrency` gives the same admission control as the
+  *    reference's semaphore; 429 penalties drain the shared bucket for all
+  *    partitions on the executor.
+  *
+  * Output columns appended to the input row:
+  *   result, error, skipped, _call_id, call_rows, tokens_in, tokens_out,
+  *   cost (DECIMAL(38,18) — exact, per-call, duplicated across the call's
+  *   rows; aggregate with dropDuplicates(_call_id) first), latency_ms.
+  */
+object Invoke {
+
+  val appendedFields: Seq[StructField] = Seq(
+    StructField("result", StringType),
+    StructField("error", StringType),
+    StructField("skipped", BooleanType, nullable = false),
+    StructField("_call_id", LongType),
+    StructField("call_rows", IntegerType, nullable = false),
+    StructField("tokens_in", LongType, nullable = false),
+    StructField("tokens_out", LongType, nullable = false),
+    StructField("cost", DecimalType(38, 18)),
+    StructField("latency_ms", DoubleType, nullable = false))
+
+  /** df must contain `_row_index` (long) and `prompt` (string); all other
+    * columns pass through untouched.
+    */
+  def apply(df: DataFrame, client: LlmClient, prompt: PromptSpec,
+            llm: LlmSpec, proc: ProcessingSpec, runId: String): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = StructType(inSchema.fields ++ appendedFields)
+    val idxAt = inSchema.fieldIndex(RowIndex.ColName)
+    val promptAt = inSchema.fieldIndex("prompt")
+    val batchSize = prompt.batchSize
+    val system = prompt.systemMessage
+    val conc = llm.concurrency
+    val rpm = llm.requestsPerMinute
+    val maxRetries = llm.maxRetries
+    val baseMs = llm.backoffBaseMs
+    val capMs = llm.backoffCapMs
+    val policy = proc.errorPolicy
+    val default = proc.defaultValue
+
+    df.mapPartitions { rows =>
+      val limiter = rpm.map(r => ClientPool.limiter(runId, r, math.max(1, r / 10)))
+      implicit val ec: ExecutionContext = ClientPool.pool(runId, conc)
+
+      val groups: Iterator[Seq[(Long, String, Row)]] =
+        rows.map(r => (r.getLong(idxAt), r.getString(promptAt), r))
+          .grouped(batchSize).map(_.toSeq)
+
+      def emit(row: Row, result: String, error: String, skipped: Boolean,
+               callId: Long, callRows: Int, resp: LlmResponse): Row = {
+        val (tIn, tOut, cost, lat) =
+          if (resp == null) (0L, 0L, java.math.BigDecimal.ZERO, 0.0)
+          else (resp.tokensIn, resp.tokensOut, resp.cost, resp.latencyMs)
+        Row.fromSeq(row.toSeq ++ Seq(result, error, skipped, callId,
+          callRows, tIn, tOut, new java.math.BigDecimal(cost.toString), lat))
+      }
+
+      def callOne(group: Seq[(Long, String, Row)]): Seq[Row] = {
+        val callId = group.head._1
+        val single = group.size == 1 && batchSize == 1
+        val promptText =
+          if (single) group.head._2
+          else BatchCodec.encodeMegaPrompt(MockLlmClient.BatchAggregatorMarker,
+            group.map(g => (g._1, g._2)))
+        try {
+          limiter.foreach(_.acquire())
+          val resp = RetryHandler.withRetries(maxRetries, baseMs, capMs, limiter) {
+            client.invoke(promptText, system)
+          }
+          val byId: Map[Long, String] =
+            if (single) Map(callId -> resp.text)
+            else BatchCodec.decodeResults(resp.text).toMap
+          group.map { case (idx, _, row) =>
+            // ids absent from the reply pad to null → parser → null output
+            // → auto-retry picks them up (reference:
+            // batch_disaggregator_stage.py:158-163)
+            emit(row, byId.getOrElse(idx, null), null, skipped = false,
+              callId, group.size, resp)
+          }
+        } catch {
+          case e: Throwable => policy match {
+            case ErrorPolicy.Skip =>
+              group.map { case (_, _, row) =>
+                emit(row, null, e.getMessage, skipped = true, callId,
+                  group.size, null)
+              }
+            case ErrorPolicy.UseDefault =>
+              group.map { case (_, _, row) =>
+                emit(row, default, e.getMessage, skipped = false, callId,
+                  group.size, null)
+              }
+            case _ => throw e // Fail / Retry-exhausted
+          }
+        }
+      }
+
+      // Pull-based bounded pipeline: at most `conc` calls in flight per
+      // partition; results are drained in submission order so output stays
+      // deterministic and memory is O(conc * batchSize) rows.
+      new Iterator[Row] {
+        private val inflight = mutable.Queue.empty[Future[Seq[Row]]]
+        private var current: Iterator[Row] = Iterator.empty
+        private def fill(): Unit =
+          while (groups.hasNext && inflight.size < conc)
+            inflight.enqueue {
+              val g = groups.next()
+              Future(callOne(g))
+            }
+        fill()
+        def hasNext: Boolean = current.hasNext || inflight.nonEmpty
+        def next(): Row = {
+          if (!current.hasNext) {
+            val done = Await.result(inflight.dequeue(), Duration.Inf)
+            fill()
+            current = done.iterator
+          }
+          current.next()
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+}

@@ -1,0 +1,69 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.MockLlmClient
+import graft.run.Enricher
+import Tables.t
+
+/** End-to-end enrichment pipeline queries, oracle-verifiable: the
+  * deterministic mock client replies md5(prompt), so the WHOLE chain —
+  * template render → (mega-prompt batch) → invoke → disaggregate → parse →
+  * merge — must reduce to `md5('prefix' || text)` per row, which DuckDB can
+  * compute natively. A hash mismatch anywhere in the operator chain fails
+  * the oracle.
+  */
+object EnrichQueries {
+
+  /** Single-call-per-row enrichment over the documents table. */
+  def qEnrichSingle(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val r = Enricher.enrich(docs, "Summarize: {text}", Seq("summary"),
+      new MockLlmClient(), keyColumn = Some("doc_id"))
+    r.data.select(col("doc_id"), col("summary")).orderBy("doc_id")
+  }
+
+  val qEnrichSingleSql: String =
+    """SELECT doc_id, md5('Summarize: ' || COALESCE(text,'')) AS summary
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Mega-prompt batched enrichment (15 rows/call): per-row results must be
+    * identical to single mode — proves batch aggregation + JSON
+    * disaggregation round-trips losslessly. */
+  def qEnrichBatched(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val r = Enricher.enrich(docs, "Classify: {text}", Seq("label"),
+      new MockLlmClient(), batchSize = 15, keyColumn = Some("doc_id"))
+    r.data.select(col("doc_id"), col("label")).orderBy("doc_id")
+  }
+
+  val qEnrichBatchedSql: String =
+    """SELECT doc_id, md5('Classify: ' || COALESCE(text,'')) AS label
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multi-variable template over a joined input — placeholders pull from
+    * two columns. */
+  def qEnrichMultiVar(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val r = Enricher.enrich(docs,
+      "Lang={lang} Source={source}: {text}", Seq("tagged"),
+      new MockLlmClient(), batchSize = 10, keyColumn = Some("doc_id"))
+    r.data.select(col("doc_id"), col("tagged")).orderBy("doc_id")
+  }
+
+  val qEnrichMultiVarSql: String =
+    """SELECT doc_id, md5('Lang=' || COALESCE(lang,'') || ' Source=' ||
+      |  COALESCE(source,'') || ': ' || COALESCE(text,'')) AS tagged
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_enrich_single" -> qEnrichSingle _,
+    "q21_enrich_batched" -> qEnrichBatched _,
+    "q22_enrich_multivar" -> qEnrichMultiVar _)
+
+  val oracles: Map[String, String] = Map(
+    "q20_enrich_single" -> qEnrichSingleSql,
+    "q21_enrich_batched" -> qEnrichBatchedSql,
+    "q22_enrich_multivar" -> qEnrichMultiVarSql)
+}

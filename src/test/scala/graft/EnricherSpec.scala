@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.llm.MockLlmClient
+import graft.run.Enricher
+
+class EnricherSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5(s: String) = MockLlmClient.md5Hex(s)
+
+  test("single-row enrich: template render -> invoke -> raw parse -> merge") {
+    val df = Seq(("Hello world", "A"), ("Test data", "B"), ("Sample text", "A"))
+      .toDF("text", "category")
+    val r = Enricher.enrich(df, "Process: {text}", Seq("processed"),
+      new MockLlmClient())
+    val got = r.data.select("text", "processed").as[(String, String)]
+      .collect().toMap
+    assert(got("Hello world") == md5("Process: Hello world"))
+    assert(got("Test data") == md5("Process: Test data"))
+    assert(r.metrics.rows == 3)
+    assert(r.metrics.calls == 3)
+    assert(r.metrics.tokensIn > 0)
+    assert(r.quality.successRate == 1.0)
+    assert(r.quality.rating == "excellent")
+  }
+
+  test("mega-prompt batching: N rows per call, same per-row results") {
+    val n = 30
+    val df = (0 until n).map(i => s"row number $i").toDF("text").repartition(1)
+    val before = MockLlmClient.calls.get()
+    val r = Enricher.enrich(df, "Classify: {text}", Seq("label"),
+      new MockLlmClient(), batchSize = 15)
+    val callsMade = MockLlmClient.calls.get() - before
+    assert(callsMade == 2, s"expected ceil(30/15)=2 calls, got $callsMade")
+    assert(r.metrics.calls == 2)
+    val got = r.data.select("text", "label").as[(String, String)].collect().toMap
+    (0 until n).foreach { i =>
+      assert(got(s"row number $i") == md5(s"Classify: row number $i"))
+    }
+  }
+
+  test("null input values render as empty string") {
+    val df = Seq(Some("x"), None).map(Tuple1(_)).toDF("text")
+    val r = Enricher.enrich(df, "V:{text}", Seq("out"), new MockLlmClient())
+    val got = r.data.select("out").as[String].collect().toSet
+    assert(got.contains(md5("V:x")))
+    assert(got.contains(md5("V:")))
+  }
+
+  test("error policy SKIP emits sentinel and counts skips") {
+    // failEveryN=2 with maxRetries=0 -> every 2nd call fails
+    val df = (0 until 8).map(i => s"t$i").toDF("text").repartition(1)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("P:{text}"),
+      llm = LlmSpec(maxRetries = 0, concurrency = 1),
+      processing = ProcessingSpec(errorPolicy = ErrorPolicy.Skip),
+      output = OutputSpec(Seq("out")))
+    val client = new MockLlmClient(failEveryN = 2)
+    val r = new Enricher(spec, client).enrich(df)
+    assert(r.metrics.skippedRows > 0)
+    val vals = r.data.select("out").as[String].collect()
+    assert(vals.count(_ == Sentinels.SkippedOutput) == r.metrics.skippedRows)
+  }
+
+  test("retry recovers from transient failures") {
+    val df = (0 until 6).map(i => s"t$i").toDF("text").repartition(1)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("P:{text}"),
+      llm = LlmSpec(maxRetries = 3, backoffBaseMs = 1, concurrency = 1),
+      processing = ProcessingSpec(errorPolicy = ErrorPolicy.Retry),
+      output = OutputSpec(Seq("out")))
+    val r = new Enricher(spec, new MockLlmClient(failEveryN = 3)).enrich(df)
+    assert(r.quality.successRate == 1.0)
+  }
+
+  test("json format: multi-column parse with fallback chain") {
+    // mock replies with md5 (not json) -> per-column parse yields null ->
+    // use a regex client stand-in: here test the parser directly via json mode
+    // with a single-key fallback (md5 is not JSON so columns stay null).
+    val df = Seq("a").toDF("text")
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("P:{text}"),
+      output = OutputSpec(Seq("brand", "price"), ResponseFormat.Json))
+    val r = new Enricher(spec, new MockLlmClient()).enrich(df)
+    val row = r.data.select("brand", "price").head()
+    assert(row.isNullAt(0) && row.isNullAt(1)) // md5 text is not JSON
+    assert(r.quality.rating == "critical")
+  }
+
+  test("budget cap stops the run between chunks") {
+    val df = (0 until 50).map(i => s"long text to cost something $i").toDF("text")
+    intercept[graft.run.BudgetExceededException] {
+      Enricher.enrich(df, "P:{text}", Seq("out"),
+        new MockLlmClient(inPer1k = BigDecimal(1000), outPer1k = BigDecimal(1000)),
+        maxBudget = Some(BigDecimal("0.0000001")))
+    }
+  }
+
+  test("merge strategy UPDATE keeps original where new is null") {
+    import graft.ops.{ResultMerger, RowIndex}
+    val orig = Seq((0L, "keepme", "x"), (1L, null, "y"))
+      .toDF(RowIndex.ColName, "out", "other")
+    val res = Seq((0L, Option.empty[String]), (1L, Some("new")))
+      .toDF(RowIndex.ColName, "out")
+    val m = ResultMerger.merge(orig, res, Seq("out"), MergeStrategy.Update)
+      .select(RowIndex.ColName, "out").as[(Long, String)].collect().toMap
+    assert(m(0L) == "keepme")
+    assert(m(1L) == "new")
+  }
+
+  test("merge strategy APPEND rejects existing column") {
+    import graft.ops.{ResultMerger, RowIndex}
+    val orig = Seq((0L, "v")).toDF(RowIndex.ColName, "out")
+    val res = Seq((0L, "w")).toDF(RowIndex.ColName, "out")
+    intercept[IllegalArgumentException] {
+      ResultMerger.merge(orig, res, Seq("out"), MergeStrategy.Append)
+    }
+  }
+}
