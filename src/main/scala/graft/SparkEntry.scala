@@ -17,8 +17,11 @@ object SparkEntry {
     EnrichQueries.qEnrichBatched(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.all ++ EnrichQueries.all
+    RelationalQueries.all ++ EnrichQueries.all ++ TextQueries.all ++
+      SimilarityQueries.all ++ EventQueries.all
 
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracles ++ EnrichQueries.oracles
+    RelationalQueries.oracles ++ EnrichQueries.oracles ++
+      TextQueries.oracles ++ SimilarityQueries.oracles ++
+      EventQueries.oracles
 }

@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for large-scale training-data pipelines:
+  * tokenization, token counting, quality scoring, language ID, document
+  * fingerprinting, 64-bit token hashing for MinHash/SimHash.
+  *
+  * Everything here compiles to built-in Catalyst expressions (codegen'd, no
+  * UDFs), so the functions vectorize inside whole-stage codegen and push
+  * into scans where possible. The same arithmetic is expressible in ANSI
+  * SQL, which is what makes the driver's DuckDB oracle able to verify them.
+  *
+  * Reference seeds: tokenize/term_frequency
+  * (crates/ondine-core/src/text/mod.rs:3-23), TF-IDF cosine (:27-66),
+  * sentence split (ondine/knowledge/chunker.py:29-32); the rest are the
+  * standard operations a 100 TB pretraining-data pipeline needs.
+  */
+object TextFunctions {
+
+  /** Whitespace tokenization; empty input → empty array (not [""]). */
+  def tokens(c: Column): Column =
+    filter(split(trim(c), "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c))
+
+  /** BPE-ish subword count estimate: word-piece regex split — closer to a
+    * real tokenizer's count than char/4 for English-like text. */
+  def subwordCount(c: Column): Column =
+    size(filter(split(lower(c), "[^a-z0-9']+"), t => t =!= "")) +
+      size(filter(split(c, "[a-zA-Z0-9'\\s]+"), t => t =!= ""))
+
+  /** Occurrences of a literal substring, via the length-difference trick —
+    * identical semantics in any SQL engine. */
+  def countOccurrences(c: Column, needle: String): Column =
+    ((length(c) - length(replace(c, lit(needle), lit("")))) /
+      needle.length).cast("int")
+
+  /** Ratio of punctuation chars to total chars. */
+  def punctRatio(c: Column): Column =
+    when(length(c) === 0, 0.0).otherwise(
+      (length(c) - length(regexp_replace(c, "[\\p{Punct}]", "")))
+        .cast("double") / length(c))
+
+  /** Ratio of English stopword tokens (quality signal). */
+  val EnglishStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "or", "of", "to", "in", "is", "for")
+
+  def stopwordRatio(c: Column): Column = {
+    val toks = tokens(lower(c))
+    when(size(toks) === 0, 0.0).otherwise(
+      size(filter(toks, t => t.isInCollection(EnglishStopwords)))
+        .cast("double") / size(toks))
+  }
+
+  /** Composite document quality score in [0,1] — the shape of the
+    * reference's quality gating (length / punctuation / stopword ratios),
+    * deterministic closed-form so it oracles exactly. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
+    val punctPenalty = lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
+    round((lenScore * 0.4 + punctPenalty * 0.3 + stopScore * 0.3), 6)
+  }
+
+  /** Per-language stopword markers for the n-gram language-ID heuristic. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq(" the ", " and ", " of "),
+    "es" -> Seq(" el ", " la ", " de ", " los "),
+    "fr" -> Seq(" le ", " la ", " et ", " les "),
+    "de" -> Seq(" der ", " die ", " und ", " das "))
+
+  /** Language-ID: count marker hits per language, argmax with 'und'
+    * (undetermined) when nothing matches. Ties resolve in LangMarkers
+    * order (stable in SQL via the same CASE ordering). */
+  def langId(c: Column): Column = {
+    val padded = concat(lit(" "), lower(c), lit(" "))
+    val scores = LangMarkers.map { case (lang, markers) =>
+      lang -> markers.map(m => countOccurrences(padded, m))
+        .reduce(_ + _)
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((lang, s), acc) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Canonical content fingerprint: md5 of lowercased alnum-only text —
+    * the exact-dedup key that survives whitespace/punctuation jitter. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "[^a-z0-9]", ""))
+
+  /** Deterministic 60-bit hash of a string via md5 prefix — portable to any
+    * engine with md5 + hex parsing (DuckDB: ('0x'||substr(md5,1,15))::UBIGINT). */
+  def hash64(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** One MinHash band: min of salted 60-bit token hashes over the distinct
+    * token set. J(A,B) ≈ fraction of bands agreeing. */
+  def minhashBand(toks: Column, salt: Int): Column =
+    array_min(transform(array_distinct(toks),
+      t => hash64(concat(lit(s"$salt|"), t))))
+
+  /** Word k-shingles ("w1 w2 w3" strings) for n-gram similarity. */
+  def shingles(toks: Column, k: Int): Column =
+    when(size(toks) < k, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(toks) - (k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+
+  /** Exact Jaccard similarity of two string sets. */
+  def jaccard(a: Column, b: Column): Column = {
+    val da = array_distinct(a)
+    val db = array_distinct(b)
+    val inter = size(array_intersect(da, db)).cast("double")
+    val uni = size(array_union(da, db)).cast("double")
+    when(uni === 0, 0.0).otherwise(round(inter / uni, 6))
+  }
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions._
+
+/** Deduplication operators for training-data pipelines, in increasing
+  * fuzziness: exact (normalized-hash groupBy), MinHash+LSH banding
+  * (shingle → minhash → band → bucket self-join), SimHash (bitwise
+  * near-dup signature), and exact n-gram Jaccard over LSH candidates.
+  *
+  * Scale design: every step is a narrow map except the unavoidable
+  * band-bucket shuffle, which moves only (band_idx, band_hash, id) triples —
+  * never document text. The exact-Jaccard confirmation joins shingle SETS
+  * only for surviving candidate pairs. At 100 TB: shingling/minhash is
+  * embarrassingly parallel; bucket join shuffles ~numBands × numDocs tiny
+  * rows; skewed buckets (boilerplate docs) can be salted or capped with a
+  * bucket-size limit before pairing.
+  */
+object Dedup {
+
+  /** Exact dedup groups by normalized-content fingerprint: one row per
+    * distinct content, keeper = min id, with the group size. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(fingerprint(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Drop exact duplicates, keeping the min-id row per content group.
+    * Window-free formulation: join back on (hash, min id). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keep = exactGroups(df, idCol, textCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash band signatures: one row per doc with `numBands` min-hashes
+    * over word k-shingles. */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+                        numBands: Int, shingleSize: Int): DataFrame = {
+    val sh = array_distinct(shingles(tokens(col(textCol)), shingleSize))
+    val bands = (0 until numBands).map(b =>
+      array_min(transform(sh, s => hash64(concat(lit(s"$b|"), s))))
+        .as(s"band_$b"))
+    df.select((col(idCol) +: bands): _*)
+  }
+
+  /** LSH candidate pairs: docs sharing ANY band value. Emits (id_a, id_b)
+    * with id_a < id_b, distinct. Only signature triples shuffle. */
+  def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
+                        numBands: Int = 8, shingleSize: Int = 3): DataFrame = {
+    val sigs = minhashSignatures(df, idCol, textCol, numBands, shingleSize)
+    val exploded = sigs.select(col(idCol).as("id"),
+      posexplode(array((0 until numBands).map(b => col(s"band_$b")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val a = exploded.as("a")
+    val b = exploded.as("b")
+    a.join(b, col("a.band_idx") === col("b.band_idx") &&
+        col("a.band_val") === col("b.band_val") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs: LSH candidates confirmed by exact k-shingle
+    * Jaccard >= threshold. The text join happens only for candidates. */
+  def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+                         numBands: Int = 8, shingleSize: Int = 3,
+                         threshold: Double = 0.5): DataFrame = {
+    val cands = lshCandidatePairs(df, idCol, textCol, numBands, shingleSize)
+    val sets = df.select(col(idCol).as("sid"),
+      array_distinct(shingles(tokens(col(textCol)), shingleSize)).as("sh"))
+    cands
+      .join(sets.withColumnRenamed("sid", "id_a")
+        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(sets.withColumnRenamed("sid", "id_b")
+        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** SimHash signature (60-bit, matching hash64's width): per token-set,
+    * each bit is the sign of the summed ±1 votes of that bit across token
+    * hashes. Computed with a single higher-order `aggregate` over the token
+    * array — no explode, no shuffle, stays inside codegen.
+    * (SQL oracle does the same arithmetic via unnest + group-by; both are
+    * exact integer math, so results match bit-for-bit.) */
+  def simhash(toks: Column, bits: Int = 60): Column = {
+    // bit masks as a literal array column: lambda-variable bit indices
+    // can't feed the Int-typed shift functions, but bitwiseAND takes a
+    // Column, so test bits against element_at(masks, b+1) instead.
+    val masks = array((0 until bits).map(b => lit(1L << b)): _*)
+    val votes = aggregate(
+      array_distinct(toks),
+      array_repeat(lit(0L), bits),
+      (acc, t) => {
+        val h = hash64(t)
+        zip_with(acc,
+          transform(sequence(lit(0), lit(bits - 1)),
+            b => when(h.bitwiseAND(element_at(masks, (b + 1).cast("int")))
+              =!= 0L, 1L).otherwise(-1L)),
+          (x, y) => x + y)
+      })
+    aggregate(
+      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
+      lit(0L), (x, y) => x + y)
+  }
+
+  /** Hamming distance between two simhash signatures. */
+  def hammingDistance(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hash64
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k as a cross join + per-group window —
+  * exact, O(Q×N), the right tool when Q is small (dedup probes, eval sets).
+  * Scale path: sign-LSH bucketing — deterministic random hyperplanes from a
+  * salted hash, so candidates share a bucket key and the cross join shrinks
+  * to bucket-local joins; the 100 TB version broadcasts only the (tiny)
+  * query set and shuffles corpus rows by bucket key once.
+  *
+  * Vector math uses `zip_with`/`aggregate` higher-order functions (codegen'd,
+  * no UDF). Dot products accumulate left-to-right in DOUBLE, which is the
+  * same order DuckDB's list functions use — scores are reproducible, and
+  * outputs round to 6dp with (score, id) ordering so ranking is stable.
+  *
+  * (Reference seed: embedding cosine in crates/ondine-core/src/evidence/
+  * store.rs:654-670 and dense top-k :289-307.)
+  */
+object Similarity {
+
+  /** Left-to-right double-precision dot product of two float vectors. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    * queries/corpus: (idCol, vecCol). Output: query_id, neighbor_id, rank,
+    * sim (rounded 6dp). Self-matches excluded when ids collide. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component for sign-LSH:
+    * w(plane, dim) ∈ [-1, 1), derived from a salted hash so every engine
+    * (and every executor) regenerates the identical plane. */
+  def planeComponent(plane: Int, dim: Column): Column =
+    (hash64(concat(lit(s"plane$plane|"), dim.cast("string")))
+      .mod(20011L).cast("double") / 10005.5) - 1.0
+
+  /** Sign-LSH bucket key: one bit per hyperplane = sign of <v, w_p>. */
+  def lshBucket(vec: Column, numPlanes: Int): Column = {
+    val bits = (0 until numPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(vec, sequence(lit(0), size(vec) - 1),
+          (x, d) => x.cast("double") * planeComponent(p, d)),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Approximate top-k: candidates limited to the query's LSH bucket, then
+    * exact cosine rank within bucket. Recall tunes with numPlanes (fewer
+    * planes → bigger buckets → higher recall, more compute). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              numPlanes: Int = 4, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val scored = q.join(c, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold),
+    * bucketed by sign-LSH so only bucket-local pairs are scored. */
+  def embeddingNearDupPairs(df: DataFrame, threshold: Double,
+                            numPlanes: Int = 4, idCol: String = "vec_id",
+                            vecCol: String = "embedding"): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshBucket(col(vecCol), numPlanes).as("bucket"))
+    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("bucket"))
+    val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("bucket"))
+    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+}

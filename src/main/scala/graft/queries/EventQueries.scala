@@ -1,0 +1,163 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.AsOfJoin
+import Tables.t
+
+/** Event-table coverage: time-window aggregation (batch and Structured
+  * Streaming), sessionization (gaps-and-islands), as-of join, and JSON
+  * property extraction. The reference has no event-time processing
+  * (SURVEY §2.12) — these come "for free" from Spark and are part of the
+  * 100 TB pipeline surface.
+  */
+object EventQueries {
+
+  /** Tumbling 1-hour window aggregate. Double values are cast to
+    * DECIMAL(18,6) pre-sum: double summation order is nondeterministic
+    * under partial aggregation, decimal summation is exact. */
+  def q50HourlyRollup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_trunc("hour", col("ts")).cast("string").as("hour"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("hour", "event_type")
+
+  val q50Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** The same tumbling-window aggregate through Structured Streaming:
+    * parquet file stream → event-time window() agg → complete-mode memory
+    * sink. Proves the engine's streaming path computes exactly the batch
+    * answer (Trigger.AvailableNow drains the source then stops). */
+  def q51StreamingRollup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // stream source sees the RAW file schema (ts = nanos-as-long);
+    // the ns→us conversion happens inside the stream
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file-stream source lists a DIRECTORY; stage the single parquet
+    // file into one via symlink
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_src_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sinkName = "graft_stream_rollup"
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val query = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(col("window.start").cast("string").as("hour"),
+        col("event_type"), col("n"))
+      .orderBy("hour", "event_type")
+  }
+
+  val q51Sql: String =
+    """SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour, event_type,
+      |  COUNT(*) AS n
+      |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
+
+  /** Sessionization: a session break is a >30 min gap per user
+    * (gaps-and-islands via lag + running sum). */
+  def q52Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val withGap = ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          .otherwise(0L))
+    withGap.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("new_session")).as("n_sessions"))
+      .orderBy("user_id")
+  }
+
+  val q52Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts,
+      |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events)
+      |SELECT user_id, COUNT(*) AS n_events,
+      |  SUM(CASE WHEN prev_ts IS NULL
+      |        OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** As-of join: each error event picks up the user's most recent click at
+    * or before it (union + running last_value — no row explosion). */
+  def q53AsOfJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_id").as("click_event_id"))
+    AsOfJoin.asOf(errors, clicks, Seq("user_id"), "ts", "event_id",
+      Seq("click_event_id"))
+      .select(col("event_id"), col("user_id"),
+        col("asof_click_event_id").as("click_event_id"))
+      .orderBy("event_id")
+  }
+
+  val q53Sql: String =
+    """WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+      |clk AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT err.event_id, err.user_id, clk.event_id AS click_event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY err.event_id
+      |      ORDER BY clk.ts DESC, clk.event_id DESC) AS rn
+      |  FROM err LEFT JOIN clk
+      |    ON err.user_id = clk.user_id AND clk.ts <= err.ts)
+      |SELECT event_id, user_id, click_event_id FROM j WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
+  /** JSON property extraction (Spark: native get_json_object; oracle uses
+    * an equivalent regexp so it runs without DuckDB's json extension). */
+  def q54JsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("k")).as("sum_k"), count(col("k")).as("n_with_k"))
+      .orderBy("event_type")
+
+  val q54Sql: String =
+    """SELECT event_type,
+      |  SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS sum_k,
+      |  COUNT(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS n_with_k
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_hourly_rollup" -> q50HourlyRollup _,
+    "q51_streaming_rollup" -> q51StreamingRollup _,
+    "q52_sessionize" -> q52Sessionize _,
+    "q53_asof_join" -> q53AsOfJoin _,
+    "q54_json_props" -> q54JsonProps _)
+
+  val oracles: Map[String, String] = Map(
+    "q50_hourly_rollup" -> q50Sql,
+    "q51_streaming_rollup" -> q51Sql,
+    "q52_sessionize" -> q52Sql,
+    "q53_asof_join" -> q53Sql,
+    "q54_json_props" -> q54Sql)
+}

@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+import Tables.t
+
+/** Embedding similarity-search queries over the embeddings table
+  * (64-dim float vectors): exact brute-force cosine top-k, sign-LSH
+  * approximate top-k, and embedding-cosine near-duplicate pairs.
+  */
+object SimilarityQueries {
+
+  private val K = 5
+  private val NumQueries = 10
+  private val NumPlanes = 4
+
+  def q40BruteForceTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(
+      emb.filter(col("vec_id") < NumQueries), emb, K)
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB cosine with the same left-to-right double accumulation. */
+  private def duckCosine(a: String, b: String): String =
+    s"""round(
+       |  list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+       |  (sqrt(list_sum(list_transform($a, x -> x * x))) *
+       |   sqrt(list_sum(list_transform($b, x -> x * x)))), 6)""".stripMargin
+
+  val q40Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${duckCosine("qv", "cv")} AS sim
+       |  FROM q, c WHERE query_id <> neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  /** DuckDB sign-LSH bucket for `v` (DOUBLE[]), planes 0..n-1 — mirrors
+    * Similarity.lshBucket exactly (same salted-hash plane components). */
+  private def duckBucket(v: String): String = {
+    val bits = (0 until NumPlanes).map { p =>
+      s"""(CASE WHEN list_sum([$v[i] *
+         |  ((('0x' || substr(md5('plane$p|' || (i-1)::VARCHAR), 1, 15))::UBIGINT
+         |    % 20011)::DOUBLE / 10005.5 - 1.0)
+         |  for i in range(1, len($v) + 1)]) > 0
+         | THEN ${1L << p} ELSE 0 END)""".stripMargin
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  def q41LshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.lshTopK(
+      emb.filter(col("vec_id") < NumQueries), emb, K, NumPlanes)
+      .orderBy("query_id", "rank")
+  }
+
+  val q41Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv,
+       |    ${duckBucket("(embedding::DOUBLE[])")} AS bucket
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (
+       |  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv,
+       |    ${duckBucket("(embedding::DOUBLE[])")} AS bucket
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, neighbor_id, ${duckCosine("qv", "cv")} AS sim
+       |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
+  def q42EmbeddingNearDups(spark: SparkSession, dir: String): DataFrame =
+    Similarity.embeddingNearDupPairs(t(spark, dir, "embeddings"),
+      threshold = 0.3, NumPlanes)
+      .orderBy("id_a", "id_b")
+
+  val q42Sql: String =
+    s"""WITH v AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+       |    ${duckBucket("(embedding::DOUBLE[])")} AS bucket
+       |  FROM embeddings),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b,
+       |    ${duckCosine("a.vec", "b.vec")} AS sim
+       |  FROM v a JOIN v b USING (bucket) WHERE a.id < b.id)
+       |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_ann_brute_topk" -> q40BruteForceTopK _,
+    "q41_ann_lsh_topk" -> q41LshTopK _,
+    "q42_embed_near_dups" -> q42EmbeddingNearDups _)
+
+  val oracles: Map[String, String] = Map(
+    "q40_ann_brute_topk" -> q40Sql,
+    "q41_ann_lsh_topk" -> q41Sql,
+    "q42_embed_near_dups" -> q42Sql)
+}

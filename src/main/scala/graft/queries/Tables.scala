@@ -6,4 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Tables {
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** The events table carries TIMESTAMP(NANOS) which Spark's vectorized
+    * reader rejects; read nanos as long and truncate to microseconds
+    * (`div 1000` = floor), exactly DuckDB's ns→us conversion. */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
 }

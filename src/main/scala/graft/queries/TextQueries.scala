@@ -1,0 +1,221 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.functions.TextFunctions._
+import graft.operators.{Dedup, Multimodal}
+import Tables.t
+
+/** Text-analysis / dedup / multimodal queries over the documents table —
+  * the training-data-pipeline operator coverage. Each oracle reproduces the
+  * exact arithmetic in DuckDB SQL (integer/decimal math exact; doubles
+  * rounded at 6dp with deterministic tie-breaks).
+  */
+object TextQueries {
+
+  // --- token stats + quality -------------------------------------------
+
+  def q30TokenStats(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      tokenCount(col("text")).as("n_tokens"),
+      length(col("text")).as("len_chars"),
+      round(stopwordRatio(col("text")), 6).as("stop_ratio"),
+      qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  val q30Sql: String = {
+    val stops = EnglishStopwords.map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents)
+       |SELECT doc_id, len(w) AS n_tokens, length(text) AS len_chars,
+       |  round(CASE WHEN len(w) = 0 THEN 0
+       |    ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END, 6) AS stop_ratio,
+       |  round(
+       |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
+       |    (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+       |       / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
+       |    least((CASE WHEN len(w) = 0 THEN 0
+       |      ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
+       |  6) AS quality
+       |FROM toks ORDER BY doc_id""".stripMargin
+  }
+
+  // --- language id ------------------------------------------------------
+
+  def q31LangId(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      TextFunctions.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  val q31Sql: String = {
+    def occ(m: String) =
+      s"((length(p) - length(replace(p, '$m', ''))) / ${m.length})::INT"
+    val scoreExprs = LangMarkers.map { case (lang, markers) =>
+      lang -> markers.map(occ).mkString("(", " + ", ")")
+    }
+    val scores = scoreExprs.map { case (l, e) => s"$e AS s_$l" }.mkString(",\n    ")
+    val best = s"greatest(${scoreExprs.map("s_" + _._1).mkString(", ")})"
+    val caseChain = scoreExprs.map { case (l, _) =>
+      s"WHEN s_$l = best AND s_$l > 0 THEN '$l'"
+    }.mkString("\n    ")
+    s"""WITH padded AS (
+       |  SELECT doc_id, lang, ' ' || lower(text) || ' ' AS p FROM documents),
+       |scored AS (
+       |  SELECT doc_id, lang,
+       |    $scores
+       |  FROM padded),
+       |withbest AS (
+       |  SELECT *, $best AS best FROM scored)
+       |SELECT doc_id, lang,
+       |  CASE $caseChain ELSE 'und' END AS lang_pred
+       |FROM withbest ORDER BY doc_id""".stripMargin
+  }
+
+  // --- exact dedup ------------------------------------------------------
+
+  def q32ExactDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exactGroups(t(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("content_hash")
+
+  val q32Sql: String =
+    """SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS content_hash,
+      |  min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin
+
+  // --- minhash signatures ----------------------------------------------
+
+  private val NumBands = 4
+  private val ShingleK = 3
+
+  def q33MinhashSigs(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashSignatures(t(spark, dir, "documents"), "doc_id", "text",
+      NumBands, ShingleK).orderBy("doc_id")
+
+  /** Shared SQL fragment: distinct word 3-shingles per doc. */
+  private val shingleCte: String =
+    s"""toks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, list_distinct(CASE WHEN len(w) < $ShingleK THEN []::VARCHAR[]
+       |    ELSE [array_to_string(w[i:i+${ShingleK - 1}], ' ')
+       |          for i in range(1, len(w) - ${ShingleK - 2})] END) AS shingles
+       |  FROM toks)""".stripMargin
+
+  val q33Sql: String = {
+    val bands = (0 until NumBands).map(b =>
+      s"min(('0x' || substr(md5('$b|' || s), 1, 15))::UBIGINT)::BIGINT AS band_$b")
+      .mkString(",\n  ")
+    s"""WITH $shingleCte
+       |SELECT doc_id, $bands
+       |FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  // --- LSH near-duplicate pairs ----------------------------------------
+
+  def q34NearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDuplicatePairs(t(spark, dir, "documents"), "doc_id", "text",
+      NumBands, ShingleK, threshold = 0.12)
+      .orderBy("id_a", "id_b")
+
+  val q34Sql: String = {
+    val bandMins = (0 until NumBands).map(b =>
+      s"min(('0x' || substr(md5('$b|' || s), 1, 15))::UBIGINT)::BIGINT AS band_$b")
+      .mkString(",\n  ")
+    val bandList = (0 until NumBands).map(b => s"band_$b").mkString(", ")
+    s"""WITH $shingleCte,
+       |bands AS (
+       |  SELECT doc_id, $bandMins
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) GROUP BY doc_id),
+       |exploded AS (
+       |  SELECT doc_id, unnest([$bandList]) AS band_val,
+       |    generate_subscripts([$bandList], 1) AS band_idx
+       |  FROM bands),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM exploded a JOIN exploded b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id),
+       |jac AS (
+       |  SELECT id_a, id_b,
+       |    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+       |      CASE WHEN len(list_distinct(sa.shingles || sb.shingles)) = 0 THEN 1
+       |           ELSE len(list_distinct(sa.shingles || sb.shingles)) END, 6) AS jaccard
+       |  FROM cands JOIN sh sa ON sa.doc_id = id_a
+       |             JOIN sh sb ON sb.doc_id = id_b)
+       |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.12
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  // --- simhash ----------------------------------------------------------
+
+  def q35Simhash(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents").select(
+      col("doc_id"),
+      Dedup.simhash(tokens(col("text"))).as("simhash"))
+      .orderBy("doc_id")
+
+  val q35Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS w
+      |  FROM documents),
+      |th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::UBIGINT AS h
+      |  FROM (SELECT doc_id, unnest(w) AS t FROM toks)),
+      |bitv AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th CROSS JOIN (SELECT unnest(range(60)) AS b) bits
+      |  GROUP BY doc_id, b)
+      |SELECT doc_id,
+      |  SUM(CASE WHEN v > 0 THEN (1::UBIGINT << b)::BIGINT ELSE 0 END)::BIGINT AS simhash
+      |FROM bitv GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // --- multimodal plumbing ---------------------------------------------
+
+  def q36Multimodal(spark: SparkSession, dir: String): DataFrame = {
+    val withBin = t(spark, dir, "documents")
+      .withColumn("content", to_binary(col("text"), lit("UTF-8")))
+    Multimodal.withDecodedMeta(withBin, "content")
+      .select(col("doc_id"),
+        col("media_meta.n_bytes").as("n_bytes"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        col("media_meta.n_frames").as("n_frames"))
+      .orderBy("doc_id")
+  }
+
+  val q36Sql: String =
+    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+      |  ((octet_length(encode(text)) % 64) * 16 + 16)::INT AS width,
+      |  ((octet_length(encode(text)) % 48) * 16 + 16)::INT AS height,
+      |  ((octet_length(encode(text)) % 30) + 1)::INT AS n_frames
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_token_stats" -> q30TokenStats _,
+    "q31_lang_id" -> q31LangId _,
+    "q32_exact_dedup" -> q32ExactDedup _,
+    "q33_minhash_sigs" -> q33MinhashSigs _,
+    "q34_lsh_near_dups" -> q34NearDups _,
+    "q35_simhash" -> q35Simhash _,
+    "q36_multimodal_meta" -> q36Multimodal _)
+
+  val oracles: Map[String, String] = Map(
+    "q30_token_stats" -> q30Sql,
+    "q31_lang_id" -> q31Sql,
+    "q32_exact_dedup" -> q32Sql,
+    "q33_minhash_sigs" -> q33Sql,
+    "q34_lsh_near_dups" -> q34Sql,
+    "q35_simhash" -> q35Sql,
+    "q36_multimodal_meta" -> q36Sql)
+}
