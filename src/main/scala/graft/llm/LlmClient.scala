@@ -68,7 +68,7 @@ object CostCalculator {
   * of {"id":N,"result":md5(prompt)} — the contract a real model is prompted
   * to follow (reference: ondine/strategies/json_batch_strategy.py:35-99).
   */
-final class MockLlmClient(
+class MockLlmClient(
     override val model: String = "mock",
     inPer1k: BigDecimal = BigDecimal("0.001"),
     outPer1k: BigDecimal = BigDecimal("0.002"),

@@ -28,14 +28,17 @@ object AsOfJoin {
            timeCol: String, tiebreakCol: String,
            rightValueCols: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
-    // align schemas: left gets null right-values, right gets null left-extras
+    // align schemas: left gets null right-values + null tiebreak (ordering
+    // among left rows at equal time is irrelevant — each still sees every
+    // right row at-or-before it); right gets null left-extras
     val leftTagged = rightValueCols.foldLeft(left) { (d, c) =>
       d.withColumn(s"_asof_$c", lit(null).cast(right.schema(c).dataType))
     }.withColumn("_side", lit(1))
+      .withColumn("_asof_tb", lit(null).cast(right.schema(tiebreakCol).dataType))
     val rightTagged = right.select(
-      (keyCols.map(col) :+ col(timeCol) :+ col(tiebreakCol)) ++
+      (keyCols.map(col) :+ col(timeCol) :+ col(tiebreakCol).as("_asof_tb")) ++
         rightValueCols.map(c => col(c).as(s"_asof_$c")): _*)
-    val rightAligned = leftCols.diff(keyCols :+ timeCol :+ tiebreakCol)
+    val rightAligned = leftCols.diff(keyCols :+ timeCol)
       .foldLeft(rightTagged) { (d, c) =>
         d.withColumn(c, lit(null).cast(left.schema(c).dataType))
       }.withColumn("_side", lit(0))
@@ -43,7 +46,8 @@ object AsOfJoin {
 
     val unioned = leftTagged.unionByName(rightAligned)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col(timeCol).asc, col("_side").asc, col(tiebreakCol).asc)
+      .orderBy(col(timeCol).asc, col("_side").asc,
+        col("_asof_tb").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightValueCols.foldLeft(unioned) { (d, c) =>
       d.withColumn(s"_asof_$c",

@@ -196,7 +196,13 @@ final class Enricher(
   }
 
   private def readLedger(spark: SparkSession, dir: String): Option[DataFrame] =
-    if (new java.io.File(dir).exists()) Some(spark.read.parquet(dir)) else None
+    if (!new java.io.File(dir).exists()) None
+    else try Some(spark.read.parquet(dir))
+    catch {
+      // a crash can leave the dir with only an uncommitted _temporary
+      // subdir — no schema to infer means no durable rows yet
+      case _: org.apache.spark.sql.AnalysisException => None
+    }
 
   /** Exact spend: one cost record per (attempt, call). */
   private def callCost(ledger: DataFrame): JBigDecimal = {

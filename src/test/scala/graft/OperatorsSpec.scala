@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+
+import graft.functions.TextFunctions
+import graft.operators.{AsOfJoin, Dedup, Multimodal, Similarity}
+
+class OperatorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup keeps min-id row per normalized content") {
+    val df = Seq(
+      (1L, "Hello, World!"), (2L, "hello world"), (3L, "different"),
+      (4L, "HELLO world..")).toDF("id", "text")
+    val kept = Dedup.dropExactDuplicates(df, "id", "text")
+      .select("id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L)) // 1,2,4 normalize identically
+  }
+
+  test("jaccard properties: self=1, disjoint=0, symmetric") {
+    val df = Seq(("a b c", "a b c"), ("a b", "c d"), ("a b c", "b c d"))
+      .toDF("x", "y")
+    val j = df.select(
+      TextFunctions.jaccard(TextFunctions.tokens(col("x")),
+        TextFunctions.tokens(col("y"))).as("j"),
+      TextFunctions.jaccard(TextFunctions.tokens(col("y")),
+        TextFunctions.tokens(col("x"))).as("jr"))
+      .as[(Double, Double)].collect()
+    assert(j(0) == ((1.0, 1.0)))
+    assert(j(1) == ((0.0, 0.0)))
+    assert(j(2)._1 == 0.5 && j(2)._1 == j(2)._2)
+  }
+
+  test("shingles: k-grams in order, short docs -> empty") {
+    val df = Seq("a b c d", "a b").toDF("t")
+    val sh = df.select(TextFunctions.shingles(
+      TextFunctions.tokens(col("t")), 3).as("s")).as[Seq[String]].collect()
+    assert(sh(0) == Seq("a b c", "b c d"))
+    assert(sh(1) == Seq.empty)
+  }
+
+  test("simhash: identical token sets collide, near sets are close") {
+    val df = Seq(
+      ("x", "spark fast table scan join"),
+      ("y", "join scan table fast spark"),   // same set, different order
+      ("z", "completely unrelated words entirely other"))
+      .toDF("id", "t")
+    val sigs = df.select(col("id"),
+      Dedup.simhash(TextFunctions.tokens(col("t"))).as("h"))
+      .as[(String, Long)].collect().toMap
+    assert(sigs("x") == sigs("y"), "simhash must be order-invariant")
+    val dist = java.lang.Long.bitCount(sigs("x") ^ sigs("z"))
+    assert(dist > 10, s"unrelated docs should differ in many bits, got $dist")
+  }
+
+  test("lsh near-dup finds a known near-duplicate pair") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val near = base.replace("lazy", "sleepy")
+    val far = "entirely different content about spark query optimization"
+    val df = Seq((1L, base), (2L, near), (3L, far)).toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(df, "doc_id", "text",
+      numBands = 8, shingleSize = 3, threshold = 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("brute-force cosine top-k ranks an identical vector first") {
+    val vs = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0.01f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(-1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(
+      vs.filter(col("vec_id") === 0L), vs, 3)
+      .select("rank", "neighbor_id").as[(Int, Long)].collect().toMap
+    assert(top(1) == 1L) // closest
+    assert(top(3) == 3L) // opposite vector ranks last
+  }
+
+  test("as-of join picks latest right row at-or-before left time") {
+    val left = Seq((100L, 1L, 10L), (101L, 1L, 5L), (102L, 2L, 7L))
+      .toDF("event_id", "user_id", "ts")
+    val right = Seq((1L, 4L, 200L), (1L, 10L, 201L), (1L, 11L, 202L),
+      (3L, 1L, 203L))
+      .toDF("user_id", "ts", "rid")
+      .withColumn("val", col("rid"))
+    val r = AsOfJoin.asOf(left, right, Seq("user_id"), "ts", "rid", Seq("val"))
+      .select("event_id", "asof_val").as[(Long, Option[Long])].collect().toMap
+    assert(r(100L).contains(201L)) // ts=10 matches exactly
+    assert(r(101L).contains(200L)) // ts=5 -> right at 4
+    assert(r(102L).isEmpty)        // user 2 has no right rows
+  }
+
+  test("multimodal decode stub: batched, deterministic, passthrough") {
+    val df = Seq((1L, "abc"), (2L, "x" * 100)).toDF("id", "t")
+      .withColumn("content", to_binary(col("t"), lit("UTF-8")))
+    val got = Multimodal.withDecodedMeta(df, "content")
+      .select(col("id"), col("media_meta.n_bytes"), col("media_meta.width"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
+    assert(got(1L) == ((3L, (3 % 64) * 16 + 16)))
+    assert(got(2L) == ((100L, (100 % 64) * 16 + 16)))
+  }
+
+  test("property: jaccard within [0,1] and symmetric on random token sets") {
+    // one Spark job for all sampled cases (job-per-case would be slow)
+    val wordGen = Gen.nonEmptyListOf(Gen.oneOf("a", "b", "c", "d", "e"))
+      .map(_.mkString(" "))
+    val cases = (0 until 40).flatMap { _ =>
+      for (x <- wordGen.sample; y <- wordGen.sample) yield (x, y)
+    }
+    val rs = cases.toDF("x", "y").select(
+      TextFunctions.jaccard(TextFunctions.tokens(col("x")),
+        TextFunctions.tokens(col("y"))).as("a"),
+      TextFunctions.jaccard(TextFunctions.tokens(col("y")),
+        TextFunctions.tokens(col("x"))).as("b"))
+      .as[(Double, Double)].collect()
+    rs.foreach { case (a, b) =>
+      assert(a >= 0.0 && a <= 1.0 && a == b)
+    }
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.llm.{LlmError, MockLlmClient, LlmResponse}
+import graft.run.Enricher
+
+/** Crash-safety / resume contract (reference headline: 0 rows lost on
+  * kill -9 at 60%, resume re-invokes nothing —
+  * /root/reference/benchmarks/RESULTS.md:38-43).
+  *
+  * Simulates the crash by a client that dies after N calls, then resumes
+  * with a healthy client and asserts (a) all rows complete, (b) the resumed
+  * run invoked ONLY the missing rows (mock call counter).
+  */
+class ResumeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def spec(batch: Int = 1) = PipelineSpec(
+    dataset = DatasetSpec(Seq("text")),
+    prompt = PromptSpec("P:{text}", batchSize = batch),
+    llm = LlmSpec(maxRetries = 0, concurrency = 1),
+    processing = ProcessingSpec(errorPolicy = ErrorPolicy.Fail, chunkRows = 20),
+    output = OutputSpec(Seq("out")))
+
+  test("resume after crash: zero rows lost, zero re-invocations") {
+    val dir = Files.createTempDirectory("graft_resume").toString
+    val df = (0 until 100).map(i => s"text $i").toDF("text").repartition(1)
+
+    // run 1: client dies after 60 calls → job fails mid-run
+    ResumeSpec.DeathCounter.set(0)
+    intercept[Exception] {
+      new Enricher(spec(), new ResumeSpec.DyingClient(60), Some(dir))
+        .enrich(df).data.count()
+    }
+    val ledger = spark.read.parquet(s"$dir/responses")
+    val durable = ledger.filter(col("result").isNotNull).count()
+    assert(durable > 0 && durable < 100,
+      s"expected partial progress durable, got $durable")
+
+    // run 2: healthy client; must only invoke the missing rows
+    val before = MockLlmClient.calls.get()
+    val r = new Enricher(spec(), new MockLlmClient(), Some(dir)).enrich(df)
+    assert(r.quality.validRows == 100)
+    val invokedOnResume = MockLlmClient.calls.get() - before
+    assert(invokedOnResume == 100 - durable,
+      s"resume invoked $invokedOnResume, expected ${100 - durable}")
+    // results correct end-to-end
+    val got = r.data.select("text", "out").as[(String, String)].collect().toMap
+    assert(got("text 42") == MockLlmClient.md5Hex("P:text 42"))
+  }
+
+  test("completed run resumes with zero invocations") {
+    val dir = Files.createTempDirectory("graft_resume2").toString
+    val df = (0 until 30).map(i => s"v $i").toDF("text").repartition(1)
+    new Enricher(spec(batch = 10), new MockLlmClient(), Some(dir)).enrich(df)
+    val before = MockLlmClient.calls.get()
+    val r = new Enricher(spec(batch = 10), new MockLlmClient(), Some(dir)).enrich(df)
+    assert(MockLlmClient.calls.get() == before,
+      "fully-cached resume must not re-invoke")
+    assert(r.quality.validRows == 30)
+  }
+}
+
+object ResumeSpec {
+  val DeathCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Client that hard-fails (non-retryable) after `maxCalls` invocations.
+    * Lives in the companion (a suite-inner class would capture the
+    * non-serializable ScalaTest engine); the counter is JVM-global because
+    * instance fields re-serialize fresh into every task closure. */
+  class DyingClient(maxCalls: Int) extends MockLlmClient() {
+    override def invoke(prompt: String, sys: Option[String]): LlmResponse = {
+      if (DeathCounter.incrementAndGet() > maxCalls)
+        throw new LlmError("simulated crash", retryable = false)
+      super.invoke(prompt, sys)
+    }
+  }
+}
