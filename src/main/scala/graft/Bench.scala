@@ -1,24 +1,92 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.llm.MockLlmClient
+import graft.run.Enricher
+
+/** Benchmark harness. Prints ONE JSON line:
+  *   {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Two groups inside "queries":
+  *  - every SparkEntry query timed end-to-end (count) on the sf dir;
+  *  - BASELINE-aligned enrichment arms mirroring the reference benchmark
+  *    (/root/reference/benchmarks/RESULTS.md): 100k rows through the
+  *    deterministic in-process client, batch_size=50 — the same shape as
+  *    the reference's crash-safety arm (3.79 s crash run / 3.40 s resume),
+  *    plus a durable-ledger run and a fully-cached resume.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      f
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // 1. the full query inventory
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        }
+      }
+    }
+
+    // 2. BASELINE-aligned arms: 100k-row enrichment, mock client, batch 50.
+    // 20 slices of exactly 5000 rows — partition size a multiple of the
+    // batch size, so partition-local batching yields exactly
+    // ceil(100000/50)=2000 calls (the reference's structural ratio).
+    val rows100k = spark.range(0L, 100000L, 1L, 20)
+      .select(col("id"), concat(lit("review text number "), col("id"))
+        .as("review"))
+      .persist()
+    rows100k.count()
+
+    results("enrich_100k_batch50") = time {
+      val r = Enricher.enrich(rows100k, "Classify the tone of: {review}",
+        Seq("sentiment"), new MockLlmClient(), batchSize = 50)
+      r.data.count()
+      assert(r.metrics.calls == 2000, s"expected 100k/50 calls, got ${r.metrics.calls}")
+    }
+
+    val runDir = s"/tmp/graft_bench_durable_$cpus"
+    new scala.reflect.io.Directory(new java.io.File(runDir)).deleteRecursively()
+    results("enrich_100k_durable") = time {
+      val r = Enricher.enrich(rows100k, "Classify the tone of: {review}",
+        Seq("sentiment"), new MockLlmClient(), batchSize = 50,
+        runDir = Some(runDir), keyColumn = Some("id"))
+      r.data.count()
+    }
+    results("enrich_100k_resume") = time {
+      val before = MockLlmClient.calls.get()
+      val r = Enricher.enrich(rows100k, "Classify the tone of: {review}",
+        Seq("sentiment"), new MockLlmClient(), batchSize = 50,
+        runDir = Some(runDir), keyColumn = Some("id"))
+      r.data.count()
+      assert(MockLlmClient.calls.get() == before,
+        "resume must not re-invoke completed calls")
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -46,15 +46,31 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing ANY band value. Emits (id_a, id_b)
-    * with id_a < id_b, distinct. Only signature triples shuffle. */
+    * with id_a < id_b, distinct. Only signature triples shuffle.
+    * `maxBucketSize` skips degenerate buckets (boilerplate content that
+    * collides everywhere) — the standard guard against quadratic bucket
+    * blowup at scale; real near-dups still meet in their other bands. */
   def lshCandidatePairs(df: DataFrame, idCol: String, textCol: String,
-                        numBands: Int = 8, shingleSize: Int = 3): DataFrame = {
+                        numBands: Int = 8, shingleSize: Int = 3,
+                        maxBucketSize: Int = 100): DataFrame = {
     val sigs = minhashSignatures(df, idCol, textCol, numBands, shingleSize)
+    candidatesFromSignatures(sigs, idCol, numBands, maxBucketSize)
+  }
+
+  private def candidatesFromSignatures(sigs: DataFrame, idCol: String,
+                                       numBands: Int,
+                                       maxBucketSize: Int): DataFrame = {
     val exploded = sigs.select(col(idCol).as("id"),
       posexplode(array((0 until numBands).map(b => col(s"band_$b")): _*))
         .as(Seq("band_idx", "band_val")))
-    val a = exploded.as("a")
-    val b = exploded.as("b")
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_val"))
+    val capped = exploded
+      .withColumn("_bsz", count(lit(1)).over(wb))
+      .filter(col("_bsz") <= maxBucketSize)
+      .drop("_bsz")
+    val a = capped.as("a")
+    val b = capped.as("b")
     a.join(b, col("a.band_idx") === col("b.band_idx") &&
         col("a.band_val") === col("b.band_val") &&
         col("a.id") < col("b.id"))
@@ -63,19 +79,29 @@ object Dedup {
   }
 
   /** Near-duplicate pairs: LSH candidates confirmed by exact k-shingle
-    * Jaccard >= threshold. The text join happens only for candidates. */
+    * Jaccard >= threshold. The distinct-shingle sets are computed ONCE and
+    * cached (each doc participates in many candidate pairs; recomputing the
+    * tokenize→shingle→distinct chain per pair dominates runtime otherwise),
+    * and the pair join touches shingle sets only for surviving candidates. */
   def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
                          numBands: Int = 8, shingleSize: Int = 3,
-                         threshold: Double = 0.5): DataFrame = {
-    val cands = lshCandidatePairs(df, idCol, textCol, numBands, shingleSize)
+                         threshold: Double = 0.5,
+                         maxBucketSize: Int = 100): DataFrame = {
     val sets = df.select(col(idCol).as("sid"),
       array_distinct(shingles(tokens(col(textCol)), shingleSize)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bands = (0 until numBands).map(b =>
+      array_min(transform(col("sh"), s => hash64(concat(lit(s"$b|"), s))))
+        .as(s"band_$b"))
+    val sigs = sets.select((col("sid").as(idCol) +: bands): _*)
+    val cands = candidatesFromSignatures(sigs, idCol, numBands, maxBucketSize)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")
     cands
-      .join(sets.withColumnRenamed("sid", "id_a")
-        .withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(sets.withColumnRenamed("sid", "id_b")
-        .withColumnRenamed("sh", "sh_b"), Seq("id_b"))
-      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .join(sets.select(col("sid").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("sid").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        when(uni === 0, 0.0).otherwise(round(inter / uni, 6)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -139,9 +139,13 @@ object TextQueries {
        |  SELECT doc_id, unnest([$bandList]) AS band_val,
        |    generate_subscripts([$bandList], 1) AS band_idx
        |  FROM bands),
+       |capped AS (
+       |  SELECT doc_id, band_val, band_idx FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY band_idx, band_val) AS bsz
+       |    FROM exploded) WHERE bsz <= 100),
        |cands AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |  FROM exploded a JOIN exploded b
+       |  FROM capped a JOIN capped b
        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |   AND a.doc_id < b.doc_id),
        |jac AS (

@@ -33,15 +33,25 @@ final case class EnrichResult(
   * `enrich()` / `Pipeline.execute()` lifecycle (ondine/api/enrich.py:45-161,
   * ondine/api/pipeline.py:642-927):
   *
-  *   filters → _row_index → [preprocess] → prompt expr → chunked
-  *   Invoke (batch + disaggregate fused, durable ledger append) →
-  *   parse → auto-retry → merge → quality guard
+  *   filters → _row_index → [preprocess] → prompt expr →
+  *   Invoke (batch + disaggregate fused) → parse → auto-retry →
+  *   merge → quality guard
   *
-  * Durability (reference headline feature, SURVEY §7.4): when `runDir` is
-  * set, every completed call is appended to `runDir/responses` parquet
-  * before the run advances; resume = LEFT ANTI JOIN input vs ledger, so a
-  * killed run re-invokes nothing already paid for. Task-retry duplicates
-  * dedupe at read time by picking one record per `_row_index`.
+  * Two execution shapes:
+  *
+  *  - FAST PATH (no runDir, no budget): one narrow pass. Original columns
+  *    ride through the Invoke operator, so there is NO merge join, NO
+  *    shuffle at all — `_row_index` comes from monotonically_increasing_id
+  *    (per-partition unique; resume determinism not needed here). Exactly
+  *    two Spark actions: one materializes the invocation (persisted), one
+  *    aggregates call metrics.
+  *
+  *  - DURABLE PATH (runDir set and/or budget capped): driver-chunked loop;
+  *    every completed call lands in `runDir/responses` parquet before the
+  *    run advances (reference headline: 0 rows lost on kill -9 — SURVEY
+  *    §7.4). Resume = LEFT ANTI JOIN input vs ledger; task-retry duplicates
+  *    dedupe at read by preferring non-null results then latest attempt.
+  *    Budget is enforced between chunks from the exact call ledger.
   */
 final class Enricher(
     spec: PipelineSpec,
@@ -51,114 +61,171 @@ final class Enricher(
 
   import RowIndex.ColName
 
+  private val internalCols = Seq("prompt", "result", "error", "skipped",
+    "_call_id", "call_rows", "tokens_in", "tokens_out", "cost",
+    "latency_ms", "_attempt")
+
   def enrich(df: DataFrame): EnrichResult = {
     val t0 = System.nanoTime()
     spec.validate()
-    val spark = df.sparkSession
-    val budget = new BudgetController(spec.processing.maxBudget)
-    // salt re-invocations so a retried call's cost counts separately
     val attemptSalt = System.currentTimeMillis()
+    val runId = runDir.map(_.replaceAll("[^A-Za-z0-9]", "_"))
+      .getOrElse(s"inline_$attemptSalt")
 
     // 1. load-time equality filters (pushed to the scan by Catalyst)
     val filtered = spec.dataset.filters.foldLeft(df) { case (d, (c, v)) =>
       d.filter(col(c) === lit(v))
     }
-    val indexed = RowIndex.withRowIndex(filtered, keyColumn)
 
     // 2. optional input preprocessing on the template's input columns
     val pre =
-      if (!spec.processing.preprocessInput) indexed
-      else TemplateCompiler.variables(spec.prompt.template).foldLeft(indexed) {
+      if (!spec.processing.preprocessInput) filtered
+      else TemplateCompiler.variables(spec.prompt.template).foldLeft(filtered) {
         (d, c) => d.withColumn(c, Preprocess.clean(col(c),
           spec.processing.maxInputLength))
       }
 
-    // 3. prompt render — one codegen'd concat, no UDF
-    val formatted = pre
+    val durable = runDir.isDefined || spec.processing.maxBudget.isDefined
+    if (durable) enrichDurable(pre, runId, attemptSalt, t0)
+    else enrichInline(pre, runId, attemptSalt, t0)
+  }
+
+  // --- fast path --------------------------------------------------------
+
+  private def enrichInline(pre: DataFrame, runId: String,
+                           attemptSalt: Long, t0: Long): EnrichResult = {
+    val outs = spec.output.outputColumns
+    val overlap = pre.columns.toSet.intersect(outs.toSet)
+    if (spec.output.mergeStrategy == MergeStrategy.Append)
+      require(overlap.isEmpty,
+        s"APPEND merge: output columns already exist: ${overlap.mkString(",")}")
+    // UPDATE semantics: stash originals, coalesce after parse
+    val stashed = if (spec.output.mergeStrategy == MergeStrategy.Update)
+      overlap.foldLeft(pre)((d, c) => d.withColumnRenamed(c, s"_old_$c"))
+    else pre
+
+    val addedIndex = !stashed.columns.contains(ColName)
+    val indexed = keyColumn match {
+      case Some(k) => stashed.withColumn(ColName, col(k).cast("long"))
+      case None if !addedIndex => stashed
+      case None => stashed.withColumn(ColName, monotonically_increasing_id())
+    }
+    val formatted = indexed.withColumn("prompt",
+      TemplateCompiler.compileFull(spec.prompt))
+    val invoked = Invoke(formatted, client, spec.prompt, spec.llm,
+      spec.processing, runId)
+      .withColumn("_attempt", lit(attemptSalt))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val parsed0 = ResponseParser.parse(invoked, spec.output)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val parsed1 = autoRetry(parsed0, formatted, runId)
+    val parsed = if (spec.output.mergeStrategy == MergeStrategy.Update)
+      overlap.foldLeft(parsed1)((d, c) =>
+        d.withColumn(c, coalesce(col(c), col(s"_old_$c"))).drop(s"_old_$c"))
+    else parsed1
+    finish(parsed, invoked, dropIndex = addedIndex, t0)
+  }
+
+  // --- durable / budgeted path -----------------------------------------
+
+  private def enrichDurable(pre: DataFrame, runId: String,
+                            attemptSalt: Long, t0: Long): EnrichResult = {
+    val spark = pre.sparkSession
+    val budget = new BudgetController(spec.processing.maxBudget)
+    val addedIndex = !pre.columns.contains(RowIndex.ColName)
+    val indexed = RowIndex.withRowIndex(pre, keyColumn)
+    val formatted = indexed
       .withColumn("prompt", TemplateCompiler.compileFull(spec.prompt))
       .select(col(ColName), col("prompt"))
 
-    // 4. invoke (chunked when budget/durability demands driver checkpoints)
-    val runId = runDir.map(_.replaceAll("[^A-Za-z0-9]", "_"))
-      .getOrElse(s"inline_$attemptSalt")
     def invokeRows(rows: DataFrame): DataFrame =
       Invoke(rows, client, spec.prompt, spec.llm, spec.processing, runId)
         .withColumn("_attempt", lit(attemptSalt))
 
-    val chunked = runDir.isDefined || spec.processing.maxBudget.isDefined
-    val invoked: DataFrame =
-      if (!chunked) {
-        val inv = invokeRows(formatted).persist(StorageLevel.MEMORY_AND_DISK)
-        inv.count() // materialize exactly one invocation pass
-        inv
-      } else {
-        val ledgerDir = runDir.map(_ + "/responses")
-        val total = formatted.agg(max(ColName)).head().getLong(0) + 1
-        val chunkRows = spec.processing.chunkRows.toLong
-        var chunks = Vector.empty[DataFrame]
-        var lo = 0L
-        while (lo < total) {
-          val hi = lo + chunkRows
-          val slice = formatted.filter(col(ColName) >= lo && col(ColName) < hi)
-          val missing = ledgerDir.flatMap(readLedger(spark, _)) match {
-            case Some(done) =>
-              slice.join(done.select(ColName), Seq(ColName), "left_anti")
-            case None => slice
-          }
-          val inv = invokeRows(missing)
-          ledgerDir match {
-            case Some(dir) => inv.write.mode("append").parquet(dir)
-            case None =>
-              val p = inv.persist(StorageLevel.MEMORY_AND_DISK)
-              p.count()
-              chunks :+= p
-          }
-          val spentSoFar = ledgerDir.flatMap(readLedger(spark, _)) match {
-            case Some(l) => callCost(l)
-            case None    => chunks.map(callCost).foldLeft(JBigDecimal.ZERO)(_.add(_))
-          }
-          budget.check(spentSoFar)
-          lo = hi
-        }
-        ledgerDir.flatMap(readLedger(spark, _)) match {
-          case Some(l) => l
-          case None =>
-            if (chunks.isEmpty) invokeRows(formatted.limit(0))
-            else chunks.reduce(_ unionByName _)
-        }
+    val ledgerDir = runDir.map(_ + "/responses")
+    val total = formatted.agg(max(ColName)).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r                  => r.getLong(0) + 1
+    }
+    val chunkRows = spec.processing.chunkRows.toLong
+    var chunks = Vector.empty[DataFrame]
+    var lo = 0L
+    while (lo < total) {
+      val hi = lo + chunkRows
+      val slice = formatted.filter(col(ColName) >= lo && col(ColName) < hi)
+      val missing = ledgerDir.flatMap(readLedger(spark, _)) match {
+        case Some(done) => slice.join(
+          done.filter(col("result").isNotNull || col("skipped"))
+            .select(ColName), Seq(ColName), "left_anti")
+        case None => slice
       }
+      val inv = invokeRows(missing)
+      ledgerDir match {
+        case Some(dir) => inv.write.mode("append").parquet(dir)
+        case None =>
+          val p = inv.persist(StorageLevel.MEMORY_AND_DISK)
+          p.count()
+          chunks :+= p
+      }
+      val spentSoFar = ledgerDir.flatMap(readLedger(spark, _)) match {
+        case Some(l) => callCost(l)
+        case None => chunks.map(callCost).foldLeft(JBigDecimal.ZERO)(_.add(_))
+      }
+      budget.check(spentSoFar)
+      lo = hi
+    }
+    val invoked = (ledgerDir.flatMap(readLedger(spark, _)) match {
+      case Some(l) => l
+      case None =>
+        if (chunks.isEmpty) invokeRows(formatted.limit(0))
+        else chunks.reduce(_ unionByName _)
+    }).persist(StorageLevel.MEMORY_AND_DISK)
 
-    // 5. one record per row: prefer non-null results, then latest attempt
-    // (dedupes task-retry duplicates and partial-batch re-runs)
+    // one record per row: prefer non-null results, then latest attempt
     val w = Window.partitionBy(col(ColName))
       .orderBy(col("result").isNotNull.desc, col("_attempt").desc)
     val perRow = invoked
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
 
-    // 6. parse to output columns
-    var parsed = ResponseParser.parse(perRow, spec.output)
+    val parsed0 = ResponseParser.parse(perRow, spec.output)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val parsed = autoRetry(parsed0, formatted, runId)
 
-    // 7. auto-retry rows whose outputs all came back null/blank
-    // (reference: ondine/api/pipeline.py:1741-1879, <=N passes; skipped rows
-    // carry the sentinel and are NOT retried)
+    // merge result columns back into the original table
     val outs = spec.output.outputColumns
-    val allBlank = outs.map(c => col(c).isNull || trim(col(c)) === "").reduce(_ && _)
+    val merged = ResultMerger.merge(indexed, parsed, outs,
+      spec.output.mergeStrategy)
+    finishWith(merged, parsed, invoked, dropIndex = addedIndex, t0)
+  }
+
+  // --- shared tail ------------------------------------------------------
+
+  /** Auto-retry rows whose outputs all came back null/blank (reference:
+    * ondine/api/pipeline.py:1741-1879; skipped rows carry the sentinel and
+    * are NOT retried). */
+  private def autoRetry(parsed0: DataFrame, formatted: DataFrame,
+                        runId: String): DataFrame = {
+    var parsed = parsed0
+    val outs = spec.output.outputColumns
+    val allBlank = outs.map(c => col(c).isNull || trim(col(c)) === "")
+      .reduce(_ && _)
     var attempt = 0
     while (attempt < spec.processing.autoRetryAttempts &&
            !parsed.filter(allBlank).isEmpty) {
       val failedIdx = parsed.filter(allBlank).select(ColName)
-      val redo = invokeRows(formatted.join(failedIdx, Seq(ColName), "left_semi"))
+      val redo = Invoke(
+        formatted.join(failedIdx, Seq(ColName), "left_semi"),
+        client, spec.prompt, spec.llm, spec.processing, runId)
+        .withColumn("_attempt", lit(System.currentTimeMillis()))
       val redoParsed = ResponseParser.parse(redo, spec.output)
+        .select((ColName +: outs).map(col): _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
       redoParsed.count()
-      // coalesce-merge: retried values win where the original was blank
       val keepCols = parsed.columns.toSeq
-      val renamed = outs.foldLeft(
-        redoParsed.select((ColName +: outs).map(col): _*)) {
-          (d, c) => d.withColumnRenamed(c, s"_r_$c")
-        }
+      val renamed = outs.foldLeft(redoParsed)((d, c) =>
+        d.withColumnRenamed(c, s"_r_$c"))
       parsed = parsed.join(renamed, Seq(ColName), "left")
       for (c <- outs)
         parsed = parsed.withColumn(c,
@@ -168,31 +235,62 @@ final class Enricher(
         .persist(StorageLevel.MEMORY_AND_DISK)
       attempt += 1
     }
+    parsed
+  }
 
-    // 8. merge into the original table
-    val merged = ResultMerger.merge(indexed, parsed, outs,
-      spec.output.mergeStrategy)
+  /** Inline-path merge semantics + metrics. The parsed frame already holds
+    * every original column; strategy handling reduces to column ops. */
+  private def finish(parsed: DataFrame, invoked: DataFrame,
+                     dropIndex: Boolean, t0: Long): EnrichResult = {
+    val data = parsed.drop(internalCols: _*)
+    val finalData = if (dropIndex) data.drop(ColName) else data
+    metricsAndGuard(finalData, parsed, invoked, t0)
+  }
 
-    // 9. metrics + quality + no-output guard
-    val q = Quality.report(parsed, outs)
-    val statsRow = parsed.agg(
-      count(lit(1)),
-      sum(when(col("skipped"), 1L).otherwise(0L))).head()
-    val calls = invoked.select("_attempt", "_call_id").distinct().count()
-    val tok = invoked.dropDuplicates("_attempt", "_call_id")
-      .agg(sum("tokens_in"), sum("tokens_out")).head()
-    val totalCost = callCost(invoked)
+  private def finishWith(merged: DataFrame, parsed: DataFrame,
+                         invoked: DataFrame, dropIndex: Boolean,
+                         t0: Long): EnrichResult = {
+    val finalData = if (dropIndex) merged.drop(ColName) else merged
+    metricsAndGuard(finalData, parsed, invoked, t0)
+  }
+
+  private def metricsAndGuard(finalData: DataFrame, parsed: DataFrame,
+                              invoked: DataFrame, t0: Long): EnrichResult = {
+    val outs = spec.output.outputColumns
+    // single pass over parsed: row count, skips, validity per column
+    val invalidAny = outs.map(Quality.invalidCell).reduce(_ || _)
+    val aggCols =
+      count(lit(1)).as("_total") +:
+      sum(when(col("skipped"), 1L).otherwise(0L)).as("_skipped") +:
+      sum(when(invalidAny, 0L).otherwise(1L)).as("_valid") +:
+      outs.map(c => sum(when(Quality.invalidCell(c), 1L).otherwise(0L))
+        .as(s"_bad_$c"))
+    val row = parsed.agg(aggCols.head, aggCols.tail: _*).head()
+    val totalRows = row.getLong(0)
+    val skipped = if (row.isNullAt(1)) 0L else row.getLong(1)
+    val valid = if (row.isNullAt(2)) 0L else row.getLong(2)
+    val perCol = outs.zipWithIndex.map { case (c, i) =>
+      c -> (if (row.isNullAt(i + 3)) 0L else row.getLong(i + 3))
+    }.toMap
+    val rate = if (totalRows == 0) 0.0 else valid.toDouble / totalRows
+    val q = QualityReport(totalRows, valid, perCol, rate,
+      Quality.rating(rate))
+
+    // single pass over distinct calls: calls, tokens, exact cost
+    val callRow = invoked.dropDuplicates("_attempt", "_call_id")
+      .agg(count(lit(1)), sum("tokens_in"), sum("tokens_out"), sum("cost"))
+      .head()
     val metrics = RunMetrics(
-      rows = statsRow.getLong(0),
-      calls = calls,
-      tokensIn = if (tok.isNullAt(0)) 0L else tok.getLong(0),
-      tokensOut = if (tok.isNullAt(1)) 0L else tok.getLong(1),
-      cost = totalCost,
-      skippedRows = statsRow.getLong(1),
+      rows = totalRows,
+      calls = callRow.getLong(0),
+      tokensIn = if (callRow.isNullAt(1)) 0L else callRow.getLong(1),
+      tokensOut = if (callRow.isNullAt(2)) 0L else callRow.getLong(2),
+      cost = if (callRow.isNullAt(3)) JBigDecimal.ZERO else callRow.getDecimal(3),
+      skippedRows = skipped,
       durationMs = (System.nanoTime() - t0) / 1000000L)
     Quality.noOutputGuard(q, metrics.skippedRows,
       metrics.tokensIn + metrics.tokensOut)
-    EnrichResult(merged, metrics, q)
+    EnrichResult(finalData, metrics, q)
   }
 
   private def readLedger(spark: SparkSession, dir: String): Option[DataFrame] =
@@ -223,6 +321,7 @@ object Enricher {
              outputColumns: Seq[String],
              client: LlmClient,
              batchSize: Int = 1,
+             concurrency: Int = 8,
              maxBudget: Option[BigDecimal] = None,
              runDir: Option[String] = None,
              keyColumn: Option[String] = None): EnrichResult = {
@@ -232,7 +331,7 @@ object Enricher {
     val spec = PipelineSpec(
       dataset = DatasetSpec(inputColumns = inputCols),
       prompt = PromptSpec(template, batchSize = batchSize),
-      llm = LlmSpec(),
+      llm = LlmSpec(concurrency = concurrency),
       processing = ProcessingSpec(maxBudget = maxBudget),
       output = OutputSpec(outputColumns, responseFormat = format))
     new Enricher(spec, client, runDir, keyColumn).enrich(df)
