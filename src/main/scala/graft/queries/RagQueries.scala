@@ -1,0 +1,245 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.rag.{Chunker, SparseIndex, TfIdf}
+import Tables.t
+
+/** RAG subsystem queries: pairwise TF-IDF cosine (the reference's Rust
+  * grounding kernel), sparse-index top-k search, hybrid RRF fusion of a
+  * lexical and a minhash-band ranking, and token-window chunking.
+  */
+object RagQueries {
+
+  /** Shared SQL: lowercase whitespace tokens of column `c`. */
+  private def toksSql(c: String) =
+    s"list_filter(regexp_split_to_array(trim(lower($c)), '\\s+'), x -> x <> '')"
+
+  // --- pairwise tf-idf cosine ------------------------------------------
+
+  def q60TfidfPair(spark: SparkSession, dir: String): DataFrame = {
+    val d = t(spark, dir, "documents")
+    val a = d.filter(col("doc_id") < 50)
+      .select(col("doc_id").as("id_a"), col("text").as("ta"))
+    val b = d.select((col("doc_id") - 1).as("id_a"),
+      col("doc_id").as("id_b"), col("text").as("tb"))
+    a.join(b, "id_a")
+      .withColumn("sim", TfIdf.tfidfCosine2(col("ta"), col("tb")))
+      .select(col("id_a"), col("id_b"), col("sim"))
+      .orderBy("id_a")
+  }
+
+  val q60Sql: String = {
+    // order-preserving distinct + Spark array_union semantics
+    val dta = s"[ta[i] for i in range(1, len(ta)+1) if list_position(ta, ta[i]) = i]"
+    val dtb = s"[tb[i] for i in range(1, len(tb)+1) if list_position(tb, tb[i]) = i]"
+    s"""WITH pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |    ${toksSql("a.text")} AS ta, ${toksSql("b.text")} AS tb
+       |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+       |  WHERE a.doc_id < 50),
+       |voc AS (
+       |  SELECT id_a, id_b, ta, tb,
+       |    ($dta) || [x for x in ($dtb) if NOT list_contains(($dta), x)] AS vocab
+       |  FROM pairs),
+       |wts AS (
+       |  SELECT id_a, id_b,
+       |    [len(list_filter(ta, y -> y = t))::DOUBLE / greatest(len(ta), 1) *
+       |     (CASE WHEN list_contains(ta, t) AND list_contains(tb, t)
+       |           THEN ln(2.0/3.0) + 1.0 ELSE ln(2.0/2.0) + 1.0 END)
+       |     for t in vocab] AS wa,
+       |    [len(list_filter(tb, y -> y = t))::DOUBLE / greatest(len(tb), 1) *
+       |     (CASE WHEN list_contains(ta, t) AND list_contains(tb, t)
+       |           THEN ln(2.0/3.0) + 1.0 ELSE ln(2.0/2.0) + 1.0 END)
+       |     for t in vocab] AS wb
+       |  FROM voc)
+       |SELECT id_a, id_b,
+       |  CASE WHEN sqrt(list_sum(list_transform(wa, x -> x*x))) *
+       |            sqrt(list_sum(list_transform(wb, x -> x*x))) = 0 THEN 0.0
+       |  ELSE round(
+       |    list_sum(list_transform(list_zip(wa, wb), x -> x[1]*x[2])) /
+       |    (sqrt(list_sum(list_transform(wa, x -> x*x))) *
+       |     sqrt(list_sum(list_transform(wb, x -> x*x)))), 6) END AS sim
+       |FROM wts ORDER BY id_a""".stripMargin
+  }
+
+  // --- sparse-index search ---------------------------------------------
+
+  def q61SparseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val idx = SparseIndex.build(docs, "doc_id", "text")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"), col("text"))
+    SparseIndex.search(idx, queries, "qid", "text", 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** Shared CTE chain: sparse index + ranked self-search (reused by q62). */
+  private val sparseCtes: String = {
+    val n = "(SELECT count(*) FROM documents)"
+    s"""tok AS (
+       |  SELECT doc_id AS id, unnest(${toksSql("text")}) AS term FROM documents),
+       |postings0 AS (
+       |  SELECT id, term, count(*) AS cnt FROM tok GROUP BY id, term),
+       |doclen AS (SELECT id, sum(cnt) AS len FROM postings0 GROUP BY id),
+       |dfreq AS (SELECT term, count(DISTINCT id) AS df FROM postings0 GROUP BY term),
+       |postings AS (
+       |  SELECT p.id, p.term,
+       |    CAST(round((p.cnt::DOUBLE / l.len) *
+       |      (ln(($n + 1)::DOUBLE / (d.df + 1)) + 1.0), 12) AS DECIMAL(18,12)) AS w
+       |  FROM postings0 p JOIN doclen l ON p.id = l.id
+       |                   JOIN dfreq d ON p.term = d.term),
+       |norms AS (
+       |  SELECT id, sqrt(CAST(sum(CAST(w*w AS DECIMAL(38,24))) AS DOUBLE)) AS norm
+       |  FROM postings GROUP BY id),
+       |qtok AS (
+       |  SELECT doc_id AS query_id, unnest(${toksSql("text")}) AS term
+       |  FROM documents WHERE doc_id < 5),
+       |qpost0 AS (
+       |  SELECT query_id, term, count(*) AS cnt FROM qtok GROUP BY query_id, term),
+       |qlen AS (SELECT query_id, sum(cnt) AS qlen FROM qpost0 GROUP BY query_id),
+       |qpost AS (
+       |  SELECT q.query_id, q.term,
+       |    CAST(round((q.cnt::DOUBLE / l.qlen) *
+       |      (ln(($n + 1)::DOUBLE / (coalesce(d.df, 0) + 1)) + 1.0), 12) AS DECIMAL(18,12)) AS w_q
+       |  FROM qpost0 q JOIN qlen l ON q.query_id = l.query_id
+       |                LEFT JOIN dfreq d ON q.term = d.term),
+       |qnorm AS (
+       |  SELECT query_id,
+       |    sqrt(CAST(sum(CAST(w_q*w_q AS DECIMAL(38,24))) AS DOUBLE)) AS qnorm
+       |  FROM qpost GROUP BY query_id),
+       |dots AS (
+       |  SELECT q.query_id, p.id, sum(CAST(q.w_q * p.w AS DECIMAL(38,24))) AS dot
+       |  FROM qpost q JOIN postings p ON q.term = p.term
+       |  GROUP BY q.query_id, p.id),
+       |scored AS (
+       |  SELECT d.query_id, d.id,
+       |    round(CAST(d.dot AS DOUBLE) / (n2.norm * qn.qnorm), 6) AS score
+       |  FROM dots d JOIN norms n2 ON d.id = n2.id
+       |              JOIN qnorm qn ON d.query_id = qn.query_id),
+       |ranked AS (
+       |  SELECT query_id, id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, id) AS rank
+       |  FROM scored)""".stripMargin
+  }
+
+  val q61Sql: String =
+    s"""WITH $sparseCtes
+       |SELECT query_id, rank, id, score FROM ranked WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+
+  // --- hybrid search: lexical + minhash-band agreement, RRF-fused ------
+
+  def q62HybridRrf(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val queries = docs.filter(col("doc_id") < 5)
+    val idx = SparseIndex.build(docs, "doc_id", "text")
+    val lexical = SparseIndex.search(idx,
+      queries.select(col("doc_id").as("qid"), col("text")), "qid", "text", 20)
+
+    // ranking B: number of agreeing minhash bands (8 bands, 3-shingles)
+    val sigs = graft.operators.Dedup
+      .minhashSignatures(docs, "doc_id", "text", 8, 3)
+    val qsigs = sigs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id") +:
+        (0 until 8).map(b => col(s"band_$b").as(s"qb_$b")): _*)
+    val agree = (0 until 8)
+      .map(b => when(col(s"band_$b") === col(s"qb_$b"), 1).otherwise(0))
+      .reduce(_ + _)
+    val wb = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("band_score").desc, col("id"))
+    val bandRank = qsigs.crossJoin(sigs)
+      .withColumn("band_score", agree)
+      .withColumn("id", col("doc_id"))
+      .withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= 20)
+      .select(col("query_id"), col("id"), col("rank"))
+
+    SparseIndex.rrfFuse(lexical, bandRank, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val q62Sql: String = {
+    val shingleCte =
+      """toksq AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |shq AS (
+        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+        |    ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS shingles
+        |  FROM toksq)""".stripMargin
+    val bandMins = (0 until 8).map(b =>
+      s"min(('0x' || substr(md5('$b|' || s), 1, 15))::UBIGINT)::BIGINT AS band_$b")
+      .mkString(",\n  ")
+    val agree = (0 until 8)
+      .map(b => s"(CASE WHEN c.band_$b = q.band_$b THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH $sparseCtes,
+       |lex AS (SELECT query_id, id, rank FROM ranked WHERE rank <= 20),
+       |$shingleCte,
+       |bands AS (
+       |  SELECT doc_id, $bandMins
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM shq) GROUP BY doc_id),
+       |bandranked AS (
+       |  SELECT q.doc_id AS query_id, c.doc_id AS id,
+       |    ROW_NUMBER() OVER (PARTITION BY q.doc_id
+       |      ORDER BY ($agree) DESC, c.doc_id) AS rank
+       |  FROM bands q CROSS JOIN bands c WHERE q.doc_id < 5),
+       |bnd AS (SELECT query_id, id, rank FROM bandranked WHERE rank <= 20),
+       |fused AS (
+       |  SELECT coalesce(l.query_id, b.query_id) AS query_id,
+       |    coalesce(l.id, b.id) AS id,
+       |    round(coalesce(1.0 / (60 + l.rank), 0.0) +
+       |          coalesce(1.0 / (60 + b.rank), 0.0), 9) AS rrf
+       |  FROM lex l FULL OUTER JOIN bnd b
+       |    ON l.query_id = b.query_id AND l.id = b.id),
+       |frank AS (
+       |  SELECT query_id, id, rrf,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rrf DESC, id) AS rank
+       |  FROM fused)
+       |SELECT query_id, rank, id, rrf FROM frank WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --- chunking ---------------------------------------------------------
+
+  def q63Chunks(spark: SparkSession, dir: String): DataFrame =
+    Chunker.chunkCorpus(
+      t(spark, dir, "documents").filter(col("doc_id") < 20),
+      "doc_id", "text", size = 50, overlap = 10)
+      .orderBy("doc_id", "chunk_idx")
+
+  val q63Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents WHERE doc_id < 20),
+      |wins AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(w) = 0 THEN []::VARCHAR[]
+      |    ELSE [array_to_string(w[(i-1)*40+1 : (i-1)*40+50], ' ')
+      |          for i in range(1, greatest((len(w) - 10 + 39) // 40, 1) + 1)]
+      |    END AS chunks
+      |  FROM toks)
+      |SELECT doc_id,
+      |  generate_subscripts(chunks, 1) - 1 AS chunk_idx,
+      |  unnest(chunks) AS chunk
+      |FROM wins ORDER BY doc_id, chunk_idx""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q60_tfidf_pair" -> q60TfidfPair _,
+    "q61_sparse_search" -> q61SparseSearch _,
+    "q62_hybrid_rrf" -> q62HybridRrf _,
+    "q63_chunks" -> q63Chunks _)
+
+  val oracles: Map[String, String] = Map(
+    "q60_tfidf_pair" -> q60Sql,
+    "q61_sparse_search" -> q61Sql,
+    "q62_hybrid_rrf" -> q62Sql,
+    "q63_chunks" -> q63Sql)
+}

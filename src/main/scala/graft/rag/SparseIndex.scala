@@ -1,0 +1,108 @@
+package graft.rag
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.tokens
+
+/** DataFrame-native sparse text search index — the Spark re-expression of
+  * the reference's SQLite-FTS5 hybrid search core
+  * (crates/ondine-core/src/evidence/store.rs:260-335, 522-617; RRF fusion
+  * :674-698). Instead of a serialized index, the inverted index IS a
+  * DataFrame of weighted postings — build is one explode + two aggregates,
+  * probe is a join on term. At 100 TB: postings partition by term (the
+  * classic shape), queries broadcast (query sets are small), and only
+  * matching postings shuffle.
+  *
+  * Scoring: TF-IDF cosine.
+  *   tf = count/|d|, idf = ln((N+1)/(df+1)) + 1.
+  * Determinism for oracles: per-posting weights round at 12dp and CAST to
+  * DECIMAL(38,12) — a 12dp-rounded double converts to the same decimal in
+  * every engine — so the per-(query,doc) group-sum is exact decimal math,
+  * immune to summation order.
+  */
+object SparseIndex {
+
+  /** Weighted postings (id, term, w) + per-doc norms from a corpus. */
+  def build(docs: DataFrame, idCol: String, textCol: String): SparseIndexFrames = {
+    val n = docs.count()
+    val postings0 = docs
+      .select(col(idCol).as("id"),
+        explode(tokens(lower(col(textCol)))).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
+    val docLen = postings0.groupBy("id").agg(sum("cnt").as("len"))
+    val df_ = postings0.groupBy("term").agg(countDistinct("id").as("df"))
+    val postings = postings0
+      .join(docLen, "id")
+      .join(df_, "term")
+      .withColumn("w",
+        round((col("cnt") / col("len")) *
+          (log(lit((n + 1).toDouble) / (col("df") + 1)) + 1.0), 12)
+          .cast("decimal(18,12)"))
+      .select("id", "term", "w")
+    val norms = postings
+      .withColumn("w2", (col("w") * col("w")).cast("decimal(38,24)"))
+      .groupBy("id").agg(sqrt(sum("w2").cast("double")).as("norm"))
+    SparseIndexFrames(postings, norms, n)
+  }
+
+  final case class SparseIndexFrames(postings: DataFrame, norms: DataFrame,
+                                     corpusSize: Long)
+
+  /** Top-k TF-IDF cosine search. `queries` carries (qidCol, qtextCol);
+    * output: query_id, rank, id, score (6dp, ties broken by id). */
+  def search(index: SparseIndexFrames, queries: DataFrame,
+             qidCol: String, qtextCol: String, k: Int): DataFrame = {
+    val n = index.corpusSize
+    val qpost0 = queries
+      .select(col(qidCol).as("query_id"),
+        explode(tokens(lower(col(qtextCol)))).as("term"))
+      .groupBy("query_id", "term").agg(count(lit(1)).as("cnt"))
+    val qlen = qpost0.groupBy("query_id").agg(sum("cnt").as("qlen"))
+    // query weights use the INDEX's document frequencies (absent term -> df 0)
+    val df_ = index.postings.groupBy("term").agg(countDistinct("id").as("df"))
+    val qpost = qpost0
+      .join(qlen, "query_id")
+      .join(df_, Seq("term"), "left")
+      .withColumn("w_q",
+        round((col("cnt") / col("qlen")) *
+          (log(lit((n + 1).toDouble) / (coalesce(col("df"), lit(0L)) + 1)) + 1.0), 12)
+          .cast("decimal(18,12)"))
+      .select("query_id", "term", "w_q")
+    val qnorm = qpost
+      .withColumn("w2", (col("w_q") * col("w_q")).cast("decimal(38,24)"))
+      .groupBy("query_id").agg(sqrt(sum("w2").cast("double")).as("qnorm"))
+
+    val dots = qpost.join(index.postings, "term")
+      .withColumn("p", (col("w_q") * col("w")).cast("decimal(38,24)"))
+      .groupBy("query_id", "id").agg(sum("p").as("dot"))
+    val scored = dots
+      .join(index.norms, "id")
+      .join(qnorm, "query_id")
+      .withColumn("score",
+        round(col("dot").cast("double") / (col("norm") * col("qnorm")), 6))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("score"))
+  }
+
+  /** Reciprocal-rank fusion of two rankings (k=60, the reference constant —
+    * store.rs:674-698): rrf = Σ 1/(60+rank), missing side contributes 0.
+    * Deterministic: fixed-order two-term double sum. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
+    val left = a.select(col("query_id"), col("id"), col("rank").as("rank_a"))
+    val right = b.select(col("query_id"), col("id"), col("rank").as("rank_b"))
+    val fused = left.join(right, Seq("query_id", "id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_a")), lit(0.0)) +
+        coalesce(lit(1.0) / (lit(rrfK) + col("rank_b")), lit(0.0)), 9))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf").desc, col("id"))
+    fused.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("id"), col("rrf"))
+  }
+}
