@@ -18,10 +18,10 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ EnrichQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ EventQueries.all ++ RagQueries.all ++ VerifyQueries.all
+      SimilarityQueries.all ++ EventQueries.all ++ RagQueries.all ++ VerifyQueries.all ++ SourceQueries.all
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EnrichQueries.oracles ++
       TextQueries.oracles ++ SimilarityQueries.oracles ++
-      EventQueries.oracles ++ RagQueries.oracles ++ VerifyQueries.oracles
+      EventQueries.oracles ++ RagQueries.oracles ++ VerifyQueries.oracles ++ SourceQueries.oracles
 }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Preprocess
+import graft.run.CostEstimator
+import graft.sources.Sources
+import Tables.t
+
+/** Source/sink dispatch, input preprocessing, and cost-estimation queries.
+  * Roundtrip queries write the parquet table out through a different
+  * format and read it back via the suffix dispatcher — equality against
+  * the parquet oracle proves the format path end-to-end.
+  */
+object SourceQueries {
+
+  def q80CostEstimate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents")
+    val total = docs.count()
+    // sample = first 10 by doc_id (deterministic, mirrors the reference's
+    // head-10 sample)
+    val sample = docs.filter(col("doc_id") < 10)
+    sample
+      .select(CostEstimator.tokenEstimate(
+        concat(lit("Summarize: "), coalesce(col("text"), lit("")))).as("tk"))
+      .agg(sum(col("tk")).as("sample_tokens"))
+      .select(
+        lit(total).as("total_rows"),
+        col("sample_tokens"),
+        (col("sample_tokens") * lit(total) / 10).cast("long")
+          .as("est_tokens_in"),
+        round(col("sample_tokens") * lit(total) / 10 / 1000.0 * 0.001, 10)
+          .as("est_cost_usd"))
+  }
+
+  val q80Sql: String =
+    """WITH s AS (
+      |  SELECT sum(greatest(1, length('Summarize: ' || COALESCE(text,'')) // 4)) AS sample_tokens
+      |  FROM documents WHERE doc_id < 10)
+      |SELECT (SELECT count(*) FROM documents) AS total_rows,
+      |  sample_tokens,
+      |  CAST(sample_tokens * (SELECT count(*) FROM documents) / 10 AS BIGINT) AS est_tokens_in,
+      |  round(sample_tokens * (SELECT count(*) FROM documents) / 10 / 1000.0 * 0.001, 10) AS est_cost_usd
+      |FROM s""".stripMargin
+
+  /** Input preprocessing chain over synthetically-dirtied text: special
+    * marks, zero-width chars, whitespace jitter, then word-boundary
+    * truncation at 120 chars. (NFC is in the Spark chain; identity on
+    * this ASCII+marks corpus, so the oracle omits it.) */
+  def q81Preprocess(spark: SparkSession, dir: String): DataFrame = {
+    val docs = t(spark, dir, "documents").filter(col("doc_id") < 100)
+    val dirty = concat(lit("  ®™ "), col("text"),
+      lit(" ​ ©  "))
+    docs.select(col("doc_id"),
+      Preprocess.clean(dirty, maxLength = Some(120)).as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  val q81Sql: String =
+    """WITH dirty AS (
+      |  SELECT doc_id,
+      |    '  ' || chr(174) || chr(8482) || ' ' || text || ' ' || chr(8203) || ' ' || chr(169) || '  ' AS d
+      |  FROM documents WHERE doc_id < 100),
+      |cleaned AS (
+      |  SELECT doc_id,
+      |    trim(regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(d, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+      |        '[' || chr(174) || chr(8482) || chr(169) || chr(8203) || chr(8204) || chr(8205) || chr(65279) || ']', '', 'g'),
+      |      '\s+', ' ', 'g')) AS s
+      |  FROM dirty),
+      |trunc AS (
+      |  SELECT doc_id, s,
+      |    least(length(s), 121) AS lp,
+      |    strpos(reverse(substr(s, 1, 121)), ' ') AS p
+      |  FROM cleaned)
+      |SELECT doc_id,
+      |  CASE WHEN length(s) <= 120 THEN s
+      |       WHEN p > 0 AND (lp - p) > 0 THEN substr(s, 1, lp - p)
+      |       ELSE substr(s, 1, 120) END AS cleaned
+      |FROM trunc ORDER BY doc_id""".stripMargin
+
+  /** CSV roundtrip: parquet → csv (suffix-dispatched write) → csv read →
+    * must equal the parquet oracle. */
+  def q82CsvRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_roundtrip_${dir.replaceAll("[^A-Za-z0-9]", "_")}.csv"
+    Sources.write(
+      t(spark, dir, "documents").select("doc_id", "text", "lang", "n_chars"),
+      out)
+    Sources.requireColumns(
+      Sources.read(spark, out), Seq("doc_id", "text", "lang", "n_chars"))
+      .select(col("doc_id").cast("long"), col("text"), col("lang"),
+        col("n_chars").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val q82Sql: String =
+    """SELECT doc_id, text, lang, n_chars FROM documents ORDER BY doc_id""".stripMargin
+
+  /** NDJSON roundtrip through the same dispatcher. */
+  def q83JsonRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_roundtrip_${dir.replaceAll("[^A-Za-z0-9]", "_")}.ndjson"
+    Sources.write(
+      t(spark, dir, "documents").select("doc_id", "text", "source"), out)
+    Sources.read(spark, out)
+      .select(col("doc_id").cast("long"), col("text"), col("source"))
+      .orderBy("doc_id")
+  }
+
+  val q83Sql: String =
+    """SELECT doc_id, text, source FROM documents ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q80_cost_estimate" -> q80CostEstimate _,
+    "q81_preprocess" -> q81Preprocess _,
+    "q82_csv_roundtrip" -> q82CsvRoundtrip _,
+    "q83_json_roundtrip" -> q83JsonRoundtrip _)
+
+  val oracles: Map[String, String] = Map(
+    "q80_cost_estimate" -> q80Sql,
+    "q81_preprocess" -> q81Sql,
+    "q82_csv_roundtrip" -> q82Sql,
+    "q83_json_roundtrip" -> q83Sql)
+}
