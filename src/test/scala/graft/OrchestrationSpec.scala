@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.llm.{AdaptiveLimiter, MockLlmClient}
+import graft.run._
+
+class ConfigLoaderSpec extends AnyFunSuite {
+
+  test("yaml config parses into the spec tree") {
+    val spec = ConfigLoader.fromYaml(
+      """dataset:
+        |  input_columns: [text]
+        |  filters: {lang: en}
+        |prompt:
+        |  template: "Classify: {text}"
+        |  system_message: "You are terse."
+        |  batch_size: 15
+        |llm:
+        |  model: mock
+        |  input_cost_per_1k: 0.001
+        |  concurrency: 4
+        |  requests_per_minute: 600
+        |processing:
+        |  error_policy: skip
+        |  max_budget: 5.0
+        |output:
+        |  output_columns: [sentiment]
+        |  response_format: raw
+        |  merge_strategy: replace
+        |""".stripMargin)
+    assert(spec.prompt.batchSize == 15)
+    assert(spec.prompt.systemMessage.contains("You are terse."))
+    assert(spec.dataset.filters == Map("lang" -> "en"))
+    assert(spec.llm.requestsPerMinute.contains(600))
+    assert(spec.processing.errorPolicy == ErrorPolicy.Skip)
+    assert(spec.processing.maxBudget.contains(BigDecimal("5.0")))
+    assert(spec.output.outputColumns == Seq("sentiment"))
+    spec.validate()
+  }
+
+  test("input columns default to template placeholders") {
+    val spec = ConfigLoader.fromYaml(
+      """prompt: {template: "A {x} and {y}"}
+        |output: {output_columns: [out]}
+        |""".stripMargin)
+    assert(spec.dataset.inputColumns == Seq("x", "y"))
+  }
+
+  test("env expansion: ${VAR}, ${VAR:-default}, unset error") {
+    def expand(t: String) =
+      ConfigLoader.expandEnv(t, m => Map("MODEL" -> "gpt-x").get(m))
+    assert(expand("model: ${MODEL}") == "model: gpt-x")
+    assert(expand("model: ${NOPE:-fallback}") == "model: fallback")
+    intercept[IllegalArgumentException](expand("model: ${NOPE}"))
+  }
+}
+
+class AdaptiveLimiterSpec extends AnyFunSuite {
+
+  test("grows under fast RTT at saturation, shrinks on 429") {
+    val al = new AdaptiveLimiter(minLimit = 1, maxLimit = 64, initialLimit = 4)
+    assert(al.currentLimit == 4)
+    // saturate, then report fast stable RTTs -> limit grows
+    (1 to 4).foreach(_ => assert(al.acquireSlot()))
+    (1 to 10).foreach(_ => al.onSuccess(50.0))
+    assert(al.currentLimit > 4, s"limit should grow, got ${al.currentLimit}")
+    // repeated 429s shrink (cooldown-limited)
+    val before = al.currentLimit
+    al.onRateLimit()
+    Thread.sleep(250)
+    al.onRateLimit()
+    assert(al.currentLimit < before)
+  }
+
+  test("degrading RTT pulls the limit back down") {
+    val al = new AdaptiveLimiter(initialLimit = 16)
+    (1 to 16).foreach(_ => al.acquireSlot())
+    (1 to 5).foreach(_ => al.onSuccess(10.0))   // establish fast no-load RTT
+    val grown = al.currentLimit
+    (1 to 20).foreach(_ => al.onSuccess(500.0)) // congestion
+    assert(al.currentLimit < grown)
+  }
+}
+
+class ComposerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pipe(out: String, template: String, deps: Seq[String] = Nil) =
+    Composer.ColumnPipeline(out,
+      PipelineSpec(
+        dataset = DatasetSpec(TemplateCompiler.variables(template)),
+        prompt = PromptSpec(template),
+        output = OutputSpec(Seq(out))),
+      new MockLlmClient(), deps)
+
+  test("topo sort respects dependencies and rejects cycles") {
+    val a = pipe("a", "A:{text}")
+    val b = pipe("b", "B:{a}", Seq("a"))
+    val c = pipe("c", "C:{b}", Seq("b"))
+    assert(Composer.topoSort(Seq(c, b, a)).map(_.outputColumn) ==
+      Seq("a", "b", "c"))
+    val x = pipe("x", "X:{y}", Seq("y"))
+    val y = pipe("y", "Y:{x}", Seq("x"))
+    intercept[IllegalArgumentException](Composer.topoSort(Seq(x, y)))
+  }
+
+  test("chained pipelines feed earlier outputs into later templates") {
+    val df = Seq("hello").toDF("text")
+    val out = Composer.run(df, Seq(
+      pipe("b", "B:{a}", Seq("a")),
+      pipe("a", "A:{text}")))
+    val row = out.select("a", "b").head()
+    val a = MockLlmClient.md5Hex("A:hello")
+    assert(row.getString(0) == a)
+    assert(row.getString(1) == MockLlmClient.md5Hex(s"B:$a"))
+  }
+}
+
+class ProviderBatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("submit/collect round-trip through the local mock backend") {
+    val dir = Files.createTempDirectory("graft_batchapi").toString
+    val backend = new ProviderBatch.LocalMockBackend(spark, s"$dir/provider")
+    val df = Seq((0L, "alpha"), (1L, "beta"), (2L, "gamma")).toDF("id", "text")
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("P:{text}"),
+      output = OutputSpec(Seq("out")))
+
+    val run = ProviderBatch.submit(df, spec, dir, backend, Some("id"))
+    assert(run.state == "SUBMITTED_REMOTE")
+    assert(ProviderBatch.loadState(dir).exists(_.state == "SUBMITTED_REMOTE"))
+
+    // back half may run in a different process: only runDir + backend needed
+    val out = ProviderBatch.collect(df, spec, dir, backend, Some("id"))
+      .select("text", "out").as[(String, String)].collect().toMap
+    assert(out("alpha") == MockLlmClient.md5Hex("P:alpha"))
+    assert(out("gamma") == MockLlmClient.md5Hex("P:gamma"))
+    assert(ProviderBatch.loadState(dir).exists(_.state == "SUCCEEDED"))
+  }
+}
+
+class StreamingEnrichSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("foreachBatch enrichment drains a file stream and matches batch") {
+    val srcDir = Files.createTempDirectory("graft_stream_in").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    (0 until 40).map(i => s"msg $i").toDF("text")
+      .coalesce(2).write.mode("overwrite").parquet(srcDir)
+
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("S:{text}", batchSize = 10),
+      output = OutputSpec(Seq("out")))
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+      .option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    val q = graft.streaming.StreamingEnrich.start(
+      stream, spec, new MockLlmClient(), ckpt,
+      (batch, _) => batch.select("text", "out").as[(String, String)]
+        .collect().foreach(collected.add))
+    q.awaitTermination()
+
+    import scala.jdk.CollectionConverters._
+    val got = collected.asScala.toMap
+    assert(got.size == 40)
+    assert(got("msg 7") == MockLlmClient.md5Hex("S:msg 7"))
+  }
+}
