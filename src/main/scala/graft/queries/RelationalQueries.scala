@@ -255,7 +255,19 @@ object RelationalQueries {
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** HLL sketch aggregation (approx_count_distinct): rows-only check —
+    * sketch estimates are engine-specific so there is no hash oracle; the
+    * exact distinct counts ride along for sanity. */
+  def q13ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_approx_distinct" -> q13ApproxDistinct _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_broadcast_join" -> q03SegmentRevenue _,
