@@ -38,7 +38,8 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // 1. the full query inventory
+    // 1. the full query inventory (cache cleared between queries so
+    // operator-internal persists don't leak memory pressure across runs)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time {
         try fn(spark, sfDir).count()
@@ -46,6 +47,7 @@ object Bench {
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
       }
+      spark.catalog.clearCache()
     }
 
     // 2. BASELINE-aligned arms: 100k-row enrichment, mock client, batch 50.

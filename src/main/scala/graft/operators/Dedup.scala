@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions._
+import graft.ops.Parallelism
 
 /** Deduplication operators for training-data pipelines, in increasing
   * fuzziness: exact (normalized-hash groupBy), MinHash+LSH banding
@@ -36,8 +37,9 @@ object Dedup {
 
   /** MinHash band signatures: one row per doc with `numBands` min-hashes
     * over word k-shingles. */
-  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+  def minhashSignatures(df0: DataFrame, idCol: String, textCol: String,
                         numBands: Int, shingleSize: Int): DataFrame = {
+    val df = Parallelism.ensure(df0)
     val sh = array_distinct(shingles(tokens(col(textCol)), shingleSize))
     val bands = (0 until numBands).map(b =>
       array_min(transform(sh, s => hash64(concat(lit(s"$b|"), s))))
@@ -83,10 +85,11 @@ object Dedup {
     * cached (each doc participates in many candidate pairs; recomputing the
     * tokenize→shingle→distinct chain per pair dominates runtime otherwise),
     * and the pair join touches shingle sets only for surviving candidates. */
-  def nearDuplicatePairs(df: DataFrame, idCol: String, textCol: String,
+  def nearDuplicatePairs(df0: DataFrame, idCol: String, textCol: String,
                          numBands: Int = 8, shingleSize: Int = 3,
                          threshold: Double = 0.5,
                          maxBucketSize: Int = 100): DataFrame = {
+    val df = Parallelism.ensure(df0)
     val sets = df.select(col(idCol).as("sid"),
       array_distinct(shingles(tokens(col(textCol)), shingleSize)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

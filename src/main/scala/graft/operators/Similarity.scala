@@ -36,9 +36,10 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector.
     * queries/corpus: (idCol, vecCol). Output: query_id, neighbor_id, rank,
     * sim (rounded 6dp). Self-matches excluded when ids collide. */
-  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+  def bruteForceTopK(queries: DataFrame, corpus0: DataFrame, k: Int,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): DataFrame = {
+    val corpus = graft.ops.Parallelism.ensure(corpus0)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.crossJoin(c)
@@ -74,9 +75,10 @@ object Similarity {
   /** Approximate top-k: candidates limited to the query's LSH bucket, then
     * exact cosine rank within bucket. Recall tunes with numPlanes (fewer
     * planes → bigger buckets → higher recall, more compute). */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+  def lshTopK(queries: DataFrame, corpus0: DataFrame, k: Int,
               numPlanes: Int = 4, idCol: String = "vec_id",
               vecCol: String = "embedding"): DataFrame = {
+    val corpus = graft.ops.Parallelism.ensure(corpus0)
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       lshBucket(col(vecCol), numPlanes).as("bucket"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
@@ -94,9 +96,10 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold),
     * bucketed by sign-LSH so only bucket-local pairs are scored. */
-  def embeddingNearDupPairs(df: DataFrame, threshold: Double,
+  def embeddingNearDupPairs(df0: DataFrame, threshold: Double,
                             numPlanes: Int = 4, idCol: String = "vec_id",
                             vecCol: String = "embedding"): DataFrame = {
+    val df = graft.ops.Parallelism.ensure(df0)
     val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       lshBucket(col(vecCol), numPlanes).as("bucket"))
     val a = v.select(col("id").as("id_a"), col("v").as("va"), col("bucket"))

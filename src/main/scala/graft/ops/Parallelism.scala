@@ -1,0 +1,19 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+
+/** CPU-parallelism guard for compute-heavy per-row operators.
+  *
+  * A small parquet file arrives as ONE input split, so hash/shingle/TF-IDF
+  * kernels would run on one core no matter how many the cluster has. When
+  * the incoming partition count is well below the session's default
+  * parallelism, repartition up — the shuffle moves only the (small) input,
+  * the per-row compute then uses every core. At 100 TB inputs already carry
+  * thousands of splits and this is a no-op.
+  */
+object Parallelism {
+  def ensure(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < target) df.repartition(target) else df
+  }
+}

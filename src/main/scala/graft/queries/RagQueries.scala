@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.rag.{Chunker, SparseIndex, TfIdf}
-import Tables.t
+import Tables.{t, tp}
 
 /** RAG subsystem queries: pairwise TF-IDF cosine (the reference's Rust
   * grounding kernel), sparse-index top-k search, hybrid RRF fusion of a
@@ -19,7 +19,7 @@ object RagQueries {
   // --- pairwise tf-idf cosine ------------------------------------------
 
   def q60TfidfPair(spark: SparkSession, dir: String): DataFrame = {
-    val d = t(spark, dir, "documents")
+    val d = tp(spark, dir, "documents")
     val a = d.filter(col("doc_id") < 50)
       .select(col("doc_id").as("id_a"), col("text").as("ta"))
     val b = d.select((col("doc_id") - 1).as("id_a"),
@@ -67,7 +67,7 @@ object RagQueries {
   // --- sparse-index search ---------------------------------------------
 
   def q61SparseSearch(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    val docs = tp(spark, dir, "documents")
     val idx = SparseIndex.build(docs, "doc_id", "text")
     val queries = docs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("qid"), col("text"))
@@ -133,15 +133,17 @@ object RagQueries {
   // --- hybrid search: lexical + minhash-band agreement, RRF-fused ------
 
   def q62HybridRrf(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    val docs = tp(spark, dir, "documents")
     val queries = docs.filter(col("doc_id") < 5)
     val idx = SparseIndex.build(docs, "doc_id", "text")
     val lexical = SparseIndex.search(idx,
       queries.select(col("doc_id").as("qid"), col("text")), "qid", "text", 20)
 
-    // ranking B: number of agreeing minhash bands (8 bands, 3-shingles)
+    // ranking B: number of agreeing minhash bands (8 bands, 3-shingles);
+    // cached — the query side filters the same frame
     val sigs = graft.operators.Dedup
       .minhashSignatures(docs, "doc_id", "text", 8, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val qsigs = sigs.filter(col("doc_id") < 5)
       .select(col("doc_id").as("query_id") +:
         (0 until 8).map(b => col(s"band_$b").as(s"qb_$b")): _*)
@@ -210,7 +212,7 @@ object RagQueries {
 
   def q63Chunks(spark: SparkSession, dir: String): DataFrame =
     Chunker.chunkCorpus(
-      t(spark, dir, "documents").filter(col("doc_id") < 20),
+      tp(spark, dir, "documents").filter(col("doc_id") < 20),
       "doc_id", "text", size = 50, overlap = 10)
       .orderBy("doc_id", "chunk_idx")
 

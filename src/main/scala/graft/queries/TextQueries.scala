@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Multimodal}
-import Tables.t
+import Tables.{t, tp}
 
 /** Text-analysis / dedup / multimodal queries over the documents table —
   * the training-data-pipeline operator coverage. Each oracle reproduces the
@@ -18,7 +18,7 @@ object TextQueries {
   // --- token stats + quality -------------------------------------------
 
   def q30TokenStats(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
+    tp(spark, dir, "documents").select(
       col("doc_id"),
       tokenCount(col("text")).as("n_tokens"),
       length(col("text")).as("len_chars"),
@@ -48,7 +48,7 @@ object TextQueries {
   // --- language id ------------------------------------------------------
 
   def q31LangId(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
+    tp(spark, dir, "documents").select(
       col("doc_id"), col("lang"),
       TextFunctions.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
@@ -80,7 +80,7 @@ object TextQueries {
   // --- exact dedup ------------------------------------------------------
 
   def q32ExactDedup(spark: SparkSession, dir: String): DataFrame =
-    Dedup.exactGroups(t(spark, dir, "documents"), "doc_id", "text")
+    Dedup.exactGroups(tp(spark, dir, "documents"), "doc_id", "text")
       .orderBy("content_hash")
 
   val q32Sql: String =
@@ -94,7 +94,7 @@ object TextQueries {
   private val ShingleK = 3
 
   def q33MinhashSigs(spark: SparkSession, dir: String): DataFrame =
-    Dedup.minhashSignatures(t(spark, dir, "documents"), "doc_id", "text",
+    Dedup.minhashSignatures(tp(spark, dir, "documents"), "doc_id", "text",
       NumBands, ShingleK).orderBy("doc_id")
 
   /** Shared SQL fragment: distinct word 3-shingles per doc. */
@@ -122,7 +122,7 @@ object TextQueries {
   // --- LSH near-duplicate pairs ----------------------------------------
 
   def q34NearDups(spark: SparkSession, dir: String): DataFrame =
-    Dedup.nearDuplicatePairs(t(spark, dir, "documents"), "doc_id", "text",
+    Dedup.nearDuplicatePairs(tp(spark, dir, "documents"), "doc_id", "text",
       NumBands, ShingleK, threshold = 0.12)
       .orderBy("id_a", "id_b")
 
@@ -162,7 +162,7 @@ object TextQueries {
   // --- simhash ----------------------------------------------------------
 
   def q35Simhash(spark: SparkSession, dir: String): DataFrame =
-    t(spark, dir, "documents").select(
+    tp(spark, dir, "documents").select(
       col("doc_id"),
       Dedup.simhash(tokens(col("text"))).as("simhash"))
       .orderBy("doc_id")
@@ -187,7 +187,7 @@ object TextQueries {
   // --- multimodal plumbing ---------------------------------------------
 
   def q36Multimodal(spark: SparkSession, dir: String): DataFrame = {
-    val withBin = t(spark, dir, "documents")
+    val withBin = tp(spark, dir, "documents")
       .withColumn("content", to_binary(col("text"), lit("UTF-8")))
     Multimodal.withDecodedMeta(withBin, "content")
       .select(col("doc_id"),

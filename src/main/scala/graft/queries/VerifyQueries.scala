@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions.tokens
 import graft.verify.ContextVerification
-import Tables.t
+import Tables.{t, tp}
 
 /** Anti-hallucination queries: grounding scores + confidence formulas over
   * a synthetic extractive "response" (first 20 tokens of each doc — a
@@ -15,7 +15,7 @@ import Tables.t
 object VerifyQueries {
 
   def q70Grounding(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents").filter(col("doc_id") < 100)
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 100)
     val withResp = docs.withColumn("resp",
       concat_ws(" ", slice(tokens(col("text")), 1, 20)))
     val scored = withResp.withColumn("gs",

@@ -24,8 +24,12 @@ import graft.functions.TextFunctions.tokens
   */
 object SparseIndex {
 
-  /** Weighted postings (id, term, w) + per-doc norms from a corpus. */
-  def build(docs: DataFrame, idCol: String, textCol: String): SparseIndexFrames = {
+  /** Weighted postings (id, term, w) + per-doc norms from a corpus.
+    * Postings are cached: the tokenize→explode→aggregate chain feeds doc
+    * lengths, document frequencies, norms AND every probe — recomputing it
+    * per consumer dominates runtime otherwise. */
+  def build(docs0: DataFrame, idCol: String, textCol: String): SparseIndexFrames = {
+    val docs = graft.ops.Parallelism.ensure(docs0)
     val n = docs.count()
     val postings0 = docs
       .select(col(idCol).as("id"),

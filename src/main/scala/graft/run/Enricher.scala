@@ -168,11 +168,15 @@ final class Enricher(
           p.count()
           chunks :+= p
       }
-      val spentSoFar = ledgerDir.flatMap(readLedger(spark, _)) match {
-        case Some(l) => callCost(l)
-        case None => chunks.map(callCost).foldLeft(JBigDecimal.ZERO)(_.add(_))
+      // the per-chunk spend aggregation only runs when a cap is set —
+      // durable-without-budget runs skip the extra ledger scan per chunk
+      if (spec.processing.maxBudget.isDefined) {
+        val spentSoFar = ledgerDir.flatMap(readLedger(spark, _)) match {
+          case Some(l) => callCost(l)
+          case None => chunks.map(callCost).foldLeft(JBigDecimal.ZERO)(_.add(_))
+        }
+        budget.check(spentSoFar)
       }
-      budget.check(spentSoFar)
       lo = hi
     }
     val invoked = (ledgerDir.flatMap(readLedger(spark, _)) match {
