@@ -57,7 +57,8 @@ final class Enricher(
     spec: PipelineSpec,
     client: LlmClient,
     runDir: Option[String] = None,
-    keyColumn: Option[String] = None) {
+    keyColumn: Option[String] = None,
+    observers: ObserverDispatcher = new ObserverDispatcher) {
 
   import RowIndex.ColName
 
@@ -86,8 +87,17 @@ final class Enricher(
       }
 
     val durable = runDir.isDefined || spec.processing.maxBudget.isDefined
-    if (durable) enrichDurable(pre, runId, attemptSalt, t0)
-    else enrichInline(pre, runId, attemptSalt, t0)
+    observers.emit(RunStarted(runId, None))
+    try {
+      val r =
+        if (durable) enrichDurable(pre, runId, attemptSalt, t0)
+        else enrichInline(pre, runId, attemptSalt, t0)
+      observers.emit(RunCompleted(runId, r.metrics, r.quality))
+      r
+    } catch { case e: Throwable =>
+      observers.emit(RunFailed(runId, String.valueOf(e.getMessage)))
+      throw e
+    }
   }
 
   // --- fast path --------------------------------------------------------
@@ -176,7 +186,9 @@ final class Enricher(
           case None => chunks.map(callCost).foldLeft(JBigDecimal.ZERO)(_.add(_))
         }
         budget.check(spentSoFar)
-      }
+        observers.emit(ChunkCompleted(runId, lo / chunkRows, spentSoFar))
+      } else observers.emit(ChunkCompleted(runId, lo / chunkRows,
+        JBigDecimal.ZERO))
       lo = hi
     }
     val invoked = (ledgerDir.flatMap(readLedger(spark, _)) match {

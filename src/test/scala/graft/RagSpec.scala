@@ -1,0 +1,123 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.llm.MockLlmClient
+import graft.ops.ResponseParser
+import graft.rag._
+import graft.run._
+import graft.verify.ContextStore
+
+class RagSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashing embedder: deterministic, normalized, overlap-preserving") {
+    val e = new HashingEmbedder(32)
+    val Seq(a, b) = e.embedBatch(Seq("spark fast join", "spark fast join"))
+    assert(a.toSeq == b.toSeq, "same text must embed identically")
+    val norm = math.sqrt(a.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5, s"should be L2-normalized, got $norm")
+    val Seq(near, far) = e.embedBatch(Seq("spark fast scan", "entirely other words"))
+    def cos(x: Array[Float], y: Array[Float]) =
+      x.lazyZip(y).map((p, q) => p.toDouble * q).sum
+    assert(cos(a, near) > cos(a, far),
+      "token-overlapping texts must be closer")
+  }
+
+  test("withEmbedding appends vectors partition-locally") {
+    val df = Seq((1L, "alpha beta"), (2L, "gamma")).toDF("id", "text")
+    val out = Embedders.withEmbedding(df, "text", new HashingEmbedder(16))
+    val rows = out.select("id", "embedding").collect()
+    assert(rows.forall(_.getSeq[Float](1).size == 16))
+  }
+
+  test("reranker orders candidates by query-doc similarity") {
+    val corpus = Seq((1L, "spark query optimization"),
+      (2L, "cooking pasta recipes"), (3L, "spark join strategies"))
+      .toDF("id", "text")
+    // no stemming: use exact token overlap ("join strategies" hits doc 3)
+    val queries = Seq((10L, "spark join")).toDF("query_id", "qtext")
+    val cands = Seq((10L, 1L), (10L, 2L), (10L, 3L)).toDF("query_id", "id")
+    val ranked = Reranker.rerank(cands, corpus, queries, k = 3)
+      .select("rank", "id").as[(Int, Long)].collect().toMap
+    assert(ranked(1) == 3L, "doc sharing most terms must rank first")
+    assert(ranked(3) == 2L, "unrelated doc must rank last")
+  }
+
+  test("query transforms call the client once each, deterministically") {
+    val c = new MockLlmClient()
+    val multi = QueryTransforms.multiQuery(c, "what is AQE", 3)
+    assert(multi.size == 3 && multi.distinct.size == 3)
+    assert(QueryTransforms.hyde(c, "q") ==
+      MockLlmClient.md5Hex("Write a short passage answering: q"))
+    assert(QueryTransforms.stepBack(c, "q") ==
+      MockLlmClient.md5Hex("Generalize this question to a broader one: q"))
+  }
+
+  test("context store: store/search/ground/contradictions round-trip") {
+    val dir = Files.createTempDirectory("graft_ctx").toString
+    val store = new ContextStore(spark, dir)
+    store.store(Seq(
+      (1L, "the capital of france is paris", "Factual", "doc1", 3L),
+      (2L, "spark uses catalyst for optimization", "Factual", "doc2", 1L))
+      .toDF("claim_id", "text", "claim_type", "source_ref", "support_count"))
+    val hits = store.search("capital of france", k = 1)
+    assert(hits.select("claim_id").as[Long].head() == 1L)
+    assert(store.ground("the capital of france is paris") > 0.9)
+    assert(store.ground("unrelated nonsense entirely") < 0.3)
+    store.addContradiction(1L, 2L)
+    assert(store.contradictions.count() == 1)
+  }
+
+  test("typed structured-output parse with strict mode") {
+    val good = Seq(
+      (0L, """{"brand":"acme","price":9}""", false),
+      (1L, """```json
+             |{"brand":"zenith","price":12}
+             |```""".stripMargin, false))
+      .toDF("_row_index", "result", "skipped")
+    val schema = StructType(Seq(
+      StructField("brand", StringType), StructField("price", IntegerType)))
+    val parsed = ResponseParser.parseTyped(good, schema, strict = true)
+      .select("brand", "price").as[(String, Int)].collect().toMap
+    assert(parsed("acme") == 9 && parsed("zenith") == 12)
+
+    val bad = Seq((0L, "not json at all", false))
+      .toDF("_row_index", "result", "skipped")
+    intercept[IllegalStateException] {
+      ResponseParser.parseTyped(bad, schema, strict = true)
+    }
+  }
+
+  test("semantic chunking groups sentences at similarity breaks") {
+    val df = Seq((1L,
+      "spark is fast. spark is distributed. cooking pasta needs water. " +
+        "pasta tastes great.")).toDF("doc_id", "text")
+    val chunks = Chunker.semanticChunks(df, "doc_id", "text", breakBelow = 0.2)
+      .select("chunk").as[String].collect().toSeq
+    assert(chunks.size >= 2, s"expected a topic break, got: $chunks")
+    assert(chunks.exists(_.contains("spark is fast.")))
+    assert(chunks.exists(_.contains("cooking pasta")))
+  }
+
+  test("observers receive lifecycle events; failures don't fail the run") {
+    val collector = new CollectingObserver
+    val boom = new Observer { def onEvent(e: PipelineEvent): Unit =
+      throw new RuntimeException("observer bug") }
+    val dispatcher = new ObserverDispatcher().register(boom).register(collector)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("O:{text}"),
+      output = OutputSpec(Seq("out")))
+    val r = new Enricher(spec, new MockLlmClient(),
+      observers = dispatcher).enrich(Seq("x").toDF("text"))
+    assert(r.quality.validRows == 1)
+    import scala.jdk.CollectionConverters._
+    val kinds = collector.events.asScala.map(_.getClass.getSimpleName).toSet
+    assert(kinds.contains("RunStarted") && kinds.contains("RunCompleted"))
+  }
+}
