@@ -76,9 +76,17 @@ class MockLlmClient(
     simulatedLatencyMs: Long = 0L,
     /** Fail every Nth call with a retryable error (0 = never) — for retry
       * and error-policy tests. */
-    failEveryN: Long = 0L) extends LlmClient {
+    failEveryN: Long = 0L,
+    /** Omit every Nth item from mega-prompt replies (0 = never) — models a
+      * real LLM skipping batch items; exercises null-padding + auto-retry
+      * (reference: batch_disaggregator_stage.py:158-163). Only the FIRST
+      * call for a given payload drops items, so retries succeed. */
+    dropEveryNthBatchItem: Int = 0) extends LlmClient {
 
   import MockLlmClient._
+
+  private val seenBatches =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   def invoke(prompt: String, systemMessage: Option[String]): LlmResponse = {
     val n = calls.incrementAndGet()
@@ -99,7 +107,14 @@ class MockLlmClient(
   /** Parse the mega-prompt's JSON payload and answer item-by-item. */
   private def batchReply(prompt: String): String = {
     val items = BatchCodec.decodeItems(prompt)
-    items.map { case (id, p) =>
+    val firstTime = seenBatches.add(md5Hex(prompt))
+    val answered =
+      if (dropEveryNthBatchItem > 0 && firstTime)
+        items.zipWithIndex.collect {
+          case (it, i) if (i + 1) % dropEveryNthBatchItem != 0 => it
+        }
+      else items
+    answered.map { case (id, p) =>
       s"""{"id":$id,"result":"${md5Hex(p)}"}"""
     }.mkString("[", ",", "]")
   }

@@ -266,8 +266,75 @@ object RelationalQueries {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Running cumulative aggregate per key (window frame) — decimal-exact. */
+  def q14RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val o = t(spark, dir, "orders").filter(col("o_custkey") < 50)
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    o.select(col("o_custkey"), col("o_orderkey"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).over(w)
+        .cast("double").as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  val q14Sql: String =
+    """SELECT o_custkey, o_orderkey,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+      |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_total
+      |FROM orders WHERE o_custkey < 50
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** Correlated-subquery shape (TPC-H Q17): lineitems under 50% of their
+    * part's average quantity. Expressed as agg + self-join (decorrelated —
+    * what Catalyst does to the subquery anyway). */
+  def q15BelowAvgQty(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val avgQty = li.groupBy(col("l_partkey").as("pk"))
+      .agg((sum(col("l_quantity").cast("decimal(18,2)")).cast("double") /
+        count(lit(1))).as("avg_qty"))
+    li.join(avgQty, li("l_partkey") === avgQty("pk"))
+      .filter(col("l_quantity") < col("avg_qty") * 0.5)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_below"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("value_below"))
+      .orderBy("l_returnflag")
+  }
+
+  val q15Sql: String =
+    """WITH pa AS (
+      |  SELECT l_partkey AS pk,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty
+      |  FROM lineitem GROUP BY l_partkey)
+      |SELECT l_returnflag, COUNT(*) AS n_below,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS value_below
+      |FROM lineitem JOIN pa ON l_partkey = pk
+      |WHERE l_quantity < avg_qty * 0.5
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Date arithmetic: yearly/quarterly order stats (ints — exact). */
+  def q16DateParts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(year(col("o_orderdate")).as("yr"),
+        quarter(col("o_orderdate")).as("qtr"))
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"))
+      .orderBy("yr", "qtr")
+
+  val q16Sql: String =
+    """SELECT EXTRACT(YEAR FROM o_orderdate)::INT AS yr,
+      |  EXTRACT(QUARTER FROM o_orderdate)::INT AS qtr,
+      |  COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_custs
+      |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_approx_distinct" -> q13ApproxDistinct _,
+    "q14_running_sum" -> q14RunningSum _,
+    "q15_below_avg_qty" -> q15BelowAvgQty _,
+    "q16_date_parts" -> q16DateParts _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_broadcast_join" -> q03SegmentRevenue _,
@@ -282,6 +349,9 @@ object RelationalQueries {
     "q12_conditional_agg" -> q12ConditionalAgg _)
 
   val oracles: Map[String, String] = Map(
+    "q14_running_sum" -> q14Sql,
+    "q15_below_avg_qty" -> q15Sql,
+    "q16_date_parts" -> q16Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_project" -> q02Sql,
     "q03_broadcast_join" -> q03Sql,

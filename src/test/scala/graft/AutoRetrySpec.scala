@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.core._
+import graft.llm.MockLlmClient
+import graft.operators.Skew
+import graft.run.Enricher
+
+class AutoRetrySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("batch gaps pad to null, auto-retry fills them") {
+    // every 5th batch item is dropped from the first reply for a payload
+    val client = new MockLlmClient(dropEveryNthBatchItem = 5)
+    val df = (0 until 30).map(i => s"item $i").toDF("text").repartition(1)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("G:{text}", batchSize = 10),
+      processing = ProcessingSpec(autoRetryAttempts = 2),
+      output = OutputSpec(Seq("out")))
+    val r = new Enricher(spec, client).enrich(df)
+    assert(r.quality.validRows == 30,
+      s"auto-retry should recover dropped items, got ${r.quality.invalidCellsPerColumn}")
+    val got = r.data.select("text", "out").as[(String, String)].collect().toMap
+    (0 until 30).foreach { i =>
+      assert(got(s"item $i") == MockLlmClient.md5Hex(s"G:item $i"))
+    }
+  }
+
+  test("without auto-retry, gaps stay null and quality degrades") {
+    val client = new MockLlmClient(dropEveryNthBatchItem = 5)
+    val df = (0 until 30).map(i => s"other $i").toDF("text").repartition(1)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("G:{text}", batchSize = 10),
+      processing = ProcessingSpec(autoRetryAttempts = 0),
+      output = OutputSpec(Seq("out")))
+    val r = new Enricher(spec, client).enrich(df)
+    assert(r.quality.validRows == 24, s"expected 6 gaps, got ${r.quality}")
+  }
+
+  test("salted join distributes a hot key and preserves results") {
+    val probe = ((0 until 1000).map(_ => (1L, "hot")) ++
+      Seq((2L, "cold"), (3L, "cold")))
+      .toDF("k", "tag")
+    val build = Seq((1L, "alpha"), (2L, "beta")).toDF("k", "v")
+    val plain = probe.join(build, Seq("k")).count()
+    val salted = Skew.saltedJoin(probe, build, "k", salts = 8)
+    assert(salted.count() == plain)
+    // hot key present with its value, cold key matched, missing key dropped
+    val vals = salted.select("k", "v").distinct()
+      .as[(Long, String)].collect().toSet
+    assert(vals == Set((1L, "alpha"), (2L, "beta")))
+  }
+}
