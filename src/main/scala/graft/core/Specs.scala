@@ -80,6 +80,13 @@ final case class LlmSpec(
     outputCostPer1k: BigDecimal = BigDecimal("0.0"),
     /** Max in-flight requests per executor partition-group. */
     concurrency: Int = 8,
+    /** Gradient2 adaptive concurrency: the in-flight cap follows observed
+      * RTT instead of staying fixed (reference:
+      * ondine/utils/adaptive_limiter.py:68-242, with_adaptive_concurrency
+      * pipeline_builder.py:723). `concurrency` becomes the initial limit. */
+    adaptiveConcurrency: Boolean = false,
+    /** Upper bound for the adaptive limit. */
+    maxConcurrency: Int = 64,
     /** Requests/minute across the whole run; divided across partitions. */
     requestsPerMinute: Option[Int] = None,
     maxRetries: Int = 3,

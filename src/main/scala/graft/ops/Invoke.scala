@@ -19,10 +19,16 @@ import graft.llm._
   */
 object ClientPool {
   private val limiters = new ConcurrentHashMap[String, RateLimiter]()
+  private val adaptives = new ConcurrentHashMap[String, AdaptiveLimiter]()
   private val pools = new ConcurrentHashMap[String, ExecutionContextExecutorService]()
 
   def limiter(runId: String, rpm: Int, burst: Int): RateLimiter =
     limiters.computeIfAbsent(runId, _ => new RateLimiter(rpm, burst))
+
+  def adaptive(runId: String, initial: Int, max: Int): AdaptiveLimiter =
+    adaptives.computeIfAbsent(runId,
+      _ => new AdaptiveLimiter(minLimit = 1, maxLimit = max,
+        initialLimit = initial))
 
   def pool(runId: String, size: Int): ExecutionContextExecutorService =
     pools.computeIfAbsent(runId, _ =>
@@ -36,6 +42,7 @@ object ClientPool {
   def shutdown(runId: String): Unit = {
     Option(pools.remove(runId)).foreach(_.shutdown())
     limiters.remove(runId)
+    adaptives.remove(runId)
   }
 }
 
@@ -97,9 +104,17 @@ object Invoke {
     val policy = proc.errorPolicy
     val default = proc.defaultValue
 
+    val adaptiveOn = llm.adaptiveConcurrency
+    val maxConc = llm.maxConcurrency
+
     df.mapPartitions { rows =>
       val limiter = rpm.map(r => ClientPool.limiter(runId, r, math.max(1, r / 10)))
-      implicit val ec: ExecutionContext = ClientPool.pool(runId, conc)
+      val adaptive =
+        if (adaptiveOn) Some(ClientPool.adaptive(runId, conc, maxConc))
+        else None
+      // pool sized at the adaptive MAX; the adaptive limiter gates admission
+      implicit val ec: ExecutionContext =
+        ClientPool.pool(runId, if (adaptiveOn) maxConc else conc)
 
       val groups: Iterator[Seq[(Long, String, Row)]] =
         rows.map(r => (r.getLong(idxAt), r.getString(promptAt), r))
@@ -123,9 +138,15 @@ object Invoke {
             group.map(g => (g._1, g._2)))
         try {
           limiter.foreach(_.acquire())
-          val resp = RetryHandler.withRetries(maxRetries, baseMs, capMs, limiter) {
-            client.invoke(promptText, system)
-          }
+          adaptive.foreach(_.acquireBlocking())
+          val resp =
+            try RetryHandler.withRetries(maxRetries, baseMs, capMs, limiter) {
+              try client.invoke(promptText, system)
+              catch { case e: RateLimitError =>
+                adaptive.foreach(_.onRateLimit()); throw e
+              }
+            } finally adaptive.foreach(_.release())
+          adaptive.foreach(_.onSuccess(resp.latencyMs))
           val byId: Map[Long, String] =
             if (single) Map(callId -> resp.text)
             else BatchCodec.decodeResults(resp.text).toMap

@@ -8,29 +8,15 @@ import org.apache.spark.sql.functions._
   * normalize → strip control chars → strip special marks/zero-width/quote
   * normalize → collapse whitespace → word-boundary truncate).
   *
-  * Everything except NFC and word-boundary truncation compiles to built-in
-  * `regexp_replace` chains (whole-stage codegen). NFC and truncation are
-  * small Scala UDFs — both are pure per-value string functions, so the
-  * plan stays narrow; the UDF boundary only breaks codegen locally.
+  * Everything compiles to codegen'd expressions: the strip/collapse steps
+  * are built-in `regexp_replace` chains; NFC and word-boundary truncation
+  * are native Catalyst expressions with doGenCode
+  * (graft.functions.Expressions) — no UDF boundary anywhere in the chain.
   */
 object Preprocess {
 
-  private val nfcUdf = udf { (s: String) =>
-    if (s == null) null
-    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
-  }
-
-  /** Truncate at the last word boundary before maxLen (rfind-a-space logic,
-    * reference :110-122). */
-  private def truncUdf(maxLen: Int) = udf { (s: String) =>
-    if (s == null || s.length <= maxLen) s
-    else {
-      val cut = s.lastIndexOf(' ', maxLen)
-      if (cut > 0) s.substring(0, cut) else s.substring(0, maxLen)
-    }
-  }
-
-  def nfcNormalize(c: Column): Column = nfcUdf(c)
+  def nfcNormalize(c: Column): Column =
+    graft.functions.Expressions.nfc_normalize(c)
 
   def stripControlChars(c: Column): Column =
     regexp_replace(c, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
@@ -49,7 +35,7 @@ object Preprocess {
   def clean(c: Column, maxLength: Option[Int] = None): Column = {
     val base = collapseWhitespace(stripSpecialChars(stripControlChars(nfcNormalize(c))))
     maxLength match {
-      case Some(m) => truncUdf(m)(base)
+      case Some(m) => graft.functions.Expressions.truncate_words(base, m)
       case None    => base
     }
   }

@@ -39,6 +39,21 @@ class AutoRetrySpec extends SparkSpec {
     assert(r.quality.validRows == 24, s"expected 6 gaps, got ${r.quality}")
   }
 
+  test("adaptive concurrency mode produces identical results") {
+    val df = (0 until 40).map(i => s"ad $i").toDF("text").repartition(2)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("A:{text}", batchSize = 5),
+      llm = LlmSpec(concurrency = 2, adaptiveConcurrency = true,
+        maxConcurrency = 8),
+      output = OutputSpec(Seq("out")))
+    val r = new Enricher(spec,
+      new MockLlmClient(simulatedLatencyMs = 5)).enrich(df)
+    assert(r.quality.validRows == 40)
+    val got = r.data.select("text", "out").as[(String, String)].collect().toMap
+    assert(got("ad 13") == MockLlmClient.md5Hex("A:ad 13"))
+  }
+
   test("salted join distributes a hot key and preserves results") {
     val probe = ((0 until 1000).map(_ => (1L, "hot")) ++
       Seq((2L, "cold"), (3L, "cold")))
