@@ -330,11 +330,49 @@ object RelationalQueries {
       |  COUNT(*) AS n_orders, COUNT(DISTINCT o_custkey) AS n_custs
       |FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""".stripMargin
 
+  /** Full grouping-sets family: CUBE over two dims with grouping-id. */
+  def q17Cube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  val q17Sql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus ASC NULLS FIRST,
+      |  o_orderpriority ASC NULLS FIRST""".stripMargin
+
+  /** String-function battery: case, substring, trim, levenshtein (same
+    * dynamic-programming edit distance in both engines — exact ints). */
+  def q18StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").filter(col("p_partkey") < 200)
+      .select(col("p_partkey"),
+        upper(col("p_brand")).as("brand_upper"),
+        substring(col("p_name"), 1, 10).as("name_prefix"),
+        length(trim(col("p_type"))).as("type_len"),
+        levenshtein(col("p_brand"), lit("Brand#00")).as("brand_dist"),
+        translate(col("p_name"), "aeiou", "#####").as("no_vowels"))
+      .orderBy("p_partkey")
+
+  val q18Sql: String =
+    """SELECT p_partkey, upper(p_brand) AS brand_upper,
+      |  substr(p_name, 1, 10) AS name_prefix,
+      |  length(trim(p_type)) AS type_len,
+      |  levenshtein(p_brand, 'Brand#00') AS brand_dist,
+      |  translate(p_name, 'aeiou', '#####') AS no_vowels
+      |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_approx_distinct" -> q13ApproxDistinct _,
     "q14_running_sum" -> q14RunningSum _,
     "q15_below_avg_qty" -> q15BelowAvgQty _,
     "q16_date_parts" -> q16DateParts _,
+    "q17_cube" -> q17Cube _,
+    "q18_string_funcs" -> q18StringFuncs _,
     "q01_pricing_summary" -> q01PricingSummary _,
     "q02_filter_project" -> q02FilterProject _,
     "q03_broadcast_join" -> q03SegmentRevenue _,
@@ -349,6 +387,8 @@ object RelationalQueries {
     "q12_conditional_agg" -> q12ConditionalAgg _)
 
   val oracles: Map[String, String] = Map(
+    "q17_cube" -> q17Sql,
+    "q18_string_funcs" -> q18Sql,
     "q14_running_sum" -> q14Sql,
     "q15_below_avg_qty" -> q15Sql,
     "q16_date_parts" -> q16Sql,
