@@ -104,6 +104,34 @@ class RagSpec extends SparkSpec {
     assert(chunks.exists(_.contains("cooking pasta")))
   }
 
+  test("knowledge store: ingest -> chunk -> index -> multi-variant search") {
+    val docs = Seq(
+      (1L, ("spark catalyst optimizer rules " * 30).trim),
+      (2L, ("cooking italian pasta sauce " * 30).trim),
+      (3L, ("catalyst expression codegen spark " * 30).trim))
+      .toDF("doc_id", "text")
+    val ks = KnowledgeStore.ingest(docs, "doc_id", "text",
+      chunkSize = 40, overlap = 10)
+    assert(ks.chunks.count() > 3, "long docs must chunk into windows")
+    val hits = ks.search("spark catalyst", k = 3,
+      client = Some(new MockLlmClient()), multiQueryN = 2)
+      .collect()
+    assert(hits.nonEmpty)
+    // top hit must come from a spark doc (chunk_id encodes doc_id*10000)
+    val topDoc = hits.head.getAs[Long]("chunk_id") / 10000
+    assert(Set(1L, 3L).contains(topDoc), s"top hit from doc $topDoc")
+  }
+
+  test("kb eval lands _kb_eval_* columns via the enrichment operator") {
+    val df = Seq(("the sky is blue", "observed sky color: blue"))
+      .toDF("answer", "context")
+    val out = KbEval.evaluate(df, "answer", "context", new MockLlmClient())
+    // mock replies md5 (not JSON) -> columns exist, values null
+    assert(out.columns.contains("_kb_eval_faithfulness"))
+    assert(out.columns.contains("_kb_eval_relevancy"))
+    assert(out.columns.contains("_kb_eval_context_precision"))
+  }
+
   test("observers receive lifecycle events; failures don't fail the run") {
     val collector = new CollectingObserver
     val boom = new Observer { def onEvent(e: PipelineEvent): Unit =
