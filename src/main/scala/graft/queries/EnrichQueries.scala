@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.llm.MockLlmClient
 import graft.run.Enricher
-import Tables.t
+import Tables.tp
 
 /** End-to-end enrichment pipeline queries, oracle-verifiable: the
   * deterministic mock client replies md5(prompt), so the WHOLE chain —
@@ -18,7 +18,7 @@ object EnrichQueries {
 
   /** Single-call-per-row enrichment over the documents table. */
   def qEnrichSingle(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    val docs = tp(spark, dir, "documents")
     val r = Enricher.enrich(docs, "Summarize: {text}", Seq("summary"),
       new MockLlmClient(), keyColumn = Some("doc_id"))
     r.data.select(col("doc_id"), col("summary")).orderBy("doc_id")
@@ -32,7 +32,7 @@ object EnrichQueries {
     * identical to single mode — proves batch aggregation + JSON
     * disaggregation round-trips losslessly. */
   def qEnrichBatched(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    val docs = tp(spark, dir, "documents")
     val r = Enricher.enrich(docs, "Classify: {text}", Seq("label"),
       new MockLlmClient(), batchSize = 15, keyColumn = Some("doc_id"))
     r.data.select(col("doc_id"), col("label")).orderBy("doc_id")
@@ -45,7 +45,7 @@ object EnrichQueries {
   /** Multi-variable template over a joined input — placeholders pull from
     * two columns. */
   def qEnrichMultiVar(spark: SparkSession, dir: String): DataFrame = {
-    val docs = t(spark, dir, "documents")
+    val docs = tp(spark, dir, "documents")
     val r = Enricher.enrich(docs,
       "Lang={lang} Source={source}: {text}", Seq("tagged"),
       new MockLlmClient(), batchSize = 10, keyColumn = Some("doc_id"))
