@@ -25,9 +25,9 @@ import graft.functions.TextFunctions.tokens
 object SparseIndex {
 
   /** Weighted postings (id, term, w) + per-doc norms from a corpus.
-    * Postings are cached: the tokenize→explode→aggregate chain feeds doc
-    * lengths, document frequencies, norms AND every probe — recomputing it
-    * per consumer dominates runtime otherwise. */
+    * Deliberately NOT cached: measured on this workload, an InMemoryRelation
+    * here defeats downstream join planning and costs more than recomputing
+    * the (narrow, codegen'd) posting chain per consumer. */
   def build(docs0: DataFrame, idCol: String, textCol: String): SparseIndexFrames = {
     val docs = graft.ops.Parallelism.ensure(docs0)
     val n = docs.count()
