@@ -366,7 +366,29 @@ object RelationalQueries {
       |  translate(p_name, 'aeiou', '#####') AS no_vowels
       |FROM part WHERE p_partkey < 200 ORDER BY p_partkey""".stripMargin
 
+  /** Continuous percentiles (median, p90) — linear interpolation over the
+    * sorted values, identical in both engines. */
+  def q19Percentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        round(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000000))
+          .cast("double"), 6).as("med_approx"),
+        round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice)"), 6)
+          .as("med"),
+        round(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice)"), 6)
+          .as("p90"))
+      .orderBy("o_orderpriority")
+
+  val q19Sql: String =
+    """SELECT o_orderpriority,
+      |  round(quantile_disc(o_totalprice, 0.5), 6) AS med_approx,
+      |  round(quantile_cont(o_totalprice, 0.5), 6) AS med,
+      |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q19_percentiles" -> q19Percentiles _,
     "q13_approx_distinct" -> q13ApproxDistinct _,
     "q14_running_sum" -> q14RunningSum _,
     "q15_below_avg_qty" -> q15BelowAvgQty _,
@@ -387,6 +409,7 @@ object RelationalQueries {
     "q12_conditional_agg" -> q12ConditionalAgg _)
 
   val oracles: Map[String, String] = Map(
+    "q19_percentiles" -> q19Sql,
     "q17_cube" -> q17Sql,
     "q18_string_funcs" -> q18Sql,
     "q14_running_sum" -> q14Sql,
