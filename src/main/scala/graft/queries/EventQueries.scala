@@ -83,10 +83,13 @@ object EventQueries {
     val ev = Tables.events(spark, dir)
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id"))
+    // gap math on exact microsecond longs so the oracle computes the
+    // identical integer expression (epoch_us on both sides)
     val withGap = ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          col("ts").cast("long") - col("prev_ts").cast("long") > 1800L, 1L)
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+          1L)
           .otherwise(0L))
     withGap.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_events"),
@@ -100,8 +103,9 @@ object EventQueries {
       |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
       |  FROM events)
       |SELECT user_id, COUNT(*) AS n_events,
-      |  SUM(CASE WHEN prev_ts IS NULL
-      |        OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS n_sessions
+      |  CAST(SUM(CASE WHEN prev_ts IS NULL
+      |        OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_sessions
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** As-of join: each error event picks up the user's most recent click at
@@ -143,8 +147,9 @@ object EventQueries {
 
   val q54Sql: String =
     """SELECT event_type,
-      |  SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS sum_k,
-      |  COUNT(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT)) AS n_with_k
+      |  CAST(SUM(TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS INT))
+      |    AS BIGINT) AS sum_k,
+      |  COUNT(TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS INT)) AS n_with_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

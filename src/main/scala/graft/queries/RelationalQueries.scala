@@ -250,21 +250,32 @@ object RelationalQueries {
 
   val q12Sql: String =
     """SELECT o_orderpriority,
-      |  SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS finished,
-      |  SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS open,
+      |  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS finished,
+      |  CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END) AS BIGINT) AS open,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** HLL sketch aggregation (approx_count_distinct): rows-only check —
-    * sketch estimates are engine-specific so there is no hash oracle; the
-    * exact distinct counts ride along for sanity. */
+  /** HLL sketch aggregation (approx_count_distinct). Sketch estimates are
+    * engine-specific, so the hash-checkable output is the exact distinct
+    * count plus a boolean asserting the sketch landed within its error
+    * bound (default rsd 0.05 → 15% is a 3-sigma bound); the oracle emits
+    * TRUE for that column. */
   def q13ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
       .agg(
         approx_count_distinct(col("l_partkey")).as("approx_parts"),
         countDistinct(col("l_partkey")).as("exact_parts"))
+      .select(col("l_returnflag"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts") * 0.15).as("approx_ok"),
+        col("exact_parts"))
       .orderBy("l_returnflag")
+
+  val q13Sql: String =
+    """SELECT l_returnflag, TRUE AS approx_ok,
+      |  COUNT(DISTINCT l_partkey) AS exact_parts
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Running cumulative aggregate per key (window frame) — decimal-exact. */
   def q14RunningSum(spark: SparkSession, dir: String): DataFrame = {
@@ -426,5 +437,6 @@ object RelationalQueries {
     "q09_semi_join" -> q09Sql,
     "q10_rollup" -> q10Sql,
     "q11_set_ops" -> q11Sql,
-    "q12_conditional_agg" -> q12Sql)
+    "q12_conditional_agg" -> q12Sql,
+    "q13_approx_distinct" -> q13Sql)
 }

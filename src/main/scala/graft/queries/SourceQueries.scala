@@ -21,6 +21,9 @@ object SourceQueries {
     // sample = first 10 by doc_id (deterministic, mirrors the reference's
     // head-10 sample)
     val sample = docs.filter(col("doc_id") < 10)
+    // integer `div` on both sides (DuckDB's //) — never a double->long cast,
+    // which Spark truncates but DuckDB rounds; the cost is then a single
+    // double division of the same integer, bit-identical across engines
     sample
       .select(CostEstimator.tokenEstimate(
         concat(lit("Summarize: "), coalesce(col("text"), lit("")))).as("tk"))
@@ -28,21 +31,23 @@ object SourceQueries {
       .select(
         lit(total).as("total_rows"),
         col("sample_tokens"),
-        (col("sample_tokens") * lit(total) / 10).cast("long")
-          .as("est_tokens_in"),
-        round(col("sample_tokens") * lit(total) / 10 / 1000.0 * 0.001, 10)
-          .as("est_cost_usd"))
+        expr(s"sample_tokens * ${total}L div 10").as("est_tokens_in"))
+      .withColumn("est_cost_usd",
+        col("est_tokens_in").cast("double") / lit(1000000.0))
   }
 
   val q80Sql: String =
     """WITH s AS (
-      |  SELECT sum(greatest(1, length('Summarize: ' || COALESCE(text,'')) // 4)) AS sample_tokens
-      |  FROM documents WHERE doc_id < 10)
-      |SELECT (SELECT count(*) FROM documents) AS total_rows,
-      |  sample_tokens,
-      |  CAST(sample_tokens * (SELECT count(*) FROM documents) / 10 AS BIGINT) AS est_tokens_in,
-      |  round(sample_tokens * (SELECT count(*) FROM documents) / 10 / 1000.0 * 0.001, 10) AS est_cost_usd
-      |FROM s""".stripMargin
+      |  SELECT CAST(sum(greatest(1, length('Summarize: ' || COALESCE(text,'')) // 4)) AS BIGINT) AS sample_tokens
+      |  FROM documents WHERE doc_id < 10),
+      |e AS (
+      |  SELECT (SELECT count(*) FROM documents) AS total_rows,
+      |    sample_tokens,
+      |    sample_tokens * (SELECT count(*) FROM documents) // 10 AS est_tokens_in
+      |  FROM s)
+      |SELECT total_rows, sample_tokens, est_tokens_in,
+      |  CAST(est_tokens_in AS DOUBLE) / 1000000.0 AS est_cost_usd
+      |FROM e""".stripMargin
 
   /** Input preprocessing chain over synthetically-dirtied text: special
     * marks, zero-width chars, whitespace jitter, then word-boundary

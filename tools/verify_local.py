@@ -52,9 +52,20 @@ def main() -> int:
         elif len(got) != len(want):
             status.append(f"rows {len(got)} != {len(want)}")
         else:
-            # exact (hash-style) compare; report first diff cell
+            # exact (hash-style) compare; report first diff cell.
+            # dtype mismatch (e.g. DuckDB HUGEINT -> float64 vs Spark int64)
+            # hash-fails on the driver even when values compare numerically
+            # equal, so treat it as a failure here too.
             for c in got.columns:
                 a, b = got[c], want[c]
+                # int-width mismatches (int32 vs int64) hash identically on
+                # the driver; int-vs-float (2 vs 2.0) and bool-vs-int
+                # (True vs 1) do not.
+                ka, kb = a.dtype.kind, b.dtype.kind
+                norm = {"u": "i"}
+                if norm.get(ka, ka) != norm.get(kb, kb):
+                    status.append(f"col {c} dtype {a.dtype} != {b.dtype}")
+                    break
                 try:
                     eq = (a.fillna("\0NULL") == b.fillna("\0NULL")) \
                         if a.dtype == object else ((a == b) | (a.isna() & b.isna()))
