@@ -139,23 +139,26 @@ object RagQueries {
     val lexical = SparseIndex.search(idx,
       queries.select(col("doc_id").as("qid"), col("text")), "qid", "text", 20)
 
-    // ranking B: number of agreeing minhash bands (8 bands, 3-shingles);
-    // cached — the query side filters the same frame
+    // ranking B: number of agreeing minhash bands (8 bands, 3-shingles).
+    // Candidates come from a bucket JOIN on (band_idx, band_val) — only
+    // docs sharing at least one band with a query are scored, so the work
+    // is proportional to bucket collisions, not |Q| x |docs|. The tiny
+    // query side broadcasts.
     val sigs = graft.operators.Dedup
       .minhashSignatures(docs, "doc_id", "text", 8, 3)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val qsigs = sigs.filter(col("doc_id") < 5)
-      .select(col("doc_id").as("query_id") +:
-        (0 until 8).map(b => col(s"band_$b").as(s"qb_$b")): _*)
-    val agree = (0 until 8)
-      .map(b => when(col(s"band_$b") === col(s"qb_$b"), 1).otherwise(0))
-      .reduce(_ + _)
+    val exploded = sigs.select(col("doc_id").as("id"),
+      posexplode(array((0 until 8).map(b => col(s"band_$b")): _*))
+        .as(Seq("band_idx", "band_val")))
+    val qbands = exploded.filter(col("id") < 5)
+      .select(col("id").as("query_id"), col("band_idx"), col("band_val"))
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("band_score").desc, col("id"))
-    val bandRank = qsigs.crossJoin(sigs)
-      .withColumn("band_score", agree)
-      .withColumn("id", col("doc_id"))
+    val bandRank = broadcast(qbands)
+      .join(exploded, Seq("band_idx", "band_val"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(count(lit(1)).as("band_score"))
       .withColumn("rank", row_number().over(wb))
       .filter(col("rank") <= 20)
       .select(col("query_id"), col("id"), col("rank"))
@@ -177,20 +180,30 @@ object RagQueries {
     val bandMins = (0 until 8).map(b =>
       s"min(('0x' || substr(md5('$b|' || s), 1, 15))::UBIGINT)::BIGINT AS band_$b")
       .mkString(",\n  ")
-    val agree = (0 until 8)
-      .map(b => s"(CASE WHEN c.band_$b = q.band_$b THEN 1 ELSE 0 END)")
-      .mkString(" + ")
+    // unpivot the 8 band columns to (id, band_idx, band_val) rows —
+    // mirrors the Spark side's posexplode + bucket join
+    val bandUnion = (0 until 8).map(b =>
+      s"SELECT doc_id AS id, $b AS band_idx, band_$b AS band_val FROM bands")
+      .mkString("\n  UNION ALL ")
     s"""WITH $sparseCtes,
        |lex AS (SELECT query_id, id, rank FROM ranked WHERE rank <= 20),
        |$shingleCte,
        |bands AS (
        |  SELECT doc_id, $bandMins
        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM shq) GROUP BY doc_id),
+       |bexp AS (
+       |  $bandUnion),
+       |bscore AS (
+       |  SELECT q.id AS query_id, e.id, count(*) AS band_score
+       |  FROM bexp q JOIN bexp e
+       |    ON q.band_idx = e.band_idx AND q.band_val = e.band_val
+       |  WHERE q.id < 5
+       |  GROUP BY 1, 2),
        |bandranked AS (
-       |  SELECT q.doc_id AS query_id, c.doc_id AS id,
-       |    ROW_NUMBER() OVER (PARTITION BY q.doc_id
-       |      ORDER BY ($agree) DESC, c.doc_id) AS rank
-       |  FROM bands q CROSS JOIN bands c WHERE q.doc_id < 5),
+       |  SELECT query_id, id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY band_score DESC, id) AS rank
+       |  FROM bscore),
        |bnd AS (SELECT query_id, id, rank FROM bandranked WHERE rank <= 20),
        |fused AS (
        |  SELECT coalesce(l.query_id, b.query_id) AS query_id,

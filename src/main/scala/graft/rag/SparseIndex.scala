@@ -24,10 +24,14 @@ import graft.functions.TextFunctions.tokens
   */
 object SparseIndex {
 
-  /** Weighted postings (id, term, w) + per-doc norms from a corpus.
-    * Deliberately NOT cached: measured on this workload, an InMemoryRelation
-    * here defeats downstream join planning and costs more than recomputing
-    * the (narrow, codegen'd) posting chain per consumer. */
+  /** Weighted postings (id, term, w) + per-doc norms + per-term document
+    * frequencies from a corpus.
+    * The postings chain is deliberately NOT cached: measured on this
+    * workload, an InMemoryRelation there defeats downstream join planning
+    * and costs more than recomputing the (narrow, codegen'd) chain per
+    * consumer. The SMALL aggregates (docFreqs: one row per term; norms:
+    * one row per doc) ARE persisted — every `search` needs them, and
+    * re-deriving them re-scans the whole corpus. */
   def build(docs0: DataFrame, idCol: String, textCol: String): SparseIndexFrames = {
     val docs = graft.ops.Parallelism.ensure(docs0)
     val n = docs.count()
@@ -37,6 +41,7 @@ object SparseIndex {
       .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
     val docLen = postings0.groupBy("id").agg(sum("cnt").as("len"))
     val df_ = postings0.groupBy("term").agg(countDistinct("id").as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = postings0
       .join(docLen, "id")
       .join(df_, "term")
@@ -48,11 +53,12 @@ object SparseIndex {
     val norms = postings
       .withColumn("w2", (col("w") * col("w")).cast("decimal(38,24)"))
       .groupBy("id").agg(sqrt(sum("w2").cast("double")).as("norm"))
-    SparseIndexFrames(postings, norms, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    SparseIndexFrames(postings, norms, df_, n)
   }
 
   final case class SparseIndexFrames(postings: DataFrame, norms: DataFrame,
-                                     corpusSize: Long)
+                                     docFreqs: DataFrame, corpusSize: Long)
 
   /** Top-k TF-IDF cosine search. `queries` carries (qidCol, qtextCol);
     * output: query_id, rank, id, score (6dp, ties broken by id). */
@@ -64,8 +70,9 @@ object SparseIndex {
         explode(tokens(lower(col(qtextCol)))).as("term"))
       .groupBy("query_id", "term").agg(count(lit(1)).as("cnt"))
     val qlen = qpost0.groupBy("query_id").agg(sum("cnt").as("qlen"))
-    // query weights use the INDEX's document frequencies (absent term -> df 0)
-    val df_ = index.postings.groupBy("term").agg(countDistinct("id").as("df"))
+    // query weights use the INDEX's document frequencies (absent term -> df 0),
+    // read from the persisted build-time aggregate — no corpus re-scan here
+    val df_ = index.docFreqs
     val qpost = qpost0
       .join(qlen, "query_id")
       .join(df_, Seq("term"), "left")
