@@ -36,18 +36,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Per-measurement repetitions, reporting the MIN (steady state): this
+    // machine is shared and single-shot timings swing up to 3x; the min of
+    // two runs is the stable signal and also absorbs first-query JVM/codegen
+    // warmup.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    def timeBest(f: => Unit, between: () => Unit = () => ()): Double =
+      (1 to reps).map { _ => val t = time(f); between(); t }.min
+
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
-    // 1. the full query inventory (cache cleared between queries so
+    // 1. the full query inventory (cache cleared between runs so
     // operator-internal persists don't leak memory pressure across runs)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = time {
+      results(name) = timeBest({
         try fn(spark, sfDir).count()
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-      }
-      spark.catalog.clearCache()
+      }, () => spark.catalog.clearCache())
     }
 
     // 2. BASELINE-aligned arms: 100k-row enrichment, mock client, batch 50.
@@ -63,11 +70,11 @@ object Bench {
     // a failing arm must never kill the bench — log and move on so the
     // JSON line always prints
     def arm(name: String)(f: => Unit): Unit =
-      results(name) = time {
+      results(name) = timeBest({
         try f catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
         }
-      }
+      })
 
     arm("enrich_100k_batch50") {
       val r = Enricher.enrich(rows100k, "Classify the tone of: {review}",
@@ -77,9 +84,15 @@ object Bench {
         System.err.println(s"[bench] WARN expected 2000 calls, got ${r.metrics.calls}")
     }
 
-    val runDir = s"/tmp/graft_bench_durable_$cpus"
-    new scala.reflect.io.Directory(new java.io.File(runDir)).deleteRecursively()
+    // each durable rep gets a FRESH ledger dir (a reused one would measure
+    // a no-op resume); the resume arm then replays against the last dir
+    val runDirBase = s"/tmp/graft_bench_durable_$cpus"
+    var runDir = runDirBase
+    var durableRep = 0
     arm("enrich_100k_durable") {
+      runDir = s"${runDirBase}_$durableRep"
+      durableRep += 1
+      new scala.reflect.io.Directory(new java.io.File(runDir)).deleteRecursively()
       val r = Enricher.enrich(rows100k, "Classify the tone of: {review}",
         Seq("sentiment"), new MockLlmClient(), batchSize = 50,
         runDir = Some(runDir), keyColumn = Some("id"))

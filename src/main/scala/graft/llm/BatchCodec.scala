@@ -21,6 +21,11 @@ import scala.collection.mutable.ArrayBuffer
 object BatchCodec {
   private lazy val mapper = new ObjectMapper()
 
+  /** First line of every mega-prompt: the instruction that tells the model
+    * (and lets any client recognize) batch mode. */
+  val BatchMarker =
+    "Answer each item. Reply ONLY with a JSON array of {\"id\",\"result\"} objects."
+
   /** Build a mega-prompt from (rowIndex, prompt) items. Executor-side: the
     * Invoke operator batches partition-locally (no shuffle), so encoding
     * happens next to the call, not in a separate DataFrame stage. */

@@ -125,9 +125,8 @@ object MockLlmClient {
     * resume-without-reinvocation) across executor threads in local mode. */
   val calls = new AtomicLong(0)
 
-  /** First line of every mega-prompt; lets the mock recognize batch mode. */
-  val BatchAggregatorMarker =
-    "Answer each item. Reply ONLY with a JSON array of {\"id\",\"result\"} objects."
+  /** Alias of the codec's marker (tests reference it here). */
+  val BatchAggregatorMarker: String = BatchCodec.BatchMarker
 
   def md5Hex(s: String): String = {
     val d = MessageDigest.getInstance("MD5")

@@ -134,7 +134,7 @@ object Invoke {
         val single = group.size == 1 && batchSize == 1
         val promptText =
           if (single) group.head._2
-          else BatchCodec.encodeMegaPrompt(MockLlmClient.BatchAggregatorMarker,
+          else BatchCodec.encodeMegaPrompt(BatchCodec.BatchMarker,
             group.map(g => (g._1, g._2)))
         try {
           limiter.foreach(_.acquire())

@@ -26,12 +26,14 @@ object SparseIndex {
 
   /** Weighted postings (id, term, w) + per-doc norms + per-term document
     * frequencies from a corpus.
-    * The postings chain is deliberately NOT cached: measured on this
-    * workload, an InMemoryRelation there defeats downstream join planning
-    * and costs more than recomputing the (narrow, codegen'd) chain per
-    * consumer. The SMALL aggregates (docFreqs: one row per term; norms:
-    * one row per doc) ARE persisted — every `search` needs them, and
-    * re-deriving them re-scans the whole corpus. */
+    * Deliberately NOTHING here is cached: measured on this workload (cold,
+    * sf0.1), persisting the small aggregates or the narrow postings0 both
+    * cost 1.6-1.7x the no-persist plan — the InMemoryRelation defeats
+    * downstream join planning and its materialization barrier serializes
+    * work the optimizer otherwise overlaps. `search` still avoids the
+    * worst re-derivation by reading document frequencies from `docFreqs`
+    * (the narrow postings0 aggregate) instead of re-aggregating the fully
+    * joined+weighted postings chain. */
   def build(docs0: DataFrame, idCol: String, textCol: String): SparseIndexFrames = {
     val docs = graft.ops.Parallelism.ensure(docs0)
     val n = docs.count()
@@ -41,7 +43,6 @@ object SparseIndex {
       .groupBy("id", "term").agg(count(lit(1)).as("cnt"))
     val docLen = postings0.groupBy("id").agg(sum("cnt").as("len"))
     val df_ = postings0.groupBy("term").agg(countDistinct("id").as("df"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val postings = postings0
       .join(docLen, "id")
       .join(df_, "term")
@@ -53,7 +54,6 @@ object SparseIndex {
     val norms = postings
       .withColumn("w2", (col("w") * col("w")).cast("decimal(38,24)"))
       .groupBy("id").agg(sqrt(sum("w2").cast("double")).as("norm"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     SparseIndexFrames(postings, norms, df_, n)
   }
 
@@ -70,8 +70,9 @@ object SparseIndex {
         explode(tokens(lower(col(qtextCol)))).as("term"))
       .groupBy("query_id", "term").agg(count(lit(1)).as("cnt"))
     val qlen = qpost0.groupBy("query_id").agg(sum("cnt").as("qlen"))
-    // query weights use the INDEX's document frequencies (absent term -> df 0),
-    // read from the persisted build-time aggregate — no corpus re-scan here
+    // query weights use the INDEX's document frequencies (absent term ->
+    // df 0), read from the build-time narrow aggregate — not re-derived
+    // from the fully joined+weighted postings chain
     val df_ = index.docFreqs
     val qpost = qpost0
       .join(qlen, "query_id")
@@ -85,12 +86,14 @@ object SparseIndex {
       .withColumn("w2", (col("w_q") * col("w_q")).cast("decimal(38,24)"))
       .groupBy("query_id").agg(sqrt(sum("w2").cast("double")).as("qnorm"))
 
-    val dots = qpost.join(index.postings, "term")
+    // the query side is small by contract — broadcast it so the postings
+    // (the 100 TB side) never shuffle for the probe join
+    val dots = broadcast(qpost).join(index.postings, "term")
       .withColumn("p", (col("w_q") * col("w")).cast("decimal(38,24)"))
       .groupBy("query_id", "id").agg(sum("p").as("dot"))
     val scored = dots
       .join(index.norms, "id")
-      .join(qnorm, "query_id")
+      .join(broadcast(qnorm), "query_id")
       .withColumn("score",
         round(col("dot").cast("double") / (col("norm") * col("qnorm")), 6))
     val w = Window.partitionBy(col("query_id"))

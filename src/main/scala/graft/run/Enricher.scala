@@ -42,9 +42,10 @@ final case class EnrichResult(
   *  - FAST PATH (no runDir, no budget): one narrow pass. Original columns
   *    ride through the Invoke operator, so there is NO merge join, NO
   *    shuffle at all — `_row_index` comes from monotonically_increasing_id
-  *    (per-partition unique; resume determinism not needed here). Exactly
-  *    two Spark actions: one materializes the invocation (persisted), one
-  *    aggregates call metrics.
+  *    (per-partition unique; resume determinism not needed here). ONE
+  *    Spark action in the happy path: a single aggregation materializes
+  *    the invocation (persisted) and emits quality counters, the
+  *    auto-retry blank probe, and per-call metrics together.
   *
   *  - DURABLE PATH (runDir set and/or budget capped): driver-chunked loop;
   *    every completed call lands in `runDir/responses` parquet before the
@@ -125,16 +126,39 @@ final class Enricher(
     val invoked = Invoke(formatted, client, spec.prompt, spec.llm,
       spec.processing, runId)
       .withColumn("_attempt", lit(attemptSalt))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // single persist + ONE aggregation action in the happy path: quality
+    // counters, the auto-retry blank probe, and per-call metrics (via the
+    // head-row-of-call marker `_row_index == _call_id`) all come out of
+    // the same pass that materializes the invocation.
     val parsed0 = ResponseParser.parse(invoked, spec.output)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val parsed1 = autoRetry(parsed0, formatted, runId)
+    val first = col(ColName) === col("_call_id")
+    val callAggs = Seq(
+      sum(when(first, 1L).otherwise(0L)).as("_calls"),
+      sum(when(first, col("tokens_in"))).as("_tin"),
+      sum(when(first, col("tokens_out"))).as("_tout"),
+      sum(when(first, col("cost"))).as("_cost"))
+    val aggCols = qualityAggs ++ callAggs
+    val row0 = parsed0.agg(aggCols.head, aggCols.tail: _*).head()
+
+    val needRetry = spec.processing.autoRetryAttempts > 0 &&
+      lng(row0, "_blank") > 0
+    val parsed1 = if (needRetry) autoRetry(parsed0, formatted, runId)
+      else parsed0
     val parsed = if (spec.output.mergeStrategy == MergeStrategy.Update)
       overlap.foldLeft(parsed1)((d, c) =>
         d.withColumn(c, coalesce(col(c), col(s"_old_$c"))).drop(s"_old_$c"))
     else parsed1
-    finish(parsed, invoked, dropIndex = addedIndex, t0)
+    // post-retry quality differs from row0 only if a retry actually ran
+    val qrow = if (needRetry ||
+        spec.output.mergeStrategy == MergeStrategy.Update)
+      parsed.agg(qualityAggs.head, qualityAggs.tail: _*).head()
+    else row0
+
+    val data = parsed.drop(internalCols: _*)
+    val finalData = if (addedIndex) data.drop(ColName) else data
+    assemble(finalData, qrow, row0, t0)
   }
 
   // --- durable / budgeted path -----------------------------------------
@@ -158,39 +182,49 @@ final class Enricher(
       case r if r.isNullAt(0) => 0L
       case r                  => r.getLong(0) + 1
     }
+    // The ledger is read ONCE, up front: chunks cover disjoint row-index
+    // ranges, so newly-invoked rows can never reappear in a later chunk's
+    // anti-join — the done-set needs no per-chunk refresh. Spend is kept
+    // incrementally (prior ledger cost + each chunk's own cost, aggregated
+    // from the chunk's cache before it is released), so per-chunk work is
+    // O(chunk), not O(ledger) — flat in chunk count.
+    val priorLedger = ledgerDir.flatMap(readLedger(spark, _))
+    val doneSet = priorLedger.map(
+      _.filter(col("result").isNotNull || col("skipped"))
+        .select(ColName)
+        .persist(StorageLevel.MEMORY_AND_DISK))
+    val budgetOn = spec.processing.maxBudget.isDefined
+    var spent =
+      if (budgetOn) priorLedger.map(callCost).getOrElse(JBigDecimal.ZERO)
+      else JBigDecimal.ZERO
+
     val chunkRows = spec.processing.chunkRows.toLong
     var chunks = Vector.empty[DataFrame]
     var lo = 0L
     while (lo < total) {
       val hi = lo + chunkRows
       val slice = formatted.filter(col(ColName) >= lo && col(ColName) < hi)
-      val missing = ledgerDir.flatMap(readLedger(spark, _)) match {
-        case Some(done) => slice.join(
-          done.filter(col("result").isNotNull || col("skipped"))
-            .select(ColName), Seq(ColName), "left_anti")
+      val missing = doneSet match {
+        case Some(done) => slice.join(done, Seq(ColName), "left_anti")
         case None => slice
       }
       val inv = invokeRows(missing)
       ledgerDir match {
-        case Some(dir) => inv.write.mode("append").parquet(dir)
+        case Some(dir) =>
+          val p = inv.persist(StorageLevel.MEMORY_AND_DISK)
+          p.write.mode("append").parquet(dir)
+          if (budgetOn) spent = spent.add(callCost(p))
+          p.unpersist()
         case None =>
           val p = inv.persist(StorageLevel.MEMORY_AND_DISK)
-          p.count()
+          if (budgetOn) spent = spent.add(callCost(p)) else p.count()
           chunks :+= p
       }
-      // the per-chunk spend aggregation only runs when a cap is set —
-      // durable-without-budget runs skip the extra ledger scan per chunk
-      if (spec.processing.maxBudget.isDefined) {
-        val spentSoFar = ledgerDir.flatMap(readLedger(spark, _)) match {
-          case Some(l) => callCost(l)
-          case None => chunks.map(callCost).foldLeft(JBigDecimal.ZERO)(_.add(_))
-        }
-        budget.check(spentSoFar)
-        observers.emit(ChunkCompleted(runId, lo / chunkRows, spentSoFar))
-      } else observers.emit(ChunkCompleted(runId, lo / chunkRows,
-        JBigDecimal.ZERO))
+      if (budgetOn) budget.check(spent)
+      observers.emit(ChunkCompleted(runId, lo / chunkRows, spent))
       lo = hi
     }
+    doneSet.foreach(_.unpersist())
     val invoked = (ledgerDir.flatMap(readLedger(spark, _)) match {
       case Some(l) => l
       case None =>
@@ -205,31 +239,54 @@ final class Enricher(
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
 
+    // ONE action for quality + blank probe + call metrics: the two 1-row
+    // aggregates (rows over parsed, calls over the deduplicated ledger —
+    // the ledger may hold several attempts per call) meet in a crossJoin.
     val parsed0 = ResponseParser.parse(perRow, spec.output)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val parsed = autoRetry(parsed0, formatted, runId)
+    val callAggFrame = invoked.dropDuplicates("_attempt", "_call_id")
+      .agg(count(lit(1)).as("_calls"), sum("tokens_in").as("_tin"),
+        sum("tokens_out").as("_tout"), sum("cost").as("_cost"))
+    val qFrame = parsed0.agg(qualityAggs.head, qualityAggs.tail: _*)
+    val row0 = qFrame.crossJoin(callAggFrame).head()
+
+    val needRetry = spec.processing.autoRetryAttempts > 0 &&
+      lng(row0, "_blank") > 0
+    val parsed = if (needRetry) autoRetry(parsed0, formatted, runId)
+      else parsed0
+    val qrow = if (needRetry)
+      parsed.agg(qualityAggs.head, qualityAggs.tail: _*).head()
+    else row0
 
     // merge result columns back into the original table
     val outs = spec.output.outputColumns
     val merged = ResultMerger.merge(indexed, parsed, outs,
       spec.output.mergeStrategy)
-    finishWith(merged, parsed, invoked, dropIndex = addedIndex, t0)
+    val finalData = if (addedIndex) merged.drop(ColName) else merged
+    assemble(finalData, qrow, row0, t0)
   }
 
   // --- shared tail ------------------------------------------------------
 
+  /** All output columns null/blank — the auto-retry trigger; counted as
+    * `_blank` inside the main aggregation pass so a clean run never pays a
+    * separate existence probe. */
+  private def allBlankExpr = spec.output.outputColumns
+    .map(c => col(c).isNull || trim(col(c)) === "")
+    .reduce(_ && _)
+
   /** Auto-retry rows whose outputs all came back null/blank (reference:
     * ondine/api/pipeline.py:1741-1879; skipped rows carry the sentinel and
-    * are NOT retried). */
+    * are NOT retried). Callers invoke this only when the aggregation pass
+    * saw at least one blank row, so the first iteration skips the probe. */
   private def autoRetry(parsed0: DataFrame, formatted: DataFrame,
                         runId: String): DataFrame = {
     var parsed = parsed0
     val outs = spec.output.outputColumns
-    val allBlank = outs.map(c => col(c).isNull || trim(col(c)) === "")
-      .reduce(_ && _)
+    val allBlank = allBlankExpr
     var attempt = 0
-    while (attempt < spec.processing.autoRetryAttempts &&
-           !parsed.filter(allBlank).isEmpty) {
+    var mayHaveBlanks = true
+    while (attempt < spec.processing.autoRetryAttempts && mayHaveBlanks) {
       val failedIdx = parsed.filter(allBlank).select(ColName)
       val redo = Invoke(
         formatted.join(failedIdx, Seq(ColName), "left_semi"),
@@ -250,59 +307,57 @@ final class Enricher(
       parsed = parsed.select(keepCols.map(col): _*)
         .persist(StorageLevel.MEMORY_AND_DISK)
       attempt += 1
+      // probe only if another iteration is allowed
+      mayHaveBlanks = attempt < spec.processing.autoRetryAttempts &&
+        !parsed.filter(allBlank).isEmpty
     }
     parsed
   }
 
-  /** Inline-path merge semantics + metrics. The parsed frame already holds
-    * every original column; strategy handling reduces to column ops. */
-  private def finish(parsed: DataFrame, invoked: DataFrame,
-                     dropIndex: Boolean, t0: Long): EnrichResult = {
-    val data = parsed.drop(internalCols: _*)
-    val finalData = if (dropIndex) data.drop(ColName) else data
-    metricsAndGuard(finalData, parsed, invoked, t0)
-  }
-
-  private def finishWith(merged: DataFrame, parsed: DataFrame,
-                         invoked: DataFrame, dropIndex: Boolean,
-                         t0: Long): EnrichResult = {
-    val finalData = if (dropIndex) merged.drop(ColName) else merged
-    metricsAndGuard(finalData, parsed, invoked, t0)
-  }
-
-  private def metricsAndGuard(finalData: DataFrame, parsed: DataFrame,
-                              invoked: DataFrame, t0: Long): EnrichResult = {
+  /** Quality counters + the auto-retry blank probe as aggregation columns
+    * over a parsed frame: row count, skips, validity per output column,
+    * and the count of all-blank rows. Shared by both paths so everything
+    * comes out of one aggregation action. */
+  private def qualityAggs: Seq[org.apache.spark.sql.Column] = {
     val outs = spec.output.outputColumns
-    // single pass over parsed: row count, skips, validity per column
     val invalidAny = outs.map(Quality.invalidCell).reduce(_ || _)
-    val aggCols =
-      count(lit(1)).as("_total") +:
-      sum(when(col("skipped"), 1L).otherwise(0L)).as("_skipped") +:
-      sum(when(invalidAny, 0L).otherwise(1L)).as("_valid") +:
-      outs.map(c => sum(when(Quality.invalidCell(c), 1L).otherwise(0L))
-        .as(s"_bad_$c"))
-    val row = parsed.agg(aggCols.head, aggCols.tail: _*).head()
-    val totalRows = row.getLong(0)
-    val skipped = if (row.isNullAt(1)) 0L else row.getLong(1)
-    val valid = if (row.isNullAt(2)) 0L else row.getLong(2)
-    val perCol = outs.zipWithIndex.map { case (c, i) =>
-      c -> (if (row.isNullAt(i + 3)) 0L else row.getLong(i + 3))
-    }.toMap
+    Seq(
+      count(lit(1)).as("_total"),
+      sum(when(col("skipped"), 1L).otherwise(0L)).as("_skipped"),
+      sum(when(invalidAny, 0L).otherwise(1L)).as("_valid"),
+      sum(when(allBlankExpr, 1L).otherwise(0L)).as("_blank")) ++
+    outs.map(c => sum(when(Quality.invalidCell(c), 1L).otherwise(0L))
+      .as(s"_bad_$c"))
+  }
+
+  /** Null-safe long by field name (aggregates over an empty frame sum to
+    * null). */
+  private def lng(r: org.apache.spark.sql.Row, name: String): Long = {
+    val i = r.fieldIndex(name)
+    if (r.isNullAt(i)) 0L else r.getLong(i)
+  }
+
+  /** Build the result from the quality row (post-retry) and the call row
+    * (first-pass calls: fields _calls/_tin/_tout/_cost). */
+  private def assemble(finalData: DataFrame, qrow: org.apache.spark.sql.Row,
+                       callRow: org.apache.spark.sql.Row,
+                       t0: Long): EnrichResult = {
+    val outs = spec.output.outputColumns
+    val totalRows = lng(qrow, "_total")
+    val valid = lng(qrow, "_valid")
+    val perCol = outs.map(c => c -> lng(qrow, s"_bad_$c")).toMap
     val rate = if (totalRows == 0) 0.0 else valid.toDouble / totalRows
     val q = QualityReport(totalRows, valid, perCol, rate,
       Quality.rating(rate))
-
-    // single pass over distinct calls: calls, tokens, exact cost
-    val callRow = invoked.dropDuplicates("_attempt", "_call_id")
-      .agg(count(lit(1)), sum("tokens_in"), sum("tokens_out"), sum("cost"))
-      .head()
+    val costAt = callRow.fieldIndex("_cost")
     val metrics = RunMetrics(
       rows = totalRows,
-      calls = callRow.getLong(0),
-      tokensIn = if (callRow.isNullAt(1)) 0L else callRow.getLong(1),
-      tokensOut = if (callRow.isNullAt(2)) 0L else callRow.getLong(2),
-      cost = if (callRow.isNullAt(3)) JBigDecimal.ZERO else callRow.getDecimal(3),
-      skippedRows = skipped,
+      calls = lng(callRow, "_calls"),
+      tokensIn = lng(callRow, "_tin"),
+      tokensOut = lng(callRow, "_tout"),
+      cost = if (callRow.isNullAt(costAt)) JBigDecimal.ZERO
+        else callRow.getDecimal(costAt),
+      skippedRows = lng(qrow, "_skipped"),
       durationMs = (System.nanoTime() - t0) / 1000000L)
     Quality.noOutputGuard(q, metrics.skippedRows,
       metrics.tokensIn + metrics.tokensOut)
