@@ -45,17 +45,42 @@ object TemplateCompiler {
     parts.toSeq
   }
 
-  /** Column names referenced by the template, in order of first use. */
+  /** Column names referenced by the template, in order of first use.
+    * Jinja templates (auto-detected on `{{`/`{%`, like the reference
+    * formatter) report the AST's free variables. */
   def variables(template: String): Seq[String] =
-    parse(template).collect { case Var(name) => name }.distinct
+    if (JinjaLite.detect(template))
+      JinjaLite.freeVariables(JinjaLite.parseTemplate(template))
+    else parse(template).collect { case Var(name) => name }.distinct
 
-  /** Compile to one Column. Null-safe: missing values become "". */
-  def compile(template: String): Column = {
-    val cols = parse(template).map {
-      case Lit(s)    => lit(s)
-      case Var(name) => coalesce(col(name).cast("string"), lit(""))
+  /** Compile to one Column. Null-safe: missing values become "".
+    * `{col}` templates compile to a codegen'd concat expression; templates
+    * using Jinja delimiters render through the JinjaLite interpreter (a
+    * UDF over a struct of only the free variables — dynamic control flow
+    * cannot be a static expression, but pruning still reaches the scan). */
+  def compile(template: String): Column =
+    if (JinjaLite.detect(template)) compileJinja(template)
+    else {
+      val cols = parse(template).map {
+        case Lit(s)    => lit(s)
+        case Var(name) => coalesce(col(name).cast("string"), lit(""))
+      }
+      if (cols.isEmpty) lit("") else concat(cols: _*)
     }
-    if (cols.isEmpty) lit("") else concat(cols: _*)
+
+  private def compileJinja(template: String): Column = {
+    val ast = JinjaLite.parseTemplate(template) // driver-side: fail fast
+    val vars = JinjaLite.freeVariables(ast)
+    val render = udf { (row: org.apache.spark.sql.Row) =>
+      val scope = vars.zipWithIndex.map { case (v, i) =>
+        v -> (row.get(i) match {
+          case s: scala.collection.Seq[_] => s.toSeq
+          case other                      => other
+        })
+      }.toMap
+      JinjaLite.render(ast, scope)
+    }
+    if (vars.isEmpty) render(struct()) else render(struct(vars.map(col): _*))
   }
 
   /** Compile with few-shot examples and optional context columns prepended,

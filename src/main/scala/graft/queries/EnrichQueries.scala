@@ -57,13 +57,41 @@ object EnrichQueries {
       |  COALESCE(source,'') || ': ' || COALESCE(text,'')) AS tagged
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Jinja-templated enrichment: conditional branches + filters render
+    * per row (auto-detected on the Jinja delimiters, like the reference's
+    * prompt_formatter_stage.py:79-96). The oracle reproduces the rendered
+    * prompt with CASE logic, so a mismatch anywhere in the Jinja parse/
+    * eval/filter chain fails the hash. */
+  def qEnrichJinja(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val template =
+      "{% if lang == 'en' %}EN {{ source | upper }}: {{ text | truncate(40) }}" +
+      "{% elif lang == 'de' %}DE: {{ text | lower }}" +
+      "{% else %}OTHER {{ lang | default('??') }}: {{ text }}{% endif %}"
+    val r = Enricher.enrich(docs, template, Seq("styled"),
+      new MockLlmClient(), batchSize = 10, keyColumn = Some("doc_id"))
+    r.data.select(col("doc_id"), col("styled")).orderBy("doc_id")
+  }
+
+  val qEnrichJinjaSql: String =
+    """SELECT doc_id, md5(
+      |  CASE WHEN lang = 'en'
+      |    THEN 'EN ' || upper(COALESCE(source,'')) || ': ' ||
+      |      substr(COALESCE(text,''), 1, 40)
+      |  WHEN lang = 'de' THEN 'DE: ' || lower(COALESCE(text,''))
+      |  ELSE 'OTHER ' || COALESCE(lang, '??') || ': ' || COALESCE(text,'')
+      |  END) AS styled
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_enrich_single" -> qEnrichSingle _,
     "q21_enrich_batched" -> qEnrichBatched _,
-    "q22_enrich_multivar" -> qEnrichMultiVar _)
+    "q22_enrich_multivar" -> qEnrichMultiVar _,
+    "q23_enrich_jinja" -> qEnrichJinja _)
 
   val oracles: Map[String, String] = Map(
     "q20_enrich_single" -> qEnrichSingleSql,
     "q21_enrich_batched" -> qEnrichBatchedSql,
-    "q22_enrich_multivar" -> qEnrichMultiVarSql)
+    "q22_enrich_multivar" -> qEnrichMultiVarSql,
+    "q23_enrich_jinja" -> qEnrichJinjaSql)
 }

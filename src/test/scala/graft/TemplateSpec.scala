@@ -65,4 +65,58 @@ class TemplateSpec extends AnyFunSuite {
       assert(TemplateCompiler.parse(s) == Seq(Lit(s)))
     }
   }
+
+  // ---- JinjaLite -------------------------------------------------------
+
+  import graft.core.JinjaLite
+
+  private def jrender(t: String, scope: Map[String, Any]): String =
+    JinjaLite.render(JinjaLite.parseTemplate(t), scope)
+
+  test("jinja: auto-detect on delimiters") {
+    assert(JinjaLite.detect("{{ x }}"))
+    assert(JinjaLite.detect("{% if a %}b{% endif %}"))
+    assert(!JinjaLite.detect("Classify: {text}"))
+  }
+
+  test("jinja: output, filters, null-as-empty") {
+    assert(jrender("Hi {{ name | upper }}!", Map("name" -> "bob")) == "Hi BOB!")
+    assert(jrender("[{{ missing }}]", Map.empty) == "[]")
+    assert(jrender("{{ s | trim | lower }}", Map("s" -> "  AbC ")) == "abc")
+    assert(jrender("{{ x | default('n/a') }}", Map("x" -> null)) == "n/a")
+    assert(jrender("{{ t | truncate(3) }}", Map("t" -> "abcdef")) == "abc")
+    assert(jrender("{{ t | replace('a', 'o') }}", Map("t" -> "banana")) == "bonono")
+    assert(jrender("{{ xs | join(', ') }}", Map("xs" -> Seq("a", "b"))) == "a, b")
+    assert(jrender("{{ xs | length }}", Map("xs" -> Seq(1, 2, 3))) == "3")
+  }
+
+  test("jinja: if / elif / else with comparisons and boolean ops") {
+    val t = "{% if n > 10 and lang == 'en' %}big-en{% elif n > 10 %}big{% else %}small{% endif %}"
+    assert(jrender(t, Map("n" -> 20, "lang" -> "en")) == "big-en")
+    assert(jrender(t, Map("n" -> 20, "lang" -> "de")) == "big")
+    assert(jrender(t, Map("n" -> 3, "lang" -> "en")) == "small")
+    assert(jrender("{% if not x %}empty{% endif %}", Map("x" -> "")) == "empty")
+  }
+
+  test("jinja: for loop with scoped variable") {
+    val t = "{% for w in words %}<{{ w | upper }}>{% endfor %}{{ w | default('gone') }}"
+    assert(jrender(t, Map("words" -> Seq("a", "b"))) == "<A><B>gone")
+  }
+
+  test("jinja: comments and nested blocks") {
+    val t = "{# note #}{% for x in xs %}{% if x > 1 %}{{ x }}{% endif %}{% endfor %}"
+    assert(jrender(t, Map("xs" -> Seq(1, 2, 3))) == "23")
+  }
+
+  test("jinja: free variables exclude loop-bound names") {
+    val vars = TemplateCompiler.variables(
+      "{% if lang == 'en' %}{{ text }}{% endif %}{% for w in ws %}{{ w }}{% endfor %}")
+    assert(vars == Seq("lang", "text", "ws"))
+  }
+
+  test("jinja: syntax errors fail fast") {
+    intercept[IllegalArgumentException](JinjaLite.parseTemplate("{% if x %}no end"))
+    intercept[IllegalArgumentException](JinjaLite.parseTemplate("{{ x"))
+    intercept[IllegalArgumentException](JinjaLite.parseTemplate("{% endspam %}"))
+  }
 }
