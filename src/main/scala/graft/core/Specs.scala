@@ -30,8 +30,13 @@ object ErrorPolicy extends Enumeration {
 }
 
 object ResponseFormat extends Enumeration {
-  /** Parser selection (reference: ondine/core/specifications.py:134-144). */
-  val Raw, Json, Regex = Value
+  /** Parser selection (reference: ondine/core/specifications.py:134-144).
+    * Typed = instructor-style schema-enforced structured output
+    * (unified_litellm_client.py:1055-1131): the response must validate
+    * against OutputSpec.typedSchema after the strict → code-fence →
+    * brace-scan fallback chain; structurally rejected rows surface as
+    * all-null outputs, which the auto-retry loop re-invokes. */
+  val Raw, Json, Regex, Typed = Value
 }
 
 /** Failure sentinel written into output cells for skipped rows
@@ -122,14 +127,29 @@ final case class OutputSpec(
     /** Named regex patterns when responseFormat = Regex
       * (reference: ondine/stages/response_parser_stage.py:118-149). */
     regexPatterns: Map[String, String] = Map.empty,
-    mergeStrategy: MergeStrategy.Value = MergeStrategy.Replace)
+    mergeStrategy: MergeStrategy.Value = MergeStrategy.Replace,
+    /** Target schema when responseFormat = Typed — the Pydantic-model
+      * equivalent; fields land as typed columns. */
+    typedSchema: Option[org.apache.spark.sql.types.StructType] = None)
+
+/** Evidence-retrieval configuration (reference:
+  * ondine/stages/evidence_retrieval_stage.py:57-113): per-row top-k
+  * retrieval from an evidence corpus into `_evidence_context` /
+  * `_evidence_count`, injected into the prompt's Context block. The corpus
+  * DataFrame itself is passed to the Enricher (specs stay pure data). */
+final case class EvidenceSpec(
+    idCol: String = "claim_id",
+    textCol: String = "text",
+    topK: Int = 3,
+    minScore: Double = 0.0)
 
 final case class PipelineSpec(
     dataset: DatasetSpec,
     prompt: PromptSpec,
     llm: LlmSpec = LlmSpec(),
     processing: ProcessingSpec = ProcessingSpec(),
-    output: OutputSpec) {
+    output: OutputSpec,
+    evidence: Option[EvidenceSpec] = None) {
 
   /** Spec-combination validation, mirroring the reference's build() checks
     * (ondine/api/pipeline.py:202-216, specifications.py:108-118,155-163).
@@ -147,5 +167,13 @@ final case class PipelineSpec(
     if (output.responseFormat == ResponseFormat.Regex)
       require(output.outputColumns.forall(output.regexPatterns.contains),
         "every output column needs a regex pattern in Regex format")
+    if (output.responseFormat == ResponseFormat.Typed) {
+      val schema = output.typedSchema.getOrElse(
+        throw new IllegalArgumentException(
+          "Typed format requires OutputSpec.typedSchema"))
+      val missing2 = output.outputColumns.filterNot(schema.fieldNames.contains)
+      require(missing2.isEmpty,
+        s"output columns absent from typedSchema: ${missing2.mkString(",")}")
+    }
   }
 }

@@ -52,6 +52,18 @@ object BatchCodec {
     out.toSeq
   }
 
+  /** Encode a {"id","result"} reply array with proper JSON escaping —
+    * results may themselves be JSON text (structured-output mode). */
+  def encodeResults(items: Seq[(Long, String)]): String = {
+    val arr = mapper.createArrayNode()
+    items.foreach { case (id, r) =>
+      val o = arr.addObject()
+      o.put("id", id)
+      o.put("result", r)
+    }
+    mapper.writeValueAsString(arr)
+  }
+
   /** Decode a {"id","result"} reply array; malformed input yields Nil so the
     * caller can apply the partial-failure path. */
   def decodeResults(reply: String): Seq[(Long, String)] = try {

@@ -81,12 +81,32 @@ class MockLlmClient(
       * real LLM skipping batch items; exercises null-padding + auto-retry
       * (reference: batch_disaggregator_stage.py:158-163). Only the FIRST
       * call for a given payload drops items, so retries succeed. */
-    dropEveryNthBatchItem: Int = 0) extends LlmClient {
+    dropEveryNthBatchItem: Int = 0,
+    /** Reply with a JSON object {"label": md5(prompt), "score": len%100}
+      * instead of bare md5 — deterministic structured output, variably
+      * wrapped (plain / code-fenced / chatty prefix keyed on prompt
+      * length) to exercise the full extraction fallback chain. */
+    structuredJson: Boolean = false,
+    /** First reply for any given prompt is unparseable garbage; repeats
+      * succeed — models structural rejection healed by auto-retry. */
+    malformedFirstReply: Boolean = false) extends LlmClient {
 
   import MockLlmClient._
 
-  private val seenBatches =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  /** Deterministic per-item reply (single or batch member). */
+  private def replyFor(p: String): String = {
+    if (malformedFirstReply && seenPrompts.add(md5Hex(p)))
+      return "I'm sorry, I can't produce JSON right now."
+    if (!structuredJson) md5Hex(p)
+    else {
+      val json = s"""{"label":"${md5Hex(p)}","score":${p.length % 100}}"""
+      p.length % 3 match {
+        case 0 => "```json\n" + json + "\n```"
+        case 1 => "Sure! Here is the JSON: " + json
+        case _ => json
+      }
+    }
+  }
 
   def invoke(prompt: String, systemMessage: Option[String]): LlmResponse = {
     val n = calls.incrementAndGet()
@@ -96,7 +116,7 @@ class MockLlmClient(
     val t0 = System.nanoTime()
     val reply =
       if (prompt.startsWith(BatchAggregatorMarker)) batchReply(prompt)
-      else md5Hex(prompt)
+      else replyFor(prompt)
     val tIn = estimateTokens(prompt) + systemMessage.map(estimateTokens).getOrElse(0L)
     val tOut = estimateTokens(reply)
     LlmResponse(reply, tIn, tOut, model,
@@ -114,9 +134,7 @@ class MockLlmClient(
           case (it, i) if (i + 1) % dropEveryNthBatchItem != 0 => it
         }
       else items
-    answered.map { case (id, p) =>
-      s"""{"id":$id,"result":"${md5Hex(p)}"}"""
-    }.mkString("[", ",", "]")
+    BatchCodec.encodeResults(answered.map { case (id, p) => (id, replyFor(p)) })
   }
 }
 
@@ -124,6 +142,14 @@ object MockLlmClient {
   /** Process-wide call counter: tests assert call counts (batching ratio,
     * resume-without-reinvocation) across executor threads in local mode. */
   val calls = new AtomicLong(0)
+
+  /** JVM-global first-seen sets: client instances re-serialize into every
+    * task closure, so "have I seen this payload before" state must live on
+    * the (per-executor) companion, not the instance. */
+  val seenBatches =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  val seenPrompts =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Alias of the codec's marker (tests reference it here). */
   val BatchAggregatorMarker: String = BatchCodec.BatchMarker

@@ -21,8 +21,12 @@ final case class QualityReport(
 
 object Quality {
 
-  def invalidCell(c: String) =
-    col(c).isNull || trim(col(c)) === "" || col(c) === Sentinels.SkippedOutput
+  def invalidCell(c: String) = {
+    // compare on a string view: output columns may be typed (Typed format),
+    // and ANSI mode rejects int === '[SKIPPED]'
+    val s = col(c).cast("string")
+    col(c).isNull || trim(s) === "" || s === Sentinels.SkippedOutput
+  }
 
   def report(df: DataFrame, outputCols: Seq[String]): QualityReport = {
     val aggs =

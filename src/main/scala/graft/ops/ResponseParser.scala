@@ -82,6 +82,25 @@ object ResponseParser {
           val hit = regexp_extract(resp, pat, group)
           d.withColumn(c, guard(when(hit =!= "", hit)))
         }
+
+      case ResponseFormat.Typed =>
+        // Instructor-style schema enforcement with the same fallback chain
+        // (strict -> fenced -> brace-scan, via extractJsonObject). A reply
+        // that fails every mode parses to a null struct -> all output
+        // columns null -> the auto-retry loop re-invokes exactly those rows
+        // (the structural-rejection retry of
+        // unified_litellm_client.py:124-168). Fields land TYPED; skipped
+        // rows get null (a string sentinel has no typed representation).
+        val schema = output.typedSchema.get
+        val parsedCol = "_graft_typed"
+        val withStruct = df.withColumn(parsedCol,
+          from_json(extractJsonObject(resp), schema))
+        val out = output.outputColumns.foldLeft(withStruct) { (d, c) =>
+          d.withColumn(c,
+            when(skipped || resp.isNull, lit(null))
+              .otherwise(col(s"$parsedCol.$c")))
+        }
+        out.drop(parsedCol)
     }
   }
 

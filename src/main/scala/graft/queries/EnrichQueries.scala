@@ -83,15 +83,46 @@ object EnrichQueries {
       |  END) AS styled
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Typed (instructor-style) structured output: the mock replies a JSON
+    * object variably wrapped in code fences / chatty prefixes keyed on
+    * prompt length, so every row exercises one arm of the strict → fenced
+    * → brace-scan fallback chain, and fields land as TYPED columns
+    * (string label + int score). */
+  def qEnrichTyped(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.core._
+    val docs = tp(spark, dir, "documents")
+    val schema = StructType(Seq(
+      StructField("label", StringType), StructField("score", IntegerType)))
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(inputColumns = Seq("text")),
+      prompt = PromptSpec("Type: {text}", batchSize = 10),
+      output = OutputSpec(Seq("label", "score"),
+        responseFormat = ResponseFormat.Typed, typedSchema = Some(schema)))
+    val r = new graft.run.Enricher(spec,
+      new MockLlmClient(structuredJson = true),
+      keyColumn = Some("doc_id")).enrich(docs)
+    r.data.select(col("doc_id"), col("label"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  val qEnrichTypedSql: String =
+    """SELECT doc_id,
+      |  md5('Type: ' || COALESCE(text,'')) AS label,
+      |  CAST(length('Type: ' || COALESCE(text,'')) % 100 AS INT) AS score
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_enrich_single" -> qEnrichSingle _,
     "q21_enrich_batched" -> qEnrichBatched _,
     "q22_enrich_multivar" -> qEnrichMultiVar _,
-    "q23_enrich_jinja" -> qEnrichJinja _)
+    "q23_enrich_jinja" -> qEnrichJinja _,
+    "q24_enrich_typed" -> qEnrichTyped _)
 
   val oracles: Map[String, String] = Map(
     "q20_enrich_single" -> qEnrichSingleSql,
     "q21_enrich_batched" -> qEnrichBatchedSql,
     "q22_enrich_multivar" -> qEnrichMultiVarSql,
-    "q23_enrich_jinja" -> qEnrichJinjaSql)
+    "q23_enrich_jinja" -> qEnrichJinjaSql,
+    "q24_enrich_typed" -> qEnrichTypedSql)
 }

@@ -101,13 +101,102 @@ object VerifyQueries {
       |FROM events GROUP BY user_id, event_type
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** Evidence-retrieval stage end-to-end: rows from the documents table
+    * retrieve top-2 claims (docs 0-19) by TF-IDF cosine with a min-score
+    * cutoff; `_evidence_context`/`_evidence_count` land as system columns
+    * and the context block is injected into the prompt, so the md5 verdict
+    * proves the exact retrieved texts and their order. */
+  def q73EvidenceEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    val docs = tp(spark, dir, "documents")
+    val claims = docs.filter(col("doc_id") < 20)
+      .select(col("doc_id").as("claim_id"), col("text"))
+    val queries = docs.filter(col("doc_id") >= 100 && col("doc_id") < 120)
+      .select(col("doc_id"), col("text"))
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("Verify: {text}"),
+      output = OutputSpec(Seq("verdict")),
+      evidence = Some(EvidenceSpec(idCol = "claim_id", textCol = "text",
+        topK = 2, minScore = 0.01)))
+    val r = new graft.run.Enricher(spec, new graft.llm.MockLlmClient(),
+      keyColumn = Some("doc_id"), evidenceCorpus = Some(claims))
+      .enrich(queries)
+    r.data.select(col("doc_id"), col("_evidence_context"),
+      col("_evidence_count"), col("verdict"))
+      .orderBy("doc_id")
+  }
+
+  val q73Sql: String = {
+    val toks = (c: String) =>
+      s"list_filter(regexp_split_to_array(trim(lower($c)), '\\s+'), x -> x <> '')"
+    val nClaims = "(SELECT count(*) FROM claims)"
+    s"""WITH claims AS (
+       |  SELECT doc_id AS id, text FROM documents WHERE doc_id < 20),
+       |ctok AS (SELECT id, unnest(${toks("text")}) AS term FROM claims),
+       |cp0 AS (SELECT id, term, count(*) AS cnt FROM ctok GROUP BY id, term),
+       |clen AS (SELECT id, sum(cnt) AS len FROM cp0 GROUP BY id),
+       |cdf AS (SELECT term, count(DISTINCT id) AS df FROM cp0 GROUP BY term),
+       |cpost AS (
+       |  SELECT p.id, p.term,
+       |    CAST(round((p.cnt::DOUBLE / l.len) *
+       |      (ln(($nClaims + 1)::DOUBLE / (d.df + 1)) + 1.0), 12) AS DECIMAL(18,12)) AS w
+       |  FROM cp0 p JOIN clen l ON p.id = l.id JOIN cdf d ON p.term = d.term),
+       |cnorm AS (
+       |  SELECT id, sqrt(CAST(sum(CAST(w*w AS DECIMAL(38,24))) AS DOUBLE)) AS norm
+       |  FROM cpost GROUP BY id),
+       |q AS (
+       |  SELECT doc_id AS query_id, 'Verify: ' || COALESCE(text,'') AS qtext
+       |  FROM documents WHERE doc_id >= 100 AND doc_id < 120),
+       |qtok AS (SELECT query_id, unnest(${toks("qtext")}) AS term FROM q),
+       |qp0 AS (SELECT query_id, term, count(*) AS cnt FROM qtok GROUP BY query_id, term),
+       |qlen AS (SELECT query_id, sum(cnt) AS qlen FROM qp0 GROUP BY query_id),
+       |qpost AS (
+       |  SELECT p.query_id, p.term,
+       |    CAST(round((p.cnt::DOUBLE / l.qlen) *
+       |      (ln(($nClaims + 1)::DOUBLE / (coalesce(d.df, 0) + 1)) + 1.0), 12) AS DECIMAL(18,12)) AS w_q
+       |  FROM qp0 p JOIN qlen l ON p.query_id = l.query_id
+       |             LEFT JOIN cdf d ON p.term = d.term),
+       |qnorm AS (
+       |  SELECT query_id, sqrt(CAST(sum(CAST(w_q*w_q AS DECIMAL(38,24))) AS DOUBLE)) AS qnorm
+       |  FROM qpost GROUP BY query_id),
+       |dots AS (
+       |  SELECT qp.query_id, cp.id, sum(CAST(qp.w_q * cp.w AS DECIMAL(38,24))) AS dot
+       |  FROM qpost qp JOIN cpost cp ON qp.term = cp.term GROUP BY 1, 2),
+       |scored AS (
+       |  SELECT d.query_id, d.id,
+       |    round(CAST(d.dot AS DOUBLE) / (n2.norm * qn.qnorm), 6) AS score
+       |  FROM dots d JOIN cnorm n2 ON d.id = n2.id
+       |              JOIN qnorm qn ON d.query_id = qn.query_id),
+       |ranked AS (
+       |  SELECT query_id, id, score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, id) AS rank
+       |  FROM scored),
+       |hits AS (SELECT * FROM ranked WHERE rank <= 2 AND score >= 0.01),
+       |ctx AS (
+       |  SELECT h.query_id,
+       |    string_agg(c.text, chr(10)||chr(10) ORDER BY h.rank) AS ectx,
+       |    count(*) AS ecount
+       |  FROM hits h JOIN claims c ON h.id = c.id GROUP BY h.query_id)
+       |SELECT q.query_id AS doc_id,
+       |  coalesce(ctx.ectx, '') AS _evidence_context,
+       |  coalesce(ctx.ecount, 0) AS _evidence_count,
+       |  md5('Context:' || chr(10) || coalesce(ctx.ectx, '') ||
+       |      chr(10) || chr(10) || q.qtext) AS verdict
+       |FROM q LEFT JOIN ctx ON q.query_id = ctx.query_id
+       |ORDER BY doc_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q70_grounding_confidence" -> q70Grounding _,
     "q71_contradictions_exact" -> q71Contradictions _,
-    "q72_contradictions_numeric" -> q72NumericContradictions _)
+    "q72_contradictions_numeric" -> q72NumericContradictions _,
+    "q73_evidence_enrich" -> q73EvidenceEnrich _)
 
   val oracles: Map[String, String] = Map(
     "q70_grounding_confidence" -> q70Sql,
     "q71_contradictions_exact" -> q71Sql,
-    "q72_contradictions_numeric" -> q72Sql)
+    "q72_contradictions_numeric" -> q72Sql,
+    "q73_evidence_enrich" -> q73Sql)
 }

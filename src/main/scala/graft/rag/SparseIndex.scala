@@ -61,9 +61,13 @@ object SparseIndex {
                                      docFreqs: DataFrame, corpusSize: Long)
 
   /** Top-k TF-IDF cosine search. `queries` carries (qidCol, qtextCol);
-    * output: query_id, rank, id, score (6dp, ties broken by id). */
+    * output: query_id, rank, id, score (6dp, ties broken by id).
+    * `broadcastQueries` fits the interactive shape (few queries, huge
+    * corpus); pass false when the query side is itself a large table
+    * (e.g. per-row evidence retrieval) and let AQE pick the build side. */
   def search(index: SparseIndexFrames, queries: DataFrame,
-             qidCol: String, qtextCol: String, k: Int): DataFrame = {
+             qidCol: String, qtextCol: String, k: Int,
+             broadcastQueries: Boolean = true): DataFrame = {
     val n = index.corpusSize
     val qpost0 = queries
       .select(col(qidCol).as("query_id"),
@@ -86,14 +90,16 @@ object SparseIndex {
       .withColumn("w2", (col("w_q") * col("w_q")).cast("decimal(38,24)"))
       .groupBy("query_id").agg(sqrt(sum("w2").cast("double")).as("qnorm"))
 
-    // the query side is small by contract — broadcast it so the postings
-    // (the 100 TB side) never shuffle for the probe join
-    val dots = broadcast(qpost).join(index.postings, "term")
+    // in the interactive shape the query side is small — broadcast it so
+    // the postings (the 100 TB side) never shuffle for the probe join
+    val qpostSide = if (broadcastQueries) broadcast(qpost) else qpost
+    val qnormSide = if (broadcastQueries) broadcast(qnorm) else qnorm
+    val dots = qpostSide.join(index.postings, "term")
       .withColumn("p", (col("w_q") * col("w")).cast("decimal(38,24)"))
       .groupBy("query_id", "id").agg(sum("p").as("dot"))
     val scored = dots
       .join(index.norms, "id")
-      .join(broadcast(qnorm), "query_id")
+      .join(qnormSide, "query_id")
       .withColumn("score",
         round(col("dot").cast("double") / (col("norm") * col("qnorm")), 6))
     val w = Window.partitionBy(col("query_id"))

@@ -59,9 +59,31 @@ final class Enricher(
     client: LlmClient,
     runDir: Option[String] = None,
     keyColumn: Option[String] = None,
-    observers: ObserverDispatcher = new ObserverDispatcher) {
+    observers: ObserverDispatcher = new ObserverDispatcher,
+    /** Evidence corpus for spec.evidence — rows (idCol, textCol). */
+    evidenceCorpus: Option[DataFrame] = None) {
 
   import RowIndex.ColName
+
+  /** Render the prompt; with evidence configured, first attach
+    * `_evidence_context`/`_evidence_count` by distributed top-k retrieval
+    * (the rendered base template is the retrieval query) and inject the
+    * context block (evidence_retrieval_stage.py:57-113 semantics). */
+  private def formatWithEvidence(indexed: DataFrame): DataFrame =
+    (spec.evidence, evidenceCorpus) match {
+      case (Some(ev), Some(corpus)) =>
+        val withQ = indexed.withColumn("_ev_query",
+          TemplateCompiler.compile(spec.prompt.template))
+        val attached = graft.verify.EvidenceRetrieval.attach(
+          withQ, ColName, "_ev_query", corpus, ev.idCol, ev.textCol,
+          ev.topK, ev.minScore).drop("_ev_query")
+        attached.withColumn("prompt", TemplateCompiler.compileFull(
+          spec.prompt, Some(col("_evidence_context"))))
+      case (Some(_), None) => throw new IllegalArgumentException(
+        "spec.evidence set but no evidenceCorpus passed to Enricher")
+      case _ => indexed.withColumn("prompt",
+        TemplateCompiler.compileFull(spec.prompt))
+    }
 
   private val internalCols = Seq("prompt", "result", "error", "skipped",
     "_call_id", "call_rows", "tokens_in", "tokens_out", "cost",
@@ -121,8 +143,7 @@ final class Enricher(
       case None if !addedIndex => stashed
       case None => stashed.withColumn(ColName, monotonically_increasing_id())
     }
-    val formatted = indexed.withColumn("prompt",
-      TemplateCompiler.compileFull(spec.prompt))
+    val formatted = formatWithEvidence(indexed)
     val invoked = Invoke(formatted, client, spec.prompt, spec.llm,
       spec.processing, runId)
       .withColumn("_attempt", lit(attemptSalt))
@@ -168,10 +189,10 @@ final class Enricher(
     val spark = pre.sparkSession
     val budget = new BudgetController(spec.processing.maxBudget)
     val addedIndex = !pre.columns.contains(RowIndex.ColName)
-    val indexed = RowIndex.withRowIndex(pre, keyColumn)
-    val formatted = indexed
-      .withColumn("prompt", TemplateCompiler.compileFull(spec.prompt))
-      .select(col(ColName), col("prompt"))
+    val indexed0 = RowIndex.withRowIndex(pre, keyColumn)
+    // evidence columns attach to the base frame so they survive the merge
+    val indexed = formatWithEvidence(indexed0)
+    val formatted = indexed.select(col(ColName), col("prompt"))
 
     def invokeRows(rows: DataFrame): DataFrame =
       Invoke(rows, client, spec.prompt, spec.llm, spec.processing, runId)
@@ -260,7 +281,7 @@ final class Enricher(
 
     // merge result columns back into the original table
     val outs = spec.output.outputColumns
-    val merged = ResultMerger.merge(indexed, parsed, outs,
+    val merged = ResultMerger.merge(indexed.drop("prompt"), parsed, outs,
       spec.output.mergeStrategy)
     val finalData = if (addedIndex) merged.drop(ColName) else merged
     assemble(finalData, qrow, row0, t0)
@@ -272,7 +293,7 @@ final class Enricher(
     * `_blank` inside the main aggregation pass so a clean run never pays a
     * separate existence probe. */
   private def allBlankExpr = spec.output.outputColumns
-    .map(c => col(c).isNull || trim(col(c)) === "")
+    .map(c => col(c).isNull || trim(col(c).cast("string")) === "")
     .reduce(_ && _)
 
   /** Auto-retry rows whose outputs all came back null/blank (reference:
@@ -302,7 +323,8 @@ final class Enricher(
       parsed = parsed.join(renamed, Seq(ColName), "left")
       for (c <- outs)
         parsed = parsed.withColumn(c,
-          when(col(c).isNull || trim(col(c)) === "", col(s"_r_$c"))
+          when(col(c).isNull || trim(col(c).cast("string")) === "",
+            col(s"_r_$c"))
             .otherwise(col(c))).drop(s"_r_$c")
       parsed = parsed.select(keepCols.map(col): _*)
         .persist(StorageLevel.MEMORY_AND_DISK)

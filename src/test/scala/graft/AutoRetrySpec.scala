@@ -67,4 +67,46 @@ class AutoRetrySpec extends SparkSpec {
       .as[(Long, String)].collect().toSet
     assert(vals == Set((1L, "alpha"), (2L, "beta")))
   }
+
+  test("structural rejection heals on auto-retry (typed output)") {
+    import org.apache.spark.sql.types._
+    // first reply for every prompt is unparseable chat, the retry is valid
+    val client = new MockLlmClient(structuredJson = true,
+      malformedFirstReply = true)
+    val df = (0 until 20).map(i => s"t $i").toDF("text").repartition(2)
+    val schema = StructType(Seq(
+      StructField("label", StringType), StructField("score", IntegerType)))
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("S:{text}", batchSize = 5),
+      processing = ProcessingSpec(autoRetryAttempts = 2),
+      output = OutputSpec(Seq("label", "score"),
+        responseFormat = ResponseFormat.Typed, typedSchema = Some(schema)))
+    val r = new Enricher(spec, client).enrich(df)
+    assert(r.quality.validRows == 20,
+      s"retry should heal rejects, got ${r.quality.invalidCellsPerColumn}")
+    val got = r.data.select("text", "label")
+      .as[(String, String)].collect().toMap
+    assert(got("t 7") == MockLlmClient.md5Hex("S:t 7"))
+    val scores = r.data.select("text", "score")
+      .as[(String, Int)].collect().toMap
+    assert(scores("t 7") == "S:t 7".length % 100)
+  }
+
+  test("typed output without retry leaves rejected rows null") {
+    import org.apache.spark.sql.types._
+    val client = new MockLlmClient(structuredJson = true,
+      malformedFirstReply = true)
+    val df = (0 until 10).map(i => s"u $i").toDF("text").repartition(1)
+    val schema = StructType(Seq(
+      StructField("label", StringType), StructField("score", IntegerType)))
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("U:{text}", batchSize = 1),
+      output = OutputSpec(Seq("label", "score"),
+        responseFormat = ResponseFormat.Typed, typedSchema = Some(schema)))
+    val r = new Enricher(spec, client).enrich(df)
+    assert(r.quality.validRows == 0)
+    assert(r.data.filter(col("label").isNotNull).count() == 0)
+  }
 }

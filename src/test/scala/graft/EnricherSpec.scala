@@ -121,4 +121,36 @@ class EnricherSpec extends SparkSpec {
       ResultMerger.merge(orig, res, Seq("out"), MergeStrategy.Append)
     }
   }
+
+  test("evidence retrieval injects context and system columns") {
+    val corpus = Seq(
+      (1L, "solar panels convert sunlight into electricity"),
+      (2L, "wind turbines harvest kinetic energy from moving air"),
+      (3L, "geothermal plants tap heat from the earth crust"))
+      .toDF("claim_id", "text")
+    val rows = Seq("tell me about solar electricity",
+      "how do wind turbines work").toDF("q")
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("q")),
+      prompt = PromptSpec("Answer: {q}"),
+      output = OutputSpec(Seq("answer")),
+      evidence = Some(EvidenceSpec(topK = 2, minScore = 0.0)))
+    val r = new Enricher(spec, new MockLlmClient(),
+      evidenceCorpus = Some(corpus)).enrich(rows)
+    val got = r.data.select("q", "_evidence_context", "_evidence_count",
+      "answer").collect().map(x => x.getString(0) ->
+      ((x.getString(1), x.getLong(2), x.getString(3)))).toMap
+    // strongest claim for the solar question is the solar claim
+    val (solarCtx, solarN, solarAns) = got("tell me about solar electricity")
+    assert(solarCtx.contains("solar panels"))
+    assert(solarN >= 1)
+    // the reply hashes the CONTEXT-INJECTED prompt, not the bare template
+    val expectedPrompt =
+      "Context:\n" + solarCtx + "\n\nAnswer: tell me about solar electricity"
+    assert(solarAns == MockLlmClient.md5Hex(expectedPrompt))
+    // missing corpus fails fast
+    intercept[IllegalArgumentException] {
+      new Enricher(spec, new MockLlmClient()).enrich(rows)
+    }
+  }
 }
