@@ -3,17 +3,22 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.llm.MockLlmClient
-import graft.run.{ConfigLoader, CostEstimator, Enricher, ProviderBatch}
+import graft.run.{ConfigLoader, CostEstimator, Enricher, ObserverDispatcher,
+  ProviderBatch, RegistryObserver, RunRegistry}
 import graft.sources.Sources
 
 /** CLI entry (reference: ondine/cli/main.py:202-1270 — process, estimate,
-  * submit, collect). Usage:
+  * submit, collect; run lifecycle commands :563-891). Usage:
   *
   *   graft.Main process  --config cfg.yaml --input in.csv --output out.parquet
-  *                       [--run-dir DIR] [--key-column COL]
+  *                       [--run-dir DIR] [--key-column COL] [--registry DIR]
   *   graft.Main estimate --config cfg.yaml --input in.csv
   *   graft.Main submit   --config cfg.yaml --input in.csv --run-dir DIR
   *   graft.Main collect  --config cfg.yaml --input in.csv --run-dir DIR --output out.parquet
+  *   graft.Main resume   --config cfg.yaml --input in.csv --run-dir DIR
+  *                       --output out.parquet --registry DIR
+  *   graft.Main list-runs --registry DIR
+  *   graft.Main inspect  --registry DIR --run-id ID
   *
   * The client is the deterministic mock in this zero-egress build; a real
   * HTTP client plugs in through the same LlmClient trait.
@@ -26,6 +31,31 @@ object Main {
     val opts = parseOpts(args.tail)
     def need(k: String): String = opts.getOrElse(k,
       { System.err.println(s"missing --$k"); usage(); sys.exit(2) })
+
+    // registry-only commands: no Spark session, no config
+    cmd match {
+      case "list-runs" =>
+        val reg = new RunRegistry(need("registry"))
+        reg.list().foreach(r => System.out.println(reg.render(r)))
+        return
+      case "inspect" =>
+        val reg = new RunRegistry(need("registry"))
+        reg.get(need("run-id")) match {
+          case Some(r) =>
+            val ledger = new java.io.File(r.runDir, "responses")
+            val files = Option(ledger.listFiles()).map(_.toSeq).getOrElse(Nil)
+              .filter(_.getName.endsWith(".parquet"))
+            System.out.println(reg.render(r))
+            System.out.println(
+              s"""{"ledger_files":${files.size},""" +
+              s""""ledger_bytes":${files.map(_.length()).sum}}""")
+          case None =>
+            System.err.println(s"unknown run: ${need("run-id")}")
+            sys.exit(1)
+        }
+        return
+      case _ => ()
+    }
 
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
@@ -41,17 +71,34 @@ object Main {
       val spec = ConfigLoader.fromFile(need("config"))
       val input = Sources.read(spark, need("input"))
       val client = new MockLlmClient()
+
+      def observers: ObserverDispatcher = {
+        val d = new ObserverDispatcher
+        for (regDir <- opts.get("registry"); runDir <- opts.get("run-dir"))
+          d.register(new RegistryObserver(new RunRegistry(regDir), runDir))
+        d
+      }
+
+      def runProcess(): Unit = {
+        val r = new Enricher(spec, client,
+          runDir = opts.get("run-dir"),
+          keyColumn = opts.get("key-column"),
+          observers = observers).enrich(input)
+        Sources.write(r.data, need("output"))
+        System.out.println(
+          s"""{"rows":${r.metrics.rows},"calls":${r.metrics.calls},""" +
+          s""""tokens_in":${r.metrics.tokensIn},"tokens_out":${r.metrics.tokensOut},""" +
+          s""""cost":"${r.metrics.cost}","skipped":${r.metrics.skippedRows},""" +
+          s""""quality":"${r.quality.rating}","success_rate":${r.quality.successRate}}""")
+      }
+
       cmd match {
-        case "process" =>
-          val r = new Enricher(spec, client,
-            runDir = opts.get("run-dir"),
-            keyColumn = opts.get("key-column")).enrich(input)
-          Sources.write(r.data, need("output"))
-          System.out.println(
-            s"""{"rows":${r.metrics.rows},"calls":${r.metrics.calls},""" +
-            s""""tokens_in":${r.metrics.tokensIn},"tokens_out":${r.metrics.tokensOut},""" +
-            s""""cost":"${r.metrics.cost}","skipped":${r.metrics.skippedRows},""" +
-            s""""quality":"${r.quality.rating}","success_rate":${r.quality.successRate}}""")
+        case "process" => runProcess()
+        case "resume" =>
+          // resume = re-drive the same runDir; the ledger anti-join skips
+          // every completed call, the registry re-enters RUNNING
+          need("run-dir")
+          runProcess()
         case "estimate" =>
           val e = CostEstimator.estimate(input, spec)
           System.out.println(
@@ -85,6 +132,9 @@ object Main {
 
   private def usage(): Unit =
     System.err.println(
-      "usage: graft.Main process|estimate|submit|collect --config cfg.yaml " +
-        "--input PATH [--output PATH] [--run-dir DIR] [--key-column COL]")
+      "usage: graft.Main process|estimate|submit|collect|resume " +
+        "--config cfg.yaml --input PATH [--output PATH] [--run-dir DIR] " +
+        "[--key-column COL] [--registry DIR]\n" +
+        "       graft.Main list-runs --registry DIR\n" +
+        "       graft.Main inspect --registry DIR --run-id ID")
 }

@@ -94,6 +94,11 @@ final case class LlmSpec(
     maxConcurrency: Int = 64,
     /** Requests/minute across the whole run; divided across partitions. */
     requestsPerMinute: Option[Int] = None,
+    /** Path of a shared token-state file: executor JVMs on one host then
+      * enforce `requestsPerMinute` as ONE exact global bucket instead of
+      * the per-executor split (the reference's Redis scope key,
+      * redis_rate_limiter.py, without Redis). */
+    rateLimitScopeFile: Option[String] = None,
     maxRetries: Int = 3,
     /** Exponential backoff base in ms (1x, 2x, 4x..., capped). */
     backoffBaseMs: Long = 10L,

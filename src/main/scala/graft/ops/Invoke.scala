@@ -18,12 +18,18 @@ import graft.llm._
   * redis_rate_limiter.py's scope-key design ports directly when needed).
   */
 object ClientPool {
-  private val limiters = new ConcurrentHashMap[String, RateLimiter]()
+  private val limiters = new ConcurrentHashMap[String, GlobalBucket]()
   private val adaptives = new ConcurrentHashMap[String, AdaptiveLimiter]()
   private val pools = new ConcurrentHashMap[String, ExecutionContextExecutorService]()
 
-  def limiter(runId: String, rpm: Int, burst: Int): RateLimiter =
-    limiters.computeIfAbsent(runId, _ => new RateLimiter(rpm, burst))
+  /** Per-run bucket: file-coordinated exact global bucket when a scope
+    * file is configured, else the per-executor token bucket. */
+  def limiter(runId: String, rpm: Int, burst: Int,
+              scopeFile: Option[String] = None): GlobalBucket =
+    limiters.computeIfAbsent(runId, _ => scopeFile match {
+      case Some(f) => new FileCoordinatedBucket(f, rpm, burst)
+      case None    => new RateLimiter(rpm, burst)
+    })
 
   def adaptive(runId: String, initial: Int, max: Int): AdaptiveLimiter =
     adaptives.computeIfAbsent(runId,
@@ -107,8 +113,10 @@ object Invoke {
     val adaptiveOn = llm.adaptiveConcurrency
     val maxConc = llm.maxConcurrency
 
+    val scopeFile = llm.rateLimitScopeFile
     df.mapPartitions { rows =>
-      val limiter = rpm.map(r => ClientPool.limiter(runId, r, math.max(1, r / 10)))
+      val limiter = rpm.map(r =>
+        ClientPool.limiter(runId, r, math.max(1, r / 10), scopeFile))
       val adaptive =
         if (adaptiveOn) Some(ClientPool.adaptive(runId, conc, maxConc))
         else None

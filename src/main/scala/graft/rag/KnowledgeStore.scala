@@ -45,14 +45,24 @@ final class KnowledgeStore private (
 
 object KnowledgeStore {
 
+  /** Ingest documents from a file or directory path (txt/md/html/csv,
+    * recursive walk) — the reference's `with_knowledge_base("docs/")`
+    * one-liner (knowledge/loader.py:34-211 via store.py:92-118; pdf/OCR
+    * out of v1 scope). */
+  def ingestPath(spark: SparkSession, path: String,
+                 chunkSize: Int = 100, overlap: Int = 20): KnowledgeStore =
+    ingest(graft.sources.DocumentLoader.load(spark, path),
+      "doc_id", "text", chunkSize, overlap)
+
   /** Ingest a corpus: token-window chunking + sparse index build.
     * (PDF/OCR loaders are out of v1 scope — SURVEY §7.6; any DataFrame
     * with (id, text) ingests.) */
   def ingest(docs: DataFrame, idCol: String, textCol: String,
              chunkSize: Int = 100, overlap: Int = 20): KnowledgeStore = {
     val chunks = Chunker.chunkCorpus(docs, idCol, textCol, chunkSize, overlap)
-      .withColumn("chunk_id",
-        col(idCol) * 10000 + col("chunk_idx"))
+      .withColumn("chunk_id", xxhash64(
+        concat_ws("#", col(idCol).cast("string"),
+          col("chunk_idx").cast("string"))))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val index = SparseIndex.build(chunks, "chunk_id", "chunk")
     new KnowledgeStore(chunks, index)

@@ -178,3 +178,79 @@ class StreamingEnrichSpec extends SparkSpec {
     assert(got("msg 7") == MockLlmClient.md5Hex("S:msg 7"))
   }
 }
+
+class RunRegistrySpec extends SparkSpec {
+
+  test("run registry: state machine, atomic persistence, illegal moves") {
+    val dir = Files.createTempDirectory("graft_reg").toString
+    val reg = new RunRegistry(dir)
+    val r0 = reg.register("run one", "/tmp/r1")
+    assert(r0.state == RunState.Pending)
+    reg.transition("run one", RunState.Running)
+    val done = reg.transition("run one", RunState.Succeeded,
+      r => r.copy(rows = 10, validRows = 10, cost = "0.002",
+        note = "said \"ok\"\nline2"))
+    assert(done.rows == 10)
+    // terminal SUCCEEDED accepts no further moves
+    intercept[IllegalArgumentException] {
+      reg.transition("run one", RunState.Running)
+    }
+    // escapes survive the JSON roundtrip
+    val back = new RunRegistry(dir).get("run one").get
+    assert(back.note == "said \"ok\"\nline2")
+    assert(back.state == RunState.Succeeded)
+    assert(new RunRegistry(dir).list().map(_.runId) == Seq("run one"))
+  }
+
+  test("registry observer: FAILED -> resume -> SUCCEEDED arc") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val regDir = Files.createTempDirectory("graft_reg2").toString
+    val runDir = Files.createTempDirectory("graft_run2").toString
+    val reg = new RunRegistry(regDir)
+    val df = (0 until 30).map(i => s"r $i").toDF("text").repartition(1)
+    def spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("R:{text}", batchSize = 10),
+      llm = LlmSpec(maxRetries = 0),
+      output = OutputSpec(Seq("out")))
+    def enricher(client: MockLlmClient) = new Enricher(spec, client,
+      runDir = Some(runDir),
+      observers = new ObserverDispatcher()
+        .register(new RegistryObserver(reg, runDir)))
+
+    // arm 1: every call fails -> run aborts -> FAILED with the error note
+    intercept[Exception] {
+      enricher(new MockLlmClient(failEveryN = 1)).enrich(df)
+    }
+    val runId = reg.list().head.runId
+    assert(reg.get(runId).get.state == RunState.Failed)
+    assert(reg.get(runId).get.note.nonEmpty)
+
+    // arm 2: resume with a healthy client -> RUNNING -> SUCCEEDED
+    val r = enricher(new MockLlmClient()).enrich(df)
+    assert(r.quality.validRows == 30)
+    assert(reg.get(runId).get.state == RunState.Succeeded)
+    assert(reg.get(runId).get.rows == 30)
+  }
+
+  test("registry observer: incomplete outputs mark the run PARTIAL") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val regDir = Files.createTempDirectory("graft_reg3").toString
+    val runDir = Files.createTempDirectory("graft_run3").toString
+    val reg = new RunRegistry(regDir)
+    val df = (0 until 30).map(i => s"p $i").toDF("text").repartition(1)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("P:{text}", batchSize = 10),
+      output = OutputSpec(Seq("out")))
+    // every 5th batch item dropped, no auto-retry -> gaps stay null
+    val r = new Enricher(spec, new MockLlmClient(dropEveryNthBatchItem = 5),
+      runDir = Some(runDir),
+      observers = new ObserverDispatcher()
+        .register(new RegistryObserver(reg, runDir))).enrich(df)
+    assert(r.quality.validRows < 30)
+    assert(reg.list().head.state == RunState.Partial)
+  }
+}

@@ -117,8 +117,10 @@ class RagSpec extends SparkSpec {
       client = Some(new MockLlmClient()), multiQueryN = 2)
       .collect()
     assert(hits.nonEmpty)
-    // top hit must come from a spark doc (chunk_id encodes doc_id*10000)
-    val topDoc = hits.head.getAs[Long]("chunk_id") / 10000
+    // top hit must come from a spark doc (attribute via the chunks table)
+    val topChunk = hits.head.getAs[Long]("chunk_id")
+    val topDoc = ks.chunks.filter(col("chunk_id") === topChunk)
+      .select("doc_id").as[Long].head()
     assert(Set(1L, 3L).contains(topDoc), s"top hit from doc $topDoc")
   }
 
@@ -147,5 +149,41 @@ class RagSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     val kinds = collector.events.asScala.map(_.getClass.getSimpleName).toSet
     assert(kinds.contains("RunStarted") && kinds.contains("RunCompleted"))
+  }
+
+  test("path ingestion: directory walk, html strip, csv flatten") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_kb").toFile
+    val sub = new java.io.File(dir, "sub"); sub.mkdirs()
+    def w(f: java.io.File, content: String): Unit = {
+      val fw = new java.io.FileWriter(f); fw.write(content); fw.close()
+    }
+    w(new java.io.File(dir, "a.txt"),
+      "solar panels convert sunlight into electricity every day")
+    w(new java.io.File(dir, "b.html"),
+      "<html><style>p{color:red}</style><body><h1>Wind</h1>" +
+        "<p>turbines &amp; kinetic energy</p></body></html>")
+    w(new java.io.File(sub, "c.md"),
+      "# Geothermal\nheat from the earth crust")
+    w(new java.io.File(sub, "d.csv"), "col1,col2\nrows,cells")
+    w(new java.io.File(dir, "skip.bin"), "binary noise")
+
+    val docs = graft.sources.DocumentLoader.load(spark, dir.getAbsolutePath)
+    val byExt = docs.select("ext", "text").as[(String, String)]
+      .collect().toMap
+    assert(byExt.keySet == Set("txt", "html", "md", "csv"))
+    assert(byExt("html") == "Wind turbines & kinetic energy")
+    assert(byExt("csv").contains("col1 col2"))
+    assert(byExt("md").contains("Geothermal"))
+
+    val ks = KnowledgeStore.ingestPath(spark, dir.getAbsolutePath,
+      chunkSize = 20, overlap = 0)
+    val hits = ks.search("sunlight electricity solar", k = 2)
+    assert(hits.count() >= 1)
+    // best chunk comes from the solar document
+    val bestChunk = hits.orderBy("rank").select("chunk_id")
+      .as[Long].head()
+    val chunkText = ks.chunks.filter(col("chunk_id") === bestChunk)
+      .select("chunk").as[String].head()
+    assert(chunkText.contains("solar"))
   }
 }
