@@ -91,4 +91,39 @@ class RateLimiterSpec extends AnyFunSuite {
     assert(waitedMs >= 150.0,
       f"server penalty must stall ALL instances, waited only $waitedMs%.0f ms")
   }
+
+  test("router: weighted pick is deterministic, failover skips dead deployments") {
+    import graft.llm._
+    final class CountingClient(name: String, fail: Boolean = false)
+        extends LlmClient {
+      val calls = new java.util.concurrent.atomic.AtomicLong(0)
+      def model: String = name
+      def invoke(prompt: String, sys: Option[String]): LlmResponse = {
+        calls.incrementAndGet()
+        if (fail) throw new NetworkError(s"$name down")
+        LlmResponse(s"$name:$prompt", 1, 1, name,
+          java.math.BigDecimal.ZERO, 0.0)
+      }
+    }
+    val a = new CountingClient("a"); val b = new CountingClient("b")
+    val router = new RouterClient(Seq((a, 3.0), (b, 1.0)))
+    val prompts = (0 until 400).map(i => s"prompt $i")
+    val first = prompts.map(p => router.invoke(p, None).model)
+    // deterministic: the same prompt always routes the same way
+    assert(prompts.map(p => router.invoke(p, None).model) == first)
+    // weights respected within a loose band (3:1 -> ~300/100)
+    val aShare = first.count(_ == "a")
+    assert(aShare > 240 && aShare < 360, s"3:1 weighting gave a=$aShare/400")
+
+    // failover: dead primary falls through to the healthy deployment
+    val dead = new CountingClient("dead", fail = true)
+    val alive = new CountingClient("alive")
+    val failover = new RouterClient(Seq((dead, 100.0), (alive, 1.0)))
+    assert((0 until 20).forall(i =>
+      failover.invoke(s"x $i", None).model == "alive"))
+    // every deployment failing propagates the last error
+    val doomed = new RouterClient(Seq((dead, 1.0),
+      (new CountingClient("dead2", fail = true), 1.0)))
+    intercept[NetworkError](doomed.invoke("y", None))
+  }
 }
