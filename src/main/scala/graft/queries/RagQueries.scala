@@ -142,15 +142,17 @@ object RagQueries {
     // ranking B: number of agreeing minhash bands (8 bands, 3-shingles).
     // Candidates come from a bucket JOIN on (band_idx, band_val) — only
     // docs sharing at least one band with a query are scored, so the work
-    // is proportional to bucket collisions, not |Q| x |docs|. The tiny
-    // query side broadcasts.
-    val sigs = graft.operators.Dedup
-      .minhashSignatures(docs, "doc_id", "text", 8, 3)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val exploded = sigs.select(col("doc_id").as("id"),
-      posexplode(array((0 until 8).map(b => col(s"band_$b")): _*))
-        .as(Seq("band_idx", "band_val")))
-    val qbands = exploded.filter(col("id") < 5)
+    // is proportional to bucket collisions, not |Q| x |docs|. The query
+    // side computes its signatures from just the query docs (minhash is
+    // per-doc), so the full-corpus pass happens exactly once, on the
+    // probe side; the tiny query side broadcasts.
+    def bandRows(d: org.apache.spark.sql.DataFrame) = graft.operators.Dedup
+      .minhashSignatures(d, "doc_id", "text", 8, 3)
+      .select(col("doc_id").as("id"),
+        posexplode(array((0 until 8).map(b => col(s"band_$b")): _*))
+          .as(Seq("band_idx", "band_val")))
+    val exploded = bandRows(docs)
+    val qbands = bandRows(docs.filter(col("doc_id") < 5))
       .select(col("id").as("query_id"), col("band_idx"), col("band_val"))
     val wb = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
