@@ -60,12 +60,15 @@ object Similarity {
     (hash64(concat(lit(s"plane$plane|"), dim.cast("string")))
       .mod(20011L).cast("double") / 10005.5) - 1.0
 
-  /** Sign-LSH bucket key: one bit per hyperplane = sign of <v, w_p>. */
-  def lshBucket(vec: Column, numPlanes: Int): Column = {
+  /** Sign-LSH bucket key: one bit per hyperplane = sign of <v, w_p>.
+    * `tableSalt` selects an independent plane set (table t uses planes
+    * t*numPlanes .. t*numPlanes+numPlanes-1); 0 = the single-table key. */
+  def lshBucket(vec: Column, numPlanes: Int, tableSalt: Int = 0): Column = {
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),
-          (x, d) => x.cast("double") * planeComponent(p, d)),
+          (x, d) => x.cast("double") *
+            planeComponent(tableSalt * numPlanes + p, d)),
         lit(0.0), (acc, v) => acc + v)
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(0L)
     }
@@ -85,6 +88,41 @@ object Similarity {
       lshBucket(col(vecCol), numPlanes).as("bucket"))
     val scored = q.join(c, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  /** Multi-table LSH top-k — the 100 TB recall path: L independent hash
+    * tables (disjoint salted plane sets), candidates = the UNION of
+    * per-table bucket matches, deduplicated BEFORE the exact cosine so a
+    * pair colliding in several tables scores once. Recall rises as
+    * 1-(1-p^b)^L per extra table while each table's join stays
+    * bucket-local; vectors join back only for surviving candidates, so
+    * the wide embedding column never rides through the bucket shuffle. */
+  def lshTopKMultiTable(queries: DataFrame, corpus0: DataFrame, k: Int,
+                        numPlanes: Int = 4, numTables: Int = 3,
+                        idCol: String = "vec_id",
+                        vecCol: String = "embedding"): DataFrame = {
+    val corpus = graft.ops.Parallelism.ensure(corpus0)
+    def buckets(vec: Column): Column =
+      array((0 until numTables).map(t => lshBucket(vec, numPlanes, t)): _*)
+    val qb = queries.select(col(idCol).as("query_id"),
+      posexplode(buckets(col(vecCol))).as(Seq("tbl", "bucket")))
+    val cb = corpus.select(col(idCol).as("neighbor_id"),
+      posexplode(buckets(col(vecCol))).as(Seq("tbl", "bucket")))
+    val cands = qb.join(cb, Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id").distinct()
+    val scored = cands
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))

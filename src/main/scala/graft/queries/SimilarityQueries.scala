@@ -45,18 +45,22 @@ object SimilarityQueries {
        |SELECT query_id, rank, neighbor_id, sim FROM ranked
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
-  /** DuckDB sign-LSH bucket for `v` (DOUBLE[]), planes 0..n-1 — mirrors
-    * Similarity.lshBucket exactly (same salted-hash plane components). */
-  private def duckBucket(v: String): String = {
+  /** DuckDB sign-LSH bucket for `v` (DOUBLE[]) — mirrors
+    * Similarity.lshBucket exactly (same salted-hash plane components);
+    * `table` selects the independent plane set. */
+  private def duckBucketT(v: String, table: Int): String = {
     val bits = (0 until NumPlanes).map { p =>
+      val plane = table * NumPlanes + p
       s"""(CASE WHEN list_sum([$v[i] *
-         |  ((('0x' || substr(md5('plane$p|' || (i-1)::VARCHAR), 1, 15))::UBIGINT
+         |  ((('0x' || substr(md5('plane$plane|' || (i-1)::VARCHAR), 1, 15))::UBIGINT
          |    % 20011)::DOUBLE / 10005.5 - 1.0)
          |  for i in range(1, len($v) + 1)]) > 0
          | THEN ${1L << p} ELSE 0 END)""".stripMargin
     }
     bits.mkString("(", " + ", ")")
   }
+
+  private def duckBucket(v: String): String = duckBucketT(v, 0)
 
   def q41LshTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
@@ -101,13 +105,60 @@ object SimilarityQueries {
        |SELECT id_a, id_b, sim FROM pairs WHERE sim >= 0.3
        |ORDER BY id_a, id_b""".stripMargin
 
+  private val NumTables = 3
+
+  /** Multi-table LSH top-k (the recall path): candidates = union of
+    * bucket matches across 3 independent plane sets, deduped before the
+    * exact cosine rank. */
+  def q43LshMultiTable(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.lshTopKMultiTable(
+      emb.filter(col("vec_id") < NumQueries), emb, K, NumPlanes, NumTables)
+      .orderBy("query_id", "rank")
+  }
+
+  val q43Sql: String = {
+    def sideT(src: String, idAs: String, t: Int): String =
+      s"""SELECT vec_id AS $idAs, $t AS tbl,
+         |  ${duckBucketT("(embedding::DOUBLE[])", t)} AS bucket
+         |FROM $src""".stripMargin
+    val qsides = (0 until NumTables)
+      .map(t => sideT(s"embeddings WHERE vec_id < $NumQueries", "query_id", t))
+      .mkString("\n  UNION ALL ")
+    val csides = (0 until NumTables)
+      .map(t => sideT("embeddings", "neighbor_id", t))
+      .mkString("\n  UNION ALL ")
+    s"""WITH qb AS (
+       |  $qsides),
+       |cb AS (
+       |  $csides),
+       |cands AS (
+       |  SELECT DISTINCT query_id, neighbor_id
+       |  FROM qb JOIN cb USING (tbl, bucket)
+       |  WHERE query_id <> neighbor_id),
+       |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       |       WHERE vec_id < $NumQueries),
+       |cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id, ${duckCosine("q.qv", "v.cv")} AS sim
+       |  FROM cands c JOIN qv q USING (query_id) JOIN cv v USING (neighbor_id)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
     "q41_ann_lsh_topk" -> q41LshTopK _,
-    "q42_embed_near_dups" -> q42EmbeddingNearDups _)
+    "q42_embed_near_dups" -> q42EmbeddingNearDups _,
+    "q43_ann_multitable" -> q43LshMultiTable _)
 
   val oracles: Map[String, String] = Map(
     "q40_ann_brute_topk" -> q40Sql,
     "q41_ann_lsh_topk" -> q41Sql,
-    "q42_embed_near_dups" -> q42Sql)
+    "q42_embed_near_dups" -> q42Sql,
+    "q43_ann_multitable" -> q43Sql)
 }

@@ -118,4 +118,33 @@ class OperatorsSpec extends SparkSpec {
       assert(a >= 0.0 && a <= 1.0 && a == b)
     }
   }
+
+  test("multi-table LSH: recall never below single-table, pairs dedup across tables") {
+    import graft.operators.Similarity
+    // deterministic pseudo-vectors with mild cluster structure
+    val vecs = (0 until 120).map { i =>
+      (i.toLong, Array.tabulate(16) { d =>
+        (((i % 7) * 31 + d * 13 + i * 3) % 17 - 8).toFloat
+      })
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteForceTopK(queries, vecs, 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val single = recall(Similarity.lshTopK(queries, vecs, 5, numPlanes = 4))
+    val multi = recall(
+      Similarity.lshTopKMultiTable(queries, vecs, 5, numPlanes = 4,
+        numTables = 3))
+    assert(multi >= single,
+      s"multi-table recall $multi below single-table $single")
+    assert(multi > 0.0)
+    // a pair colliding in several tables must appear once per (query, rank)
+    val out = Similarity.lshTopKMultiTable(queries, vecs, 5, 4, 3)
+    assert(out.groupBy("query_id", "neighbor_id").count()
+      .filter(col("count") > 1).isEmpty)
+  }
 }
