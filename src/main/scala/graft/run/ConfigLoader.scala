@@ -19,9 +19,14 @@ import graft.core._
   * processing: { error_policy: skip|retry|fail|use_default, default_value: "",
   *               max_budget: 5.0, chunk_rows: 100000, auto_retry_attempts: 1,
   *               preprocess_input: true, max_input_length: 2000 }
-  * output:     { output_columns: [sentiment], response_format: raw|json|regex,
-  *               regex_patterns: {col: pattern}, merge_strategy: replace|append|update }
+  * output:     { output_columns: [sentiment], response_format: raw|json|regex|typed,
+  *               regex_patterns: {col: pattern}, merge_strategy: replace|append|update,
+  *               typed_schema: "label STRING, score INT" }
+  * evidence:   { id_col: claim_id, text_col: text, top_k: 3, min_score: 0.0 }
   * }}}
+  *
+  * `llm.rate_limit_scope_file` selects the exact one-host global rate
+  * bucket; `output.typed_schema` is a Spark DDL string.
   */
 object ConfigLoader {
 
@@ -109,6 +114,7 @@ object ConfigLoader {
         outputCostPer1k = dec(n, "output_cost_per_1k").getOrElse(BigDecimal(0)),
         concurrency = num(n, "concurrency").getOrElse(8),
         requestsPerMinute = num(n, "requests_per_minute"),
+        rateLimitScopeFile = str(n, "rate_limit_scope_file"),
         maxRetries = num(n, "max_retries").getOrElse(3)))
         .getOrElse(LlmSpec()),
       processing = pc.map(n => ProcessingSpec(
@@ -130,6 +136,7 @@ object ConfigLoader {
         responseFormat = str(out, "response_format").map {
           case "json" => ResponseFormat.Json
           case "regex" => ResponseFormat.Regex
+          case "typed" => ResponseFormat.Typed
           case _ => ResponseFormat.Raw
         }.getOrElse(ResponseFormat.Raw),
         regexPatterns = strMap(out, "regex_patterns"),
@@ -137,6 +144,13 @@ object ConfigLoader {
           case "append" => MergeStrategy.Append
           case "update" => MergeStrategy.Update
           case _ => MergeStrategy.Replace
-        }.getOrElse(MergeStrategy.Replace)))
+        }.getOrElse(MergeStrategy.Replace),
+        typedSchema = str(out, "typed_schema").map(
+          org.apache.spark.sql.types.StructType.fromDDL)),
+      evidence = section("evidence").map(n => EvidenceSpec(
+        idCol = str(n, "id_col").getOrElse("claim_id"),
+        textCol = str(n, "text_col").getOrElse("text"),
+        topK = num(n, "top_k").getOrElse(3),
+        minScore = str(n, "min_score").map(_.toDouble).getOrElse(0.0))))
   }
 }

@@ -43,6 +43,25 @@ class ConfigLoaderSpec extends AnyFunSuite {
     spec.validate()
   }
 
+  test("typed schema, evidence, and rate-limit scope parse from yaml") {
+    val spec = ConfigLoader.fromYaml(
+      """prompt: {template: "T {text}"}
+        |llm: {rate_limit_scope_file: /tmp/scope.state}
+        |output:
+        |  output_columns: [label, score]
+        |  response_format: typed
+        |  typed_schema: "label STRING, score INT"
+        |evidence: {id_col: cid, text_col: body, top_k: 2, min_score: "0.05"}
+        |""".stripMargin)
+    assert(spec.output.responseFormat == ResponseFormat.Typed)
+    assert(spec.output.typedSchema.get.fieldNames.toSeq == Seq("label", "score"))
+    assert(spec.llm.rateLimitScopeFile.contains("/tmp/scope.state"))
+    val ev = spec.evidence.get
+    assert(ev.idCol == "cid" && ev.textCol == "body" &&
+      ev.topK == 2 && ev.minScore == 0.05)
+    spec.validate()
+  }
+
   test("input columns default to template placeholders") {
     val spec = ConfigLoader.fromYaml(
       """prompt: {template: "A {x} and {y}"}
