@@ -39,4 +39,27 @@ object Preprocess {
       case None    => base
     }
   }
+
+  /** Preprocessing statistics (reference: PreprocessingStats,
+    * input_preprocessing.py's per-run counters): rows touched, rows
+    * changed by cleaning, rows truncated, characters removed — ONE
+    * aggregation over the raw column. */
+  final case class Stats(rows: Long, changed: Long, truncated: Long,
+                         charsRemoved: Long)
+
+  def stats(df: org.apache.spark.sql.DataFrame, column: String,
+            maxLength: Option[Int] = None): Stats = {
+    val raw = col(column)
+    val cleaned = clean(raw, maxLength)
+    val cleanedNoTrunc = clean(raw, None)
+    val row = df.agg(
+      count(lit(1)).as("_rows"),
+      sum(when(cleaned =!= raw, 1L).otherwise(0L)).as("_changed"),
+      sum(when(length(cleanedNoTrunc) > length(cleaned), 1L).otherwise(0L))
+        .as("_truncated"),
+      sum(greatest(length(raw) - length(cleaned), lit(0))).as("_removed"))
+      .head()
+    def lng(i: Int) = if (row.isNullAt(i)) 0L else row.getLong(i)
+    Stats(lng(0), lng(1), lng(2), lng(3))
+  }
 }

@@ -1,0 +1,147 @@
+package graft.run
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+
+import graft.core._
+import graft.llm.LlmClient
+
+/** Fluent builder over the spec tree — the reference's PipelineBuilder
+  * surface (ondine/api/pipeline_builder.py: 40+ with_* methods) mapped
+  * onto immutable specs. Every method returns `this`; `build()` yields a
+  * validated PipelineSpec, `run(df)` executes through the Enricher.
+  *
+  * {{{
+  * val r = PipelineBuilder()
+  *   .withTemplate("Classify: {text}")
+  *   .withOutputColumns("sentiment")
+  *   .withBatchSize(50).withConcurrency(16)
+  *   .withBudget(BigDecimal("5.0"))
+  *   .withClient(client)
+  *   .run(df)
+  * }}}
+  */
+final class PipelineBuilder private () {
+
+  private var dataset = DatasetSpec(inputColumns = Nil)
+  private var prompt = PromptSpec(template = "")
+  private var llm = LlmSpec()
+  private var processing = ProcessingSpec()
+  private var output = OutputSpec(outputColumns = Nil)
+  private var evidence: Option[EvidenceSpec] = None
+  private var clientOpt: Option[LlmClient] = None
+  private var evidenceCorpusOpt: Option[DataFrame] = None
+  private var runDirOpt: Option[String] = None
+  private var keyColumnOpt: Option[String] = None
+  private val dispatcher = new ObserverDispatcher
+
+  // --- dataset ----------------------------------------------------------
+  def withInputColumns(cols: String*): this.type =
+    { dataset = dataset.copy(inputColumns = cols); this }
+  def withFilter(column: String, value: String): this.type =
+    { dataset = dataset.copy(filters = dataset.filters + (column -> value)); this }
+  def withDelimiter(d: String): this.type =
+    { dataset = dataset.copy(delimiter = d); this }
+  def withEncoding(e: String): this.type =
+    { dataset = dataset.copy(encoding = e); this }
+
+  // --- prompt -----------------------------------------------------------
+  def withTemplate(t: String): this.type =
+    { prompt = prompt.copy(template = t); this }
+  def withSystemMessage(m: String): this.type =
+    { prompt = prompt.copy(systemMessage = Some(m)); this }
+  def withBatchSize(n: Int): this.type =
+    { prompt = prompt.copy(batchSize = n); this }
+  def withFewShot(examples: (String, String)*): this.type =
+    { prompt = prompt.copy(fewShot = examples); this }
+
+  // --- llm --------------------------------------------------------------
+  def withModel(m: String): this.type = { llm = llm.copy(model = m); this }
+  def withCosts(inPer1k: BigDecimal, outPer1k: BigDecimal): this.type =
+    { llm = llm.copy(inputCostPer1k = inPer1k, outputCostPer1k = outPer1k); this }
+  def withConcurrency(n: Int): this.type =
+    { llm = llm.copy(concurrency = n); this }
+  def withAdaptiveConcurrency(max: Int = 64): this.type =
+    { llm = llm.copy(adaptiveConcurrency = true, maxConcurrency = max); this }
+  def withRateLimit(rpm: Int): this.type =
+    { llm = llm.copy(requestsPerMinute = Some(rpm)); this }
+  def withRateLimitScope(stateFile: String): this.type =
+    { llm = llm.copy(rateLimitScopeFile = Some(stateFile)); this }
+  def withMaxRetries(n: Int): this.type =
+    { llm = llm.copy(maxRetries = n); this }
+  def withBackoff(baseMs: Long, capMs: Long): this.type =
+    { llm = llm.copy(backoffBaseMs = baseMs, backoffCapMs = capMs); this }
+
+  // --- processing -------------------------------------------------------
+  def withErrorPolicy(p: ErrorPolicy.Value): this.type =
+    { processing = processing.copy(errorPolicy = p); this }
+  def withDefaultValue(v: String): this.type =
+    { processing = processing.copy(defaultValue = v); this }
+  def withBudget(max: BigDecimal): this.type =
+    { processing = processing.copy(maxBudget = Some(max)); this }
+  def withChunkRows(n: Int): this.type =
+    { processing = processing.copy(chunkRows = n); this }
+  def withAutoRetry(attempts: Int): this.type =
+    { processing = processing.copy(autoRetryAttempts = attempts); this }
+  def withPreprocessing(maxInputLength: Option[Int] = None): this.type = {
+    processing = processing.copy(preprocessInput = true,
+      maxInputLength = maxInputLength)
+    this
+  }
+
+  // --- output -----------------------------------------------------------
+  def withOutputColumns(cols: String*): this.type =
+    { output = output.copy(outputColumns = cols); this }
+  def withResponseFormat(f: ResponseFormat.Value): this.type =
+    { output = output.copy(responseFormat = f); this }
+  def withRegexPattern(column: String, pattern: String): this.type =
+    { output = output.copy(responseFormat = ResponseFormat.Regex,
+        regexPatterns = output.regexPatterns + (column -> pattern)); this }
+  def withMergeStrategy(s: MergeStrategy.Value): this.type =
+    { output = output.copy(mergeStrategy = s); this }
+  def withTypedSchema(ddl: String): this.type =
+    { output = output.copy(responseFormat = ResponseFormat.Typed,
+        typedSchema = Some(StructType.fromDDL(ddl))); this }
+
+  // --- evidence / knowledge --------------------------------------------
+  def withEvidence(corpus: DataFrame, idCol: String = "claim_id",
+                   textCol: String = "text", topK: Int = 3,
+                   minScore: Double = 0.0): this.type = {
+    evidence = Some(EvidenceSpec(idCol, textCol, topK, minScore))
+    evidenceCorpusOpt = Some(corpus)
+    this
+  }
+
+  // --- execution --------------------------------------------------------
+  def withClient(c: LlmClient): this.type = { clientOpt = Some(c); this }
+  def withRunDir(dir: String): this.type = { runDirOpt = Some(dir); this }
+  def withKeyColumn(c: String): this.type = { keyColumnOpt = Some(c); this }
+  def withObserver(o: Observer): this.type = { dispatcher.register(o); this }
+  def withRegistry(registry: RunRegistry): this.type = {
+    dispatcher.register(
+      new RegistryObserver(registry, runDirOpt.getOrElse("")))
+    this
+  }
+
+  /** Validated spec (input columns default to template placeholders,
+    * mirroring QuickPipeline). */
+  def build(): PipelineSpec = {
+    val ds = if (dataset.inputColumns.nonEmpty) dataset
+      else dataset.copy(
+        inputColumns = TemplateCompiler.variables(prompt.template))
+    val spec = PipelineSpec(ds, prompt, llm, processing, output, evidence)
+    spec.validate()
+    spec
+  }
+
+  def run(df: DataFrame): EnrichResult = {
+    val client = clientOpt.getOrElse(throw new IllegalArgumentException(
+      "withClient(...) is required before run()"))
+    new Enricher(build(), client, runDirOpt, keyColumnOpt, dispatcher,
+      evidenceCorpusOpt).enrich(df)
+  }
+}
+
+object PipelineBuilder {
+  def apply(): PipelineBuilder = new PipelineBuilder()
+}

@@ -153,4 +153,47 @@ class EnricherSpec extends SparkSpec {
       new Enricher(spec, new MockLlmClient()).enrich(rows)
     }
   }
+
+  test("caching client: second run answers from cache with zero spend") {
+    import graft.llm.CachingClient
+    CachingClient.drop("spec-cache")
+    val df = (0 until 25).map(i => s"c $i").toDF("text")
+    val client = new CachingClient(new MockLlmClient(
+      inPer1k = BigDecimal("0.5"), outPer1k = BigDecimal("0.5")),
+      "spec-cache")
+    def run() = Enricher.enrich(df, "C:{text}", Seq("out"), client)
+    val r1 = run()
+    assert(r1.metrics.cost.signum > 0)
+    val before = MockLlmClient.calls.get()
+    val r2 = run()
+    assert(MockLlmClient.calls.get() == before,
+      "cache hits must not reach the inner client")
+    assert(r2.metrics.cost.signum == 0, s"cached spend: ${r2.metrics.cost}")
+    assert(r2.quality.validRows == 25)
+    val got = r2.data.select("text", "out").as[(String, String)]
+      .collect().toMap
+    assert(got("c 3") == MockLlmClient.md5Hex("C:c 3"))
+  }
+
+  test("fluent builder mirrors the spec tree and runs end-to-end") {
+    val df = Seq(("good day", "en"), ("schlechter tag", "de"))
+      .toDF("text", "lang")
+    val r = graft.run.PipelineBuilder()
+      .withTemplate("B:{text}")
+      .withOutputColumns("out")
+      .withFilter("lang", "en")
+      .withBatchSize(2).withConcurrency(2)
+      .withModel("mock").withMaxRetries(1)
+      .withAutoRetry(1)
+      .withClient(new MockLlmClient())
+      .run(df)
+    assert(r.metrics.rows == 1) // filter kept only the en row
+    assert(r.data.select("out").as[String].head() ==
+      MockLlmClient.md5Hex("B:good day"))
+    // builder validation catches bad combinations up front
+    intercept[IllegalArgumentException] {
+      graft.run.PipelineBuilder().withTemplate("no placeholders")
+        .withOutputColumns("x").build()
+    }
+  }
 }

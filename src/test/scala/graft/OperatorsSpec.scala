@@ -147,4 +147,18 @@ class OperatorsSpec extends SparkSpec {
     assert(out.groupBy("query_id", "neighbor_id").count()
       .filter(col("count") > 1).isEmpty)
   }
+
+  test("preprocessing stats: changed/truncated/removed counters") {
+    import graft.ops.Preprocess
+    val df = Seq(
+      "clean text",
+      "  spaced\u00ae  out  ",
+      ("w " * 50).trim // 50 words -> truncates at 40 chars
+    ).toDF("text")
+    val st = Preprocess.stats(df, "text", maxLength = Some(40))
+    assert(st.rows == 3)
+    assert(st.changed == 2)   // rows 2 and 3 change, row 1 is untouched
+    assert(st.truncated == 1)
+    assert(st.charsRemoved > 0)
+  }
 }
