@@ -39,12 +39,27 @@ final class ContextStore(spark: SparkSession, dir: String) {
 
   /** Top-k claims by TF-IDF cosine relevance to the query, min-score
     * filtered — the evidence-retrieval shape (reference:
-    * evidence_retrieval_stage.py:57-113). */
+    * evidence_retrieval_stage.py:57-113). Scores every claim against the
+    * one query (fine for interactive probes; for query SETS use
+    * [[searchAll]], which probes an inverted index instead). */
   def search(query: String, k: Int, minScore: Double = 0.0): DataFrame = {
     val scored = claims.withColumn("relevance",
       TfIdf.tfidfCosine2(lit(query), col("text")))
       .filter(col("relevance") >= minScore)
     scored.orderBy(col("relevance").desc, col("claim_id")).limit(k)
+  }
+
+  /** Batch search: top-k claims per query row via the sparse inverted
+    * index (the FTS5 side-index equivalent — store.rs:260-335): postings
+    * join touches only matching terms, never the full claim table per
+    * query. `queries`: (qidCol, qtextCol); output: query_id, rank,
+    * claim_id, score. */
+  def searchAll(queries: DataFrame, qidCol: String, qtextCol: String,
+                k: Int, minScore: Double = 0.0): DataFrame = {
+    val index = graft.rag.SparseIndex.build(claims, "claim_id", "text")
+    graft.rag.SparseIndex.search(index, queries, qidCol, qtextCol, k)
+      .filter(col("score") >= minScore)
+      .withColumnRenamed("id", "claim_id")
   }
 
   /** Ground a response against stored claims: best-claim cosine as the

@@ -9,6 +9,7 @@ import graft.run.Enricher
   * must broadcast, and the enrichment fast path must stay shuffle-free.
   */
 class PlanSpec extends SparkSpec {
+  import spark.implicits._
 
   private val dir = "/root/testdata/sf0.001"
 
@@ -48,5 +49,49 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"expected codegen spans:\n$p")
     assert(p.contains("partial_sum"),
       "expected map-side partial aggregation before the shuffle")
+  }
+
+  test("bucketed tables join without any exchange") {
+    import graft.operators.Bucketing
+    val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
+    val facts = (0 until 1000).map(i => (i.toLong % 97, s"f$i"))
+      .toDF("k", "payload")
+    val dims = (0 until 500).map(i => (i.toLong % 97, i * 2))
+      .toDF("k", "score")
+    Bucketing.writeBucketed(facts, "bk_facts", s"$dir/facts", "k", 8)
+    Bucketing.writeBucketed(dims, "bk_dims", s"$dir/dims", "k", 8)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = Bucketing.table(spark, "bk_facts")
+        .join(Bucketing.table(spark, "bk_dims"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n$plan")
+      // and it is still correct
+      val expect = facts.join(dims, "k").count()
+      assert(joined.count() == expect)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS bk_facts")
+      spark.sql("DROP TABLE IF EXISTS bk_dims")
+    }
+  }
+
+  test("context store batch search probes the index, not all claims") {
+    import graft.verify.ContextStore
+    val dir = java.nio.file.Files.createTempDirectory("graft_ctx").toString
+    val store = new ContextStore(spark, dir)
+    store.store(Seq(
+      (1L, "solar panels convert sunlight", "Factual", "", 0L),
+      (2L, "wind turbines harvest kinetic energy", "Factual", "", 0L),
+      (3L, "pasta should boil eleven minutes", "Factual", "", 0L))
+      .toDF("claim_id", "text", "claim_type", "source_ref", "support_count"))
+    val queries = Seq((10L, "sunlight solar power"), (11L, "boil pasta"))
+      .toDF("qid", "qtext")
+    val hits = store.searchAll(queries, "qid", "qtext", k = 1)
+      .select("query_id", "claim_id").as[(Long, Long)].collect().toMap
+    assert(hits(10L) == 1L)
+    assert(hits(11L) == 3L)
   }
 }
