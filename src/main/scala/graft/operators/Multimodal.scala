@@ -38,6 +38,62 @@ object Multimodal {
         (n % 30 + 1).toInt)
     }
 
+  /** Frame sampling plumbing: one output row per sampled frame
+    * (`frame_idx`, `frame` binary) — the video frame-sample shape. The
+    * stub "frame" is a deterministic 16-byte slice of the payload at
+    * idx*16 (a real decoder would seek and decode the keyframe there);
+    * the explode happens partition-locally inside the same batched pass,
+    * no shuffle. Sampled indices: 0, stride, 2*stride, ... < n_frames. */
+  def sampleFrames(df: DataFrame, binaryCol: String,
+                   stride: Int = 1): DataFrame = {
+    require(stride >= 1, "stride must be >= 1")
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add("frame_idx", IntegerType, nullable = false)
+      .add("frame", BinaryType, nullable = true)
+    val binAt = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        val payloads = batch.map(r =>
+          if (r.isNullAt(binAt)) null else r.getAs[Array[Byte]](binAt))
+        val metas = decodeBatch(payloads)
+        batch.lazyZip(payloads).lazyZip(metas).flatMap { (r, bytes, m) =>
+          val nFrames = m.getInt(3)
+          (0 until nFrames by stride).map { i =>
+            val frame =
+              if (bytes == null) null
+              else bytes.slice(math.min(i * 16, bytes.length),
+                math.min(i * 16 + 16, bytes.length))
+            Row.fromSeq(r.toSeq ++ Seq(i, frame))
+          }
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Feature-extraction plumbing: a deterministic `dim`-long float
+    * embedding per payload (stub: arithmetic on payload length — a real
+    * extractor would run the vision/audio model on the decoded batch).
+    * Same batched partition pass, embedding lands as array<float>. */
+  def extractFeatures(df: DataFrame, binaryCol: String,
+                      dim: Int = 16): DataFrame = {
+    val inSchema = df.schema
+    val outSchema = inSchema
+      .add("features", ArrayType(FloatType, containsNull = false))
+    val binAt = inSchema.fieldIndex(binaryCol)
+    df.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          val n = if (r.isNullAt(binAt)) 0L
+            else r.getAs[Array[Byte]](binAt).length.toLong
+          val feats = Array.tabulate(dim)(d =>
+            (((n * 31 + d * 7) % 997) / 997.0).toFloat)
+          Row.fromSeq(r.toSeq :+ feats.toSeq)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Attach decoded media metadata as a `media_meta` struct column.
     * Partition-local, batched, passthrough of all input columns. */
   def withDecodedMeta(df: DataFrame, binaryCol: String): DataFrame = {

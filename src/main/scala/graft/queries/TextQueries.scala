@@ -205,6 +205,34 @@ object TextQueries {
       |  ((octet_length(encode(text)) % 30) + 1)::INT AS n_frames
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Frame-sampling plumbing: one row per sampled frame (stride 3),
+    * frames being deterministic 16-byte payload slices — proves the
+    * partition-local explode contract, byte-exact, via frame length and
+    * leading-byte hex. */
+  def q37FrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val withBin = tp(spark, dir, "documents").filter(col("doc_id") < 50)
+      .withColumn("content", to_binary(col("text"), lit("UTF-8")))
+    Multimodal.sampleFrames(withBin, "content", stride = 3)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).as("frame_len"),
+        when(length(col("frame")) === 0, lit(""))
+          .otherwise(hex(substring(col("frame"), 1, 1))).as("head_hex"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val q37Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id < 50),
+      |f AS (
+      |  SELECT doc_id, h,
+      |    unnest(range(0, (n % 30 + 1)::INT, 3)) AS frame_idx
+      |  FROM d)
+      |SELECT doc_id, frame_idx::INT AS frame_idx,
+      |  (length(substring(h, frame_idx*32 + 1, 32)) // 2)::INT AS frame_len,
+      |  substring(h, frame_idx*32 + 1, 2) AS head_hex
+      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> q30TokenStats _,
     "q31_lang_id" -> q31LangId _,
@@ -212,7 +240,8 @@ object TextQueries {
     "q33_minhash_sigs" -> q33MinhashSigs _,
     "q34_lsh_near_dups" -> q34NearDups _,
     "q35_simhash" -> q35Simhash _,
-    "q36_multimodal_meta" -> q36Multimodal _)
+    "q36_multimodal_meta" -> q36Multimodal _,
+    "q37_frame_sample" -> q37FrameSample _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -221,5 +250,6 @@ object TextQueries {
     "q33_minhash_sigs" -> q33Sql,
     "q34_lsh_near_dups" -> q34Sql,
     "q35_simhash" -> q35Sql,
-    "q36_multimodal_meta" -> q36Sql)
+    "q36_multimodal_meta" -> q36Sql,
+    "q37_frame_sample" -> q37Sql)
 }

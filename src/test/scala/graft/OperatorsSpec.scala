@@ -161,4 +161,24 @@ class OperatorsSpec extends SparkSpec {
     assert(st.truncated == 1)
     assert(st.charsRemoved > 0)
   }
+
+  test("multimodal feature extraction: deterministic, bounded, batched") {
+    import graft.operators.Multimodal
+    val df = Seq("alpha", "beta beta beta").toDF("text")
+      .withColumn("content", to_binary(col("text"), lit("UTF-8")))
+    val out = Multimodal.extractFeatures(df, "content", dim = 8)
+    val feats = out.select("text", "features")
+      .as[(String, Seq[Float])].collect().toMap
+    assert(feats("alpha").length == 8)
+    assert(feats.values.forall(_.forall(f => f >= 0f && f < 1f)))
+    // deterministic across runs
+    val again = Multimodal.extractFeatures(df, "content", dim = 8)
+      .select("text", "features").as[(String, Seq[Float])].collect().toMap
+    assert(again == feats)
+    // and usable downstream by the ANN operators
+    val vecs = out.withColumn("vec_id", monotonically_increasing_id())
+      .select(col("vec_id"), col("features").as("embedding"))
+    val knn = graft.operators.Similarity.bruteForceTopK(vecs, vecs, 1)
+    assert(knn.count() == 2)
+  }
 }
