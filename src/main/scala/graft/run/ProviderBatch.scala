@@ -46,7 +46,15 @@ object ProviderBatch {
         .write.mode("overwrite").json(s"$workDir/$jobId")
       jobId
     }
-    def poll(jobId: String): String = "SUCCEEDED"
+    def poll(jobId: String): String = {
+      // real state, not a stub: the job is done when the result write
+      // committed (Spark's _SUCCESS marker), PENDING before, FAILED if the
+      // dir exists without a committed write
+      val dir = new java.io.File(s"$workDir/$jobId")
+      if (new java.io.File(dir, "_SUCCESS").exists()) "SUCCEEDED"
+      else if (dir.exists()) "FAILED"
+      else "PENDING"
+    }
     def collect(jobId: String): String = s"$workDir/$jobId"
   }
 

@@ -272,4 +272,67 @@ class RunRegistrySpec extends SparkSpec {
     assert(r.quality.validRows < 30)
     assert(reg.list().head.state == RunState.Partial)
   }
+
+  test("sub-pipeline isolation: a failed micro-batch replays alone, others never do") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val srcDir = Files.createTempDirectory("graft_iso_in").toString
+    val ckpt = Files.createTempDirectory("graft_iso_ckpt").toString
+    // 4 files -> 4 micro-batches (maxFilesPerTrigger=1); file 2 is poisoned
+    (0 until 4).foreach { f =>
+      (0 until 10).map(i => s"m $f $i" +
+        (if (f == 2 && i == 0) " poison" else ""))
+        .toDF("text").coalesce(1).write.parquet(s"$srcDir/f$f")
+    }
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("I:{text}", batchSize = 5),
+      llm = LlmSpec(maxRetries = 0),
+      output = OutputSpec(Seq("out")))
+    PoisonOnceClient.armed.set(true)
+    PoisonOnceClient.delivered.clear()
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/*")
+      val q = graft.streaming.StreamingEnrich.start(
+        stream, spec, new PoisonOnceClient, ckpt,
+        (batch, _) => batch.select("text").as[String]
+          .collect().foreach(PoisonOnceClient.delivered.add))
+      q.awaitTermination()
+    }
+    // first run dies on the poisoned batch (before its sink write)
+    intercept[Exception](run())
+    val afterCrash = PoisonOnceClient.delivered.size()
+    assert(afterCrash < 40, "the poisoned batch must not reach the sink")
+    assert(!PoisonOnceClient.armed.get(), "poison should have fired")
+    // restart from the same checkpoint: only the failed batch replays
+    run()
+    import scala.jdk.CollectionConverters._
+    val all = PoisonOnceClient.delivered.asScala.toSeq
+    assert(all.size == 40, s"expected 40 rows once each, got ${all.size}")
+    assert(all.distinct.size == 40, "completed batches must not re-deliver")
+  }
+}
+
+/** Throws once on the poisoned prompt, then heals — companion-object state
+  * because clients re-serialize into task closures. */
+final class PoisonOnceClient extends graft.llm.LlmClient {
+  def model = "poison-once"
+  def invoke(prompt: String,
+             sys: Option[String]): graft.llm.LlmResponse = {
+    if (prompt.contains("poison") &&
+        PoisonOnceClient.armed.compareAndSet(true, false))
+      throw new graft.llm.NetworkError("poisoned batch")
+    graft.llm.LlmResponse(graft.llm.MockLlmClient.md5Hex(prompt), 1, 1,
+      model, java.math.BigDecimal.ZERO, 0.0)
+  }
+}
+
+object PoisonOnceClient {
+  val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
+  val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
