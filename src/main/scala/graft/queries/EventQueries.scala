@@ -77,6 +77,49 @@ object EventQueries {
       |  COUNT(*) AS n
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Streaming exact dedup: the event file staged TWICE into the stream
+    * directory (every event arrives as a duplicate), drained through
+    * stateful dropDuplicates on event_id, then aggregated — output must
+    * equal the single-copy batch counts. The 100 TB shape is
+    * dropDuplicatesWithinWatermark (bounded state); here the unbounded
+    * variant keeps the oracle exact regardless of file arrival order,
+    * and the watermarked form is exercised in StatefulSessionizerSpec
+    * territory (stateful ops + event time). */
+  def q55StreamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_dup_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    for (name <- Seq("a.parquet", "b.parquet")) {
+      val link = streamDir.resolve(name)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+    }
+    val sinkName = "graft_stream_dedup"
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val query = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(col("event_type"), col("n"))
+      .orderBy("event_type")
+  }
+
+  val q55Sql: String =
+    """SELECT event_type, COUNT(*) AS n
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Sessionization: a session break is a >30 min gap per user
     * (gaps-and-islands via lag + running sum). */
   def q52Sessionize(spark: SparkSession, dir: String): DataFrame = {
@@ -157,12 +200,14 @@ object EventQueries {
     "q51_streaming_rollup" -> q51StreamingRollup _,
     "q52_sessionize" -> q52Sessionize _,
     "q53_asof_join" -> q53AsOfJoin _,
-    "q54_json_props" -> q54JsonProps _)
+    "q54_json_props" -> q54JsonProps _,
+    "q55_streaming_dedup" -> q55StreamingDedup _)
 
   val oracles: Map[String, String] = Map(
     "q50_hourly_rollup" -> q50Sql,
     "q51_streaming_rollup" -> q51Sql,
     "q52_sessionize" -> q52Sql,
     "q53_asof_join" -> q53Sql,
-    "q54_json_props" -> q54Sql)
+    "q54_json_props" -> q54Sql,
+    "q55_streaming_dedup" -> q55Sql)
 }
