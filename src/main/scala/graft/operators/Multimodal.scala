@@ -94,6 +94,34 @@ object Multimodal {
     }(Encoders.row(outSchema))
   }
 
+  /** Resize plumbing: re-encode each payload to a `width*height`-byte
+    * buffer (stub: cycle the source bytes — a real implementation decodes,
+    * scales, and re-encodes the pixel buffer here). Output replaces the
+    * binary column's content and carries a `resized_meta` struct with the
+    * target dimensions; same batched partition pass, no shuffle. */
+  def resizeTo(df: DataFrame, binaryCol: String,
+               width: Int, height: Int): DataFrame = {
+    require(width > 0 && height > 0, "target dims must be positive")
+    val inSchema = df.schema
+    val outSchema = inSchema.add("resized_meta", metaSchema, nullable = false)
+    val binAt = inSchema.fieldIndex(binaryCol)
+    val outLen = width * height
+    df.mapPartitions { rows =>
+      rows.grouped(DecodeBatchSize).flatMap { batch =>
+        batch.map { r =>
+          val bytes =
+            if (r.isNullAt(binAt)) Array.emptyByteArray
+            else r.getAs[Array[Byte]](binAt)
+          val resized =
+            if (bytes.isEmpty) new Array[Byte](outLen)
+            else Array.tabulate(outLen)(i => bytes(i % bytes.length))
+          val meta = Row(outLen.toLong, width, height, 1)
+          Row.fromSeq(r.toSeq.updated(binAt, resized) :+ meta)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
   /** Attach decoded media metadata as a `media_meta` struct column.
     * Partition-local, batched, passthrough of all input columns. */
   def withDecodedMeta(df: DataFrame, binaryCol: String): DataFrame = {

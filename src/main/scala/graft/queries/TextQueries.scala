@@ -233,6 +233,32 @@ object TextQueries {
       |  substring(h, frame_idx*32 + 1, 2) AS head_hex
       |FROM f ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Resize plumbing: payloads re-encoded to a 32x24-byte buffer (stub:
+    * source bytes cycled). The oracle checks the buffer byte-exactly at
+    * its ends — out length, head byte, and tail byte (= source byte at
+    * (out_len-1) mod n) — via hex-string arithmetic. */
+  def q38Resize(spark: SparkSession, dir: String): DataFrame = {
+    val withBin = tp(spark, dir, "documents").filter(col("doc_id") < 100)
+      .withColumn("content", to_binary(col("text"), lit("UTF-8")))
+    Multimodal.resizeTo(withBin, "content", width = 32, height = 24)
+      .select(col("doc_id"),
+        length(col("content")).as("out_len"),
+        col("resized_meta.width").as("width"),
+        col("resized_meta.height").as("height"),
+        hex(substring(col("content"), 1, 1)).as("head_hex"),
+        hex(substring(col("content"), 32 * 24, 1)).as("tail_hex"))
+      .orderBy("doc_id")
+  }
+
+  val q38Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT doc_id, 768 AS out_len, 32 AS width, 24 AS height,
+      |  substring(h, 1, 2) AS head_hex,
+      |  substring(h, ((768 - 1) % n) * 2 + 1, 2) AS tail_hex
+      |FROM d ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> q30TokenStats _,
     "q31_lang_id" -> q31LangId _,
@@ -241,7 +267,8 @@ object TextQueries {
     "q34_lsh_near_dups" -> q34NearDups _,
     "q35_simhash" -> q35Simhash _,
     "q36_multimodal_meta" -> q36Multimodal _,
-    "q37_frame_sample" -> q37FrameSample _)
+    "q37_frame_sample" -> q37FrameSample _,
+    "q38_resize" -> q38Resize _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -251,5 +278,6 @@ object TextQueries {
     "q34_lsh_near_dups" -> q34Sql,
     "q35_simhash" -> q35Sql,
     "q36_multimodal_meta" -> q36Sql,
-    "q37_frame_sample" -> q37Sql)
+    "q37_frame_sample" -> q37Sql,
+    "q38_resize" -> q38Sql)
 }
