@@ -41,20 +41,29 @@ object Bench {
     // two runs is the stable signal and also absorbs first-query JVM/codegen
     // warmup.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
-    def timeBest(f: => Unit, between: () => Unit = () => ()): Double =
-      (1 to reps).map { _ => val t = time(f); between(); t }.min
+    // a rep that threw must not publish its fast-fail duration as the
+    // "best" time: prefer the min over successful reps, fall back to the
+    // max (slowest, most honest) timing only when every rep failed
+    def timeBest(f: => Unit, between: () => Unit = () => ()): Double = {
+      val runs = (1 to reps).map { _ =>
+        var ok = true
+        val t = time { try f catch { case e: Throwable => ok = false
+          System.err.println(s"[bench] rep failed: ${e.getMessage}") } }
+        between()
+        (t, ok)
+      }
+      val good = runs.collect { case (t, true) => t }
+      if (good.nonEmpty) good.min else runs.map(_._1).max
+    }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     // 1. the full query inventory (cache cleared between runs so
     // operator-internal persists don't leak memory pressure across runs)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = timeBest({
-        try fn(spark, sfDir).count()
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-      }, () => spark.catalog.clearCache())
+      results(name) = timeBest(
+        { fn(spark, sfDir).count(): Unit },
+        () => spark.catalog.clearCache())
     }
 
     // 2. BASELINE-aligned arms: 100k-row enrichment, mock client, batch 50.
@@ -70,11 +79,7 @@ object Bench {
     // a failing arm must never kill the bench — log and move on so the
     // JSON line always prints
     def arm(name: String)(f: => Unit): Unit =
-      results(name) = timeBest({
-        try f catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-      })
+      results(name) = timeBest(f)
 
     arm("enrich_100k_batch50") {
       val r = Enricher.enrich(rows100k, "Classify the tone of: {review}",

@@ -68,6 +68,12 @@ final case class PromptSpec(
     /** `{column}` placeholder template (python str.format semantics:
       * reference ondine/stages/prompt_formatter_stage.py:139-144). */
     template: String,
+    /** "format" | "jinja"; None = auto-detect Jinja iff the template
+      * uses `{{`/`{%` — the reference's rule (prompt_formatter_stage.py
+      * :79-89, spec flag specifications.py:482-485). Set "format"
+      * explicitly when a str.format template needs literal braces via
+      * the `{{`/`}}` escape. */
+    templateFormat: Option[String] = None,
     systemMessage: Option[String] = None,
     /** >1 enables mega-prompt batching: N rows per API call
       * (reference: ondine/stages/batch_aggregator_stage.py). */
@@ -160,7 +166,7 @@ final case class PipelineSpec(
     * (ondine/api/pipeline.py:202-216, specifications.py:108-118,155-163).
     */
   def validate(): Unit = {
-    val vars = TemplateCompiler.variables(prompt.template)
+    val vars = TemplateCompiler.variables(prompt.template, prompt.templateFormat)
     require(vars.nonEmpty, s"template has no {placeholders}: ${prompt.template}")
     val missing = vars.filterNot(dataset.inputColumns.contains)
     require(missing.isEmpty,

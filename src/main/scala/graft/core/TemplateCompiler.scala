@@ -45,21 +45,36 @@ object TemplateCompiler {
     parts.toSeq
   }
 
+  /** Is this template Jinja? The spec flag wins; None auto-detects on the
+    * Jinja delimiters — exactly the reference's rule
+    * (prompt_formatter_stage.py:79-89: Jinja2 iff `{{` present AND the
+    * flag is unset). A format template that needs literal braces via the
+    * `{{`/`}}` escape sets templateFormat = "format". */
+  def isJinja(template: String, format: Option[String]): Boolean =
+    format match {
+      case Some("jinja")  => true
+      case Some("format") => false
+      case Some(other) => throw new IllegalArgumentException(
+        s"unknown template format: $other (use \"format\" or \"jinja\")")
+      case None => JinjaLite.detect(template)
+    }
+
   /** Column names referenced by the template, in order of first use.
-    * Jinja templates (auto-detected on `{{`/`{%`, like the reference
-    * formatter) report the AST's free variables. */
-  def variables(template: String): Seq[String] =
-    if (JinjaLite.detect(template))
+    * Jinja templates report the AST's free variables. */
+  def variables(template: String,
+                format: Option[String] = None): Seq[String] =
+    if (isJinja(template, format))
       JinjaLite.freeVariables(JinjaLite.parseTemplate(template))
     else parse(template).collect { case Var(name) => name }.distinct
 
   /** Compile to one Column. Null-safe: missing values become "".
-    * `{col}` templates compile to a codegen'd concat expression; templates
-    * using Jinja delimiters render through the JinjaLite interpreter (a
-    * UDF over a struct of only the free variables — dynamic control flow
-    * cannot be a static expression, but pruning still reaches the scan). */
-  def compile(template: String): Column =
-    if (JinjaLite.detect(template)) compileJinja(template)
+    * `{col}` templates compile to a codegen'd concat expression; Jinja
+    * templates render through the JinjaLite interpreter (a UDF over a
+    * struct of only the free variables — dynamic control flow cannot be
+    * a static expression, but pruning still reaches the scan). */
+  def compile(template: String,
+              format: Option[String] = None): Column =
+    if (isJinja(template, format)) compileJinja(template)
     else {
       val cols = parse(template).map {
         case Lit(s)    => lit(s)
@@ -89,7 +104,7 @@ object TemplateCompiler {
     * (reference: ondine/stages/prompt_formatter_stage.py:148-167).
     */
   def compileFull(spec: PromptSpec, contextCol: Option[Column] = None): Column = {
-    val base = compile(spec.template)
+    val base = compile(spec.template, spec.templateFormat)
     val fewShotText =
       if (spec.fewShot.isEmpty) lit("")
       else lit(spec.fewShot.map { case (q, a) => s"$q\n$a" }

@@ -13,9 +13,11 @@ import java.util.concurrent.atomic.AtomicLong
   *    stable across retries of the same row (a retry lands on the same
   *    deployment unless it fails over), reproducible in tests.
   *  - RoundRobin: atomic counter across all partition threads.
-  *  - On ANY deployment error, the call fails over through the remaining
-  *    deployments in weight order before propagating the last error
-  *    (router_strategies.py fallback chain).
+  *  - On a deployment error the call fails over through the remaining
+  *    deployments in declaration order before propagating the last error
+  *    (router_strategies.py fallback chain). RateLimitError is NOT
+  *    failed over: it propagates so the retry handler can honor
+  *    retry-after and penalize the shared bucket.
   */
 final class RouterClient(
     deployments: Seq[(LlmClient, Double)],
@@ -49,7 +51,10 @@ final class RouterClient(
     var lastErr: Throwable = null
     order.foreach { c =>
       try return c.invoke(prompt, systemMessage)
-      catch { case e: LlmError => lastErr = e }
+      catch {
+        case e: RateLimitError => throw e // retry-after handled upstream
+        case e: LlmError       => lastErr = e
+      }
     }
     throw lastErr
   }

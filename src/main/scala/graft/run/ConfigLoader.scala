@@ -95,8 +95,9 @@ object ConfigLoader {
 
     val template = str(pr, "template").getOrElse(
       throw new IllegalArgumentException("prompt.template is required"))
+    val templateFormat = str(pr, "template_format")
     val inputCols = ds.map(strs(_, "input_columns")).filter(_.nonEmpty)
-      .getOrElse(TemplateCompiler.variables(template))
+      .getOrElse(TemplateCompiler.variables(template, templateFormat))
 
     PipelineSpec(
       dataset = DatasetSpec(
@@ -106,6 +107,7 @@ object ConfigLoader {
         encoding = ds.flatMap(str(_, "encoding")).getOrElse("UTF-8")),
       prompt = PromptSpec(
         template = template,
+        templateFormat = templateFormat,
         systemMessage = str(pr, "system_message"),
         batchSize = num(pr, "batch_size").getOrElse(1)),
       llm = lm.map(n => LlmSpec(

@@ -73,7 +73,8 @@ final class Enricher(
     (spec.evidence, evidenceCorpus) match {
       case (Some(ev), Some(corpus)) =>
         val withQ = indexed.withColumn("_ev_query",
-          TemplateCompiler.compile(spec.prompt.template))
+          TemplateCompiler.compile(spec.prompt.template,
+            spec.prompt.templateFormat))
         val attached = graft.verify.EvidenceRetrieval.attach(
           withQ, ColName, "_ev_query", corpus, ev.idCol, ev.textCol,
           ev.topK, ev.minScore).drop("_ev_query")
@@ -104,7 +105,8 @@ final class Enricher(
     // 2. optional input preprocessing on the template's input columns
     val pre =
       if (!spec.processing.preprocessInput) filtered
-      else TemplateCompiler.variables(spec.prompt.template).foldLeft(filtered) {
+      else TemplateCompiler.variables(spec.prompt.template,
+        spec.prompt.templateFormat).foldLeft(filtered) {
         (d, c) => d.withColumn(c, Preprocess.clean(col(c),
           spec.processing.maxInputLength))
       }
@@ -190,8 +192,15 @@ final class Enricher(
     val budget = new BudgetController(spec.processing.maxBudget)
     val addedIndex = !pre.columns.contains(RowIndex.ColName)
     val indexed0 = RowIndex.withRowIndex(pre, keyColumn)
-    // evidence columns attach to the base frame so they survive the merge
-    val indexed = formatWithEvidence(indexed0)
+    // evidence columns attach to the base frame so they survive the merge;
+    // WITH evidence the frame embeds a full distributed retrieval join, so
+    // persist it - otherwise every chunk's range filter (and the final
+    // merge) would re-run the whole top-k search
+    val indexed = {
+      val f = formatWithEvidence(indexed0)
+      if (spec.evidence.isDefined) f.persist(StorageLevel.MEMORY_AND_DISK)
+      else f
+    }
     val formatted = indexed.select(col(ColName), col("prompt"))
 
     def invokeRows(rows: DataFrame): DataFrame =
@@ -292,9 +301,10 @@ final class Enricher(
   /** All output columns null/blank — the auto-retry trigger; counted as
     * `_blank` inside the main aggregation pass so a clean run never pays a
     * separate existence probe. */
-  private def allBlankExpr = spec.output.outputColumns
-    .map(c => col(c).isNull || trim(col(c).cast("string")) === "")
-    .reduce(_ && _)
+  private def allBlankExpr = !col("skipped") &&
+    spec.output.outputColumns
+      .map(c => col(c).isNull || trim(col(c).cast("string")) === "")
+      .reduce(_ && _)
 
   /** Auto-retry rows whose outputs all came back null/blank (reference:
     * ondine/api/pipeline.py:1741-1879; skipped rows carry the sentinel and

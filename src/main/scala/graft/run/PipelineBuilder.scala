@@ -48,6 +48,8 @@ final class PipelineBuilder private () {
   // --- prompt -----------------------------------------------------------
   def withTemplate(t: String): this.type =
     { prompt = prompt.copy(template = t); this }
+  def withTemplateFormat(f: String): this.type =
+    { prompt = prompt.copy(templateFormat = Some(f)); this }
   def withSystemMessage(m: String): this.type =
     { prompt = prompt.copy(systemMessage = Some(m)); this }
   def withBatchSize(n: Int): this.type =
@@ -128,7 +130,8 @@ final class PipelineBuilder private () {
   def build(): PipelineSpec = {
     val ds = if (dataset.inputColumns.nonEmpty) dataset
       else dataset.copy(
-        inputColumns = TemplateCompiler.variables(prompt.template))
+        inputColumns = TemplateCompiler.variables(prompt.template,
+          prompt.templateFormat))
     val spec = PipelineSpec(ds, prompt, llm, processing, output, evidence)
     spec.validate()
     spec

@@ -78,14 +78,22 @@ final class RunRegistry(baseDir: String) {
     if (!Files.exists(p)) None else Some(parse(Files.readString(p)))
   }
 
-  def list(): Seq[RunRecord] =
-    Files.list(dir).iterator().asScala
-      .filter(_.toString.endsWith(".json"))
+  def list(): Seq[RunRecord] = {
+    val stream = Files.list(dir)
+    try stream.iterator().asScala
+      .filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".json") && !n.startsWith(".")
+      }
       .map(p => parse(Files.readString(p)))
       .toSeq.sortBy(_.createdMs)
+    finally stream.close()
+  }
 
   private def save(rec: RunRecord): Unit = {
-    val tmp = Files.createTempFile(dir, ".tmp_", ".json")
+    // hidden non-.json suffix: a crash-orphaned temp file must never be
+    // picked up (or half-read) by list()
+    val tmp = Files.createTempFile(dir, ".tmp_", ".part")
     Files.writeString(tmp, render(rec))
     Files.move(tmp, fileFor(rec.runId), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)

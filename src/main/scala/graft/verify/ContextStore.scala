@@ -57,7 +57,8 @@ final class ContextStore(spark: SparkSession, dir: String) {
   def searchAll(queries: DataFrame, qidCol: String, qtextCol: String,
                 k: Int, minScore: Double = 0.0): DataFrame = {
     val index = graft.rag.SparseIndex.build(claims, "claim_id", "text")
-    graft.rag.SparseIndex.search(index, queries, qidCol, qtextCol, k)
+    graft.rag.SparseIndex.search(index, queries, qidCol, qtextCol, k,
+      broadcastQueries = false)
       .filter(col("score") >= minScore)
       .withColumnRenamed("id", "claim_id")
   }

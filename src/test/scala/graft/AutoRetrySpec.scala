@@ -109,4 +109,29 @@ class AutoRetrySpec extends SparkSpec {
     assert(r.quality.validRows == 0)
     assert(r.data.filter(col("label").isNotNull).count() == 0)
   }
+
+  test("skipped rows are never auto-retried, even with null typed outputs") {
+    import org.apache.spark.sql.types._
+    // every 2nd call fails permanently -> error policy SKIP marks those
+    // rows skipped; Typed format writes null outputs for them, which must
+    // NOT look like retryable blanks
+    val client = new MockLlmClient(structuredJson = true, failEveryN = 2)
+    val df = (0 until 10).map(i => s"sk $i").toDF("text").repartition(1)
+    val schema = StructType(Seq(StructField("label", StringType)))
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("K:{text}", batchSize = 1),
+      llm = LlmSpec(maxRetries = 0),
+      processing = ProcessingSpec(errorPolicy = ErrorPolicy.Skip,
+        autoRetryAttempts = 3),
+      output = OutputSpec(Seq("label"),
+        responseFormat = ResponseFormat.Typed, typedSchema = Some(schema)))
+    val before = MockLlmClient.calls.get()
+    val r = new Enricher(spec, client).enrich(df)
+    // exactly the 10 original calls - the retry loop must not have fired
+    assert(MockLlmClient.calls.get() - before == 10,
+      s"skipped rows were re-invoked: ${MockLlmClient.calls.get() - before}")
+    assert(r.metrics.skippedRows == 5)
+    assert(r.quality.validRows == 5)
+  }
 }

@@ -119,4 +119,19 @@ class TemplateSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](JinjaLite.parseTemplate("{{ x"))
     intercept[IllegalArgumentException](JinjaLite.parseTemplate("{% endspam %}"))
   }
+
+  test("templateFormat flag overrides Jinja auto-detect (brace escapes)") {
+    // auto-detect routes {{ to Jinja (the reference rule)...
+    assert(TemplateCompiler.isJinja("{{ x }}", None))
+    // ...but an explicit format template keeps the str.format escape
+    val t = """Reply as JSON like {{"label": "x"}}. Input: {text}"""
+    assert(!TemplateCompiler.isJinja(t, Some("format")))
+    assert(TemplateCompiler.variables(t, Some("format")) == Seq("text"))
+    val parts = TemplateCompiler.parse(t)
+    assert(parts.head == Lit("""Reply as JSON like {"label": "x"}. Input: """))
+    // the flag also forces Jinja for delimiter-free templates
+    assert(TemplateCompiler.isJinja("plain", Some("jinja")))
+    intercept[IllegalArgumentException](
+      TemplateCompiler.isJinja("x", Some("nonsense")))
+  }
 }
