@@ -112,17 +112,48 @@ object EnrichQueries {
       |  CAST(length('Type: ' || COALESCE(text,'')) % 100 AS INT) AS score
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** Few-shot prompt assembly end-to-end: examples prepend in the
+    * reference's block order (example pairs, blank-line separated, then
+    * the rendered row template) — the md5 verdict proves the exact
+    * assembled prompt byte-for-byte. */
+  def qEnrichFewShot(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    val docs = tp(spark, dir, "documents")
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(inputColumns = Seq("text")),
+      prompt = PromptSpec("Grade: {text}",
+        batchSize = 10,
+        fewShot = Seq(
+          ("Grade: great product", "positive"),
+          ("Grade: total junk", "negative"))),
+      output = OutputSpec(Seq("grade")))
+    val r = new graft.run.Enricher(spec, new MockLlmClient(),
+      keyColumn = Some("doc_id")).enrich(docs)
+    r.data.select(col("doc_id"), col("grade")).orderBy("doc_id")
+  }
+
+  val qEnrichFewShotSql: String =
+    """SELECT doc_id, md5(
+      |  'Grade: great product' || chr(10) || 'positive' ||
+      |  chr(10) || chr(10) ||
+      |  'Grade: total junk' || chr(10) || 'negative' ||
+      |  chr(10) || chr(10) ||
+      |  'Grade: ' || COALESCE(text,'')) AS grade
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_enrich_single" -> qEnrichSingle _,
     "q21_enrich_batched" -> qEnrichBatched _,
     "q22_enrich_multivar" -> qEnrichMultiVar _,
     "q23_enrich_jinja" -> qEnrichJinja _,
-    "q24_enrich_typed" -> qEnrichTyped _)
+    "q24_enrich_typed" -> qEnrichTyped _,
+    "q25_enrich_fewshot" -> qEnrichFewShot _)
 
   val oracles: Map[String, String] = Map(
     "q20_enrich_single" -> qEnrichSingleSql,
     "q21_enrich_batched" -> qEnrichBatchedSql,
     "q22_enrich_multivar" -> qEnrichMultiVarSql,
     "q23_enrich_jinja" -> qEnrichJinjaSql,
-    "q24_enrich_typed" -> qEnrichTypedSql)
+    "q24_enrich_typed" -> qEnrichTypedSql,
+    "q25_enrich_fewshot" -> qEnrichFewShotSql)
 }
