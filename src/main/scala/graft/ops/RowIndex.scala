@@ -19,8 +19,18 @@ object RowIndex {
   def withRowIndex(df: DataFrame, keyColumn: Option[String] = None): DataFrame =
     if (df.columns.contains(ColName)) df
     else keyColumn match {
-      case Some(k) => df.withColumn(ColName, col(k).cast(LongType))
+      case Some(k) => df.withColumn(ColName, keyExpr(df, k))
       case None    => zipWithIndex(df)
+    }
+
+  /** Numeric keys cast to long; any other type hashes deterministically
+    * (string ids are the common real-world key — an ANSI cast would crash
+    * mid-job). xxhash64 collisions at 64 bits are negligible for resume/
+    * merge cardinalities; a collision could only merge two rows' results. */
+  def keyExpr(df: DataFrame, k: String): org.apache.spark.sql.Column =
+    df.schema(k).dataType match {
+      case _: org.apache.spark.sql.types.NumericType => col(k).cast(LongType)
+      case _ => xxhash64(col(k))
     }
 
   /** Contiguous 0-based index preserving the source row order. */

@@ -141,7 +141,7 @@ final class Enricher(
 
     val addedIndex = !stashed.columns.contains(ColName)
     val indexed = keyColumn match {
-      case Some(k) => stashed.withColumn(ColName, col(k).cast("long"))
+      case Some(k) => stashed.withColumn(ColName, RowIndex.keyExpr(stashed, k))
       case None if !addedIndex => stashed
       case None => stashed.withColumn(ColName, monotonically_increasing_id())
     }
@@ -208,12 +208,37 @@ final class Enricher(
         .withColumn("_attempt", lit(attemptSalt))
 
     val ledgerDir = runDir.map(_ + "/responses")
-    val total = formatted.agg(max(ColName)).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r                  => r.getLong(0) + 1
-    }
-    // The ledger is read ONCE, up front: chunks cover disjoint row-index
-    // ranges, so newly-invoked rows can never reappear in a later chunk's
+    // Chunk boundaries come from approximate key quantiles, NOT from a
+    // dense [0, max) stride: key columns may be sparse or hashed (string
+    // keys hash to the full long range — a stride loop there would
+    // iterate ~2^63/chunkRows times). Quantile cutoffs give ~chunkRows
+    // rows per slice for ANY key distribution; sentinel end-bounds keep
+    // the slices a complete partition of the key space even when the
+    // quantile sketch is off by a few rows.
+    val statsRow = formatted
+      .agg(count(lit(1)).as("n"), min(ColName), max(ColName)).head()
+    val nRows = statsRow.getLong(0)
+    val chunkRows = spec.processing.chunkRows.toLong
+    val numChunks =
+      if (nRows == 0) 0
+      else math.max(1L, (nRows + chunkRows - 1) / chunkRows).toInt
+    val bounds: Seq[(Option[Long], Option[Long])] =
+      if (numChunks <= 1) {
+        if (nRows == 0) Nil else Seq((None, None))
+      } else {
+        val probes = (1 until numChunks)
+          .map(i => i.toDouble / numChunks).toArray
+        val cuts = formatted
+          .select(col(ColName).cast("double").as("_k"))
+          .stat.approxQuantile("_k", probes, 0.001)
+          .map(_.toLong).toSeq.sorted
+        val los = None +: cuts.map(Option(_))
+        val his = cuts.map(Option(_)) :+ None
+        los.zip(his)
+      }
+
+    // The ledger is read ONCE, up front: chunks cover disjoint key ranges,
+    // so newly-invoked rows can never reappear in a later chunk's
     // anti-join — the done-set needs no per-chunk refresh. Spend is kept
     // incrementally (prior ledger cost + each chunk's own cost, aggregated
     // from the chunk's cache before it is released), so per-chunk work is
@@ -228,12 +253,15 @@ final class Enricher(
       if (budgetOn) priorLedger.map(callCost).getOrElse(JBigDecimal.ZERO)
       else JBigDecimal.ZERO
 
-    val chunkRows = spec.processing.chunkRows.toLong
     var chunks = Vector.empty[DataFrame]
-    var lo = 0L
-    while (lo < total) {
-      val hi = lo + chunkRows
-      val slice = formatted.filter(col(ColName) >= lo && col(ColName) < hi)
+    bounds.zipWithIndex.foreach { case ((lo, hi), chunkIdx) =>
+      val slice = (lo, hi) match {
+        case (None, None)         => formatted
+        case (None, Some(h))      => formatted.filter(col(ColName) < h)
+        case (Some(l), None)      => formatted.filter(col(ColName) >= l)
+        case (Some(l), Some(h))   =>
+          formatted.filter(col(ColName) >= l && col(ColName) < h)
+      }
       val missing = doneSet match {
         case Some(done) => slice.join(done, Seq(ColName), "left_anti")
         case None => slice
@@ -251,8 +279,7 @@ final class Enricher(
           chunks :+= p
       }
       if (budgetOn) budget.check(spent)
-      observers.emit(ChunkCompleted(runId, lo / chunkRows, spent))
-      lo = hi
+      observers.emit(ChunkCompleted(runId, chunkIdx.toLong, spent))
     }
     doneSet.foreach(_.unpersist())
     val invoked = (ledgerDir.flatMap(readLedger(spark, _)) match {

@@ -62,6 +62,31 @@ class ResumeSpec extends SparkSpec {
       "fully-cached resume must not re-invoke")
     assert(r.quality.validRows == 30)
   }
+  test("string key column: durable run chunks by key quantiles, resumes cleanly") {
+    // string keys hash to the full long range - a dense [0,max) stride
+    // loop would iterate ~2^63/chunkRows times (this test would hang)
+    val dir = java.nio.file.Files.createTempDirectory("graft_strkey").toString
+    val df = (0 until 60).map(i => s"id-$i" -> s"text $i")
+      .toDF("ext_id", "text").repartition(2)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("S:{text}", batchSize = 5),
+      processing = ProcessingSpec(chunkRows = 25),
+      output = OutputSpec(Seq("out")))
+    val r = new Enricher(spec, new MockLlmClient(),
+      runDir = Some(dir), keyColumn = Some("ext_id")).enrich(df)
+    assert(r.metrics.rows == 60)
+    assert(r.quality.validRows == 60)
+    val got = r.data.select("ext_id", "out").as[(String, String)]
+      .collect().toMap
+    assert(got("id-7") == MockLlmClient.md5Hex("S:text 7"))
+    // resume: nothing missing, nothing re-invoked
+    val before = MockLlmClient.calls.get()
+    val r2 = new Enricher(spec, new MockLlmClient(),
+      runDir = Some(dir), keyColumn = Some("ext_id")).enrich(df)
+    assert(MockLlmClient.calls.get() == before)
+    assert(r2.quality.validRows == 60)
+  }
 }
 
 object ResumeSpec {
@@ -78,4 +103,5 @@ object ResumeSpec {
       super.invoke(prompt, sys)
     }
   }
+
 }
