@@ -215,9 +215,7 @@ final class Enricher(
     // rows per slice for ANY key distribution; sentinel end-bounds keep
     // the slices a complete partition of the key space even when the
     // quantile sketch is off by a few rows.
-    val statsRow = formatted
-      .agg(count(lit(1)).as("n"), min(ColName), max(ColName)).head()
-    val nRows = statsRow.getLong(0)
+    val nRows = formatted.agg(count(lit(1)).as("n")).head().getLong(0)
     val chunkRows = spec.processing.chunkRows.toLong
     val numChunks =
       if (nRows == 0) 0
