@@ -113,6 +113,29 @@ object Bench {
         System.err.println("[bench] WARN resume re-invoked completed calls")
     }
 
+    // durable overhead must stay flat in chunk count: same 100k rows in 10
+    // ledger chunks instead of 1 — compare with enrich_100k_durable (the
+    // O(chunks^2) ledger re-read this guards against made this arm grow
+    // quadratically)
+    var chunkedRep = 0
+    arm("enrich_100k_durable_10chunks") {
+      import graft.core._
+      val dir = s"${runDirBase}_chunked_$chunkedRep"
+      chunkedRep += 1
+      new scala.reflect.io.Directory(new java.io.File(dir)).deleteRecursively()
+      val spec = PipelineSpec(
+        dataset = DatasetSpec(Seq("review")),
+        prompt = PromptSpec("Classify the tone of: {review}", batchSize = 50),
+        processing = ProcessingSpec(chunkRows = 10000),
+        output = OutputSpec(Seq("sentiment")))
+      val r = new graft.run.Enricher(spec, new MockLlmClient(),
+        runDir = Some(dir), keyColumn = Some("id")).enrich(rows100k)
+      r.data.count()
+      // quantile chunk edges may split a batch (calls ~2000, not exact)
+      if (r.metrics.rows != 100000L)
+        System.err.println(s"[bench] WARN expected 100k rows, got ${r.metrics.rows}")
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
