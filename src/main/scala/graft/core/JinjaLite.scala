@@ -45,8 +45,11 @@ object JinjaLite {
   final case class Filtered(e: Expr, name: String,
                             args: List[Expr]) extends Expr
 
-  /** A template is Jinja iff it uses Jinja delimiters — same auto-detect
-    * rule as the reference formatter. */
+  /** A template is Jinja iff it uses Jinja delimiters. Deliberate SUPERSET
+    * of the reference's auto-detect (prompt_formatter_stage.py:81 triggers
+    * on `{{` only): a `{% if %}`-only template is unambiguously Jinja and
+    * would mis-parse as a `{col}` format template, so `{%` also triggers.
+    * The templateFormat flag overrides either way. */
   def detect(template: String): Boolean =
     template.contains("{{") || template.contains("{%")
 
@@ -399,7 +402,9 @@ object JinjaLite {
         case _ => throw new IllegalArgumentException(
           "replace filter needs 2 arguments")
       }
-      case "int"      => asNum(v).map(d => math.floor(d)).getOrElse(0.0)
+      // Jinja/Python int() truncates toward zero: -2.7|int == -2 (floor
+      // would give -3).
+      case "int"      => asNum(v).map(_.toLong).getOrElse(0L)
       case other => throw new IllegalArgumentException(
         s"unknown filter: $other")
     }

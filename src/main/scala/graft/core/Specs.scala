@@ -146,13 +146,18 @@ final case class OutputSpec(
 /** Evidence-retrieval configuration (reference:
   * ondine/stages/evidence_retrieval_stage.py:57-113): per-row top-k
   * retrieval from an evidence corpus into `_evidence_context` /
-  * `_evidence_count`, injected into the prompt's Context block. The corpus
-  * DataFrame itself is passed to the Enricher (specs stay pure data). */
+  * `_evidence_count`, APPENDED to the prompt after the rendered template
+  * with the reference's "Previously validated answers…" preamble. The
+  * corpus DataFrame itself is passed to the Enricher (specs stay pure
+  * data). minScore default 0.1 = evidence_retrieval_stage.py:49. */
 final case class EvidenceSpec(
     idCol: String = "claim_id",
     textCol: String = "text",
+    /** Optional provenance column; rendered as " (source: …)" attribution
+      * in the context block (evidence_retrieval_stage.py:77-79). */
+    sourceCol: Option[String] = None,
     topK: Int = 3,
-    minScore: Double = 0.0)
+    minScore: Double = 0.1)
 
 final case class PipelineSpec(
     dataset: DatasetSpec,

@@ -98,21 +98,40 @@ object TemplateCompiler {
     if (vars.isEmpty) render(struct()) else render(struct(vars.map(col): _*))
   }
 
-  /** Compile with few-shot examples and optional context columns prepended,
-    * mirroring the formatter's assembly order: few-shot block, then KB
-    * context, then the rendered row template
-    * (reference: ondine/stages/prompt_formatter_stage.py:148-167).
-    */
-  def compileFull(spec: PromptSpec, contextCol: Option[Column] = None): Column = {
+  /** Preamble prepended to appended evidence
+    * (prompt_formatter_stage.py:156-160, byte-for-byte). */
+  val EvidencePreamble: String =
+    "Previously validated answers for similar inputs " +
+      "(use as reference, not as ground truth):\n"
+
+  /** Compile with the formatter's full assembly order
+    * (reference: ondine/stages/prompt_formatter_stage.py:145-167):
+    * render template → PREPEND KB context ("Context:\n{kb}\n\n", external
+    * docs are authoritative) → APPEND evidence context after the prompt
+    * with the "Previously validated answers…" preamble (prior LLM answers
+    * are weaker than external docs) → PREPEND the few-shot block. Each
+    * context block is injected only when non-empty, as in the reference's
+    * `if kb_ctx` / `if ev_ctx` guards. */
+  def compileFull(spec: PromptSpec, kbContext: Option[Column] = None,
+                  evidenceContext: Option[Column] = None): Column = {
     val base = compile(spec.template, spec.templateFormat)
-    val fewShotText =
-      if (spec.fewShot.isEmpty) lit("")
-      else lit(spec.fewShot.map { case (q, a) => s"$q\n$a" }
-        .mkString("", "\n\n", "\n\n"))
-    val ctx = contextCol match {
-      case Some(c) => concat(lit("Context:\n"), coalesce(c, lit("")), lit("\n\n"))
-      case None    => lit("")
+    val withKb = kbContext match {
+      case Some(c) =>
+        val kb = coalesce(c, lit(""))
+        when(length(kb) > 0,
+          concat(lit("Context:\n"), kb, lit("\n\n"), base)).otherwise(base)
+      case None => base
     }
-    concat(fewShotText, ctx, base)
+    val withEv = evidenceContext match {
+      case Some(c) =>
+        val ev = coalesce(c, lit(""))
+        when(length(ev) > 0,
+          concat(withKb, lit("\n\n" + EvidencePreamble), ev))
+          .otherwise(withKb)
+      case None => withKb
+    }
+    if (spec.fewShot.isEmpty) withEv
+    else concat(lit(spec.fewShot.map { case (q, a) => s"$q\n$a" }
+      .mkString("", "\n\n", "\n\n")), withEv)
   }
 }

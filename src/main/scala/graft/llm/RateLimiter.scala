@@ -144,8 +144,16 @@ final class FileCoordinatedBucket(scopeFile: String, requestsPerMinute: Int,
 object FileCoordinatedBucket {
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def jvmLock(path: String): Object =
-    jvmLocks.computeIfAbsent(path, _ => new Object)
+  /** Key the intra-JVM monitor on the CANONICAL path: two instances
+    * addressing one scope file via different spellings (relative vs
+    * absolute, symlink) must share a monitor, else FileChannel.lock()
+    * throws OverlappingFileLockException on the second acquire. */
+  private def jvmLock(path: String): Object = {
+    val canonical =
+      try new java.io.File(path).getCanonicalPath
+      catch { case _: java.io.IOException => path }
+    jvmLocks.computeIfAbsent(canonical, _ => new Object)
+  }
 }
 
 /** Exponential backoff retry for retryable errors only

@@ -16,12 +16,13 @@ object Parallelism {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // inputFiles is a metadata lookup; the file count bounds the scan's
     // split count from below, so a many-file (at-scale) frame skips the
-    // expensive plan->RDD conversion entirely. Only when files are few can
-    // the scan be under-split — then check the real partition count
-    // (a single LARGE file still splits by maxPartitionBytes).
-    val files =
-      try df.inputFiles.length catch { case _: Throwable => Int.MaxValue }
-    if (files * 2 >= target) df
+    // expensive plan->RDD conversion entirely. Only when files are few (or
+    // the lookup fails — non-file-backed plans) can the scan be
+    // under-split — then check the real partition count (a single LARGE
+    // file still splits by maxPartitionBytes).
+    val files: Option[Int] =
+      try Some(df.inputFiles.length) catch { case _: Throwable => None }
+    if (files.exists(_.toLong * 2 >= target)) df
     else if (df.rdd.getNumPartitions * 2 < target) df.repartition(target)
     else df
   }

@@ -104,8 +104,10 @@ object VerifyQueries {
   /** Evidence-retrieval stage end-to-end: rows from the documents table
     * retrieve top-2 claims (docs 0-19) by TF-IDF cosine with a min-score
     * cutoff; `_evidence_context`/`_evidence_count` land as system columns
-    * and the context block is injected into the prompt, so the md5 verdict
-    * proves the exact retrieved texts and their order. */
+    * ([score=X.XX] attribution, \n---\n separators) and the block is
+    * APPENDED to the prompt after the reference's "Previously validated
+    * answers…" preamble, so the md5 verdict proves the exact retrieved
+    * texts, their order, and the assembly format. */
   def q73EvidenceEnrich(spark: SparkSession, dir: String): DataFrame = {
     import graft.core._
     val docs = tp(spark, dir, "documents")
@@ -176,14 +178,22 @@ object VerifyQueries {
        |hits AS (SELECT * FROM ranked WHERE rank <= 2 AND score >= 0.01),
        |ctx AS (
        |  SELECT h.query_id,
-       |    string_agg(c.text, chr(10)||chr(10) ORDER BY h.rank) AS ectx,
+       |    string_agg(
+       |      printf('[score=%d.%02d] %s',
+       |        CAST(round(h.score*100) AS BIGINT) // 100,
+       |        CAST(round(h.score*100) AS BIGINT) % 100,
+       |        c.text),
+       |      chr(10)||'---'||chr(10) ORDER BY h.rank) AS ectx,
        |    count(*) AS ecount
        |  FROM hits h JOIN claims c ON h.id = c.id GROUP BY h.query_id)
        |SELECT q.query_id AS doc_id,
        |  coalesce(ctx.ectx, '') AS _evidence_context,
-       |  coalesce(ctx.ecount, 0) AS _evidence_count,
-       |  md5('Context:' || chr(10) || coalesce(ctx.ectx, '') ||
-       |      chr(10) || chr(10) || q.qtext) AS verdict
+       |  CAST(coalesce(ctx.ecount, 0) AS BIGINT) AS _evidence_count,
+       |  md5(CASE WHEN coalesce(ctx.ectx, '') <> ''
+       |    THEN q.qtext || chr(10) || chr(10) ||
+       |      'Previously validated answers for similar inputs ' ||
+       |      '(use as reference, not as ground truth):' || chr(10) || ctx.ectx
+       |    ELSE q.qtext END) AS verdict
        |FROM q LEFT JOIN ctx ON q.query_id = ctx.query_id
        |ORDER BY doc_id""".stripMargin
   }

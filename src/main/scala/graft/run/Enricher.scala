@@ -77,9 +77,9 @@ final class Enricher(
             spec.prompt.templateFormat))
         val attached = graft.verify.EvidenceRetrieval.attach(
           withQ, ColName, "_ev_query", corpus, ev.idCol, ev.textCol,
-          ev.topK, ev.minScore).drop("_ev_query")
+          ev.topK, ev.minScore, ev.sourceCol).drop("_ev_query")
         attached.withColumn("prompt", TemplateCompiler.compileFull(
-          spec.prompt, Some(col("_evidence_context"))))
+          spec.prompt, evidenceContext = Some(col("_evidence_context"))))
       case (Some(_), None) => throw new IllegalArgumentException(
         "spec.evidence set but no evidenceCorpus passed to Enricher")
       case _ => indexed.withColumn("prompt",

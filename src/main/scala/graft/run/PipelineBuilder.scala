@@ -108,8 +108,9 @@ final class PipelineBuilder private () {
   // --- evidence / knowledge --------------------------------------------
   def withEvidence(corpus: DataFrame, idCol: String = "claim_id",
                    textCol: String = "text", topK: Int = 3,
-                   minScore: Double = 0.0): this.type = {
-    evidence = Some(EvidenceSpec(idCol, textCol, topK, minScore))
+                   minScore: Double = 0.1,
+                   sourceCol: Option[String] = None): this.type = {
+    evidence = Some(EvidenceSpec(idCol, textCol, sourceCol, topK, minScore))
     evidenceCorpusOpt = Some(corpus)
     this
   }

@@ -110,12 +110,32 @@ final class RunRegistry(baseDir: String) {
     s""""valid_rows":${r.validRows},"calls":${r.calls},""" +
     s""""cost":"${esc(r.cost)}","note":"${esc(r.note)}"}"""
 
+  /** Inverse of esc(): one left-to-right scan consuming an escape pair at
+    * a time — sequential global replaces corrupt strings whose ESCAPED form
+    * contains backslash-n (e.g. a note holding a regex or Windows path). */
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n'   => sb.append('\n')
+          case 'r'   => sb.append('\r')
+          case '"'   => sb.append('"')
+          case '\\'  => sb.append('\\')
+          case other => sb.append('\\').append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   private def parse(txt: String): RunRecord = {
     def str(k: String): String =
       ("\"" + k + "\":\"((?:[^\"\\\\]|\\\\.)*)\"").r
-        .findFirstMatchIn(txt).map(_.group(1)
-          .replace("\\n", "\n").replace("\\r", "\r")
-          .replace("\\\"", "\"").replace("\\\\", "\\"))
+        .findFirstMatchIn(txt).map(m => unescape(m.group(1)))
         .getOrElse("")
     def num(k: String): Long =
       ("\"" + k + "\":(-?[0-9]+)").r

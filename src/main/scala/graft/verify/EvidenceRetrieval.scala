@@ -22,25 +22,45 @@ object EvidenceRetrieval {
 
   /** Returns `df` + `_evidence_context` / `_evidence_count`. `idCol` must
     * uniquely key rows (the enricher's `_row_index`); `queryCol` is the
-    * retrieval text. Rows with no evidence >= minScore get ("", 0). */
+    * retrieval text. Rows with no evidence >= minScore get ("", 0).
+    *
+    * Context format matches evidence_retrieval_stage.py:74-81 exactly:
+    * `[score=X.XX] (source: …)? text` entries joined by `\n---\n`, rank
+    * order. The 2-decimal score renders via integer math (round(score*100)
+    * then d.dd assembly) so an SQL oracle reproduces it bit-for-bit —
+    * `%.2f` would expose JVM-vs-C rounding-mode differences at ties. */
   def attach(df: DataFrame, idCol: String, queryCol: String,
              corpus: DataFrame, corpusIdCol: String, corpusTextCol: String,
-             topK: Int, minScore: Double): DataFrame = {
+             topK: Int, minScore: Double,
+             corpusSourceCol: Option[String] = None): DataFrame = {
     val index = SparseIndex.build(corpus, corpusIdCol, corpusTextCol)
     val hits = SparseIndex.search(index,
       df.select(col(idCol), col(queryCol)), idCol, queryCol, topK,
       broadcastQueries = false)
       .filter(col("score") >= minScore)
-    val texts = corpus.select(col(corpusIdCol).as("id"),
-      col(corpusTextCol).as("_ev_text"))
+    val srcCols = corpusSourceCol.map(c => col(c).as("_ev_src")).toSeq
+    val texts = corpus.select(Seq(col(corpusIdCol).as("id"),
+      col(corpusTextCol).as("_ev_text")) ++ srcCols: _*)
+    val cents = round(col("score") * 100).cast("long")
+    val srcTag = corpusSourceCol match {
+      case Some(_) => when(col("_ev_src").isNotNull &&
+          length(col("_ev_src")) > 0,
+        concat(lit(" (source: "), col("_ev_src"), lit(")"))).otherwise(lit(""))
+      case None => lit("")
+    }
+    val part = concat(
+      format_string("[score=%d.%02d]",
+        (cents / 100).cast("long"), cents % 100),
+      srcTag, lit(" "), col("_ev_text"))
     val ctx = hits.join(texts, "id")
+      .withColumn("_ev_part", part)
       .groupBy(col("query_id"))
       .agg(
         array_join(
           transform(
-            array_sort(collect_list(struct(col("rank"), col("_ev_text")))),
-            x => x.getField("_ev_text")),
-          "\n\n").as("_evidence_context"),
+            array_sort(collect_list(struct(col("rank"), col("_ev_part")))),
+            x => x.getField("_ev_part")),
+          "\n---\n").as("_evidence_context"),
         count(lit(1)).as("_evidence_count"))
     df.join(ctx, df(idCol) === ctx("query_id"), "left")
       .drop("query_id")

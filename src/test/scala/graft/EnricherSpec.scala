@@ -143,10 +143,13 @@ class EnricherSpec extends SparkSpec {
     // strongest claim for the solar question is the solar claim
     val (solarCtx, solarN, solarAns) = got("tell me about solar electricity")
     assert(solarCtx.contains("solar panels"))
+    assert(solarCtx.startsWith("[score="), s"missing attribution: $solarCtx")
     assert(solarN >= 1)
-    // the reply hashes the CONTEXT-INJECTED prompt, not the bare template
+    if (solarN > 1) assert(solarCtx.contains("\n---\n"))
+    // the reply hashes the EVIDENCE-APPENDED prompt, not the bare template
     val expectedPrompt =
-      "Context:\n" + solarCtx + "\n\nAnswer: tell me about solar electricity"
+      "Answer: tell me about solar electricity\n\n" +
+        graft.core.TemplateCompiler.EvidencePreamble + solarCtx
     assert(solarAns == MockLlmClient.md5Hex(expectedPrompt))
     // missing corpus fails fast
     intercept[IllegalArgumentException] {
