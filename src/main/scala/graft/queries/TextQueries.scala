@@ -184,80 +184,141 @@ object TextQueries {
       |  SUM(CASE WHEN v > 0 THEN (1::UBIGINT << b)::BIGINT ELSE 0 END)::BIGINT AS simhash
       |FROM bitv GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
-  // --- multimodal plumbing ---------------------------------------------
+  // --- multimodal: REAL image decode over synthesized fixtures ---------
+  // The sandbox ships no media files, so each query synthesizes real
+  // PNG/GIF payloads (JDK ImageIO encoders, measured byte-deterministic)
+  // with gray pixel(x,y) = (seed + 7x + 13y) % 251 — a formula the DuckDB
+  // oracle reproduces independently, so width/height/frames/pixels coming
+  // back from the DECODER prove the decode is real. Fixture synthesis is
+  // the one UDF use (black-box encode, like templating); decode itself is
+  // the batched partition pass in Multimodal.
 
+  private val grayPngUdf =
+    udf((w: Int, h: Int, seed: Long) => Multimodal.encodeGrayPng(w, h, seed))
+  private val animGifUdf =
+    udf((w: Int, h: Int, n: Int, seed: Long) =>
+      Multimodal.encodeAnimatedGif(w, h, n, seed))
+
+  /** Sum of a gray buffer's byte values via hex-pair arithmetic — native
+    * codegen'd higher-order functions, no UDF on the decode-probe side. */
+  private def byteSum(bin: org.apache.spark.sql.Column,
+                      nBytes: Int): org.apache.spark.sql.Column = {
+    val h = hex(bin)
+    aggregate(
+      transform(sequence(lit(0), lit(nBytes - 1)),
+        i => conv(substring(h, lit(1) + i * 2, lit(2)), 16, 10).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Real metadata decode: PNG fixtures (3 of every 4 docs) must yield
+    * the generated dimensions from the container header; every 4th doc
+    * carries raw (non-image) bytes and takes the documented deterministic
+    * fallback — both paths and the magic-byte sniff in one query. */
   def q36Multimodal(spark: SparkSession, dir: String): DataFrame = {
     val withBin = tp(spark, dir, "documents")
-      .withColumn("content", to_binary(col("text"), lit("UTF-8")))
+      .withColumn("content",
+        when(col("doc_id") % 4 < 3,
+          grayPngUdf((col("doc_id") % 13 + 4).cast("int"),
+            (col("doc_id") % 7 + 3).cast("int"), col("doc_id") % 199))
+          .otherwise(to_binary(col("text"), lit("UTF-8"))))
     Multimodal.withDecodedMeta(withBin, "content")
       .select(col("doc_id"),
-        col("media_meta.n_bytes").as("n_bytes"),
         col("media_meta.width").as("width"),
         col("media_meta.height").as("height"),
-        col("media_meta.n_frames").as("n_frames"))
+        col("media_meta.n_frames").as("n_frames"),
+        col("media_meta.format").as("format"))
       .orderBy("doc_id")
   }
 
   val q36Sql: String =
-    """SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-      |  ((octet_length(encode(text)) % 64) * 16 + 16)::INT AS width,
-      |  ((octet_length(encode(text)) % 48) * 16 + 16)::INT AS height,
-      |  ((octet_length(encode(text)) % 30) + 1)::INT AS n_frames
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 4 < 3 THEN (doc_id % 13 + 4)::INT
+      |       ELSE ((octet_length(encode(text)) % 64) * 16 + 16)::INT END AS width,
+      |  CASE WHEN doc_id % 4 < 3 THEN (doc_id % 7 + 3)::INT
+      |       ELSE ((octet_length(encode(text)) % 48) * 16 + 16)::INT END AS height,
+      |  CASE WHEN doc_id % 4 < 3 THEN 1
+      |       ELSE ((octet_length(encode(text)) % 30) + 1)::INT END AS n_frames,
+      |  CASE WHEN doc_id % 4 < 3 THEN 'png' ELSE 'raw' END AS format
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** Frame-sampling plumbing: one row per sampled frame (stride 3),
-    * frames being deterministic 16-byte payload slices — proves the
-    * partition-local explode contract, byte-exact, via frame length and
-    * leading-byte hex. */
+  /** Real frame sampling: animated-GIF fixtures with (doc_id%5)+2 frames;
+    * `sampleFrames` must decode every sampled frame (stride 2) through the
+    * multi-frame reader. The oracle recomputes each frame's head pixel and
+    * full pixel sum from the fixture formula — only a real decode of the
+    * right frame matches. */
   def q37FrameSample(spark: SparkSession, dir: String): DataFrame = {
     val withBin = tp(spark, dir, "documents").filter(col("doc_id") < 50)
-      .withColumn("content", to_binary(col("text"), lit("UTF-8")))
-    Multimodal.sampleFrames(withBin, "content", stride = 3)
+      .withColumn("content",
+        animGifUdf(lit(8), lit(6), (col("doc_id") % 5 + 2).cast("int"),
+          (col("doc_id") * 31) % 211))
+    Multimodal.sampleFrames(withBin, "content", stride = 2)
       .select(col("doc_id"), col("frame_idx"),
         length(col("frame")).as("frame_len"),
-        when(length(col("frame")) === 0, lit(""))
-          .otherwise(hex(substring(col("frame"), 1, 1))).as("head_hex"))
+        hex(substring(col("frame"), 1, 1)).as("head_hex"),
+        byteSum(col("frame"), 8 * 6).as("px_sum"))
       .orderBy("doc_id", "frame_idx")
   }
 
   val q37Sql: String =
     """WITH d AS (
-      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
+      |  SELECT doc_id, (doc_id % 5 + 2)::INT AS nf, (doc_id * 31) % 211 AS seed
       |  FROM documents WHERE doc_id < 50),
+      |f0 AS (
+      |  SELECT doc_id, seed, unnest(range(0, nf, 2)) AS frame_idx FROM d),
       |f AS (
-      |  SELECT doc_id, h,
-      |    unnest(range(0, (n % 30 + 1)::INT, 3)) AS frame_idx
-      |  FROM d)
-      |SELECT doc_id, frame_idx::INT AS frame_idx,
-      |  (length(substring(h, frame_idx*32 + 1, 32)) // 2)::INT AS frame_len,
-      |  substring(h, frame_idx*32 + 1, 2) AS head_hex
-      |FROM f ORDER BY doc_id, frame_idx""".stripMargin
+      |  SELECT doc_id, frame_idx, seed + 17 * frame_idx AS fs FROM f0),
+      |px AS (
+      |  SELECT doc_id, frame_idx, fs,
+      |    CAST(SUM((fs + 7 * xs.x + 13 * ys.y) % 251) AS BIGINT) AS px_sum
+      |  FROM f
+      |  CROSS JOIN (SELECT unnest(range(8)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(range(6)) AS y) ys
+      |  GROUP BY doc_id, frame_idx, fs)
+      |SELECT doc_id, frame_idx::INT AS frame_idx, 48 AS frame_len,
+      |  printf('%02X', fs % 251) AS head_hex, px_sum
+      |FROM px ORDER BY doc_id, frame_idx""".stripMargin
 
-  /** Resize plumbing: payloads re-encoded to a 32x24-byte buffer (stub:
-    * source bytes cycled). The oracle checks the buffer byte-exactly at
-    * its ends — out length, head byte, and tail byte (= source byte at
-    * (out_len-1) mod n) — via hex-string arithmetic. */
+  /** Real decode + nearest-neighbor resize: PNG fixtures of varying
+    * source dims resampled to 32x24 gray. out(x,y) =
+    * src(x*sw/32, y*sh/24) with integer division, so the oracle
+    * recomputes the head/tail pixels and the whole buffer's byte sum from
+    * the fixture formula — every output pixel is pinned. */
   def q38Resize(spark: SparkSession, dir: String): DataFrame = {
-    val withBin = tp(spark, dir, "documents").filter(col("doc_id") < 100)
-      .withColumn("content", to_binary(col("text"), lit("UTF-8")))
-    Multimodal.resizeTo(withBin, "content", width = 32, height = 24)
+    val src = tp(spark, dir, "documents").filter(col("doc_id") < 100)
+      .withColumn("content",
+        grayPngUdf((col("doc_id") % 29 + 8).cast("int"),
+          (col("doc_id") % 17 + 8).cast("int"), col("doc_id") % 199))
+    Multimodal.resizeTo(src, "content", width = 32, height = 24)
       .select(col("doc_id"),
         length(col("content")).as("out_len"),
         col("resized_meta.width").as("width"),
         col("resized_meta.height").as("height"),
         hex(substring(col("content"), 1, 1)).as("head_hex"),
-        hex(substring(col("content"), 32 * 24, 1)).as("tail_hex"))
+        hex(substring(col("content"), 32 * 24, 1)).as("tail_hex"),
+        byteSum(col("content"), 32 * 24).as("px_sum"))
       .orderBy("doc_id")
   }
 
   val q38Sql: String =
     """WITH d AS (
-      |  SELECT doc_id, hex(encode(text)) AS h, octet_length(encode(text)) AS n
-      |  FROM documents WHERE doc_id < 100)
-      |SELECT doc_id, 768 AS out_len, 32 AS width, 24 AS height,
-      |  substring(h, 1, 2) AS head_hex,
-      |  substring(h, ((768 - 1) % n) * 2 + 1, 2) AS tail_hex
-      |FROM d ORDER BY doc_id""".stripMargin
+      |  SELECT doc_id, (doc_id % 29 + 8) AS sw, (doc_id % 17 + 8) AS sh,
+      |    doc_id % 199 AS seed
+      |  FROM documents WHERE doc_id < 100),
+      |px AS (
+      |  SELECT doc_id,
+      |    CAST(SUM((seed + 7 * ((xs.x * sw) // 32) + 13 * ((ys.y * sh) // 24))
+      |      % 251) AS BIGINT) AS px_sum
+      |  FROM d
+      |  CROSS JOIN (SELECT unnest(range(32)) AS x) xs
+      |  CROSS JOIN (SELECT unnest(range(24)) AS y) ys
+      |  GROUP BY doc_id)
+      |SELECT d.doc_id, 768 AS out_len, 32 AS width, 24 AS height,
+      |  printf('%02X', seed % 251) AS head_hex,
+      |  printf('%02X',
+      |    (seed + 7 * ((31 * sw) // 32) + 13 * ((23 * sh) // 24)) % 251)
+      |    AS tail_hex,
+      |  px.px_sum
+      |FROM d JOIN px ON d.doc_id = px.doc_id ORDER BY d.doc_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> q30TokenStats _,

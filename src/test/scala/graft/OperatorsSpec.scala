@@ -91,14 +91,40 @@ class OperatorsSpec extends SparkSpec {
     assert(r(102L).isEmpty)        // user 2 has no right rows
   }
 
-  test("multimodal decode stub: batched, deterministic, passthrough") {
-    val df = Seq((1L, "abc"), (2L, "x" * 100)).toDF("id", "t")
-      .withColumn("content", to_binary(col("t"), lit("UTF-8")))
+  test("multimodal decode: real PNG/GIF metadata, raw fallback, batched") {
+    val png = Multimodal.encodeGrayPng(9, 5, 42)
+    val gif = Multimodal.encodeAnimatedGif(8, 6, 4, 100)
+    val df = Seq((1L, png), (2L, gif), (3L, "abc".getBytes("UTF-8")))
+      .toDF("id", "content")
     val got = Multimodal.withDecodedMeta(df, "content")
-      .select(col("id"), col("media_meta.n_bytes"), col("media_meta.width"))
-      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getInt(2)))).toMap
-    assert(got(1L) == ((3L, (3 % 64) * 16 + 16)))
-    assert(got(2L) == ((100L, (100 % 64) * 16 + 16)))
+      .select(col("id"), col("media_meta.width"), col("media_meta.height"),
+        col("media_meta.n_frames"), col("media_meta.format"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getInt(2), r.getInt(3),
+        r.getString(4)))).toMap
+    assert(got(1L) == ((9, 5, 1, "png")))
+    assert(got(2L) == ((8, 6, 4, "gif")))
+    assert(got(3L) == (((3 % 64) * 16 + 16, (3 % 48) * 16 + 16, 4, "raw")))
+  }
+
+  test("multimodal real decode: frame pixels and nearest-neighbor resize") {
+    val gif = Multimodal.encodeAnimatedGif(8, 6, 3, 50)
+    val frames = Multimodal.sampleFrames(
+      Seq((1L, gif)).toDF("id", "content"), "content", stride = 1)
+      .select("frame_idx", "frame")
+      .as[(Int, Array[Byte])].collect().toMap
+    assert(frames.keySet == Set(0, 1, 2))
+    // frame f pixel (x,y) = (50 + 17f + 7x + 13y) % 251, row-major
+    for (f <- 0 to 2; y <- 0 until 6; x <- 0 until 8)
+      assert((frames(f)(y * 8 + x) & 0xFF) == (50 + 17 * f + 7 * x + 13 * y) % 251)
+    val png = Multimodal.encodeGrayPng(10, 8, 7)
+    val resized = Multimodal.resizeTo(
+      Seq((1L, png)).toDF("id", "content"), "content", 4, 4)
+      .select("content").as[Array[Byte]].head()
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val (sx, sy) = (x * 10 / 4, y * 8 / 4)
+      assert((resized(y * 4 + x) & 0xFF) == (7 + 7 * sx + 13 * sy) % 251)
+    }
   }
 
   test("property: jaccard within [0,1] and symmetric on random token sets") {
