@@ -108,7 +108,19 @@ final case class LlmSpec(
     maxRetries: Int = 3,
     /** Exponential backoff base in ms (1x, 2x, 4x..., capped). */
     backoffBaseMs: Long = 10L,
-    backoffCapMs: Long = 60000L)
+    backoffCapMs: Long = 60000L,
+    /** Per-call deadline. A call that blocks past this is cancelled
+      * (thread interrupt) and counts as a retryable failure; retry
+      * exhaustion then follows the error policy. The reference bounds
+      * every call the same way (tenacity timeout + asyncio,
+      * unified_litellm_client.py:253-531). */
+    timeoutMs: Long = 180000L,
+    /** Chat-completions HTTP endpoint; set → the enricher builds a real
+      * [[graft.llm.HttpLlmClient]] instead of requiring withClient. */
+    endpoint: Option[String] = None,
+    /** Env var holding the bearer token for `endpoint` (the key itself
+      * never lands in a spec — specs serialize into task closures). */
+    apiKeyEnv: Option[String] = None)
 
 /** Run-level processing controls.
   * (reference: ondine/core/specifications.py:400-480)

@@ -1,0 +1,149 @@
+package graft.llm
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.charset.StandardCharsets
+import java.time.Duration
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
+
+/** Real HTTP provider client over `java.net.http` speaking the
+  * chat-completions JSON dialect — the seam the reference reaches every
+  * provider through (ondine/adapters/unified_litellm_client.py:253-531,
+  * re-expressed without the LiteLLM shim: one wire format, the error
+  * taxonomy mapped from HTTP status codes).
+  *
+  * Error mapping drives the existing retry/limiter seams:
+  *   - 429       → [[RateLimitError]] carrying `Retry-After` (seconds or
+  *                 delta-ms) so [[RetryHandler]] penalizes the shared bucket
+  *   - 5xx       → retryable [[NetworkError]] (server hiccup)
+  *   - 401/403   → [[AuthError]] (non-retryable)
+  *   - other 4xx → non-retryable [[LlmError]] (bad request/model-not-found)
+  *   - IO/timeout→ retryable [[NetworkError]]
+  *
+  * Cost comes from the response's `usage` block through the Decimal
+  * [[CostCalculator]]; a response without usage falls back to the
+  * length/4 estimate, same as the reference's cheap path.
+  *
+  * Thread-safe: `HttpClient` is immutable/concurrent; instances serialize
+  * into task closures (the client itself is `@transient lazy`).
+  */
+/** Client selection from a pure-data spec: an `endpoint` yields the real
+  * HTTP client; otherwise the deterministic mock (the zero-egress
+  * default). */
+object LlmClients {
+  def forSpec(spec: graft.core.LlmSpec): LlmClient = spec.endpoint match {
+    case Some(url) => new HttpLlmClient(url, spec.model,
+      apiKey = spec.apiKeyEnv.flatMap(sys.env.get),
+      inPer1k = spec.inputCostPer1k, outPer1k = spec.outputCostPer1k,
+      timeoutMs = spec.timeoutMs)
+    case None => new MockLlmClient(spec.model,
+      inPer1k = spec.inputCostPer1k, outPer1k = spec.outputCostPer1k)
+  }
+}
+
+final class HttpLlmClient(
+    endpoint: String,
+    override val model: String,
+    apiKey: Option[String] = None,
+    inPer1k: BigDecimal = BigDecimal(0),
+    outPer1k: BigDecimal = BigDecimal(0),
+    timeoutMs: Long = 120000L,
+    extraHeaders: Map[String, String] = Map.empty) extends LlmClient {
+
+  @transient private lazy val http: HttpClient =
+    HttpClient.newBuilder()
+      .connectTimeout(Duration.ofMillis(math.min(timeoutMs, 30000L)))
+      .build()
+
+  @transient private lazy val mapper = new ObjectMapper()
+
+  private def requestBody(prompt: String, systemMessage: Option[String]): String = {
+    val root: ObjectNode = mapper.createObjectNode()
+    root.put("model", model)
+    val msgs: ArrayNode = root.putArray("messages")
+    systemMessage.foreach { sys =>
+      val m = msgs.addObject(); m.put("role", "system"); m.put("content", sys)
+    }
+    val u = msgs.addObject(); u.put("role", "user"); u.put("content", prompt)
+    mapper.writeValueAsString(root)
+  }
+
+  /** `Retry-After` is either delta-seconds (RFC 9110) or, from some
+    * gateways, `retry-after-ms`; absent → None and the caller backs off
+    * exponentially. */
+  private def retryAfterMs(rsp: HttpResponse[String]): Option[Long] = {
+    def header(n: String): Option[String] =
+      Option(rsp.headers().firstValue(n).orElse(null))
+    header("retry-after-ms").flatMap(_.toLongOption)
+      .orElse(header("retry-after").flatMap(_.toLongOption).map(_ * 1000L))
+  }
+
+  def invoke(prompt: String, systemMessage: Option[String]): LlmResponse = {
+    val t0 = System.nanoTime()
+    val builder = HttpRequest.newBuilder(URI.create(endpoint))
+      .timeout(Duration.ofMillis(timeoutMs))
+      .header("Content-Type", "application/json")
+      .POST(HttpRequest.BodyPublishers.ofString(
+        requestBody(prompt, systemMessage), StandardCharsets.UTF_8))
+    apiKey.foreach(k => builder.header("Authorization", s"Bearer $k"))
+    extraHeaders.foreach { case (k, v) => builder.header(k, v) }
+
+    val rsp =
+      try http.send(builder.build(), HttpResponse.BodyHandlers.ofString())
+      catch {
+        case e: java.net.http.HttpTimeoutException =>
+          throw new NetworkError(s"request timed out after ${timeoutMs}ms: $e")
+        case e: java.io.IOException =>
+          throw new NetworkError(s"connection failure: $e")
+        case e: InterruptedException =>
+          Thread.currentThread().interrupt()
+          throw new NetworkError(s"interrupted mid-call: $e")
+      }
+
+    rsp.statusCode() match {
+      case 200 =>
+        parseSuccess(rsp.body(), prompt, systemMessage,
+          (System.nanoTime() - t0) / 1e6)
+      case 429 =>
+        throw new RateLimitError(
+          s"429 from $endpoint: ${snippet(rsp.body())}", retryAfterMs(rsp))
+      case 401 | 403 =>
+        throw new AuthError(s"${rsp.statusCode()} from $endpoint: ${snippet(rsp.body())}")
+      case s if s >= 500 =>
+        throw new NetworkError(s"$s from $endpoint: ${snippet(rsp.body())}")
+      case s =>
+        throw new LlmError(s"$s from $endpoint: ${snippet(rsp.body())}",
+          retryable = false)
+    }
+  }
+
+  private def snippet(body: String): String =
+    if (body == null) "" else body.take(200)
+
+  private def parseSuccess(body: String, prompt: String,
+                           systemMessage: Option[String],
+                           latencyMs: Double): LlmResponse = {
+    val root: JsonNode =
+      try mapper.readTree(body)
+      catch { case e: Exception =>
+        throw new NetworkError(s"unparseable 200 body: $e") // transient gateway garbage
+      }
+    val content = Option(root.path("choices").path(0).path("message")
+      .path("content").textValue()).getOrElse(
+      throw new LlmError(s"200 body without choices[0].message.content: ${snippet(body)}",
+        retryable = false))
+    val usage = root.path("usage")
+    val tIn =
+      if (usage.path("prompt_tokens").isNumber) usage.path("prompt_tokens").asLong()
+      else estimateTokens(prompt) + systemMessage.map(estimateTokens).getOrElse(0L)
+    val tOut =
+      if (usage.path("completion_tokens").isNumber) usage.path("completion_tokens").asLong()
+      else estimateTokens(content)
+    val servedModel =
+      Option(root.path("model").textValue()).getOrElse(model)
+    LlmResponse(content, tIn, tOut, servedModel,
+      CostCalculator.cost(tIn, tOut, inPer1k, outPer1k), latencyMs)
+  }
+}

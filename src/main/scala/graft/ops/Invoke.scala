@@ -22,22 +22,28 @@ object ClientPool {
   private val adaptives = new ConcurrentHashMap[String, AdaptiveLimiter]()
   private val pools = new ConcurrentHashMap[String, ExecutionContextExecutorService]()
 
+  // Singleton keys fold the CONFIG in alongside the runId: two runs that
+  // share a runId (e.g. a reused runDir) but carry different rpm/size no
+  // longer silently reuse the first run's mis-sized pool — they get their
+  // own. shutdown(runId) sweeps every config variant by prefix.
+
   /** Per-run bucket: file-coordinated exact global bucket when a scope
     * file is configured, else the per-executor token bucket. */
   def limiter(runId: String, rpm: Int, burst: Int,
               scopeFile: Option[String] = None): GlobalBucket =
-    limiters.computeIfAbsent(runId, _ => scopeFile match {
-      case Some(f) => new FileCoordinatedBucket(f, rpm, burst)
-      case None    => new RateLimiter(rpm, burst)
-    })
+    limiters.computeIfAbsent(
+      s"$runId:$rpm:$burst:${scopeFile.getOrElse("")}", _ => scopeFile match {
+        case Some(f) => new FileCoordinatedBucket(f, rpm, burst)
+        case None    => new RateLimiter(rpm, burst)
+      })
 
   def adaptive(runId: String, initial: Int, max: Int): AdaptiveLimiter =
-    adaptives.computeIfAbsent(runId,
+    adaptives.computeIfAbsent(s"$runId:$initial:$max",
       _ => new AdaptiveLimiter(minLimit = 1, maxLimit = max,
         initialLimit = initial))
 
   def pool(runId: String, size: Int): ExecutionContextExecutorService =
-    pools.computeIfAbsent(runId, _ =>
+    pools.computeIfAbsent(s"$runId:$size", _ =>
       ExecutionContext.fromExecutorService(
         Executors.newFixedThreadPool(size, r => {
           val t = new Thread(r, s"graft-invoke-$runId")
@@ -45,10 +51,22 @@ object ClientPool {
           t
         })))
 
+  /** Single scheduler arming per-call deadlines (interrupt-based
+    * cancellation); shared across runs, never holds work. */
+  val deadlines: java.util.concurrent.ScheduledExecutorService =
+    Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-invoke-deadline")
+      t.setDaemon(true)
+      t
+    })
+
   def shutdown(runId: String): Unit = {
-    Option(pools.remove(runId)).foreach(_.shutdown())
-    limiters.remove(runId)
-    adaptives.remove(runId)
+    import scala.jdk.CollectionConverters._
+    val prefix = s"$runId:"
+    pools.keySet.asScala.filter(_.startsWith(prefix)).foreach(k =>
+      Option(pools.remove(k)).foreach(_.shutdown()))
+    limiters.keySet.asScala.filter(_.startsWith(prefix)).foreach(limiters.remove)
+    adaptives.keySet.asScala.filter(_.startsWith(prefix)).foreach(adaptives.remove)
   }
 }
 
@@ -109,6 +127,7 @@ object Invoke {
     val capMs = llm.backoffCapMs
     val policy = proc.errorPolicy
     val default = proc.defaultValue
+    val timeoutMs = llm.timeoutMs
 
     val adaptiveOn = llm.adaptiveConcurrency
     val maxConc = llm.maxConcurrency
@@ -137,6 +156,27 @@ object Invoke {
           callRows, tIn, tOut, new java.math.BigDecimal(cost.toString), lat))
       }
 
+      /** One attempt under the per-call deadline: arm an interrupt at
+        * `timeoutMs`, so a hung client (blocking IO, sleep) unwinds as a
+        * retryable NetworkError instead of wedging the Spark task forever
+        * (reference bounds every call the same way — tenacity timeout).
+        * CPU-spinning clients that swallow interrupts are out of scope. */
+      def timedInvoke(promptText: String): LlmResponse = {
+        if (timeoutMs <= 0) return client.invoke(promptText, system)
+        val caller = Thread.currentThread()
+        val trigger = ClientPool.deadlines.schedule(
+          new Runnable { def run(): Unit = caller.interrupt() },
+          timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+        try client.invoke(promptText, system)
+        catch {
+          case _: InterruptedException =>
+            throw new NetworkError(s"call exceeded ${timeoutMs}ms deadline")
+        } finally {
+          trigger.cancel(false)
+          Thread.interrupted() // clear an interrupt that raced the cancel
+        }
+      }
+
       def callOne(group: Seq[(Long, String, Row)]): Seq[Row] = {
         val callId = group.head._1
         val single = group.size == 1 && batchSize == 1
@@ -149,7 +189,7 @@ object Invoke {
           adaptive.foreach(_.acquireBlocking())
           val resp =
             try RetryHandler.withRetries(maxRetries, baseMs, capMs, limiter) {
-              try client.invoke(promptText, system)
+              try timedInvoke(promptText)
               catch { case e: RateLimitError =>
                 adaptive.foreach(_.onRateLimit()); throw e
               }

@@ -73,6 +73,12 @@ final class PipelineBuilder private () {
     { llm = llm.copy(maxRetries = n); this }
   def withBackoff(baseMs: Long, capMs: Long): this.type =
     { llm = llm.copy(backoffBaseMs = baseMs, backoffCapMs = capMs); this }
+  def withTimeout(ms: Long): this.type =
+    { llm = llm.copy(timeoutMs = ms); this }
+  /** Point at a real chat-completions endpoint; run() then builds an
+    * HttpLlmClient (bearer token read from `apiKeyEnv`). */
+  def withEndpoint(url: String, apiKeyEnv: Option[String] = None): this.type =
+    { llm = llm.copy(endpoint = Some(url), apiKeyEnv = apiKeyEnv); this }
 
   // --- processing -------------------------------------------------------
   def withErrorPolicy(p: ErrorPolicy.Value): this.type =
@@ -139,8 +145,10 @@ final class PipelineBuilder private () {
   }
 
   def run(df: DataFrame): EnrichResult = {
-    val client = clientOpt.getOrElse(throw new IllegalArgumentException(
-      "withClient(...) is required before run()"))
+    val client = clientOpt
+      .orElse(llm.endpoint.map(_ => graft.llm.LlmClients.forSpec(llm)))
+      .getOrElse(throw new IllegalArgumentException(
+        "withClient(...) or withEndpoint(...) is required before run()"))
     new Enricher(build(), client, runDirOpt, keyColumnOpt, dispatcher,
       evidenceCorpusOpt).enrich(df)
   }
