@@ -223,6 +223,70 @@ object RagQueries {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- cross-feature rerank --------------------------------------------
+
+  /** Rerank the sparse retriever's top-20 shortlist with the pairwise
+    * cross-feature scorer (coverage + ordered-bigram + proximity). The
+    * scorer sees phrase order and match position — signals the
+    * bag-of-words retriever is blind to — so the top-5 ORDER genuinely
+    * changes vs q61 (RagSpec asserts it); the oracle recomputes every
+    * feature in SQL. */
+  def q64Rerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val idx = SparseIndex.build(docs, "doc_id", "text")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val shortlist = SparseIndex.search(idx,
+      queries.select(col("query_id").as("qid"), col("qtext").as("text")),
+      "qid", "text", 20)
+      .select(col("query_id"), col("id"))
+    graft.rag.Reranker.rerank(shortlist,
+      docs.select(col("doc_id").as("id"), col("text")), queries, k = 5)
+      .orderBy("query_id", "rank")
+  }
+
+  val q64Sql: String = {
+    def toksLower(c: String) =
+      s"list_filter(regexp_split_to_array(trim(lower($c)), '\\s+'), x -> x <> '')"
+    s"""WITH $sparseCtes,
+       |cand AS (SELECT query_id, id FROM ranked WHERE rank <= 20),
+       |prs AS (
+       |  SELECT c.query_id, c.id,
+       |    ${toksLower("qd.text")} AS qt, ${toksLower("dd.text")} AS dt
+       |  FROM cand c JOIN documents qd ON qd.doc_id = c.query_id
+       |              JOIN documents dd ON dd.doc_id = c.id),
+       |feat AS (
+       |  SELECT query_id, id, dt,
+       |    list_distinct(qt) AS qdt, list_distinct(dt) AS ddt,
+       |    list_distinct([qt[i] || ' ' || qt[i+1]
+       |      for i in range(1, len(qt))]) AS qb,
+       |    list_distinct([dt[i] || ' ' || dt[i+1]
+       |      for i in range(1, len(dt))]) AS db
+       |  FROM prs),
+       |fs AS (
+       |  SELECT query_id, id,
+       |    len(list_intersect(qdt, ddt))::DOUBLE / greatest(len(qdt), 1)
+       |      AS coverage,
+       |    len(list_intersect(qb, db))::DOUBLE / greatest(len(qb), 1)
+       |      AS bigram,
+       |    list_min([list_position(dt, t) for t in qdt
+       |      if list_position(dt, t) > 0]) AS fp
+       |  FROM feat),
+       |rscored AS (
+       |  SELECT query_id, id,
+       |    round(coverage * 0.5 + bigram * 0.3 +
+       |      (CASE WHEN fp IS NULL THEN 0.0 ELSE 1.0 / fp END) * 0.2, 6)
+       |      AS rerank_score
+       |  FROM fs),
+       |rr AS (
+       |  SELECT query_id, id, rerank_score,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rerank_score DESC, id) AS rank
+       |  FROM rscored)
+       |SELECT query_id, rank, id, rerank_score FROM rr WHERE rank <= 5
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   // --- chunking ---------------------------------------------------------
 
   def q63Chunks(spark: SparkSession, dir: String): DataFrame =
@@ -252,11 +316,13 @@ object RagQueries {
     "q60_tfidf_pair" -> q60TfidfPair _,
     "q61_sparse_search" -> q61SparseSearch _,
     "q62_hybrid_rrf" -> q62HybridRrf _,
-    "q63_chunks" -> q63Chunks _)
+    "q63_chunks" -> q63Chunks _,
+    "q64_rerank" -> q64Rerank _)
 
   val oracles: Map[String, String] = Map(
     "q60_tfidf_pair" -> q60Sql,
     "q61_sparse_search" -> q61Sql,
     "q62_hybrid_rrf" -> q62Sql,
-    "q63_chunks" -> q63Sql)
+    "q63_chunks" -> q63Sql,
+    "q64_rerank" -> q64Sql)
 }

@@ -58,12 +58,48 @@ object Embedders {
 }
 
 /** Top-candidate reranking (reference: ondine/knowledge/reranker.py:24-157
-  * — cross-encoder local / API rerank of search results). The scorer is
-  * pluggable; the bundled one is pairwise TF-IDF cosine of (query, doc) —
-  * deterministic, model-free. Keeps the reference's shape: score the
-  * shortlist only, window top-k.
+  * — cross-encoder local / API rerank of search results). Keeps the
+  * reference's shape: score the shortlist only, window top-k.
+  *
+  * The bundled scorer is a deterministic stand-in for the cross-encoder
+  * with the property that matters: it scores the (query, doc) PAIR through
+  * JOINT features — term coverage, ordered-bigram (phrase) agreement, and
+  * match-position proximity — rather than comparing two independent
+  * document representations. A bag-of-words retriever is blind to phrase
+  * order and match position, so reranking genuinely reorders its output
+  * (the reference's cross-encoder scores pairs jointly,
+  * reranker.py:40-55; the r2 stand-in re-scored with the retriever's own
+  * similarity and could never change the order).
   */
 object Reranker {
+  import graft.functions.TextFunctions.tokens
+
+  /** Pairwise (query, doc) relevance in [0,1]:
+    * 0.5 * coverage  — fraction of distinct query terms present in doc
+    * 0.3 * bigram    — fraction of query ordered bigrams present in doc
+    * 0.2 * proximity — 1/position of the earliest query-term hit
+    * All integer-count arithmetic over token arrays (codegen'd built-ins,
+    * no UDF), rounded at 6dp — an SQL oracle reproduces it exactly. */
+  def pairScore(qtext: Column, dtext: Column): Column = {
+    val qt = tokens(lower(qtext))
+    val dt = tokens(lower(dtext))
+    val qd = array_distinct(qt)
+    val coverage = size(array_intersect(qd, array_distinct(dt))).cast("double") /
+      greatest(size(qd), lit(1)).cast("double")
+    def bigrams(a: Column) = array_distinct(
+      zip_with(slice(a, lit(1), greatest(size(a) - 1, lit(0))),
+        slice(a, lit(2), greatest(size(a) - 1, lit(0))),
+        (x, y) => concat_ws(" ", x, y)))
+    val qb = bigrams(qt)
+    val bigram = size(array_intersect(qb, bigrams(dt))).cast("double") /
+      greatest(size(qb), lit(1)).cast("double")
+    val firstPos = array_min(filter(
+      transform(qd, t => array_position(dt, t)), p => p > 0))
+    val proximity = when(firstPos.isNull, lit(0.0))
+      .otherwise(lit(1.0) / firstPos.cast("double"))
+    round(coverage * 0.5 + bigram * 0.3 + proximity * 0.2, 6)
+  }
+
   /** Rerank (query_id, id, text) candidates against query text.
     * Input: candidates (query_id, id) + corpus (id, text) + queries
     * (query_id, qtext). Output re-ranked top-k with rerank_score. */
@@ -73,8 +109,7 @@ object Reranker {
     val joined = candidates
       .join(corpus.select(col(idCol), col(textCol)), idCol)
       .join(queries.select(col(qidCol), col(qtextCol)), qidCol)
-      .withColumn("rerank_score",
-        TfIdf.tfidfCosine2(col(qtextCol), col(textCol)))
+      .withColumn("rerank_score", pairScore(col(qtextCol), col(textCol)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol))
       .orderBy(col("rerank_score").desc, col(idCol))

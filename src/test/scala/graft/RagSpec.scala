@@ -48,6 +48,28 @@ class RagSpec extends SparkSpec {
     assert(ranked(3) == 2L, "unrelated doc must rank last")
   }
 
+  test("reranker reorders what a bag-of-words retriever cannot distinguish") {
+    // docA has the identical token SET as the query (cosine 1.0 for any
+    // bag-of-words scorer) but scrambled order; docB preserves the
+    // phrases. A joint pair scorer must put docB first.
+    val corpus = Seq(
+      (1L, "systems data big"),
+      (2L, "intro to big data systems")).toDF("id", "text")
+    val queries = Seq((10L, "big data systems")).toDF("query_id", "qtext")
+    val cands = Seq((10L, 1L), (10L, 2L)).toDF("query_id", "id")
+    val byRank = Reranker.rerank(cands, corpus, queries, k = 2)
+      .select("rank", "id", "rerank_score").as[(Int, Long, Double)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byRank(1)._1 == 2L,
+      s"phrase-preserving doc must outrank scrambled token-twin: $byRank")
+    // retrieval-order sanity: TF-IDF cosine prefers the scrambled twin,
+    // so the rerank genuinely CHANGED the order
+    val cos = corpus.crossJoin(queries)
+      .select(col("id"), TfIdf.tfidfCosine2(col("qtext"), col("text")).as("c"))
+      .as[(Long, Double)].collect().toMap
+    assert(cos(1L) > cos(2L), "precondition: BOW cosine prefers the twin")
+  }
+
   test("query transforms call the client once each, deterministically") {
     val c = new MockLlmClient()
     val multi = QueryTransforms.multiQuery(c, "what is AQE", 3)
