@@ -100,10 +100,11 @@ final case class LlmSpec(
     maxConcurrency: Int = 64,
     /** Requests/minute across the whole run; divided across partitions. */
     requestsPerMinute: Option[Int] = None,
-    /** Path of a shared token-state file: executor JVMs on one host then
-      * enforce `requestsPerMinute` as ONE exact global bucket instead of
-      * the per-executor split (the reference's Redis scope key,
-      * redis_rate_limiter.py, without Redis). */
+    /** Shared-bucket scope (the reference's Redis scope key,
+      * redis_rate_limiter.py). A filesystem path → exact ONE-host bucket
+      * via a lock-protected state file; `bucket://host:port/scope` →
+      * exact MULTI-host bucket via the [[graft.llm.TokenBucketServer]]
+      * daemon. None → per-executor split (rate = rpm / numExecutors). */
     rateLimitScopeFile: Option[String] = None,
     maxRetries: Int = 3,
     /** Exponential backoff base in ms (1x, 2x, 4x..., capped). */

@@ -27,12 +27,25 @@ object ClientPool {
   // longer silently reuse the first run's mis-sized pool — they get their
   // own. shutdown(runId) sweeps every config variant by prefix.
 
-  /** Per-run bucket: file-coordinated exact global bucket when a scope
-    * file is configured, else the per-executor token bucket. */
+  /** Per-run bucket, picked by scope:
+    *   - `bucket://host:port/scope` → [[SocketBucket]] against a
+    *     [[TokenBucketServer]] daemon (exact MULTI-host bucket — the
+    *     cluster deployment shape)
+    *   - a filesystem path → [[FileCoordinatedBucket]] (exact one-host)
+    *   - none → per-executor [[RateLimiter]] (rate = rpm / numExecutors)
+    */
   def limiter(runId: String, rpm: Int, burst: Int,
               scopeFile: Option[String] = None): GlobalBucket =
     limiters.computeIfAbsent(
       s"$runId:$rpm:$burst:${scopeFile.getOrElse("")}", _ => scopeFile match {
+        case Some(uri) if uri.startsWith("bucket://") =>
+          uri.stripPrefix("bucket://").split("/", 2) match {
+            case Array(hostPort, scope) =>
+              val Array(host, port) = hostPort.split(":", 2)
+              new SocketBucket(host, port.toInt, scope, rpm, burst)
+            case _ => throw new IllegalArgumentException(
+              s"bad bucket scope URI (want bucket://host:port/scope): $uri")
+          }
         case Some(f) => new FileCoordinatedBucket(f, rpm, burst)
         case None    => new RateLimiter(rpm, burst)
       })

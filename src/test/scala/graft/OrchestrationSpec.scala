@@ -140,6 +140,96 @@ class ComposerSpec extends SparkSpec {
   }
 }
 
+class IntentPlannerSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Canned drafting client: replies with a fixed JSON draft (optionally
+    * chat-wrapped), recording the prompt it saw. */
+  private class DraftClient(draft: String, wrap: Boolean = false)
+    extends graft.llm.LlmClient {
+    def model = "draft"
+    @volatile var seenPrompt: String = _
+    @volatile var seenSystem: Option[String] = None
+    def invoke(p: String, s: Option[String]): graft.llm.LlmResponse = {
+      seenPrompt = p; seenSystem = s
+      val text = if (wrap) s"Sure! Here's the plan:\n```json\n$draft\n```"
+        else draft
+      graft.llm.LlmResponse(text, 10, 10, model,
+        java.math.BigDecimal.ZERO, 0.1)
+    }
+  }
+
+  private val goodDraft =
+    """{"input_columns":["review"],"output_columns":["sentiment"],
+      |"prompt_template":"Sentiment of: {review}",
+      |"system_message":null,"response_format":"raw",
+      |"rationale":"classify each review"}""".stripMargin.replace("\n", "")
+
+  test("plan -> build -> run arc on a sample table") {
+    val df = Seq(("great product", 5), ("terrible", 1))
+      .toDF("review", "stars")
+    val drafter = new DraftClient(goodDraft, wrap = true)
+    val plan = IntentPlanner.plan(df, "label sentiment",
+      BigDecimal("5.0"), drafter)
+    // the drafting prompt carried goal, schema, and truncated sample rows
+    assert(drafter.seenPrompt.contains("label sentiment"))
+    assert(drafter.seenPrompt.contains("\"review\""))
+    assert(drafter.seenSystem.contains(IntentPlanner.PlannerSystem))
+    assert(plan.rationale == "classify each review")
+    assert(plan.spec.output.outputColumns == Seq("sentiment"))
+    // the drafted pipeline actually runs
+    val r = plan.run(df, new MockLlmClient())
+    val got = r.data.select("review", "sentiment")
+      .as[(String, String)].collect().toMap
+    assert(got("great product") ==
+      MockLlmClient.md5Hex("Sentiment of: great product"))
+  }
+
+  test("hallucinated columns, overlaps, and bad formats are rejected") {
+    val df = Seq(("x", 1)).toDF("review", "stars")
+    def planWith(draft: String) = IntentPlanner.plan(
+      df, "goal", BigDecimal("1.0"), new DraftClient(draft))
+    val phantom = goodDraft.replace(""""input_columns":["review"]""",
+      """"input_columns":["nonexistent"]""")
+    val e1 = intercept[IllegalArgumentException](planWith(phantom))
+    assert(e1.getMessage.contains("nonexistent"))
+    val overlap = goodDraft.replace(""""output_columns":["sentiment"]""",
+      """"output_columns":["review"]""")
+    assert(intercept[IllegalArgumentException](planWith(overlap))
+      .getMessage.contains("overlap"))
+    val badFmt = goodDraft.replace(""""response_format":"raw"""",
+      """"response_format":"yaml"""")
+    assert(intercept[IllegalArgumentException](planWith(badFmt))
+      .getMessage.contains("yaml"))
+    // template referencing a column outside the data
+    val phantomTpl = goodDraft.replace("Sentiment of: {review}",
+      "Sentiment of: {ghost}")
+    assert(intercept[IllegalArgumentException](planWith(phantomTpl))
+      .getMessage.contains("ghost"))
+    // unparseable reply names the problem
+    assert(intercept[IllegalArgumentException](planWith("no json at all"))
+      .getMessage.contains("not JSON"))
+    // guard-rails before any token is spent
+    intercept[IllegalArgumentException](IntentPlanner.plan(
+      df, "  ", BigDecimal("1.0"), new DraftClient(goodDraft)))
+    intercept[IllegalArgumentException](IntentPlanner.plan(
+      df, "goal", BigDecimal("0"), new DraftClient(goodDraft)))
+  }
+
+  test("multi-column raw drafts auto-promote to JSON parsing") {
+    val df = Seq(Tuple1("a b c")).toDF("text")
+    val multi =
+      """{"input_columns":["text"],"output_columns":["lang","topic"],
+        |"prompt_template":"Analyze: {text}","system_message":"be terse",
+        |"response_format":"raw","rationale":"two outputs"}"""
+        .stripMargin.replace("\n", "")
+    val plan = IntentPlanner.plan(df, "analyze", BigDecimal("1.0"),
+      new DraftClient(multi))
+    assert(plan.spec.output.responseFormat == ResponseFormat.Json)
+    assert(plan.spec.prompt.systemMessage.contains("be terse"))
+  }
+}
+
 class ProviderBatchSpec extends SparkSpec {
   import spark.implicits._
 
