@@ -27,6 +27,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // Single-FILE testdata parquet: the default 128 MB split size reads a
+      // 100+ MB table as 1-2 partitions, serializing every downstream sort/
+      // join on one core (found at the 10x bench point: q15/q16 went 16x,
+      // not 10x). 8 MB splits a 140 MB lineitem into ~17 scan tasks; on a
+      // real many-file cluster layout this knob is moot.
+      .config("spark.sql.files.maxPartitionBytes", "8m")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

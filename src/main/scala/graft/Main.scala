@@ -68,6 +68,14 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
+      // "plan" needs no config file — the planner drafts the spec itself
+      if (cmd == "plan") {
+        val input = Sources.read(spark, need("input"))
+        val plan = graft.run.IntentPlanner.plan(input, need("goal"),
+          BigDecimal(opts.getOrElse("budget", "1.0")), new MockLlmClient())
+        System.out.println(plan.preview)
+        return
+      }
       val spec = ConfigLoader.fromFile(need("config"))
       val input = Sources.read(spark, need("input"))
       val client = new MockLlmClient()
@@ -135,6 +143,7 @@ object Main {
       "usage: graft.Main process|estimate|submit|collect|resume " +
         "--config cfg.yaml --input PATH [--output PATH] [--run-dir DIR] " +
         "[--key-column COL] [--registry DIR]\n" +
+        "       graft.Main plan --input PATH --goal TEXT [--budget USD]\n" +
         "       graft.Main list-runs --registry DIR\n" +
         "       graft.Main inspect --registry DIR --run-id ID")
 }

@@ -115,13 +115,34 @@ class MockLlmClient(
     if (simulatedLatencyMs > 0) Thread.sleep(simulatedLatencyMs)
     val t0 = System.nanoTime()
     val reply =
-      if (prompt.startsWith(BatchAggregatorMarker)) batchReply(prompt)
+      if (systemMessage.exists(
+        _.startsWith("You are an expert data-engineering")))
+        draftReply(prompt)
+      else if (prompt.startsWith(BatchAggregatorMarker)) batchReply(prompt)
       else replyFor(prompt)
     val tIn = estimateTokens(prompt) + systemMessage.map(estimateTokens).getOrElse(0L)
     val tOut = estimateTokens(reply)
     LlmResponse(reply, tIn, tOut, model,
       CostCalculator.cost(tIn, tOut, inPer1k, outPer1k),
       (System.nanoTime() - t0) / 1e6)
+  }
+
+  /** Deterministic IntentPlanner draft (keyed on the planner's system
+    * message): feed the first available column into a one-placeholder
+    * template. Keeps the "describe the task, get a pipeline" front door
+    * drivable offline — a real model sees the identical prompt. */
+  private def draftReply(prompt: String): String = {
+    val colsRe = """(?s)Available columns:\s*\n(\[.*?\])""".r
+    val first = colsRe.findFirstMatchIn(prompt)
+      .map(_.group(1))
+      .flatMap { arr =>
+        """"([^"]+)"""".r.findFirstMatchIn(arr).map(_.group(1))
+      }
+      .getOrElse("text")
+    s"""{"input_columns":["$first"],"output_columns":["answer"],""" +
+      s""""prompt_template":"Process: {$first}","system_message":null,""" +
+      s""""response_format":"raw",""" +
+      s""""rationale":"deterministic mock draft over column '$first'"}"""
   }
 
   /** Parse the mega-prompt's JSON payload and answer item-by-item. */

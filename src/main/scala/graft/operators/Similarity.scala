@@ -133,16 +133,36 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold),
-    * bucketed by sign-LSH so only bucket-local pairs are scored. */
+    * bucketed by sign-LSH so only bucket-local pairs are scored.
+    *
+    * 100 TB shape (same design as Dedup.nearDuplicatePairs): the bucket
+    * join moves only (id, bucket) — vectors join back for surviving pairs
+    * — and `maxBucketSize` caps degenerate buckets, whose pair count is
+    * quadratic in bucket size (the 10x bench point measured the uncapped
+    * all-pairs join at 19x cost for 10x data; a hot bucket at real scale
+    * is a job-killer). The cap trades recall inside boilerplate-heavy
+    * buckets, exactly like the MinHash path's cap. */
   def embeddingNearDupPairs(df0: DataFrame, threshold: Double,
                             numPlanes: Int = 4, idCol: String = "vec_id",
-                            vecCol: String = "embedding"): DataFrame = {
+                            vecCol: String = "embedding",
+                            maxBucketSize: Int = 1000): DataFrame = {
     val df = graft.ops.Parallelism.ensure(df0)
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val ids = df.select(col(idCol).as("id"),
       lshBucket(col(vecCol), numPlanes).as("bucket"))
-    val a = v.select(col("id").as("id_a"), col("v").as("va"), col("bucket"))
-    val b = v.select(col("id").as("id_b"), col("v").as("vb"), col("bucket"))
-    a.join(b, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
+    val capped = ids
+      .withColumn("_bsz", count(lit(1)).over(w))
+      .filter(col("_bsz") <= maxBucketSize)
+      .select(col("id"), col("bucket"))
+    // one bucket per id (single table) -> bucket-local pairs are unique
+    val pairs = capped.select(col("id").as("id_a"), col("bucket"))
+      .join(capped.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))

@@ -141,13 +141,87 @@ object EnrichQueries {
       |  'Grade: ' || COALESCE(text,'')) AS grade
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BudgetController end-to-end with an exact oracle. Uniform per-row
+    * cost (2-char lang → constant prompt length → Decimal 0.000017/call)
+    * over ≤200 rows in 50-row chunks, cap = 125 rows' cost: the run MUST
+    * stop between chunks 3 and 4. The oracle avoids the quantile-boundary
+    * rows: it checks rows well inside the processed range (doc_id < 80),
+    * that the never-reached tail (doc_id ≥ 155) has zero ledger rows, and
+    * the stop verdict itself — chunk-cut slop of ±2 rows cannot move any
+    * of the three. */
+  def qBudgetStop(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 200)
+    val runDir = java.nio.file.Files
+      .createTempDirectory("graft_budget_q84").toString
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(inputColumns = Seq("lang")),
+      prompt = PromptSpec("B:{lang}"),
+      processing = ProcessingSpec(
+        maxBudget = Some(BigDecimal("0.002125")), chunkRows = 50),
+      output = OutputSpec(Seq("out")))
+    val stopped =
+      try {
+        new graft.run.Enricher(spec, new MockLlmClient(),
+          Some(runDir), Some("doc_id")).enrich(docs)
+        false
+      } catch { case _: graft.run.BudgetExceededException => true }
+    val ledger = spark.read.parquet(runDir + "/responses")
+    val nTail = ledger.filter(col("_row_index") >= 155).count()
+    ledger.filter(col("_row_index") < 80)
+      .select(col("_row_index").as("doc_id"), col("result"),
+        lit(stopped).as("stopped"), lit(nTail).as("n_tail"))
+      .orderBy("doc_id")
+  }
+
+  val qBudgetStopSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang FROM documents WHERE doc_id < 200),
+      |nn AS (SELECT count(*) AS n FROM d)
+      |SELECT doc_id, md5('B:' || lang) AS result,
+      |  (SELECT n FROM nn) > 125 AS stopped,
+      |  CAST(CASE WHEN (SELECT n FROM nn) > 125 THEN 0
+      |    ELSE (SELECT count(*) FROM d t WHERE t.doc_id >= 155) END
+      |    AS BIGINT) AS n_tail
+      |FROM d WHERE doc_id < 80 ORDER BY doc_id""".stripMargin
+
+  /** UPDATE merge end-to-end: the output column pre-exists; the regex
+    * parser yields a value only when the reply starts with 'a' (1/16 of
+    * md5s, deterministic per row), and UPDATE must keep the original
+    * everywhere else — the oracle reproduces the exact keep/replace
+    * decision per row. */
+  def qMergeUpdate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 100)
+      .withColumn("note", concat(lit("orig-"), col("doc_id").cast("string")))
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(inputColumns = Seq("text")),
+      prompt = PromptSpec("U:{text}", batchSize = 10),
+      output = OutputSpec(Seq("note"),
+        responseFormat = ResponseFormat.Regex,
+        regexPatterns = Map("note" -> "^(a[0-9a-f]+)$"),
+        mergeStrategy = MergeStrategy.Update))
+    val r = new graft.run.Enricher(spec, new MockLlmClient(),
+      keyColumn = Some("doc_id")).enrich(docs)
+    r.data.select(col("doc_id"), col("note")).orderBy("doc_id")
+  }
+
+  val qMergeUpdateSql: String =
+    """SELECT doc_id,
+      |  CASE WHEN md5('U:' || COALESCE(text,'')) LIKE 'a%'
+      |    THEN md5('U:' || COALESCE(text,''))
+      |    ELSE 'orig-' || doc_id END AS note
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_enrich_single" -> qEnrichSingle _,
     "q21_enrich_batched" -> qEnrichBatched _,
     "q22_enrich_multivar" -> qEnrichMultiVar _,
     "q23_enrich_jinja" -> qEnrichJinja _,
     "q24_enrich_typed" -> qEnrichTyped _,
-    "q25_enrich_fewshot" -> qEnrichFewShot _)
+    "q25_enrich_fewshot" -> qEnrichFewShot _,
+    "q84_budget_stop" -> qBudgetStop _,
+    "q85_merge_update" -> qMergeUpdate _)
 
   val oracles: Map[String, String] = Map(
     "q20_enrich_single" -> qEnrichSingleSql,
@@ -155,5 +229,7 @@ object EnrichQueries {
     "q22_enrich_multivar" -> qEnrichMultiVarSql,
     "q23_enrich_jinja" -> qEnrichJinjaSql,
     "q24_enrich_typed" -> qEnrichTypedSql,
-    "q25_enrich_fewshot" -> qEnrichFewShotSql)
+    "q25_enrich_fewshot" -> qEnrichFewShotSql,
+    "q84_budget_stop" -> qBudgetStopSql,
+    "q85_merge_update" -> qMergeUpdateSql)
 }

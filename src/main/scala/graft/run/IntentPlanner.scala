@@ -48,6 +48,26 @@ object IntentPlanner {
     def run(df: DataFrame, client: LlmClient,
             runDir: Option[String] = None): EnrichResult =
       new Enricher(spec, client, runDir).enrich(df)
+
+    /** Projected spend for `df` under the drafted spec (10-row sample,
+      * sample-based confidence — the reference Plan.estimated_cost). */
+    def estimatedCost(df: DataFrame): CostEstimate =
+      CostEstimator.estimate(df, spec)
+
+    /** Human-reviewable rendering of the draft — inspect/edit before
+      * running (the reference's Plan.preview_yaml). */
+    def preview: String = {
+      val o = spec.output
+      s"""goal: $goal
+         |rationale: $rationale
+         |input_columns: ${spec.dataset.inputColumns.mkString("[", ", ", "]")}
+         |output_columns: ${o.outputColumns.mkString("[", ", ", "]")}
+         |prompt_template: ${spec.prompt.template}
+         |system_message: ${spec.prompt.systemMessage.getOrElse("~")}
+         |response_format: ${o.responseFormat.toString.toLowerCase}
+         |model: ${spec.llm.model}
+         |max_budget: ${spec.processing.maxBudget.getOrElse("~")}""".stripMargin
+    }
   }
 
   /** Drafting prompt: goal + schema + ≤`sampleRows` truncated rows

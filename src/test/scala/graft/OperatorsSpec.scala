@@ -174,6 +174,27 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("embedding near-dup pairs: bucket cap drops degenerate buckets only") {
+    import graft.operators.Similarity
+    // 30 identical vectors (one degenerate bucket) + 2 distinct near-dups
+    val dup = Array.tabulate(8)(d => (d + 1).toFloat)
+    val near = Array.tabulate(8)(d => (d + 1).toFloat + (if (d == 0) 0.01f else 0f))
+    val rows = (0L until 30L).map(i => (i, dup)) ++
+      Seq((100L, near), (101L, near.map(x => x * 2f)))
+    val df = rows.toDF("vec_id", "embedding")
+    // cap 10 < 32 members in the shared bucket: the identical-vector
+    // glut (quadratic pairs) is dropped wholesale...
+    val capped = Similarity.embeddingNearDupPairs(df, 0.9, 4,
+      maxBucketSize = 10)
+    assert(capped.count() == 0)
+    // ...while an uncapped run scores all bucket-local pairs
+    val full = Similarity.embeddingNearDupPairs(df, 0.9, 4,
+      maxBucketSize = 1000)
+    assert(full.count() >= 30L * 31 / 2) // the 30-clone clique at least
+    assert(full.filter(col("id_a") === 100L && col("id_b") === 101L)
+      .count() == 1) // parallel vectors: cosine 1.0 regardless of norm
+  }
+
   test("preprocessing stats: changed/truncated/removed counters") {
     import graft.ops.Preprocess
     val df = Seq(

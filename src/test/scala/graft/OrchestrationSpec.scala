@@ -227,6 +227,11 @@ class IntentPlannerSpec extends SparkSpec {
       new DraftClient(multi))
     assert(plan.spec.output.responseFormat == ResponseFormat.Json)
     assert(plan.spec.prompt.systemMessage.contains("be terse"))
+    // review surface: preview renders the draft; cost estimate is wired
+    assert(plan.preview.contains("prompt_template: Analyze: {text}"))
+    assert(plan.preview.contains("output_columns: [lang, topic]"))
+    val est = plan.estimatedCost(df)
+    assert(est.totalRows == 1 && est.confidence == "sample-based")
   }
 }
 
