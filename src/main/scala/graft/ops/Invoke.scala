@@ -120,7 +120,11 @@ object Invoke {
     StructField("tokens_in", LongType, nullable = false),
     StructField("tokens_out", LongType, nullable = false),
     StructField("cost", DecimalType(38, 18)),
-    StructField("latency_ms", DoubleType, nullable = false))
+    StructField("latency_ms", DoubleType, nullable = false),
+    // SERVING deployment (router picks / HTTP `model` echo) — the
+    // per-deployment cost/latency attribution key (reference tracks a
+    // distribution per deployment, router_strategies.py); null on failure
+    StructField("model", StringType))
 
   /** df must contain `_row_index` (long) and `prompt` (string); all other
     * columns pass through untouched.
@@ -162,11 +166,13 @@ object Invoke {
 
       def emit(row: Row, result: String, error: String, skipped: Boolean,
                callId: Long, callRows: Int, resp: LlmResponse): Row = {
-        val (tIn, tOut, cost, lat) =
-          if (resp == null) (0L, 0L, java.math.BigDecimal.ZERO, 0.0)
-          else (resp.tokensIn, resp.tokensOut, resp.cost, resp.latencyMs)
+        val (tIn, tOut, cost, lat, served) =
+          if (resp == null) (0L, 0L, java.math.BigDecimal.ZERO, 0.0, null)
+          else (resp.tokensIn, resp.tokensOut, resp.cost, resp.latencyMs,
+            resp.model)
         Row.fromSeq(row.toSeq ++ Seq(result, error, skipped, callId,
-          callRows, tIn, tOut, new java.math.BigDecimal(cost.toString), lat))
+          callRows, tIn, tOut, new java.math.BigDecimal(cost.toString), lat,
+          served))
       }
 
       /** One attempt under the per-call deadline: arm an interrupt at

@@ -213,6 +213,115 @@ object EnrichQueries {
       |    ELSE 'orig-' || doc_id END AS note
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  /** Exact cost/token accounting end-to-end: a durable run's ledger,
+    * deduplicated by (attempt, call), must aggregate to EXACTLY the token
+    * arithmetic the mock client performed — tokens_in = max(1, len/4) per
+    * prompt, tokens_out = 8 (md5 reply), Decimal cost summed exactly and
+    * cast to double only in the final projection. Proves the per-call
+    * dedup rule (cost duplicated across a call's rows must count once)
+    * and the Decimal pipeline end-to-end. */
+  def qCostLedger(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 100)
+    val runDir = java.nio.file.Files
+      .createTempDirectory("graft_cost_q86").toString
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(inputColumns = Seq("text")),
+      prompt = PromptSpec("Cost: {text}"),
+      output = OutputSpec(Seq("out")))
+    new graft.run.Enricher(spec, new MockLlmClient(),
+      Some(runDir), Some("doc_id")).enrich(docs)
+    spark.read.parquet(runDir + "/responses")
+      .dropDuplicates("_attempt", "_call_id")
+      .agg(count(lit(1)).as("calls"),
+        sum("tokens_in").as("tokens_in"),
+        sum("tokens_out").as("tokens_out"),
+        sum("cost").cast("double").as("cost_total"))
+  }
+
+  val qCostLedgerSql: String =
+    """WITH p AS (
+      |  SELECT greatest(1, length('Cost: ' || COALESCE(text,'')) // 4) AS tin
+      |  FROM documents WHERE doc_id < 100)
+      |SELECT CAST(count(*) AS BIGINT) AS calls,
+      |  CAST(SUM(tin) AS BIGINT) AS tokens_in,
+      |  CAST(count(*) * 8 AS BIGINT) AS tokens_out,
+      |  CAST(SUM(tin) * 0.000001 + count(*) * 0.000016 AS DOUBLE) AS cost_total
+      |FROM p""".stripMargin
+
+  /** QualityReport end-to-end: Regex format with REPLACE merge leaves a
+    * null output wherever the reply doesn't match (md5 not starting with
+    * 'a' — 15/16 of rows, deterministic per row), so the report's
+    * valid-row count, success rate, and rating bucket are all exactly
+    * SQL-derivable. */
+  def qQualityReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 200)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(inputColumns = Seq("text")),
+      prompt = PromptSpec("Q: {text}", batchSize = 10),
+      output = OutputSpec(Seq("hit"),
+        responseFormat = ResponseFormat.Regex,
+        regexPatterns = Map("hit" -> "^(a[0-9a-f]+)$")))
+    val r = new graft.run.Enricher(spec, new MockLlmClient(),
+      keyColumn = Some("doc_id")).enrich(docs)
+    val q = r.quality
+    spark.createDataFrame(Seq(
+      (q.totalRows, q.validRows, q.successRate, q.rating)))
+      .toDF("rows_total", "valid_rows", "success_rate", "rating")
+  }
+
+  val qQualityReportSql: String =
+    """WITH d AS (
+      |  SELECT md5('Q: ' || COALESCE(text,'')) AS m
+      |  FROM documents WHERE doc_id < 200),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS rows_total,
+      |    CAST(SUM(CASE WHEN m LIKE 'a%' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS valid_rows
+      |  FROM d)
+      |SELECT rows_total, valid_rows,
+      |  CAST(valid_rows AS DOUBLE) / rows_total AS success_rate,
+      |  CASE WHEN CAST(valid_rows AS DOUBLE) / rows_total >= 0.95 THEN 'excellent'
+      |       WHEN CAST(valid_rows AS DOUBLE) / rows_total >= 0.80 THEN 'good'
+      |       WHEN CAST(valid_rows AS DOUBLE) / rows_total >= 0.50 THEN 'poor'
+      |       ELSE 'critical' END AS rating
+      |FROM s""".stripMargin
+
+  /** Deployment distribution end-to-end: a round-robin router over two
+    * deployments, driven through one sequential partition (repartition(1)
+    * + concurrency 1 → one task → one router instance → strict
+    * alternation), must split calls exactly ceil/floor(n/2); the serving
+    * deployment lands in the ledger's `model` column per call. */
+  def qRouterSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.llm.RouterClient
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 100)
+      .repartition(1)
+    val runDir = java.nio.file.Files
+      .createTempDirectory("graft_router_q88").toString
+    val router = new RouterClient(
+      Seq((new MockLlmClient("m-a"), 1.0), (new MockLlmClient("m-b"), 1.0)),
+      RouterClient.RoundRobin)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(inputColumns = Seq("text")),
+      prompt = PromptSpec("R: {text}"),
+      llm = LlmSpec(concurrency = 1),
+      output = OutputSpec(Seq("out")))
+    new graft.run.Enricher(spec, router, Some(runDir), Some("doc_id"))
+      .enrich(docs)
+    spark.read.parquet(runDir + "/responses")
+      .groupBy("model").agg(count(lit(1)).as("n_calls"))
+      .orderBy("model")
+  }
+
+  val qRouterSplitSql: String =
+    """WITH n AS (SELECT count(*) AS c FROM documents WHERE doc_id < 100)
+      |SELECT 'm-a' AS model, CAST((c + 1) // 2 AS BIGINT) AS n_calls FROM n
+      |UNION ALL
+      |SELECT 'm-b' AS model, CAST(c // 2 AS BIGINT) AS n_calls FROM n
+      |ORDER BY model""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_enrich_single" -> qEnrichSingle _,
     "q21_enrich_batched" -> qEnrichBatched _,
@@ -221,7 +330,10 @@ object EnrichQueries {
     "q24_enrich_typed" -> qEnrichTyped _,
     "q25_enrich_fewshot" -> qEnrichFewShot _,
     "q84_budget_stop" -> qBudgetStop _,
-    "q85_merge_update" -> qMergeUpdate _)
+    "q85_merge_update" -> qMergeUpdate _,
+    "q86_cost_ledger" -> qCostLedger _,
+    "q87_quality_report" -> qQualityReport _,
+    "q88_router_split" -> qRouterSplit _)
 
   val oracles: Map[String, String] = Map(
     "q20_enrich_single" -> qEnrichSingleSql,
@@ -231,5 +343,8 @@ object EnrichQueries {
     "q24_enrich_typed" -> qEnrichTypedSql,
     "q25_enrich_fewshot" -> qEnrichFewShotSql,
     "q84_budget_stop" -> qBudgetStopSql,
-    "q85_merge_update" -> qMergeUpdateSql)
+    "q85_merge_update" -> qMergeUpdateSql,
+    "q86_cost_ledger" -> qCostLedgerSql,
+    "q87_quality_report" -> qQualityReportSql,
+    "q88_router_split" -> qRouterSplitSql)
 }

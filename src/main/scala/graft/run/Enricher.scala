@@ -88,7 +88,7 @@ final class Enricher(
 
   private val internalCols = Seq("prompt", "result", "error", "skipped",
     "_call_id", "call_rows", "tokens_in", "tokens_out", "cost",
-    "latency_ms", "_attempt")
+    "latency_ms", "model", "_attempt")
 
   def enrich(df: DataFrame): EnrichResult = {
     val t0 = System.nanoTime()
