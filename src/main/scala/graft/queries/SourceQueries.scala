@@ -116,15 +116,35 @@ object SourceQueries {
   val q83Sql: String =
     """SELECT doc_id, text, source FROM documents ORDER BY doc_id""".stripMargin
 
+  /** XLSX roundtrip through the suffix dispatcher — the JDK-zip/StAX
+    * SpreadsheetML reader+writer (no deps). Text columns exercise XML
+    * escaping (&, <, quotes) and whitespace preservation; a mismatch
+    * anywhere in the OOXML plumbing breaks the hash vs the parquet
+    * source. */
+  def q89XlsxRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_roundtrip_${dir.replaceAll("[^A-Za-z0-9]", "_")}.xlsx"
+    Sources.write(
+      t(spark, dir, "documents").select("doc_id", "text", "lang"), out)
+    Sources.requireColumns(
+      Sources.read(spark, out), Seq("doc_id", "text", "lang"))
+      .select(col("doc_id").cast("long"), col("text"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val q89Sql: String =
+    """SELECT doc_id, text, lang FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_cost_estimate" -> q80CostEstimate _,
     "q81_preprocess" -> q81Preprocess _,
     "q82_csv_roundtrip" -> q82CsvRoundtrip _,
-    "q83_json_roundtrip" -> q83JsonRoundtrip _)
+    "q83_json_roundtrip" -> q83JsonRoundtrip _,
+    "q89_xlsx_roundtrip" -> q89XlsxRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q80_cost_estimate" -> q80Sql,
     "q81_preprocess" -> q81Sql,
     "q82_csv_roundtrip" -> q82Sql,
-    "q83_json_roundtrip" -> q83Sql)
+    "q83_json_roundtrip" -> q83Sql,
+    "q89_xlsx_roundtrip" -> q89Sql)
 }

@@ -39,6 +39,8 @@ object Sources {
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl") ||
              lower.endsWith(".ndjson"))
       spark.read.json(path)
+    else if (lower.endsWith(".xlsx"))
+      Xlsx.read(spark, path, opts.header) // driver-side; see Xlsx scaladoc
     else
       throw new IllegalArgumentException(s"unsupported source suffix: $path")
   }
@@ -64,6 +66,7 @@ object Sources {
         .csv(path)
     else if (lower.endsWith(".json") || lower.endsWith(".jsonl") ||
              lower.endsWith(".ndjson")) w.json(path)
+    else if (lower.endsWith(".xlsx")) Xlsx.write(df, path)
     else throw new IllegalArgumentException(s"unsupported sink suffix: $path")
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.Files
+import java.util.zip.{ZipEntry, ZipOutputStream}
+
+import graft.sources.{Sources, Xlsx}
+
+/** The reader is held to MORE than the writer emits: a hand-crafted
+  * workbook in Excel's own idiom — sharedStrings with rich-text runs,
+  * `t="s"` cells, explicit `r="C3"` references with gap cells, numeric
+  * cells — so the round-trip oracle (q89) isn't self-consistent by
+  * construction.
+  */
+class XlsxSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def zipOf(entries: (String, String)*): String = {
+    val path = Files.createTempFile("graft_xlsx", ".xlsx")
+    val zos = new ZipOutputStream(Files.newOutputStream(path))
+    entries.foreach { case (name, content) =>
+      zos.putNextEntry(new ZipEntry(name))
+      zos.write(content.getBytes(StandardCharsets.UTF_8))
+      zos.closeEntry()
+    }
+    zos.close()
+    path.toString
+  }
+
+  test("reads an Excel-style workbook: shared strings, refs, gaps, numbers") {
+    val shared =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<sst xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" count="4" uniqueCount="4">
+        |<si><t>id</t></si>
+        |<si><t>name</t></si>
+        |<si><r><rPr><b/></rPr><t>rich </t></r><r><t>text</t></r></si>
+        |<si><t xml:space="preserve">  padded  </t></si>
+        |</sst>""".stripMargin
+    // row 2 leaves B2 as a gap (cell C2 jumps via r="C2"); row 3 uses
+    // shared strings incl. a multi-run entry
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="s"><v>0</v></c><c r="B1" t="s"><v>1</v></c><c r="C1" t="inlineStr"><is><t>note</t></is></c></row>
+        |<row r="2"><c r="A2"><v>42</v></c><c r="C2" t="s"><v>3</v></c></row>
+        |<row r="3"><c r="A3"><v>7.5</v></c><c r="B3" t="s"><v>2</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val path = zipOf(
+      "xl/sharedStrings.xml" -> shared,
+      "xl/worksheets/sheet1.xml" -> sheet)
+    val df = Xlsx.read(spark, path)
+    assert(df.columns.toSeq == Seq("id", "name", "note"))
+    val rows = df.collect().map(r =>
+      (0 until 3).map(i => Option(r.getString(i)).orNull))
+    assert(rows(0) == Seq("42", null, "  padded  ")) // gap + whitespace kept
+    assert(rows(1) == Seq("7.5", "rich text", null)) // rich-text runs concat
+  }
+
+  test("write/read round-trip preserves escapes, newlines, and nulls") {
+    val df = Seq(
+      (1L, "a & b < c > \"d\"", Some("en")),
+      (2L, "line1\nline2\ttabbed", None),
+      (3L, "  leading and trailing  ", Some("de")))
+      .toDF("id", "body", "lang")
+    val out = Files.createTempDirectory("graft_xlsx_rt")
+      .resolve("t.xlsx").toString
+    Sources.write(df, out)
+    val back = Sources.read(spark, out)
+      .select($"id".cast("long"), $"body", $"lang")
+      .as[(Long, String, Option[String])].collect().sortBy(_._1)
+    assert(back(0) == ((1L, "a & b < c > \"d\"", Some("en"))))
+    assert(back(1)._2 == "line1\nline2\ttabbed")
+    assert(back(1)._3.isEmpty) // null cell survives as null
+    assert(back(2)._2 == "  leading and trailing  ")
+  }
+
+  test("column index arithmetic covers multi-letter references") {
+    assert(Xlsx.colIndex("A1") == 0)
+    assert(Xlsx.colIndex("Z9") == 25)
+    assert(Xlsx.colIndex("AA3") == 26)
+    assert(Xlsx.colIndex("BC12") == 54)
+  }
+}
