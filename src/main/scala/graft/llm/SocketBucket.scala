@@ -85,8 +85,13 @@ object TokenBucketServer {
       this
     }
 
+    /** Keyed by (scope, rpm, burst): a second client naming the same
+      * scope with a DIFFERENT config gets its own bucket instead of
+      * silently inheriting the first caller's rate (the same coherence
+      * rule as ClientPool's config-folded singleton keys). */
     private def bucket(scope: String, rpm: Int, burst: Int): Bucket =
-      buckets.computeIfAbsent(scope, _ => new Bucket(rpm, burst))
+      buckets.computeIfAbsent(s"$scope:$rpm:$burst",
+        _ => new Bucket(rpm, burst))
 
     private def serve(sock: Socket): Unit = {
       try {
@@ -153,6 +158,11 @@ final class SocketBucket(host: String, port: Int, scope: String,
     }
   }
 
+  /** One request/reply on the persistent connection, reconnecting up to
+    * 3 times. A reconnect after a sent-but-unanswered command may repeat
+    * it server-side (at-least-once): for ACQUIRE that forfeits at most
+    * one token, for PENALIZE the max() makes repeats idempotent — both
+    * err on the throttled side, never over the rate. */
   private def roundTrip(cmd: String): String = synchronized {
     var lastErr: java.io.IOException = null
     (0 until 3).foreach { _ =>

@@ -195,9 +195,23 @@ object Xlsx {
       |<Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/>
       |</Relationships>""".stripMargin
 
+  /** A1-style reference for (row, col), both 0-based ("BC12" ← (11, 54)). */
+  private[graft] def cellRef(row: Int, colIdx: Int): String = {
+    var c = colIdx + 1
+    val sb = new StringBuilder
+    while (c > 0) {
+      sb.insert(0, ('A' + (c - 1) % 26).toChar)
+      c = (c - 1) / 26
+    }
+    sb.append(row + 1).toString
+  }
+
   /** Write `df` to one xlsx workbook (header row + inline-string cells,
-    * `xml:space="preserve"` so whitespace round-trips). Rows stream from
-    * the cluster via `toLocalIterator` — driver memory holds one row. */
+    * `xml:space="preserve"` so whitespace round-trips). Null cells are
+    * OMITTED and every emitted cell carries its explicit `r=` reference —
+    * a ref-less writer shifts columns left past a mid-row null on read.
+    * Rows stream from the cluster via `toLocalIterator` — driver memory
+    * holds one row. */
   def write(df: DataFrame, path: String): Unit = {
     val zos = new ZipOutputStream(
       new BufferedOutputStream(new FileOutputStream(path)))
@@ -216,14 +230,16 @@ object Xlsx {
         zos.write(s.getBytes(StandardCharsets.UTF_8))
       writeStr("""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>""")
       writeStr("""<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>""")
+      var rowIdx = 0
       def writeRow(cells: Seq[String]): Unit = {
-        writeStr("<row>")
-        cells.foreach { cell =>
-          if (cell == null) writeStr("<c/>")
-          else writeStr(
-            s"""<c t="inlineStr"><is><t xml:space="preserve">${xmlEscape(cell)}</t></is></c>""")
+        writeStr(s"""<row r="${rowIdx + 1}">""")
+        cells.zipWithIndex.foreach { case (cell, i) =>
+          if (cell != null) writeStr(
+            s"""<c r="${cellRef(rowIdx, i)}" t="inlineStr">""" +
+              s"""<is><t xml:space="preserve">${xmlEscape(cell)}</t></is></c>""")
         }
         writeStr("</row>")
+        rowIdx += 1
       }
       writeRow(df.columns.toSeq)
       val it = df.toLocalIterator()

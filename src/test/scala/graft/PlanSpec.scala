@@ -51,6 +51,30 @@ class PlanSpec extends SparkSpec {
       "expected map-side partial aggregation before the shuffle")
   }
 
+  test("rerank joins broadcast the shortlist; top-k rank pushes down") {
+    val p = plan(graft.queries.RagQueries.q64Rerank(spark, dir))
+    // every join in the rerank chain must build on the small side —
+    // a sort-merge join here would shuffle the corpus per rerank
+    assert(p.contains("BroadcastHashJoin"), s"expected broadcast joins:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"rerank must not sort-merge the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian in rerank")
+    // rank<=k evaluates inside WindowGroupLimit (partial top-k before the
+    // full window sort), not as a post-window filter over everything
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k must push into WindowGroupLimit:\n$p")
+  }
+
+  test("capped embedding near-dup join moves ids, not vectors") {
+    import graft.operators.Similarity
+    val vecs = (0 until 64).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 13 + d) % 7 - 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val p = plan(Similarity.embeddingNearDupPairs(vecs, 0.5, 4))
+    assert(!p.contains("CartesianProduct"), "bucketed pairs, not all-pairs")
+    assert(p.contains("_bsz"), "bucket-size cap must be in the plan")
+  }
+
   test("bucketed tables join without any exchange") {
     import graft.operators.Bucketing
     val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString

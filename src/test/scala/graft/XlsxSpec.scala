@@ -56,11 +56,14 @@ class XlsxSpec extends SparkSpec {
     assert(rows(1) == Seq("7.5", "rich text", null)) // rich-text runs concat
   }
 
-  test("write/read round-trip preserves escapes, newlines, and nulls") {
+  test("write/read round-trip preserves escapes, newlines, and MID-ROW nulls") {
     val df = Seq(
       (1L, "a & b < c > \"d\"", Some("en")),
       (2L, "line1\nline2\ttabbed", None),
-      (3L, "  leading and trailing  ", Some("de")))
+      (3L, "  leading and trailing  ", Some("de")),
+      // null in the MIDDLE column: a ref-less writer would shift "fr"
+      // into the body column on read
+      (4L, null: String, Some("fr")))
       .toDF("id", "body", "lang")
     val out = Files.createTempDirectory("graft_xlsx_rt")
       .resolve("t.xlsx").toString
@@ -70,8 +73,9 @@ class XlsxSpec extends SparkSpec {
       .as[(Long, String, Option[String])].collect().sortBy(_._1)
     assert(back(0) == ((1L, "a & b < c > \"d\"", Some("en"))))
     assert(back(1)._2 == "line1\nline2\ttabbed")
-    assert(back(1)._3.isEmpty) // null cell survives as null
+    assert(back(1)._3.isEmpty) // trailing null survives as null
     assert(back(2)._2 == "  leading and trailing  ")
+    assert(back(3) == ((4L, null, Some("fr"))), s"mid-row null shifted: ${back(3)}")
   }
 
   test("column index arithmetic covers multi-letter references") {
