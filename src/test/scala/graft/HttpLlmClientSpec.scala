@@ -124,6 +124,20 @@ class HttpLlmClientSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.retryable)
   }
 
+  test("slow response past the deadline is a retryable NetworkError") {
+    server.createContext("/slow", (ex: HttpExchange) => {
+      Thread.sleep(5000)
+      respond(ex, 200, okBody("too late", 1, 1))
+    })
+    val fast = new HttpLlmClient(s"http://127.0.0.1:$port/slow", "m",
+      timeoutMs = 300)
+    val t0 = System.nanoTime()
+    val e = intercept[NetworkError](fast.invoke("x", None))
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(e.retryable && e.getMessage.contains("timed out"))
+    assert(ms < 4000, s"deadline not enforced, took ${ms}ms")
+  }
+
   test("connection refused is a retryable NetworkError") {
     val dead = new HttpLlmClient("http://127.0.0.1:1/nothing", "m",
       timeoutMs = 1000)

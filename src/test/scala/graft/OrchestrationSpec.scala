@@ -316,6 +316,29 @@ class RunRegistrySpec extends SparkSpec {
     assert(new RunRegistry(dir).list().map(_.runId) == Seq("run one"))
   }
 
+  test("registry notes round-trip for adversarial escape sequences") {
+    // the advisor's r2 finding: sequential global replaces corrupted a
+    // stored literal backslash-n (regex / Windows path) into a newline
+    val nasty = Seq(
+      """C:\new\table\results""",     // \n, \t after a backslash
+      """regex: \\n matches newline""", // literal backslash-backslash-n
+      "mixed \\ \" quote\nand real newline\rand cr",
+      "trailing backslash \\",
+      """\\\n\\r\"""")
+    val dir = Files.createTempDirectory("graft_reg3").toString
+    val reg = new RunRegistry(dir)
+    nasty.zipWithIndex.foreach { case (note, i) =>
+      reg.register(s"r$i", s"/tmp/r$i")
+      reg.transition(s"r$i", RunState.Running)
+      reg.transition(s"r$i", RunState.Failed, r => r.copy(note = note))
+    }
+    val back = new RunRegistry(dir)
+    nasty.zipWithIndex.foreach { case (note, i) =>
+      assert(back.get(s"r$i").get.note == note,
+        s"note $i corrupted: ${back.get(s"r$i").get.note}")
+    }
+  }
+
   test("registry observer: FAILED -> resume -> SUCCEEDED arc") {
     val spark = SparkSpec.session
     import spark.implicits._

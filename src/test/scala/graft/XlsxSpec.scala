@@ -83,5 +83,9 @@ class XlsxSpec extends SparkSpec {
     assert(Xlsx.colIndex("Z9") == 25)
     assert(Xlsx.colIndex("AA3") == 26)
     assert(Xlsx.colIndex("BC12") == 54)
+    // cellRef and colIndex are inverse over a wide column range
+    (0 until 1000).foreach { c =>
+      assert(Xlsx.colIndex(Xlsx.cellRef(7, c)) == c, s"col $c")
+    }
   }
 }
