@@ -31,6 +31,69 @@ final class CollectingObserver extends Observer {
   def onEvent(e: PipelineEvent): Unit = events.add(e)
 }
 
+/** Executor-level telemetry for a run window: a real `SparkListener`
+  * registered between RunStarted and RunCompleted/Failed, aggregating the
+  * task metrics the reference's Langfuse/OTel observers would stream
+  * (ondine/observability/) — CPU time, records and bytes read, shuffle
+  * traffic, spill, task/failure counts. The snapshot rides on the
+  * lifecycle events' side so any exporter (OTel, logs, a metrics table)
+  * consumes ONE summary instead of re-implementing Spark's listener bus.
+  */
+final class SparkMetricsObserver(spark: org.apache.spark.sql.SparkSession)
+  extends Observer {
+
+  final class Snapshot {
+    val tasks = new java.util.concurrent.atomic.AtomicLong(0)
+    val failedTasks = new java.util.concurrent.atomic.AtomicLong(0)
+    val cpuTimeNs = new java.util.concurrent.atomic.AtomicLong(0)
+    val recordsRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val bytesRead = new java.util.concurrent.atomic.AtomicLong(0)
+    val shuffleBytesWritten = new java.util.concurrent.atomic.AtomicLong(0)
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    override def toString: String =
+      s"""{"tasks":${tasks.get},"failed_tasks":${failedTasks.get},""" +
+        s""""cpu_time_ms":${cpuTimeNs.get / 1000000},""" +
+        s""""records_read":${recordsRead.get},"bytes_read":${bytesRead.get},""" +
+        s""""shuffle_bytes_written":${shuffleBytesWritten.get},""" +
+        s""""spill_bytes":${spillBytes.get}}"""
+  }
+
+  @volatile private var current: Snapshot = _
+  @volatile private var lastSnapshot: Snapshot = _
+
+  private val listener = new org.apache.spark.scheduler.SparkListener {
+    override def onTaskEnd(
+        e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val s = current
+      if (s != null && e.taskMetrics != null) {
+        s.tasks.incrementAndGet()
+        if (e.taskInfo != null && !e.taskInfo.successful)
+          s.failedTasks.incrementAndGet()
+        s.cpuTimeNs.addAndGet(e.taskMetrics.executorCpuTime)
+        s.recordsRead.addAndGet(e.taskMetrics.inputMetrics.recordsRead)
+        s.bytesRead.addAndGet(e.taskMetrics.inputMetrics.bytesRead)
+        s.shuffleBytesWritten.addAndGet(
+          e.taskMetrics.shuffleWriteMetrics.bytesWritten)
+        s.spillBytes.addAndGet(e.taskMetrics.diskBytesSpilled)
+      }
+    }
+  }
+
+  def onEvent(e: PipelineEvent): Unit = e match {
+    case _: RunStarted =>
+      current = new Snapshot
+      spark.sparkContext.addSparkListener(listener)
+    case _: RunCompleted | _: RunFailed =>
+      spark.sparkContext.removeSparkListener(listener)
+      lastSnapshot = current
+      current = null
+    case _ => ()
+  }
+
+  /** Metrics of the last finished run window (null before any run). */
+  def snapshot: Snapshot = if (current != null) current else lastSnapshot
+}
+
 /** Driver-side dispatcher; failures in observers never fail the run
   * (reference dispatcher semantics). */
 final class ObserverDispatcher {

@@ -126,6 +126,13 @@ final class PipelineBuilder private () {
   def withRunDir(dir: String): this.type = { runDirOpt = Some(dir); this }
   def withKeyColumn(c: String): this.type = { keyColumnOpt = Some(c); this }
   def withObserver(o: Observer): this.type = { dispatcher.register(o); this }
+  /** Attach a [[SparkMetricsObserver]] capturing executor-level task
+    * metrics for the run window; returns it for post-run inspection. */
+  def withSparkMetrics(spark: org.apache.spark.sql.SparkSession): SparkMetricsObserver = {
+    val o = new SparkMetricsObserver(spark)
+    dispatcher.register(o)
+    o
+  }
   def withRegistry(registry: RunRegistry): this.type = {
     dispatcher.register(
       new RegistryObserver(registry, runDirOpt.getOrElse("")))

@@ -200,6 +200,23 @@ class EnricherSpec extends SparkSpec {
     }
   }
 
+  test("spark metrics observer captures executor task metrics for the run window") {
+    val df = (0 until 200).map(i => s"m$i").toDF("text")
+    val b = graft.run.PipelineBuilder()
+      .withTemplate("SM:{text}").withOutputColumns("out")
+      .withClient(new MockLlmClient())
+    val metrics = b.withSparkMetrics(spark)
+    b.run(df)
+    // listener delivery is async; poll briefly
+    val deadline = System.nanoTime() + 10L * 1000000000L
+    while ((metrics.snapshot == null || metrics.snapshot.tasks.get == 0) &&
+      System.nanoTime() < deadline) Thread.sleep(50)
+    val s = metrics.snapshot
+    assert(s != null && s.tasks.get > 0, "no tasks captured")
+    assert(s.cpuTimeNs.get > 0)
+    assert(s.toString.contains("\"tasks\":"), "snapshot must render as JSON")
+  }
+
   test("hanging client is cancelled at the per-call deadline, run completes via Skip") {
     // A client that never returns for marked prompts: without the deadline
     // this would wedge the task forever (the r2 judge's liveness finding).
