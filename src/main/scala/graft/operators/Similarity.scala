@@ -132,6 +132,18 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Corpus-scaled sign-LSH plane count: `minPlanes` up to `anchorCorpus`
+    * vectors, +1 plane per further corpus doubling — so expected bucket
+    * occupancy stays pinned near anchorCorpus / 2^minPlanes (~31 with the
+    * defaults) instead of growing with the data. A fixed plane count
+    * turns the bucket-local pair join quadratic once the corpus outgrows
+    * it (measured 19x cost for 10x data at the 10x bench point). */
+  def autoPlanes(corpusSize: Long, anchorCorpus: Int = 500,
+                 minPlanes: Int = 4): Int =
+    minPlanes + math.max(0, math.ceil(
+      math.log(math.max(1L, corpusSize).toDouble / anchorCorpus) /
+        math.log(2)).toInt)
+
   /** Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold),
     * bucketed by sign-LSH so only bucket-local pairs are scored.
     *

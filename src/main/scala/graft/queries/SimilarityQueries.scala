@@ -98,9 +98,8 @@ object SimilarityQueries {
     * sign, so recall for true duplicates is unaffected by plane count. */
   def q42EmbeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val n = math.max(1L, emb.count())
-    val planes = NumPlanes +
-      math.max(0, math.ceil(math.log(n / 500.0) / math.log(2)).toInt)
+    val planes = Similarity.autoPlanes(emb.count(),
+      anchorCorpus = 500, minPlanes = NumPlanes)
     Similarity.embeddingNearDupPairs(emb, threshold = 0.3, planes)
       .orderBy("id_a", "id_b")
   }

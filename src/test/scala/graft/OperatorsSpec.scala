@@ -174,6 +174,20 @@ class OperatorsSpec extends SparkSpec {
       .filter(col("count") > 1).isEmpty)
   }
 
+  test("autoPlanes keeps expected bucket occupancy roughly constant") {
+    import graft.operators.Similarity
+    assert(Similarity.autoPlanes(500) == 4)    // at the anchor: minimum
+    assert(Similarity.autoPlanes(20) == 4)     // never below the minimum
+    assert(Similarity.autoPlanes(1000) == 5)   // corpus doubling adds 1
+    assert(Similarity.autoPlanes(20000) == 10) // 2^10 buckets ~ 20/bucket
+    // occupancy n / 2^planes stays within (anchor/2^min / 2, anchor/2^min]
+    // = (15.6, 31.25] for every corpus above the anchor
+    Seq(600L, 5000L, 80000L, 1000000L).foreach { n =>
+      val occ = n.toDouble / (1L << Similarity.autoPlanes(n))
+      assert(occ <= 31.25 && occ > 15.6, s"n=$n occupancy $occ")
+    }
+  }
+
   test("embedding near-dup pairs: bucket cap drops degenerate buckets only") {
     import graft.operators.Similarity
     // 30 identical vectors (one degenerate bucket) + 2 distinct near-dups
