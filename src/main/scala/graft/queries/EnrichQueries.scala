@@ -322,6 +322,82 @@ object EnrichQueries {
       |SELECT 'm-b' AS model, CAST(c // 2 AS BIGINT) AS n_calls FROM n
       |ORDER BY model""".stripMargin
 
+  /** DataLoaderStage filters end-to-end: the spec's equality filters must
+    * subset the input BEFORE any spend (Catalyst pushes them to the scan)
+    * — the oracle enriches only the lang='en' rows. */
+  def qEnrichFiltered(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    val docs = tp(spark, dir, "documents")
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(inputColumns = Seq("text"),
+        filters = Map("lang" -> "en")),
+      prompt = PromptSpec("F: {text}", batchSize = 10),
+      output = OutputSpec(Seq("out")))
+    val r = new graft.run.Enricher(spec, new MockLlmClient(),
+      keyColumn = Some("doc_id")).enrich(docs)
+    r.data.select(col("doc_id"), col("out")).orderBy("doc_id")
+  }
+
+  val qEnrichFilteredSql: String =
+    """SELECT doc_id, md5('F: ' || COALESCE(text,'')) AS out
+      |FROM documents WHERE lang = 'en' ORDER BY doc_id""".stripMargin
+
+  /** Structured Streaming enrichment end-to-end: a file stream over the
+    * documents table drains through `foreachBatch` micro-batches running
+    * the SAME Enricher as batch mode; per-row results must be identical
+    * to the batch oracle regardless of micro-batch boundaries. */
+  def qStreamingEnrich(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 200)
+      .select("doc_id", "text")
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_stream_q91").toString
+    docs.write.parquet(s"$base/src")
+    val stream = spark.readStream.schema(docs.schema).parquet(s"$base/src")
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(inputColumns = Seq("text")),
+      prompt = PromptSpec("S: {text}"),
+      output = OutputSpec(Seq("out")))
+    val q = graft.streaming.StreamingEnrich.start(
+      stream, spec, new MockLlmClient(), s"$base/ckpt",
+      (df, _) => df.select("doc_id", "out")
+        .write.mode("append").parquet(s"$base/out"))
+    q.awaitTermination()
+    spark.read.parquet(s"$base/out").orderBy("doc_id")
+  }
+
+  val qStreamingEnrichSql: String =
+    """SELECT doc_id, md5('S: ' || COALESCE(text,'')) AS out
+      |FROM documents WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
+  /** Composer DAG end-to-end: column b's template consumes column a's
+    * output, so the oracle is the COMPOSED hash md5('B: '||md5('A: '||t))
+    * — only correct topological execution with cross-pipeline column
+    * accumulation produces it. */
+  def qComposerChain(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.run.Composer
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 100)
+    def pipe(out: String, template: String, inCols: Seq[String],
+             deps: Seq[String]) =
+      Composer.ColumnPipeline(out,
+        PipelineSpec(
+          dataset = DatasetSpec(inputColumns = inCols),
+          prompt = PromptSpec(template),
+          output = OutputSpec(Seq(out))),
+        new MockLlmClient(), deps)
+    Composer.run(docs, Seq(
+      pipe("b", "B: {a}", Seq("a"), Seq("a")), // declared out of order
+      pipe("a", "A: {text}", Seq("text"), Nil)))
+      .select(col("doc_id"), col("a"), col("b")).orderBy("doc_id")
+  }
+
+  val qComposerChainSql: String =
+    """SELECT doc_id,
+      |  md5('A: ' || COALESCE(text,'')) AS a,
+      |  md5('B: ' || md5('A: ' || COALESCE(text,''))) AS b
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_enrich_single" -> qEnrichSingle _,
     "q21_enrich_batched" -> qEnrichBatched _,
@@ -333,7 +409,10 @@ object EnrichQueries {
     "q85_merge_update" -> qMergeUpdate _,
     "q86_cost_ledger" -> qCostLedger _,
     "q87_quality_report" -> qQualityReport _,
-    "q88_router_split" -> qRouterSplit _)
+    "q88_router_split" -> qRouterSplit _,
+    "q90_enrich_filtered" -> qEnrichFiltered _,
+    "q91_streaming_enrich" -> qStreamingEnrich _,
+    "q92_composer_chain" -> qComposerChain _)
 
   val oracles: Map[String, String] = Map(
     "q20_enrich_single" -> qEnrichSingleSql,
@@ -346,5 +425,8 @@ object EnrichQueries {
     "q85_merge_update" -> qMergeUpdateSql,
     "q86_cost_ledger" -> qCostLedgerSql,
     "q87_quality_report" -> qQualityReportSql,
-    "q88_router_split" -> qRouterSplitSql)
+    "q88_router_split" -> qRouterSplitSql,
+    "q90_enrich_filtered" -> qEnrichFilteredSql,
+    "q91_streaming_enrich" -> qStreamingEnrichSql,
+    "q92_composer_chain" -> qComposerChainSql)
 }
