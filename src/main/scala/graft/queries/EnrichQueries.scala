@@ -398,6 +398,63 @@ object EnrichQueries {
       |  md5('B: ' || md5('A: ' || COALESCE(text,''))) AS b
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  /** Auto-retry healing end-to-end: the mock's FIRST reply per prompt is
+    * chat refusal prose that fails Typed schema validation (structural
+    * rejection → all-null outputs); the auto-retry pass re-invokes
+    * exactly those rows and the repeat parses. Final state must equal
+    * the structured oracle — without the retry every output would be
+    * null. */
+  def qAutoRetryHeal(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import graft.core._
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 100)
+    val schema = StructType(Seq(
+      StructField("label", StringType), StructField("score", IntegerType)))
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(inputColumns = Seq("text")),
+      prompt = PromptSpec("H: {text}"),
+      processing = ProcessingSpec(autoRetryAttempts = 2),
+      output = OutputSpec(Seq("label", "score"),
+        responseFormat = ResponseFormat.Typed, typedSchema = Some(schema)))
+    val r = new graft.run.Enricher(spec,
+      new MockLlmClient(structuredJson = true, malformedFirstReply = true),
+      keyColumn = Some("doc_id")).enrich(docs)
+    r.data.select(col("doc_id"), col("label"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  val qAutoRetryHealSql: String =
+    """SELECT doc_id,
+      |  md5('H: ' || COALESCE(text,'')) AS label,
+      |  CAST(length('H: ' || COALESCE(text,'')) % 100 AS INT) AS score
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
+  /** Provider batch-mode end-to-end: submit serializes prompts to the
+    * provider's JSONL shape, the (mock) provider answers offline, collect
+    * joins results back by row id — the md5 oracle proves the full
+    * submit → poll → collect round trip row-exactly. */
+  def qProviderBatch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 100)
+    val runDir = java.nio.file.Files
+      .createTempDirectory("graft_pb_q94").toString
+    val backend = new graft.run.ProviderBatch.LocalMockBackend(
+      spark, s"$runDir/provider")
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(inputColumns = Seq("text")),
+      prompt = PromptSpec("P: {text}"),
+      output = OutputSpec(Seq("out")))
+    graft.run.ProviderBatch.submit(docs, spec, runDir, backend,
+      Some("doc_id"))
+    graft.run.ProviderBatch.collect(docs, spec, runDir, backend,
+      Some("doc_id"))
+      .select(col("doc_id"), col("out")).orderBy("doc_id")
+  }
+
+  val qProviderBatchSql: String =
+    """SELECT doc_id, md5('P: ' || COALESCE(text,'')) AS out
+      |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_enrich_single" -> qEnrichSingle _,
     "q21_enrich_batched" -> qEnrichBatched _,
@@ -412,7 +469,9 @@ object EnrichQueries {
     "q88_router_split" -> qRouterSplit _,
     "q90_enrich_filtered" -> qEnrichFiltered _,
     "q91_streaming_enrich" -> qStreamingEnrich _,
-    "q92_composer_chain" -> qComposerChain _)
+    "q92_composer_chain" -> qComposerChain _,
+    "q93_auto_retry_heal" -> qAutoRetryHeal _,
+    "q94_provider_batch" -> qProviderBatch _)
 
   val oracles: Map[String, String] = Map(
     "q20_enrich_single" -> qEnrichSingleSql,
@@ -428,5 +487,7 @@ object EnrichQueries {
     "q88_router_split" -> qRouterSplitSql,
     "q90_enrich_filtered" -> qEnrichFilteredSql,
     "q91_streaming_enrich" -> qStreamingEnrichSql,
-    "q92_composer_chain" -> qComposerChainSql)
+    "q92_composer_chain" -> qComposerChainSql,
+    "q93_auto_retry_heal" -> qAutoRetryHealSql,
+    "q94_provider_batch" -> qProviderBatchSql)
 }
