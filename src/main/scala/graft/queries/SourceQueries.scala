@@ -134,17 +134,39 @@ object SourceQueries {
   val q89Sql: String =
     """SELECT doc_id, text, lang FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PDF roundtrip: every document rendered to its own PDF on the
+    * executors ([[graft.sources.Pdf.writeDocs]]), then re-ingested
+    * through the DocumentLoader's binaryFile scan + text-layer
+    * extraction. A mismatch anywhere in the PDF object/stream/escape
+    * plumbing breaks the hash vs the parquet source. */
+  def q95PdfRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_pdfs_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    graft.sources.Pdf.writeDocs(
+      t(spark, dir, "documents").select("doc_id", "text"), out)
+    graft.sources.DocumentLoader.load(spark, out)
+      .select(
+        regexp_extract(col("path"), "([0-9-]+)\\.pdf$", 1)
+          .cast("long").as("doc_id"),
+        col("text"))
+      .orderBy("doc_id")
+  }
+
+  val q95Sql: String =
+    """SELECT doc_id, text FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_cost_estimate" -> q80CostEstimate _,
     "q81_preprocess" -> q81Preprocess _,
     "q82_csv_roundtrip" -> q82CsvRoundtrip _,
     "q83_json_roundtrip" -> q83JsonRoundtrip _,
-    "q89_xlsx_roundtrip" -> q89XlsxRoundtrip _)
+    "q89_xlsx_roundtrip" -> q89XlsxRoundtrip _,
+    "q95_pdf_roundtrip" -> q95PdfRoundtrip _)
 
   val oracles: Map[String, String] = Map(
     "q80_cost_estimate" -> q80Sql,
     "q81_preprocess" -> q81Sql,
     "q82_csv_roundtrip" -> q82Sql,
     "q83_json_roundtrip" -> q83Sql,
-    "q89_xlsx_roundtrip" -> q89Sql)
+    "q89_xlsx_roundtrip" -> q89Sql,
+    "q95_pdf_roundtrip" -> q95Sql)
 }

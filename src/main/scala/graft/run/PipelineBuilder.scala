@@ -138,6 +138,15 @@ final class PipelineBuilder private () {
       new RegistryObserver(registry, runDirOpt.getOrElse("")))
     this
   }
+  /** Export the run as an OTLP trace + metrics — to a collector endpoint
+    * (`http://host:4318`) or an NDJSON file path. */
+  def withOtel(target: String): this.type = {
+    val sink = if (target.startsWith("http://") ||
+      target.startsWith("https://")) new OtlpHttpSink(target)
+    else new OtelFileSink(target)
+    dispatcher.register(new OtelObserver(sink))
+    this
+  }
 
   /** Validated spec (input columns default to template placeholders,
     * mirroring QuickPipeline). */

@@ -4,18 +4,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Path-based document loading — the reference's knowledge loader
-  * (ondine/knowledge/loader.py:34-211) minus pdf/OCR (out of v1 scope,
-  * SURVEY §7.6): txt / md / html / csv files, single path or recursive
-  * directory walk, one document per file.
+  * (ondine/knowledge/loader.py:34-211): txt / md / html / csv / pdf
+  * files, single path or recursive directory walk, one document per
+  * file. PDF covers born-digital text layers via [[Pdf.extractText]];
+  * raster OCR stays out of scope (SURVEY §7.6).
   *
   * Spark-first: the walk is a `binaryFile` scan (distributed listing +
-  * read, no driver-side I/O), decoding and html-stripping are Catalyst
-  * expressions, so a million-file corpus loads as a normal parallel scan.
+  * read, no driver-side I/O); decoding and html-stripping are Catalyst
+  * expressions and pdf extraction a pure bytes→text function, so a
+  * million-file corpus loads as a normal parallel scan.
   * Output: (doc_id BIGINT = xxhash64(path), path, ext, text).
   */
 object DocumentLoader {
 
-  val SupportedGlob = "*.{txt,md,markdown,html,htm,csv}"
+  val SupportedGlob = "*.{txt,md,markdown,html,htm,csv,pdf}"
+
+  /** PDF text layer as a column fn — a UDF by necessity (streaming
+    * parser state), applied only on the pdf branch of the dispatch. */
+  private val extractPdf =
+    udf((b: Array[Byte]) => if (b == null) "" else Pdf.extractText(b))
 
   /** Strip html to text: drop script/style blocks, tags, decode the
     * common entities, collapse runs of whitespace (loader.py's
@@ -46,6 +53,7 @@ object DocumentLoader {
     val text0 = decode(col("content"), "UTF-8")
     val text = when(ext.isin("html", "htm"), stripHtml(text0))
       .when(ext === "csv", csvToText(text0))
+      .when(ext === "pdf", extractPdf(col("content")))
       .otherwise(text0)
     raw.select(
       xxhash64(col("path")).as("doc_id"),
