@@ -132,6 +132,76 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** IVF-flat approximate top-k — coarse quantization as the third ANN
+    * path beside exact ([[bruteForceTopK]]) and sign-LSH ([[lshTopK]]):
+    * `numCentroids` corpus vectors picked by deterministic id stride act
+    * as flat centroids (reproducible across engines and executors — a
+    * k-means fit would sharpen the lists but is a quality knob, not part
+    * of the operator contract); every corpus vector joins the inverted
+    * list of its nearest centroid, a query probes its `nProbe` nearest
+    * lists, and the candidates rank by exact cosine.
+    *
+    * 100 TB shape: the centroid set is tiny and BROADCAST to both
+    * assignment passes, so assignment is map-side dot products plus one
+    * partial-aggregated argmax (`max_by`) shuffle keyed by vector id —
+    * never a shuffle of the N×K cross product; the (query, cluster)
+    * probe pairs broadcast to the corpus side, so the corpus is never
+    * re-shuffled by cluster; vectors join back ids-first for surviving
+    * candidates only, like the LSH paths. Recall tunes with
+    * `nProbe / numCentroids`.
+    *
+    * The one driver-side action is a corpus `count()` to derive the
+    * centroid stride; pass `corpusSize` when it is already known. */
+  def ivfTopK(queries: DataFrame, corpus0: DataFrame, k: Int,
+              numCentroids: Int = 8, nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              corpusSize: Option[Long] = None): DataFrame = {
+    val corpus = graft.ops.Parallelism.ensure(corpus0)
+    val n = corpusSize.getOrElse(corpus.count())
+    val stride = math.max(1L, n / numCentroids)
+    val cents = broadcast(corpus
+      .filter(col(idCol) % stride === 0 &&
+        expr(s"$idCol div $stride") < numCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv")))
+    // nearest centroid per corpus vector: broadcast cross + argmax with a
+    // (sim, -id) struct so ties break toward the smaller centroid id —
+    // the same ORDER BY sim DESC, id ASC the oracle uses
+    val assigned = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(col("cv"), col("centv")))
+      .groupBy("neighbor_id")
+      .agg(expr("max_by(centroid_id, struct(csim, -centroid_id))")
+        .as("cluster"))
+    val wp = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("csim").desc, col("centroid_id"))
+    val queryLists = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(col("qv"), col("centv")))
+      .withColumn("prank", row_number().over(wp))
+      .filter(col("prank") <= nProbe)
+      .select(col("query_id"), col("centroid_id").as("cluster"))
+    // each neighbor lives in exactly one list, so (query, neighbor) pairs
+    // are already unique — no dedup stage needed
+    val cands = assigned.join(broadcast(queryLists), Seq("cluster"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val scored = cands
+      .join(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")),
+        "query_id")
+      .join(corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv")),
+        "neighbor_id")
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
   /** Corpus-scaled sign-LSH plane count: `minPlanes` up to `anchorCorpus`
     * vectors, +1 plane per further corpus doubling — so expected bucket
     * occupancy stays pinned near anchorCorpus / 2^minPlanes (~31 with the

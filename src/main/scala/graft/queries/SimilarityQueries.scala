@@ -165,15 +165,79 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  private val NumCentroids = 8
+  private val NProbe = 2
+
+  /** IVF-flat top-k (the coarse-quantization scale path): stride-picked
+    * centroids, nearest-list assignment, 2-of-8 probe, exact cosine on
+    * the candidates. The oracle rebuilds the identical inverted lists in
+    * SQL, so assignment argmax ties, probe ranking, and the final top-k
+    * all have to agree bit-for-bit. */
+  def q44AnnIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfTopK(
+      emb.filter(col("vec_id") < NumQueries), emb, K, NumCentroids, NProbe)
+      .orderBy("query_id", "rank")
+  }
+
+  val q44Sql: String = {
+    val stride = s"((SELECT count(*) FROM embeddings) // $NumCentroids)"
+    // assignment/probe cosine is UNROUNDED (both engines accumulate
+    // left-to-right in double, so the argmax agrees); only the reported
+    // sim rounds to 6dp like every other ANN query
+    def rawCosine(a: String, b: String): String =
+      s"""(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+         |  (sqrt(list_sum(list_transform($a, x -> x * x))) *
+         |   sqrt(list_sum(list_transform($b, x -> x * x)))))""".stripMargin
+    s"""WITH cent AS (
+       |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
+       |  FROM embeddings
+       |  WHERE vec_id % $stride = 0 AND vec_id // $stride < $NumCentroids),
+       |assign AS (
+       |  SELECT neighbor_id, centroid_id AS cluster FROM (
+       |    SELECT c.vec_id AS neighbor_id, cent.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${rawCosine("(c.embedding::DOUBLE[])", "cent.centv")} DESC,
+       |          cent.centroid_id) AS rn
+       |    FROM embeddings c, cent)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id AS cluster FROM (
+       |    SELECT q.vec_id AS query_id, cent.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${rawCosine("(q.embedding::DOUBLE[])", "cent.centv")} DESC,
+       |          cent.centroid_id) AS rn
+       |    FROM embeddings q, cent WHERE q.vec_id < $NumQueries)
+       |  WHERE rn <= $NProbe),
+       |cands AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM probes JOIN assign USING (cluster)
+       |  WHERE query_id <> neighbor_id),
+       |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       |       WHERE vec_id < $NumQueries),
+       |cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id, ${duckCosine("q.qv", "v.cv")} AS sim
+       |  FROM cands c JOIN qv q USING (query_id) JOIN cv v USING (neighbor_id)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
     "q41_ann_lsh_topk" -> q41LshTopK _,
     "q42_embed_near_dups" -> q42EmbeddingNearDups _,
-    "q43_ann_multitable" -> q43LshMultiTable _)
+    "q43_ann_multitable" -> q43LshMultiTable _,
+    "q44_ann_ivf" -> q44AnnIvf _)
 
   val oracles: Map[String, String] = Map(
     "q40_ann_brute_topk" -> q40Sql,
     "q41_ann_lsh_topk" -> q41Sql,
     "q42_embed_near_dups" -> q42Sql,
-    "q43_ann_multitable" -> q43Sql)
+    "q43_ann_multitable" -> q43Sql,
+    "q44_ann_ivf" -> q44Sql)
 }

@@ -75,6 +75,31 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_bsz"), "bucket-size cap must be in the plan")
   }
 
+  test("IVF probe joins broadcast; the corpus is never cross-joined wide") {
+    import graft.operators.Similarity
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.tabulate(8)(d => ((i * 13 + d) % 7 - 3).toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfTopK(
+      vecs.filter($"vec_id" < 5), vecs, k = 3, numCentroids = 4, nProbe = 2)
+    val p = plan(out)
+    // the only nested-loop joins are against the broadcast centroid set;
+    // candidate selection must be a hash join on cluster, and the wide
+    // embedding column must not ride through it
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), s"centroids must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no corpus cartesian:\n$p")
+    // recall sanity: stride centroids + 2/4 probe on a smooth corpus must
+    // recover most of the exact top-3
+    val exact = Similarity.bruteForceTopK(
+      vecs.filter($"vec_id" < 5), vecs, k = 3)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = out.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF recall $recall too low; got $approx vs $exact")
+  }
+
   test("bucketed tables join without any exchange") {
     import graft.operators.Bucketing
     val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
