@@ -455,6 +455,37 @@ object EnrichQueries {
     """SELECT doc_id, md5('P: ' || COALESCE(text,'')) AS out
       |FROM documents WHERE doc_id < 100 ORDER BY doc_id""".stripMargin
 
+  /** Intent-planner arc, hash-verified end-to-end: a canned structured
+    * drafting reply (the planner is exactly one LLM call — determinism
+    * comes from the canned draft, like every mock in this file) must
+    * survive defensive validation against the real documents schema and
+    * produce a runnable spec; the spec then executes with the md5 mock.
+    * The oracle reproduces the drafted template's application, so a
+    * break anywhere in plan → validate → build → run fails the hash. */
+  def qIntentPlanRun(spark: SparkSession, dir: String): DataFrame = {
+    import graft.llm.{LlmClient, LlmResponse}
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 150)
+    val draft =
+      """{"input_columns":["lang","text"],"output_columns":["gist"],""" +
+        """"prompt_template":"Gist [{lang}]: {text}","system_message":null,""" +
+        """"response_format":"raw","rationale":"summarize with language tag"}"""
+    val drafter = new LlmClient {
+      def model = "draft"
+      def invoke(p: String, s: Option[String]): LlmResponse =
+        LlmResponse(draft, 10, 10, model, java.math.BigDecimal.ZERO, 0.1)
+    }
+    val plan = graft.run.IntentPlanner.plan(docs,
+      "summarize each document with a language tag", BigDecimal("5.0"),
+      drafter)
+    val r = plan.run(docs, new MockLlmClient())
+    r.data.select(col("doc_id"), col("gist")).orderBy("doc_id")
+  }
+
+  val qIntentPlanRunSql: String =
+    """SELECT doc_id,
+      |  md5('Gist [' || COALESCE(lang,'') || ']: ' || COALESCE(text,'')) AS gist
+      |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_enrich_single" -> qEnrichSingle _,
     "q21_enrich_batched" -> qEnrichBatched _,
@@ -471,7 +502,8 @@ object EnrichQueries {
     "q91_streaming_enrich" -> qStreamingEnrich _,
     "q92_composer_chain" -> qComposerChain _,
     "q93_auto_retry_heal" -> qAutoRetryHeal _,
-    "q94_provider_batch" -> qProviderBatch _)
+    "q94_provider_batch" -> qProviderBatch _,
+    "q97_intent_plan_run" -> qIntentPlanRun _)
 
   val oracles: Map[String, String] = Map(
     "q20_enrich_single" -> qEnrichSingleSql,
@@ -489,5 +521,6 @@ object EnrichQueries {
     "q91_streaming_enrich" -> qStreamingEnrichSql,
     "q92_composer_chain" -> qComposerChainSql,
     "q93_auto_retry_heal" -> qAutoRetryHealSql,
-    "q94_provider_batch" -> qProviderBatchSql)
+    "q94_provider_batch" -> qProviderBatchSql,
+    "q97_intent_plan_run" -> qIntentPlanRunSql)
 }
