@@ -320,6 +320,83 @@ object TextQueries {
       |  px.px_sum
       |FROM d JOIN px ON d.doc_id = px.doc_id ORDER BY d.doc_id""".stripMargin
 
+  private val wavUdf =
+    udf((n: Long, rate: Int, seed: Long, ch: Int) =>
+      graft.operators.Audio.encodePcmWav(n, rate, seed, ch))
+
+  /** Real WAV container decode: PCM fixtures (3 of every 4 docs, varying
+    * rate/channels/length) must yield rate, channels, frame count, and
+    * integer-exact duration from the RIFF chunk walk; every 4th doc
+    * carries raw text bytes and takes the zeros+raw fallback. */
+  def q45AudioMeta(spark: SparkSession, dir: String): DataFrame = {
+    val withBin = tp(spark, dir, "documents")
+      .withColumn("content",
+        when(col("doc_id") % 4 < 3,
+          wavUdf(col("doc_id") % 400 + 100,
+            (lit(8000) + (col("doc_id") % 3) * 4000).cast("int"),
+            (col("doc_id") * 31) % 211,
+            (col("doc_id") % 2 + 1).cast("int")))
+          .otherwise(to_binary(col("text"), lit("UTF-8"))))
+    graft.operators.Audio.withAudioMeta(withBin, "content")
+      .select(col("doc_id"),
+        col("audio_meta.n_bytes").as("n_bytes"),
+        col("audio_meta.sample_rate").as("sample_rate"),
+        col("audio_meta.channels").as("channels"),
+        col("audio_meta.bits_per_sample").as("bits_per_sample"),
+        col("audio_meta.n_frames").as("n_frames"),
+        col("audio_meta.duration_ms").as("duration_ms"),
+        col("audio_meta.format").as("format"))
+      .orderBy("doc_id")
+  }
+
+  val q45Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 4 < 3
+      |    THEN 44 + (doc_id % 400 + 100) * (doc_id % 2 + 1) * 2
+      |    ELSE octet_length(encode(text)) END::BIGINT AS n_bytes,
+      |  CASE WHEN doc_id % 4 < 3 THEN 8000 + (doc_id % 3) * 4000
+      |    ELSE 0 END::INT AS sample_rate,
+      |  CASE WHEN doc_id % 4 < 3 THEN (doc_id % 2 + 1) ELSE 0 END::INT AS channels,
+      |  CASE WHEN doc_id % 4 < 3 THEN 16 ELSE 0 END::INT AS bits_per_sample,
+      |  CASE WHEN doc_id % 4 < 3 THEN doc_id % 400 + 100 ELSE 0 END::BIGINT AS n_frames,
+      |  CASE WHEN doc_id % 4 < 3
+      |    THEN (doc_id % 400 + 100) * 1000 // (8000 + (doc_id % 3) * 4000)
+      |    ELSE 0 END::BIGINT AS duration_ms,
+      |  CASE WHEN doc_id % 4 < 3 THEN 'wav' ELSE 'raw' END AS format
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Real sample decode: per-window RMS of the PCM stream. The squared
+    * sums accumulate exactly in integers, so only a correct 16-bit LE
+    * sample decode of every window reproduces the oracle's math. */
+  def q46AudioRms(spark: SparkSession, dir: String): DataFrame = {
+    val withBin = tp(spark, dir, "documents").filter(col("doc_id") < 60)
+      .withColumn("content",
+        wavUdf(col("doc_id") % 200 + 50, lit(8000),
+          (col("doc_id") * 31) % 211, lit(1)))
+    graft.operators.Audio.extractFeatures(withBin, "content", windows = 4)
+      .select(col("doc_id"),
+        posexplode(col("audio_features")).as(Seq("win", "rms")))
+      .orderBy("doc_id", "win")
+  }
+
+  val q46Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, (doc_id % 200 + 50)::BIGINT AS n,
+      |    ((doc_id * 31) % 211)::BIGINT AS seed
+      |  FROM documents WHERE doc_id < 60),
+      |ser AS (SELECT unnest(generate_series(0, 299)) AS i),
+      |s AS (
+      |  SELECT doc_id, ((seed + 31 * i) % 65536) - 32768 AS smp,
+      |    ((i * 4) // n)::INT AS win
+      |  FROM d JOIN ser ON ser.i < d.n),
+      |agg AS (
+      |  SELECT doc_id, win, (sum(smp * smp))::BIGINT AS ss,
+      |    count(*)::BIGINT AS c
+      |  FROM s GROUP BY doc_id, win)
+      |SELECT doc_id, win,
+      |  CAST(round(sqrt(ss::DOUBLE / c) / 32768, 6) AS FLOAT) AS rms
+      |FROM agg ORDER BY doc_id, win""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> q30TokenStats _,
     "q31_lang_id" -> q31LangId _,
@@ -329,7 +406,9 @@ object TextQueries {
     "q35_simhash" -> q35Simhash _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
-    "q38_resize" -> q38Resize _)
+    "q38_resize" -> q38Resize _,
+    "q45_audio_meta" -> q45AudioMeta _,
+    "q46_audio_rms" -> q46AudioRms _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -340,5 +419,7 @@ object TextQueries {
     "q35_simhash" -> q35Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
-    "q38_resize" -> q38Sql)
+    "q38_resize" -> q38Sql,
+    "q45_audio_meta" -> q45Sql,
+    "q46_audio_rms" -> q46Sql)
 }
