@@ -292,6 +292,11 @@ object Multimodal {
     img
   }
 
+  /** The fixture raster for sibling encoders (e.g. [[Video]] MJPEG). */
+  private[operators] def grayFixtureImage(w: Int, h: Int,
+                                          seed: Long): BufferedImage =
+    grayImage(w, h, seed)
+
   /** A real 8-bit grayscale PNG with the fixture pixel formula. */
   def encodeGrayPng(w: Int, h: Int, seed: Long): Array[Byte] = {
     val bos = new ByteArrayOutputStream()

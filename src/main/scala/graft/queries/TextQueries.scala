@@ -397,6 +397,80 @@ object TextQueries {
       |  CAST(round(sqrt(ss::DOUBLE / c) / 32768, 6) AS FLOAT) AS rms
       |FROM agg ORDER BY doc_id, win""".stripMargin
 
+  private val aviUdf =
+    udf((w: Int, h: Int, n: Int, seed: Long, fps: Int) =>
+      graft.operators.Video.encodeMjpegAvi(w, h, n, seed, fps))
+
+  /** Real AVI container decode: the avih header (found through the nested
+    * LIST walk) must yield the generated dims, frame count, frame
+    * interval, and integer-exact duration; every 4th doc carries raw
+    * bytes and takes the zeros+raw fallback. */
+  def q47VideoMeta(spark: SparkSession, dir: String): DataFrame = {
+    val withBin = tp(spark, dir, "documents").filter(col("doc_id") < 120)
+      .withColumn("content",
+        when(col("doc_id") % 4 < 3,
+          aviUdf((col("doc_id") % 9 + 4).cast("int"),
+            (col("doc_id") % 7 + 3).cast("int"),
+            (col("doc_id") % 6 + 1).cast("int"),
+            (col("doc_id") * 31) % 211,
+            (lit(10) + (col("doc_id") % 3) * 5).cast("int")))
+          .otherwise(to_binary(col("text"), lit("UTF-8"))))
+    graft.operators.Video.withVideoMeta(withBin, "content")
+      .select(col("doc_id"),
+        col("video_meta.width").as("width"),
+        col("video_meta.height").as("height"),
+        col("video_meta.n_frames").as("n_frames"),
+        col("video_meta.us_per_frame").as("us_per_frame"),
+        col("video_meta.duration_ms").as("duration_ms"),
+        col("video_meta.format").as("format"))
+      .orderBy("doc_id")
+  }
+
+  val q47Sql: String =
+    """SELECT doc_id,
+      |  CASE WHEN doc_id % 4 < 3 THEN doc_id % 9 + 4 ELSE 0 END::INT AS width,
+      |  CASE WHEN doc_id % 4 < 3 THEN doc_id % 7 + 3 ELSE 0 END::INT AS height,
+      |  CASE WHEN doc_id % 4 < 3 THEN doc_id % 6 + 1 ELSE 0 END::INT AS n_frames,
+      |  CASE WHEN doc_id % 4 < 3
+      |    THEN 1000000 // (10 + (doc_id % 3) * 5) ELSE 0 END::INT AS us_per_frame,
+      |  CASE WHEN doc_id % 4 < 3
+      |    THEN ((doc_id % 6 + 1) * (1000000 // (10 + (doc_id % 3) * 5))) // 1000
+      |    ELSE 0 END::BIGINT AS duration_ms,
+      |  CASE WHEN doc_id % 4 < 3 THEN 'avi' ELSE 'raw' END AS format
+      |FROM documents WHERE doc_id < 120 ORDER BY doc_id""".stripMargin
+
+  /** Real MJPEG frame extraction: every sampled `..dc` chunk must be a
+    * standalone JPEG whose decoded dimensions equal the fixture's — the
+    * oracle pins sampled index set, JPEG magic, and decoded dims (pixel
+    * values are lossy-codec territory and deliberately unpinned). */
+  def q48VideoFrames(spark: SparkSession, dir: String): DataFrame = {
+    val withBin = tp(spark, dir, "documents").filter(col("doc_id") < 40)
+      .withColumn("content",
+        aviUdf(lit(8), lit(6), (col("doc_id") % 5 + 2).cast("int"),
+          (col("doc_id") * 31) % 211, lit(25)))
+    val sampled = graft.operators.Video.sampleFrames(withBin, "content",
+      stride = 2)
+    graft.operators.Multimodal.withDecodedMeta(sampled, "frame")
+      .select(col("doc_id"), col("frame_idx"),
+        hex(substring(col("frame"), 1, 2)).as("magic"),
+        col("media_meta.width").as("width"),
+        col("media_meta.height").as("height"),
+        col("media_meta.format").as("format"))
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  val q48Sql: String =
+    """WITH d AS (
+      |  SELECT doc_id, (doc_id % 5 + 2)::INT AS nf
+      |  FROM documents WHERE doc_id < 40),
+      |idx AS (SELECT unnest(generate_series(0, 6)) AS frame_idx),
+      |s AS (
+      |  SELECT doc_id, frame_idx FROM d JOIN idx
+      |  ON frame_idx < nf AND frame_idx % 2 = 0)
+      |SELECT doc_id, frame_idx::INT AS frame_idx, 'FFD8' AS magic,
+      |  8::INT AS width, 6::INT AS height, 'jpeg' AS format
+      |FROM s ORDER BY doc_id, frame_idx""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> q30TokenStats _,
     "q31_lang_id" -> q31LangId _,
@@ -408,7 +482,9 @@ object TextQueries {
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
     "q45_audio_meta" -> q45AudioMeta _,
-    "q46_audio_rms" -> q46AudioRms _)
+    "q46_audio_rms" -> q46AudioRms _,
+    "q47_video_meta" -> q47VideoMeta _,
+    "q48_video_frames" -> q48VideoFrames _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -421,5 +497,7 @@ object TextQueries {
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,
     "q45_audio_meta" -> q45Sql,
-    "q46_audio_rms" -> q46Sql)
+    "q46_audio_rms" -> q46Sql,
+    "q47_video_meta" -> q47Sql,
+    "q48_video_frames" -> q48Sql)
 }
