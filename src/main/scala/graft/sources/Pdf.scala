@@ -198,7 +198,10 @@ object Pdf {
             else Some(raw)
           body.map(new String(_, Latin1)).foreach { content =>
             if (content.contains("BT")) {
-              val t = extractFromContent(content)
+              // a corrupt stream must cost its own text only, never the
+              // scan — the loader applies this over arbitrary files
+              val t = try extractFromContent(content)
+                catch { case _: Exception => "" }
               if (t.nonEmpty) parts += t
             }
           }
@@ -329,7 +332,11 @@ object Pdf {
         val start = i
         i += 1
         while (i < n && (content.charAt(i).isDigit || content.charAt(i) == '.')) i += 1
-        operands += content.substring(start, i).toDouble
+        // a lone sign/dot (malformed or an unknown op) is not a number —
+        // drop it rather than throw inside a million-file scan
+        val tok = content.substring(start, i)
+        try operands += tok.toDouble
+        catch { case _: NumberFormatException => () }
       } else {
         // operator: ' and " are single-char; everything else a letter/* word
         val op =

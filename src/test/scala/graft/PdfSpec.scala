@@ -71,6 +71,19 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extractFromContent(content) === "split over linesraw\nEOLdropq")
   }
 
+  test("adversarial content never throws: bad tokens, unclosed strings") {
+    // lone sign/dot tokens, an unclosed literal, stray brackets
+    assert(Pdf.extractFromContent("BT - . + (ok) Tj ET") === "ok")
+    assert(Pdf.extractFromContent("BT (never closed") === "")
+    assert(Pdf.extractFromContent("] >> BT <zz> Tj ET") === "")
+    // corrupt flate body inside an otherwise-valid shell -> empty, no throw
+    val shell = rawPdf("BT (x) Tj ET")
+    val corrupt = new String(shell, StandardCharsets.ISO_8859_1)
+      .replace("<< /Length", "<< /Filter /FlateDecode /Length")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    assert(Pdf.extractText(corrupt) === "")
+  }
+
   test("non-text streams are skipped; missing text layer yields empty") {
     // a stream with no BT (e.g. font program bytes) → no text
     val pdf = rawPdf("0 0 612 792 re f")
