@@ -202,6 +202,17 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
   }
 
+  /** Corpus-scaled IVF centroid count — the sqrt rule every IVF
+    * deployment applies (list size ~sqrt(N) balances probe cost against
+    * list-scan cost), floored at `minCentroids` so tiny corpora keep
+    * meaningful lists. Probe ~sqrt(centroids) lists for the usual
+    * recall/cost balance. Like [[autoPlanes]], this is the tuning knob a
+    * real deployment wires in; the oracle query pins an explicit count
+    * so the inverted lists stay engine-reproducible. */
+  def autoCentroids(corpusSize: Long, minCentroids: Int = 8): Int =
+    math.max(minCentroids,
+      math.ceil(math.sqrt(math.max(1L, corpusSize).toDouble)).toInt)
+
   /** Corpus-scaled sign-LSH plane count: `minPlanes` up to `anchorCorpus`
     * vectors, +1 plane per further corpus doubling — so expected bucket
     * occupancy stays pinned near anchorCorpus / 2^minPlanes (~31 with the

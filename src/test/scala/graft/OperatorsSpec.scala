@@ -188,6 +188,19 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("autoCentroids follows the sqrt rule with a floor") {
+    import graft.operators.Similarity
+    assert(Similarity.autoCentroids(10) == 8) // floor
+    assert(Similarity.autoCentroids(10000) == 100)
+    assert(Similarity.autoCentroids(200000) == 448) // ceil(sqrt)
+    // list size n/centroids stays ~sqrt(n): within [0.5, 1.5]*sqrt(n)
+    Seq(1000L, 50000L, 5000000L).foreach { n =>
+      val lists = n.toDouble / Similarity.autoCentroids(n)
+      assert(lists <= 1.5 * math.sqrt(n.toDouble) &&
+        lists >= 0.5 * math.sqrt(n.toDouble), s"n=$n list size $lists")
+    }
+  }
+
   test("embedding near-dup pairs: bucket cap drops degenerate buckets only") {
     import graft.operators.Similarity
     // 30 identical vectors (one degenerate bucket) + 2 distinct near-dups
