@@ -55,8 +55,9 @@ object KnowledgeStore {
       "doc_id", "text", chunkSize, overlap)
 
   /** Ingest a corpus: token-window chunking + sparse index build.
-    * (PDF/OCR loaders are out of v1 scope — SURVEY §7.6; any DataFrame
-    * with (id, text) ingests.) */
+    * (Any DataFrame with (id, text) ingests; `ingestPath` routes
+    * txt/md/html/csv/pdf through the DocumentLoader — raster OCR stays
+    * out, SURVEY §7.6.) */
   def ingest(docs: DataFrame, idCol: String, textCol: String,
              chunkSize: Int = 100, overlap: Int = 20): KnowledgeStore = {
     val chunks = Chunker.chunkCorpus(docs, idCol, textCol, chunkSize, overlap)

@@ -188,11 +188,14 @@ class RagSpec extends SparkSpec {
       "# Geothermal\nheat from the earth crust")
     w(new java.io.File(sub, "d.csv"), "col1,col2\nrows,cells")
     w(new java.io.File(dir, "skip.bin"), "binary noise")
+    java.nio.file.Files.write(new java.io.File(sub, "e.pdf").toPath,
+      graft.sources.Pdf.write("hydro dams store potential energy"))
 
     val docs = graft.sources.DocumentLoader.load(spark, dir.getAbsolutePath)
     val byExt = docs.select("ext", "text").as[(String, String)]
       .collect().toMap
-    assert(byExt.keySet == Set("txt", "html", "md", "csv"))
+    assert(byExt.keySet == Set("txt", "html", "md", "csv", "pdf"))
+    assert(byExt("pdf") == "hydro dams store potential energy")
     assert(byExt("html") == "Wind turbines & kinetic energy")
     assert(byExt("csv").contains("col1 col2"))
     assert(byExt("md").contains("Geothermal"))
