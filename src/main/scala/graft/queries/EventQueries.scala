@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, RangeJoin}
 import Tables.t
 
 /** Event-table coverage: time-window aggregation (batch and Structured
@@ -195,13 +195,45 @@ object EventQueries {
       |  COUNT(TRY_CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS INT)) AS n_with_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Bucketed range join: 60 overlapping 18-hour promo windows (12-hour
+    * stride, so an event can belong to two) joined to the event stream —
+    * an equi-join on 12-hour buckets, never a nested-loop. Decimal-cast
+    * sums keep the aggregate order-independent, like q50. */
+  def q56RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    // 2024-01-01T00:00:00Z = epoch 1704067200
+    val windows = spark.range(0, 60).select(
+      col("id").as("window_id"),
+      timestamp_seconds(lit(1704067200L) + col("id") * 43200).as("lo"),
+      timestamp_seconds(
+        lit(1704067200L) + col("id") * 43200 + 64800).as("hi"))
+    RangeJoin.bucketed(ev, "ts", windows, "lo", "hi",
+      bucketSeconds = 43200)
+      .groupBy("window_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .orderBy("window_id")
+  }
+
+  val q56Sql: String =
+    """WITH w AS (
+      |  SELECT ws.w AS window_id,
+      |    TIMESTAMP '2024-01-01 00:00:00' + to_hours(12 * ws.w) AS lo,
+      |    TIMESTAMP '2024-01-01 00:00:00' + to_hours(12 * ws.w + 18) AS hi
+      |  FROM (SELECT unnest(generate_series(0, 59)) AS w) ws)
+      |SELECT window_id, COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM events e JOIN w ON e.ts >= w.lo AND e.ts < w.hi
+      |GROUP BY window_id ORDER BY window_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_hourly_rollup" -> q50HourlyRollup _,
     "q51_streaming_rollup" -> q51StreamingRollup _,
     "q52_sessionize" -> q52Sessionize _,
     "q53_asof_join" -> q53AsOfJoin _,
     "q54_json_props" -> q54JsonProps _,
-    "q55_streaming_dedup" -> q55StreamingDedup _)
+    "q55_streaming_dedup" -> q55StreamingDedup _,
+    "q56_range_join" -> q56RangeJoin _)
 
   val oracles: Map[String, String] = Map(
     "q50_hourly_rollup" -> q50Sql,
@@ -209,5 +241,6 @@ object EventQueries {
     "q52_sessionize" -> q52Sql,
     "q53_asof_join" -> q53Sql,
     "q54_json_props" -> q54Sql,
-    "q55_streaming_dedup" -> q55Sql)
+    "q55_streaming_dedup" -> q55Sql,
+    "q56_range_join" -> q56Sql)
 }

@@ -100,6 +100,14 @@ class PlanSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF recall $recall too low; got $approx vs $exact")
   }
 
+  test("range join is an equi-join on buckets, never a nested loop") {
+    val p = plan(graft.queries.EventQueries.q56RangeJoin(spark, dir))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"interval join must not nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), "no cartesian")
+    assert(p.contains("_rj_bucket"), "bucket key must drive the join")
+  }
+
   test("bucketed tables join without any exchange") {
     import graft.operators.Bucketing
     val dir = java.nio.file.Files.createTempDirectory("graft_buckets").toString
