@@ -471,6 +471,52 @@ object TextQueries {
       |  8::INT AS width, 6::INT AS height, 'jpeg' AS format
       |FROM s ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** Deterministic 30% sample + 80/10/10 split, both pure functions of a
+    * salted portable hash of the key — the oracle recomputes membership
+    * independently, which is exactly the auditability property the
+    * operator exists for (rand()-based sampling can never hash-match). */
+  def q57SampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = tp(spark, dir, "documents")
+    Sampling.withSplit(
+      Sampling.deterministicSample(docs, "doc_id", 0.3),
+      "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("doc_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val q57Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('sample|' || doc_id::VARCHAR), 1, 15))::UBIGINT
+      |      % 1000000 AS hs,
+      |    ('0x' || substr(md5('split|' || doc_id::VARCHAR), 1, 15))::UBIGINT
+      |      % 1000000 AS hp
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CASE WHEN hp < 800000 THEN 'train'
+      |       WHEN hp < 900000 THEN 'val' ELSE 'test' END AS split
+      |FROM h WHERE hs < 300000 ORDER BY doc_id""".stripMargin
+
+  /** Per-language quota of 20 docs, chosen by hash rank within the
+    * group — deterministic, unbiased, partitioning-independent. */
+  def q58StratifiedQuota(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.stratifiedQuota(tp(spark, dir, "documents"),
+      groupCol = "lang", keyCol = "doc_id", quota = 20)
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  val q58Sql: String =
+    """WITH r AS (
+      |  SELECT doc_id, lang,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY
+      |      ('0x' || substr(md5('quota|' || doc_id::VARCHAR), 1, 15))::UBIGINT
+      |        % 1000000, doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> q30TokenStats _,
     "q31_lang_id" -> q31LangId _,
@@ -484,7 +530,9 @@ object TextQueries {
     "q45_audio_meta" -> q45AudioMeta _,
     "q46_audio_rms" -> q46AudioRms _,
     "q47_video_meta" -> q47VideoMeta _,
-    "q48_video_frames" -> q48VideoFrames _)
+    "q48_video_frames" -> q48VideoFrames _,
+    "q57_sample_split" -> q57SampleSplit _,
+    "q58_stratified_quota" -> q58StratifiedQuota _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -499,5 +547,7 @@ object TextQueries {
     "q45_audio_meta" -> q45Sql,
     "q46_audio_rms" -> q46Sql,
     "q47_video_meta" -> q47Sql,
-    "q48_video_frames" -> q48Sql)
+    "q48_video_frames" -> q48Sql,
+    "q57_sample_split" -> q57Sql,
+    "q58_stratified_quota" -> q58Sql)
 }
