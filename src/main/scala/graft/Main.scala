@@ -12,6 +12,7 @@ import graft.sources.Sources
   *
   *   graft.Main process  --config cfg.yaml --input in.csv --output out.parquet
   *                       [--run-dir DIR] [--key-column COL] [--registry DIR]
+  *                       [--otel URL-or-FILE]
   *   graft.Main estimate --config cfg.yaml --input in.csv
   *   graft.Main submit   --config cfg.yaml --input in.csv --run-dir DIR
   *   graft.Main collect  --config cfg.yaml --input in.csv --run-dir DIR --output out.parquet
@@ -84,6 +85,14 @@ object Main {
         val d = new ObserverDispatcher
         for (regDir <- opts.get("registry"); runDir <- opts.get("run-dir"))
           d.register(new RegistryObserver(new RunRegistry(regDir), runDir))
+        // --otel http://collector:4318 (OTLP/HTTP) or a file path (NDJSON)
+        opts.get("otel").foreach { target =>
+          val sink =
+            if (target.startsWith("http://") || target.startsWith("https://"))
+              new graft.run.OtlpHttpSink(target)
+            else new graft.run.OtelFileSink(target)
+          d.register(new graft.run.OtelObserver(sink))
+        }
         d
       }
 
