@@ -18,10 +18,12 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.all ++ EnrichQueries.all ++ TextQueries.all ++
-      SimilarityQueries.all ++ EventQueries.all ++ RagQueries.all ++ VerifyQueries.all ++ SourceQueries.all
+      CurationQueries.all ++ SimilarityQueries.all ++ EventQueries.all ++
+      RagQueries.all ++ VerifyQueries.all ++ SourceQueries.all
 
   def oracleSql: Map[String, String] =
     RelationalQueries.oracles ++ EnrichQueries.oracles ++
-      TextQueries.oracles ++ SimilarityQueries.oracles ++
-      EventQueries.oracles ++ RagQueries.oracles ++ VerifyQueries.oracles ++ SourceQueries.oracles
+      TextQueries.oracles ++ CurationQueries.oracles ++
+      SimilarityQueries.oracles ++ EventQueries.oracles ++
+      RagQueries.oracles ++ VerifyQueries.oracles ++ SourceQueries.oracles
 }

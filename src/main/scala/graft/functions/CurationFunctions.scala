@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation column functions for pretraining-data pipelines:
+  * within-document repetition signals (the Gopher/C4 family of filters)
+  * and PII detection/redaction.
+  *
+  * Everything compiles to built-in Catalyst higher-order / regexp
+  * expressions — codegen'd, zero UDFs, zero shuffles: each signal is a
+  * pure map over the row, so the filters run at scan speed and compose
+  * with predicate pushdown at 100 TB. The same arithmetic is expressible
+  * in ANSI SQL (DuckDB list comprehensions / RE2 regexps), which is what
+  * the driver's oracle verifies.
+  *
+  * Reference seed: the reference gates rows on quality/validity before
+  * spending LLM calls (ondine/stages/quality.py analog); the repetition
+  * rules follow the published Gopher (Rae et al. 2021, §A1.1) and C4
+  * heuristics. Counts are exact integers; ratios are int/int IEEE
+  * divisions so any engine reproduces them bit-for-bit.
+  */
+object CurationFunctions {
+
+  /** Word 2-grams joined by a single space; <2 words → empty array. */
+  def wordBigrams(words: Column): Column =
+    when(size(words) < 2, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(words) - 1), i =>
+        concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
+
+  /** Word 3-grams joined by single spaces; <3 words → empty array. */
+  def wordTrigrams(words: Column): Column =
+    when(size(words) < 3, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(1), size(words) - 2), i =>
+        concat_ws(" ", element_at(words, i), element_at(words, i + 1),
+          element_at(words, i + 2))))
+
+  /** Fraction of array elements that are duplicates of an earlier one:
+    * (n - n_distinct) / n. 0 for empty arrays. */
+  def dupFrac(arr: Column): Column =
+    when(size(arr) === 0, 0.0).otherwise(
+      (size(arr) - size(array_distinct(arr))).cast("double") / size(arr))
+
+  /** Occurrence count of the most frequent element (0 for empty).
+    * O(distinct × n) per row — fine for document-sized arrays; the whole
+    * computation stays inside one codegen stage, no shuffle. */
+  def topCount(arr: Column): Column =
+    when(size(arr) === 0, lit(0)).otherwise(
+      array_max(transform(array_distinct(arr), d =>
+        size(filter(arr, x => x === d)))))
+
+  /** Characters covered by the most-covering n-gram: max over distinct
+    * grams of count(gram) × length(gram). The Gopher "fraction of chars
+    * in the top n-gram" numerator, without needing a cross-engine argmax
+    * (ties resolve by taking the max coverage, not a winner gram). */
+  def topCoverage(grams: Column): Column =
+    when(size(grams) === 0, lit(0)).otherwise(
+      array_max(transform(array_distinct(grams), d =>
+        size(filter(grams, x => x === d)) * length(d))))
+
+  /** Mean word length as an int/int double; 0 for empty. */
+  def meanWordLen(words: Column): Column =
+    when(size(words) === 0, 0.0).otherwise(
+      aggregate(words, lit(0), (acc, w) => acc + length(w))
+        .cast("double") / size(words))
+
+  // --- PII ---------------------------------------------------------------
+
+  /** Patterns kept to the regex subset with identical semantics in Java
+    * (Spark codegen) and RE2 (DuckDB/Go): char classes, bounded repeats,
+    * \b word boundaries. Order of redaction below is immaterial — the
+    * three patterns cannot overlap (only emails contain '@', only phones
+    * contain '-', IPs are all-digit dotted quads). */
+  val EmailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[a-z]{2,}"
+  val PhonePattern = "\\b\\d{3}-\\d{4}\\b"
+  val IpPattern    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  def piiCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** Redact all three PII classes to typed placeholder tokens. */
+  def redactPii(c: Column): Column = {
+    val e = regexp_replace(c, EmailPattern, "<EMAIL>")
+    val p = regexp_replace(e, PhonePattern, "<PHONE>")
+    regexp_replace(p, IpPattern, "<IP>")
+  }
+}

@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.CurationFunctions._
+import graft.functions.TextFunctions.tokens
+import Tables.tp
+
+/** Corpus-curation queries over the documents table — the Gopher/C4
+  * repetition-filter family and PII scrubbing, the two curation stages a
+  * pretraining pipeline runs before spending model FLOPs on a document.
+  *
+  * All three queries are pure per-row maps (single codegen stage, no
+  * shuffle, no UDF): at 100 TB they run at scan throughput and the
+  * emitted signals compose with predicate pushdown when used as filters.
+  * Oracles reproduce the identical integer/IEEE arithmetic in DuckDB.
+  */
+object CurationQueries {
+
+  // --- q65: within-document repetition signals (Gopher §A1.1) -----------
+
+  def q65Repetition(spark: SparkSession, dir: String): DataFrame = {
+    val w  = tokens(col("text"))
+    val b2 = wordBigrams(w)
+    val b3 = wordTrigrams(w)
+    tp(spark, dir, "documents").select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      round(dupFrac(w), 6).as("dup_word_frac"),
+      topCount(w).as("top_word_count"),
+      round(dupFrac(b2), 6).as("dup_bigram_frac"),
+      round(dupFrac(b3), 6).as("dup_trigram_frac"),
+      round(topCoverage(b2).cast("double") / length(col("text")), 6)
+        .as("top2_char_frac"))
+      .orderBy("doc_id")
+  }
+
+  val q65Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, text, w,
+      |    CASE WHEN len(w) < 2 THEN []::VARCHAR[]
+      |      ELSE list_transform(generate_series(1, len(w) - 1),
+      |             i -> w[i] || ' ' || w[i + 1]) END AS b2,
+      |    CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+      |      ELSE list_transform(generate_series(1, len(w) - 2),
+      |             i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) END AS b3
+      |  FROM toks)
+      |SELECT doc_id, len(w) AS n_words,
+      |  round(CASE WHEN len(w) = 0 THEN 0
+      |    ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END, 6) AS dup_word_frac,
+      |  CASE WHEN len(w) = 0 THEN 0
+      |    ELSE list_max(list_transform(list_distinct(w),
+      |           d -> len(list_filter(w, x -> x = d)))) END AS top_word_count,
+      |  round(CASE WHEN len(b2) = 0 THEN 0
+      |    ELSE (len(b2) - len(list_distinct(b2)))::DOUBLE / len(b2) END, 6) AS dup_bigram_frac,
+      |  round(CASE WHEN len(b3) = 0 THEN 0
+      |    ELSE (len(b3) - len(list_distinct(b3)))::DOUBLE / len(b3) END, 6) AS dup_trigram_frac,
+      |  round((CASE WHEN len(b2) = 0 THEN 0
+      |    ELSE list_max(list_transform(list_distinct(b2),
+      |           d -> len(list_filter(b2, x -> x = d)) * length(d))) END)::DOUBLE
+      |    / length(text), 6) AS top2_char_frac
+      |FROM grams ORDER BY doc_id""".stripMargin
+
+  // --- q66: PII detect + redact ------------------------------------------
+
+  /** The corpus carries no natural PII, so the query synthesizes it
+    * deterministically per row (same construction in the oracle) — the
+    * detection/redaction arithmetic is what's under test, exactly like
+    * the multimodal queries synthesize their PNG fixtures in-query. */
+  private def augmented: org.apache.spark.sql.Column =
+    concat(col("text"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit(" contact u"), col("doc_id"), lit("@ex"),
+          col("doc_id") % 7, lit(".org"))).otherwise(""),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" call 555-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+        .otherwise(""),
+      lit(" ip 10.0."), col("doc_id") % 250, lit("."),
+      (col("doc_id") * 7) % 250)
+
+  def q66PiiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val aug = augmented
+    tp(spark, dir, "documents").select(
+      col("doc_id"),
+      piiCount(aug, EmailPattern).as("email_ct"),
+      piiCount(aug, PhonePattern).as("phone_ct"),
+      piiCount(aug, IpPattern).as("ip_ct"),
+      (piiCount(aug, EmailPattern) + piiCount(aug, PhonePattern) +
+        piiCount(aug, IpPattern)).as("pii_total"),
+      redactPii(aug).as("redacted"))
+      .orderBy("doc_id")
+  }
+
+  val q66Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 2 = 0
+      |         THEN ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.org'
+      |         ELSE '' END
+      |    || CASE WHEN doc_id % 3 = 0
+      |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+      |         ELSE '' END
+      |    || ' ip 10.0.' || (doc_id % 250) || '.' || ((doc_id * 7) % 250) AS a
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(regexp_extract_all(a, '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[a-z]{2,}')) AS email_ct,
+      |  len(regexp_extract_all(a, '\b\d{3}-\d{4}\b')) AS phone_ct,
+      |  len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ip_ct,
+      |  len(regexp_extract_all(a, '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[a-z]{2,}'))
+      |    + len(regexp_extract_all(a, '\b\d{3}-\d{4}\b'))
+      |    + len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_total,
+      |  regexp_replace(regexp_replace(regexp_replace(a,
+      |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+      |FROM aug ORDER BY doc_id""".stripMargin
+
+  // --- q67: composite Gopher-style quality gate ---------------------------
+
+  /** Thresholds sit inside the corpus's observed ranges (words 10–99,
+    * dup-word-frac 0–0.72, mean word length 3.7–5.3) so both outcomes
+    * occur. Predicates compare the UNROUNDED doubles — identical int/int
+    * IEEE divisions in both engines, so the boundary is deterministic. */
+  def q67GopherFilter(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val dup = dupFrac(w)
+    val mwl = meanWordLen(w)
+    val stopCt = size(filter(w, t => t.isin("the", "a")))
+    tp(spark, dir, "documents").select(
+      col("doc_id"),
+      size(w).as("n_words"),
+      round(dup, 6).as("dup_word_frac"),
+      round(mwl, 6).as("mean_wlen"),
+      stopCt.as("stop_ct"),
+      when(size(w).between(30, 1000) && dup <= 0.55 &&
+        mwl >= 3.0 && mwl <= 6.0 && stopCt >= 1, 1).otherwise(0)
+        .as("pass_filter"))
+      .orderBy("doc_id")
+  }
+
+  val q67Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id, len(w) AS n_words,
+      |    CASE WHEN len(w) = 0 THEN 0
+      |      ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END AS dup,
+      |    CASE WHEN len(w) = 0 THEN 0
+      |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS mwl,
+      |    len(list_filter(w, x -> x IN ('the', 'a'))) AS stop_ct
+      |  FROM toks)
+      |SELECT doc_id, n_words, round(dup, 6) AS dup_word_frac,
+      |  round(mwl, 6) AS mean_wlen, stop_ct,
+      |  CASE WHEN n_words BETWEEN 30 AND 1000 AND dup <= 0.55
+      |    AND mwl >= 3.0 AND mwl <= 6.0 AND stop_ct >= 1
+      |    THEN 1 ELSE 0 END AS pass_filter
+      |FROM sig ORDER BY doc_id""".stripMargin
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q65_repetition_signals" -> q65Repetition _,
+    "q66_pii_scrub" -> q66PiiScrub _,
+    "q67_gopher_filter" -> q67GopherFilter _)
+
+  val oracles: Map[String, String] = Map(
+    "q65_repetition_signals" -> q65Sql,
+    "q66_pii_scrub" -> q66Sql,
+    "q67_gopher_filter" -> q67Sql)
+}

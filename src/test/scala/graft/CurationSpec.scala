@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CurationFunctions._
+import graft.functions.TextFunctions.tokens
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetition signals: hand-computed doc") {
+    // "a b a b c" -> words 5, distinct 3, dup_word 2/5; bigrams
+    // [a b, b a, a b, b c] -> dup 1/4; top bigram "a b" covers 2*3=6 chars
+    val df = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val w = tokens(col("text"))
+    val r = df.select(
+      size(w).as("n"), dupFrac(w).as("dw"), topCount(w).as("tc"),
+      dupFrac(wordBigrams(w)).as("db"),
+      topCoverage(wordBigrams(w)).as("cov"),
+      meanWordLen(w).as("mwl")).head()
+    assert(r.getInt(0) == 5)
+    assert(r.getDouble(1) == 2.0 / 5)
+    assert(r.getInt(2) == 2)      // 'a' and 'b' both appear twice
+    assert(r.getDouble(3) == 1.0 / 4)
+    assert(r.getInt(4) == 6)      // "a b" twice x 3 chars
+    assert(r.getDouble(5) == 1.0) // five 1-char words
+  }
+
+  test("ngram builders: short docs -> empty, order preserved") {
+    val df = Seq("x", "x y", "x y z").toDF("t")
+    val r = df.select(
+      wordBigrams(tokens(col("t"))).as("b2"),
+      wordTrigrams(tokens(col("t"))).as("b3"))
+      .as[(Seq[String], Seq[String])].collect()
+    assert(r(0) == ((Seq.empty, Seq.empty)))
+    assert(r(1) == ((Seq("x y"), Seq.empty)))
+    assert(r(2) == ((Seq("x y", "y z"), Seq("x y z"))))
+  }
+
+  test("pii: counts and typed redaction, non-overlapping classes") {
+    val df = Seq(
+      "mail bob.smith@ex1.org and al@a.co ph 555-0123 host 10.0.3.77",
+      "clean text with no pii at all").toDF("t")
+    val r = df.select(
+      piiCount(col("t"), EmailPattern).as("e"),
+      piiCount(col("t"), PhonePattern).as("p"),
+      piiCount(col("t"), IpPattern).as("i"),
+      redactPii(col("t")).as("red"))
+      .as[(Int, Int, Int, String)].collect()
+    assert(r(0) == ((2, 1, 1,
+      "mail <EMAIL> and <EMAIL> ph <PHONE> host <IP>")))
+    assert(r(1) == ((0, 0, 0, "clean text with no pii at all")))
+  }
+
+  test("pii: phone pattern does not fire inside IPs or emails") {
+    val df = Seq("ip 192.168.100.200 mail u2@ex.org v 1234-5678").toDF("t")
+    val r = df.select(
+      piiCount(col("t"), PhonePattern).as("p"),
+      redactPii(col("t")).as("red")).as[(Int, String)].head()
+    // 1234-5678 has 4 leading digits: \b\d{3}- cannot match inside it
+    assert(r._1 == 0)
+    assert(r._2 == "ip <IP> mail <EMAIL> v 1234-5678")
+  }
+
+  test("signals are partitioning-independent (pure per-row map)") {
+    val docs = (1L to 50L).map(i => (i, s"w$i " * (i % 7 + 1).toInt + "the end"))
+    val a = docs.toDF("doc_id", "text").repartition(1)
+    val b = docs.toDF("doc_id", "text").repartition(13)
+    def sig(df: org.apache.spark.sql.DataFrame) = {
+      val w = tokens(col("text"))
+      df.select(col("doc_id"), dupFrac(w), topCount(w), meanWordLen(w))
+        .orderBy("doc_id").collect().toSeq
+    }
+    assert(sig(a) == sig(b))
+  }
+
+  test("q65/q66/q67 run on testdata with sane shapes") {
+    val dir = "/root/testdata/sf0.001"
+    val q65 = graft.queries.CurationQueries.q65Repetition(spark, dir)
+    val rows = q65.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall { r =>
+      val f = r.getAs[Double]("dup_word_frac")
+      f >= 0.0 && f < 1.0 && r.getAs[Int]("top_word_count") >= 1
+    })
+    val q66 = graft.queries.CurationQueries.q66PiiScrub(spark, dir).collect()
+    assert(q66.forall(_.getAs[Int]("ip_ct") >= 1)) // ip synthesized per row
+    assert(q66.forall(!_.getAs[String]("redacted").contains("@")))
+    val q67 = graft.queries.CurationQueries.q67GopherFilter(spark, dir)
+      .select("pass_filter").as[Int].collect()
+    assert(q67.toSet == Set(0, 1)) // thresholds split the corpus
+  }
+}
