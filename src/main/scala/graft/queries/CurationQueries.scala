@@ -164,13 +164,77 @@ object CurationQueries {
       |    THEN 1 ELSE 0 END AS pass_filter
       |FROM sig ORDER BY doc_id""".stripMargin
 
+  // --- q68: eval-set n-gram decontamination -------------------------------
+
+  /** Eval set = every 50th doc (deterministic); k=3 scaled to the tiny
+    * synthetic docs (published pipelines use 13-grams on full pages).
+    * The corpus's ~30-word vocabulary makes 3-gram collisions split the
+    * corpus roughly in half — both outcomes well represented. */
+  def q68Decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    graft.operators.Decontamination.flagContaminated(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0),
+      "doc_id", "text", 3)
+      .orderBy("doc_id")
+  }
+
+  val q68Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, CASE WHEN len(w) < 3 THEN []::VARCHAR[]
+      |    ELSE list_transform(generate_series(1, len(w) - 2),
+      |           i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]) END AS s
+      |  FROM toks),
+      |ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 50 = 0),
+      |tr AS (SELECT doc_id FROM sh WHERE doc_id % 50 <> 0),
+      |trg AS (SELECT DISTINCT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 50 <> 0),
+      |m AS (SELECT doc_id, count(*) AS c FROM trg JOIN ev USING (g) GROUP BY doc_id)
+      |SELECT tr.doc_id, coalesce(m.c, 0) AS matched_shingles,
+      |  CASE WHEN m.c IS NOT NULL THEN 1 ELSE 0 END AS contaminated
+      |FROM tr LEFT JOIN m ON tr.doc_id = m.doc_id ORDER BY tr.doc_id""".stripMargin
+
+  // --- q69: sequence packing into context windows -------------------------
+
+  def q69PackSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"))
+    val packed = graft.operators.Packing.packBins(
+      docs, "doc_id", "ntok", capacity = 512, groups = 8)
+    graft.operators.Packing.binStats(packed, capacity = 512)
+      .orderBy("pack_group", "pack_bin")
+  }
+
+  val q69Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n_tokens
+      |  FROM documents),
+      |packed AS (
+      |  SELECT doc_id, doc_id % 8 AS pack_group, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM toks)
+      |SELECT pack_group,
+      |  CAST(floor((cum - n_tokens)::DOUBLE / 512) AS BIGINT) AS pack_bin,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+      |  round(sum(n_tokens)::DOUBLE / 512, 6) AS fill
+      |FROM packed GROUP BY 1, 2 ORDER BY pack_group, pack_bin""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
-    "q67_gopher_filter" -> q67GopherFilter _)
+    "q67_gopher_filter" -> q67GopherFilter _,
+    "q68_decontaminate" -> q68Decontaminate _,
+    "q69_pack_sequences" -> q69PackSequences _)
 
   val oracles: Map[String, String] = Map(
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,
-    "q67_gopher_filter" -> q67Sql)
+    "q67_gopher_filter" -> q67Sql,
+    "q68_decontaminate" -> q68Sql,
+    "q69_pack_sequences" -> q69Sql)
 }

@@ -74,6 +74,36 @@ class CurationSpec extends SparkSpec {
     assert(sig(a) == sig(b))
   }
 
+  test("decontamination: only true n-gram overlaps flagged, count exact") {
+    val train = Seq((1L, "a b c d e"), (2L, "x y z w v"), (3L, "c d e f g"))
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "b c d q r s c d e")).toDF("doc_id", "text")
+    val r = graft.operators.Decontamination
+      .flagContaminated(train, ev, "doc_id", "text", 3)
+      .orderBy("doc_id")
+      .as[(Long, Long, Int)].collect().toSeq
+    // doc1 shares "b c d" and "c d e"; doc3 shares "c d e"; doc2 clean
+    assert(r == Seq((1L, 2L, 1), (2L, 0L, 0), (3L, 1L, 1)))
+  }
+
+  test("packing: bins respect capacity boundaries, groups independent") {
+    val docs = Seq((0L, 300), (8L, 300), (16L, 300), (1L, 600), (9L, 100))
+      .toDF("doc_id", "ntok")
+    val packed = graft.operators.Packing
+      .packBins(docs, "doc_id", "ntok", capacity = 512, groups = 8)
+    val m = packed.select("doc_id", "pack_group", "pack_bin")
+      .as[(Long, Long, Long)].collect().map(t => t._1 -> ((t._2, t._3))).toMap
+    // group 0: cum 300/600/900 -> bins floor(0/512)=0, floor(300/512)=0,
+    // floor(600/512)=1; group 1: 600-token doc alone in bin 0, next starts
+    // at 600 -> bin 1
+    assert(m(0L) == ((0L, 0L)) && m(8L) == ((0L, 0L)) && m(16L) == ((0L, 1L)))
+    assert(m(1L) == ((1L, 0L)) && m(9L) == ((1L, 1L)))
+    val stats = graft.operators.Packing.binStats(packed, 512)
+      .orderBy("pack_group", "pack_bin")
+      .select("n_docs", "bin_tokens").as[(Long, Long)].collect().toSeq
+    assert(stats == Seq((2L, 600L), (1L, 300L), (1L, 600L), (1L, 100L)))
+  }
+
   test("q65/q66/q67 run on testdata with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val q65 = graft.queries.CurationQueries.q65Repetition(spark, dir)
