@@ -151,4 +151,39 @@ class PlanSpec extends SparkSpec {
     assert(hits(10L) == 1L)
     assert(hits(11L) == 3L)
   }
+
+  test("curation signals and PII scrub are single-stage maps (no shuffle)") {
+    for (q <- Seq(
+        graft.queries.CurationQueries.q65Repetition(spark, dir),
+        graft.queries.CurationQueries.q66PiiScrub(spark, dir),
+        graft.queries.CurationQueries.q67GopherFilter(spark, dir))) {
+      // the presentation orderBy adds one range exchange; the signal
+      // computation itself must not introduce any hash shuffle
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"curation map must not hash-shuffle:\n$p")
+    }
+  }
+
+  test("decontamination broadcasts eval grams; corpus text never shuffles") {
+    val p = plan(graft.queries.CurationQueries.q68Decontaminate(spark, dir))
+    assert(p.contains("BroadcastHashJoin"), s"eval side must broadcast:\n$p")
+    // the only hash exchanges may carry (doc_id, gram)/count pairs -- the
+    // full text column must not appear in any Exchange input schema
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("text#")),
+      s"corpus text crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("packing window partitions by group (no single-partition window)") {
+    val docs = (0L until 1000L).map(i => (i, (i % 40 + 10).toInt))
+      .toDF("doc_id", "ntok")
+    val p = plan(graft.operators.Packing.packBins(
+      docs, "doc_id", "ntok", capacity = 512, groups = 8))
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"packing must not serialize onto one partition:\n$p")
+    assert(p.contains("hashpartitioning(pack_group"),
+      s"window must partition by pack_group:\n$p")
+  }
 }
