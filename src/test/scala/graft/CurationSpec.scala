@@ -104,6 +104,31 @@ class CurationSpec extends SparkSpec {
     assert(stats == Seq((2L, 600L), (1L, 300L), (1L, 600L), (1L, 100L)))
   }
 
+  test("property: signal bounds and redaction idempotence on random docs") {
+    import org.scalacheck.Gen
+    // one Spark job for all sampled cases (job-per-case would be slow)
+    val wordGen = Gen.listOf(Gen.oneOf(
+      "a", "bb", "ccc", "u1@ex.org", "555-0123", "10.0.0.1", "w", "zzz"))
+      .map(_.mkString(" "))
+    val cases = (0 until 80).flatMap(_ => wordGen.sample).toDF("t")
+    val w = tokens(col("t"))
+    val rs = cases.select(
+      dupFrac(w).as("dw"), dupFrac(wordBigrams(w)).as("db"),
+      meanWordLen(w).as("mwl"), size(w).as("n"), topCount(w).as("tc"),
+      redactPii(col("t")).as("r1"),
+      redactPii(redactPii(col("t"))).as("r2"))
+      .as[(Double, Double, Double, Int, Int, String, String)].collect()
+    rs.foreach { case (dw, db, mwl, n, tc, r1, r2) =>
+      assert(dw >= 0.0 && dw < 1.0 || (n == 0 && dw == 0.0))
+      assert(db >= 0.0 && db <= 1.0)
+      assert(mwl >= 0.0)
+      assert(if (n == 0) tc == 0 else tc >= 1 && tc <= n)
+      assert(r1 == r2, s"redaction not idempotent: $r1 vs $r2")
+      // the only '@' token the generator emits is a full email
+      assert(!r1.contains("@"), s"unredacted email survived: $r1")
+    }
+  }
+
   test("q65/q66/q67 run on testdata with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val q65 = graft.queries.CurationQueries.q65Repetition(spark, dir)
