@@ -160,6 +160,15 @@ final class PipelineBuilder private () {
     spec
   }
 
+  /** Pre-flight health report on the CURRENT (possibly incomplete)
+    * configuration — deliberately skips validate() so an unhealthy spec
+    * still yields a diagnosable report instead of a throw (reference:
+    * ondine/api/health_check.py check vs get_readiness split). */
+  def healthCheck(sourcePath: Option[String] = None): HealthCheck.Status =
+    HealthCheck.check(
+      PipelineSpec(dataset, prompt, llm, processing, output, evidence),
+      sourcePath, runDirOpt)
+
   def run(df: DataFrame): EnrichResult = {
     val client = clientOpt
       .orElse(llm.endpoint.map(_ => graft.llm.LlmClients.forSpec(llm)))
