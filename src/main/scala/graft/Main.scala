@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 import graft.llm.MockLlmClient
-import graft.run.{ConfigLoader, CostEstimator, Enricher, ObserverDispatcher,
-  ProviderBatch, RegistryObserver, RunRegistry}
+import graft.run.{ConfigLoader, CostEstimator, Enricher, HealthCheck,
+  ObserverDispatcher, ProviderBatch, RegistryObserver, RunRegistry}
 import graft.sources.Sources
 
 /** CLI entry (reference: ondine/cli/main.py:202-1270 — process, estimate,
@@ -20,6 +20,7 @@ import graft.sources.Sources
   *                       --output out.parquet --registry DIR
   *   graft.Main list-runs --registry DIR
   *   graft.Main inspect  --registry DIR --run-id ID
+  *   graft.Main health   --config cfg.yaml [--input PATH] [--run-dir DIR]
   *
   * The client is the deterministic mock in this zero-egress build; a real
   * HTTP client plugs in through the same LlmClient trait.
@@ -33,8 +34,16 @@ object Main {
     def need(k: String): String = opts.getOrElse(k,
       { System.err.println(s"missing --$k"); usage(); sys.exit(2) })
 
-    // registry-only commands: no Spark session, no config
+    // no-Spark commands: config/filesystem inspection only
     cmd match {
+      case "health" =>
+        // exit 0 healthy / 1 unhealthy — readiness-probe friendly
+        val spec = ConfigLoader.fromFile(need("config"))
+        val status = HealthCheck.check(spec,
+          opts.get("input"), opts.get("run-dir"))
+        System.out.println(status.toJson)
+        if (!status.isHealthy) sys.exit(1)
+        return
       case "list-runs" =>
         val reg = new RunRegistry(need("registry"))
         reg.list().foreach(r => System.out.println(reg.render(r)))
@@ -154,5 +163,6 @@ object Main {
         "[--key-column COL] [--registry DIR]\n" +
         "       graft.Main plan --input PATH --goal TEXT [--budget USD]\n" +
         "       graft.Main list-runs --registry DIR\n" +
-        "       graft.Main inspect --registry DIR --run-id ID")
+        "       graft.Main inspect --registry DIR --run-id ID\n" +
+        "       graft.Main health --config cfg.yaml [--input PATH] [--run-dir DIR]")
 }

@@ -15,7 +15,11 @@ import graft.core._
   * dataset:    { input_columns: [text], filters: {lang: en}, delimiter: ",", encoding: UTF-8 }
   * prompt:     { template: "Classify: {text}", system_message: ..., batch_size: 15 }
   * llm:        { model: mock, input_cost_per_1k: 0.001, output_cost_per_1k: 0.002,
-  *               concurrency: 8, requests_per_minute: 600, max_retries: 3 }
+  *               concurrency: 8, adaptive_concurrency: true, max_concurrency: 64,
+  *               requests_per_minute: 600, max_retries: 3, backoff_base_ms: 10,
+  *               backoff_cap_ms: 60000, timeout_ms: 180000,
+  *               endpoint: "https://api.example/v1/chat/completions",
+  *               api_key_env: MY_API_KEY }
   * processing: { error_policy: skip|retry|fail|use_default, default_value: "",
   *               max_budget: 5.0, chunk_rows: 100000, auto_retry_attempts: 1,
   *               preprocess_input: true, max_input_length: 2000 }
@@ -115,9 +119,16 @@ object ConfigLoader {
         inputCostPer1k = dec(n, "input_cost_per_1k").getOrElse(BigDecimal(0)),
         outputCostPer1k = dec(n, "output_cost_per_1k").getOrElse(BigDecimal(0)),
         concurrency = num(n, "concurrency").getOrElse(8),
+        adaptiveConcurrency = bool(n, "adaptive_concurrency").getOrElse(false),
+        maxConcurrency = num(n, "max_concurrency").getOrElse(64),
         requestsPerMinute = num(n, "requests_per_minute"),
         rateLimitScopeFile = str(n, "rate_limit_scope_file"),
-        maxRetries = num(n, "max_retries").getOrElse(3)))
+        maxRetries = num(n, "max_retries").getOrElse(3),
+        backoffBaseMs = num(n, "backoff_base_ms").map(_.toLong).getOrElse(10L),
+        backoffCapMs = num(n, "backoff_cap_ms").map(_.toLong).getOrElse(60000L),
+        timeoutMs = num(n, "timeout_ms").map(_.toLong).getOrElse(180000L),
+        endpoint = str(n, "endpoint"),
+        apiKeyEnv = str(n, "api_key_env")))
         .getOrElse(LlmSpec()),
       processing = pc.map(n => ProcessingSpec(
         errorPolicy = str(n, "error_policy").map {

@@ -62,6 +62,27 @@ class ConfigLoaderSpec extends AnyFunSuite {
     spec.validate()
   }
 
+  test("endpoint, deadlines, and adaptive concurrency parse from yaml") {
+    val spec = ConfigLoader.fromYaml(
+      """prompt: {template: "T {text}"}
+        |llm:
+        |  model: prod-model
+        |  endpoint: "https://api.example/v1/chat/completions"
+        |  api_key_env: MY_API_KEY
+        |  timeout_ms: 30000
+        |  adaptive_concurrency: true
+        |  max_concurrency: 32
+        |  backoff_base_ms: 50
+        |  backoff_cap_ms: 5000
+        |output: {output_columns: [label]}
+        |""".stripMargin)
+    assert(spec.llm.endpoint.contains("https://api.example/v1/chat/completions"))
+    assert(spec.llm.apiKeyEnv.contains("MY_API_KEY"))
+    assert(spec.llm.timeoutMs == 30000L)
+    assert(spec.llm.adaptiveConcurrency && spec.llm.maxConcurrency == 32)
+    assert(spec.llm.backoffBaseMs == 50L && spec.llm.backoffCapMs == 5000L)
+  }
+
   test("input columns default to template placeholders") {
     val spec = ConfigLoader.fromYaml(
       """prompt: {template: "A {x} and {y}"}
