@@ -130,7 +130,8 @@ object Main {
           System.out.println(
             s"""{"total_rows":${e.totalRows},"sample_rows":${e.sampleRows},""" +
             s""""est_tokens_in":${e.estTokensIn},"est_tokens_out":${e.estTokensOut},""" +
-            s""""est_cost":"${e.estCost}","confidence":"${e.confidence}"}""")
+            s""""est_cost":"${e.estCost}","confidence":"${e.confidence}",""" +
+            s""""batch_fit":"${e.batchFit.getOrElse("ok")}"}""")
         case "submit" =>
           val dir = need("run-dir")
           val backend = new ProviderBatch.LocalMockBackend(spark, s"$dir/provider")

@@ -16,7 +16,11 @@ final case class CostEstimate(
     estTokensIn: Long,
     estTokensOut: Long,
     estCost: java.math.BigDecimal,
-    confidence: String)
+    confidence: String,
+    /** None = the mega-prompt batch fits the model's context window;
+      * Some(actionable message) when batchSize x avg tokens overflows
+      * (reference: batch_aggregator_stage.py:124-137 first-batch check). */
+    batchFit: Option[String] = None)
 
 object CostEstimator {
 
@@ -40,6 +44,9 @@ object CostEstimator {
     val estOut = expectedOutputTokensPerRow * total
     val cost = graft.llm.CostCalculator.cost(estIn, estOut,
       spec.llm.inputCostPer1k, spec.llm.outputCostPer1k)
-    CostEstimate(total, n, estIn, estOut, cost, "sample-based")
+    val fit = graft.llm.ModelContextLimits.validateBatchSize(
+      spec.llm.model, spec.prompt.batchSize, sampleTokens / n)
+      .left.toOption
+    CostEstimate(total, n, estIn, estOut, cost, "sample-based", fit)
   }
 }

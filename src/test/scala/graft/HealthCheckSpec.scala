@@ -80,3 +80,51 @@ class HealthCheckSpec extends AnyFunSuite {
     assert(!s.isHealthy)
   }
 }
+
+class ModelContextLimitsSpec extends AnyFunSuite {
+  import graft.llm.ModelContextLimits._
+
+  test("lookup: exact, dated-variant fuzzy, provider-prefixed, default") {
+    assert(contextLimit("gpt-4o-mini") == 128000)
+    assert(contextLimit("claude-3-5-sonnet-20241022") == 200000)
+    assert(contextLimit("openai/gpt-4-32k") == 32768)
+    assert(contextLimit("some-unknown-model") == DefaultLimit)
+  }
+
+  test("fuzzy prefers the longest (most specific) family match") {
+    // "gpt-4-turbo-2024-04-09" contains both gpt-4 (8k) and gpt-4-turbo (128k)
+    assert(contextLimit("gpt-4-turbo-2024-04-09") == 128000)
+  }
+
+  test("batch validation: fit passes, overflow gets an actionable message") {
+    assert(validateBatchSize("gpt-4o-mini", 100, 500).isRight)
+    val r = validateBatchSize("gpt-4o-mini", 1000, 500)
+    assert(r.isLeft)
+    assert(r.left.toOption.get.contains("reduce batch_size to 204"))
+  }
+
+  test("suggested batch fills the margin and respects the cap") {
+    assert(suggestBatchSize("gpt-4o-mini", 500) == 204)
+    assert(suggestBatchSize("gpt-4o-mini", 10) == 500) // capped
+    assert(suggestBatchSize("unknown", 100000) == 1)   // floor
+  }
+
+  test("estimator surfaces batch overflow for mega-prompt configs") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = (0 until 50).map(i => "x" * 4000).toDF("text")
+    val spec = graft.core.PipelineSpec(
+      DatasetSpec(inputColumns = Seq("text")),
+      PromptSpec(template = "Summarize: {text}", batchSize = 50),
+      LlmSpec(model = "gpt-4"), // 8k window
+      ProcessingSpec(),
+      OutputSpec(outputColumns = Seq("s")))
+    val e = graft.run.CostEstimator.estimate(df, spec)
+    assert(e.batchFit.isDefined)
+    assert(e.batchFit.get.contains("batch too large for gpt-4"))
+    // same data, batch 1: fits
+    val ok = graft.run.CostEstimator.estimate(df,
+      spec.copy(prompt = spec.prompt.copy(batchSize = 1)))
+    assert(ok.batchFit.isEmpty)
+  }
+}
