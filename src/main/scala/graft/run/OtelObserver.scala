@@ -109,7 +109,8 @@ final class OtelObserver(
     rootAttrs(attrs)
     val status = rootSpan.putObject("status")
     status.put("code", if (ok) 1 else 2) // STATUS_CODE_OK / ERROR
-    error.foreach(status.put("message", _))
+    // error text can carry prompt fragments — PII-scrub before export
+    error.foreach(e => status.put("message", TraceSanitizer.sanitizeText(e)))
     spans.add(rootSpan)
     st.chunkSpans.foreach(spans.add)
     sink.export("traces", mapper.writeValueAsString(root))

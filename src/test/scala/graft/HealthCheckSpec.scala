@@ -81,6 +81,34 @@ class HealthCheckSpec extends AnyFunSuite {
   }
 }
 
+class TraceSanitizerSpec extends AnyFunSuite {
+  import graft.run.TraceSanitizer._
+
+  test("each PII family redacts; clean text passes through") {
+    assert(sanitizeText("mail a.b@x.org now") == "mail [REDACTED] now")
+    assert(sanitizeText("ssn 123-45-6789") == "ssn [REDACTED]")
+    assert(sanitizeText("card 4111 1111 1111 1111") == "card [REDACTED]")
+    assert(sanitizeText("call 415-555-0123") == "call [REDACTED]")
+    assert(sanitizeText("host 192.168.0.1") == "host [REDACTED]")
+    assert(sanitizeText("api_key: sk_1234567890abcdefgh") == "[REDACTED]")
+    assert(sanitizeText("nothing secret here") == "nothing secret here")
+  }
+
+  test("custom patterns extend the family") {
+    val acct = Seq("account" -> "ACC-\\d{6}".r)
+    assert(sanitizeText("see ACC-123456", customPatterns = acct)
+      == "see [REDACTED]")
+  }
+
+  test("prompt sanitization: stable digest by default, raw on opt-in") {
+    val a = sanitizePrompt("my secret prompt")
+    assert(a.matches("<sanitized-[0-9a-f]{8}>"))
+    assert(a == sanitizePrompt("my secret prompt")) // stable
+    assert(a != sanitizePrompt("другой prompt"))
+    assert(sanitizePrompt("keep me", includeRaw = true) == "keep me")
+  }
+}
+
 class ModelContextLimitsSpec extends AnyFunSuite {
   import graft.llm.ModelContextLimits._
 

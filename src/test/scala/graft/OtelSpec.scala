@@ -95,6 +95,17 @@ class OtelSpec extends AnyFunSuite {
     assert(root.at("/status/message").asText === "boom: budget exceeded")
   }
 
+  test("error messages are PII-scrubbed before export") {
+    val sink = new Collecting
+    val obs = new OtelObserver(sink, clockNanos = () => 7L)
+    obs.onEvent(RunStarted("run-y", None))
+    obs.onEvent(RunFailed("run-y",
+      "parse failed for user bob@example.com at 10.0.0.7: api_key=sk_abcdef1234567890XY"))
+    val msg = mapper.readTree(sink.out(0)._2)
+      .at("/resourceSpans/0/scopeSpans/0/spans/0/status/message").asText
+    assert(msg == "parse failed for user [REDACTED] at [REDACTED]: [REDACTED]")
+  }
+
   test("file sink appends parsable NDJSON envelopes") {
     val f = Files.createTempFile("graft_otel", ".ndjson")
     val sink = new OtelFileSink(f.toString)
