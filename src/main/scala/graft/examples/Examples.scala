@@ -1,0 +1,132 @@
+package graft.examples
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.llm.MockLlmClient
+import graft.run.{Enricher, PipelineBuilder}
+
+/** Runnable user journeys, mirroring the reference's examples/ directory
+  * (01_quickstart, 03_structured_output, 04_with_cost_control,
+  * 08_streaming_large_files, 21_multi_row_batching) so a reference user
+  * can see their workflow 1:1 in this library. Compiled with the main
+  * sources so they can never rot; each runs offline on the deterministic
+  * mock client:
+  *
+  *   sbt "runMain graft.examples.Examples [quickstart|typed|budget|batch|curate]"
+  */
+object Examples {
+
+  private def session(): SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]").appName("graft-examples")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** 01_quickstart: one-liner enrich over an in-memory frame. */
+  def quickstart(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val reviews = Seq("great phone", "battery died in a day", "ok for the price")
+      .toDF("review")
+    val r = Enricher.enrich(reviews,
+      "Classify the sentiment of: {review}", Seq("sentiment"),
+      new MockLlmClient())
+    r.data.show(truncate = false)
+    println(s"cost=${r.metrics.cost} calls=${r.metrics.calls}")
+  }
+
+  /** 03_structured_output: typed schema, strict→fenced→brace-scan parse
+    * chain (the mock's structured mode emits variably-wrapped JSON). */
+  def typed(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val df = Seq("Alice, 34, engineer", "Bob, 51, chef").toDF("bio")
+    val r = PipelineBuilder()
+      .withTemplate("Label this bio: {bio}")
+      .withOutputColumns("label", "score")
+      .withResponseFormat(ResponseFormat.Typed)
+      .withTypedSchema("label STRING, score INT")
+      .withClient(new MockLlmClient(structuredJson = true))
+      .run(df)
+    r.data.printSchema()
+    r.data.show(truncate = false)
+  }
+
+  /** 04_with_cost_control: estimate first, then run under a hard budget. */
+  def budget(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val df = (1 to 1000).map(i => s"document number $i").toDF("text")
+    val rates = (BigDecimal("0.5"), BigDecimal("1.5")) // per 1k tokens
+    val builder = PipelineBuilder()
+      .withTemplate("Summarize: {text}")
+      .withOutputColumns("summary")
+      .withCosts(rates._1, rates._2) // estimator rates
+      .withBudget(BigDecimal("2.00"))
+      .withChunkRows(200)
+      .withRunDir(java.nio.file.Files
+        .createTempDirectory("graft-budget-example").toString)
+      // the client bills with the same rates the estimator uses
+      .withClient(new MockLlmClient(inPer1k = rates._1, outPer1k = rates._2))
+    val est = graft.run.CostEstimator.estimate(df, builder.build())
+    println(s"estimated cost: ${est.estCost} (${est.confidence}); " +
+      s"batch fit: ${est.batchFit.getOrElse("ok")}")
+    // the estimate says ~$100 against a $2 cap: the run HARD-STOPS at a
+    // chunk boundary; completed chunks stay in the ledger, so raising the
+    // budget and re-running the same runDir resumes where it stopped
+    try builder.run(df)
+    catch { case e: graft.run.BudgetExceededException =>
+      println(s"stopped early as designed: ${e.getMessage}")
+    }
+  }
+
+  /** 21_multi_row_batching: mega-prompts, N rows per call. */
+  def batch(spark: SparkSession): Unit = {
+    import spark.implicits._
+    val df = (1 to 100).map(i => s"headline $i").toDF("headline")
+    val r = PipelineBuilder()
+      .withTemplate("Tag the topic of: {headline}")
+      .withOutputColumns("topic")
+      .withBatchSize(25) // 100 rows -> exactly 4 LLM calls
+      .withClient(new MockLlmClient())
+      .run(df)
+    println(s"calls=${r.metrics.calls} (expect 4) rows=${r.metrics.rows}")
+  }
+
+  /** Beyond the reference: corpus curation before any LLM spend —
+    * quality-gate, dedup, decontaminate, then pack for training. */
+  def curate(spark: SparkSession): Unit = {
+    import graft.functions.CurationFunctions._
+    import graft.functions.TextFunctions
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = TextFunctions.tokens(col("text"))
+    val gated = docs.filter(
+      dupFrac(w) <= 0.55 && meanWordLen(w).between(3.0, 6.0))
+    val deduped = graft.operators.Dedup
+      .dropExactDuplicates(gated, "doc_id", "text")
+    val clean = deduped.withColumn("text", redactPii(col("text")))
+    val packed = graft.operators.Packing.packBins(
+      clean.withColumn("ntok", TextFunctions.tokenCount(col("text"))),
+      "doc_id", "ntok", capacity = 512, groups = 8)
+    println(s"docs=${docs.count()} gated=${gated.count()} " +
+      s"deduped=${deduped.count()} bins=" +
+      packed.select("pack_group", "pack_bin").distinct().count())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = session()
+    try args.headOption.getOrElse("quickstart") match {
+      case "quickstart" => quickstart(spark)
+      case "typed"      => typed(spark)
+      case "budget"     => budget(spark)
+      case "batch"      => batch(spark)
+      case "curate"     => curate(spark)
+      case other => System.err.println(
+        s"unknown example: $other (quickstart|typed|budget|batch|curate)")
+    } finally spark.stop()
+  }
+}
