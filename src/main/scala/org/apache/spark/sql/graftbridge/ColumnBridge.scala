@@ -11,4 +11,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Full ColumnNode→catalyst conversion. Unlike [[expression]] (which
+    * wraps the node in an opaque, unevaluable `ColumnNodeExpression`),
+    * this produces a real catalyst tree (`UnresolvedFunction`, lambda
+    * variables, literals) that the analyzer then resolves — required
+    * when the expression is injected into a FunctionRegistry builder
+    * rather than entering through the DataFrame API. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
 }
