@@ -40,4 +40,56 @@ object Decontamination {
       when(col("matched_shingles").isNotNull, 1).otherwise(0)
         .as("contaminated"))
   }
+
+  /** Bloom-prefiltered variant for eval sets too large to broadcast as a
+    * hash relation: the eval shingles compress into one bloom filter
+    * (~9 bits/item at 3% fpp — 10^8 shingles ≈ 110 MB, still a single
+    * broadcastable binary), the corpus side drops every gram the bloom
+    * rejects MAP-SIDE (no false negatives, so nothing real is lost), and
+    * only the tiny surviving candidate set enters the exact-confirm join
+    * that removes bloom false positives. Output is IDENTICAL to
+    * [[flagContaminated]] — the bloom only prunes join input, never
+    * changes the answer. Spark's own runtime row-level filtering uses the
+    * same BloomFilterAggregate / might_contain pair; here it is applied
+    * declaratively through the bridge. */
+  def flagContaminatedBloom(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    def shingled(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k)
+          .as("sh"))
+    val trainSh = shingled(train)
+    val evalGrams = shingled(eval)
+      .select(explode(col("sh")).as("g")).distinct()
+    val nEval = evalGrams.count()
+    if (nEval == 0)
+      return trainSh.select(col(idCol),
+        lit(0L).as("matched_shingles"), lit(0).as("contaminated"))
+
+    val bloomBytes = evalGrams.select(ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.catalystExpression(xxhash64(col("g"))), nEval)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
+      CLit.create(bloomBytes, BinaryType),
+      ColumnBridge.catalystExpression(xxhash64(col("g")))))
+
+    val candidates = trainSh
+      .select(col(idCol), explode(col("sh")).as("g")).distinct()
+      .filter(mightContain) // map-side prune: only bloom-passing grams move
+    val hits = candidates
+      .join(broadcast(evalGrams), Seq("g")) // exact confirm kills FPs
+      .groupBy(idCol).agg(count(lit(1)).as("matched_shingles"))
+    trainSh.select(idCol).join(hits, Seq(idCol), "left").select(
+      col(idCol),
+      coalesce(col("matched_shingles"), lit(0L)).as("matched_shingles"),
+      when(col("matched_shingles").isNotNull, 1).otherwise(0)
+        .as("contaminated"))
+  }
 }

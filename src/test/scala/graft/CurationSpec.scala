@@ -86,6 +86,30 @@ class CurationSpec extends SparkSpec {
     assert(r == Seq((1L, 2L, 1), (2L, 0L, 0), (3L, 1L, 1)))
   }
 
+  test("bloom decontamination: identical output to the exact path") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val ev = docs.filter(col("doc_id") % 50 === 0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").as[(Long, Long, Int)].collect().toSeq
+    val exact = rows(graft.operators.Decontamination
+      .flagContaminated(train, ev, "doc_id", "text", 3))
+    val bloom = rows(graft.operators.Decontamination
+      .flagContaminatedBloom(train, ev, "doc_id", "text", 3))
+    assert(exact == bloom)
+    assert(exact.exists(_._3 == 1) && exact.exists(_._3 == 0))
+  }
+
+  test("bloom decontamination: empty eval set -> all clean") {
+    val train = Seq((1L, "a b c d e")).toDF("doc_id", "text")
+    val emptyEv = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = graft.operators.Decontamination
+      .flagContaminatedBloom(train, emptyEv, "doc_id", "text", 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(r == Seq((1L, 0L, 0)))
+  }
+
   test("packing: bins respect capacity boundaries, groups independent") {
     val docs = Seq((0L, 300), (8L, 300), (16L, 300), (1L, 600), (9L, 100))
       .toDF("doc_id", "ntok")
