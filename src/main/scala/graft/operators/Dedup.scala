@@ -35,6 +35,41 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Incremental exact dedup: drop `incoming` rows whose normalized
+    * content already exists in `seen` (the id/fingerprint ledger of the
+    * standing corpus — store fingerprints, never text). The seen side is
+    * usually far too big to broadcast at 100 TB, so it compresses into
+    * ONE bloom filter (map-side prune of incoming, no false negatives);
+    * only bloom-positive rows — actual dupes plus the fpp sliver — enter
+    * the exact anti-join confirm. Net: the standing corpus is touched
+    * once to build the bloom, and the join input is proportional to the
+    * duplicate rate, not the crawl size. */
+  def dropSeenBefore(incoming: DataFrame, seenFingerprints: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val seen = seenFingerprints.select(col("content_hash")).distinct()
+    val nSeen = seen.count()
+    if (nSeen == 0) return incoming
+    val bloomBytes = seen.select(ColumnBridge.column(
+      new BloomFilterAggregate(
+        ColumnBridge.catalystExpression(xxhash64(col("content_hash"))), nSeen)
+        .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
+    val hashed = incoming
+      .withColumn("content_hash", fingerprint(col(textCol)))
+    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
+      CLit.create(bloomBytes, BinaryType),
+      ColumnBridge.catalystExpression(xxhash64(col("content_hash")))))
+    val clean = hashed.filter(!mightContain)
+    val candidates = hashed.filter(mightContain)
+      .join(seen, Seq("content_hash"), "left_anti") // fpp sliver survives
+    clean.unionByName(candidates).drop("content_hash")
+  }
+
   /** MinHash band signatures: one row per doc with `numBands` min-hashes
     * over word k-shingles. */
   def minhashSignatures(df0: DataFrame, idCol: String, textCol: String,

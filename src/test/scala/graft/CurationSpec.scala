@@ -110,6 +110,26 @@ class CurationSpec extends SparkSpec {
     assert(r == Seq((1L, 0L, 0)))
   }
 
+  test("incremental dedup: seen content dropped, unseen kept, fp-safe") {
+    val seenCorpus = Seq((1L, "Hello, World!"), (2L, "old doc two"))
+      .toDF("doc_id", "text")
+    val ledger = graft.operators.Dedup
+      .exactGroups(seenCorpus, "doc_id", "text")
+    val incoming = Seq(
+      (10L, "hello world"),   // normalizes onto seen doc 1 -> dropped
+      (11L, "old doc two"),   // exact seen -> dropped
+      (12L, "genuinely new")) // kept
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .dropSeenBefore(incoming, ledger, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(12L))
+    // empty ledger passes everything through
+    val none = graft.operators.Dedup.dropSeenBefore(
+      incoming, ledger.limit(0), "doc_id", "text")
+    assert(none.count() == 3)
+  }
+
   test("packing: bins respect capacity boundaries, groups independent") {
     val docs = Seq((0L, 300), (8L, 300), (16L, 300), (1L, 600), (9L, 100))
       .toDF("doc_id", "ntok")
