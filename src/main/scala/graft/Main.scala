@@ -131,7 +131,7 @@ object Main {
             s"""{"total_rows":${e.totalRows},"sample_rows":${e.sampleRows},""" +
             s""""est_tokens_in":${e.estTokensIn},"est_tokens_out":${e.estTokensOut},""" +
             s""""est_cost":"${e.estCost}","confidence":"${e.confidence}",""" +
-            s""""batch_fit":"${e.batchFit.getOrElse("ok")}"}""")
+            s""""batch_fit":${jsonStr(e.batchFit.getOrElse("ok"))}}""")
         case "submit" =>
           val dir = need("run-dir")
           val backend = new ProviderBatch.LocalMockBackend(spark, s"$dir/provider")
@@ -151,6 +151,16 @@ object Main {
       }
     } finally spark.stop()
   }
+
+  /** JSON string literal with escaping — the batch_fit message embeds the
+    * user-supplied model id, which must not break the output JSON. */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 
   private def parseOpts(args: Array[String]): Map[String, String] =
     args.sliding(2, 2).collect {

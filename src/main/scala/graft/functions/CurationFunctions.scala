@@ -22,18 +22,14 @@ import org.apache.spark.sql.functions._
   */
 object CurationFunctions {
 
-  /** Word 2-grams joined by a single space; <2 words → empty array. */
-  def wordBigrams(words: Column): Column =
-    when(size(words) < 2, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(words) - 1), i =>
-        concat(element_at(words, i), lit(" "), element_at(words, i + 1))))
+  /** Word 2-grams joined by a single space; <2 words → empty array.
+    * Delegates to [[TextFunctions.shingles]] — one sliding-window
+    * implementation keeps the cross-engine oracle arithmetic in exactly
+    * one place. */
+  def wordBigrams(words: Column): Column = TextFunctions.shingles(words, 2)
 
   /** Word 3-grams joined by single spaces; <3 words → empty array. */
-  def wordTrigrams(words: Column): Column =
-    when(size(words) < 3, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(words) - 2), i =>
-        concat_ws(" ", element_at(words, i), element_at(words, i + 1),
-          element_at(words, i + 2))))
+  def wordTrigrams(words: Column): Column = TextFunctions.shingles(words, 3)
 
   /** Fraction of array elements that are duplicates of an earlier one:
     * (n - n_distinct) / n. 0 for empty arrays. */
@@ -68,10 +64,11 @@ object CurationFunctions {
 
   /** Patterns kept to the regex subset with identical semantics in Java
     * (Spark codegen) and RE2 (DuckDB/Go): char classes, bounded repeats,
-    * \b word boundaries. Order of redaction below is immaterial — the
-    * three patterns cannot overlap (only emails contain '@', only phones
-    * contain '-', IPs are all-digit dotted quads). */
-  val EmailPattern = "[A-Za-z0-9._]+@[A-Za-z0-9.]+\\.[a-z]{2,}"
+    * \b word boundaries. Redaction order below matters: emails first
+    * (their local/domain parts may contain '-' digit runs a phone
+    * pattern could bite into), then phones, then IPs — phones and IPs
+    * cannot overlap (dashes vs dots). */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[a-z]{2,}"
   val PhonePattern = "\\b\\d{3}-\\d{4}\\b"
   val IpPattern    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 

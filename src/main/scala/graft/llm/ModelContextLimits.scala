@@ -35,15 +35,17 @@ object ModelContextLimits {
     "qwen-14b" -> 8192,
     "qwen-7b" -> 8192)
 
-  /** Exact match, then longest family-prefix containment either way
-    * (handles "claude-3-5-sonnet-20241022" and "openai/gpt-4o"),
-    * then the conservative default. */
+  /** Exact match, then longest family key CONTAINED IN the model id
+    * (handles "claude-3-5-sonnet-20241022" and "openai/gpt-4o"), then
+    * the conservative default. Deliberately one-directional: matching a
+    * model id that is a prefix of a table key ("mixtral", "") would have
+    * to GUESS a window, and an ambiguous guess that resolves large
+    * defeats the overflow check — unknown and ambiguous ids must fail
+    * SAFE to 4k, as the scaladoc promises. */
   def contextLimit(model: String): Int = {
     val m = model.toLowerCase
     Limits.get(m).orElse {
-      val hits = Limits.filter { case (k, _) =>
-        m.contains(k.toLowerCase) || k.toLowerCase.contains(m)
-      }
+      val hits = Limits.filter { case (k, _) => m.contains(k.toLowerCase) }
       if (hits.isEmpty) None
       else Some(hits.maxBy(_._1.length)._2)
     }.getOrElse(DefaultLimit)

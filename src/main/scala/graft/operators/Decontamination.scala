@@ -64,8 +64,11 @@ object Decontamination {
         TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k)
           .as("sh"))
     val trainSh = shingled(train)
+    // evalGrams feeds three jobs (count, bloom build, confirm join) and
+    // its distinct() is a shuffle — persist so the pipeline runs once
     val evalGrams = shingled(eval)
       .select(explode(col("sh")).as("g")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nEval = evalGrams.count()
     if (nEval == 0)
       return trainSh.select(col(idCol),

@@ -45,13 +45,15 @@ object Dedup {
     * once to build the bloom, and the join input is proportional to the
     * duplicate rate, not the crawl size. */
   def dropSeenBefore(incoming: DataFrame, seenFingerprints: DataFrame,
-      idCol: String, textCol: String): DataFrame = {
+      textCol: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CLit}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
 
+    // the ledger feeds three jobs (count, bloom build, anti-join confirm)
     val seen = seenFingerprints.select(col("content_hash")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nSeen = seen.count()
     if (nSeen == 0) return incoming
     val bloomBytes = seen.select(ColumnBridge.column(

@@ -18,16 +18,20 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
-  /** Adds pack_group / pack_bin / doc token count to each row.
+  /** Adds pack_group / n_tokens / cum_tokens / pack_bin to each row,
+    * PRESERVING every input column (the packed rows are usually
+    * materialized into training sequences right after, so dropping the
+    * payload would force a join back on id). `idCol` must be numeric —
+    * the group route is `id % groups`; hash string ids first.
     * Bin rule: start-offset binning — a doc starting before a capacity
     * boundary joins that bin (docs longer than `capacity` occupy a bin
     * alone, fill > 1). Deterministic in (idCol % groups, idCol) order. */
   def packBins(df: DataFrame, idCol: String, tokenCol: String,
       capacity: Int, groups: Int): DataFrame = {
-    val g = (col(idCol) % groups).as("pack_group")
     val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.select(col(idCol), g, col(tokenCol).as("n_tokens"))
+    df.withColumn("pack_group", col(idCol) % groups)
+      .withColumn("n_tokens", col(tokenCol))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("pack_bin",
         floor((col("cum_tokens") - col("n_tokens")) / capacity))

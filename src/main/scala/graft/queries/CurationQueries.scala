@@ -109,14 +109,14 @@ object CurationQueries {
       |    || ' ip 10.0.' || (doc_id % 250) || '.' || ((doc_id * 7) % 250) AS a
       |  FROM documents)
       |SELECT doc_id,
-      |  len(regexp_extract_all(a, '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[a-z]{2,}')) AS email_ct,
+      |  len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[a-z]{2,}')) AS email_ct,
       |  len(regexp_extract_all(a, '\b\d{3}-\d{4}\b')) AS phone_ct,
       |  len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ip_ct,
-      |  len(regexp_extract_all(a, '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[a-z]{2,}'))
+      |  len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[a-z]{2,}'))
       |    + len(regexp_extract_all(a, '\b\d{3}-\d{4}\b'))
       |    + len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_total,
       |  regexp_replace(regexp_replace(regexp_replace(a,
-      |    '[A-Za-z0-9._]+@[A-Za-z0-9.]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
       |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
       |FROM aug ORDER BY doc_id""".stripMargin

@@ -61,12 +61,17 @@ object HealthCheck {
     val ckpt = runDir match {
       case None => Check("checkpoint_storage", "ok", "ephemeral (no run dir)")
       case Some(d) =>
-        val path = Paths.get(d)
+        val path = Paths.get(d).toAbsolutePath
         if (Files.isDirectory(path))
           Check("checkpoint_storage", "ok", s"$d exists")
+        else if (Files.exists(path)) // a FILE there blocks mkdirs entirely
+          Check("checkpoint_storage", "error", s"$d exists but is not a directory")
         else {
-          val parent = Option(path.toAbsolutePath.getParent)
-          if (parent.exists(Files.isWritable))
+          // mkdirs creates every missing level: walk to the nearest
+          // EXISTING ancestor and judge writability there
+          val ancestor = Iterator.iterate(path.getParent)(_.getParent)
+            .takeWhile(_ != null).find(Files.exists(_))
+          if (ancestor.exists(a => Files.isDirectory(a) && Files.isWritable(a)))
             Check("checkpoint_storage", "ok", s"$d creatable")
           else Check("checkpoint_storage", "warning", s"$d not writable")
         }

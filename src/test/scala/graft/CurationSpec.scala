@@ -121,12 +121,12 @@ class CurationSpec extends SparkSpec {
       (12L, "genuinely new")) // kept
       .toDF("doc_id", "text")
     val kept = graft.operators.Dedup
-      .dropSeenBefore(incoming, ledger, "doc_id", "text")
+      .dropSeenBefore(incoming, ledger, "text")
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(kept == Seq(12L))
     // empty ledger passes everything through
     val none = graft.operators.Dedup.dropSeenBefore(
-      incoming, ledger.limit(0), "doc_id", "text")
+      incoming, ledger.limit(0), "text")
     assert(none.count() == 3)
   }
 

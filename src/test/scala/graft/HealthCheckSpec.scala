@@ -50,8 +50,21 @@ class HealthCheckSpec extends AnyFunSuite {
       .checks(2).detail.contains("exists"))
     assert(HealthCheck.check(spec(), runDir = Some(s"$tmp/new_run"))
       .checks(2).detail.contains("creatable"))
-    val s = HealthCheck.check(spec(), runDir = Some("/proc/graft_no/run"))
+    // nested missing levels are still creatable (mkdirs semantics)
+    assert(HealthCheck.check(spec(), runDir = Some(s"$tmp/a/b/c"))
+      .checks(2).detail.contains("creatable"))
+    // nearest existing ancestor is /dev/null — a non-directory, so
+    // mkdirs can never succeed underneath it
+    val s = HealthCheck.check(spec(), runDir = Some("/dev/null/run"))
     assert(s.checks(2).status == "warning" && s.isHealthy)
+  }
+
+  test("run dir occupied by a regular file is an error, not 'creatable'") {
+    val f = java.nio.file.Files.createTempFile("hc", ".dat")
+    val s = HealthCheck.check(spec(), runDir = Some(f.toString))
+    assert(!s.isHealthy)
+    assert(s.checks(2).status == "error")
+    assert(s.checks(2).detail.contains("not a directory"))
   }
 
   test("readiness mirrors spec validation") {
@@ -117,6 +130,14 @@ class ModelContextLimitsSpec extends AnyFunSuite {
     assert(contextLimit("claude-3-5-sonnet-20241022") == 200000)
     assert(contextLimit("openai/gpt-4-32k") == 32768)
     assert(contextLimit("some-unknown-model") == DefaultLimit)
+  }
+
+  test("ambiguous and empty ids fail SAFE to the conservative default") {
+    // "" / bare family prefixes must not resolve to some table entry's
+    // (possibly huge) window — that defeats the overflow check
+    assert(contextLimit("") == DefaultLimit)
+    assert(contextLimit("mixtral") == DefaultLimit)
+    assert(contextLimit("qwen") == DefaultLimit)
   }
 
   test("fuzzy prefers the longest (most specific) family match") {
