@@ -115,8 +115,10 @@ class MockLlmClient(
     if (simulatedLatencyMs > 0) Thread.sleep(simulatedLatencyMs)
     val t0 = System.nanoTime()
     val reply =
-      if (systemMessage.exists(
-        _.startsWith("You are an expert data-engineering")))
+      // planner dispatch keys on the EXACT PlannerSystem constant — a
+      // user config whose system message merely starts with the same
+      // English must get the normal deterministic reply, not draft JSON
+      if (systemMessage.contains(graft.run.IntentPlanner.PlannerSystem))
         draftReply(prompt)
       else if (prompt.startsWith(BatchAggregatorMarker)) batchReply(prompt)
       else replyFor(prompt)

@@ -66,7 +66,9 @@ object Audio {
     while (off + 8 <= b.length) {
       val id = new String(b, off, 4, java.nio.charset.StandardCharsets.US_ASCII)
       val size = le32(b, off + 4)
-      if (size < 0 || off + 8 + size > b.length) return None // truncated
+      // Long arithmetic: a near-Int.MaxValue declared size would wrap
+      // `off + 8 + size` negative and sail past an Int comparison
+      if (size < 0 || off.toLong + 8L + size > b.length) return None // truncated
       id match {
         case "fmt " if size >= 16 =>
           val audioFormat = le16(b, off + 8)

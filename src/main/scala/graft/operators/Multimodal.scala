@@ -49,6 +49,9 @@ object Multimodal {
     else if (b(0) == 'B' && b(1) == 'M') "bmp"
     else "raw"
 
+  /** None when no JDK reader claims the bytes OR when a claimed decode
+    * throws (valid magic, corrupt body — a truncated JPEG must take the
+    * raw fallback, not fail the Spark task: the pipeline stays total). */
   private def withReader[A](bytes: Array[Byte])(f: ImageReader => A): Option[A] = {
     val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
     try {
@@ -57,7 +60,9 @@ object Multimodal {
       else {
         val r = readers.next()
         r.setInput(iis)
-        try Some(f(r)) finally r.dispose()
+        try Some(f(r))
+        catch { case _: Exception => None } // corrupt body → raw fallback
+        finally r.dispose()
       }
     } finally iis.close()
   }

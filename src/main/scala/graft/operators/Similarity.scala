@@ -159,10 +159,20 @@ object Similarity {
     val corpus = graft.ops.Parallelism.ensure(corpus0)
     val n = corpusSize.getOrElse(corpus.count())
     val stride = math.max(1L, n / numCentroids)
-    val cents = broadcast(corpus
+    // stride-picked seeds assume dense 0-based ids (the common shape for
+    // vector tables, and the rule the oracle reproduces). A sparse or
+    // hashed id space can strand the filter empty — in that case fall
+    // back to the numCentroids smallest ids (deterministic TakeOrdered)
+    // instead of silently returning zero neighbors for every query.
+    val strided = corpus
       .filter(col(idCol) % stride === 0 &&
         expr(s"$idCol div $stride") < numCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv")))
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val cents = broadcast(
+      if (strided.isEmpty)
+        corpus.orderBy(col(idCol)).limit(numCentroids)
+          .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+      else strided)
     // nearest centroid per corpus vector: broadcast cross + argmax with a
     // (sim, -id) struct so ties break toward the smaller centroid id —
     // the same ORDER BY sim DESC, id ASC the oracle uses

@@ -58,7 +58,8 @@ object Video {
       while (off + 8 <= to) {
         val id = fourcc(b, off)
         val size = le32(b, off + 4)
-        if (size < 0 || off + 8 + size > to) return None
+        // Long arithmetic: huge declared sizes must not wrap negative
+        if (size < 0 || off.toLong + 8L + size > to) return None
         if (id == "LIST" && size >= 4) {
           val found = walk(off + 12, off + 8 + size)
           if (found.isDefined) return found
@@ -86,7 +87,7 @@ object Video {
       while (off + 8 <= to) {
         val id = fourcc(b, off)
         val size = le32(b, off + 4)
-        if (size < 0 || off + 8 + size > to) return
+        if (size < 0 || off.toLong + 8L + size > to) return
         if (id == "LIST" && size >= 4) {
           val listType = fourcc(b, off + 8)
           walk(off + 12, off + 8 + size, inMovi || listType == "movi")

@@ -78,7 +78,16 @@ object ClientPool {
     val prefix = s"$runId:"
     pools.keySet.asScala.filter(_.startsWith(prefix)).foreach(k =>
       Option(pools.remove(k)).foreach(_.shutdown()))
-    limiters.keySet.asScala.filter(_.startsWith(prefix)).foreach(limiters.remove)
+    limiters.keySet.asScala.filter(_.startsWith(prefix)).foreach { k =>
+      // socket/file buckets hold OS resources (a persistent TCP
+      // connection to the bucket daemon, a lock file) — close them or a
+      // long-lived executor JVM leaks one connection per finished run
+      Option(limiters.remove(k)).foreach {
+        case c: AutoCloseable =>
+          try c.close() catch { case _: Exception => () }
+        case _ => ()
+      }
+    }
     adaptives.keySet.asScala.filter(_.startsWith(prefix)).foreach(adaptives.remove)
   }
 }
@@ -183,8 +192,17 @@ object Invoke {
       def timedInvoke(promptText: String): LlmResponse = {
         if (timeoutMs <= 0) return client.invoke(promptText, system)
         val caller = Thread.currentThread()
+        // `done` + lock close the cancel race: without it, a trigger
+        // already PAST cancel(false) could interrupt the caller after the
+        // finally-block clear, poisoning the next blocking op (backoff
+        // sleep, limiter acquire, shuffle write) with a stray interrupt
+        val lock = new Object
+        var done = false
         val trigger = ClientPool.deadlines.schedule(
-          new Runnable { def run(): Unit = caller.interrupt() },
+          new Runnable {
+            def run(): Unit =
+              lock.synchronized { if (!done) caller.interrupt() }
+          },
           timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
         try client.invoke(promptText, system)
         catch {
@@ -192,7 +210,8 @@ object Invoke {
             throw new NetworkError(s"call exceeded ${timeoutMs}ms deadline")
         } finally {
           trigger.cancel(false)
-          Thread.interrupted() // clear an interrupt that raced the cancel
+          lock.synchronized { done = true }   // no interrupt can fire past here
+          Thread.interrupted() // clear one that raced in before the gate
         }
       }
 

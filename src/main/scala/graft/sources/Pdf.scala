@@ -64,8 +64,12 @@ object Pdf {
   }
 
   /** Render `text` into a complete PDF byte stream, one source line per
-    * text line, `maxLinesPerPage` lines per page. */
-  def write(text: String, maxLinesPerPage: Int = 60): Array[Byte] = {
+    * text line, `maxLinesPerPage` lines per page. Default 53: lines
+    * render at y = 756 - 14j inside a 612x792 MediaBox, so j <= 53 keeps
+    * every baseline on-page (a 60-line default put the last ~6 lines of
+    * a full page below y=0 — extractText recovered them, but any real
+    * viewer clips them). */
+  def write(text: String, maxLinesPerPage: Int = 53): Array[Byte] = {
     require(maxLinesPerPage > 0, "maxLinesPerPage must be positive")
     val lines = text.split("\n", -1)
     val pages = lines.grouped(maxLinesPerPage).toArray

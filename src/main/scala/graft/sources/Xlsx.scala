@@ -52,12 +52,23 @@ object Xlsx {
 
   /** Parse sharedStrings.xml → indexed strings (concatenating rich-text
     * runs: a formatted cell holds several <t> under one <si>). */
+  /** Hardened StAX factory: DTDs and external entities OFF — an
+    * attacker-supplied workbook must not get XXE file disclosure or a
+    * billion-laughs expansion out of the driver (same adversarial-bytes
+    * posture as the PDF reader). */
+  private def secureXmlFactory(): XMLInputFactory = {
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, false)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES, false)
+    f
+  }
+
   private def sharedStrings(zip: ZipFile): IndexedSeq[String] = {
     entryBytes(zip, "xl/sharedStrings.xml") match {
       case None => IndexedSeq.empty
       case Some(bytes) =>
         val out = ArrayBuffer.empty[String]
-        val r = XMLInputFactory.newInstance().createXMLStreamReader(
+        val r = secureXmlFactory().createXMLStreamReader(
           new java.io.ByteArrayInputStream(bytes), "UTF-8")
         var current: StringBuilder = null
         var inT = false
@@ -95,7 +106,7 @@ object Xlsx {
         throw new IllegalArgumentException(
           s"$path has no xl/worksheets/sheet1.xml — not an xlsx workbook?"))
       val rows = ArrayBuffer.empty[ArrayBuffer[String]]
-      val r = XMLInputFactory.newInstance().createXMLStreamReader(
+      val r = secureXmlFactory().createXMLStreamReader(
         new java.io.ByteArrayInputStream(sheetBytes), "UTF-8")
       var row: ArrayBuffer[String] = null
       var cellCol = 0
@@ -112,7 +123,10 @@ object Xlsx {
                   .map(colIndex).getOrElse(row.length)
                 cellType = Option(r.getAttributeValue(null, "t")).getOrElse("n")
               case "v" | "t" if row != null =>
-                value = new StringBuilder; collecting = true
+                // a rich-text inline string has one <t> PER RUN under the
+                // same cell — append runs, don't reset mid-cell
+                if (value == null) value = new StringBuilder
+                collecting = true
               case _ => ()
             }
           case XMLStreamConstants.CHARACTERS | XMLStreamConstants.CDATA =>

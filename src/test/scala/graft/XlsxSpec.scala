@@ -56,6 +56,27 @@ class XlsxSpec extends SparkSpec {
     assert(rows(1) == Seq("7.5", "rich text", null)) // rich-text runs concat
   }
 
+  test("multi-run INLINE strings concatenate; DTD entities are rejected") {
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row>
+        |<row r="2"><c r="A2" t="inlineStr"><is><r><t>Hello </t></r><r><t>world</t></r></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val df = Xlsx.read(spark, zipOf("xl/worksheets/sheet1.xml" -> sheet))
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("Hello world"))
+
+    val xxe =
+      """<?xml version="1.0"?><!DOCTYPE x [<!ENTITY e SYSTEM "file:///etc/passwd">]>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>&e;</t></is></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val thrown = intercept[Exception] {
+      Xlsx.read(spark, zipOf("xl/worksheets/sheet1.xml" -> xxe)).collect()
+    }
+    assert(!thrown.getMessage.contains("root:"), "entity must not resolve")
+  }
+
   test("write/read round-trip preserves escapes, newlines, and MID-ROW nulls") {
     val df = Seq(
       (1L, "a & b < c > \"d\"", Some("en")),
