@@ -60,6 +60,12 @@ class AudioSpec extends SparkSpec {
     val floatFmt = good.clone
     floatFmt(20) = 3
     assert(Audio.parseWav(floatFmt).isEmpty)
+    // adversarial: declared chunk size near Int.MaxValue must reject via
+    // the Long-bounded guard, not wrap negative and crash the walk
+    val huge = good.clone
+    huge(16) = 0xF4.toByte; huge(17) = 0xFF.toByte
+    huge(18) = 0xFF.toByte; huge(19) = 0x7F.toByte // fmt size 0x7FFFFFF4
+    assert(Audio.parseWav(huge).isEmpty)
   }
 
   test("per-window RMS decodes real samples; raw fallback is arithmetic") {

@@ -107,6 +107,19 @@ class OperatorsSpec extends SparkSpec {
     assert(got(3L) == (((3 % 64) * 16 + 16, (3 % 48) * 16 + 16, 4, "raw")))
   }
 
+  test("corrupt image bodies with valid magic take the raw fallback") {
+    // JPEG magic + garbage: a reader claims it, read/getWidth throws —
+    // the row must degrade to raw, not fail the Spark task
+    val corrupt = Array[Byte](0xFF.toByte, 0xD8.toByte) ++
+      Array.fill[Byte](40)(0x5A)
+    val truncatedPng = Multimodal.encodeGrayPng(9, 5, 42).take(20)
+    val df = Seq((1L, corrupt), (2L, truncatedPng)).toDF("id", "content")
+    val got = Multimodal.withDecodedMeta(df, "content")
+      .select(col("id"), col("media_meta.format")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "raw" && got(2L) == "raw")
+  }
+
   test("multimodal real decode: frame pixels and nearest-neighbor resize") {
     val gif = Multimodal.encodeAnimatedGif(8, 6, 3, 50)
     val frames = Multimodal.sampleFrames(

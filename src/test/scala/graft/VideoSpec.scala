@@ -35,6 +35,13 @@ class VideoSpec extends SparkSpec {
     assert(Video.frameChunks("not a container".getBytes) === Seq.empty)
     // a WAV is RIFF but not AVI — must not cross-parse
     assert(Video.parseAvi(graft.operators.Audio.encodePcmWav(10, 8000, 1)).isEmpty)
+    // adversarial: near-Int.MaxValue chunk size must reject via the
+    // Long-bounded guard, not wrap negative and crash walk/frameChunks
+    val huge = good.clone
+    huge(16) = 0xF4.toByte; huge(17) = 0xFF.toByte
+    huge(18) = 0xFF.toByte; huge(19) = 0x7F.toByte
+    assert(Video.parseAvi(huge).isEmpty)
+    assert(Video.frameChunks(huge) === Seq.empty)
   }
 
   test("sampleFrames explodes partition-locally with stride") {
