@@ -68,7 +68,7 @@ object CurationFunctions {
     * (their local/domain parts may contain '-' digit runs a phone
     * pattern could bite into), then phones, then IPs — phones and IPs
     * cannot overlap (dashes vs dots). */
-  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[a-z]{2,}"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePattern = "\\b\\d{3}-\\d{4}\\b"
   val IpPattern    = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 

@@ -54,40 +54,36 @@ object Decontamination {
     * declaratively through the bridge. */
   def flagContaminatedBloom(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CLit}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
-
     def shingled(df: DataFrame): DataFrame =
       df.select(col(idCol),
         TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k)
           .as("sh"))
     val trainSh = shingled(train)
-    // evalGrams feeds three jobs (count, bloom build, confirm join) and
-    // its distinct() is a shuffle — persist so the pipeline runs once
-    val evalGrams = shingled(eval)
-      .select(explode(col("sh")).as("g")).distinct()
+    def distinctEvalGrams: DataFrame =
+      shingled(eval).select(explode(col("sh")).as("g")).distinct()
+    // cached only across the two eager jobs (count + bloom build), then
+    // released — repeated calls in a long session leak no cached blocks;
+    // the lazy confirm join below recomputes the distinct once at
+    // materialization (eval sets are the small side by construction)
+    val evalCached = distinctEvalGrams
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nEval = evalGrams.count()
-    if (nEval == 0)
-      return trainSh.select(col(idCol),
-        lit(0L).as("matched_shingles"), lit(0).as("contaminated"))
-
-    val bloomBytes = evalGrams.select(ColumnBridge.column(
-      new BloomFilterAggregate(
-        ColumnBridge.catalystExpression(xxhash64(col("g"))), nEval)
-        .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
-      CLit.create(bloomBytes, BinaryType),
-      ColumnBridge.catalystExpression(xxhash64(col("g")))))
+    val bloomBytes =
+      try {
+        val nEval = evalCached.count()
+        if (nEval == 0)
+          return trainSh.select(col(idCol),
+            lit(0L).as("matched_shingles"), lit(0).as("contaminated"))
+        // sized to the real gram count — not clamped to Spark's 4M-item
+        // runtime-pruning default (see BloomBuild)
+        BloomBuild.bloomBytes(evalCached, xxhash64(col("g")), nEval)
+      } finally evalCached.unpersist(blocking = false)
+    val mightContain = BloomBuild.mightContain(bloomBytes, xxhash64(col("g")))
 
     val candidates = trainSh
       .select(col(idCol), explode(col("sh")).as("g")).distinct()
       .filter(mightContain) // map-side prune: only bloom-passing grams move
     val hits = candidates
-      .join(broadcast(evalGrams), Seq("g")) // exact confirm kills FPs
+      .join(broadcast(distinctEvalGrams), Seq("g")) // exact confirm kills FPs
       .groupBy(idCol).agg(count(lit(1)).as("matched_shingles"))
     trainSh.select(idCol).join(hits, Seq(idCol), "left").select(
       col(idCol),

@@ -39,37 +39,41 @@ object Dedup {
     * content already exists in `seen` (the id/fingerprint ledger of the
     * standing corpus — store fingerprints, never text). The seen side is
     * usually far too big to broadcast at 100 TB, so it compresses into
-    * ONE bloom filter (map-side prune of incoming, no false negatives);
-    * only bloom-positive rows — actual dupes plus the fpp sliver — enter
-    * the exact anti-join confirm. Net: the standing corpus is touched
-    * once to build the bloom, and the join input is proportional to the
-    * duplicate rate, not the crawl size. */
+    * ONE bloom filter sized for the real ledger count (map-side prune of
+    * incoming, no false negatives; see [[BloomBuild]] for why sizing
+    * matters); only bloom-positive rows — actual dupes plus the fpp
+    * sliver — enter the exact anti-join confirm, so join input is
+    * proportional to the duplicate rate, not the crawl size.
+    *
+    * The distinct ledger is cached only across the two eager jobs here
+    * (count + bloom build) and released before returning — a long-lived
+    * session accumulates no cached blocks from repeated calls. The lazy
+    * confirm join re-reads the ledger once when the caller materializes
+    * the result; its input is fingerprints only (16 B/row), a sliver of
+    * the corpus scan the dedup exists to avoid.
+    *
+    * Works whether or not `incoming` already has a `content_hash` column:
+    * the fingerprint lives in an internal `__graft_`-prefixed column that
+    * is dropped before return, never clobbering user data. */
   def dropSeenBefore(incoming: DataFrame, seenFingerprints: DataFrame,
       textCol: String): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal => CLit}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.graftbridge.ColumnBridge
-    import org.apache.spark.sql.types.BinaryType
-
-    // the ledger feeds three jobs (count, bloom build, anti-join confirm)
-    val seen = seenFingerprints.select(col("content_hash")).distinct()
+    val hc = "__graft_content_hash"
+    val seenCached = seenFingerprints.select(col("content_hash")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nSeen = seen.count()
-    if (nSeen == 0) return incoming
-    val bloomBytes = seen.select(ColumnBridge.column(
-      new BloomFilterAggregate(
-        ColumnBridge.catalystExpression(xxhash64(col("content_hash"))), nSeen)
-        .toAggregateExpression()).as("bf"))
-      .head().getAs[Array[Byte]](0)
-    val hashed = incoming
-      .withColumn("content_hash", fingerprint(col(textCol)))
-    val mightContain = ColumnBridge.column(new BloomFilterMightContain(
-      CLit.create(bloomBytes, BinaryType),
-      ColumnBridge.catalystExpression(xxhash64(col("content_hash")))))
-    val clean = hashed.filter(!mightContain)
-    val candidates = hashed.filter(mightContain)
-      .join(seen, Seq("content_hash"), "left_anti") // fpp sliver survives
-    clean.unionByName(candidates).drop("content_hash")
+    try {
+      val nSeen = seenCached.count()
+      if (nSeen == 0) return incoming
+      val bloom = BloomBuild.bloomBytes(
+        seenCached, xxhash64(col("content_hash")), nSeen)
+      val hashed = incoming.withColumn(hc, fingerprint(col(textCol)))
+      val mightContain = BloomBuild.mightContain(bloom, xxhash64(col(hc)))
+      val seenLazy = seenFingerprints
+        .select(col("content_hash").as(hc)).distinct()
+      val clean = hashed.filter(!mightContain)
+      val candidates = hashed.filter(mightContain)
+        .join(seenLazy, Seq(hc), "left_anti") // fpp sliver survives
+      clean.unionByName(candidates).drop(hc)
+    } finally seenCached.unpersist(blocking = false)
   }
 
   /** MinHash band signatures: one row per doc with `numBands` min-hashes

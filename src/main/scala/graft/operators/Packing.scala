@@ -1,8 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Sequence packing for training-batch assembly: assign documents to
   * fixed-capacity token bins ("context windows") deterministically.
@@ -10,11 +11,19 @@ import org.apache.spark.sql.functions._
   * A truly optimal packing is a sequential bin-pack — inherently serial.
   * The distributed formulation used at scale (and here) is G independent
   * packers: route each doc to a pack group by a deterministic key hash,
-  * then run first-fit-in-id-order WITHIN each group via a partitioned
-  * window cumsum. The window partitions by group, so all G packers run
-  * in parallel and no single-partition global sort exists in the plan;
-  * G scales with the cluster. Per-bin waste stays within one document of
-  * the serial packer's for uniform-ish documents.
+  * then pack WITHIN each group in id order. All G packers run in
+  * parallel, no single-partition global sort exists in any plan, and G
+  * scales with the cluster. Three packing rules, loosest to strictest:
+  *
+  *   - [[packBins]]: start-offset grouping via a window cumsum — pure
+  *     declarative SQL, but bins are NOT capacity-bounded (a bin's total
+  *     can exceed capacity by up to one document's tail).
+  *   - [[packBinsNextFit]]: true next-fit — a bin closes when the next
+  *     doc would overflow it, so no bin exceeds capacity unless a single
+  *     document alone does. Sequential scan per group via mapPartitions.
+  *   - [[packSlices]]: GPT-style stream slicing — docs concatenate into
+  *     a token stream cut into EXACTLY-capacity windows, docs spanning
+  *     window boundaries split. Every bin is full by construction.
   */
 object Packing {
 
@@ -23,9 +32,15 @@ object Packing {
     * materialized into training sequences right after, so dropping the
     * payload would force a join back on id). `idCol` must be numeric —
     * the group route is `id % groups`; hash string ids first.
-    * Bin rule: start-offset binning — a doc starting before a capacity
-    * boundary joins that bin (docs longer than `capacity` occupy a bin
-    * alone, fill > 1). Deterministic in (idCol % groups, idCol) order. */
+    *
+    * Bin rule: START-OFFSET grouping, not first-fit — a doc whose
+    * cumulative start offset lies before a capacity boundary joins that
+    * bin, so a bin's token total routinely EXCEEDS `capacity` by up to
+    * one document's tail (not only for oversize docs). Use this when
+    * downstream materialization truncates or re-splits at bin boundaries
+    * anyway; use [[packBinsNextFit]] when bins must respect capacity, or
+    * [[packSlices]] when windows must be exactly full.
+    * Deterministic in (idCol % groups, idCol) order. */
   def packBins(df: DataFrame, idCol: String, tokenCol: String,
       capacity: Int, groups: Int): DataFrame = {
     val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
@@ -35,6 +50,86 @@ object Packing {
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("pack_bin",
         floor((col("cum_tokens") - col("n_tokens")) / capacity))
+  }
+
+  /** True next-fit packing: within each group (docs in id order), a bin
+    * closes when adding the next doc would push its total past
+    * `capacity`. No bin exceeds capacity unless one document alone does
+    * (an oversize doc occupies a bin by itself). Adds pack_group /
+    * n_tokens / bin_offset (tokens already in the bin before this doc) /
+    * pack_bin, preserving all input columns.
+    *
+    * The next-fit recurrence (bin fill resets on overflow) has no
+    * prefix-sum closed form, so it cannot be a window expression; it runs
+    * as a streaming per-partition scan: hash-repartition on pack_group,
+    * external sort within partitions by (group, id) — spillable, no
+    * global barrier — then one O(1)-state pass. Groups are independent,
+    * so parallelism = `groups`, sized to the cluster. */
+  def packBinsNextFit(df: DataFrame, idCol: String, tokenCol: String,
+      capacity: Int, groups: Int): DataFrame = {
+    require(capacity > 0 && groups > 0)
+    val base = df
+      .withColumn("pack_group", col(idCol).cast("long") % groups)
+      .withColumn("n_tokens", col(tokenCol).cast("long"))
+    val sorted = base
+      .repartition(groups, col("pack_group"))
+      .sortWithinPartitions(col("pack_group"), col(idCol))
+    val gi = sorted.schema.fieldIndex("pack_group")
+    val ti = sorted.schema.fieldIndex("n_tokens")
+    val outSchema = sorted.schema
+      .add("bin_offset", LongType).add("pack_bin", LongType)
+    sorted.mapPartitions { rows =>
+      // several groups can hash into one partition; rows arrive sorted by
+      // (group, id), so state resets on each group change
+      var curGroup = Long.MinValue
+      var bin = 0L
+      var fill = 0L
+      rows.map { r =>
+        val g = r.getLong(gi)
+        val n = r.getLong(ti)
+        if (g != curGroup) { curGroup = g; bin = 0L; fill = 0L }
+        if (fill > 0 && fill + n > capacity) { bin += 1; fill = 0L }
+        val offset = fill
+        fill += n
+        Row.fromSeq(r.toSeq :+ offset :+ bin)
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** GPT-style stream packing: per group, concatenate docs (id order)
+    * into one token stream and cut it into exactly-`capacity` windows;
+    * a doc crossing a boundary SPLITS across bins. Emits one row per
+    * (doc × window) with pack_group / pack_bin / n_tokens (doc total) /
+    * doc_offset (first token of this slice within the doc) /
+    * slice_tokens. Every bin holds exactly `capacity` tokens except each
+    * group's last — zero padding waste, the packing used when documents
+    * are separator-joined rather than kept intact.
+    *
+    * Fully declarative: window cumsum for start offsets, then
+    * `explode(sequence(first_bin, last_bin))` — expected fan-out is
+    * stream_tokens/capacity extra rows, and everything stays in codegen
+    * around the one per-group window shuffle. Zero-token docs are
+    * dropped (they occupy no window). */
+  def packSlices(df: DataFrame, idCol: String, tokenCol: String,
+      capacity: Int, groups: Int): DataFrame = {
+    require(capacity > 0 && groups > 0)
+    val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cap = lit(capacity.toLong)
+    df.withColumn("pack_group", col(idCol).cast("long") % groups)
+      .withColumn("n_tokens", col(tokenCol).cast("long"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("pack_bin", explode(sequence(
+        floor(col("start_off") / cap),
+        floor((col("start_off") + col("n_tokens") - 1) / cap))))
+      .withColumn("slice_start",
+        greatest(col("start_off"), col("pack_bin") * cap))
+      .withColumn("doc_offset", col("slice_start") - col("start_off"))
+      .withColumn("slice_tokens",
+        least(col("start_off") + col("n_tokens"), (col("pack_bin") + 1) * cap)
+          - col("slice_start"))
+      .drop("start_off", "slice_start")
   }
 
   /** Per-bin packing report: docs per bin, token total, fill fraction. */

@@ -76,7 +76,9 @@ object CurationQueries {
     concat(col("text"),
       when(col("doc_id") % 2 === 0,
         concat(lit(" contact u"), col("doc_id"), lit("@ex"),
-          col("doc_id") % 7, lit(".org"))).otherwise(""),
+          col("doc_id") % 7,
+          when(col("doc_id") % 4 === 0, lit(".ORG")).otherwise(lit(".org"))))
+        .otherwise(""),
       when(col("doc_id") % 3 === 0,
         concat(lit(" call 555-"),
           lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
@@ -101,7 +103,8 @@ object CurationQueries {
     """WITH aug AS (
       |  SELECT doc_id, text
       |    || CASE WHEN doc_id % 2 = 0
-      |         THEN ' contact u' || doc_id || '@ex' || (doc_id % 7) || '.org'
+      |         THEN ' contact u' || doc_id || '@ex' || (doc_id % 7)
+      |           || CASE WHEN doc_id % 4 = 0 THEN '.ORG' ELSE '.org' END
       |         ELSE '' END
       |    || CASE WHEN doc_id % 3 = 0
       |         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
@@ -109,14 +112,14 @@ object CurationQueries {
       |    || ' ip 10.0.' || (doc_id % 250) || '.' || ((doc_id * 7) % 250) AS a
       |  FROM documents)
       |SELECT doc_id,
-      |  len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[a-z]{2,}')) AS email_ct,
+      |  len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email_ct,
       |  len(regexp_extract_all(a, '\b\d{3}-\d{4}\b')) AS phone_ct,
       |  len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS ip_ct,
-      |  len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[a-z]{2,}'))
+      |  len(regexp_extract_all(a, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
       |    + len(regexp_extract_all(a, '\b\d{3}-\d{4}\b'))
       |    + len(regexp_extract_all(a, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS pii_total,
       |  regexp_replace(regexp_replace(regexp_replace(a,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
       |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
       |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
       |FROM aug ORDER BY doc_id""".stripMargin
@@ -224,17 +227,55 @@ object CurationQueries {
       |  round(sum(n_tokens)::DOUBLE / 512, 6) AS fill
       |FROM packed GROUP BY 1, 2 ORDER BY pack_group, pack_bin""".stripMargin
 
+  // --- q74: exact-window stream packing (doc-splitting) -------------------
+
+  /** GPT-style slicing into exactly-512-token windows: one row per
+    * (doc × window it occupies). The window cumsum + explode(sequence)
+    * plan is fully declarative; the oracle replays the identical integer
+    * arithmetic with a DuckDB window + generate_series. */
+  def q74PackSlices(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"))
+    graft.operators.Packing
+      .packSlices(docs, "doc_id", "ntok", capacity = 512, groups = 8)
+      .select(col("pack_group"), col("pack_bin"), col("doc_id"),
+        col("doc_offset"), col("slice_tokens"))
+      .orderBy("pack_group", "pack_bin", "doc_id")
+  }
+
+  val q74Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, doc_id % 8 AS pack_group, n,
+      |    CAST(sum(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) - n AS BIGINT) AS start_off
+      |  FROM toks WHERE n > 0),
+      |s AS (
+      |  SELECT doc_id, pack_group, n, start_off,
+      |    unnest(generate_series(start_off // 512, (start_off + n - 1) // 512)) AS pack_bin
+      |  FROM p)
+      |SELECT pack_group, pack_bin, doc_id,
+      |  greatest(start_off, pack_bin * 512) - start_off AS doc_offset,
+      |  least(start_off + n, (pack_bin + 1) * 512)
+      |    - greatest(start_off, pack_bin * 512) AS slice_tokens
+      |FROM s ORDER BY pack_group, pack_bin, doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
     "q67_gopher_filter" -> q67GopherFilter _,
     "q68_decontaminate" -> q68Decontaminate _,
-    "q69_pack_sequences" -> q69PackSequences _)
+    "q69_pack_sequences" -> q69PackSequences _,
+    "q74_pack_slices" -> q74PackSlices _)
 
   val oracles: Map[String, String] = Map(
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,
     "q67_gopher_filter" -> q67Sql,
     "q68_decontaminate" -> q68Sql,
-    "q69_pack_sequences" -> q69Sql)
+    "q69_pack_sequences" -> q69Sql,
+    "q74_pack_slices" -> q74Sql)
 }

@@ -19,11 +19,22 @@ object VerifySome {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    names.split(",").foreach { name =>
+    val picked = names.split(",").toSeq
+    picked.foreach { name =>
       graft.SparkEntry.queries(name)(spark, sfDir)
         .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
       println(s"[verify-some] wrote $name")
     }
+    // subset oracle dump so tools/verify_local.py runs against outDir
+    val sqls = graft.SparkEntry.oracleSql.filter(kv => picked.contains(kv._1))
+    val json = sqls.map { case (k, v) =>
+      val esc = v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", "\\n")
+      s""""$k": "$esc""""
+    }.mkString("{", ",\n", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.getBytes("UTF-8"))
     spark.stop()
   }
 }

@@ -62,6 +62,17 @@ class CurationSpec extends SparkSpec {
     assert(r._2 == "ip <IP> mail <EMAIL> v 1234-5678")
   }
 
+  test("pii: uppercase TLDs and mixed-case emails are caught") {
+    // regression: EmailPattern's TLD class was lowercase-only, letting
+    // ALICE@EXAMPLE.COM through regexp_replace unredacted
+    val df = Seq("mail ALICE@EXAMPLE.COM and Bob.J@Ex.Org end").toDF("t")
+    val r = df.select(
+      piiCount(col("t"), EmailPattern).as("e"),
+      redactPii(col("t")).as("red")).as[(Int, String)].head()
+    assert(r._1 == 2)
+    assert(r._2 == "mail <EMAIL> and <EMAIL> end")
+  }
+
   test("signals are partitioning-independent (pure per-row map)") {
     val docs = (1L to 50L).map(i => (i, s"w$i " * (i % 7 + 1).toInt + "the end"))
     val a = docs.toDF("doc_id", "text").repartition(1)
@@ -148,6 +159,71 @@ class CurationSpec extends SparkSpec {
     assert(stats == Seq((2L, 600L), (1L, 300L), (1L, 600L), (1L, 100L)))
   }
 
+  test("next-fit packing: no bin over capacity, oversize doc isolated") {
+    // group 0 (ids 0,8,16,24): 200+300=500 fit bin 0; +300 would hit 800
+    // -> bin 1; 600 > remaining 212 -> bin 2 alone. group 1: oversize 600
+    // in its own bin, following 100 opens a fresh bin.
+    val docs = Seq((0L, 200), (8L, 300), (16L, 300), (24L, 600),
+      (1L, 600), (9L, 100)).toDF("doc_id", "ntok")
+    val packed = graft.operators.Packing
+      .packBinsNextFit(docs, "doc_id", "ntok", capacity = 512, groups = 8)
+    val m = packed.select("doc_id", "pack_group", "pack_bin", "bin_offset")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(m(0L) == ((0L, 0L, 0L)))
+    assert(m(8L) == ((0L, 0L, 200L)))
+    assert(m(16L) == ((0L, 1L, 0L)))
+    assert(m(24L) == ((0L, 2L, 0L)))
+    assert(m(1L) == ((1L, 0L, 0L)))
+    assert(m(9L) == ((1L, 1L, 0L)))
+  }
+
+  test("next-fit packing property: capacity holds on a real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"))
+    val cap = 256
+    val stats = graft.operators.Packing.binStats(
+      graft.operators.Packing
+        .packBinsNextFit(docs, "doc_id", "ntok", cap, groups = 8), cap)
+      .select("bin_tokens", "n_docs").as[(Long, Long)].collect()
+    assert(stats.nonEmpty)
+    // a bin exceeds capacity ONLY when a single oversize doc owns it
+    stats.foreach { case (tok, n) => assert(tok <= cap || n == 1L) }
+    // determinism across partitionings
+    val again = graft.operators.Packing
+      .packBinsNextFit(docs.repartition(13), "doc_id", "ntok", cap, 8)
+      .select("doc_id", "pack_bin").as[(Long, Long)].collect().toMap
+    val first = graft.operators.Packing
+      .packBinsNextFit(docs, "doc_id", "ntok", cap, 8)
+      .select("doc_id", "pack_bin").as[(Long, Long)].collect().toMap
+    assert(again == first)
+  }
+
+  test("slice packing: every bin exactly full except each group's last") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet").select(
+      col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"))
+    val slices = graft.operators.Packing
+      .packSlices(docs, "doc_id", "ntok", capacity = 512, groups = 8)
+    val perBin = slices.groupBy("pack_group", "pack_bin")
+      .agg(sum(col("slice_tokens")).as("tok"))
+      .as[(Long, Long, Long)].collect()
+    val lastBin = perBin.groupBy(_._1).map { case (g, bs) =>
+      g -> bs.map(_._2).max }
+    perBin.foreach { case (g, b, tok) =>
+      if (b == lastBin(g)) assert(tok <= 512 && tok > 0)
+      else assert(tok == 512L, s"group $g bin $b has $tok tokens")
+    }
+    // slices of one doc reassemble the whole doc, in order
+    val byDoc = slices.groupBy("doc_id")
+      .agg(sum(col("slice_tokens")).as("st"), max(col("n_tokens")).as("nt"))
+      .as[(Long, Long, Long)].collect()
+    byDoc.foreach { case (_, st, nt) => assert(st == nt) }
+  }
+
   test("property: signal bounds and redaction idempotence on random docs") {
     import org.scalacheck.Gen
     // one Spark job for all sampled cases (job-per-case would be slow)
@@ -171,6 +247,38 @@ class CurationSpec extends SparkSpec {
       // the only '@' token the generator emits is a full email
       assert(!r1.contains("@"), s"unredacted email survived: $r1")
     }
+  }
+
+  test("bloom build: sizes past Spark's 4M/8MB runtime caps, restores conf") {
+    import graft.operators.BloomBuild
+    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val beforeItems = spark.conf.get(itemsKey)
+    val beforeBits = spark.conf.get(bitsKey)
+    val df = (0L until 1000L).toDF("v")
+    // claim 50M items: optimal bits ~365M >> the 67M default cap; a
+    // clamped build would return ~8MB of bytes, the honest one ~45MB
+    val bytes = BloomBuild.bloomBytes(df, xxhash64(col("v")), 50000000L)
+    assert(bytes.length.toLong * 8 > 67108864L,
+      s"filter clamped to ${bytes.length} bytes")
+    assert(spark.conf.get(itemsKey) == beforeItems)
+    assert(spark.conf.get(bitsKey) == beforeBits)
+    // no false negatives on the inserted values
+    val misses = df.filter(!BloomBuild.mightContain(bytes,
+      xxhash64(col("v")))).count()
+    assert(misses == 0)
+  }
+
+  test("dedup preserves a caller's own content_hash column") {
+    val ledger = graft.operators.Dedup.exactGroups(
+      Seq((1L, "seen before")).toDF("doc_id", "text"), "doc_id", "text")
+    val incoming = Seq((10L, "seen before", "user-data"),
+      (11L, "brand new", "kept-intact"))
+      .toDF("doc_id", "text", "content_hash")
+    val out = graft.operators.Dedup.dropSeenBefore(incoming, ledger, "text")
+    val r = out.select("doc_id", "content_hash").as[(Long, String)]
+      .collect().toSeq
+    assert(r == Seq((11L, "kept-intact")))
   }
 
   test("q65/q66/q67 run on testdata with sane shapes") {
