@@ -76,6 +76,56 @@ object Dedup {
     } finally seenCached.unpersist(blocking = false)
   }
 
+  /** Incremental NEAR-dup dedup: drop `incoming` rows that LSH-collide
+    * (share any MinHash band) with a standing corpus's signature ledger —
+    * [[minhashSignatures]] output persisted across crawls; band longs
+    * only, never text. This is the fuzzy analog of [[dropSeenBefore]]:
+    * collision with any band IS the match signal (pure LSH, the standard
+    * incremental web-crawl dedup), since a text-level Jaccard confirm is
+    * impossible against a text-free ledger.
+    *
+    * Scale shape: only the DISTINCT ledger band set matters (ledger doc
+    * ids are irrelevant to the drop decision), so no bucket self-join and
+    * no quadratic bucket blowup exists anywhere. The distinct band set
+    * compresses into one bloom filter — incoming band triples that miss
+    * it are pruned MAP-SIDE (no false negatives) — and only bloom-passing
+    * triples enter the exact semi-join confirm. Ledger is cached across
+    * the two eager jobs (count + bloom build) then released, like
+    * [[dropSeenBefore]]. Docs too short to shingle have null bands and
+    * can never collide — they always survive. */
+  def dropNearSeenBefore(incoming: DataFrame, seenSignatures: DataFrame,
+      idCol: String, textCol: String, numBands: Int = 8,
+      shingleSize: Int = 3): DataFrame = {
+    require((0 until numBands).forall(b =>
+      seenSignatures.columns.contains(s"band_$b")),
+      s"ledger must carry band_0..band_${numBands - 1}")
+    val bandCols = (0 until numBands).map(b => col(s"band_$b"))
+    def ledgerBands: DataFrame = seenSignatures
+      .select(posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
+      .distinct()
+    def bandHash: Column =
+      xxhash64(concat_ws("|", col("band_idx"), col("band_val")))
+    val ledgerCached = ledgerBands
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bloom =
+      try {
+        val nBands = ledgerCached.count()
+        if (nBands == 0) return incoming
+        BloomBuild.bloomBytes(ledgerCached, bandHash, nBands)
+      } finally ledgerCached.unpersist(blocking = false)
+    val inBands = minhashSignatures(
+      incoming, idCol, textCol, numBands, shingleSize)
+      .select(col(idCol),
+        posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+      .filter(col("band_val").isNotNull)
+    val hits = inBands
+      .filter(BloomBuild.mightContain(bloom, bandHash))
+      .join(ledgerBands, Seq("band_idx", "band_val"), "left_semi")
+      .select(col(idCol)).distinct()
+    incoming.join(hits, Seq(idCol), "left_anti")
+  }
+
   /** MinHash band signatures: one row per doc with `numBands` min-hashes
     * over word k-shingles. */
   def minhashSignatures(df0: DataFrame, idCol: String, textCol: String,

@@ -119,6 +119,47 @@ object TextQueries {
        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // --- incremental near-dup vs a signature ledger -----------------------
+
+  /** Ledger = every 10th doc's band signatures (a standing corpus that
+    * kept bands, not text); incoming = the rest. Kept = incoming docs
+    * sharing NO band with the ledger. The oracle replays the identical
+    * md5-band arithmetic and anti-joins on distinct ledger bands. */
+  def q75IncrementalNearDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val ledger = Dedup.minhashSignatures(
+      docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+      NumBands, ShingleK)
+    Dedup.dropNearSeenBefore(
+      docs.filter(col("doc_id") % 10 =!= 0), ledger, "doc_id", "text",
+      NumBands, ShingleK)
+      .select(col("doc_id")).orderBy("doc_id")
+  }
+
+  val q75Sql: String = {
+    val bandMins = (0 until NumBands).map(b =>
+      s"min(('0x' || substr(md5('$b|' || s), 1, 15))::UBIGINT)::BIGINT AS band_$b")
+      .mkString(",\n  ")
+    val bandList = (0 until NumBands).map(b => s"band_$b").mkString(", ")
+    s"""WITH $shingleCte,
+       |bands AS (
+       |  SELECT doc_id, $bandMins
+       |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) GROUP BY doc_id),
+       |exploded AS (
+       |  SELECT doc_id, unnest([$bandList]) AS band_val,
+       |    generate_subscripts([$bandList], 1) AS band_idx
+       |  FROM bands),
+       |ledger AS (
+       |  SELECT DISTINCT band_idx, band_val FROM exploded WHERE doc_id % 10 = 0),
+       |hits AS (
+       |  SELECT DISTINCT e.doc_id FROM exploded e
+       |  JOIN ledger USING (band_idx, band_val) WHERE e.doc_id % 10 <> 0)
+       |SELECT t.doc_id FROM toks t
+       |LEFT JOIN hits h ON t.doc_id = h.doc_id
+       |WHERE t.doc_id % 10 <> 0 AND h.doc_id IS NULL
+       |ORDER BY t.doc_id""".stripMargin
+  }
+
   // --- LSH near-duplicate pairs ----------------------------------------
 
   def q34NearDups(spark: SparkSession, dir: String): DataFrame =
@@ -524,6 +565,7 @@ object TextQueries {
     "q33_minhash_sigs" -> q33MinhashSigs _,
     "q34_lsh_near_dups" -> q34NearDups _,
     "q35_simhash" -> q35Simhash _,
+    "q75_incremental_neardup" -> q75IncrementalNearDedup _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
@@ -541,6 +583,7 @@ object TextQueries {
     "q33_minhash_sigs" -> q33Sql,
     "q34_lsh_near_dups" -> q34Sql,
     "q35_simhash" -> q35Sql,
+    "q75_incremental_neardup" -> q75Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,

@@ -141,6 +141,38 @@ class CurationSpec extends SparkSpec {
     assert(none.count() == 3)
   }
 
+  test("incremental near-dup: band collisions dropped, short docs survive") {
+    val corpus = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"),
+      (20L, "completely different content about spark plans"))
+      .toDF("doc_id", "text")
+    val ledger = graft.operators.Dedup
+      .minhashSignatures(corpus, "doc_id", "text", 4, 3)
+    val incoming = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // identical -> all bands collide
+      (2L, "nothing in common with anything here at all"),
+      (3L, "too short")) // <3 tokens: null bands, must survive
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .dropNearSeenBefore(incoming, ledger, "doc_id", "text", 4, 3)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L, 3L))
+    // empty ledger: everything passes
+    val none = graft.operators.Dedup.dropNearSeenBefore(
+      incoming, ledger.limit(0), "doc_id", "text", 4, 3)
+    assert(none.count() == 3)
+  }
+
+  test("q75 on testdata: both outcomes occur") {
+    val dir = "/root/testdata/sf0.001"
+    val kept = graft.queries.TextQueries
+      .q75IncrementalNearDedup(spark, dir).count()
+    val incoming = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 =!= 0).count()
+    assert(kept > 0 && kept < incoming,
+      s"kept $kept of $incoming — ledger collisions should drop some but not all")
+  }
+
   test("packing: bins respect capacity boundaries, groups independent") {
     val docs = Seq((0L, 300), (8L, 300), (16L, 300), (1L, 600), (9L, 100))
       .toDF("doc_id", "ntok")
