@@ -46,7 +46,9 @@ object CurationFunctions {
   private def maxRunFold(arr: Column,
       runValue: (Column, Column) => Column): Column = {
     val folded = aggregate(
-      array_sort(arr),
+      // drop nulls first: the naive formulation's ===-filter never counted
+      // null elements, and null <=> null would otherwise tally null runs
+      array_sort(filter(arr, x => x.isNotNull)),
       struct(lit(null).cast("string").as("prev"), lit(0).as("run"),
         lit(0).as("best")),
       (acc, x) => {

@@ -35,25 +35,33 @@ object BloomBuild {
     val numBits = math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
 
-    val conf = df.sparkSession.conf
-    val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-    val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-    val oldItems = conf.get(itemsKey)
-    val oldBits = conf.get(bitsKey)
-    try {
-      // BloomFilterAggregate min()s its size against these caps lazily at
-      // execution, so they must hold across the collecting job below.
-      if (n > oldItems.toLong) conf.set(itemsKey, n.toString)
-      if (numBits > oldBits.toLong) conf.set(bitsKey, numBits.toString)
-      df.select(ColumnBridge.column(
-        new BloomFilterAggregate(
-          ColumnBridge.catalystExpression(hashCol),
-          CLit.create(n), CLit.create(numBits))
-          .toAggregateExpression()).as("bf"))
-        .head().getAs[Array[Byte]](0)
-    } finally {
-      conf.set(itemsKey, oldItems)
-      conf.set(bitsKey, oldBits)
+    // Serialize builds JVM-wide: the caps live in shared session conf and
+    // BloomFilterAggregate min()s its size against them LAZILY at
+    // execution, so a concurrent build's finally-restore mid-job would
+    // silently re-clamp this one — the exact failure this class exists to
+    // prevent. Builds are rare one-shot driver jobs; the lock is cheap.
+    // (Raising the caps is harmless to unrelated queries: they are upper
+    // bounds, and other blooms still size from their own estimates.)
+    BloomBuild.synchronized {
+      val conf = df.sparkSession.conf
+      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+      val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+      val oldItems = conf.get(itemsKey)
+      val oldBits = conf.get(bitsKey)
+      try {
+        // caps must hold across the collecting job below
+        if (n > oldItems.toLong) conf.set(itemsKey, n.toString)
+        if (numBits > oldBits.toLong) conf.set(bitsKey, numBits.toString)
+        df.select(ColumnBridge.column(
+          new BloomFilterAggregate(
+            ColumnBridge.catalystExpression(hashCol),
+            CLit.create(n), CLit.create(numBits))
+            .toAggregateExpression()).as("bf"))
+          .head().getAs[Array[Byte]](0)
+      } finally {
+        conf.set(itemsKey, oldItems)
+        conf.set(bitsKey, oldBits)
+      }
     }
   }
 

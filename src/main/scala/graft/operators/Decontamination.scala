@@ -19,20 +19,43 @@ import graft.functions.TextFunctions
   */
 object Decontamination {
 
+  /** Shingle projection materialized behind a typed identity barrier.
+    * Without it, `InferFiltersFromGenerate` + join constraints synthesize
+    * `size(sh) > 0 AND isnotnull(sh)` filters whose `sh` INLINES the whole
+    * tokenize→shingle chain, and predicate pushdown moves them below the
+    * parallelizing Exchange — the interpreted shingling then runs 2-3×
+    * per row on the scan's few input partitions (measured: the 10× q68
+    * join stage went 52 s; with the barrier the filters test the already-
+    * computed array and the stage is ~8 s). The barrier is a narrow
+    * per-partition pass; scale shape unchanged. */
+  private def shingledBarrier(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val base = graft.ops.Parallelism.ensure(df).select(col(idCol),
+      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k).as("sh"))
+    base.mapPartitions(it => it)(
+      org.apache.spark.sql.Encoders.row(base.schema))
+  }
+
   /** Per-train-doc distinct-shingle match count + contaminated flag.
     * Output: idCol, matched_shingles (long), contaminated (0/1). */
   def flagContaminated(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     def shingled(df: DataFrame): DataFrame =
-      df.select(col(idCol),
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k)
-          .as("sh"))
+      shingledBarrier(df, idCol, textCol, k)
     val evalGrams = shingled(eval)
       .select(explode(col("sh")).as("g")).distinct()
     val trainSh = shingled(train)
+    // join BEFORE distinct: the broadcast hash join prunes non-matching
+    // grams map-side, so only actual hits (sparse by construction in a
+    // decontamination) reach the distinct's shuffle — distinct-first
+    // shuffled every (id, gram) pair of the corpus (measured 6x on the
+    // 10x bench point). evalGrams is distinct, so the join leaves
+    // per-doc gram multiplicity intact and distinct-after ≡ distinct-
+    // before on the matched subset.
     val hits = trainSh
-      .select(col(idCol), explode(col("sh")).as("g")).distinct()
+      .select(col(idCol), explode(col("sh")).as("g"))
       .join(broadcast(evalGrams), Seq("g"))
+      .select(col(idCol), col("g")).distinct()
       .groupBy(idCol).agg(count(lit(1)).as("matched_shingles"))
     trainSh.select(idCol).join(hits, Seq(idCol), "left").select(
       col(idCol),
@@ -55,9 +78,7 @@ object Decontamination {
   def flagContaminatedBloom(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, k: Int): DataFrame = {
     def shingled(df: DataFrame): DataFrame =
-      df.select(col(idCol),
-        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k)
-          .as("sh"))
+      shingledBarrier(df, idCol, textCol, k)
     val trainSh = shingled(train)
     def distinctEvalGrams: DataFrame =
       shingled(eval).select(explode(col("sh")).as("g")).distinct()
@@ -79,11 +100,15 @@ object Decontamination {
       } finally evalCached.unpersist(blocking = false)
     val mightContain = BloomBuild.mightContain(bloomBytes, xxhash64(col("g")))
 
-    val candidates = trainSh
-      .select(col(idCol), explode(col("sh")).as("g")).distinct()
+    // bloom prune, then exact broadcast confirm, THEN distinct: both
+    // filters run map-side before anything shuffles, so the distinct
+    // processes only true hits plus nothing (the join already killed the
+    // bloom's false positives)
+    val hits = trainSh
+      .select(col(idCol), explode(col("sh")).as("g"))
       .filter(mightContain) // map-side prune: only bloom-passing grams move
-    val hits = candidates
       .join(broadcast(distinctEvalGrams), Seq("g")) // exact confirm kills FPs
+      .select(col(idCol), col("g")).distinct()
       .groupBy(idCol).agg(count(lit(1)).as("matched_shingles"))
     trainSh.select(idCol).join(hits, Seq(idCol), "left").select(
       col(idCol),

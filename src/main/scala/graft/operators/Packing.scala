@@ -85,8 +85,12 @@ object Packing {
       var bin = 0L
       var fill = 0L
       rows.map { r =>
-        val g = r.getLong(gi)
-        val n = r.getLong(ti)
+        // null id rows sort first and pack together as one group;
+        // null token counts pack as zero-width (packBins propagates null
+        // bins for them — here a hard crash inside mapPartitions is the
+        // alternative, so degrade gracefully instead)
+        val g = if (r.isNullAt(gi)) Long.MinValue else r.getLong(gi)
+        val n = if (r.isNullAt(ti)) 0L else r.getLong(ti)
         if (g != curGroup) { curGroup = g; bin = 0L; fill = 0L }
         if (fill > 0 && fill + n > capacity) { bin += 1; fill = 0L }
         val offset = fill

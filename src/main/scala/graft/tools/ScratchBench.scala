@@ -35,6 +35,61 @@ object ScratchBench {
           .groupBy(col("query_id"), col("id"))
           .agg(count(lit(1)).as("band_score"))
       },
+      "decon_shingle_only" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"),
+          graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+      },
+      "decon_explode_only" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"),
+          explode(graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokens(col("text")), 3)).as("g"))
+      },
+      "decon_evalgrams_only" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        docs.filter(col("doc_id") % 50 === 0).select(
+          explode(graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokens(col("text")), 3)).as("g"))
+          .distinct()
+      },
+      "decon_join_only" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        def shingled(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+        val evalGrams = shingled(docs.filter(col("doc_id") % 50 === 0))
+          .select(explode(col("sh")).as("g")).distinct()
+        shingled(docs.filter(col("doc_id") % 50 =!= 0))
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(broadcast(evalGrams), Seq("g"))
+      },
+      "decon_join_distinct" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        def shingled(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+        val evalGrams = shingled(docs.filter(col("doc_id") % 50 === 0))
+          .select(explode(col("sh")).as("g")).distinct()
+        shingled(docs.filter(col("doc_id") % 50 =!= 0))
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(broadcast(evalGrams), Seq("g"))
+          .select(col("doc_id"), col("g")).distinct()
+      },
+      "decon_hits_only" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        def shingled(df: org.apache.spark.sql.DataFrame) =
+          df.select(col("doc_id"), graft.functions.TextFunctions.shingles(
+            graft.functions.TextFunctions.tokens(col("text")), 3).as("sh"))
+        val evalGrams = shingled(docs.filter(col("doc_id") % 50 === 0))
+          .select(explode(col("sh")).as("g")).distinct()
+        shingled(docs.filter(col("doc_id") % 50 =!= 0))
+          .select(col("doc_id"), explode(col("sh")).as("g"))
+          .join(broadcast(evalGrams), Seq("g"))
+          .select(col("doc_id"), col("g")).distinct()
+          .groupBy("doc_id").agg(count(lit(1)).as("matched_shingles"))
+      },
       "neardup_inbands_only" -> { (s, d) =>
         val docs = graft.queries.Tables.tp(s, d, "documents")
         graft.operators.Dedup.minhashSignatures(
@@ -89,12 +144,15 @@ object ScratchBench {
           "qid", "text", 20)
       })
     val q = extras.getOrElse(name, graft.SparkEntry.queries(name))
+    if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+      q(spark, dir).explain("formatted")
     for (i <- 1 to reps) {
-      val df = q(spark, dir)
       val t0 = System.nanoTime()
-      // noop sink: full materialization without count()'s column pruning
-      // (see Bench.materialize)
-      df.write.format("noop").mode("overwrite").save()
+      // query construction stays INSIDE the timed region — operators like
+      // the bloom-ledger dedups run eager driver jobs (count, bloom build)
+      // while building the DataFrame, and Bench times those too. noop
+      // sink: full materialization without count()'s column pruning.
+      q(spark, dir).write.format("noop").mode("overwrite").save()
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"SCRATCH $name rep$i: $sec%.2f s")
     }

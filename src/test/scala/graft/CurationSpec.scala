@@ -210,6 +210,29 @@ class CurationSpec extends SparkSpec {
     assert(m(9L) == ((1L, 1L, 0L)))
   }
 
+  test("topCount/topCoverage ignore null elements (naive-formulation parity)") {
+    val df = Seq(1).toDF("i").select(
+      array(lit("a"), lit(null).cast("string"), lit(null).cast("string"),
+        lit(null).cast("string")).as("arr"))
+    val r = df.select(topCount(col("arr")).as("tc"),
+      topCoverage(col("arr")).as("cov")).head()
+    // nulls never count as runs: 'a' once -> 1, coverage 1*len("a")=1
+    assert(r.getInt(0) == 1 && r.getInt(1) == 1)
+  }
+
+  test("next-fit packing tolerates null ids and token counts") {
+    val docs = Seq((Some(0L), Some(300)), (Some(8L), None),
+      (None, Some(100)), (Some(16L), Some(300)))
+      .toDF("doc_id", "ntok")
+    val packed = graft.operators.Packing
+      .packBinsNextFit(docs, "doc_id", "ntok", capacity = 512, groups = 8)
+    // no NPE; null token count packs zero-width, null id groups alone
+    assert(packed.count() == 4)
+    val zeroWidth = packed.filter(col("doc_id") === 8L)
+      .select("n_tokens").head()
+    assert(zeroWidth.isNullAt(0))
+  }
+
   test("next-fit packing property: capacity holds on a real corpus") {
     val dir = "/root/testdata/sf0.001"
     val docs = spark.read.parquet(s"$dir/documents.parquet").select(
