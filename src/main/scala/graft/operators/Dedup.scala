@@ -227,6 +227,25 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Greedy near-dup removal: drop every doc that has a CONFIRMED
+    * (Jaccard ≥ threshold) near-duplicate with a smaller id; the min-id
+    * doc of each dup relation survives. This is the standard greedy
+    * keep-min rule over [[nearDuplicatePairs]] — not transitive-closure
+    * clustering (exact connected components needs iterative joins): if
+    * B dups A and C dups B but not A, both B and C drop even though C's
+    * only "keeper" was itself dropped. For corpus curation that bias is
+    * the safe direction (over-dropping borderline chains), and the rule
+    * is deterministic and single-pass at any scale. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
+                         numBands: Int = 8, shingleSize: Int = 3,
+                         threshold: Double = 0.5,
+                         maxBucketSize: Int = 100): DataFrame = {
+    val dupIds = nearDuplicatePairs(df, idCol, textCol, numBands,
+      shingleSize, threshold, maxBucketSize)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** SimHash signature (60-bit, matching hash64's width): per token-set,
     * each bit is the sign of the summed ±1 votes of that bit across token
     * hashes. Computed with a single higher-order `aggregate` over the token

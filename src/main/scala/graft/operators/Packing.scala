@@ -136,6 +136,25 @@ object Packing {
       .drop("start_off", "slice_start")
   }
 
+  /** Deterministic token-budget prefix: route docs to G groups, take each
+    * group's id-ordered prefix while its cumulative token count stays
+    * within `budgetPerGroup` — the dataset-assembly step that cuts a
+    * corpus to a target token count (total budget = G × budgetPerGroup)
+    * without a global sort. Same G-parallel-packers shape as [[packBins]]:
+    * the only plan node beyond the scan is one group-partitioned window.
+    * Greedy-by-id: the first doc that would overflow the group budget and
+    * everything after it in that group are cut. */
+  def takeTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+      budgetPerGroup: Long, groups: Int): DataFrame = {
+    require(budgetPerGroup > 0 && groups > 0)
+    val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("pack_group", col(idCol).cast("long") % groups)
+      .withColumn("n_tokens", col(tokenCol).cast("long"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("cum_tokens") <= budgetPerGroup)
+  }
+
   /** Per-bin packing report: docs per bin, token total, fill fraction. */
   def binStats(packed: DataFrame, capacity: Int): DataFrame =
     packed.groupBy("pack_group", "pack_bin").agg(

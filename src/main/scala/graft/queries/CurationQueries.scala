@@ -21,17 +21,28 @@ object CurationQueries {
   // --- q65: within-document repetition signals (Gopher §A1.1) -----------
 
   def q65Repetition(spark: SparkSession, dir: String): DataFrame = {
-    val w  = tokens(col("text"))
-    val b2 = wordBigrams(w)
-    val b3 = wordTrigrams(w)
-    tp(spark, dir, "documents").select(
+    import org.apache.spark.sql.{DataFrame, Encoders}
+    // staged through typed identity barriers so each array is computed
+    // ONCE: projection collapse otherwise re-inlines the tokens subtree
+    // into every signal column and the bigram subtree into both its
+    // consumers, and interpreted higher-order exprs get no
+    // cross-expression CSE (took q65 from ~28 s to ~3.5 s at the 10x
+    // point; a narrow per-partition pass, no shuffle)
+    def barrier(df: DataFrame): DataFrame =
+      df.mapPartitions(it => it)(Encoders.row(df.schema))
+    val toks = barrier(tp(spark, dir, "documents").select(
+      col("doc_id"), length(col("text")).as("tlen"),
+      tokens(col("text")).as("w")))
+    val grams = barrier(toks.select(col("doc_id"), col("tlen"), col("w"),
+      wordBigrams(col("w")).as("b2"), wordTrigrams(col("w")).as("b3")))
+    grams.select(
       col("doc_id"),
-      size(w).as("n_words"),
-      round(dupFrac(w), 6).as("dup_word_frac"),
-      topCount(w).as("top_word_count"),
-      round(dupFrac(b2), 6).as("dup_bigram_frac"),
-      round(dupFrac(b3), 6).as("dup_trigram_frac"),
-      round(topCoverage(b2).cast("double") / length(col("text")), 6)
+      size(col("w")).as("n_words"),
+      round(dupFrac(col("w")), 6).as("dup_word_frac"),
+      topCount(col("w")).as("top_word_count"),
+      round(dupFrac(col("b2")), 6).as("dup_bigram_frac"),
+      round(dupFrac(col("b3")), 6).as("dup_trigram_frac"),
+      round(topCoverage(col("b2")).cast("double") / col("tlen"), 6)
         .as("top2_char_frac"))
       .orderBy("doc_id")
   }
@@ -263,13 +274,43 @@ object CurationQueries {
       |    - greatest(start_off, pack_bin * 512) AS slice_tokens
       |FROM s ORDER BY pack_group, pack_bin, doc_id""".stripMargin
 
+  // --- q77: token-budget dataset cut --------------------------------------
+
+  /** Cut the corpus to ~16k tokens (8 groups × 2000): each group keeps
+    * its id-ordered prefix under the per-group budget. The oracle replays
+    * the identical windowed cumsum + threshold. */
+  def q77TokenBudget(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"))
+    graft.operators.Packing
+      .takeTokenBudget(docs, "doc_id", "ntok", budgetPerGroup = 2000L,
+        groups = 8)
+      .select(col("pack_group"), col("doc_id"), col("n_tokens"),
+        col("cum_tokens"))
+      .orderBy("pack_group", "doc_id")
+  }
+
+  val q77Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n
+      |  FROM documents),
+      |p AS (
+      |  SELECT doc_id, doc_id % 8 AS pack_group, n AS n_tokens,
+      |    CAST(sum(n) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      |  FROM toks)
+      |SELECT pack_group, doc_id, n_tokens, cum_tokens FROM p
+      |WHERE cum_tokens <= 2000 ORDER BY pack_group, doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
     "q67_gopher_filter" -> q67GopherFilter _,
     "q68_decontaminate" -> q68Decontaminate _,
     "q69_pack_sequences" -> q69PackSequences _,
-    "q74_pack_slices" -> q74PackSlices _)
+    "q74_pack_slices" -> q74PackSlices _,
+    "q77_token_budget" -> q77TokenBudget _)
 
   val oracles: Map[String, String] = Map(
     "q65_repetition_signals" -> q65Sql,
@@ -277,5 +318,6 @@ object CurationQueries {
     "q67_gopher_filter" -> q67Sql,
     "q68_decontaminate" -> q68Sql,
     "q69_pack_sequences" -> q69Sql,
-    "q74_pack_slices" -> q74Sql)
+    "q74_pack_slices" -> q74Sql,
+    "q77_token_budget" -> q77Sql)
 }

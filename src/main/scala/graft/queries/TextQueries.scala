@@ -168,12 +168,14 @@ object TextQueries {
       NumBands, ShingleK, threshold = 0.12)
       .orderBy("id_a", "id_b")
 
-  val q34Sql: String = {
+  /** Shared CTE chain ending in `jac` (confirmed pair jaccards) — used by
+    * q34 (pairs) and q76 (greedy keep-min removal). */
+  private val nearDupCtes: String = {
     val bandMins = (0 until NumBands).map(b =>
       s"min(('0x' || substr(sha256('${b / 4}|' || s), ${1 + (b % 4) * 15}, 15))::UBIGINT)::BIGINT AS band_$b")
       .mkString(",\n  ")
     val bandList = (0 until NumBands).map(b => s"band_$b").mkString(", ")
-    s"""WITH $shingleCte,
+    s"""$shingleCte,
        |bands AS (
        |  SELECT doc_id, $bandMins
        |  FROM (SELECT doc_id, unnest(shingles) AS s FROM sh) GROUP BY doc_id),
@@ -196,10 +198,27 @@ object TextQueries {
        |      CASE WHEN len(list_distinct(sa.shingles || sb.shingles)) = 0 THEN 1
        |           ELSE len(list_distinct(sa.shingles || sb.shingles)) END, 6) AS jaccard
        |  FROM cands JOIN sh sa ON sa.doc_id = id_a
-       |             JOIN sh sb ON sb.doc_id = id_b)
+       |             JOIN sh sb ON sb.doc_id = id_b)""".stripMargin
+  }
+
+  val q34Sql: String =
+    s"""WITH $nearDupCtes
        |SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= 0.12
        |ORDER BY id_a, id_b""".stripMargin
-  }
+
+  // --- greedy near-dup removal (keep-min) -------------------------------
+
+  def q76DropNearDups(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropNearDuplicates(tp(spark, dir, "documents"), "doc_id", "text",
+      NumBands, ShingleK, threshold = 0.12)
+      .select(col("doc_id")).orderBy("doc_id")
+
+  val q76Sql: String =
+    s"""WITH $nearDupCtes,
+       |dropped AS (SELECT DISTINCT id_b FROM jac WHERE jaccard >= 0.12)
+       |SELECT t.doc_id FROM toks t
+       |LEFT JOIN dropped d ON t.doc_id = d.id_b
+       |WHERE d.id_b IS NULL ORDER BY t.doc_id""".stripMargin
 
   // --- simhash ----------------------------------------------------------
 
@@ -567,6 +586,7 @@ object TextQueries {
     "q34_lsh_near_dups" -> q34NearDups _,
     "q35_simhash" -> q35Simhash _,
     "q75_incremental_neardup" -> q75IncrementalNearDedup _,
+    "q76_drop_near_dups" -> q76DropNearDups _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
@@ -585,6 +605,7 @@ object TextQueries {
     "q34_lsh_near_dups" -> q34Sql,
     "q35_simhash" -> q35Sql,
     "q75_incremental_neardup" -> q75Sql,
+    "q76_drop_near_dups" -> q76Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,

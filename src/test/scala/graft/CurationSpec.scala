@@ -163,6 +163,35 @@ class CurationSpec extends SparkSpec {
     assert(none.count() == 3)
   }
 
+  test("greedy near-dup removal keeps min id, drops confirmed dups only") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (5L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1
+      (9L, "completely unrelated text about catalyst query planning today"))
+      .toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .dropNearDuplicates(docs, "doc_id", "text", 4, 3, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 9L))
+  }
+
+  test("token budget: per-group prefix, monotone cut, budget respected") {
+    val docs = Seq((0L, 900), (8L, 900), (16L, 300), (24L, 100),
+      (1L, 2100)).toDF("doc_id", "ntok")
+    val kept = graft.operators.Packing
+      .takeTokenBudget(docs, "doc_id", "ntok", budgetPerGroup = 2000L,
+        groups = 8)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    // group 0: 900, 1800 fit; 2100 cuts doc 16 AND everything after (24)
+    // group 1: first doc alone exceeds -> empty group
+    assert(kept == Seq(0L, 8L))
+    val stats = graft.operators.Packing
+      .takeTokenBudget(docs, "doc_id", "ntok", 2000L, 8)
+      .groupBy("pack_group").agg(max(col("cum_tokens")).as("tot"))
+      .select("tot").as[Long].collect()
+    assert(stats.forall(_ <= 2000L))
+  }
+
   test("q75 on testdata: both outcomes occur") {
     val dir = "/root/testdata/sf0.001"
     val kept = graft.queries.TextQueries
