@@ -96,12 +96,6 @@ object TextFunctions {
   def hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
-  /** One MinHash band: min of salted 60-bit token hashes over the distinct
-    * token set. J(A,B) ≈ fraction of bands agreeing. */
-  def minhashBand(toks: Column, salt: Int): Column =
-    array_min(transform(array_distinct(toks),
-      t => hash64(concat(lit(s"$salt|"), t))))
-
   /** Word k-shingles ("w1 w2 w3" strings) for n-gram similarity. */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) < k, array().cast("array<string>")).otherwise(

@@ -18,6 +18,22 @@ OFFSETS = {
     'embeddings': {'vec_id': 10000},
 }
 SINGLE = ['region', 'nation']
+# Content perturbation per replica: an UNPERTURBED 10x copy gives every
+# doc/embedding 10 exact duplicates, so pair-emitting operators (LSH
+# near-dups, embedding near-dups) measure a forced-quadratic pathology
+# instead of scaling. Replica k>0 gets a per-copy marker token appended
+# to text (breaks exact shingle-set equality while keeping realistic
+# near-dup structure) and a deterministic per-copy offset added to the
+# first embedding dimension (breaks exact-vector duplication; cosine
+# neighborhoods survive).
+PERTURB = {
+    'documents': {
+        'text': "text || ' c' || CAST(r.rep AS VARCHAR) AS text"},
+    'embeddings': {
+        'embedding': ("list_transform(embedding, (x, i) -> CASE WHEN i = 1 "
+                      "THEN CAST(x + r.rep * 0.003 AS FLOAT) ELSE x END) "
+                      "AS embedding")},
+}
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 for t in SINGLE:
@@ -25,8 +41,10 @@ for t in SINGLE:
     print(t, 'copied')
 for t, offs in OFFSETS.items():
     cols = [n for n in con.execute(f"SELECT * FROM '{SRC}/{t}.parquet' LIMIT 0").df().columns]
+    pert = PERTURB.get(t, {})
     sel = ', '.join(
-        f"({c} + r.rep * {offs[c]}) AS {c}" if c in offs else c for c in cols)
+        f"({c} + r.rep * {offs[c]}) AS {c}" if c in offs
+        else pert.get(c, c) for c in cols)
     con.execute(f"""
       COPY (SELECT {sel}
             FROM '{SRC}/{t}.parquet'
