@@ -192,13 +192,18 @@ object TextQueries {
        |  FROM capped a JOIN capped b
        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
        |   AND a.doc_id < b.doc_id),
+       |hsh AS (
+       |  SELECT doc_id,
+       |    list_transform(shingles,
+       |      s -> ('0x' || substr(md5(s), 1, 15))::UBIGINT::BIGINT) AS h
+       |  FROM sh),
        |jac AS (
        |  SELECT id_a, id_b,
-       |    round(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
-       |      CASE WHEN len(list_distinct(sa.shingles || sb.shingles)) = 0 THEN 1
-       |           ELSE len(list_distinct(sa.shingles || sb.shingles)) END, 6) AS jaccard
-       |  FROM cands JOIN sh sa ON sa.doc_id = id_a
-       |             JOIN sh sb ON sb.doc_id = id_b)""".stripMargin
+       |    round(len(list_intersect(sa.h, sb.h))::DOUBLE /
+       |      CASE WHEN len(list_distinct(sa.h || sb.h)) = 0 THEN 1
+       |           ELSE len(list_distinct(sa.h || sb.h)) END, 6) AS jaccard
+       |  FROM cands JOIN hsh sa ON sa.doc_id = id_a
+       |             JOIN hsh sb ON sb.doc_id = id_b)""".stripMargin
   }
 
   val q34Sql: String =
