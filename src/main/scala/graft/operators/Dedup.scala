@@ -257,6 +257,57 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Transitive near-dup clustering: connected components over the
+    * confirmed-pair graph, labels = min doc id per component. The exact
+    * complement of [[dropNearDuplicates]]'s greedy rule — `cluster_id`
+    * groups WHOLE dup chains, so keeping `id === cluster_id` drops
+    * exactly one-per-component. Every input doc appears in the output;
+    * docs with no near-dup form singleton clusters.
+    *
+    * Algorithm: iterative min-label propagation — each round every node
+    * takes the min of its own label and its neighbors' labels; fixpoint
+    * = component minimum. Rounds needed = graph diameter, and dup
+    * components are near-cliques (mirrors of one origin), so it
+    * converges in 2-3 rounds; `maxIters` only guards adversarial
+    * chains (the large-star/small-star variant would cut long chains
+    * logarithmically if that ever mattered). Each round is one
+    * shuffle-join + aggregate on (id, label) PAIRS — never text — and
+    * `localCheckpoint` truncates the growing lineage so round N's plan
+    * does not replay rounds 1..N-1 (on a cluster with a checkpoint dir,
+    * `checkpoint` gives the fault-tolerant equivalent). */
+  def nearDupClusters(df0: DataFrame, idCol: String, textCol: String,
+                      numBands: Int = 8, shingleSize: Int = 3,
+                      threshold: Double = 0.5, maxBucketSize: Int = 100,
+                      maxIters: Int = 50): DataFrame = {
+    val df = Parallelism.ensure(df0)
+    val pairs = nearDuplicatePairs(df, idCol, textCol, numBands,
+      shingleSize, threshold, maxBucketSize)
+      .select(col("id_a"), col("id_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = pairs.unionByName(
+        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      var labels = df.select(col(idCol).cast("long").as("id"))
+        .withColumn("lab", col("id")).localCheckpoint(true)
+      var changed = 1L
+      var iters = 0
+      while (changed > 0 && iters < maxIters) {
+        val prop = edges.join(labels, edges("src") === labels("id"))
+          .groupBy(col("dst").as("pid")).agg(min(col("lab")).as("nlab"))
+        val next = labels.join(prop, labels("id") === prop("pid"), "left")
+          .select(col("id"),
+            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
+          .localCheckpoint(true)
+        changed = next.join(labels.select(col("id"), col("lab").as("old")),
+          Seq("id")).filter(col("lab") =!= col("old")).count()
+        labels = next
+        iters += 1
+      }
+      labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
+    } finally pairs.unpersist(blocking = false)
+  }
+
   /** SimHash signature (60-bit, matching hash64's width): per token-set,
     * each bit is the sign of the summed ±1 votes of that bit across token
     * hashes. Computed with a single higher-order `aggregate` over the token

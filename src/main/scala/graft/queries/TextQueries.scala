@@ -225,6 +225,28 @@ object TextQueries {
        |LEFT JOIN dropped d ON t.doc_id = d.id_b
        |WHERE d.id_b IS NULL ORDER BY t.doc_id""".stripMargin
 
+  // --- transitive near-dup clusters -------------------------------------
+
+  def q78NearDupClusters(spark: SparkSession, dir: String): DataFrame =
+    Dedup.nearDupClusters(tp(spark, dir, "documents"), "doc_id", "text",
+      NumBands, ShingleK, threshold = 0.12)
+      .orderBy("doc_id")
+
+  /** Oracle: transitive closure by recursive CTE over the symmetric
+    * confirmed-pair edges, cluster = min reachable id. */
+  val q78Sql: String =
+    s"""WITH RECURSIVE $nearDupCtes,
+       |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.12),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM toks
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+
   // --- simhash ----------------------------------------------------------
 
   def q35Simhash(spark: SparkSession, dir: String): DataFrame =
@@ -592,6 +614,7 @@ object TextQueries {
     "q35_simhash" -> q35Simhash _,
     "q75_incremental_neardup" -> q75IncrementalNearDedup _,
     "q76_drop_near_dups" -> q76DropNearDups _,
+    "q78_neardup_clusters" -> q78NearDupClusters _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
@@ -611,6 +634,7 @@ object TextQueries {
     "q35_simhash" -> q35Sql,
     "q75_incremental_neardup" -> q75Sql,
     "q76_drop_near_dups" -> q76Sql,
+    "q78_neardup_clusters" -> q78Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,

@@ -175,6 +175,30 @@ class CurationSpec extends SparkSpec {
     assert(kept == Seq(1L, 9L))
   }
 
+  test("near-dup clusters: transitive chain gets one component, min label") {
+    // A≈B (share most text), B≈C, but A and C share less: transitive
+    // closure must still put all three in cluster 1; doc 9 is a singleton
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (5L, "gamma delta epsilon zeta eta iota kappa lambda"),
+      (9L, "completely different words about spark physical planning"))
+      .toDF("doc_id", "text")
+    val clusters = graft.operators.Dedup
+      .nearDupClusters(docs, "doc_id", "text", numBands = 8,
+        shingleSize = 2, threshold = 0.3)
+      .as[(Long, Long)].collect().toMap
+    assert(clusters(9L) == 9L)
+    assert(clusters(1L) == 1L)
+    // chain: if 3 and 5 confirmed against a neighbor, they join cluster 1
+    val pairIds = graft.operators.Dedup.nearDuplicatePairs(
+      docs, "doc_id", "text", 8, 2, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    if (pairIds.contains((1L, 3L)) && pairIds.contains((3L, 5L)))
+      assert(clusters(3L) == 1L && clusters(5L) == 1L,
+        s"transitive labels wrong: $clusters with pairs $pairIds")
+  }
+
   test("token budget: per-group prefix, monotone cut, budget respected") {
     val docs = Seq((0L, 900), (8L, 900), (16L, 300), (24L, 100),
       (1L, 2100)).toDF("doc_id", "ntok")
