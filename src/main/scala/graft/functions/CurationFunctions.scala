@@ -42,7 +42,10 @@ object CurationFunctions {
     * (prev, run, best) struct accumulator. O(n log n) per row vs the
     * naive O(distinct × n) double scan — the naive form cost q65 ~23 s
     * at sf0.1 (4.5 ms/doc in interpreted higher-order exprs); this fold
-    * runs the same documents in ~2 s. Still one shuffle-free map. */
+    * runs the same documents in ~2 s. Still one shuffle-free map.
+    * STRING arrays only: the accumulator's `prev` slot is string-typed
+    * (the Column API cannot introspect the element type to seed a typed
+    * null); token/n-gram arrays are the only intended inputs. */
   private def maxRunFold(arr: Column,
       runValue: (Column, Column) => Column): Column = {
     val folded = aggregate(

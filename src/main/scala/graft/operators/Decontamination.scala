@@ -29,12 +29,11 @@ object Decontamination {
     * computed array and the stage is ~8 s). The barrier is a narrow
     * per-partition pass; scale shape unchanged. */
   private def shingledBarrier(df: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val base = graft.ops.Parallelism.ensure(df).select(col(idCol),
-      TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k).as("sh"))
-    base.mapPartitions(it => it)(
-      org.apache.spark.sql.Encoders.row(base.schema))
-  }
+      k: Int): DataFrame =
+    graft.ops.Parallelism.barrier(
+      graft.ops.Parallelism.ensure(df).select(col(idCol),
+        TextFunctions.shingles(TextFunctions.tokens(col(textCol)), k)
+          .as("sh")))
 
   /** Per-train-doc distinct-shingle match count + contaminated flag.
     * Output: idCol, matched_shingles (long), contaminated (0/1). */

@@ -141,23 +141,21 @@ object Dedup {
     * Hash-slicing: one sha256 per shingle yields FOUR independent 60-bit
     * lanes (64 hex chars = 4 × 15-char slices), so bands come in groups
     * of 4 per digest — a 4-band signature costs ONE digest pass per
-    * shingle where the salted-md5-per-band formulation cost four. The
-    * digest arrays materialize through a typed identity barrier before
-    * the per-band min/slice projection: without it, projection collapse
-    * inlines the digest transform into every band expression and the
-    * interpreter re-hashes every shingle once per band (measured 4×
-    * overcost at 10×; higher-order exprs get no cross-expression CSE).
-    * The barrier is a narrow per-partition pass — no shuffle, scale shape
-    * unchanged. Portable: DuckDB replays the identical arithmetic via
-    * sha256()/substr()/::UBIGINT. */
+    * shingle where the salted-md5-per-band formulation cost four. Two
+    * [[Parallelism.barrier]] stages keep every pass single: the shingle
+    * chain materializes once (not once per digest group), then the digest
+    * arrays materialize once (not once per band) — measured 4× overcost
+    * at 10× without them. Portable: DuckDB replays the identical
+    * arithmetic via sha256()/substr()/::UBIGINT. */
   private[operators] def bandSignatures(df: DataFrame, keep: Seq[String],
       sh: Column, numBands: Int): DataFrame = {
     val groups = (numBands + 3) / 4
+    val shMat = Parallelism.barrier(
+      df.select(keep.map(col) :+ sh.as("__graft_sh"): _*))
     val hexCols = (0 until groups).map(g =>
-      transform(sh, s => sha2(concat(lit(s"$g|"), s), 256)).as(s"__graft_hex_$g"))
-    val base = df.select(keep.map(col) ++ hexCols: _*)
-    val mat = base.mapPartitions(it => it)(
-      org.apache.spark.sql.Encoders.row(base.schema))
+      transform(col("__graft_sh"), s => sha2(concat(lit(s"$g|"), s), 256))
+        .as(s"__graft_hex_$g"))
+    val mat = Parallelism.barrier(shMat.select(keep.map(col) ++ hexCols: _*))
     val bands = (0 until numBands).map { b =>
       val off = 1 + (b % 4) * 15
       array_min(transform(col(s"__graft_hex_${b / 4}"),
@@ -218,8 +216,11 @@ object Dedup {
                          threshold: Double = 0.5,
                          maxBucketSize: Int = 100): DataFrame = {
     val df = Parallelism.ensure(df0)
-    val sets = df.select(col(idCol).as("sid"),
-      array_distinct(shingles(tokens(col(textCol)), shingleSize)).as("sh"))
+    // barrier before the hash projection: projection collapse would
+    // otherwise evaluate the shingle chain twice (once for sh, once
+    // inside the hash transform) when the cache fills
+    val sets = Parallelism.barrier(df.select(col(idCol).as("sid"),
+      array_distinct(shingles(tokens(col(textCol)), shingleSize)).as("sh")))
       .select(col("sid"), col("sh"),
         transform(col("sh"), s => hash64(s)).as("hsh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -288,8 +289,11 @@ object Dedup {
       val edges = pairs.unionByName(
         pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
         .select(col("id_a").as("src"), col("id_b").as("dst"))
-      var labels = df.select(col(idCol).cast("long").as("id"))
-        .withColumn("lab", col("id")).localCheckpoint(true)
+      // labels keep idCol's NATIVE type (string ids order fine under
+      // min/least; a numeric cast would null them out silently)
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      var labels = df.select(col(idCol).as("id"))
+        .withColumn("lab", col("id")).persist(lvl)
       var changed = 1L
       var iters = 0
       while (changed > 0 && iters < maxIters) {
@@ -298,13 +302,25 @@ object Dedup {
         val next = labels.join(prop, labels("id") === prop("pid"), "left")
           .select(col("id"),
             least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-          .localCheckpoint(true)
+          .persist(lvl)
+        // the count materializes `next` into its cache, after which the
+        // previous round's blocks release — at most two row-sets live at
+        // once (localCheckpoint per round would strand every round's
+        // blocks until GC). Plan depth grows one join per round; rounds
+        // ≈ component diameter ≈ 2-3, so analysis stays cheap.
         changed = next.join(labels.select(col("id"), col("lab").as("old")),
           Seq("id")).filter(col("lab") =!= col("old")).count()
+        labels.unpersist(blocking = false)
         labels = next
         iters += 1
       }
-      labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
+      // detach the result from the loop cache: one narrow checkpointed
+      // row-set survives as the returned value, the loop cache releases
+      val out = labels
+        .select(col("id").as(idCol), col("lab").as("cluster_id"))
+        .localCheckpoint(true)
+      labels.unpersist(blocking = false)
+      out
     } finally pairs.unpersist(blocking = false)
   }
 

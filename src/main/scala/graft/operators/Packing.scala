@@ -149,8 +149,11 @@ object Packing {
     require(budgetPerGroup > 0 && groups > 0)
     val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null token counts count as zero-width (same convention as
+    // packBinsNextFit) — a null would otherwise null the running sum and
+    // silently drop leading docs, breaking the id-ordered-prefix contract
     df.withColumn("pack_group", col(idCol).cast("long") % groups)
-      .withColumn("n_tokens", col(tokenCol).cast("long"))
+      .withColumn("n_tokens", coalesce(col(tokenCol).cast("long"), lit(0L)))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetPerGroup)
   }

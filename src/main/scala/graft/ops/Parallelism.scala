@@ -12,6 +12,21 @@ import org.apache.spark.sql.DataFrame
   * thousands of splits and this is a no-op.
   */
 object Parallelism {
+  /** Typed identity barrier: materializes `df`'s projection before any
+    * downstream plan rewrite can see inside it. The ONE implementation of
+    * an idiom four operators depend on, because two optimizer behaviors
+    * re-evaluate expensive expressions otherwise: (a) projection collapse
+    * inlines a projected subtree into every consumer expression, and
+    * interpreted higher-order exprs get no cross-expression CSE (a
+    * multi-band digest or multi-signal projection then recomputes its
+    * shared chain once per consumer); (b) InferFiltersFromGenerate + join
+    * constraints synthesize size/notnull filters that INLINE the full
+    * generator child and push it below the parallelizing exchange. The
+    * barrier is a narrow per-partition pass — no shuffle, no caching,
+    * scale shape unchanged. */
+  def barrier(df: DataFrame): DataFrame =
+    df.mapPartitions(it => it)(org.apache.spark.sql.Encoders.row(df.schema))
+
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // inputFiles is a metadata lookup; the file count bounds the scan's

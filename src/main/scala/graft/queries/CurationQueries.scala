@@ -21,15 +21,12 @@ object CurationQueries {
   // --- q65: within-document repetition signals (Gopher §A1.1) -----------
 
   def q65Repetition(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.{DataFrame, Encoders}
-    // staged through typed identity barriers so each array is computed
-    // ONCE: projection collapse otherwise re-inlines the tokens subtree
-    // into every signal column and the bigram subtree into both its
-    // consumers, and interpreted higher-order exprs get no
-    // cross-expression CSE (took q65 from ~28 s to ~3.5 s at the 10x
-    // point; a narrow per-partition pass, no shuffle)
-    def barrier(df: DataFrame): DataFrame =
-      df.mapPartitions(it => it)(Encoders.row(df.schema))
+    // staged through Parallelism.barrier so each array is computed ONCE:
+    // projection collapse otherwise re-inlines the tokens subtree into
+    // every signal column and the bigram subtree into both its consumers
+    // (took q65 from ~28 s to ~3.5 s at the 10x point)
+    def barrier(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Parallelism.barrier(df)
     val toks = barrier(tp(spark, dir, "documents").select(
       col("doc_id"), length(col("text")).as("tlen"),
       tokens(col("text")).as("w")))

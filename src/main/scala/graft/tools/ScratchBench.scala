@@ -101,10 +101,9 @@ object ScratchBench {
       },
       "neardup_inbands_barrier" -> { (s, d) =>
         val docs = graft.queries.Tables.tp(s, d, "documents")
-        val sig0 = graft.operators.Dedup.minhashSignatures(
-          docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 4, 3)
-        val sigs = sig0.mapPartitions(it => it)(
-          org.apache.spark.sql.Encoders.row(sig0.schema))
+        val sigs = graft.ops.Parallelism.barrier(
+          graft.operators.Dedup.minhashSignatures(
+            docs.filter(col("doc_id") % 10 =!= 0), "doc_id", "text", 4, 3))
         sigs.select(col("doc_id"),
           posexplode(array((0 until 4).map(b => col(s"band_$b")): _*))
             .as(Seq("band_idx", "band_val")))

@@ -188,15 +188,27 @@ class CurationSpec extends SparkSpec {
       .nearDupClusters(docs, "doc_id", "text", numBands = 8,
         shingleSize = 2, threshold = 0.3)
       .as[(Long, Long)].collect().toMap
-    assert(clusters(9L) == 9L)
-    assert(clusters(1L) == 1L)
-    // chain: if 3 and 5 confirmed against a neighbor, they join cluster 1
+    // reference: tiny union-find over whatever pairs the deterministic
+    // banding confirmed — clusters must equal its transitive closure,
+    // so the propagation loop is fully checked regardless of which
+    // candidate pairs formed
     val pairIds = graft.operators.Dedup.nearDuplicatePairs(
       docs, "doc_id", "text", 8, 2, 0.3)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    if (pairIds.contains((1L, 3L)) && pairIds.contains((3L, 5L)))
-      assert(clusters(3L) == 1L && clusters(5L) == 1L,
-        s"transitive labels wrong: $clusters with pairs $pairIds")
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map(
+      clusters.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairIds.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = clusters.keys.map(k => k -> find(k)).toMap
+    assert(clusters == expected,
+      s"clusters $clusters != union-find closure $expected (pairs ${pairIds.toSeq})")
+    // and the fixture must actually exercise a multi-doc component
+    assert(pairIds.nonEmpty, "fixture produced no confirmed pairs")
+    assert(clusters(9L) == 9L)
   }
 
   test("token budget: per-group prefix, monotone cut, budget respected") {

@@ -28,11 +28,13 @@ SINGLE = ['region', 'nation']
 # neighborhoods survive).
 PERTURB = {
     'documents': {
-        'text': "text || ' c' || CAST(r.rep AS VARCHAR) AS text"},
+        'text': ("CASE WHEN r.rep = 0 THEN text "
+                 "ELSE text || ' c' || CAST(r.rep AS VARCHAR) END AS text")},
     'embeddings': {
-        'embedding': ("list_transform(embedding, (x, i) -> CASE WHEN i = 1 "
+        'embedding': ("CASE WHEN r.rep = 0 THEN embedding ELSE "
+                      "list_transform(embedding, (x, i) -> CASE WHEN i = 1 "
                       "THEN CAST(x + r.rep * 0.003 AS FLOAT) ELSE x END) "
-                      "AS embedding")},
+                      "END AS embedding")},
 }
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
