@@ -14,7 +14,7 @@ import graft.run.{Enricher, PipelineBuilder}
   * sources so they can never rot; each runs offline on the deterministic
   * mock client:
   *
-  *   sbt "runMain graft.examples.Examples [quickstart|typed|budget|batch|curate]"
+  *   sbt "runMain graft.examples.Examples [quickstart|typed|budget|batch|curate|crawl]"
   */
 object Examples {
 
@@ -117,6 +117,39 @@ object Examples {
       packed.select("pack_group", "pack_bin").distinct().count())
   }
 
+  /** The incremental crawl journey: a standing corpus kept only ledgers
+    * (content fingerprints + band signatures — never text); a new crawl
+    * drops exact-seen, then near-seen, then clusters its OWN mirrors and
+    * keeps one canonical doc per cluster, then cuts to a token budget.
+    * Every step is ledger-sized state + map-side pruning — the shape that
+    * holds when the standing corpus is 100 TB and the crawl is 1 TB. */
+  def crawl(spark: SparkSession): Unit = {
+    import graft.operators.{Dedup, Packing}
+    import graft.functions.TextFunctions
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val standing = docs.filter(col("doc_id") % 10 === 0)
+    val crawlDf = docs.filter(col("doc_id") % 10 =!= 0)
+    // the two ledgers a production pipeline would persist between crawls
+    val fingerprints = Dedup.exactGroups(standing, "doc_id", "text")
+    val bandLedger = Dedup.minhashSignatures(standing, "doc_id", "text", 4, 3)
+    val noExact = Dedup.dropSeenBefore(crawlDf, fingerprints, "text")
+    val noNear = Dedup.dropNearSeenBefore(noExact, bandLedger,
+      "doc_id", "text", 4, 3)
+    val clusters = Dedup.nearDupClusters(noNear, "doc_id", "text", 4, 3,
+      threshold = 0.12)
+    val canonical = noNear.join(
+      clusters.filter(col("doc_id") === col("cluster_id")).select("doc_id"),
+      Seq("doc_id"), "left_semi")
+    val cut = Packing.takeTokenBudget(
+      canonical.withColumn("ntok", TextFunctions.tokenCount(col("text"))),
+      "doc_id", "ntok", budgetPerGroup = 2000L, groups = 8)
+    println(s"crawl=${crawlDf.count()} afterExact=${noExact.count()} " +
+      s"afterNear=${noNear.count()} canonical=${canonical.count()} " +
+      s"kept=${cut.count()} tokens=" +
+      cut.agg(sum(col("n_tokens"))).head().getLong(0))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = session()
     try args.headOption.getOrElse("quickstart") match {
@@ -125,8 +158,9 @@ object Examples {
       case "budget"     => budget(spark)
       case "batch"      => batch(spark)
       case "curate"     => curate(spark)
+      case "crawl"      => crawl(spark)
       case other => System.err.println(
-        s"unknown example: $other (quickstart|typed|budget|batch|curate)")
+        s"unknown example: $other (quickstart|typed|budget|batch|curate|crawl)")
     } finally spark.stop()
   }
 }
