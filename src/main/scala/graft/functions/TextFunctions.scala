@@ -96,6 +96,37 @@ object TextFunctions {
   def hash64(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** Char k-gram 60-bit hashes of `text`, in order; < k chars → empty.
+    * First stage of winnowing fingerprints — see [[winnowSelect]]. */
+  def kgramHashes(text: Column, k: Int): Column = {
+    val m = length(text) - (k - 1) // k-gram count
+    when(m <= 0, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(1), m), i => hash64(text.substr(i, lit(k)))))
+  }
+
+  /** Winnowing selection (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
+    * MOSS algorithm): slide a window of `w` consecutive k-gram hashes,
+    * keep each window's minimum. The selected ~2/(w+1)-density set is
+    * GUARANTEED to share a fingerprint with any other document
+    * containing a common substring of ≥ w+k-1 chars — the shift-robust
+    * fingerprint a rolling-hash pipeline computes, expressed
+    * declaratively (the Rabin rolling recurrence is a constant-factor
+    * optimization; the per-gram portable hash replaces it so DuckDB
+    * replays identical arithmetic). Fewer than w hashes → one window
+    * over what exists; empty in → empty out. Returned with duplicates
+    * (adjacent window mins repeat); consumers wanting the set apply
+    * array_distinct/array_sort.
+    *
+    * `hashes` MUST be a materialized column ([[kgramHashes]] staged
+    * behind `Parallelism.barrier`), NOT an inline expression: a lambda
+    * body re-evaluates its free subexpressions per element, so an
+    * inlined k-gram chain would re-hash the whole document once per
+    * window — O(m²) digests instead of O(m). */
+  def winnowSelect(hashes: Column, w: Int): Column =
+    when(size(hashes) === 0, array().cast("array<bigint>")).otherwise(
+      transform(sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+        j => array_min(slice(hashes, j, lit(w)))))
+
   /** Word k-shingles ("w1 w2 w3" strings) for n-gram similarity. */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) < k, array().cast("array<string>")).otherwise(

@@ -247,6 +247,39 @@ object TextQueries {
        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // --- winnowing fingerprints -------------------------------------------
+
+  /** Winnowed (MOSS) fingerprints, k=8-char grams, window w=4: one row
+    * per (doc, distinct fingerprint). Two barrier stages — the k-gram
+    * hash array materializes before window selection (a lambda would
+    * otherwise re-hash the doc per window), and the fingerprint set
+    * materializes before the explode. */
+  def q79Winnowing(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Parallelism.barrier
+    val staged = barrier(tp(spark, dir, "documents").select(col("doc_id"),
+      kgramHashes(col("text"), 8).as("kh")))
+    val fps = barrier(staged.select(col("doc_id"),
+      array_sort(array_distinct(winnowSelect(col("kh"), 4))).as("fp_arr")))
+    fps.select(col("doc_id"), explode(col("fp_arr")).as("fp"))
+      .orderBy("doc_id", "fp")
+  }
+
+  val q79Sql: String =
+    """WITH kh AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(text) - 7 <= 0 THEN []::BIGINT[]
+      |      ELSE [('0x' || substr(md5(substr(text, i, 8)), 1, 15))::UBIGINT::BIGINT
+      |            for i in range(1, length(text) - 7 + 1)] END AS h
+      |  FROM documents),
+      |wins AS (
+      |  SELECT doc_id,
+      |    CASE WHEN len(h) = 0 THEN []::BIGINT[]
+      |      ELSE [list_min(h[j:j+3])
+      |            for j in range(1, greatest(len(h) - 3, 1) + 1)] END AS w
+      |  FROM kh)
+      |SELECT doc_id, unnest(list_sort(list_distinct(w))) AS fp
+      |FROM wins ORDER BY doc_id, fp""".stripMargin
+
   // --- simhash ----------------------------------------------------------
 
   def q35Simhash(spark: SparkSession, dir: String): DataFrame =
@@ -615,6 +648,7 @@ object TextQueries {
     "q75_incremental_neardup" -> q75IncrementalNearDedup _,
     "q76_drop_near_dups" -> q76DropNearDups _,
     "q78_neardup_clusters" -> q78NearDupClusters _,
+    "q79_winnowing" -> q79Winnowing _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
@@ -635,6 +669,7 @@ object TextQueries {
     "q75_incremental_neardup" -> q75Sql,
     "q76_drop_near_dups" -> q76Sql,
     "q78_neardup_clusters" -> q78Sql,
+    "q79_winnowing" -> q79Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,

@@ -163,6 +163,41 @@ class CurationSpec extends SparkSpec {
     assert(none.count() == 3)
   }
 
+  test("winnowing: density bound and shared-substring guarantee") {
+    import graft.functions.TextFunctions.{kgramHashes, winnowSelect}
+    import graft.ops.Parallelism.barrier
+    val k = 8; val w = 4
+    // doc B embeds a 40-char run of doc A at a different offset; the
+    // winnowing guarantee: any common run >= w+k-1 = 11 chars shares at
+    // least one selected fingerprint
+    val shared = "the quick brown fox jumps over the lazy"
+    val docs = Seq(
+      (1L, s"$shared dog in the morning sun"),
+      (2L, s"zebra print also contains $shared tail"),
+      (3L, "entirely disjoint content with no overlap at all present"))
+      .toDF("doc_id", "text")
+    val staged = barrier(docs.select(col("doc_id"),
+      kgramHashes(col("text"), k).as("kh")))
+    val fps = staged.select(col("doc_id"),
+      array_distinct(winnowSelect(col("kh"), w)).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fps(1L).toSet intersect fps(2L).toSet).nonEmpty,
+      "docs sharing a 40-char run must share a fingerprint")
+    assert((fps(1L).toSet intersect fps(3L).toSet).isEmpty)
+    // density: ~2/(w+1) of the m-w+1 windows, never more than windows
+    val m = docs.filter(col("doc_id") === 1L)
+      .select(length(col("text"))).as[Int].head() - (k - 1)
+    assert(fps(1L).size <= m - w + 1 && fps(1L).nonEmpty)
+    // short text: one window; sub-k text: empty
+    val tiny = Seq((1L, "abcdefghij"), (2L, "abc")).toDF("doc_id", "text")
+    val tfp = barrier(tiny.select(col("doc_id"),
+      kgramHashes(col("text"), k).as("kh")))
+      .select(col("doc_id"), winnowSelect(col("kh"), w).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(tfp(1L).size == 1) // 3 grams < w -> single window min
+    assert(tfp(2L).isEmpty)
+  }
+
   test("greedy near-dup removal keeps min id, drops confirmed dups only") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
