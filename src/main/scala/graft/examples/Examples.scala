@@ -147,7 +147,7 @@ object Examples {
     println(s"crawl=${crawlDf.count()} afterExact=${noExact.count()} " +
       s"afterNear=${noNear.count()} canonical=${canonical.count()} " +
       s"kept=${cut.count()} tokens=" +
-      cut.agg(sum(col("n_tokens"))).head().getLong(0))
+      cut.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0))
   }
 
   def main(args: Array[String]): Unit = {

@@ -99,7 +99,10 @@ object TextFunctions {
   /** Char k-gram 60-bit hashes of `text`, in order; < k chars → empty.
     * First stage of winnowing fingerprints — see [[winnowSelect]]. */
   def kgramHashes(text: Column, k: Int): Column = {
-    val m = length(text) - (k - 1) // k-gram count
+    // coalesce: NULL text must yield an EMPTY array, not null — a null
+    // condition would fall into otherwise() and produce null output that
+    // downstream winnowSelect would turn into a spurious [null] window
+    val m = coalesce(length(text) - (k - 1), lit(0)) // k-gram count
     when(m <= 0, array().cast("array<bigint>")).otherwise(
       transform(sequence(lit(1), m), i => hash64(text.substr(i, lit(k)))))
   }
@@ -123,9 +126,10 @@ object TextFunctions {
     * inlined k-gram chain would re-hash the whole document once per
     * window — O(m²) digests instead of O(m). */
   def winnowSelect(hashes: Column, w: Int): Column =
-    when(size(hashes) === 0, array().cast("array<bigint>")).otherwise(
-      transform(sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
-        j => array_min(slice(hashes, j, lit(w)))))
+    when(coalesce(size(hashes), lit(0)) === 0, array().cast("array<bigint>"))
+      .otherwise(
+        transform(sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
+          j => array_min(slice(hashes, j, lit(w)))))
 
   /** Word k-shingles ("w1 w2 w3" strings) for n-gram similarity. */
   def shingles(toks: Column, k: Int): Column =

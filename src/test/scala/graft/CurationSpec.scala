@@ -196,6 +196,14 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Seq[Long])].collect().toMap
     assert(tfp(1L).size == 1) // 3 grams < w -> single window min
     assert(tfp(2L).isEmpty)
+    // null text: empty fingerprints, never a spurious [null] window
+    val withNull = Seq((1L, Option("abcdefghijkl")), (2L, None))
+      .toDF("doc_id", "text")
+    val nfp = barrier(withNull.select(col("doc_id"),
+      kgramHashes(col("text"), k).as("kh")))
+      .select(col("doc_id"), winnowSelect(col("kh"), w).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(nfp(1L).nonEmpty && nfp(2L).isEmpty)
   }
 
   test("greedy near-dup removal keeps min id, drops confirmed dups only") {
