@@ -262,11 +262,22 @@ object Similarity {
       .join(capped.select(col("id").as("id_b"), col("bucket")), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    // hoist each vector's norm out of the pair stage: cosine per pair
+    // would fold over both vectors three times (dot + 2 norms); with the
+    // norm precomputed per VECTOR (barrier keeps it from re-inlining into
+    // the pair expression) the pair stage is one dot fold plus a scalar
+    // divide — identical operands, so results are bit-identical to the
+    // unhoisted formula and the oracle is untouched
+    val vecs = graft.ops.Parallelism.barrier(
+      df.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", norm(col("v"))))
     pairs
-      .join(vecs.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
-      .withColumn("sim", round(cosine(col("va"), col("vb")), 6))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
