@@ -193,6 +193,13 @@ final case class PipelineSpec(
     require(overlap.isEmpty,
       s"input/output column overlap: ${overlap.mkString(",")}")
     require(prompt.batchSize >= 1, "batchSize must be >= 1")
+    // timeoutMs both arms the per-call interrupt AND scales the Invoke
+    // dequeue backstop; <= 0 would disable both and let a hung client wedge
+    // the task forever. "No deadline" stays available only to direct
+    // Invoke.apply calls with mock clients (tests), never through a
+    // validated pipeline spec.
+    require(llm.timeoutMs > 0,
+      s"llm.timeoutMs must be > 0 (got ${llm.timeoutMs})")
     if (output.responseFormat == ResponseFormat.Regex)
       require(output.outputColumns.forall(output.regexPatterns.contains),
         "every output column needs a regex pattern in Regex format")

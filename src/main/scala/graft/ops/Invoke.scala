@@ -184,13 +184,25 @@ object Invoke {
           served))
       }
 
+      /** One in-flight call group plus the liveness heartbeat the dequeue
+        * backstop reads: `attemptStartNs` is the nanoTime at which the
+        * currently-running client attempt began (-1 between attempts —
+        * backoff sleeps and limiter waits are bounded/honest and never
+        * trip the backstop). */
+      final class PendingCall(val group: Seq[(Long, String, Row)]) {
+        @volatile var attemptStartNs: Long = -1L
+        @volatile var fut: Future[Seq[Row]] = null
+      }
+
       /** One attempt under the per-call deadline: arm an interrupt at
         * `timeoutMs`, so a hung client (blocking IO, sleep) unwinds as a
         * retryable NetworkError instead of wedging the Spark task forever
         * (reference bounds every call the same way — tenacity timeout).
-        * CPU-spinning clients that swallow interrupts are out of scope. */
-      def timedInvoke(promptText: String): LlmResponse = {
+        * Clients that swallow the interrupt are caught one level up by the
+        * dequeue backstop (see `awaitBounded`). */
+      def timedInvoke(promptText: String, pending: PendingCall): LlmResponse = {
         if (timeoutMs <= 0) return client.invoke(promptText, system)
+        pending.attemptStartNs = System.nanoTime()
         val caller = Thread.currentThread()
         // `done` + lock close the cancel race: without it, a trigger
         // already PAST cancel(false) could interrupt the caller after the
@@ -209,13 +221,15 @@ object Invoke {
           case _: InterruptedException =>
             throw new NetworkError(s"call exceeded ${timeoutMs}ms deadline")
         } finally {
+          pending.attemptStartNs = -1L
           trigger.cancel(false)
           lock.synchronized { done = true }   // no interrupt can fire past here
           Thread.interrupted() // clear one that raced in before the gate
         }
       }
 
-      def callOne(group: Seq[(Long, String, Row)]): Seq[Row] = {
+      def callOne(pending: PendingCall): Seq[Row] = {
+        val group = pending.group
         val callId = group.head._1
         val single = group.size == 1 && batchSize == 1
         val promptText =
@@ -227,7 +241,7 @@ object Invoke {
           adaptive.foreach(_.acquireBlocking())
           val resp =
             try RetryHandler.withRetries(maxRetries, baseMs, capMs, limiter) {
-              try timedInvoke(promptText)
+              try timedInvoke(promptText, pending)
               catch { case e: RateLimitError =>
                 adaptive.foreach(_.onRateLimit()); throw e
               }
@@ -260,23 +274,70 @@ object Invoke {
         }
       }
 
+      /** Dequeue backstop for clients that swallow the deadline interrupt
+        * (native code, catch-all retry loops): timedInvoke normally unwinds
+        * every attempt within `timeoutMs`, so an attempt still running at
+        * 4x its deadline means the interrupt was ignored. Stop waiting and
+        * resolve the group through the error policy — the wedged daemon
+        * pool thread is abandoned (its late result, if any, is dropped)
+        * instead of wedging the Spark task with it. Waits while NO attempt
+        * is running (pool queue, limiter acquire, backoff sleep) never trip
+        * the backstop: those are bounded or honest waits, and the heartbeat
+        * is -1 then. timeoutMs <= 0 keeps the old unbounded wait (mock/test
+        * clients only; PipelineSpec.validate rejects it). */
+      val wedgeBoundNs: Long =
+        math.max(4L * timeoutMs, timeoutMs + 1000L) * 1000000L
+      def awaitBounded(p: PendingCall): Seq[Row] = {
+        if (timeoutMs <= 0) return Await.result(p.fut, Duration.Inf)
+        val poll = Duration(math.max(timeoutMs / 4, 50L),
+          java.util.concurrent.TimeUnit.MILLISECONDS)
+        while (true) {
+          try return Await.result(p.fut, poll)
+          catch {
+            case _: java.util.concurrent.TimeoutException =>
+              val st = p.attemptStartNs
+              if (st >= 0L && System.nanoTime() - st > wedgeBoundNs) {
+                val err = new NetworkError(
+                  s"client ignored the ${timeoutMs}ms deadline interrupt; " +
+                    "abandoning the call (dequeue backstop)")
+                val callId = p.group.head._1
+                return policy match {
+                  case ErrorPolicy.Skip =>
+                    p.group.map { case (_, _, row) =>
+                      emit(row, null, err.getMessage, skipped = true,
+                        callId, p.group.size, null)
+                    }
+                  case ErrorPolicy.UseDefault =>
+                    p.group.map { case (_, _, row) =>
+                      emit(row, default, err.getMessage, skipped = false,
+                        callId, p.group.size, null)
+                    }
+                  case _ => throw err
+                }
+              }
+          }
+        }
+        throw new IllegalStateException("unreachable")
+      }
+
       // Pull-based bounded pipeline: at most `conc` calls in flight per
       // partition; results are drained in submission order so output stays
       // deterministic and memory is O(conc * batchSize) rows.
       new Iterator[Row] {
-        private val inflight = mutable.Queue.empty[Future[Seq[Row]]]
+        private val inflight = mutable.Queue.empty[PendingCall]
         private var current: Iterator[Row] = Iterator.empty
         private def fill(): Unit =
           while (groups.hasNext && inflight.size < conc)
             inflight.enqueue {
-              val g = groups.next()
-              Future(callOne(g))
+              val p = new PendingCall(groups.next())
+              p.fut = Future(callOne(p))
+              p
             }
         fill()
         def hasNext: Boolean = current.hasNext || inflight.nonEmpty
         def next(): Row = {
           if (!current.hasNext) {
-            val done = Await.result(inflight.dequeue(), Duration.Inf)
+            val done = awaitBounded(inflight.dequeue())
             fill()
             current = done.iterator
           }

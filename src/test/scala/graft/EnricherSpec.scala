@@ -249,6 +249,47 @@ class EnricherSpec extends SparkSpec {
     assert(elapsedMs < 60000, s"took ${elapsedMs}ms: deadline not enforced")
   }
 
+  test("interrupt-swallowing client unwinds via the dequeue backstop") {
+    // The per-call deadline cancels via thread interrupt; a client that
+    // CATCHES the interrupt and keeps blocking (native code, catch-all
+    // retry loop) defeats it. The dequeue backstop in Invoke.awaitBounded
+    // must abandon the call once the attempt runs 4x past its deadline and
+    // resolve the rows through the error policy (round-4 VERDICT item 1).
+    class InterruptSwallowingClient extends graft.llm.LlmClient {
+      val model = "swallow"
+      def invoke(p: String, s: Option[String]): graft.llm.LlmResponse = {
+        if (p.contains("wedge")) {
+          while (true) {
+            try Thread.sleep(60000L)
+            catch { case _: InterruptedException => () } // swallow, keep going
+          }
+        }
+        graft.llm.LlmResponse("ok", 1, 1, model,
+          java.math.BigDecimal.ZERO, 0.1)
+      }
+    }
+    val df = Seq("wedge0", "clean").toDF("text").repartition(1)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("W:{text}"),
+      llm = LlmSpec(maxRetries = 0, concurrency = 2, timeoutMs = 150L,
+        backoffBaseMs = 1L, backoffCapMs = 2L),
+      processing = ProcessingSpec(errorPolicy = ErrorPolicy.Skip),
+      output = OutputSpec(Seq("out")))
+    val t0 = System.nanoTime()
+    val r = new Enricher(spec, new InterruptSwallowingClient()).enrich(df)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(r.metrics.skippedRows == 1)
+    assert(r.data.filter(col("out") === Sentinels.SkippedOutput).count() == 1)
+    // backstop fires at max(4x150ms, 150+1000ms) ≈ 1.15s — far under the
+    // client's 60s sleep loop that would otherwise wedge the task
+    assert(elapsedMs < 30000, s"took ${elapsedMs}ms: backstop not enforced")
+    // and validated specs can't disable the deadline machinery at all
+    intercept[IllegalArgumentException] {
+      spec.copy(llm = spec.llm.copy(timeoutMs = 0L)).validate()
+    }
+  }
+
   test("ClientPool: same runId with different config gets its own pool/limiter") {
     import graft.ops.ClientPool
     val id = s"coherence-${System.nanoTime()}"
