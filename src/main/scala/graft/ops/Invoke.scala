@@ -28,9 +28,14 @@ object ClientPool {
   // own. shutdown(runId) sweeps every config variant by prefix.
 
   /** Per-run bucket, picked by scope:
+    *   - `redis://host:port/scope` → [[RedisBucket]] against a Redis
+    *     server (exact MULTI-host bucket via atomic server-side Lua;
+    *     local-fallback + circuit breaker on outage — the reference's
+    *     production shape, redis_rate_limiter.py; scope is typically
+    *     "provider:model")
     *   - `bucket://host:port/scope` → [[SocketBucket]] against a
-    *     [[TokenBucketServer]] daemon (exact MULTI-host bucket — the
-    *     cluster deployment shape)
+    *     [[TokenBucketServer]] daemon (exact MULTI-host bucket, no Redis
+    *     dependency)
     *   - a filesystem path → [[FileCoordinatedBucket]] (exact one-host)
     *   - none → per-executor [[RateLimiter]] (rate = rpm / numExecutors)
     */
@@ -38,6 +43,19 @@ object ClientPool {
               scopeFile: Option[String] = None): GlobalBucket =
     limiters.computeIfAbsent(
       s"$runId:$rpm:$burst:${scopeFile.getOrElse("")}", _ => scopeFile match {
+        case Some(uri) if uri.startsWith("redis://") =>
+          uri.stripPrefix("redis://").split("/", 2) match {
+            case Array(hostPort, scope) =>
+              val Array(host, port) = hostPort.split(":", 2)
+              // outage fallback: worker-local bucket at the same rpm —
+              // lower aggregate ceiling than the shared bucket, but no
+              // call is ever dropped (reference routes outages the same
+              // way, redis_rate_limiter.py:316-334)
+              new RedisBucket(host, port.toInt, scope, rpm, burst,
+                fallback = Some(new RateLimiter(rpm, burst)))
+            case _ => throw new IllegalArgumentException(
+              s"bad redis scope URI (want redis://host:port/scope): $uri")
+          }
         case Some(uri) if uri.startsWith("bucket://") =>
           uri.stripPrefix("bucket://").split("/", 2) match {
             case Array(hostPort, scope) =>

@@ -192,4 +192,123 @@ class RateLimiterSpec extends AnyFunSuite {
       }
     } finally daemon.close()
   }
+
+  test("redis bucket enforces ONE aggregate rate through the RESP server") {
+    // Two RedisBucket clients stand in for two executor JVMs sharing one
+    // provider:model scope. The bucket arithmetic runs atomically inside
+    // the (fake) server, so draining through both must take the refill
+    // time of the SHARED bucket — the reference's Redis deployment shape
+    // (redis_rate_limiter.py Lua script), spoken over real RESP with
+    // EVALSHA-then-EVAL-on-NOSCRIPT.
+    val redis = new MiniRedis
+    try {
+      val rpm = 6000 // 100 tokens/sec
+      val a = new graft.llm.RedisBucket("127.0.0.1", redis.port,
+        "prov:model-a", rpm, 5)
+      val b = new graft.llm.RedisBucket("127.0.0.1", redis.port,
+        "prov:model-a", rpm, 5)
+      val t0 = System.nanoTime()
+      val counts = new java.util.concurrent.atomic.AtomicIntegerArray(2)
+      val threads = Seq((a, 0), (b, 1)).map { case (bucket, i) =>
+        new Thread(() => (0 until 8).foreach { _ =>
+          bucket.acquire(); counts.incrementAndGet(i)
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      val elapsedMs = (System.nanoTime() - t0) / 1e6
+      // 16 acquisitions - 5 burst = 11 refill tokens at 100/s >= 110 ms
+      // ideal; assert half to stay robust on a loaded machine
+      assert(elapsedMs >= 55.0,
+        f"16 tokens through a shared 5-burst 100/s bucket in $elapsedMs%.0f ms")
+      assert(counts.get(0) == 8 && counts.get(1) == 8)
+      // isolated scope drains instantly; depth probe reads server state
+      // (slow refill — 10/s — so the drained depth is still observable)
+      val c = new graft.llm.RedisBucket("127.0.0.1", redis.port,
+        "prov:model-b", 600, 50)
+      val t1 = System.nanoTime()
+      (0 until 10).foreach(_ => c.acquire())
+      assert((System.nanoTime() - t1) / 1e6 < 1000.0)
+      assert(c.availableTokens < 45.0)
+      c.reset()
+      assert(math.abs(c.availableTokens - 50.0) < 0.5)
+      a.close(); b.close(); c.close()
+    } finally redis.close()
+  }
+
+  test("redis penalty propagates to every worker on the scope") {
+    val redis = new MiniRedis
+    try {
+      val a = new graft.llm.RedisBucket("127.0.0.1", redis.port,
+        "prov:pen", 60000, 50)
+      val b = new graft.llm.RedisBucket("127.0.0.1", redis.port,
+        "prov:pen", 60000, 50)
+      a.acquire()
+      a.penalize(300) // worker A saw the 429 retry-after
+      val t0 = System.nanoTime()
+      b.acquire()     // worker B must honor it via the shared penalty key
+      val waitedMs = (System.nanoTime() - t0) / 1e6
+      assert(waitedMs >= 150.0,
+        f"server penalty must stall ALL workers, waited only $waitedMs%.0f ms")
+      // a shorter late penalty must not cut the stored deadline short
+      a.penalize(500); a.penalize(10)
+      val t1 = System.nanoTime()
+      b.acquire()
+      assert((System.nanoTime() - t1) / 1e6 >= 200.0,
+        "late short retry-after shortened an earlier long penalty")
+      a.close(); b.close()
+    } finally redis.close()
+  }
+
+  test("redis outage routes through the local fallback; breaker recovers") {
+    // Grab an ephemeral port and release it so nothing listens there.
+    val probe = new java.net.ServerSocket(0)
+    val deadPort = probe.getLocalPort
+    probe.close()
+    val fb = new graft.llm.RateLimiter(60000, 50)
+    val bucket = new graft.llm.RedisBucket("127.0.0.1", deadPort,
+      "prov:out", 60000, 50, fallback = Some(fb), breakerProbeMs = 300L)
+    // every acquire succeeds via the worker-local fallback, no exception
+    val t0 = System.nanoTime()
+    (0 until 5).foreach(_ => bucket.acquire())
+    assert((System.nanoTime() - t0) / 1e6 < 30000.0)
+    // after 3 failures the breaker is open: acquires skip the dead socket
+    // entirely (fast), including penalties
+    val t1 = System.nanoTime()
+    (0 until 5).foreach(_ => bucket.acquire())
+    assert((System.nanoTime() - t1) / 1e6 < 1000.0,
+      "open breaker must not retry the dead endpoint per call")
+    bucket.penalize(50) // routes to fallback, no throw
+    // half-open probe: once a server appears on the port and the probe
+    // window elapses, the next acquire goes through Redis again
+    val redis2 = new MiniRedis(deadPort)
+    try {
+      Thread.sleep(350)
+      val before = redis2.commandsServed.get()
+      bucket.acquire()
+      assert(redis2.commandsServed.get() > before,
+        "half-open breaker never probed the recovered server")
+    } finally redis2.close()
+    // no fallback configured → fail hard, as the reference documents
+    val hard = new graft.llm.RedisBucket("127.0.0.1", deadPort + 1,
+      "prov:hard", 600, 5)
+    intercept[graft.llm.NetworkError] { hard.acquire() }
+    bucket.close(); hard.close()
+  }
+
+  test("ClientPool dispatches redis:// scopes to the redis bucket") {
+    val redis = new MiniRedis
+    try {
+      val id = s"redisdisp-${System.nanoTime()}"
+      val l = graft.ops.ClientPool.limiter(id, 600, 10,
+        Some(s"redis://127.0.0.1:${redis.port}/prov:model"))
+      assert(l.isInstanceOf[graft.llm.RedisBucket])
+      l.acquire() // round-trips real RESP
+      assert(redis.commandsServed.get() > 0)
+      graft.ops.ClientPool.shutdown(id)
+      intercept[IllegalArgumentException] {
+        graft.ops.ClientPool.limiter(s"$id-bad", 600, 10,
+          Some("redis://malformed"))
+      }
+    } finally redis.close()
+  }
 }
