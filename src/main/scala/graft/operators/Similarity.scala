@@ -252,10 +252,12 @@ object Similarity {
     val df = graft.ops.Parallelism.ensure(df0)
     val ids = df.select(col(idCol).as("id"),
       lshBucket(col(vecCol), numPlanes).as("bucket"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("bucket"))
-    val capped = ids
-      .withColumn("_bsz", count(lit(1)).over(w))
-      .filter(col("_bsz") <= maxBucketSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // skew-safe cap: hot buckets drop via broadcast anti-join map-side
+    // instead of all routing through one count-window reducer (see
+    // Skew.dropHotBuckets); (id, bucket) pairs cache across the census
+    // and the pair join
+    val capped = Skew.dropHotBuckets(ids, Seq("bucket"), maxBucketSize)
       .select(col("id"), col("bucket"))
     // one bucket per id (single table) -> bucket-local pairs are unique
     val pairs = capped.select(col("id").as("id_a"), col("bucket"))

@@ -27,4 +27,45 @@ object Skew {
     saltedProbe.join(saltedBuild, Seq(key, "_salt"), joinType)
       .drop("_salt")
   }
+
+  /** Drop every row whose `keys` bucket holds more than `maxBucketSize`
+    * rows — the degenerate-bucket guard of the LSH pair operators —
+    * WITHOUT routing hot buckets through single reducers.
+    *
+    * A count-over-window formulation (partitionBy(keys)) shuffles every
+    * row of a hot bucket to ONE reducer just to count-and-drop it: a
+    * boilerplate-heavy crawl where millions of docs share one band value
+    * serializes that whole bucket through one task. Here the census is a
+    * groupBy (partial aggregation pre-merges a hot key to one row per map
+    * partition), and the hot-bucket list — structurally at most
+    * rows/maxBucketSize entries and in practice a handful of boilerplate
+    * values — drops its rows via broadcast anti-join MAP-SIDE: the input
+    * never shuffles for capping at all. The census `count()` is a driver
+    * action (precedent: BloomBuild, ivfTopK) that doubles as the
+    * materializer for `df`'s cache when the caller persists it. A corpus
+    * so degenerate the hot list outgrows a broadcast (> 4M hot buckets)
+    * falls back to [[saltedJoin]]-style anti-join: the hot list
+    * replicates `salts`× so a hot key's rows spread over `salts` reducers
+    * instead of serializing on one.
+    *
+    * `df` is consumed twice (census + anti-join) — callers should persist
+    * it first if upstream is expensive. */
+  def dropHotBuckets(df: DataFrame, keys: Seq[String], maxBucketSize: Int,
+                     salts: Int = 16,
+                     broadcastableHot: Long = 4000000L): DataFrame = {
+    val keyCols = keys.map(col)
+    val hot = df.groupBy(keyCols: _*)
+      .agg(count(lit(1)).as("_bsz"))
+      .filter(col("_bsz") > maxBucketSize)
+      .select(keyCols: _*)
+    if (hot.count() <= broadcastableHot)
+      df.join(broadcast(hot), keys, "left_anti")
+    else {
+      val saltedDf = df.withColumn("_salt",
+        pmod(hash(df.columns.map(col): _*), lit(salts)))
+      val saltedHot = hot.withColumn("_salt",
+        explode(sequence(lit(0), lit(salts - 1))))
+      saltedDf.join(saltedHot, keys :+ "_salt", "left_anti").drop("_salt")
+    }
+  }
 }

@@ -254,6 +254,50 @@ class CurationSpec extends SparkSpec {
     assert(clusters(9L) == 9L)
   }
 
+  test("star fallback: chain topology converges in O(log n) rounds, labels identical") {
+    // Direct graph case: a 64-node chain (diameter 63). One-hop min-label
+    // propagation needs 63 join rounds; large-star/small-star must
+    // contract it logarithmically with every label = component min = 0.
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val (labs, rounds) = graft.operators.Dedup.starComponents(chain)
+    val m = labs.as[(Long, Long)].collect().toMap
+    assert(m.size == 64 && m.values.forall(_ == 0L),
+      s"chain must collapse to root 0: $m")
+    assert(rounds <= 16, s"star contraction took $rounds rounds on a 64-chain")
+
+    // End-to-end through nearDupClusters: chain-shaped texts (each doc
+    // overlaps only its neighbors), star path forced via starSwitchIters=1.
+    // Labels must match both the pure-propagation path and the union-find
+    // closure of the confirmed pairs (the CTE oracle's semantics).
+    val words = (0 until 60).map(i => s"w$i")
+    val docs = (0 until 16).map { i =>
+      (i.toLong, words.slice(3 * i, 3 * i + 10).mkString(" "))
+    }.toDF("doc_id", "text")
+    def run(switchIters: Int): Map[Long, Long] = graft.operators.Dedup
+      .nearDupClusters(docs, "doc_id", "text", numBands = 8,
+        shingleSize = 3, threshold = 0.3, starSwitchIters = switchIters)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = run(1)
+    val viaProp = run(50)
+    assert(viaStar == viaProp,
+      s"star path $viaStar != propagation path $viaProp")
+    val pairIds = graft.operators.Dedup.nearDuplicatePairs(
+      docs, "doc_id", "text", 8, 3, 0.3)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairIds.nonEmpty, "chain fixture produced no confirmed pairs")
+    val parent = scala.collection.mutable.Map(
+      viaStar.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairIds.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = viaStar.keys.map(k => k -> find(k)).toMap
+    assert(viaStar == expected,
+      s"star labels $viaStar != union-find closure $expected")
+  }
+
   test("token budget: per-group prefix, monotone cut, budget respected") {
     val docs = Seq((0L, 900), (8L, 900), (16L, 300), (24L, 100),
       (1L, 2100)).toDF("doc_id", "ntok")

@@ -72,7 +72,35 @@ class PlanSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val p = plan(Similarity.embeddingNearDupPairs(vecs, 0.5, 4))
     assert(!p.contains("CartesianProduct"), "bucketed pairs, not all-pairs")
-    assert(p.contains("_bsz"), "bucket-size cap must be in the plan")
+    // the bucket-size cap is a broadcast anti-join against the hot-bucket
+    // census (map-side drop) — NOT a count-over-window, which would route
+    // every row of a hot bucket through one reducer (Skew.dropHotBuckets)
+    assert(p.contains("LeftAnti"), s"hot-bucket anti-join cap missing:\n$p")
+    assert(!p.contains("Window"),
+      s"capping must not window-partition by bucket:\n$p")
+  }
+
+  test("lsh band-bucket cap is a map-side anti-join, skew-safe under a hot band") {
+    import graft.operators.Dedup
+    // 40 identical docs: every band value is shared by all 40 — the
+    // synthetic hot-band case. With maxBucketSize=10 the hot buckets must
+    // drop WITHOUT a window that would serialize them on one reducer.
+    val boiler = (0L until 40L).map(i =>
+      (i, "common boilerplate header repeated on every page of the site"))
+    val df = (boiler ++ Seq(
+      (100L, "the quick brown fox jumps over the lazy dog again and again"),
+      (101L, "the quick brown fox jumps over the sleepy dog again and again")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.nearDuplicatePairs(df, "doc_id", "text",
+      numBands = 8, shingleSize = 3, threshold = 0.3, maxBucketSize = 10)
+    val p = plan(pairs)
+    assert(p.contains("LeftAnti"), s"hot-band anti-join cap missing:\n$p")
+    assert(!p.contains("Window"),
+      s"band capping must not window-partition by band value:\n$p")
+    // functionally: the boilerplate clique's quadratic pairs are gone,
+    // the genuine near-dup pair survives via its uncrowded bands
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSeq
+    assert(got == Seq((100L, 101L)), s"got $got")
   }
 
   test("IVF probe joins broadcast; the corpus is never cross-joined wide") {
