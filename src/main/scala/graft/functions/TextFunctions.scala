@@ -124,12 +124,38 @@ object TextFunctions {
     * behind `Parallelism.barrier`), NOT an inline expression: a lambda
     * body re-evaluates its free subexpressions per element, so an
     * inlined k-gram chain would re-hash the whole document once per
-    * window — O(m²) digests instead of O(m). */
-  def winnowSelect(hashes: Column, w: Int): Column =
+    * window — O(m²) digests instead of O(m). `private[graft]` for that
+    * reason: external callers go through [[winnowFingerprints]], which
+    * stages the barrier itself and cannot be misused into the O(m²)
+    * shape. */
+  private[graft] def winnowSelect(hashes: Column, w: Int): Column =
     when(coalesce(size(hashes), lit(0)) === 0, array().cast("array<bigint>"))
       .otherwise(
         transform(sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
           j => array_min(slice(hashes, j, lit(w)))))
+
+  /** Winnowed (MOSS) document fingerprints as a DataFrame transform:
+    * appends `outCol` = the sorted distinct fingerprint set of `textCol`
+    * (k-char grams, window w — see [[winnowSelect]] for the guarantee).
+    * This is the supported entry point: both barrier stages are applied
+    * HERE — the k-gram hash array materializes before window selection
+    * and the fingerprint set materializes before whatever consumes it —
+    * so callers cannot accidentally inline the k-gram chain into the
+    * window lambda and pay O(m²) digests per document (the trap that
+    * made the raw Column form private). */
+  def winnowFingerprints(df: org.apache.spark.sql.DataFrame,
+                         textCol: String, k: Int = 8, w: Int = 4,
+                         outCol: String = "fingerprints"):
+      org.apache.spark.sql.DataFrame = {
+    require(k > 0 && w > 0, "k and w must be positive")
+    val kh = "__graft_winnow_kh"
+    val staged = graft.ops.Parallelism.barrier(
+      df.withColumn(kh, kgramHashes(col(textCol), k)))
+    graft.ops.Parallelism.barrier(
+      staged.withColumn(outCol,
+        array_sort(array_distinct(winnowSelect(col(kh), w))))
+        .drop(kh))
+  }
 
   /** Word k-shingles ("w1 w2 w3" strings) for n-gram similarity. */
   def shingles(toks: Column, k: Int): Column =

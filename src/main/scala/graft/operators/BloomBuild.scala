@@ -11,10 +11,12 @@ import org.apache.spark.sql.{Column, DataFrame}
   * not for corpus-scale ledgers. Built under those defaults, a 10^8-item
   * filter still "works" but is saturated: results stay correct (the exact
   * confirm joins remove false positives) while the map-side prune quietly
-  * degrades to near-zero selectivity. This builder raises the session caps
-  * to what the item count actually needs for the requested fpp, builds,
-  * and restores the caps — so the scale claim in the callers' docs is
-  * real, not clamped.
+  * degrades to near-zero selectivity. This builder raises the caps to what
+  * the item count actually needs for the requested fpp on a CLONED session
+  * (conf copied by value), so the raise is invisible to concurrent queries
+  * on the shared session — the scale claim in the callers' docs is real,
+  * not clamped, and no other query can size a runtime bloom beyond its
+  * configured bound while a build is in flight.
   */
 object BloomBuild {
 
@@ -35,34 +37,33 @@ object BloomBuild {
     val numBits = math.max(64L,
       math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
 
-    // Serialize builds JVM-wide: the caps live in shared session conf and
+    // Build on a CLONED session: the caps live in session conf and
     // BloomFilterAggregate min()s its size against them LAZILY at
-    // execution, so a concurrent build's finally-restore mid-job would
-    // silently re-clamp this one — the exact failure this class exists to
-    // prevent. Builds are rare one-shot driver jobs; the lock is cheap.
-    // (Raising the caps is harmless to unrelated queries: they are upper
-    // bounds, and other blooms still size from their own estimates.)
-    BloomBuild.synchronized {
-      val conf = df.sparkSession.conf
-      val itemsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
-      val bitsKey = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
-      val oldItems = conf.get(itemsKey)
-      val oldBits = conf.get(bitsKey)
-      try {
-        // caps must hold across the collecting job below
-        if (n > oldItems.toLong) conf.set(itemsKey, n.toString)
-        if (numBits > oldBits.toLong) conf.set(bitsKey, numBits.toString)
-        df.select(ColumnBridge.column(
-          new BloomFilterAggregate(
-            ColumnBridge.catalystExpression(hashCol),
-            CLit.create(n), CLit.create(numBits))
-            .toAggregateExpression()).as("bf"))
-          .head().getAs[Array[Byte]](0)
-      } finally {
-        conf.set(itemsKey, oldItems)
-        conf.set(bitsKey, oldBits)
-      }
-    }
+    // execution, so raising them on the shared session would let any
+    // unrelated concurrent query that plans runtime bloom-join pruning in
+    // that window size its own filter far beyond the configured bound
+    // (memory hazard), and a concurrent build's restore could re-clamp
+    // this one. cloneSession() copies the conf by value — the raised caps
+    // are visible only to this build's job, no lock and no restore
+    // needed, while catalog and cluster state stay shared.
+    val session = ColumnBridge.cloneSession(df.sparkSession)
+    session.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumItems",
+      math.max(n, session.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems").toLong)
+        .toString)
+    session.conf.set(
+      "spark.sql.optimizer.runtime.bloomFilter.maxNumBits",
+      math.max(numBits, session.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits").toLong)
+        .toString)
+    ColumnBridge.rebind(df, session)
+      .select(ColumnBridge.column(
+        new BloomFilterAggregate(
+          ColumnBridge.catalystExpression(hashCol),
+          CLit.create(n), CLit.create(numBits))
+          .toAggregateExpression()).as("bf"))
+      .head().getAs[Array[Byte]](0)
   }
 
   /** `might_contain(filterBytes, hashCol)` as a Column — the map-side

@@ -27,11 +27,24 @@ import org.apache.spark.sql.types.LongType
   */
 object Packing {
 
+  /** Deterministic group routing: `id % groups`. Fails fast on a
+    * non-integral id column — `cast("long")` on a string id would yield
+    * null, collapsing EVERY row into one sentinel group and silently
+    * packing the whole dataset through a single sequential packer. */
+  private def packGroup(df: DataFrame, idCol: String, groups: Int) = {
+    val dt = df.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+      .contains(dt.typeName),
+      s"packing id column '$idCol' must be integral (got ${dt.typeName}); " +
+        "hash string ids to a long first (e.g. xxhash64)")
+    col(idCol).cast("long") % groups
+  }
+
   /** Adds pack_group / n_tokens / cum_tokens / pack_bin to each row,
     * PRESERVING every input column (the packed rows are usually
     * materialized into training sequences right after, so dropping the
-    * payload would force a join back on id). `idCol` must be numeric —
-    * the group route is `id % groups`; hash string ids first.
+    * payload would force a join back on id). `idCol` must be integral
+    * (enforced — see [[packGroup]]); hash string ids to a long first.
     *
     * Bin rule: START-OFFSET grouping, not first-fit — a doc whose
     * cumulative start offset lies before a capacity boundary joins that
@@ -45,7 +58,7 @@ object Packing {
       capacity: Int, groups: Int): DataFrame = {
     val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    df.withColumn("pack_group", col(idCol) % groups)
+    df.withColumn("pack_group", packGroup(df, idCol, groups))
       .withColumn("n_tokens", col(tokenCol))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .withColumn("pack_bin",
@@ -69,7 +82,7 @@ object Packing {
       capacity: Int, groups: Int): DataFrame = {
     require(capacity > 0 && groups > 0)
     val base = df
-      .withColumn("pack_group", col(idCol).cast("long") % groups)
+      .withColumn("pack_group", packGroup(df, idCol, groups))
       .withColumn("n_tokens", col(tokenCol).cast("long"))
     val sorted = base
       .repartition(groups, col("pack_group"))
@@ -120,7 +133,7 @@ object Packing {
     val w = Window.partitionBy(col("pack_group")).orderBy(col(idCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cap = lit(capacity.toLong)
-    df.withColumn("pack_group", col(idCol).cast("long") % groups)
+    df.withColumn("pack_group", packGroup(df, idCol, groups))
       .withColumn("n_tokens", col(tokenCol).cast("long"))
       .filter(col("n_tokens") > 0)
       .withColumn("start_off", sum(col("n_tokens")).over(w) - col("n_tokens"))
@@ -152,7 +165,7 @@ object Packing {
     // null token counts count as zero-width (same convention as
     // packBinsNextFit) — a null would otherwise null the running sum and
     // silently drop leading docs, breaking the id-ordered-prefix contract
-    df.withColumn("pack_group", col(idCol).cast("long") % groups)
+    df.withColumn("pack_group", packGroup(df, idCol, groups))
       .withColumn("n_tokens", coalesce(col(tokenCol).cast("long"), lit(0L)))
       .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
       .filter(col("cum_tokens") <= budgetPerGroup)

@@ -290,7 +290,8 @@ object CurationQueries {
   val q77Sql: String =
     """WITH toks AS (
       |  SELECT doc_id,
-      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS n
+      |    coalesce(len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |                             x -> x <> '')), 0) AS n
       |  FROM documents),
       |p AS (
       |  SELECT doc_id, doc_id % 8 AS pack_group, n AS n_tokens,

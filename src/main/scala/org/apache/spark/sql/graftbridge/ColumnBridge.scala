@@ -20,4 +20,24 @@ object ColumnBridge {
     * rather than entering through the DataFrame API. */
   def catalystExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
+  /** Rebind a DataFrame's logical plan to another session (normally a
+    * `cloneSession()`), so per-session conf tweaks needed by one job can
+    * run without being visible to concurrent queries on the original
+    * session. The plan is already analyzed; the clone shares catalog and
+    * runtime state, so execution is identical apart from the conf. */
+  def rebind(df: org.apache.spark.sql.DataFrame,
+             to: org.apache.spark.sql.SparkSession):
+      org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      to.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]]
+        .queryExecution.logical)
+
+  /** `SparkSession.cloneSession()` is `private[sql]` in Spark 4: expose
+    * it for per-job conf isolation (identical shared state, conf copied
+    * by value). */
+  def cloneSession(s: org.apache.spark.sql.SparkSession):
+      org.apache.spark.sql.SparkSession =
+    s.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
 }
