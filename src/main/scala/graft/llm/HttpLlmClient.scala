@@ -14,12 +14,18 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * re-expressed without the LiteLLM shim: one wire format, the error
   * taxonomy mapped from HTTP status codes).
   *
-  * Error mapping drives the existing retry/limiter seams:
+  * Error mapping drives the existing retry/limiter seams (status code
+  * first, body patterns refining — the full table lives in
+  * ErrorTaxonomySpec, mirrored from llm_invocation_stage.py:581-636):
   *   - 429       → [[RateLimitError]] carrying `Retry-After` (seconds or
-  *                 delta-ms) so [[RetryHandler]] penalizes the shared bucket
+  *                 delta-ms) so [[RetryHandler]] penalizes the shared
+  *                 bucket — unless the body carries a quota/billing
+  *                 marker, which is [[QuotaError]] (non-retryable)
   *   - 5xx       → retryable [[NetworkError]] (server hiccup)
   *   - 401/403   → [[AuthError]] (non-retryable)
-  *   - other 4xx → non-retryable [[LlmError]] (bad request/model-not-found)
+  *   - other 4xx → by body: quota → [[QuotaError]], auth wording →
+  *                 [[AuthError]], unknown/decommissioned model →
+  *                 [[ModelNotFoundError]], else non-retryable [[LlmError]]
   *   - IO/timeout→ retryable [[NetworkError]]
   *
   * Cost comes from the response's `usage` block through the Decimal
@@ -40,6 +46,31 @@ object LlmClients {
       timeoutMs = spec.timeoutMs)
     case None => new MockLlmClient(spec.model,
       inPer1k = spec.inputCostPer1k, outPer1k = spec.outputCostPer1k)
+  }
+}
+
+object HttpLlmClient {
+  /** Body-pattern refinement of the status-code taxonomy, mirroring the
+    * reference's classifier (llm_invocation_stage.py:581-636) with one
+    * deliberate deviation: the reference's bare "limit exceeded" quota
+    * pattern also matches the standard "rate limit exceeded" 429 body,
+    * turning an ordinary throttle into a fatal error — here quota needs
+    * an explicit quota/billing marker, so throttles stay retryable.
+    * ErrorTaxonomySpec enumerates every reference row against this
+    * mapping so drift can't creep in. */
+  private def lower(b: String): String = if (b == null) "" else b.toLowerCase
+  private[llm] def isQuota(body: String): Boolean = {
+    val s = lower(body)
+    Seq("quota", "insufficient_quota", "billing").exists(s.contains)
+  }
+  private[llm] def isAuth(body: String): Boolean = {
+    val s = lower(body)
+    Seq("invalid api key", "unauthorized").exists(s.contains)
+  }
+  private[llm] def isModelError(body: String): Boolean = {
+    val s = lower(body)
+    Seq("decommissioned", "not found", "does not exist", "invalid model")
+      .exists(s.contains)
   }
 }
 
@@ -106,6 +137,13 @@ final class HttpLlmClient(
       case 200 =>
         parseSuccess(rsp.body(), prompt, systemMessage,
           (System.nanoTime() - t0) / 1e6)
+      case 429 if HttpLlmClient.isQuota(rsp.body()) =>
+        // a provider out of CREDIT often answers 429 too — but retrying
+        // an exhausted budget cannot succeed and burns the shared rate
+        // budget; classified by body like the reference (quota checked
+        // before rate, llm_invocation_stage.py:605-617)
+        throw new QuotaError(
+          s"quota exhausted (429) from $endpoint: ${snippet(rsp.body())}")
       case 429 =>
         throw new RateLimitError(
           s"429 from $endpoint: ${snippet(rsp.body())}", retryAfterMs(rsp))
@@ -113,6 +151,13 @@ final class HttpLlmClient(
         throw new AuthError(s"${rsp.statusCode()} from $endpoint: ${snippet(rsp.body())}")
       case s if s >= 500 =>
         throw new NetworkError(s"$s from $endpoint: ${snippet(rsp.body())}")
+      case s if HttpLlmClient.isQuota(rsp.body()) =>
+        throw new QuotaError(s"quota ($s) from $endpoint: ${snippet(rsp.body())}")
+      case s if HttpLlmClient.isAuth(rsp.body()) =>
+        throw new AuthError(s"auth ($s) from $endpoint: ${snippet(rsp.body())}")
+      case s if HttpLlmClient.isModelError(rsp.body()) =>
+        throw new ModelNotFoundError(
+          s"model error ($s) from $endpoint: ${snippet(rsp.body())}")
       case s =>
         throw new LlmError(s"$s from $endpoint: ${snippet(rsp.body())}",
           retryable = false)

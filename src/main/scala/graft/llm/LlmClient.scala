@@ -23,6 +23,14 @@ class RateLimitError(msg: String, val retryAfterMs: Option[Long] = None)
   extends LlmError(msg, retryable = true)
 class NetworkError(msg: String) extends LlmError(msg, retryable = true)
 class AuthError(msg: String) extends LlmError(msg, retryable = false)
+/** Out of credit/budget with the provider — retrying cannot help and
+  * burns the rate budget of healthy runs; distinct from the retryable
+  * 429 a quota reply often travels with. */
+class QuotaError(msg: String) extends LlmError(msg, retryable = false)
+/** Unknown/decommissioned model id. Non-retryable for a single client;
+  * [[RouterClient]] fails over past it (the reference remaps this to
+  * retryable when a router is present — same effect). */
+class ModelNotFoundError(msg: String) extends LlmError(msg, retryable = false)
 
 /** Provider client interface (reference: ondine/adapters/llm_client.py:29-178).
   * Implementations must be thread-safe: the Invoke operator calls concurrently

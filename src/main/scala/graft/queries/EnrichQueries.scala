@@ -486,6 +486,116 @@ object EnrichQueries {
       |  md5('Gist [' || COALESCE(lang,'') || ']: ' || COALESCE(text,'')) AS gist
       |FROM documents WHERE doc_id < 150 ORDER BY doc_id""".stripMargin
 
+  /** RunRegistry lifecycle arc end-to-end (reference:
+    * orchestration/run_registry.py state machine): a run whose every call
+    * fails lands FAILED (note recorded, counters untouched); resuming the
+    * same runDir with a healthy client re-enters RUNNING and lands
+    * SUCCEEDED with rows = validRows = calls = the corpus count (the
+    * failed pass committed nothing to the ledger, so the resume issues
+    * every call — deterministic); and a transition out of SUCCEEDED is
+    * rejected. The oracle recomputes the one data-dependent number (the
+    * corpus count) from `documents`. */
+  def qRegistryArc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.run._
+    import spark.implicits._
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 60)
+    val regDir = java.nio.file.Files
+      .createTempDirectory("graft_reg_q98").toString
+    val runDir = java.nio.file.Files
+      .createTempDirectory("graft_run_q98").toString
+    val reg = new RunRegistry(regDir)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("RA:{text}"),
+      llm = LlmSpec(maxRetries = 0),
+      output = OutputSpec(Seq("out")))
+    def enricher(client: MockLlmClient) = new Enricher(spec, client,
+      runDir = Some(runDir), keyColumn = Some("doc_id"),
+      observers = new ObserverDispatcher()
+        .register(new RegistryObserver(reg, runDir)))
+    try enricher(new MockLlmClient(failEveryN = 1)).enrich(docs)
+    catch { case _: Exception => () }
+    val runId = reg.list().head.runId
+    val failed = reg.get(runId).get
+    enricher(new MockLlmClient()).enrich(docs)
+    val done = reg.get(runId).get
+    val illegalBlocked =
+      try { reg.transition(runId, RunState.Running); false }
+      catch { case _: IllegalArgumentException => true }
+    Seq(
+      (1, failed.state, failed.rows, failed.validRows, failed.calls,
+        failed.note.nonEmpty),
+      (2, done.state, done.rows, done.validRows, done.calls,
+        illegalBlocked))
+      .toDF("phase", "state", "n_rows", "valid_rows", "calls", "check_ok")
+      .orderBy("phase")
+  }
+
+  val qRegistryArcSql: String =
+    """WITH d AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |  WHERE doc_id < 60)
+      |SELECT * FROM (
+      |  SELECT 1 AS phase, 'FAILED' AS state, CAST(0 AS BIGINT) AS n_rows,
+      |    CAST(0 AS BIGINT) AS valid_rows, CAST(0 AS BIGINT) AS calls,
+      |    true AS check_ok
+      |  UNION ALL
+      |  SELECT 2, 'SUCCEEDED', (SELECT n FROM d), (SELECT n FROM d),
+      |    (SELECT n FROM d), true)
+      |ORDER BY phase""".stripMargin
+
+  /** No-output guard two-condition rule end-to-end (reference:
+    * api/pipeline.py:1685-1739): a run with ZERO valid outputs aborts
+    * only when something was also skipped/failed OR no tokens flowed.
+    * Scenario A: every reply parses to null (regex never matches) but
+    * calls succeeded and tokens flowed — the guard must NOT fire (the
+    * nulls are a parsing outcome, not a pipeline failure). Scenario B:
+    * every call fails and is skipped — zero valid + skips → the guard
+    * fires. The oracle recomputes the corpus count from `documents`. */
+  def qNoOutputGuard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import spark.implicits._
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 40)
+    val specA = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("NG:{text}"),
+      output = OutputSpec(Seq("out"),
+        responseFormat = ResponseFormat.Regex,
+        regexPatterns = Map("out" -> "^ZZZ-NEVER-[0-9]+$")))
+    val ra = new graft.run.Enricher(specA, new MockLlmClient()).enrich(docs)
+    val aFired = false // enrich returned: guard held its fire
+    val specB = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("NG:{text}"),
+      llm = LlmSpec(maxRetries = 0),
+      processing = ProcessingSpec(errorPolicy = ErrorPolicy.Skip),
+      output = OutputSpec(Seq("out")))
+    val bFired =
+      try {
+        new graft.run.Enricher(specB, new MockLlmClient(failEveryN = 1))
+          .enrich(docs)
+        false
+      } catch { case _: IllegalStateException => true }
+    Seq(
+      ("all_null_tokens_flowed", aFired, ra.metrics.rows,
+        ra.quality.validRows),
+      ("all_skipped", bFired, ra.metrics.rows, 0L))
+      .toDF("scenario", "guard_fired", "n_rows", "valid_rows")
+      .orderBy("scenario")
+  }
+
+  val qNoOutputGuardSql: String =
+    """WITH d AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+      |  WHERE doc_id < 40)
+      |SELECT * FROM (
+      |  SELECT 'all_null_tokens_flowed' AS scenario, false AS guard_fired,
+      |    (SELECT n FROM d) AS n_rows, CAST(0 AS BIGINT) AS valid_rows
+      |  UNION ALL
+      |  SELECT 'all_skipped', true, (SELECT n FROM d), CAST(0 AS BIGINT))
+      |ORDER BY scenario""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q20_enrich_single" -> qEnrichSingle _,
     "q21_enrich_batched" -> qEnrichBatched _,
@@ -503,7 +613,9 @@ object EnrichQueries {
     "q92_composer_chain" -> qComposerChain _,
     "q93_auto_retry_heal" -> qAutoRetryHeal _,
     "q94_provider_batch" -> qProviderBatch _,
-    "q97_intent_plan_run" -> qIntentPlanRun _)
+    "q97_intent_plan_run" -> qIntentPlanRun _,
+    "q98_registry_arc" -> qRegistryArc _,
+    "q99_no_output_guard" -> qNoOutputGuard _)
 
   val oracles: Map[String, String] = Map(
     "q20_enrich_single" -> qEnrichSingleSql,
@@ -522,5 +634,7 @@ object EnrichQueries {
     "q92_composer_chain" -> qComposerChainSql,
     "q93_auto_retry_heal" -> qAutoRetryHealSql,
     "q94_provider_batch" -> qProviderBatchSql,
-    "q97_intent_plan_run" -> qIntentPlanRunSql)
+    "q97_intent_plan_run" -> qIntentPlanRunSql,
+    "q98_registry_arc" -> qRegistryArcSql,
+    "q99_no_output_guard" -> qNoOutputGuardSql)
 }
