@@ -194,12 +194,38 @@ final class RedisBucket(
   }
 
   /** Authoritative server-side token depth (triggers a refill, takes
-    * nothing). */
-  def availableTokens: Double = evalAcquire(0.0)._2
+    * nothing). Routes through the breaker like every other call: while
+    * open it reports the local fallback's depth (or fails as
+    * [[NetworkError]] with no fallback) instead of dialing the dead
+    * endpoint for ~15 s per probe. */
+  def availableTokens: Double = {
+    if (breakerOpen && fallback.isDefined) return fallback.get.availableTokens
+    try { val d = evalAcquire(0.0)._2; recordSuccess(); d }
+    catch {
+      case e: java.io.IOException =>
+        recordFailure()
+        fallback match {
+          case Some(f) => f.availableTokens
+          case None => throw new NetworkError(s"redis bucket: $e")
+        }
+    }
+  }
 
   /** Drop the shared bucket and any active penalty; next acquire starts
-    * at full capacity. */
-  def reset(): Unit = command(Seq("DEL", bucketKey, penaltyKey))
+    * at full capacity. While the breaker is open there is no reachable
+    * shared state to drop — a no-op (the worker-local fallback has no
+    * penalty surviving the outage window worth clearing); with no
+    * fallback configured the transport error surfaces as
+    * [[NetworkError]]. */
+  def reset(): Unit = {
+    if (breakerOpen && fallback.isDefined) return
+    try { command(Seq("DEL", bucketKey, penaltyKey)); recordSuccess() }
+    catch {
+      case e: java.io.IOException =>
+        recordFailure()
+        if (fallback.isEmpty) throw new NetworkError(s"redis bucket: $e")
+    }
+  }
 
   def close(): Unit = if (sock != null) sock.close()
 }

@@ -179,13 +179,17 @@ object Dedup {
   private def candidatesFromSignatures(sigs: DataFrame, idCol: String,
                                        numBands: Int,
                                        maxBucketSize: Int): DataFrame = {
-    // Triples only (id + band_idx + band_val) — cached because the hot-
-    // bucket census and the anti-join both consume it; released by the
-    // context cleaner with the operator's other caches.
+    // Triples only (id + band_idx + band_val) — staged eagerly because
+    // the hot-bucket census and the anti-join both consume it. Eager
+    // localCheckpoint, NOT persist: Dataset.persist registers a
+    // CacheManager entry that only an explicit unpersist releases (no
+    // lifecycle hook exists here — the result is consumed lazily by the
+    // caller), while checkpoint blocks are plain RDD state the context
+    // cleaner frees once the plan is garbage-collected.
     val exploded = sigs.select(col(idCol).as("id"),
       posexplode(array((0 until numBands).map(b => col(s"band_$b")): _*))
         .as(Seq("band_idx", "band_val")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // Skew-safe capping (round-4 VERDICT item 3): a count-over-window
     // formulation shuffled EVERY row of a hot band value to one reducer
     // just to count-and-drop it — a boilerplate-heavy crawl would
@@ -224,11 +228,15 @@ object Dedup {
     // barrier before the hash projection: projection collapse would
     // otherwise evaluate the shingle chain twice (once for sh, once
     // inside the hash transform) when the cache fills
+    // localCheckpoint, not persist: no unpersist hook exists (the confirm
+    // join consumes this lazily after return), and checkpoint blocks free
+    // on GC where a CacheManager entry would pin one shingle-set copy per
+    // call for the session's lifetime
     val sets = Parallelism.barrier(df.select(col(idCol).as("sid"),
       array_distinct(shingles(tokens(col(textCol)), shingleSize)).as("sh")))
       .select(col("sid"), col("sh"),
         transform(col("sh"), s => hash64(s)).as("hsh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val sigs = bandSignatures(
       sets.select(col("sid").as(idCol), col("sh")),
       Seq(idCol), col("sh"), numBands)
@@ -410,6 +418,13 @@ object Dedup {
       e = ss
       rounds += 1
     }
+    // a non-fixpoint edge set would yield labels that are NOT component
+    // minima (and differ between members of one component) — refuse to
+    // return silently-wrong clusters. O(log² n) rounds suffice for any
+    // graph, so hitting this means maxRounds was set far too small.
+    if (!done) throw new IllegalStateException(
+      s"star contraction did not reach fixpoint in $maxRounds rounds; " +
+        "raise maxIters (components need O(log n) rounds)")
     // at fixpoint every edge is (node, componentMin); nodes may carry one
     // edge each, roots appear only on the v side and label themselves
     val nonRoots = e.groupBy(col("u").as("id")).agg(min(col("v")).as("lab"))

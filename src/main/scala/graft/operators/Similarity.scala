@@ -250,13 +250,16 @@ object Similarity {
                             vecCol: String = "embedding",
                             maxBucketSize: Int = 1000): DataFrame = {
     val df = graft.ops.Parallelism.ensure(df0)
+    // (id, bucket) pairs staged eagerly across the census and the pair
+    // join — localCheckpoint, not persist, so the blocks free on GC
+    // instead of pinning a CacheManager entry per call (see the note in
+    // Dedup.candidatesFromSignatures)
     val ids = df.select(col(idCol).as("id"),
       lshBucket(col(vecCol), numPlanes).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     // skew-safe cap: hot buckets drop via broadcast anti-join map-side
     // instead of all routing through one count-window reducer (see
-    // Skew.dropHotBuckets); (id, bucket) pairs cache across the census
-    // and the pair join
+    // Skew.dropHotBuckets)
     val capped = Skew.dropHotBuckets(ids, Seq("bucket"), maxBucketSize)
       .select(col("id"), col("bucket"))
     // one bucket per id (single table) -> bucket-local pairs are unique

@@ -48,19 +48,30 @@ object Skew {
     * replicates `salts`× so a hot key's rows spread over `salts` reducers
     * instead of serializing on one.
     *
-    * `df` is consumed twice (census + anti-join) — callers should persist
-    * it first if upstream is expensive. */
+    * `df` is consumed twice (census + anti-join) — callers should stage
+    * it (localCheckpoint/persist) first if upstream is expensive. The
+    * census runs ONCE: the hot list is collected (it is broadcast-bound
+    * by construction) and re-enters the plan as a literal relation, so
+    * the anti-join does not replay the aggregation. */
   def dropHotBuckets(df: DataFrame, keys: Seq[String], maxBucketSize: Int,
                      salts: Int = 16,
-                     broadcastableHot: Long = 4000000L): DataFrame = {
+                     broadcastableHot: Int = 4000000): DataFrame = {
     val keyCols = keys.map(col)
     val hot = df.groupBy(keyCols: _*)
       .agg(count(lit(1)).as("_bsz"))
       .filter(col("_bsz") > maxBucketSize)
       .select(keyCols: _*)
-    if (hot.count() <= broadcastableHot)
-      df.join(broadcast(hot), keys, "left_anti")
-    else {
+    // limit(bound+1): the overflow row, if any, routes to the salted path
+    // without ever pulling an unbounded list onto the driver
+    val hotRows = hot.limit(broadcastableHot + 1).collect()
+    if (hotRows.length <= broadcastableHot) {
+      val local = df.sparkSession.createDataFrame(
+        java.util.Arrays.asList(hotRows: _*), hot.schema)
+      df.join(broadcast(local), keys, "left_anti")
+    } else {
+      // degenerate corpus: hot list itself is huge; spread each hot key
+      // over `salts` reducers (the census re-runs lazily here — this
+      // path trades one extra aggregation for never broadcasting > bound)
       val saltedDf = df.withColumn("_salt",
         pmod(hash(df.columns.map(col): _*), lit(salts)))
       val saltedHot = hot.withColumn("_salt",

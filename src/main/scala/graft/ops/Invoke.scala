@@ -21,6 +21,31 @@ object ClientPool {
   private val limiters = new ConcurrentHashMap[String, GlobalBucket]()
   private val adaptives = new ConcurrentHashMap[String, AdaptiveLimiter]()
   private val pools = new ConcurrentHashMap[String, ExecutionContextExecutorService]()
+  private val abandonedCtrs =
+    new ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+
+  /** Executor count for the per-worker rpm split of NON-coordinated
+    * buckets (worker-local limiter at rate = rpm / executors ≈ the global
+    * rate; the coordinated buckets need no split — they ARE the global
+    * bucket). local[*] → one JVM → 1. Dynamic allocation makes the static
+    * conf an approximation; users needing exactness use a coordinated
+    * scope. */
+  private[ops] def executorSplit: Int =
+    try {
+      val conf = org.apache.spark.SparkEnv.get.conf
+      if (conf.get("spark.master", "local").startsWith("local")) 1
+      else math.max(1, conf.getInt("spark.executor.instances", 1))
+    } catch { case _: Throwable => 1 }
+
+  /** Count of calls abandoned by the Invoke dequeue backstop whose pool
+    * threads are still wedged (decremented if a wedged call ever
+    * completes). When it reaches the pool size, every pool thread is
+    * known-wedged and QUEUED calls can never start — the backstop uses
+    * this to resolve them instead of waiting for a heartbeat that will
+    * never arm. */
+  def abandonedCount(runId: String, size: Int): java.util.concurrent.atomic.AtomicInteger =
+    abandonedCtrs.computeIfAbsent(s"$runId:$size",
+      _ => new java.util.concurrent.atomic.AtomicInteger(0))
 
   // Singleton keys fold the CONFIG in alongside the runId: two runs that
   // share a runId (e.g. a reused runDir) but carry different rpm/size no
@@ -46,26 +71,39 @@ object ClientPool {
         case Some(uri) if uri.startsWith("redis://") =>
           uri.stripPrefix("redis://").split("/", 2) match {
             case Array(hostPort, scope) =>
-              val Array(host, port) = hostPort.split(":", 2)
-              // outage fallback: worker-local bucket at the same rpm —
-              // lower aggregate ceiling than the shared bucket, but no
-              // call is ever dropped (reference routes outages the same
-              // way, redis_rate_limiter.py:316-334)
-              new RedisBucket(host, port.toInt, scope, rpm, burst,
-                fallback = Some(new RateLimiter(rpm, burst)))
+              hostPort.split(":", 2) match {
+                case Array(host, port) if port.forall(_.isDigit) && port.nonEmpty =>
+                  // outage fallback: worker-local bucket at rpm/executors
+                  // — the per-worker SPLIT of the shared rate, so an
+                  // outage degrades to the uncoordinated approximation
+                  // instead of multiplying the aggregate admission N×
+                  // (every executor's breaker opens at once)
+                  val split = executorSplit
+                  new RedisBucket(host, port.toInt, scope, rpm, burst,
+                    fallback = Some(new RateLimiter(
+                      math.max(1, rpm / split), math.max(1, burst / split))))
+                case _ => throw new IllegalArgumentException(
+                  s"bad redis scope URI (want redis://host:port/scope): $uri")
+              }
             case _ => throw new IllegalArgumentException(
               s"bad redis scope URI (want redis://host:port/scope): $uri")
           }
         case Some(uri) if uri.startsWith("bucket://") =>
           uri.stripPrefix("bucket://").split("/", 2) match {
             case Array(hostPort, scope) =>
-              val Array(host, port) = hostPort.split(":", 2)
-              new SocketBucket(host, port.toInt, scope, rpm, burst)
+              hostPort.split(":", 2) match {
+                case Array(host, port) if port.forall(_.isDigit) && port.nonEmpty =>
+                  new SocketBucket(host, port.toInt, scope, rpm, burst)
+                case _ => throw new IllegalArgumentException(
+                  s"bad bucket scope URI (want bucket://host:port/scope): $uri")
+              }
             case _ => throw new IllegalArgumentException(
               s"bad bucket scope URI (want bucket://host:port/scope): $uri")
           }
         case Some(f) => new FileCoordinatedBucket(f, rpm, burst)
-        case None    => new RateLimiter(rpm, burst)
+        case None    =>
+          val split = executorSplit
+          new RateLimiter(math.max(1, rpm / split), math.max(1, burst / split))
       })
 
   def adaptive(runId: String, initial: Int, max: Int): AdaptiveLimiter =
@@ -107,6 +145,8 @@ object ClientPool {
       }
     }
     adaptives.keySet.asScala.filter(_.startsWith(prefix)).foreach(adaptives.remove)
+    abandonedCtrs.keySet.asScala.filter(_.startsWith(prefix))
+      .foreach(abandonedCtrs.remove)
   }
 }
 
@@ -210,6 +250,10 @@ object Invoke {
       final class PendingCall(val group: Seq[(Long, String, Row)]) {
         @volatile var attemptStartNs: Long = -1L
         @volatile var fut: Future[Seq[Row]] = null
+        /** Set when the backstop resolved this call through the error
+          * policy: a still-queued future must then no-op instead of
+          * issuing real provider calls for an already-emitted group. */
+        @volatile var abandonedByBackstop: Boolean = false
       }
 
       /** One attempt under the per-call deadline: arm an interrupt at
@@ -247,6 +291,7 @@ object Invoke {
       }
 
       def callOne(pending: PendingCall): Seq[Row] = {
+        if (pending.abandonedByBackstop) return Seq.empty
         val group = pending.group
         val callId = group.head._1
         val single = group.size == 1 && batchSize == 1
@@ -298,11 +343,22 @@ object Invoke {
         * 4x its deadline means the interrupt was ignored. Stop waiting and
         * resolve the group through the error policy — the wedged daemon
         * pool thread is abandoned (its late result, if any, is dropped)
-        * instead of wedging the Spark task with it. Waits while NO attempt
-        * is running (pool queue, limiter acquire, backoff sleep) never trip
-        * the backstop: those are bounded or honest waits, and the heartbeat
-        * is -1 then. timeoutMs <= 0 keeps the old unbounded wait (mock/test
-        * clients only; PipelineSpec.validate rejects it). */
+        * instead of wedging the Spark task with it.
+        *
+        * Waits with NO attempt running (pool queue, limiter acquire,
+        * backoff sleep) are honest and never trip the per-attempt rule —
+        * EXCEPT when every pool thread is known-wedged: abandoned calls
+        * are counted per pool (decremented if one ever completes), and
+        * once the count reaches the pool size a queued call can never
+        * start, so its heartbeat would never arm and the first backstop
+        * shipped here would spin forever. Such calls resolve through the
+        * error policy too, and their future is flagged so a later start
+        * (a wedged thread finally dying) cannot issue real provider calls
+        * for an already-emitted group. timeoutMs <= 0 keeps the old
+        * unbounded wait (mock/test clients only; PipelineSpec.validate
+        * rejects it). */
+      val poolSize = if (adaptiveOn) maxConc else conc
+      val abandonedCtr = ClientPool.abandonedCount(runId, poolSize)
       val wedgeBoundNs: Long =
         math.max(4L * timeoutMs, timeoutMs + 1000L) * 1000000L
       def awaitBounded(p: PendingCall): Seq[Row] = {
@@ -314,10 +370,23 @@ object Invoke {
           catch {
             case _: java.util.concurrent.TimeoutException =>
               val st = p.attemptStartNs
-              if (st >= 0L && System.nanoTime() - st > wedgeBoundNs) {
+              val attemptWedged =
+                st >= 0L && System.nanoTime() - st > wedgeBoundNs
+              val poolWedged = st < 0L && abandonedCtr.get() >= poolSize
+              if (attemptWedged || poolWedged) {
+                if (attemptWedged) {
+                  abandonedCtr.incrementAndGet()
+                  p.fut.onComplete(_ => abandonedCtr.decrementAndGet())(
+                    ExecutionContext.parasitic)
+                }
+                p.abandonedByBackstop = true
                 val err = new NetworkError(
-                  s"client ignored the ${timeoutMs}ms deadline interrupt; " +
-                    "abandoning the call (dequeue backstop)")
+                  if (attemptWedged)
+                    s"client ignored the ${timeoutMs}ms deadline interrupt; " +
+                      "abandoning the call (dequeue backstop)"
+                  else
+                    s"all $poolSize pool threads wedged by abandoned " +
+                      "calls; resolving queued call (dequeue backstop)")
                 val callId = p.group.head._1
                 return policy match {
                   case ErrorPolicy.Skip =>

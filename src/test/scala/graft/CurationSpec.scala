@@ -254,6 +254,36 @@ class CurationSpec extends SparkSpec {
     assert(clusters(9L) == 9L)
   }
 
+  test("winnowFingerprints: public helper matches the hand-staged arithmetic") {
+    import graft.functions.TextFunctions
+    import graft.ops.Parallelism.barrier
+    val docs = Seq(
+      (1L, "the winnowing algorithm selects window minima deterministically"),
+      (2L, "the winnowing algorithm selects window minima predictably"),
+      (3L, "short"),          // < k chars → empty gram set
+      (4L, null.asInstanceOf[String])) // null text → empty, not [null]
+      .toDF("doc_id", "text")
+    val viaHelper = TextFunctions
+      .winnowFingerprints(docs, "text", k = 8, w = 4, outCol = "fp")
+      .select(col("doc_id"), col("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val staged = barrier(docs.select(col("doc_id"),
+      TextFunctions.kgramHashes(col("text"), 8).as("kh")))
+    val byHand = barrier(staged.select(col("doc_id"),
+      array_sort(array_distinct(
+        TextFunctions.winnowSelect(col("kh"), 4))).as("fp")))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaHelper == byHand,
+      s"helper ${viaHelper.view.mapValues(_.size).toMap} != " +
+        s"hand-staged ${byHand.view.mapValues(_.size).toMap}")
+    assert(viaHelper(1L).nonEmpty &&
+      viaHelper(1L).toSet != viaHelper(2L).toSet)
+    assert(viaHelper(3L).isEmpty && viaHelper(4L).isEmpty)
+    // docs sharing a long run share at least one fingerprint (the MOSS
+    // guarantee: any common substring of >= w+k-1 = 11 chars is caught)
+    assert(viaHelper(1L).toSet.intersect(viaHelper(2L).toSet).nonEmpty)
+  }
+
   test("star fallback: chain topology converges in O(log n) rounds, labels identical") {
     // Direct graph case: a 64-node chain (diameter 63). One-hop min-label
     // propagation needs 63 join rounds; large-star/small-star must

@@ -290,6 +290,44 @@ class EnricherSpec extends SparkSpec {
     }
   }
 
+  test("wedged-pool exhaustion: queued calls resolve instead of waiting forever") {
+    // When interrupt-swallowing calls wedge EVERY pool thread, a queued
+    // call can never start — its heartbeat never arms, so the per-attempt
+    // backstop alone would poll forever (the re-wedge the first backstop
+    // shipped with). The abandoned-call counter must resolve queued calls
+    // through the error policy once the pool is known-wedged.
+    class InterruptSwallowingClient extends graft.llm.LlmClient {
+      val model = "swallow"
+      def invoke(p: String, s: Option[String]): graft.llm.LlmResponse = {
+        if (p.contains("wedge")) {
+          while (true) {
+            try Thread.sleep(60000L)
+            catch { case _: InterruptedException => () }
+          }
+        }
+        graft.llm.LlmResponse("ok", 1, 1, model,
+          java.math.BigDecimal.ZERO, 0.1)
+      }
+    }
+    // conc=1: clean completes, wedge0 wedges the ONLY pool thread
+    // (abandoned counter reaches pool size), wedge1 is queued and must
+    // resolve via the pool-wedged rule, never starting
+    val df = Seq("clean", "wedge0", "wedge1").toDF("text").repartition(1)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("PW:{text}"),
+      llm = LlmSpec(maxRetries = 0, concurrency = 1, timeoutMs = 150L,
+        backoffBaseMs = 1L, backoffCapMs = 2L),
+      processing = ProcessingSpec(errorPolicy = ErrorPolicy.Skip),
+      output = OutputSpec(Seq("out")))
+    val t0 = System.nanoTime()
+    val r = new Enricher(spec, new InterruptSwallowingClient()).enrich(df)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(r.metrics.skippedRows == 2, s"got ${r.metrics.skippedRows} skips")
+    assert(r.quality.validRows == 1)
+    assert(elapsedMs < 30000, s"took ${elapsedMs}ms: queued call not resolved")
+  }
+
   test("ClientPool: same runId with different config gets its own pool/limiter") {
     import graft.ops.ClientPool
     val id = s"coherence-${System.nanoTime()}"

@@ -72,12 +72,20 @@ class PlanSpec extends SparkSpec {
       .toDF("vec_id", "embedding")
     val p = plan(Similarity.embeddingNearDupPairs(vecs, 0.5, 4))
     assert(!p.contains("CartesianProduct"), "bucketed pairs, not all-pairs")
-    // the bucket-size cap is a broadcast anti-join against the hot-bucket
-    // census (map-side drop) — NOT a count-over-window, which would route
-    // every row of a hot bucket through one reducer (Skew.dropHotBuckets)
-    assert(p.contains("LeftAnti"), s"hot-bucket anti-join cap missing:\n$p")
+    // no hot buckets in this fixture: the empty-hot anti-join optimizes
+    // AWAY entirely (PropagateEmptyRelation) — and capping must never be
+    // a count-over-window routing hot buckets through one reducer
     assert(!p.contains("Window"),
       s"capping must not window-partition by bucket:\n$p")
+    // with a genuinely hot bucket the cap is a broadcast anti-join
+    // (map-side drop) — Skew.dropHotBuckets
+    val dup = Array.tabulate(8)(d => (d + 1).toFloat)
+    val hotVecs = ((0L until 30L).map(i => (i, dup)) :+
+      (100L, dup.map(_ * 2f))).toDF("vec_id", "embedding")
+    val hp = plan(Similarity.embeddingNearDupPairs(hotVecs, 0.9, 4,
+      maxBucketSize = 10))
+    assert(hp.contains("LeftAnti"), s"hot-bucket anti-join cap missing:\n$hp")
+    assert(!hp.contains("Window"), "no count-over-window capping")
   }
 
   test("lsh band-bucket cap is a map-side anti-join, skew-safe under a hot band") {
