@@ -72,6 +72,15 @@ final class RateLimiter(requestsPerMinute: Int, burst: Int)
   def availableTokens: Double = synchronized {
     refill(System.nanoTime() / 1000000L); tokens
   }
+
+  /** Drop any active penalty and restart at full capacity — the local
+    * peer of the distributed buckets' reset (reference: RateLimiter.reset,
+    * rate_limiter.py). */
+  def reset(): Unit = synchronized {
+    tokens = capacity
+    penaltyUntilMs = 0L
+    lastRefillMs = System.nanoTime() / 1000000L
+  }
 }
 
 /** Exact one-host global bucket: every executor JVM on the machine shares

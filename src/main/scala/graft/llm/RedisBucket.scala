@@ -212,18 +212,22 @@ final class RedisBucket(
   }
 
   /** Drop the shared bucket and any active penalty; next acquire starts
-    * at full capacity. While the breaker is open there is no reachable
-    * shared state to drop — a no-op (the worker-local fallback has no
-    * penalty surviving the outage window worth clearing); with no
-    * fallback configured the transport error surfaces as
-    * [[NetworkError]]. */
+    * at full capacity. The worker-local fallback resets too — penalties
+    * route into it during an outage, so skipping it would leave this
+    * worker stalled on a deadline the caller just asked to clear. While
+    * the breaker is open the unreachable remote state is left to its own
+    * TTLs (penalty keys expire with their delay); a transport failure
+    * with the breaker closed ALWAYS surfaces as [[NetworkError]] — a
+    * reset that silently didn't happen would leave every worker
+    * throttled by state the caller believes deleted. */
   def reset(): Unit = {
+    fallback.foreach(_.reset())
     if (breakerOpen && fallback.isDefined) return
     try { command(Seq("DEL", bucketKey, penaltyKey)); recordSuccess() }
     catch {
       case e: java.io.IOException =>
         recordFailure()
-        if (fallback.isEmpty) throw new NetworkError(s"redis bucket: $e")
+        throw new NetworkError(s"redis bucket: $e")
     }
   }
 

@@ -181,15 +181,14 @@ object Dedup {
                                        maxBucketSize: Int): DataFrame = {
     // Triples only (id + band_idx + band_val) — staged eagerly because
     // the hot-bucket census and the anti-join both consume it. Eager
-    // localCheckpoint, NOT persist: Dataset.persist registers a
-    // CacheManager entry that only an explicit unpersist releases (no
-    // lifecycle hook exists here — the result is consumed lazily by the
-    // caller), while checkpoint blocks are plain RDD state the context
-    // cleaner frees once the plan is garbage-collected.
+    // stage, NOT persist: Dataset.persist registers a CacheManager entry
+    // that only an explicit unpersist releases (no lifecycle hook exists
+    // here — the result is consumed lazily by the caller); see
+    // [[Parallelism.stage]] for the reliable-vs-local checkpoint rule.
     val exploded = sigs.select(col(idCol).as("id"),
       posexplode(array((0 until numBands).map(b => col(s"band_$b")): _*))
         .as(Seq("band_idx", "band_val")))
-      .localCheckpoint(true)
+      .transform(Parallelism.stage)
     // Skew-safe capping (round-4 VERDICT item 3): a count-over-window
     // formulation shuffled EVERY row of a hot band value to one reducer
     // just to count-and-drop it — a boilerplate-heavy crawl would
@@ -228,15 +227,15 @@ object Dedup {
     // barrier before the hash projection: projection collapse would
     // otherwise evaluate the shingle chain twice (once for sh, once
     // inside the hash transform) when the cache fills
-    // localCheckpoint, not persist: no unpersist hook exists (the confirm
-    // join consumes this lazily after return), and checkpoint blocks free
-    // on GC where a CacheManager entry would pin one shingle-set copy per
-    // call for the session's lifetime
+    // eager stage, not persist: no unpersist hook exists (the confirm
+    // join consumes this lazily after return) and a CacheManager entry
+    // would pin one shingle-set copy per call for the session's lifetime;
+    // see [[Parallelism.stage]]
     val sets = Parallelism.barrier(df.select(col(idCol).as("sid"),
       array_distinct(shingles(tokens(col(textCol)), shingleSize)).as("sh")))
       .select(col("sid"), col("sh"),
         transform(col("sh"), s => hash64(s)).as("hsh"))
-      .localCheckpoint(true)
+      .transform(Parallelism.stage)
     val sigs = bandSignatures(
       sets.select(col("sid").as(idCol), col("sh")),
       Seq(idCol), col("sh"), numBands)
@@ -316,7 +315,7 @@ object Dedup {
       while (changed > 0 && iters < switchAt) {
         val prop = edges.join(labels, edges("src") === labels("id"))
           .groupBy(col("dst").as("pid")).agg(min(col("lab")).as("nlab"))
-        // eager localCheckpoint, not persist: each round's plan references
+        // eager stage, not persist: each round's plan references
         // the previous round TWICE (the join and the changed-count), so
         // without LINEAGE truncation the logical plan doubles per round —
         // caching truncates execution but not analysis, and a long
@@ -327,7 +326,7 @@ object Dedup {
         val next = labels.join(prop, labels("id") === prop("pid"), "left")
           .select(col("id"),
             least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-          .localCheckpoint(true)
+          .transform(Parallelism.stage)
         changed = next.join(labels.select(col("id"), col("lab").as("old")),
           Seq("id")).filter(col("lab") =!= col("old")).count()
         labels.unpersist(blocking = false)
@@ -351,7 +350,7 @@ object Dedup {
       // row-set survives as the returned value, the loop cache releases
       val out = labels
         .select(col("id").as(idCol), col("lab").as("cluster_id"))
-        .localCheckpoint(true)
+        .transform(Parallelism.stage)
       labels.unpersist(blocking = false)
       out
     } finally pairs.unpersist(blocking = false)
@@ -375,13 +374,13 @@ object Dedup {
     * id). Exposed for direct graph-topology tests. */
   private[graft] def starComponents(pairs0: DataFrame,
                                     maxRounds: Int = 50): (DataFrame, Int) = {
-    // eager localCheckpoints throughout: each round's edge set references
+    // eager stages throughout: each round's edge set references
     // the previous one several times (the bidir union and the fixpoint
     // check), so lineage must truncate per round or the logical plan
     // grows exponentially (see the propagation loop's note in
     // nearDupClusters)
     var e = pairs0.select(col("id_a").as("u"), col("id_b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+      .filter(col("u") =!= col("v")).distinct().transform(Parallelism.stage)
     var rounds = 0
     var done = false
     while (!done && rounds < maxRounds) {
@@ -410,7 +409,7 @@ object Dedup {
         .select(greatest(col("v"), col("m")).as("u"),
           least(col("v"), col("m")).as("v"))
         .distinct()
-        .localCheckpoint(true) // materialize + truncate lineage
+        .transform(Parallelism.stage) // materialize + truncate lineage
       // fixpoint: the edge set no longer changes (disjoint stars)
       done = ss.count() == e.count() && ss.exceptAll(e.select(
         greatest(col("u"), col("v")).as("u"),
@@ -431,7 +430,7 @@ object Dedup {
     val roots = e.select(col("v").as("id")).distinct()
       .join(nonRoots.select(col("id")), Seq("id"), "left_anti")
       .withColumn("lab", col("id"))
-    val labels = nonRoots.unionByName(roots).localCheckpoint(true)
+    val labels = nonRoots.unionByName(roots).transform(Parallelism.stage)
     (labels, rounds)
   }
 

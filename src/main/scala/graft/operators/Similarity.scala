@@ -251,12 +251,11 @@ object Similarity {
                             maxBucketSize: Int = 1000): DataFrame = {
     val df = graft.ops.Parallelism.ensure(df0)
     // (id, bucket) pairs staged eagerly across the census and the pair
-    // join — localCheckpoint, not persist, so the blocks free on GC
-    // instead of pinning a CacheManager entry per call (see the note in
-    // Dedup.candidatesFromSignatures)
+    // join — stage, not persist, so no CacheManager entry pins per call
+    // (see Parallelism.stage for the checkpoint rule)
     val ids = df.select(col(idCol).as("id"),
       lshBucket(col(vecCol), numPlanes).as("bucket"))
-      .localCheckpoint(true)
+      .transform(graft.ops.Parallelism.stage)
     // skew-safe cap: hot buckets drop via broadcast anti-join map-side
     // instead of all routing through one count-window reducer (see
     // Skew.dropHotBuckets)

@@ -27,15 +27,34 @@ object ClientPool {
   /** Executor count for the per-worker rpm split of NON-coordinated
     * buckets (worker-local limiter at rate = rpm / executors ≈ the global
     * rate; the coordinated buckets need no split — they ARE the global
-    * bucket). local[*] → one JVM → 1. Dynamic allocation makes the static
-    * conf an approximation; users needing exactness use a coordinated
-    * scope. */
+    * bucket). local[*] → one JVM → 1. On a cluster:
+    * `spark.executor.instances` when set; under dynamic allocation (which
+    * leaves it unset) the `maxExecutors` bound — dividing by MORE than
+    * the live count under-admits, the safe failure direction, where a
+    * fallback of 1 would multiply aggregate admission by the fleet size.
+    * A deployment with neither conf gets 1 (full rate per executor) —
+    * that configuration cannot be split honestly; use a coordinated
+    * scope (`redis://`/`bucket://`) for exactness. */
   private[ops] def executorSplit: Int =
     try {
       val conf = org.apache.spark.SparkEnv.get.conf
       if (conf.get("spark.master", "local").startsWith("local")) 1
-      else math.max(1, conf.getInt("spark.executor.instances", 1))
+      else conf.getOption("spark.executor.instances")
+        .orElse(conf.getOption("spark.dynamicAllocation.maxExecutors"))
+        .flatMap(_.toIntOption)
+        .map(math.max(1, _))
+        .getOrElse(1)
     } catch { case _: Throwable => 1 }
+
+  /** Parse `host:port` from a scope URI, failing with the scheme's usage
+    * message instead of a raw MatchError/NumberFormatException. */
+  private def hostPort(hp: String, usage: String): (String, Int) =
+    hp.split(":", 2) match {
+      case Array(host, port) if host.nonEmpty && port.nonEmpty &&
+          port.forall(_.isDigit) && port.length <= 5 =>
+        (host, port.toInt)
+      case _ => throw new IllegalArgumentException(usage)
+    }
 
   /** Count of calls abandoned by the Invoke dequeue backstop whose pool
     * threads are still wedged (decremented if a wedged call ever
@@ -69,36 +88,28 @@ object ClientPool {
     limiters.computeIfAbsent(
       s"$runId:$rpm:$burst:${scopeFile.getOrElse("")}", _ => scopeFile match {
         case Some(uri) if uri.startsWith("redis://") =>
+          val usage = s"bad redis scope URI (want redis://host:port/scope): $uri"
           uri.stripPrefix("redis://").split("/", 2) match {
-            case Array(hostPort, scope) =>
-              hostPort.split(":", 2) match {
-                case Array(host, port) if port.forall(_.isDigit) && port.nonEmpty =>
-                  // outage fallback: worker-local bucket at rpm/executors
-                  // — the per-worker SPLIT of the shared rate, so an
-                  // outage degrades to the uncoordinated approximation
-                  // instead of multiplying the aggregate admission N×
-                  // (every executor's breaker opens at once)
-                  val split = executorSplit
-                  new RedisBucket(host, port.toInt, scope, rpm, burst,
-                    fallback = Some(new RateLimiter(
-                      math.max(1, rpm / split), math.max(1, burst / split))))
-                case _ => throw new IllegalArgumentException(
-                  s"bad redis scope URI (want redis://host:port/scope): $uri")
-              }
-            case _ => throw new IllegalArgumentException(
-              s"bad redis scope URI (want redis://host:port/scope): $uri")
+            case Array(hp, scope) =>
+              val (host, port) = hostPort(hp, usage)
+              // outage fallback: worker-local bucket at rpm/executors —
+              // the per-worker SPLIT of the shared rate, so an outage
+              // degrades to the uncoordinated approximation instead of
+              // multiplying the aggregate admission N× (every executor's
+              // breaker opens at once)
+              val split = executorSplit
+              new RedisBucket(host, port, scope, rpm, burst,
+                fallback = Some(new RateLimiter(
+                  math.max(1, rpm / split), math.max(1, burst / split))))
+            case _ => throw new IllegalArgumentException(usage)
           }
         case Some(uri) if uri.startsWith("bucket://") =>
+          val usage = s"bad bucket scope URI (want bucket://host:port/scope): $uri"
           uri.stripPrefix("bucket://").split("/", 2) match {
-            case Array(hostPort, scope) =>
-              hostPort.split(":", 2) match {
-                case Array(host, port) if port.forall(_.isDigit) && port.nonEmpty =>
-                  new SocketBucket(host, port.toInt, scope, rpm, burst)
-                case _ => throw new IllegalArgumentException(
-                  s"bad bucket scope URI (want bucket://host:port/scope): $uri")
-              }
-            case _ => throw new IllegalArgumentException(
-              s"bad bucket scope URI (want bucket://host:port/scope): $uri")
+            case Array(hp, scope) =>
+              val (host, port) = hostPort(hp, usage)
+              new SocketBucket(host, port, scope, rpm, burst)
+            case _ => throw new IllegalArgumentException(usage)
           }
         case Some(f) => new FileCoordinatedBucket(f, rpm, burst)
         case None    =>
@@ -254,6 +265,18 @@ object Invoke {
           * policy: a still-queued future must then no-op instead of
           * issuing real provider calls for an already-emitted group. */
         @volatile var abandonedByBackstop: Boolean = false
+        /** Once-only release of the adaptive-concurrency permit this call
+          * holds. The wedged thread's `finally` never runs, so without
+          * this the backstop would leak one adaptive slot per abandoned
+          * call — after `initialLimit` wedges no further call could ever
+          * pass `acquireBlocking`, the heartbeat would never arm, and the
+          * task would hang with the abandoned-counter stuck below the
+          * pool size. CAS guards the double-release if a wedged thread
+          * eventually does return through its own `finally`. */
+        val permitReleased = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def releasePermitOnce(adaptive: Option[AdaptiveLimiter]): Unit =
+          if (permitReleased.compareAndSet(false, true))
+            adaptive.foreach(_.release())
       }
 
       /** One attempt under the per-call deadline: arm an interrupt at
@@ -302,13 +325,20 @@ object Invoke {
         try {
           limiter.foreach(_.acquire())
           adaptive.foreach(_.acquireBlocking())
+          // a call abandoned while it waited for a permit (pool-wedged
+          // rule) must not issue real provider calls for rows the
+          // backstop already emitted
+          if (pending.abandonedByBackstop) {
+            pending.releasePermitOnce(adaptive)
+            return Seq.empty
+          }
           val resp =
             try RetryHandler.withRetries(maxRetries, baseMs, capMs, limiter) {
               try timedInvoke(promptText, pending)
               catch { case e: RateLimitError =>
                 adaptive.foreach(_.onRateLimit()); throw e
               }
-            } finally adaptive.foreach(_.release())
+            } finally pending.releasePermitOnce(adaptive)
           adaptive.foreach(_.onSuccess(resp.latencyMs))
           val byId: Map[Long, String] =
             if (single) Map(callId -> resp.text)
@@ -378,6 +408,9 @@ object Invoke {
                   abandonedCtr.incrementAndGet()
                   p.fut.onComplete(_ => abandonedCtr.decrementAndGet())(
                     ExecutionContext.parasitic)
+                  // free the adaptive slot the wedged thread holds, or
+                  // after initialLimit wedges nothing could ever run
+                  p.releasePermitOnce(adaptive)
                 }
                 p.abandonedByBackstop = true
                 val err = new NetworkError(

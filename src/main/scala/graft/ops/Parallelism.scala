@@ -27,6 +27,28 @@ object Parallelism {
   def barrier(df: DataFrame): DataFrame =
     df.mapPartitions(it => it)(org.apache.spark.sql.Encoders.row(df.schema))
 
+  /** Eagerly materialize `df` AND truncate its lineage — the staging
+    * primitive for (a) iterative loops whose plans reference the previous
+    * round more than once (the logical plan otherwise doubles per round
+    * and hangs the driver in plan analysis long before any task runs) and
+    * (b) operator-internal row-sets consumed by several downstream jobs
+    * (caching via `persist` would pin a CacheManager entry forever — no
+    * unpersist hook exists when the caller consumes the result lazily).
+    *
+    * Fault tolerance: with a checkpoint dir configured
+    * (`sc.setCheckpointDir`, the production setting at cluster scale) this
+    * is a RELIABLE checkpoint — blocks rebuild from the checkpoint files
+    * after executor loss. Without one it degrades to a local checkpoint:
+    * correct and GC-cleaned on local/static deployments, but
+    * executor-resident (an executor lost afterwards fails the job, and
+    * dynamic allocation can reclaim the executor under it) — a cluster
+    * deployment of the iterative/staged operators should set a
+    * checkpoint dir. */
+  def stage(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager = true)
+    else df.localCheckpoint(eager = true)
+
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // inputFiles is a metadata lookup; the file count bounds the scan's

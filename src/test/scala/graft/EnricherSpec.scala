@@ -328,6 +328,44 @@ class EnricherSpec extends SparkSpec {
     assert(elapsedMs < 30000, s"took ${elapsedMs}ms: queued call not resolved")
   }
 
+  test("adaptive concurrency: abandoned wedged calls release their permits") {
+    // In adaptive mode admission is gated by AdaptiveLimiter permits, not
+    // pool threads; a wedged call never runs its finally, so without the
+    // backstop releasing the permit on abandonment, `initialLimit` wedges
+    // would starve every later call inside acquireBlocking forever (its
+    // heartbeat never arms — the second re-wedge found in review).
+    class InterruptSwallowingClient extends graft.llm.LlmClient {
+      val model = "swallow"
+      def invoke(p: String, s: Option[String]): graft.llm.LlmResponse = {
+        if (p.contains("wedge")) {
+          while (true) {
+            try Thread.sleep(60000L)
+            catch { case _: InterruptedException => () }
+          }
+        }
+        graft.llm.LlmResponse("ok", 1, 1, model,
+          java.math.BigDecimal.ZERO, 0.1)
+      }
+    }
+    // initialLimit 1 << maxConcurrency 8: wedge0 takes the only permit
+    // and wedges; clean can only run if the abandonment released it
+    val df = Seq("wedge0", "clean").toDF("text").repartition(1)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("AW:{text}"),
+      llm = LlmSpec(maxRetries = 0, concurrency = 1, timeoutMs = 150L,
+        adaptiveConcurrency = true, maxConcurrency = 8,
+        backoffBaseMs = 1L, backoffCapMs = 2L),
+      processing = ProcessingSpec(errorPolicy = ErrorPolicy.Skip),
+      output = OutputSpec(Seq("out")))
+    val t0 = System.nanoTime()
+    val r = new Enricher(spec, new InterruptSwallowingClient()).enrich(df)
+    val elapsedMs = (System.nanoTime() - t0) / 1e6
+    assert(r.metrics.skippedRows == 1 && r.quality.validRows == 1)
+    assert(elapsedMs < 30000,
+      s"took ${elapsedMs}ms: leaked permit starved the healthy call")
+  }
+
   test("ClientPool: same runId with different config gets its own pool/limiter") {
     import graft.ops.ClientPool
     val id = s"coherence-${System.nanoTime()}"
