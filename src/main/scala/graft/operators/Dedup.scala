@@ -298,62 +298,69 @@ object Dedup {
     val df = Parallelism.ensure(df0)
     val pairs = nearDuplicatePairs(df, idCol, textCol, numBands,
       shingleSize, threshold, maxBucketSize)
-      .select(col("id_a"), col("id_b"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val edges = pairs.unionByName(
-        pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      // labels keep idCol's NATIVE type (string ids order fine under
-      // min/least; a numeric cast would null them out silently)
-      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      var labels = df.select(col(idCol).as("id"))
-        .withColumn("lab", col("id")).persist(lvl)
-      var changed = 1L
-      var iters = 0
-      val switchAt = math.min(math.max(1, starSwitchIters), maxIters)
-      while (changed > 0 && iters < switchAt) {
-        val prop = edges.join(labels, edges("src") === labels("id"))
-          .groupBy(col("dst").as("pid")).agg(min(col("lab")).as("nlab"))
-        // eager stage, not persist: each round's plan references
-        // the previous round TWICE (the join and the changed-count), so
-        // without LINEAGE truncation the logical plan doubles per round —
-        // caching truncates execution but not analysis, and a long
-        // propagation run hangs the driver inside plan stringification
-        // (2^rounds tree nodes) before any task runs. The checkpoint
-        // blocks are (id, label) pairs, tiny, and bounded by switchAt
-        // rounds until the context cleaner releases them.
-        val next = labels.join(prop, labels("id") === prop("pid"), "left")
-          .select(col("id"),
-            least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
-          .transform(Parallelism.stage)
-        changed = next.join(labels.select(col("id"), col("lab").as("old")),
-          Seq("id")).filter(col("lab") =!= col("old")).count()
-        labels.unpersist(blocking = false)
-        labels = next
-        iters += 1
-      }
-      if (changed > 0) {
-        // diameter exceeded the propagation budget: contract with
-        // star alternation instead of walking the chain one hop per round
-        val (starLabs, _) = starComponents(pairs, maxRounds = maxIters)
-        val next = df.select(col(idCol).as("id"))
-          .join(starLabs.select(col("id"), col("lab").as("slab")),
-            Seq("id"), "left")
-          .select(col("id"), coalesce(col("slab"), col("id")).as("lab"))
-          .persist(lvl)
-        next.count()
-        labels.unpersist(blocking = false)
-        labels = next
-      }
-      // detach the result from the loop cache: one narrow checkpointed
-      // row-set survives as the returned value, the loop cache releases
-      val out = labels
-        .select(col("id").as(idCol), col("lab").as("cluster_id"))
+    clusterLabels(df.select(col(idCol)), idCol, pairs, maxIters,
+      starSwitchIters)
+  }
+
+  /** Connected-component labels over an ARBITRARY confirmed-pair graph:
+    * every id in `ids` lands in the output with `cluster_id` = the
+    * minimum id reachable through `pairs` (id_a, id_b edges; singletons
+    * label themselves). This is [[nearDupClusters]]'s machinery exposed
+    * for other pair sources — embedding near-dups
+    * ([[Similarity.embeddingNearDupClusters]] builds on it), winnowing
+    * matches, any dedup relation. Same algorithm and guarantees:
+    * min-label propagation (converges in ~diameter rounds; dup families
+    * are near-cliques → 2-3), large-star/small-star fallback after
+    * `starSwitchIters` non-converged rounds (chains contract in O(log n)
+    * rounds), per-round lineage staging. */
+  def clusterLabels(ids: DataFrame, idCol: String, pairs0: DataFrame,
+                    maxIters: Int = 50,
+                    starSwitchIters: Int = 5): DataFrame = {
+    // staged once: every propagation round (and the star fallback)
+    // re-reads the pair set
+    val pairs = pairs0.select(col("id_a"), col("id_b"))
+      .transform(Parallelism.stage)
+    val edges = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    // labels keep idCol's NATIVE type (string ids order fine under
+    // min/least; a numeric cast would null them out silently)
+    var labels = ids.select(col(idCol).as("id"))
+      .withColumn("lab", col("id")).transform(Parallelism.stage)
+    var changed = 1L
+    var iters = 0
+    val switchAt = math.min(math.max(1, starSwitchIters), maxIters)
+    while (changed > 0 && iters < switchAt) {
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .groupBy(col("dst").as("pid")).agg(min(col("lab")).as("nlab"))
+      // eager stage, not persist: each round's plan references
+      // the previous round TWICE (the join and the changed-count), so
+      // without LINEAGE truncation the logical plan doubles per round —
+      // caching truncates execution but not analysis, and a long
+      // propagation run hangs the driver inside plan stringification
+      // (2^rounds tree nodes) before any task runs. The checkpoint
+      // blocks are (id, label) pairs, tiny, and bounded by switchAt
+      // rounds until the context cleaner releases them.
+      val next = labels.join(prop, labels("id") === prop("pid"), "left")
+        .select(col("id"),
+          least(col("lab"), coalesce(col("nlab"), col("lab"))).as("lab"))
         .transform(Parallelism.stage)
-      labels.unpersist(blocking = false)
-      out
-    } finally pairs.unpersist(blocking = false)
+      changed = next.join(labels.select(col("id"), col("lab").as("old")),
+        Seq("id")).filter(col("lab") =!= col("old")).count()
+      labels = next
+      iters += 1
+    }
+    if (changed > 0) {
+      // diameter exceeded the propagation budget: contract with
+      // star alternation instead of walking the chain one hop per round
+      val (starLabs, _) = starComponents(pairs, maxRounds = maxIters)
+      labels = ids.select(col(idCol).as("id"))
+        .join(starLabs.select(col("id"), col("lab").as("slab")),
+          Seq("id"), "left")
+        .select(col("id"), coalesce(col("slab"), col("id")).as("lab"))
+        .transform(Parallelism.stage)
+    }
+    labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
   }
 
   /** Connected components by large-star/small-star alternation (Kiveris

@@ -285,4 +285,25 @@ object Similarity {
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
+
+  /** Transitive SEMANTIC dedup clusters: connected components over the
+    * confirmed embedding-cosine near-dup graph, `cluster_id` = min vec id
+    * per component (singletons label themselves) — the embedding-space
+    * complement of [[Dedup.nearDupClusters]], sharing its exact component
+    * machinery ([[Dedup.clusterLabels]]: min-label propagation with the
+    * large-star/small-star fallback). Keeping `id === cluster_id` drops
+    * exactly one representative per semantic dup family — the curation
+    * rule for paraphrase/translation mirrors that text-level shingles
+    * can't see. */
+  def embeddingNearDupClusters(df0: DataFrame, threshold: Double,
+                               numPlanes: Int = 4, idCol: String = "vec_id",
+                               vecCol: String = "embedding",
+                               maxBucketSize: Int = 1000,
+                               maxIters: Int = 50): DataFrame = {
+    val df = graft.ops.Parallelism.ensure(df0)
+    val pairs = embeddingNearDupPairs(df, threshold, numPlanes, idCol,
+      vecCol, maxBucketSize).select(col("id_a"), col("id_b"))
+    Dedup.clusterLabels(df.select(col(idCol)), idCol, pairs,
+      maxIters = maxIters)
+  }
 }

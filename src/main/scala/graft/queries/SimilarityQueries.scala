@@ -227,17 +227,58 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Transitive semantic-dup clusters over the q42 pair graph: every
+    * vector labeled with its component's min id (singletons themselves).
+    * Uses the corpus-scaled plane count like q42 so the two queries see
+    * the SAME pair graph. */
+  def q49EmbeddingClusters(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val planes = Similarity.autoPlanes(emb.count(),
+      anchorCorpus = 500, minPlanes = NumPlanes)
+    Similarity.embeddingNearDupClusters(emb, threshold = 0.3, planes)
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: q42's bucketed pair arithmetic, closed transitively by a
+    * recursive CTE — cluster = min reachable vec id. */
+  val q49Sql: String =
+    s"""WITH RECURSIVE v AS (
+       |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
+       |    ${duckBucket("(embedding::DOUBLE[])")} AS bucket
+       |  FROM embeddings),
+       |capped AS (
+       |  SELECT id, vec, bucket FROM (
+       |    SELECT *, count(*) OVER (PARTITION BY bucket) AS bsz FROM v)
+       |  WHERE bsz <= 1000),
+       |pairs AS (
+       |  SELECT id_a, id_b FROM (
+       |    SELECT a.id AS id_a, b.id AS id_b,
+       |      ${duckCosine("a.vec", "b.vec")} AS sim
+       |    FROM capped a JOIN capped b USING (bucket) WHERE a.id < b.id)
+       |  WHERE sim >= 0.3),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT vec_id AS src, vec_id AS dst FROM embeddings
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
+       |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
     "q41_ann_lsh_topk" -> q41LshTopK _,
     "q42_embed_near_dups" -> q42EmbeddingNearDups _,
     "q43_ann_multitable" -> q43LshMultiTable _,
-    "q44_ann_ivf" -> q44AnnIvf _)
+    "q44_ann_ivf" -> q44AnnIvf _,
+    "q49_embed_clusters" -> q49EmbeddingClusters _)
 
   val oracles: Map[String, String] = Map(
     "q40_ann_brute_topk" -> q40Sql,
     "q41_ann_lsh_topk" -> q41Sql,
     "q42_embed_near_dups" -> q42Sql,
     "q43_ann_multitable" -> q43Sql,
-    "q44_ann_ivf" -> q44Sql)
+    "q44_ann_ivf" -> q44Sql,
+    "q49_embed_clusters" -> q49Sql)
 }

@@ -235,6 +235,33 @@ class OperatorsSpec extends SparkSpec {
       .count() == 1) // parallel vectors: cosine 1.0 regardless of norm
   }
 
+  test("embedding near-dup clusters equal the union-find closure of the pairs") {
+    import graft.operators.Similarity
+    // two semantic families (scaled copies have cosine 1.0) + a singleton
+    val a = Array.tabulate(8)(d => (d + 1).toFloat)
+    val b = Array.tabulate(8)(d => (8 - d).toFloat)
+    val solo = Array.tabulate(8)(d => (if (d % 2 == 0) 1f else -1f))
+    val vecs = Seq(
+      (0L, a), (1L, a.map(_ * 2f)), (2L, a.map(_ * 3f)),
+      (10L, b), (11L, b.map(_ * 0.5f)),
+      (20L, solo)).toDF("vec_id", "embedding")
+    val clusters = Similarity.embeddingNearDupClusters(vecs, 0.95, 4)
+      .as[(Long, Long)].collect().toMap
+    val pairs = Similarity.embeddingNearDupPairs(vecs, 0.95, 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map(
+      clusters.keys.map(k => k -> k).toSeq: _*)
+    def find(x: Long): Long =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairs.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    assert(clusters == clusters.keys.map(k => k -> find(k)).toMap)
+    assert(clusters(20L) == 20L, "singleton labels itself")
+    assert(clusters(1L) == 0L && clusters(2L) == 0L, "family A collapses to 0")
+  }
+
   test("preprocessing stats: changed/truncated/removed counters") {
     import graft.ops.Preprocess
     val df = Seq(
