@@ -312,20 +312,27 @@ object Dedup {
     * min-label propagation (converges in ~diameter rounds; dup families
     * are near-cliques → 2-3), large-star/small-star fallback after
     * `starSwitchIters` non-converged rounds (chains contract in O(log n)
-    * rounds), per-round lineage staging. */
+    * rounds), per-round lineage staging. Edges touching ids ABSENT from
+    * `ids` are dropped (semi-filtered on both endpoints) — without that
+    * rule the two internal paths would disagree on such graphs: the
+    * propagation join ignores unlabeled endpoints while the star
+    * contraction would route connectivity through them. */
   def clusterLabels(ids: DataFrame, idCol: String, pairs0: DataFrame,
                     maxIters: Int = 50,
                     starSwitchIters: Int = 5): DataFrame = {
+    val idOnly = ids.select(col(idCol).as("id"))
     // staged once: every propagation round (and the star fallback)
     // re-reads the pair set
     val pairs = pairs0.select(col("id_a"), col("id_b"))
+      .join(idOnly.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
+      .join(idOnly.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
       .transform(Parallelism.stage)
     val edges = pairs.unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     // labels keep idCol's NATIVE type (string ids order fine under
     // min/least; a numeric cast would null them out silently)
-    var labels = ids.select(col(idCol).as("id"))
+    var labels = idOnly
       .withColumn("lab", col("id")).transform(Parallelism.stage)
     var changed = 1L
     var iters = 0
@@ -354,7 +361,7 @@ object Dedup {
       // diameter exceeded the propagation budget: contract with
       // star alternation instead of walking the chain one hop per round
       val (starLabs, _) = starComponents(pairs, maxRounds = maxIters)
-      labels = ids.select(col(idCol).as("id"))
+      labels = idOnly
         .join(starLabs.select(col("id"), col("lab").as("slab")),
           Seq("id"), "left")
         .select(col("id"), coalesce(col("slab"), col("id")).as("lab"))

@@ -299,11 +299,13 @@ object Similarity {
                                numPlanes: Int = 4, idCol: String = "vec_id",
                                vecCol: String = "embedding",
                                maxBucketSize: Int = 1000,
-                               maxIters: Int = 50): DataFrame = {
-    val df = graft.ops.Parallelism.ensure(df0)
-    val pairs = embeddingNearDupPairs(df, threshold, numPlanes, idCol,
-      vecCol, maxBucketSize).select(col("id_a"), col("id_b"))
-    Dedup.clusterLabels(df.select(col(idCol)), idCol, pairs,
-      maxIters = maxIters)
+                               maxIters: Int = 50,
+                               starSwitchIters: Int = 5): DataFrame = {
+    // no ensure here: embeddingNearDupPairs ensures internally, and the
+    // ids projection below carries no per-row compute worth widening
+    val pairs = embeddingNearDupPairs(df0, threshold, numPlanes, idCol,
+      vecCol, maxBucketSize)
+    Dedup.clusterLabels(df0.select(col(idCol)), idCol, pairs,
+      maxIters = maxIters, starSwitchIters = starSwitchIters)
   }
 }

@@ -96,11 +96,15 @@ object SimilarityQueries {
     * driver's verify scales (n ≤ 500) this resolves to exactly the
     * oracle's static 4 planes; identical replicas always share every
     * sign, so recall for true duplicates is unaffected by plane count. */
+  /** The ONE plane-count rule q42 and q49 share — a drift here would
+    * silently break q49's "same pair graph as q42" premise. */
+  private def scaledPlanes(emb: DataFrame): Int =
+    Similarity.autoPlanes(emb.count(), anchorCorpus = 500,
+      minPlanes = NumPlanes)
+
   def q42EmbeddingNearDups(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val planes = Similarity.autoPlanes(emb.count(),
-      anchorCorpus = 500, minPlanes = NumPlanes)
-    Similarity.embeddingNearDupPairs(emb, threshold = 0.3, planes)
+    Similarity.embeddingNearDupPairs(emb, threshold = 0.3, scaledPlanes(emb))
       .orderBy("id_a", "id_b")
   }
 
@@ -233,10 +237,8 @@ object SimilarityQueries {
     * the SAME pair graph. */
   def q49EmbeddingClusters(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
-    val planes = Similarity.autoPlanes(emb.count(),
-      anchorCorpus = 500, minPlanes = NumPlanes)
-    Similarity.embeddingNearDupClusters(emb, threshold = 0.3, planes)
-      .orderBy("vec_id")
+    Similarity.embeddingNearDupClusters(emb, threshold = 0.3,
+      scaledPlanes(emb)).orderBy("vec_id")
   }
 
   /** Oracle: q42's bucketed pair arithmetic, closed transitively by a
