@@ -308,4 +308,21 @@ object Similarity {
     Dedup.clusterLabels(df0.select(col(idCol)), idCol, pairs,
       maxIters = maxIters, starSwitchIters = starSwitchIters)
   }
+
+  /** Drop every row except one representative per semantic dup family —
+    * the min-id member of each [[embeddingNearDupClusters]] component
+    * (singletons survive untouched). CLUSTER-EXACT, unlike the text
+    * side's deliberately greedy [[Dedup.dropNearDuplicates]]: a chain
+    * A~B~C keeps exactly A here, where the greedy rule drops both B and
+    * C. All input columns pass through. */
+  def dropSemanticDuplicates(df0: DataFrame, threshold: Double,
+                             numPlanes: Int = 4, idCol: String = "vec_id",
+                             vecCol: String = "embedding",
+                             maxBucketSize: Int = 1000): DataFrame = {
+    val keep = embeddingNearDupClusters(df0, threshold, numPlanes, idCol,
+      vecCol, maxBucketSize)
+      .filter(col(idCol) === col("cluster_id"))
+      .select(col(idCol))
+    df0.join(keep, Seq(idCol), "left_semi")
+  }
 }

@@ -241,9 +241,10 @@ object SimilarityQueries {
       scaledPlanes(emb)).orderBy("vec_id")
   }
 
-  /** Oracle: q42's bucketed pair arithmetic, closed transitively by a
-    * recursive CTE — cluster = min reachable vec id. */
-  val q49Sql: String =
+  /** Shared recursive-CTE prefix for q49/q59: q42's bucketed pair
+    * arithmetic closed transitively — `reach(src, dst)` holds every
+    * (vector, reachable vector) pair. */
+  private val embedClosureCtes: String =
     s"""WITH RECURSIVE v AS (
        |  SELECT vec_id AS id, embedding::DOUBLE[] AS vec,
        |    ${duckBucket("(embedding::DOUBLE[])")} AS bucket
@@ -264,9 +265,29 @@ object SimilarityQueries {
        |reach AS (
        |  SELECT vec_id AS src, vec_id AS dst FROM embeddings
        |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)""".stripMargin
+
+  /** Oracle: cluster = min reachable vec id. */
+  val q49Sql: String =
+    s"""$embedClosureCtes
        |SELECT src AS vec_id, CAST(min(dst) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
+
+  /** Cluster-exact semantic dedup: one survivor per q49 component. */
+  def q59DropSemanticDups(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.dropSemanticDuplicates(emb, threshold = 0.3,
+      scaledPlanes(emb))
+      .select(col("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  /** Oracle: the q49 closure, keeping ids that are their own cluster
+    * minimum. */
+  val q59Sql: String =
+    s"""$embedClosureCtes
+       |SELECT src AS vec_id FROM reach
+       |GROUP BY src HAVING src = min(dst) ORDER BY vec_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
@@ -274,7 +295,8 @@ object SimilarityQueries {
     "q42_embed_near_dups" -> q42EmbeddingNearDups _,
     "q43_ann_multitable" -> q43LshMultiTable _,
     "q44_ann_ivf" -> q44AnnIvf _,
-    "q49_embed_clusters" -> q49EmbeddingClusters _)
+    "q49_embed_clusters" -> q49EmbeddingClusters _,
+    "q59_drop_semantic_dups" -> q59DropSemanticDups _)
 
   val oracles: Map[String, String] = Map(
     "q40_ann_brute_topk" -> q40Sql,
@@ -282,5 +304,6 @@ object SimilarityQueries {
     "q42_embed_near_dups" -> q42Sql,
     "q43_ann_multitable" -> q43Sql,
     "q44_ann_ivf" -> q44Sql,
-    "q49_embed_clusters" -> q49Sql)
+    "q49_embed_clusters" -> q49Sql,
+    "q59_drop_semantic_dups" -> q59Sql)
 }

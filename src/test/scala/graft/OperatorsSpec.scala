@@ -260,6 +260,11 @@ class OperatorsSpec extends SparkSpec {
     assert(clusters == clusters.keys.map(k => k -> find(k)).toMap)
     assert(clusters(20L) == 20L, "singleton labels itself")
     assert(clusters(1L) == 0L && clusters(2L) == 0L, "family A collapses to 0")
+    // cluster-exact removal keeps exactly the per-family minimum
+    val kept = Similarity.dropSemanticDuplicates(vecs, 0.95, 4)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == clusters.filter { case (k, v) => k == v }.keySet)
+    assert(kept == Set(0L, 10L, 20L))
   }
 
   test("preprocessing stats: changed/truncated/removed counters") {
