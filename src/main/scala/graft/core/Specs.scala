@@ -121,7 +121,16 @@ final case class LlmSpec(
     endpoint: Option[String] = None,
     /** Env var holding the bearer token for `endpoint` (the key itself
       * never lands in a spec — specs serialize into task closures). */
-    apiKeyEnv: Option[String] = None)
+    apiKeyEnv: Option[String] = None,
+    /** Structured-output mode for Typed runs over `endpoint`:
+      * "auto" (None) / "tools" / "json" / "json_schema" — the user-override
+      * layer of [[graft.llm.StructuredOutput.detect]] (reference:
+      * instructor_mode.py:23-30 strategy enum). */
+    structuredMode: Option[String] = None,
+    /** Reasoning-effort hint forwarded to detection: reasoning models
+      * reject the tool protocol, so its presence forces a non-tools mode
+      * (reference: instructor_mode.py:158-168). */
+    reasoningEffort: Option[String] = None)
 
 /** Run-level processing controls.
   * (reference: ondine/core/specifications.py:400-480)
@@ -200,6 +209,11 @@ final case class PipelineSpec(
     // validated pipeline spec.
     require(llm.timeoutMs > 0,
       s"llm.timeoutMs must be > 0 (got ${llm.timeoutMs})")
+    llm.structuredMode.foreach { m =>
+      require(graft.llm.StructuredOutput.Strategies.contains(m.toLowerCase),
+        s"llm.structuredMode '$m' not in " +
+          graft.llm.StructuredOutput.Strategies.mkString("/"))
+    }
     if (output.responseFormat == ResponseFormat.Regex)
       require(output.outputColumns.forall(output.regexPatterns.contains),
         "every output column needs a regex pattern in Regex format")

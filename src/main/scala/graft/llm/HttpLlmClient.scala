@@ -39,14 +39,30 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * HTTP client; otherwise the deterministic mock (the zero-egress
   * default). */
 object LlmClients {
-  def forSpec(spec: graft.core.LlmSpec): LlmClient = spec.endpoint match {
-    case Some(url) => new HttpLlmClient(url, spec.model,
-      apiKey = spec.apiKeyEnv.flatMap(sys.env.get),
-      inPer1k = spec.inputCostPer1k, outPer1k = spec.outputCostPer1k,
-      timeoutMs = spec.timeoutMs)
-    case None => new MockLlmClient(spec.model,
-      inPer1k = spec.inputCostPer1k, outPer1k = spec.outputCostPer1k)
-  }
+  def forSpec(spec: graft.core.LlmSpec): LlmClient = forSpec(spec, None)
+
+  /** With a typed output schema and a real endpoint, the client speaks the
+    * provider-native structured mode the detector picks — walking the
+    * fallback chain on structural rejection (see [[StructuredOutput]]).
+    * The mock path stays schema-free: its deterministic JSON already
+    * drives the Typed parser. */
+  def forSpec(spec: graft.core.LlmSpec,
+              typedSchema: Option[org.apache.spark.sql.types.StructType]): LlmClient =
+    spec.endpoint match {
+      case Some(url) =>
+        val structured = typedSchema.map { st =>
+          val mode = StructuredOutput.detect(spec.model, spec.structuredMode,
+            spec.reasoningEffort.isDefined)
+          StructuredCall(StructuredOutput.jsonSchema(st), "output",
+            new ModeNegotiator(mode, StructuredOutput.fallbackChain(mode, spec.model)))
+        }
+        new HttpLlmClient(url, spec.model,
+          apiKey = spec.apiKeyEnv.flatMap(sys.env.get),
+          inPer1k = spec.inputCostPer1k, outPer1k = spec.outputCostPer1k,
+          timeoutMs = spec.timeoutMs, structured = structured)
+      case None => new MockLlmClient(spec.model,
+        inPer1k = spec.inputCostPer1k, outPer1k = spec.outputCostPer1k)
+    }
 }
 
 object HttpLlmClient {
@@ -81,7 +97,13 @@ final class HttpLlmClient(
     inPer1k: BigDecimal = BigDecimal(0),
     outPer1k: BigDecimal = BigDecimal(0),
     timeoutMs: Long = 120000L,
-    extraHeaders: Map[String, String] = Map.empty) extends LlmClient {
+    extraHeaders: Map[String, String] = Map.empty,
+    /** Provider-native structured output: when set, every invocation is
+      * shaped by the negotiator's current [[StructuredMode]] (tools /
+      * json_schema / json) and walks the fallback chain on structural
+      * rejection — see [[StructuredOutput]]. The response text is then
+      * guaranteed-JSON for the downstream Typed parser. */
+    structured: Option[StructuredCall] = None) extends LlmClient {
 
   @transient private lazy val http: HttpClient =
     HttpClient.newBuilder()
@@ -90,14 +112,51 @@ final class HttpLlmClient(
 
   @transient private lazy val mapper = new ObjectMapper()
 
-  private def requestBody(prompt: String, systemMessage: Option[String]): String = {
+  private def requestBody(prompt: String, systemMessage: Option[String],
+                          mode: Option[StructuredMode]): String = {
     val root: ObjectNode = mapper.createObjectNode()
     root.put("model", model)
+    // Json mode carries the schema as a system-message contract — the
+    // instructor JSON-mode shape: no server-side enforcement, the model is
+    // *asked* for schema-shaped output and the downstream parser validates.
+    val sys = (mode, structured) match {
+      case (Some(StructuredMode.Json), Some(sc)) =>
+        val ask = "Respond ONLY with a JSON object matching this JSON Schema" +
+          s" (no prose, no code fences):\n${sc.schemaJson}"
+        Some(systemMessage.map(_ + "\n\n" + ask).getOrElse(ask))
+      case _ => systemMessage
+    }
     val msgs: ArrayNode = root.putArray("messages")
-    systemMessage.foreach { sys =>
-      val m = msgs.addObject(); m.put("role", "system"); m.put("content", sys)
+    sys.foreach { s =>
+      val m = msgs.addObject(); m.put("role", "system"); m.put("content", s)
     }
     val u = msgs.addObject(); u.put("role", "user"); u.put("content", prompt)
+    (mode, structured) match {
+      case (Some(StructuredMode.Tools), Some(sc)) =>
+        // One forced function call; parallel_tool_calls:false because the
+        // protocol needs exactly one call per reply (reference:
+        // unified_litellm_client.py:1135-1166).
+        val tool = root.putArray("tools").addObject()
+        tool.put("type", "function")
+        val fn = tool.putObject("function")
+        fn.put("name", sc.name)
+        fn.put("description", "Emit the structured result.")
+        fn.set[ObjectNode]("parameters", mapper.readTree(sc.schemaJson).asInstanceOf[ObjectNode])
+        val choice = root.putObject("tool_choice")
+        choice.put("type", "function")
+        choice.putObject("function").put("name", sc.name)
+        root.put("parallel_tool_calls", false)
+      case (Some(StructuredMode.JsonSchema), Some(sc)) =>
+        val rf = root.putObject("response_format")
+        rf.put("type", "json_schema")
+        val js = rf.putObject("json_schema")
+        js.put("name", sc.name)
+        js.put("strict", true)
+        js.set[ObjectNode]("schema", mapper.readTree(sc.schemaJson).asInstanceOf[ObjectNode])
+      case (Some(StructuredMode.Json), _) =>
+        root.putObject("response_format").put("type", "json_object")
+      case _ => ()
+    }
     mapper.writeValueAsString(root)
   }
 
@@ -111,13 +170,21 @@ final class HttpLlmClient(
       .orElse(header("retry-after").flatMap(_.toLongOption).map(_ * 1000L))
   }
 
-  def invoke(prompt: String, systemMessage: Option[String]): LlmResponse = {
+  def invoke(prompt: String, systemMessage: Option[String]): LlmResponse =
+    structured match {
+      case Some(sc) =>
+        sc.negotiator.attempt(m => doInvoke(prompt, systemMessage, Some(m)))
+      case None => doInvoke(prompt, systemMessage, None)
+    }
+
+  private def doInvoke(prompt: String, systemMessage: Option[String],
+                       mode: Option[StructuredMode]): LlmResponse = {
     val t0 = System.nanoTime()
     val builder = HttpRequest.newBuilder(URI.create(endpoint))
       .timeout(Duration.ofMillis(timeoutMs))
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(
-        requestBody(prompt, systemMessage), StandardCharsets.UTF_8))
+        requestBody(prompt, systemMessage, mode), StandardCharsets.UTF_8))
     apiKey.foreach(k => builder.header("Authorization", s"Bearer $k"))
     extraHeaders.foreach { case (k, v) => builder.header(k, v) }
 
@@ -135,7 +202,7 @@ final class HttpLlmClient(
 
     rsp.statusCode() match {
       case 200 =>
-        parseSuccess(rsp.body(), prompt, systemMessage,
+        parseSuccess(rsp.body(), prompt, systemMessage, mode,
           (System.nanoTime() - t0) / 1e6)
       case 429 if HttpLlmClient.isQuota(rsp.body()) =>
         // a provider out of CREDIT often answers 429 too — but retrying
@@ -169,16 +236,38 @@ final class HttpLlmClient(
 
   private def parseSuccess(body: String, prompt: String,
                            systemMessage: Option[String],
+                           mode: Option[StructuredMode],
                            latencyMs: Double): LlmResponse = {
     val root: JsonNode =
       try mapper.readTree(body)
       catch { case e: Exception =>
         throw new NetworkError(s"unparseable 200 body: $e") // transient gateway garbage
       }
-    val content = Option(root.path("choices").path(0).path("message")
-      .path("content").textValue()).getOrElse(
-      throw new LlmError(s"200 body without choices[0].message.content: ${snippet(body)}",
-        retryable = false))
+    val message = root.path("choices").path(0).path("message")
+    val content = mode match {
+      case Some(StructuredMode.Tools) =>
+        // The structured reply lives in the forced call's arguments. A
+        // reply that breaks the tool protocol — zero calls (model answered
+        // in prose) or several (parallel calls) — can never parse in this
+        // mode, so it is a structural rejection the negotiator consumes
+        // (the reference treats instructor's "exactly one tool call"
+        // assertion the same way, unified_litellm_client.py:124-141).
+        val calls = message.path("tool_calls")
+        if (!calls.isArray || calls.size == 0)
+          throw new ModeRejectionError(
+            s"tools mode got no tool call from $model: ${snippet(body)}")
+        if (calls.size > 1)
+          throw new ModeRejectionError(
+            s"tools mode got ${calls.size} parallel tool calls from $model")
+        Option(calls.path(0).path("function").path("arguments").textValue())
+          .getOrElse(throw new ModeRejectionError(
+            s"tool call without function.arguments: ${snippet(body)}"))
+      case _ =>
+        Option(message.path("content").textValue()).getOrElse(
+          throw new LlmError(
+            s"200 body without choices[0].message.content: ${snippet(body)}",
+            retryable = false))
+    }
     val usage = root.path("usage")
     val tIn =
       if (usage.path("prompt_tokens").isNumber) usage.path("prompt_tokens").asLong()

@@ -79,6 +79,14 @@ final class PipelineBuilder private () {
     * HttpLlmClient (bearer token read from `apiKeyEnv`). */
   def withEndpoint(url: String, apiKeyEnv: Option[String] = None): this.type =
     { llm = llm.copy(endpoint = Some(url), apiKeyEnv = apiKeyEnv); this }
+  /** Structured-output mode override for Typed runs: "auto" / "tools" /
+    * "json" / "json_schema" (see [[graft.llm.StructuredOutput]]). */
+  def withStructuredMode(mode: String): this.type =
+    { llm = llm.copy(structuredMode = Some(mode)); this }
+  /** Mark the model as a reasoning model (forces a non-tools structured
+    * mode, mirroring instructor_mode.py:158-168). */
+  def withReasoningEffort(effort: String): this.type =
+    { llm = llm.copy(reasoningEffort = Some(effort)); this }
 
   // --- processing -------------------------------------------------------
   def withErrorPolicy(p: ErrorPolicy.Value): this.type =
@@ -171,7 +179,12 @@ final class PipelineBuilder private () {
 
   def run(df: DataFrame): EnrichResult = {
     val client = clientOpt
-      .orElse(llm.endpoint.map(_ => graft.llm.LlmClients.forSpec(llm)))
+      // Typed output over a real endpoint gets provider-native structured
+      // modes (tools / json_schema / json + fallback chain).
+      .orElse(llm.endpoint.map(_ => graft.llm.LlmClients.forSpec(llm,
+        if (output.responseFormat == graft.core.ResponseFormat.Typed)
+          output.typedSchema
+        else None)))
       .getOrElse(throw new IllegalArgumentException(
         "withClient(...) or withEndpoint(...) is required before run()"))
     new Enricher(build(), client, runDirOpt, keyColumnOpt, dispatcher,

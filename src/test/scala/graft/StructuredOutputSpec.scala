@@ -1,0 +1,334 @@
+package graft
+
+import java.io.OutputStream
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.types._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm._
+
+/** Provider-native structured-output modes: layered detection
+  * (instructor_mode.py:103-246 semantics), JSON-schema rendering, narrow
+  * rejection classification, and the sticky fallback chain driven through
+  * a real loopback provider that structurally rejects modes. */
+class StructuredOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  import StructuredMode._
+
+  // ---------------------------------------------------------------- detection
+
+  test("layer 1: explicit user override beats every other signal") {
+    assert(StructuredOutput.detect("gpt-4o", Some("json")) == Json)
+    assert(StructuredOutput.detect("totally-unknown", Some("tools")) == Tools)
+    assert(StructuredOutput.detect("claude-3-5-sonnet", Some("json_schema")) == JsonSchema)
+    assert(StructuredOutput.detect("gpt-4o", Some("auto")) == JsonSchema)
+    intercept[IllegalArgumentException] {
+      StructuredOutput.detect("gpt-4o", Some("yaml"))
+    }
+  }
+
+  test("layer 2: reasoning effort forces a non-tools mode") {
+    assert(StructuredOutput.detect("gpt-4o", None, hasReasoningEffort = true) == Json)
+  }
+
+  test("layer 3: model capability table — schema-capable models get JsonSchema") {
+    assert(StructuredOutput.detect("gpt-4o") == JsonSchema)
+    assert(StructuredOutput.detect("openai/gpt-4o-mini") == JsonSchema)
+    assert(StructuredOutput.detect("gpt-4-turbo") == Tools) // function calling, no schema
+    assert(StructuredOutput.detect("gpt-3.5-turbo") == Tools)
+    assert(StructuredOutput.detect("claude-3-5-sonnet-20241022") == Tools)
+  }
+
+  test("layer 3: provider registry vetoes a capability-table tools claim") {
+    // llama family has no tools claim; via groq the registry also vetoes.
+    assert(StructuredOutput.detect("groq/llama-3.1-70b") == Json)
+    assert(StructuredOutput.detect("ollama/llama-3.1-8b") == Json)
+  }
+
+  test("layer 4/5: provider registry fallback, then safest default") {
+    assert(StructuredOutput.detect("mistral/ministral-nouveau") == Tools)
+    assert(StructuredOutput.detect("huggingface/some-community-model") == Json)
+    assert(StructuredOutput.detect("never-heard-of-it") == Json)
+  }
+
+  test("gateway namespace is not a provider: unregistered prefix falls through") {
+    // "myproxy" is not a registered provider; the model behind it is.
+    assert(StructuredOutput.detect("myproxy/claude-3-haiku") == Tools)
+  }
+
+  // ---------------------------------------------------------------- chain
+
+  test("fallback chain: most to least capable, Json always last, no self") {
+    assert(StructuredOutput.fallbackChain(JsonSchema, "gpt-4o") == List(Tools, Json))
+    assert(StructuredOutput.fallbackChain(Tools, "gpt-4") == List(JsonSchema, Json))
+    assert(StructuredOutput.fallbackChain(Json, "whatever") == List(JsonSchema, Tools))
+  }
+
+  test("anthropic chain never contains JsonSchema") {
+    assert(StructuredOutput.fallbackChain(Tools, "claude-3-opus") == List(Json))
+    assert(StructuredOutput.fallbackChain(Json, "anthropic/claude-3-haiku") == List(Tools))
+  }
+
+  // ---------------------------------------------------------------- rejection
+
+  test("rejection classification is narrow: typed transient/fatal never switch") {
+    assert(!StructuredOutput.isModeRejection(new RateLimitError("429")))
+    assert(!StructuredOutput.isModeRejection(new NetworkError("conn reset")))
+    assert(!StructuredOutput.isModeRejection(new AuthError("bad key")))
+    assert(!StructuredOutput.isModeRejection(new QuotaError("billing hard limit")))
+    assert(!StructuredOutput.isModeRejection(new ModelNotFoundError("gone")))
+    assert(!StructuredOutput.isModeRejection(new RuntimeException("boom")))
+    // generic 4xx with a structural wording DOES switch
+    assert(StructuredOutput.isModeRejection(
+      new LlmError("400: response_format is not supported by this model", false)))
+    assert(StructuredOutput.isModeRejection(
+      new LlmError("400: tool use is not supported", false)))
+    // generic 4xx without one does not
+    assert(!StructuredOutput.isModeRejection(
+      new LlmError("400: max_tokens too large", false)))
+    assert(StructuredOutput.isModeRejection(new ModeRejectionError("2 tool calls")))
+  }
+
+  // ---------------------------------------------------------------- schema
+
+  test("jsonSchema renders a StructType as a strict object schema") {
+    val st = StructType(Seq(
+      StructField("label", StringType),
+      StructField("score", IntegerType),
+      StructField("weight", DoubleType),
+      StructField("flags", ArrayType(BooleanType)),
+      StructField("nested", StructType(Seq(StructField("k", LongType))))))
+    val json = StructuredOutput.jsonSchema(st)
+    val node = new ObjectMapper().readTree(json)
+    assert(node.path("type").asText == "object")
+    assert(!node.path("additionalProperties").asBoolean)
+    assert(node.path("properties").path("label").path("type").asText == "string")
+    assert(node.path("properties").path("score").path("type").asText == "integer")
+    assert(node.path("properties").path("weight").path("type").asText == "number")
+    assert(node.path("properties").path("flags").path("type").asText == "array")
+    assert(node.path("properties").path("flags").path("items").path("type").asText == "boolean")
+    assert(node.path("properties").path("nested").path("properties")
+      .path("k").path("type").asText == "integer")
+    val req = (0 until node.path("required").size).map(node.path("required").get(_).asText)
+    assert(req == Seq("label", "score", "weight", "flags", "nested"))
+  }
+
+  // ---------------------------------------------------------------- loopback
+
+  private var server: HttpServer = _
+  private var port: Int = _
+  private val mapper = new ObjectMapper()
+
+  /** Requests per mode, keyed by path — the negotiation audit trail. */
+  private val seen = new java.util.concurrent.ConcurrentHashMap[String, AtomicInteger]()
+  private def bump(path: String, mode: String): Int =
+    seen.computeIfAbsent(s"$path:$mode", _ => new AtomicInteger).incrementAndGet()
+  private def count(path: String, mode: String): Int =
+    Option(seen.get(s"$path:$mode")).map(_.get).getOrElse(0)
+
+  /** Mode of an incoming chat-completions body, by its wire shape. */
+  private def modeOf(body: String): String = {
+    val n = mapper.readTree(body)
+    if (n.has("tools")) "tools"
+    else if (n.path("response_format").path("type").asText == "json_schema") "json_schema"
+    else if (n.path("response_format").path("type").asText == "json_object") "json"
+    else "plain"
+  }
+
+  private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.sendResponseHeaders(status, bytes.length)
+    val os: OutputStream = ex.getResponseBody
+    os.write(bytes); os.close()
+  }
+
+  private def toolReply(args: String): String =
+    s"""{"choices":[{"message":{"role":"assistant","content":null,
+       |"tool_calls":[{"id":"c1","type":"function","function":
+       |{"name":"output","arguments":${mapper.writeValueAsString(args)}}}]}}],
+       |"usage":{"prompt_tokens":10,"completion_tokens":5}}"""
+      .stripMargin.replace("\n", "")
+
+  private def contentReply(content: String): String =
+    s"""{"choices":[{"message":{"role":"assistant","content":
+       |${mapper.writeValueAsString(content)}}}],
+       |"usage":{"prompt_tokens":10,"completion_tokens":5}}"""
+      .stripMargin.replace("\n", "")
+
+  private val rejectRF = """{"error":{"message":"response_format is not supported by this model"}}"""
+  private val rejectTools = """{"error":{"message":"tool calling is not supported"}}"""
+
+  override def beforeAll(): Unit = {
+    server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+
+    // Accepts tools, structurally rejects json_schema — the "gateway lied
+    // about capabilities" provider.
+    server.createContext("/toolsOnly", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val m = modeOf(body); bump("/toolsOnly", m)
+      m match {
+        case "json_schema" => respond(ex, 400, rejectRF)
+        case "tools" => respond(ex, 200, toolReply("""{"label":"via-tools","score":7}"""))
+        case _ => respond(ex, 200, contentReply("""{"label":"via-json","score":1}"""))
+      }
+    })
+
+    // 429s json_schema — transient, must NOT advance the chain.
+    server.createContext("/throttled", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val m = modeOf(body); bump("/throttled", m)
+      if (m == "json_schema") respond(ex, 429, """{"error":"slow down"}""")
+      else respond(ex, 200, contentReply("{}"))
+    })
+
+    // Rejects every structured mode with structural wordings.
+    server.createContext("/nothing", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val m = modeOf(body); bump("/nothing", m)
+      m match {
+        case "tools" => respond(ex, 400, rejectTools)
+        case _ => respond(ex, 400, rejectRF)
+      }
+    })
+
+    // Breaks the tool protocol (two parallel calls) but honors json mode.
+    server.createContext("/parallel", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val m = modeOf(body); bump("/parallel", m)
+      m match {
+        case "json_schema" => respond(ex, 400, rejectRF)
+        case "tools" =>
+          val one = """{"id":"c1","type":"function","function":{"name":"output","arguments":"{}"}}"""
+          respond(ex, 200,
+            s"""{"choices":[{"message":{"role":"assistant","content":null,
+               |"tool_calls":[$one,$one]}}]}""".stripMargin.replace("\n", ""))
+        case _ => respond(ex, 200, contentReply("""{"label":"via-json-fallback","score":3}"""))
+      }
+    })
+
+    server.start()
+    port = server.getAddress.getPort
+  }
+
+  override def afterAll(): Unit = server.stop(0)
+
+  private val schema = StructType(Seq(
+    StructField("label", StringType), StructField("score", IntegerType)))
+
+  private def structuredClient(path: String, model: String = "gpt-4o",
+                               overrideMode: Option[String] = None): HttpLlmClient = {
+    val mode = StructuredOutput.detect(model, overrideMode)
+    new HttpLlmClient(s"http://127.0.0.1:$port$path", model,
+      timeoutMs = 5000,
+      structured = Some(StructuredCall(StructuredOutput.jsonSchema(schema),
+        "output", new ModeNegotiator(mode, StructuredOutput.fallbackChain(mode, model)))))
+  }
+
+  test("fallback walk: json_schema rejected -> tools accepted, and the switch is sticky") {
+    val c = structuredClient("/toolsOnly")
+    val r1 = c.invoke("first", None)
+    assert(r1.text == """{"label":"via-tools","score":7}""")
+    assert(count("/toolsOnly", "json_schema") == 1)
+    assert(count("/toolsOnly", "tools") == 1)
+    // second call goes straight to the discovered mode — no re-probe
+    val r2 = c.invoke("second", None)
+    assert(r2.text == """{"label":"via-tools","score":7}""")
+    assert(count("/toolsOnly", "json_schema") == 1)
+    assert(count("/toolsOnly", "tools") == 2)
+  }
+
+  test("narrow trigger: a 429 in the detected mode propagates, mode unchanged") {
+    val neg = {
+      val mode = StructuredOutput.detect("gpt-4o", None)
+      new ModeNegotiator(mode, StructuredOutput.fallbackChain(mode, "gpt-4o"))
+    }
+    val c = new HttpLlmClient(s"http://127.0.0.1:$port/throttled", "gpt-4o",
+      timeoutMs = 5000,
+      structured = Some(StructuredCall(StructuredOutput.jsonSchema(schema), "output", neg)))
+    intercept[RateLimitError] { c.invoke("x", None) }
+    assert(neg.mode == JsonSchema)
+    assert(neg.switches == 0)
+    assert(count("/throttled", "tools") == 0)
+  }
+
+  test("exhaustion: every mode structurally rejected -> the rejection propagates") {
+    val c = structuredClient("/nothing")
+    val e = intercept[LlmError] { c.invoke("x", None) }
+    assert(!e.retryable)
+    assert(count("/nothing", "json_schema") == 1)
+    assert(count("/nothing", "tools") == 1)
+    assert(count("/nothing", "json") == 1)
+  }
+
+  test("tool-protocol violation (parallel calls) is a structural rejection -> json fallback") {
+    val c = structuredClient("/parallel")
+    val r = c.invoke("x", None)
+    assert(r.text == """{"label":"via-json-fallback","score":3}""")
+    assert(count("/parallel", "tools") == 1)
+    assert(count("/parallel", "json") == 1)
+  }
+
+  test("json mode: response_format json_object + schema contract in system message") {
+    val c = structuredClient("/toolsOnly", overrideMode = Some("json"))
+    val before = count("/toolsOnly", "json")
+    val r = c.invoke("x", Some("be terse"))
+    assert(r.text == """{"label":"via-json","score":1}""")
+    assert(count("/toolsOnly", "json") == before + 1)
+  }
+
+  test("concurrent rejection consumes exactly one chain candidate") {
+    val mode = StructuredOutput.detect("gpt-4o", None)
+    val neg = new ModeNegotiator(mode, StructuredOutput.fallbackChain(mode, "gpt-4o"))
+    val c = new HttpLlmClient(s"http://127.0.0.1:$port/toolsOnly", "gpt-4o",
+      timeoutMs = 5000,
+      structured = Some(StructuredCall(StructuredOutput.jsonSchema(schema), "output", neg)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val futures = (1 to 16).map(_ => pool.submit(
+        new java.util.concurrent.Callable[String] {
+          def call(): String = c.invoke("concurrent", None).text
+        }))
+      futures.foreach(f => assert(f.get() == """{"label":"via-tools","score":7}"""))
+    } finally pool.shutdown()
+    // 16 threads, ≥1 json_schema rejection each possible — but only ONE
+    // candidate may be consumed: first-switcher-wins.
+    assert(neg.switches == 1)
+    assert(neg.mode == Tools)
+  }
+
+  test("negotiator attempts in strict chain order and reuses a peer's switch") {
+    val neg = new ModeNegotiator(JsonSchema, List(Tools, Json))
+    val tried = scala.collection.mutable.ArrayBuffer[StructuredMode]()
+    val out = neg.attempt { m =>
+      tried += m
+      if (m != Json) throw new LlmError(s"${m.wire} is not supported", false)
+      "ok"
+    }
+    assert(out == "ok")
+    assert(tried.toList == List(JsonSchema, Tools, Json))
+    assert(neg.switches == 2)
+  }
+
+  test("end-to-end: Typed pipeline over a structured endpoint lands typed columns") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val df = Seq("alpha", "beta", "gamma").toDF("text")
+    val result = graft.run.PipelineBuilder()
+      .withTemplate("Q: {text}")
+      .withModel("gpt-4o")
+      .withEndpoint(s"http://127.0.0.1:$port/toolsOnly")
+      .withOutputColumns("label", "score")
+      .withTypedSchema("label string, score int")
+      .run(df)
+    val rows = result.data.select("text", "label", "score").collect()
+    assert(rows.length == 3)
+    assert(rows.forall(_.getString(1) == "via-tools"))
+    assert(rows.forall(_.getInt(2) == 7))
+  }
+}
