@@ -39,6 +39,14 @@ object ResponseFormat extends Enumeration {
   val Raw, Json, Regex, Typed = Value
 }
 
+/** Valid `LlmSpec.structuredMode` values (the reference's user-facing
+  * strategy enum, instructor_mode.py:23-30). Lives in core so spec
+  * validation needs nothing from graft.llm; [[graft.llm.StructuredOutput]]
+  * aliases it. */
+object StructuredModes {
+  val Strategies: Set[String] = Set("auto", "tools", "json", "json_schema")
+}
+
 /** Failure sentinel written into output cells for skipped rows
   * (reference: ondine/core/models.py:14-18).
   */
@@ -210,9 +218,9 @@ final case class PipelineSpec(
     require(llm.timeoutMs > 0,
       s"llm.timeoutMs must be > 0 (got ${llm.timeoutMs})")
     llm.structuredMode.foreach { m =>
-      require(graft.llm.StructuredOutput.Strategies.contains(m.toLowerCase),
+      require(StructuredModes.Strategies.contains(m.toLowerCase),
         s"llm.structuredMode '$m' not in " +
-          graft.llm.StructuredOutput.Strategies.mkString("/"))
+          StructuredModes.Strategies.mkString("/"))
     }
     if (output.responseFormat == ResponseFormat.Regex)
       require(output.outputColumns.forall(output.regexPatterns.contains),

@@ -53,13 +53,19 @@ object LlmClients {
         val structured = typedSchema.map { st =>
           val mode = StructuredOutput.detect(spec.model, spec.structuredMode,
             spec.reasoningEffort.isDefined)
+          // Scope the shared negotiation by (endpoint, model): every task
+          // closure's deserialized handle resolves to the same per-JVM
+          // state, so discovery cost is per-executor, not per-task.
           StructuredCall(StructuredOutput.jsonSchema(st), "output",
-            new ModeNegotiator(mode, StructuredOutput.fallbackChain(mode, spec.model)))
+            new ModeNegotiator(s"$url|${spec.model}", mode,
+              StructuredOutput.fallbackChain(mode, spec.model,
+                spec.reasoningEffort.isDefined)))
         }
         new HttpLlmClient(url, spec.model,
           apiKey = spec.apiKeyEnv.flatMap(sys.env.get),
           inPer1k = spec.inputCostPer1k, outPer1k = spec.outputCostPer1k,
-          timeoutMs = spec.timeoutMs, structured = structured)
+          timeoutMs = spec.timeoutMs, structured = structured,
+          reasoningEffort = spec.reasoningEffort)
       case None => new MockLlmClient(spec.model,
         inPer1k = spec.inputCostPer1k, outPer1k = spec.outputCostPer1k)
     }
@@ -103,7 +109,10 @@ final class HttpLlmClient(
       * json_schema / json) and walks the fallback chain on structural
       * rejection — see [[StructuredOutput]]. The response text is then
       * guaranteed-JSON for the downstream Typed parser. */
-    structured: Option[StructuredCall] = None) extends LlmClient {
+    structured: Option[StructuredCall] = None,
+    /** Forwarded verbatim as `reasoning_effort` (reasoning models); also
+      * a mode-detection input upstream (instructor_mode.py:158-168). */
+    reasoningEffort: Option[String] = None) extends LlmClient {
 
   @transient private lazy val http: HttpClient =
     HttpClient.newBuilder()
@@ -111,6 +120,13 @@ final class HttpLlmClient(
       .build()
 
   @transient private lazy val mapper = new ObjectMapper()
+
+  /** The schema parsed ONCE per client (per deserialized copy) — not per
+    * request: a 100k-row run would otherwise re-parse the same string
+    * 100k times. Never mutated after parse; Jackson reads are
+    * thread-safe. */
+  @transient private lazy val schemaNode: Option[ObjectNode] =
+    structured.map(sc => mapper.readTree(sc.schemaJson).asInstanceOf[ObjectNode])
 
   private def requestBody(prompt: String, systemMessage: Option[String],
                           mode: Option[StructuredMode]): String = {
@@ -131,6 +147,7 @@ final class HttpLlmClient(
       val m = msgs.addObject(); m.put("role", "system"); m.put("content", s)
     }
     val u = msgs.addObject(); u.put("role", "user"); u.put("content", prompt)
+    reasoningEffort.foreach(root.put("reasoning_effort", _))
     (mode, structured) match {
       case (Some(StructuredMode.Tools), Some(sc)) =>
         // One forced function call; parallel_tool_calls:false because the
@@ -141,7 +158,7 @@ final class HttpLlmClient(
         val fn = tool.putObject("function")
         fn.put("name", sc.name)
         fn.put("description", "Emit the structured result.")
-        fn.set[ObjectNode]("parameters", mapper.readTree(sc.schemaJson).asInstanceOf[ObjectNode])
+        fn.set[ObjectNode]("parameters", schemaNode.get)
         val choice = root.putObject("tool_choice")
         choice.put("type", "function")
         choice.putObject("function").put("name", sc.name)
@@ -152,7 +169,7 @@ final class HttpLlmClient(
         val js = rf.putObject("json_schema")
         js.put("name", sc.name)
         js.put("strict", true)
-        js.set[ObjectNode]("schema", mapper.readTree(sc.schemaJson).asInstanceOf[ObjectNode])
+        js.set[ObjectNode]("schema", schemaNode.get)
       case (Some(StructuredMode.Json), _) =>
         root.putObject("response_format").put("type", "json_object")
       case _ => ()
@@ -259,9 +276,15 @@ final class HttpLlmClient(
         if (calls.size > 1)
           throw new ModeRejectionError(
             s"tools mode got ${calls.size} parallel tool calls from $model")
-        Option(calls.path(0).path("function").path("arguments").textValue())
-          .getOrElse(throw new ModeRejectionError(
-            s"tool call without function.arguments: ${snippet(body)}"))
+        val args = calls.path(0).path("function").path("arguments")
+        // Spec says arguments is a JSON-encoded STRING, but several
+        // OpenAI-compatible servers return the object directly — both are
+        // honest tool replies, so accept both before calling it a
+        // protocol violation.
+        if (args.isTextual) args.textValue()
+        else if (args.isObject || args.isArray) mapper.writeValueAsString(args)
+        else throw new ModeRejectionError(
+          s"tool call without function.arguments: ${snippet(body)}")
       case _ =>
         Option(message.path("content").textValue()).getOrElse(
           throw new LlmError(

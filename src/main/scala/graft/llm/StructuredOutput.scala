@@ -55,8 +55,10 @@ class ModeRejectionError(msg: String) extends LlmError(msg, retryable = false)
 
 object StructuredOutput {
 
-  /** User-facing strategy values (instructor_mode.py:23-30). */
-  val Strategies: Set[String] = Set("auto", "tools", "json", "json_schema")
+  /** User-facing strategy values (instructor_mode.py:23-30). Defined in
+    * core (alias here) so spec validation does not reach into this
+    * package — llm already depends on core. */
+  val Strategies: Set[String] = graft.core.StructuredModes.Strategies
 
   /** Per-provider mode support — public facts about public provider APIs
     * (the reference keeps the same registry, instructor_mode.py:33-106:
@@ -150,8 +152,9 @@ object StructuredOutput {
     // Layer 3: model-family capabilities.
     else longestFamily(model) match {
       case Some((schemaOk, toolsOk)) =>
-        if (schemaOk && !provider.contains("anthropic")
-            && provider.forall(ProviderJsonSchemaOk.contains))
+        // (anthropic exclusion is implied: it is absent from
+        // ProviderJsonSchemaOk, so the forall rejects it)
+        if (schemaOk && provider.forall(ProviderJsonSchemaOk.contains))
           StructuredMode.JsonSchema
         else {
           // Provider registry can veto a capability-table tools claim
@@ -171,25 +174,46 @@ object StructuredOutput {
 
   /** Ordered candidates after `initial`, most to least capable; Json last
     * everywhere because it needs nothing from the provider. Anthropic
-    * never receives JsonSchema (unified_litellm_client.py:144-173). */
-  def fallbackChain(initial: StructuredMode, model: String): List[StructuredMode] = {
-    val anthropic = extractProvider(model).contains("anthropic")
+    * never receives JsonSchema (unified_litellm_client.py:144-173), and a
+    * mode detection already KNOWS can't work is not worth probing: Tools
+    * is excluded for reasoning models and registry-vetoed providers —
+    * escalating a reasoning model to the tool protocol its detection
+    * layer exists to avoid would burn doomed requests and mask the real
+    * rejection. */
+  def fallbackChain(initial: StructuredMode, model: String,
+                    hasReasoningEffort: Boolean = false): List[StructuredMode] = {
+    val provider = extractProvider(model)
+    val anthropic = provider.contains("anthropic")
+    val toolsVetoed = hasReasoningEffort ||
+      provider.exists(p => !ProviderToolsOk.getOrElse(p, true)) ||
+      longestFamily(model).exists { case (_, toolsOk) =>
+        !toolsOk && provider.isEmpty // family says no and no provider to overrule
+      }
     val all =
       if (anthropic) List(StructuredMode.Tools, StructuredMode.Json)
       else List(StructuredMode.JsonSchema, StructuredMode.Tools, StructuredMode.Json)
     all.filterNot(_ == initial)
+      .filterNot(m => toolsVetoed && m == StructuredMode.Tools)
   }
 
   /** Provider wordings that mean "this mode can never work here" —
     * matched against 4xx bodies (unified_litellm_client.py:82-97; the
-    * wordings are public provider error messages). */
+    * wordings are public provider error messages). Matching strips
+    * quotes/apostrophes first: the real OpenAI wordings quote the
+    * parameter name ("Invalid parameter: 'response_format' of type
+    * 'json_schema' is not supported with this model."), which would
+    * defeat plain substring checks. */
   private val RejectionSignatures = Seq(
     "tools is not supported", "tool use is not supported",
     "does not support tool", "tool calling is not supported",
     "function calling is not supported", "functions is not supported",
     "response_format is not supported", "response_format is unsupported",
     "json_schema is not supported", "json_schema is unsupported",
-    "response_schema is not supported", "structured output is not supported")
+    "response_schema is not supported", "structured output is not supported",
+    // strict-mode schema rejections (e.g. a schema shape strict json_schema
+    // cannot express): same structural character — this mode, with this
+    // schema, can never succeed; a less demanding mode can.
+    "invalid schema for response_format")
 
   /** True only for structural rejections of the mode. The taxonomy is
     * typed, so the reference's "never-fallback signatures win" precedence
@@ -203,7 +227,8 @@ object StructuredOutput {
     case _: AuthError | _: QuotaError | _: ModelNotFoundError => false
     case e: LlmError if e.retryable => false
     case e: LlmError =>
-      val s = Option(e.getMessage).getOrElse("").toLowerCase
+      val s = Option(e.getMessage).getOrElse("")
+        .toLowerCase.replace("'", "").replace("\"", "").replace("`", "")
       RejectionSignatures.exists(s.contains)
     case _ => false
   }
@@ -241,7 +266,14 @@ object StructuredOutput {
         case ArrayType(el, _) =>
           n.put("type", "array"); n.set[ObjectNode]("items", forType(el))
         case st: StructType => return forStruct(st)
-        case _: MapType => n.put("type", "object")
+        case MapType(_, valueType, _) =>
+          // Free-form keys: valid JSON Schema, but OpenAI STRICT mode
+          // rejects non-false additionalProperties — that arrives as
+          // "Invalid schema for response_format", a structural rejection
+          // the negotiator consumes (falls back to tools/json, which
+          // carry maps fine).
+          n.put("type", "object")
+          n.set[ObjectNode]("additionalProperties", forType(valueType))
         case _ => n.put("type", "string")
       }
       n
@@ -252,28 +284,44 @@ object StructuredOutput {
 /** Sticky, concurrency-safe mode negotiation
   * (unified_litellm_client.py:1190-1248).
   *
-  * Many partition threads share one client; when a wrong mode is
+  * Many partition threads share one negotiation; when a wrong mode is
   * discovered they all hit the rejection at once. The first to take the
   * lock performs the switch; the rest observe the mode already moved on
   * from the one they failed with and reuse it — one rejection consumes
   * one candidate, never N. Exhaustion rethrows the rejection itself
   * (more diagnostic than a generic failure).
   *
-  * Serialization: task closures each deserialize their own copy, so on a
-  * real cluster stickiness is per-executor — each executor pays discovery
-  * once, which is exactly the reference's per-client discovery cost.
+  * Serialization: the negotiation STATE lives in a per-JVM registry
+  * keyed by (scope, initial, chain) — instances are lightweight handles,
+  * so the many copies a Spark run deserializes (one per task closure)
+  * all resolve to ONE shared negotiation per executor JVM. Each executor
+  * pays discovery once per run — not once per task, which on a
+  * 200-partition run would burn up to chain-length doomed probes per
+  * partition. (In local mode driver and "executors" share the JVM, so
+  * `mode`/`switches` observability is exact; on a real cluster the
+  * driver-side handle reads driver-local state only.)
   */
 final class ModeNegotiator(
+    scopeKey: String,
     initial: StructuredMode,
     chain: List[StructuredMode]) extends Serializable {
 
-  private val current = new AtomicReference[StructuredMode](initial)
-  private var remaining: List[StructuredMode] = chain // guarded by this
-  /** Fallback steps actually taken (observability + tests). */
-  private val switchCount = new java.util.concurrent.atomic.AtomicInteger(0)
+  /** Instance-scoped negotiation (tests, ad-hoc clients): a unique scope
+    * so no other instance shares the state. */
+  def this(initial: StructuredMode, chain: List[StructuredMode]) =
+    this(java.util.UUID.randomUUID().toString, initial, chain)
 
-  def mode: StructuredMode = current.get()
-  def switches: Int = switchCount.get()
+  // Full key includes the starting configuration: a changed override or
+  // chain must never resurrect a stale negotiation for the same endpoint.
+  private val key: String =
+    s"$scopeKey|${initial.wire}|${chain.map(_.wire).mkString(",")}"
+
+  @transient private lazy val state: ModeNegotiator.State =
+    ModeNegotiator.registry.computeIfAbsent(key,
+      _ => new ModeNegotiator.State(initial, chain))
+
+  def mode: StructuredMode = state.current.get()
+  def switches: Int = state.switchCount.get()
 
   /** Run `f` in the current mode, walking the chain on structural
     * rejections; all other errors propagate unchanged. */
@@ -282,27 +330,41 @@ final class ModeNegotiator(
       // Capture the mode being attempted NOW — reading it back after a
       // failure is wrong under concurrency (another thread may have
       // switched; we'd consume a second candidate for one rejection).
-      val attempted = current.get()
+      val attempted = state.current.get()
       try return f(attempted)
       catch {
         case e: Throwable if StructuredOutput.isModeRejection(e) =>
-          if (!advance(attempted)) throw e
+          if (!state.advance(attempted)) throw e
       }
     }
     throw new IllegalStateException("unreachable")
   }
+}
 
-  private def advance(failed: StructuredMode): Boolean = synchronized {
-    if (current.get() != failed) true // someone already switched away
-    else remaining match {
-      case next :: rest =>
-        remaining = rest
-        current.set(next)
-        switchCount.incrementAndGet()
-        true
-      case Nil => false
+object ModeNegotiator {
+  private[llm] final class State(
+      initial: StructuredMode, chain: List[StructuredMode]) {
+    val current = new AtomicReference[StructuredMode](initial)
+    var remaining: List[StructuredMode] = chain // guarded by this
+    val switchCount = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def advance(failed: StructuredMode): Boolean = synchronized {
+      if (current.get() != failed) true // someone already switched away
+      else remaining match {
+        case next :: rest =>
+          remaining = rest
+          current.set(next)
+          switchCount.incrementAndGet()
+          true
+        case Nil => false
+      }
     }
   }
+
+  /** Keyed per-JVM states — bounded by distinct (endpoint, model,
+    * mode-config) combinations, i.e. a handful per application. */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, State]()
 }
 
 /** Everything the HTTP client needs to shape a structured request: the

@@ -95,6 +95,29 @@ class StructuredOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(StructuredOutput.isModeRejection(new ModeRejectionError("2 tool calls")))
   }
 
+  test("real provider wordings with quoted parameter names classify as rejections") {
+    assert(StructuredOutput.isModeRejection(new LlmError(
+      "400: Invalid parameter: 'response_format' of type 'json_schema' is not supported with this model.",
+      false)))
+    assert(StructuredOutput.isModeRejection(new LlmError(
+      "400: Unsupported parameter: 'response_format' is not supported with this model.",
+      false)))
+    // strict-mode schema rejection (e.g. a map column) is structural too
+    assert(StructuredOutput.isModeRejection(new LlmError(
+      "400: Invalid schema for response_format 'output': 'additionalProperties' is required to be supplied and to be false.",
+      false)))
+  }
+
+  test("fallback chain drops Tools for reasoning models and vetoed providers") {
+    assert(StructuredOutput.fallbackChain(Json, "gpt-4o",
+      hasReasoningEffort = true) == List(JsonSchema))
+    assert(StructuredOutput.fallbackChain(Json, "groq/llama-3.1-70b") == List(JsonSchema))
+    assert(StructuredOutput.fallbackChain(Json, "ollama/llama-3.1-8b") == List(JsonSchema))
+    // gateway-hosted llama keeps Tools: the gateway may well support it
+    assert(StructuredOutput.fallbackChain(Json, "openrouter/llama-3.1-70b") ==
+      List(JsonSchema, Tools))
+  }
+
   // ---------------------------------------------------------------- schema
 
   test("jsonSchema renders a StructType as a strict object schema") {
@@ -117,6 +140,37 @@ class StructuredOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
       .path("k").path("type").asText == "integer")
     val req = (0 until node.path("required").size).map(node.path("required").get(_).asText)
     assert(req == Seq("label", "score", "weight", "flags", "nested"))
+  }
+
+  test("map columns render as additionalProperties value schemas, not bare objects") {
+    val st = StructType(Seq(
+      StructField("tags", MapType(StringType, IntegerType))))
+    val node = new ObjectMapper().readTree(StructuredOutput.jsonSchema(st))
+    val tags = node.path("properties").path("tags")
+    assert(tags.path("type").asText == "object")
+    assert(tags.path("additionalProperties").path("type").asText == "integer")
+  }
+
+  test("negotiator handles sharing a scope share ONE negotiation across serialization") {
+    val key = s"spec-scope-${System.nanoTime()}"
+    val a = new ModeNegotiator(key, JsonSchema, List(Tools, Json))
+    // Java round-trip = what a Spark task closure does to the handle.
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(a); oos.close()
+    val b = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[ModeNegotiator]
+    // drive the ORIGINAL through a rejection…
+    val out = a.attempt { m =>
+      if (m == JsonSchema) throw new LlmError("json_schema is not supported", false)
+      else "ok"
+    }
+    assert(out == "ok")
+    // …and the deserialized copy observes the switch (shared state, so a
+    // second task does NOT re-pay the doomed probe).
+    assert(b.mode == Tools)
+    assert(b.switches == 1)
   }
 
   // ---------------------------------------------------------------- loopback
@@ -212,9 +266,33 @@ class StructuredOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     })
 
+    // Replies to tools mode with OBJECT-form function.arguments — the
+    // shape several OpenAI-compatible servers use instead of the
+    // JSON-encoded string.
+    server.createContext("/objArgs", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val m = modeOf(body); bump("/objArgs", m)
+      m match {
+        case "tools" => respond(ex, 200,
+          """{"choices":[{"message":{"role":"assistant","content":null,
+            |"tool_calls":[{"id":"c1","type":"function","function":
+            |{"name":"output","arguments":{"label":"obj-form","score":9}}}]}}]}"""
+            .stripMargin.replace("\n", ""))
+        case _ => respond(ex, 400, rejectRF)
+      }
+    })
+
+    // Echoes nothing interesting; records the raw request body.
+    server.createContext("/echo", (ex: HttpExchange) => {
+      lastEchoBody = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      respond(ex, 200, contentReply("pong"))
+    })
+
     server.start()
     port = server.getAddress.getPort
   }
+
+  @volatile private var lastEchoBody: String = null
 
   override def afterAll(): Unit = server.stop(0)
 
@@ -313,6 +391,20 @@ class StructuredOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == "ok")
     assert(tried.toList == List(JsonSchema, Tools, Json))
     assert(neg.switches == 2)
+  }
+
+  test("object-form tool arguments are an honest reply, not a protocol violation") {
+    val c = structuredClient("/objArgs", overrideMode = Some("tools"))
+    val r = c.invoke("x", None)
+    assert(r.text == """{"label":"obj-form","score":9}""")
+    assert(count("/objArgs", "json") == 0) // no spurious downgrade
+  }
+
+  test("reasoning_effort is serialized into the request body, not just consumed") {
+    val c = new HttpLlmClient(s"http://127.0.0.1:$port/echo", "o1-mini",
+      timeoutMs = 5000, reasoningEffort = Some("high"))
+    c.invoke("think hard", None)
+    assert(lastEchoBody.contains(""""reasoning_effort":"high""""))
   }
 
   test("end-to-end: Typed pipeline over a structured endpoint lands typed columns") {
