@@ -45,6 +45,9 @@ object ResponseFormat extends Enumeration {
   * aliases it. */
 object StructuredModes {
   val Strategies: Set[String] = Set("auto", "tools", "json", "json_schema")
+  /** Valid `LlmSpec.reasoningEffort` values (the public reasoning-model
+    * effort levels; a typo here would otherwise ship in every request). */
+  val Efforts: Set[String] = Set("minimal", "low", "medium", "high")
 }
 
 /** Failure sentinel written into output cells for skipped rows
@@ -221,6 +224,17 @@ final case class PipelineSpec(
       require(StructuredModes.Strategies.contains(m.toLowerCase),
         s"llm.structuredMode '$m' not in " +
           StructuredModes.Strategies.mkString("/"))
+      // The mode only shapes Typed requests; accepting it elsewhere would
+      // let a user believe provider-native structured output is active
+      // while every request goes out as a plain chat completion.
+      require(output.responseFormat == ResponseFormat.Typed,
+        s"llm.structuredMode '$m' requires output.responseFormat = Typed " +
+          s"(got ${output.responseFormat}); the mode shapes Typed requests only")
+    }
+    llm.reasoningEffort.foreach { e =>
+      require(StructuredModes.Efforts.contains(e.toLowerCase),
+        s"llm.reasoningEffort '$e' not in " +
+          StructuredModes.Efforts.mkString("/"))
     }
     if (output.responseFormat == ResponseFormat.Regex)
       require(output.outputColumns.forall(output.regexPatterns.contains),

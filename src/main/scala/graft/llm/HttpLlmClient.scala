@@ -53,11 +53,17 @@ object LlmClients {
         val structured = typedSchema.map { st =>
           val mode = StructuredOutput.detect(spec.model, spec.structuredMode,
             spec.reasoningEffort.isDefined)
-          // Scope the shared negotiation by (endpoint, model): every task
-          // closure's deserialized handle resolves to the same per-JVM
-          // state, so discovery cost is per-executor, not per-task.
-          StructuredCall(StructuredOutput.jsonSchema(st), "output",
-            new ModeNegotiator(s"$url|${spec.model}", mode,
+          val schemaJson = StructuredOutput.jsonSchema(st)
+          // Scope the shared negotiation by (endpoint, model, SCHEMA):
+          // every task closure's deserialized handle resolves to the same
+          // per-JVM state, so discovery cost is per-executor, not per-task.
+          // The schema is part of the scope because rejections can be
+          // schema-specific (strict mode refusing a map column must not
+          // downgrade a sibling pipeline whose plain struct it accepts).
+          StructuredCall(schemaJson, "output",
+            new ModeNegotiator(
+              s"$url|${spec.model}|${Integer.toHexString(schemaJson.hashCode)}",
+              mode,
               StructuredOutput.fallbackChain(mode, spec.model,
                 spec.reasoningEffort.isDefined)))
         }
@@ -136,7 +142,9 @@ final class HttpLlmClient(
     // instructor JSON-mode shape: no server-side enforcement, the model is
     // *asked* for schema-shaped output and the downstream parser validates.
     val sys = (mode, structured) match {
-      case (Some(StructuredMode.Json), Some(sc)) =>
+      // Plain keeps the same schema ask but sends no response_format —
+      // the shape a provider with zero structured-output support accepts.
+      case (Some(StructuredMode.Json) | Some(StructuredMode.Plain), Some(sc)) =>
         val ask = "Respond ONLY with a JSON object matching this JSON Schema" +
           s" (no prose, no code fences):\n${sc.schemaJson}"
         Some(systemMessage.map(_ + "\n\n" + ask).getOrElse(ask))
@@ -273,10 +281,21 @@ final class HttpLlmClient(
         if (!calls.isArray || calls.size == 0)
           throw new ModeRejectionError(
             s"tools mode got no tool call from $model: ${snippet(body)}")
-        if (calls.size > 1)
-          throw new ModeRejectionError(
-            s"tools mode got ${calls.size} parallel tool calls from $model")
-        val args = calls.path(0).path("function").path("arguments")
+        // parallel_tool_calls:false notwithstanding, some servers still
+        // emit several calls. The forced call is addressed BY NAME, so if
+        // exactly one call carries our function name the reply is usable —
+        // rejecting it would let one flaky reply permanently downgrade the
+        // whole JVM's mode. Only a reply with no identifiable forced call
+        // is a protocol breach.
+        val named = (0 until calls.size)
+          .map(i => calls.path(i))
+          .filter(c => structured.exists(_.name == c.path("function").path("name").textValue()))
+        val call =
+          if (named.size == 1) named.head
+          else if (calls.size == 1) calls.path(0)
+          else throw new ModeRejectionError(
+            s"tools mode got ${calls.size} tool calls (${named.size} named) from $model")
+        val args = call.path("function").path("arguments")
         // Spec says arguments is a JSON-encoded STRING, but several
         // OpenAI-compatible servers return the object directly — both are
         // honest tool replies, so accept both before calling it a

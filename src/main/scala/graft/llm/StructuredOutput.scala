@@ -45,6 +45,13 @@ object StructuredMode {
   case object Tools extends StructuredMode { val wire = "tools" }
   case object JsonSchema extends StructuredMode { val wire = "json_schema" }
   case object Json extends StructuredMode { val wire = "json" }
+  /** Terminal fallback, not user-selectable: a plain chat request with the
+    * schema asked for in the system message and NO response_format at all —
+    * what this client sent before mode negotiation existed, and the only
+    * shape a provider with zero structured-output support accepts. The
+    * downstream Typed parser's strict→fence→brace chain handles the reply
+    * exactly as it always did. */
+  case object Plain extends StructuredMode { val wire = "plain" }
 }
 
 /** Structural mode rejection raised CLIENT-side (no tool call in a tools-
@@ -119,9 +126,25 @@ object StructuredOutput {
     }
   }
 
+  /** Family key occurs at a token boundary: no LETTER may touch either end
+    * of the match, so "o1" claims "o1-mini" and "openai/o1" but not the
+    * "o1" inside "gpt-neo1.3b"; digits stay permissive because real ids
+    * glue versions on ("llama3.1", "qwen2.5"). */
+  private def familyMatches(m: String, key: String): Boolean = {
+    var idx = m.indexOf(key)
+    while (idx >= 0) {
+      val beforeOk = idx == 0 || !m.charAt(idx - 1).isLetter
+      val end = idx + key.length
+      val afterOk = end == m.length || !m.charAt(end).isLetter
+      if (beforeOk && afterOk) return true
+      idx = m.indexOf(key, idx + 1)
+    }
+    false
+  }
+
   private def longestFamily(model: String): Option[(Boolean, Boolean)] = {
     val m = model.toLowerCase
-    val hits = ModelCaps.filter { case (k, _) => m.contains(k) }
+    val hits = ModelCaps.filter { case (k, _) => familyMatches(m, k) }
     if (hits.isEmpty) None else Some(hits.maxBy(_._1.length)._2)
   }
 
@@ -180,6 +203,14 @@ object StructuredOutput {
     * escalating a reasoning model to the tool protocol its detection
     * layer exists to avoid would burn doomed requests and mask the real
     * rejection. */
+  /** Gateway namespaces that TRANSLATE protocols for the models they front:
+    * a capability-table "no tools" verdict about the bare model does not
+    * bind what the gateway's shim layer accepts, so the chain may still
+    * probe Tools there. Direct providers (openai, mistral, …) serve the
+    * model as-is — the family verdict binds. */
+  private val TranslatingGateways: Set[String] =
+    Set("openrouter", "together", "bedrock", "vertex_ai")
+
   def fallbackChain(initial: StructuredMode, model: String,
                     hasReasoningEffort: Boolean = false): List[StructuredMode] = {
     val provider = extractProvider(model)
@@ -187,11 +218,15 @@ object StructuredOutput {
     val toolsVetoed = hasReasoningEffort ||
       provider.exists(p => !ProviderToolsOk.getOrElse(p, true)) ||
       longestFamily(model).exists { case (_, toolsOk) =>
-        !toolsOk && provider.isEmpty // family says no and no provider to overrule
+        // Family says no function calling, and no translating gateway sits
+        // in front to overrule it (o1 via openai/azure is served as-is —
+        // probing the tool protocol there is a doomed request).
+        !toolsOk && !provider.exists(TranslatingGateways.contains)
       }
     val all =
-      if (anthropic) List(StructuredMode.Tools, StructuredMode.Json)
-      else List(StructuredMode.JsonSchema, StructuredMode.Tools, StructuredMode.Json)
+      (if (anthropic) List(StructuredMode.Tools, StructuredMode.Json)
+       else List(StructuredMode.JsonSchema, StructuredMode.Tools, StructuredMode.Json)) :+
+        StructuredMode.Plain // universal terminal: no response_format at all
     all.filterNot(_ == initial)
       .filterNot(m => toolsVetoed && m == StructuredMode.Tools)
   }
@@ -210,6 +245,13 @@ object StructuredOutput {
     "response_format is not supported", "response_format is unsupported",
     "json_schema is not supported", "json_schema is unsupported",
     "response_schema is not supported", "structured output is not supported",
+    // parameters the tools-mode request itself carries: a provider that
+    // rejects the PARAMETER (o-series: "Unsupported parameter:
+    // 'parallel_tool_calls' …"; servers without a tool parser reject
+    // 'tool_choice') is rejecting the mode just as structurally as one
+    // that rejects "tools".
+    "parallel_tool_calls is not supported", "tool_choice is not supported",
+    "does not support parallel_tool_calls", "does not support tool_choice",
     // strict-mode schema rejections (e.g. a schema shape strict json_schema
     // cannot express): same structural character — this mode, with this
     // schema, can never succeed; a less demanding mode can.
@@ -318,7 +360,7 @@ final class ModeNegotiator(
 
   @transient private lazy val state: ModeNegotiator.State =
     ModeNegotiator.registry.computeIfAbsent(key,
-      _ => new ModeNegotiator.State(initial, chain))
+      _ => new ModeNegotiator.State(key, initial, chain))
 
   def mode: StructuredMode = state.current.get()
   def switches: Int = state.switchCount.get()
@@ -342,8 +384,10 @@ final class ModeNegotiator(
 }
 
 object ModeNegotiator {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[ModeNegotiator])
+
   private[llm] final class State(
-      initial: StructuredMode, chain: List[StructuredMode]) {
+      scope: String, initial: StructuredMode, chain: List[StructuredMode]) {
     val current = new AtomicReference[StructuredMode](initial)
     var remaining: List[StructuredMode] = chain // guarded by this
     val switchCount = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -355,8 +399,17 @@ object ModeNegotiator {
           remaining = rest
           current.set(next)
           switchCount.incrementAndGet()
+          // A downgrade changes what the provider enforces for every later
+          // row in this JVM — it must be visible in the executor logs, not
+          // only in a driver-local counter nothing consults.
+          log.warn("structured-output mode '{}' structurally rejected for " +
+            "[{}]; falling back to '{}' (sticky for this JVM)",
+            failed.wire, scope, next.wire)
           true
-        case Nil => false
+        case Nil =>
+          log.error("structured-output fallback chain exhausted for [{}] " +
+            "(last mode '{}'); rethrowing the rejection", scope, failed.wire)
+          false
       }
     }
   }

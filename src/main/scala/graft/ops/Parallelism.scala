@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 
+import scala.util.control.NonFatal
+
 /** CPU-parallelism guard for compute-heavy per-row operators.
   *
   * A small parquet file arrives as ONE input split, so hash/shingle/TF-IDF
@@ -58,7 +60,7 @@ object Parallelism {
     // under-split — then check the real partition count (a single LARGE
     // file still splits by maxPartitionBytes).
     val files: Option[Int] =
-      try Some(df.inputFiles.length) catch { case _: Throwable => None }
+      try Some(df.inputFiles.length) catch { case NonFatal(_) => None }
     if (files.exists(_.toLong * 2 >= target)) df
     else if (df.rdd.getNumPartitions * 2 < target) df.repartition(target)
     else df

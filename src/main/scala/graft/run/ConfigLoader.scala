@@ -19,7 +19,9 @@ import graft.core._
   *               requests_per_minute: 600, max_retries: 3, backoff_base_ms: 10,
   *               backoff_cap_ms: 60000, timeout_ms: 180000,
   *               endpoint: "https://api.example/v1/chat/completions",
-  *               api_key_env: MY_API_KEY }
+  *               api_key_env: MY_API_KEY,
+  *               structured_mode: auto|tools|json|json_schema,
+  *               reasoning_effort: minimal|low|medium|high }
   * processing: { error_policy: skip|retry|fail|use_default, default_value: "",
   *               max_budget: 5.0, chunk_rows: 100000, auto_retry_attempts: 1,
   *               preprocess_input: true, max_input_length: 2000 }
@@ -128,7 +130,9 @@ object ConfigLoader {
         backoffCapMs = num(n, "backoff_cap_ms").map(_.toLong).getOrElse(60000L),
         timeoutMs = num(n, "timeout_ms").map(_.toLong).getOrElse(180000L),
         endpoint = str(n, "endpoint"),
-        apiKeyEnv = str(n, "api_key_env")))
+        apiKeyEnv = str(n, "api_key_env"),
+        structuredMode = str(n, "structured_mode"),
+        reasoningEffort = str(n, "reasoning_effort")))
         .getOrElse(LlmSpec()),
       processing = pc.map(n => ProcessingSpec(
         errorPolicy = str(n, "error_policy").map {

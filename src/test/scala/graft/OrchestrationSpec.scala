@@ -83,6 +83,33 @@ class ConfigLoaderSpec extends AnyFunSuite {
     assert(spec.llm.backoffBaseMs == 50L && spec.llm.backoffCapMs == 5000L)
   }
 
+  test("structured_mode and reasoning_effort parse from yaml and validate") {
+    val spec = ConfigLoader.fromYaml(
+      """prompt: {template: "T {text}"}
+        |llm:
+        |  model: o1-mini
+        |  endpoint: "https://api.example/v1/chat/completions"
+        |  structured_mode: json_schema
+        |  reasoning_effort: high
+        |output:
+        |  output_columns: [label]
+        |  response_format: typed
+        |  typed_schema: "label STRING"
+        |""".stripMargin)
+    assert(spec.llm.structuredMode.contains("json_schema"))
+    assert(spec.llm.reasoningEffort.contains("high"))
+    spec.validate()
+    // the mode knob only shapes Typed requests — anywhere else it would be
+    // a silent no-op, so validation rejects the combination
+    intercept[IllegalArgumentException] {
+      spec.copy(output = spec.output.copy(
+        responseFormat = ResponseFormat.Raw, typedSchema = None)).validate()
+    }
+    intercept[IllegalArgumentException] {
+      spec.copy(llm = spec.llm.copy(reasoningEffort = Some("max"))).validate()
+    }
+  }
+
   test("input columns default to template placeholders") {
     val spec = ConfigLoader.fromYaml(
       """prompt: {template: "A {x} and {y}"}

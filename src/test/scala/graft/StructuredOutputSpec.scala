@@ -64,15 +64,15 @@ class StructuredOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   // ---------------------------------------------------------------- chain
 
-  test("fallback chain: most to least capable, Json always last, no self") {
-    assert(StructuredOutput.fallbackChain(JsonSchema, "gpt-4o") == List(Tools, Json))
-    assert(StructuredOutput.fallbackChain(Tools, "gpt-4") == List(JsonSchema, Json))
-    assert(StructuredOutput.fallbackChain(Json, "whatever") == List(JsonSchema, Tools))
+  test("fallback chain: most to least capable, Plain the universal terminal, no self") {
+    assert(StructuredOutput.fallbackChain(JsonSchema, "gpt-4o") == List(Tools, Json, Plain))
+    assert(StructuredOutput.fallbackChain(Tools, "gpt-4") == List(JsonSchema, Json, Plain))
+    assert(StructuredOutput.fallbackChain(Json, "whatever") == List(JsonSchema, Tools, Plain))
   }
 
   test("anthropic chain never contains JsonSchema") {
-    assert(StructuredOutput.fallbackChain(Tools, "claude-3-opus") == List(Json))
-    assert(StructuredOutput.fallbackChain(Json, "anthropic/claude-3-haiku") == List(Tools))
+    assert(StructuredOutput.fallbackChain(Tools, "claude-3-opus") == List(Json, Plain))
+    assert(StructuredOutput.fallbackChain(Json, "anthropic/claude-3-haiku") == List(Tools, Plain))
   }
 
   // ---------------------------------------------------------------- rejection
@@ -110,12 +110,39 @@ class StructuredOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("fallback chain drops Tools for reasoning models and vetoed providers") {
     assert(StructuredOutput.fallbackChain(Json, "gpt-4o",
-      hasReasoningEffort = true) == List(JsonSchema))
-    assert(StructuredOutput.fallbackChain(Json, "groq/llama-3.1-70b") == List(JsonSchema))
-    assert(StructuredOutput.fallbackChain(Json, "ollama/llama-3.1-8b") == List(JsonSchema))
+      hasReasoningEffort = true) == List(JsonSchema, Plain))
+    assert(StructuredOutput.fallbackChain(Json, "groq/llama-3.1-70b") == List(JsonSchema, Plain))
+    assert(StructuredOutput.fallbackChain(Json, "ollama/llama-3.1-8b") == List(JsonSchema, Plain))
     // gateway-hosted llama keeps Tools: the gateway may well support it
     assert(StructuredOutput.fallbackChain(Json, "openrouter/llama-3.1-70b") ==
-      List(JsonSchema, Tools))
+      List(JsonSchema, Tools, Plain))
+  }
+
+  test("family no-tools verdict binds through a DIRECT provider, not just bare ids") {
+    // o1 served by openai/azure is the model as-is: probing tools is doomed
+    assert(StructuredOutput.fallbackChain(Json, "openai/o1-mini") == List(JsonSchema, Plain))
+    assert(StructuredOutput.fallbackChain(Json, "o1-mini") == List(JsonSchema, Plain))
+    // …but a translating gateway may shim the tool protocol, so keep it
+    assert(StructuredOutput.fallbackChain(Json, "openrouter/o1-mini") ==
+      List(JsonSchema, Tools, Plain))
+  }
+
+  test("family keys match at token boundaries only: no 'o1' inside 'neo1'") {
+    // 'gpt-neo1.3b' must not be classified as the o1 reasoning family —
+    // Tools would be wrongly vetoed for an unrelated model id.
+    assert(StructuredOutput.fallbackChain(Json, "gpt-neo1.3b") ==
+      List(JsonSchema, Tools, Plain))
+    // digits still glue on: llama3.1 is the llama family (no tools, bare id)
+    assert(StructuredOutput.fallbackChain(Json, "llama3.1-8b-instruct") ==
+      List(JsonSchema, Plain))
+  }
+
+  test("parameter-level tools rejections classify structurally") {
+    assert(StructuredOutput.isModeRejection(new LlmError(
+      "400: Unsupported parameter: 'parallel_tool_calls' is not supported with this model.",
+      false)))
+    assert(StructuredOutput.isModeRejection(new LlmError(
+      "400: 'tool_choice' is not supported by this server build", false)))
   }
 
   // ---------------------------------------------------------------- schema
@@ -266,6 +293,36 @@ class StructuredOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
       }
     })
 
+    // The pre-negotiation world: a provider with ZERO structured-output
+    // support — every structured mode 400s structurally, only a plain
+    // request (no response_format at all) succeeds.
+    server.createContext("/promptOnly", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val m = modeOf(body); bump("/promptOnly", m)
+      m match {
+        case "tools" => respond(ex, 400, rejectTools)
+        case "json_schema" | "json" => respond(ex, 400, rejectRF)
+        case _ => respond(ex, 200, contentReply("""{"label":"via-plain","score":5}"""))
+      }
+    })
+
+    // Ignores parallel_tool_calls:false and adds a hallucinated sibling
+    // call — but the forced call, addressed by name, is present exactly
+    // once.
+    server.createContext("/multiNamed", (ex: HttpExchange) => {
+      val body = new String(ex.getRequestBody.readAllBytes(), StandardCharsets.UTF_8)
+      val m = modeOf(body); bump("/multiNamed", m)
+      m match {
+        case "tools" =>
+          val named = """{"id":"c1","type":"function","function":{"name":"output","arguments":"{\"label\":\"named\",\"score\":4}"}}"""
+          val stray = """{"id":"c2","type":"function","function":{"name":"web_search","arguments":"{}"}}"""
+          respond(ex, 200,
+            s"""{"choices":[{"message":{"role":"assistant","content":null,
+               |"tool_calls":[$stray,$named]}}]}""".stripMargin.replace("\n", ""))
+        case _ => respond(ex, 400, rejectRF)
+      }
+    })
+
     // Replies to tools mode with OBJECT-form function.arguments — the
     // shape several OpenAI-compatible servers use instead of the
     // JSON-encoded string.
@@ -342,6 +399,28 @@ class StructuredOutputSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(count("/nothing", "json_schema") == 1)
     assert(count("/nothing", "tools") == 1)
     assert(count("/nothing", "json") == 1)
+    assert(count("/nothing", "plain") == 1) // the terminal was probed too
+  }
+
+  test("plain terminal: zero-structured-support provider still serves Typed runs") {
+    val c = structuredClient("/promptOnly")
+    val r1 = c.invoke("first", None)
+    assert(r1.text == """{"label":"via-plain","score":5}""")
+    // full walk, once each, then sticky on plain
+    assert(count("/promptOnly", "json_schema") == 1)
+    assert(count("/promptOnly", "tools") == 1)
+    assert(count("/promptOnly", "json") == 1)
+    assert(count("/promptOnly", "plain") == 1)
+    c.invoke("second", None)
+    assert(count("/promptOnly", "plain") == 2)
+    assert(count("/promptOnly", "json") == 1) // no re-probe
+  }
+
+  test("a stray parallel call does not reject when the forced call is present by name") {
+    val c = structuredClient("/multiNamed", overrideMode = Some("tools"))
+    val r = c.invoke("x", None)
+    assert(r.text == """{"label":"named","score":4}""")
+    assert(count("/multiNamed", "json") == 0) // no downgrade happened
   }
 
   test("tool-protocol violation (parallel calls) is a structural rejection -> json fallback") {
