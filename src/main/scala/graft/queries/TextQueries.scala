@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 import graft.functions.TextFunctions._
 import graft.operators.{Dedup, Multimodal}
+import graft.sources.{GlyphOcr, Ocr}
 import Tables.{t, tp}
 
 /** Text-analysis / dedup / multimodal queries over the documents table —
@@ -441,6 +442,32 @@ object TextQueries {
       |  px.px_sum
       |FROM d JOIN px ON d.doc_id = px.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** Real optical round trip over every document: normalize the text to
+    * its printable-ASCII single-line form, PRINT it onto a raster (PNG
+    * bytes via [[GlyphOcr.render]]), then read it back from pixels alone
+    * with [[Ocr.ocrImages]]. The oracle recomputes only the normalization
+    * — the hash matches iff the full render→binarize→segment→classify
+    * loop recovers every one of the 500 lines exactly (reference OCR
+    * surface: ondine/knowledge/ocr.py:46-136). */
+  def q39OcrRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(col("text"), "[^ -~]", "?"), " +", " "))
+    val withPage = tp(spark, dir, "documents")
+      .withColumn("page", renderPageUdf(substring(norm, 1, 48)))
+    Ocr.ocrImages(withPage, "page", "ocr_text")
+      .select(col("doc_id"), col("ocr_text"))
+      .orderBy("doc_id")
+  }
+
+  private val renderPageUdf =
+    udf((s: String) => GlyphOcr.renderPng(if (s == null) "" else s))
+
+  val q39Sql: String =
+    """SELECT doc_id,
+      |  substr(trim(regexp_replace(regexp_replace(text, '[^ -~]', '?', 'g'),
+      |    ' +', ' ', 'g')), 1, 48) AS ocr_text
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   private val wavUdf =
     udf((n: Long, rate: Int, seed: Long, ch: Int) =>
       graft.operators.Audio.encodePcmWav(n, rate, seed, ch))
@@ -652,6 +679,7 @@ object TextQueries {
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
+    "q39_ocr_roundtrip" -> q39OcrRoundtrip _,
     "q45_audio_meta" -> q45AudioMeta _,
     "q46_audio_rms" -> q46AudioRms _,
     "q47_video_meta" -> q47VideoMeta _,
@@ -673,6 +701,7 @@ object TextQueries {
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,
+    "q39_ocr_roundtrip" -> q39Sql,
     "q45_audio_meta" -> q45Sql,
     "q46_audio_rms" -> q46Sql,
     "q47_video_meta" -> q47Sql,

@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 
 /** Path-based document loading — the reference's knowledge loader
   * (ondine/knowledge/loader.py:34-211): txt / md / html / csv / pdf
-  * files, single path or recursive directory walk, one document per
-  * file. PDF covers born-digital text layers via [[Pdf.extractText]];
-  * raster OCR stays out of scope (SURVEY §7.6).
+  * files plus raster images (loader.py:96-150), single path or recursive
+  * directory walk, one document per file. PDF covers born-digital text
+  * layers via [[Pdf.extractText]]; image files go through the
+  * [[OcrEngine]] seam — the built-in [[GlyphOcr]] reads machine-set
+  * fixed-metric type from pixels; natural scans need a Tesseract-class
+  * engine dropped into the same seam (SURVEY §7.6).
   *
   * Spark-first: the walk is a `binaryFile` scan (distributed listing +
   * read, no driver-side I/O); decoding and html-stripping are Catalyst
@@ -17,7 +20,9 @@ import org.apache.spark.sql.functions._
   */
 object DocumentLoader {
 
-  val SupportedGlob = "*.{txt,md,markdown,html,htm,csv,pdf}"
+  val SupportedGlob = "*.{txt,md,markdown,html,htm,csv,pdf,png,bmp,gif,jpg,jpeg}"
+
+  private val ImageExts = Seq("png", "bmp", "gif", "jpg", "jpeg")
 
   /** PDF text layer as a column fn — a UDF by necessity (streaming
     * parser state), applied only on the pdf branch of the dispatch. */
@@ -54,6 +59,7 @@ object DocumentLoader {
     val text = when(ext.isin("html", "htm"), stripHtml(text0))
       .when(ext === "csv", csvToText(text0))
       .when(ext === "pdf", extractPdf(col("content")))
+      .when(ext.isin(ImageExts: _*), Ocr.ocrColumn(col("content")))
       .otherwise(text0)
     raw.select(
       xxhash64(col("path")).as("doc_id"),
