@@ -159,13 +159,44 @@ object SourceQueries {
   val q95Sql: String =
     """SELECT doc_id, text FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin
 
+  /** SCANNED-PDF roundtrip: documents written as pages whose text exists
+    * ONLY as pixels (DeviceGray image XObjects, no text layer —
+    * [[graft.sources.Pdf.writeScanned]]), re-ingested through the same
+    * DocumentLoader scan, where the absent text layer routes extraction
+    * through the OCR engine. The oracle recomputes only the printable-
+    * ASCII normalization, so the hash matches iff PDF container + Flate
+    * samples + optical recognition all agree on every document. */
+  def q96ScannedPdf(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_scanned_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+    val norm = trim(regexp_replace(
+      regexp_replace(col("text"), "[^ -~]", "?"), " +", " "))
+    graft.sources.Pdf.writeDocs(
+      t(spark, dir, "documents")
+        .select(col("doc_id"), substring(norm, 1, 48).as("text"))
+        .filter(col("doc_id") < 2000),
+      out, render = graft.sources.Pdf.writeScanned(_))
+    graft.sources.DocumentLoader.load(spark, out)
+      .select(
+        regexp_extract(col("path"), "([0-9-]+)\\.pdf$", 1)
+          .cast("long").as("doc_id"),
+        col("text").as("ocr_text"))
+      .orderBy("doc_id")
+  }
+
+  val q96Sql: String =
+    """SELECT doc_id,
+      |  substr(trim(regexp_replace(regexp_replace(text, '[^ -~]', '?', 'g'),
+      |    ' +', ' ', 'g')), 1, 48) AS ocr_text
+      |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_cost_estimate" -> q80CostEstimate _,
     "q81_preprocess" -> q81Preprocess _,
     "q82_csv_roundtrip" -> q82CsvRoundtrip _,
     "q83_json_roundtrip" -> q83JsonRoundtrip _,
     "q89_xlsx_roundtrip" -> q89XlsxRoundtrip _,
-    "q95_pdf_roundtrip" -> q95PdfRoundtrip _)
+    "q95_pdf_roundtrip" -> q95PdfRoundtrip _,
+    "q96_scanned_pdf" -> q96ScannedPdf _)
 
   val oracles: Map[String, String] = Map(
     "q80_cost_estimate" -> q80Sql,
@@ -173,5 +204,6 @@ object SourceQueries {
     "q82_csv_roundtrip" -> q82Sql,
     "q83_json_roundtrip" -> q83Sql,
     "q89_xlsx_roundtrip" -> q89Sql,
-    "q95_pdf_roundtrip" -> q95Sql)
+    "q95_pdf_roundtrip" -> q95Sql,
+    "q96_scanned_pdf" -> q96Sql)
 }

@@ -25,9 +25,12 @@ object DocumentLoader {
   private val ImageExts = Seq("png", "bmp", "gif", "jpg", "jpeg")
 
   /** PDF text layer as a column fn — a UDF by necessity (streaming
-    * parser state), applied only on the pdf branch of the dispatch. */
+    * parser state), applied only on the pdf branch of the dispatch.
+    * Text-layer-free documents fall back to OCR over their embedded
+    * page images (the scanned-document path). */
   private val extractPdf =
-    udf((b: Array[Byte]) => if (b == null) "" else Pdf.extractText(b))
+    udf((b: Array[Byte]) =>
+      if (b == null) "" else Pdf.extractText(b, Some(GlyphOcr)))
 
   /** Strip html to text: drop script/style blocks, tags, decode the
     * common entities, collapse runs of whitespace (loader.py's

@@ -10,8 +10,12 @@ import org.apache.spark.sql.{DataFrame, Row}
 
 /** Dependency-free PDF text source/sink — closes the reference's pdf
   * ingestion path (ondine/knowledge/loader.py:96-150 routes *.pdf through
-  * pypdf/OCR; raster OCR stays out of scope, born-digital text layers are
-  * in).
+  * pypdf/OCR). Born-digital text layers extract directly; pages with NO
+  * text layer fall back to the [[OcrEngine]] seam over their embedded
+  * image XObjects (DeviceGray/Flate decoded inline, DCT bodies through
+  * ImageIO) — the scanned-document path, machine-set type readable by the
+  * built-in [[GlyphOcr]], natural scans by whatever engine drops into the
+  * seam.
   *
   * Reader: scans the raw bytes for `stream…endstream` sections, inflates
   * `/FlateDecode` bodies (raw bodies pass through), and interprets the
@@ -123,12 +127,71 @@ object Pdf {
     out.toByteArray
   }
 
+  /** "Scanned" PDF: one page carrying the text ONLY as pixels — a
+    * DeviceGray 8-bit image XObject rendered by [[GlyphOcr.render]],
+    * Flate-compressed samples, a content stream that just paints the
+    * image (`cm` + `Do`, no `BT` anywhere). The writer side of the
+    * scanned-document fixture loop: [[extractText]] finds no text layer
+    * and must recover the content optically. */
+  def writeScanned(text: String): Array[Byte] = {
+    val img = GlyphOcr.render(if (text == null) "" else text)
+    val (w, h) = (img.getWidth, img.getHeight)
+    val samples = new Array[Byte](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        samples(y * w + x) = img.getRaster.getSample(x, y, 0).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val packedImg = deflate(samples)
+    // paint at native pixel size in the bottom-left corner of the page
+    val content = s"q $w 0 0 $h 0 0 cm /Im1 Do Q\n".getBytes(Latin1)
+
+    val objs = ArrayBuffer.empty[Array[Byte]]
+    def obj(id: Int, body: String): Array[Byte] =
+      s"$id 0 obj\n$body\nendobj\n".getBytes(Latin1)
+    def streamObj(id: Int, dict: String, data: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      bos.write(s"$id 0 obj\n<< $dict /Length ${data.length} >>\nstream\n"
+        .getBytes(Latin1))
+      bos.write(data)
+      bos.write("\nendstream\nendobj\n".getBytes(Latin1))
+      bos.toByteArray
+    }
+    objs += obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    objs += obj(2, "<< /Type /Pages /Kids [3 0 R] /Count 1 >>")
+    objs += obj(3, s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]" +
+      s" /Resources << /XObject << /Im1 4 0 R >> >> /Contents 5 0 R >>")
+    objs += streamObj(4, s"/Type /XObject /Subtype /Image /Width $w" +
+      s" /Height $h /ColorSpace /DeviceGray /BitsPerComponent 8" +
+      s" /Filter /FlateDecode", packedImg)
+    objs += streamObj(5, "", content)
+
+    val out = new ByteArrayOutputStream()
+    out.write("%PDF-1.4\n%âãÏÓ\n".getBytes(Latin1))
+    val offsets = ArrayBuffer.empty[Int]
+    objs.foreach { o => offsets += out.size(); out.write(o) }
+    val xrefAt = out.size()
+    val sb = new StringBuilder
+    sb.append(s"xref\n0 ${objs.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => sb.append(f"$o%010d 00000 n \n"))
+    sb.append(s"trailer\n<< /Size ${objs.length + 1} /Root 1 0 R >>\n")
+    sb.append(s"startxref\n$xrefAt\n%%EOF\n")
+    out.write(sb.toString.getBytes(Latin1))
+    out.toByteArray
+  }
+
   /** Write one PDF per row to `dir` as `<id>.pdf` — executed on the
     * executors (`foreachPartition`), so a large corpus renders in
     * parallel; `dir` must be a shared filesystem path on a real cluster
-    * (local FS under local[*]). */
+    * (local FS under local[*]). `render` picks the page shape — the
+    * born-digital [[write]] default or [[writeScanned]]. */
   def writeDocs(df: DataFrame, dir: String,
-                idCol: String = "doc_id", textCol: String = "text"): Unit = {
+                idCol: String = "doc_id", textCol: String = "text",
+                render: String => Array[Byte] = write(_)): Unit = {
     val root = new java.io.File(dir)
     if (root.exists()) {
       Option(root.listFiles()).getOrElse(Array.empty)
@@ -140,7 +203,7 @@ object Pdf {
         val id = r.get(0).toString
         val text = Option(r.getString(1)).getOrElse("")
         val f = java.nio.file.Paths.get(dir, s"$id.pdf")
-        java.nio.file.Files.write(f, write(text))
+        java.nio.file.Files.write(f, render(text))
       }
     }
   }
@@ -158,12 +221,20 @@ object Pdf {
       Some(bos.toByteArray)
     } catch { case _: Exception => None }
 
+  def extractText(bytes: Array[Byte]): String = extractText(bytes, None)
+
   /** Extract the text layer of a PDF. Streams appear in file order —
     * page order for linearly-written files (ours included); pages join
-    * with a newline. Returns "" for byte streams with no text layer. */
-  def extractText(bytes: Array[Byte]): String = {
+    * with a newline. A document with NO text layer anywhere falls back to
+    * `ocr` over its embedded image XObjects (the scanned-document path;
+    * "" when no engine is supplied — the pre-OCR behavior). The fallback
+    * is document-level, like the reference's loader: pages with text
+    * keep their extraction, decorative images in born-digital files are
+    * never OCR-noise. */
+  def extractText(bytes: Array[Byte], ocr: Option[OcrEngine]): String = {
     val s = new String(bytes, Latin1)
     val parts = ArrayBuffer.empty[String]
+    val images = ArrayBuffer.empty[(String, Array[Byte])] // (dict, raw body)
     var from = 0
     while ({
       val at = s.indexOf("stream", from)
@@ -197,16 +268,21 @@ object Pdf {
           }
           if (dataEnd > end) dataEnd = end
           val raw = bytes.slice(dataStart, dataEnd)
-          val body =
-            if (dict.contains("/FlateDecode")) inflate(raw)
-            else Some(raw)
-          body.map(new String(_, Latin1)).foreach { content =>
-            if (content.contains("BT")) {
-              // a corrupt stream must cost its own text only, never the
-              // scan — the loader applies this over arbitrary files
-              val t = try extractFromContent(content)
-                catch { case _: Exception => "" }
-              if (t.nonEmpty) parts += t
+          if (dict.contains("/Image")) {
+            // decode lazily — only a text-layer-free document pays for it
+            if (ocr.isDefined) images += ((dict, raw))
+          } else {
+            val body =
+              if (dict.contains("/FlateDecode")) inflate(raw)
+              else Some(raw)
+            body.map(new String(_, Latin1)).foreach { content =>
+              if (content.contains("BT")) {
+                // a corrupt stream must cost its own text only, never the
+                // scan — the loader applies this over arbitrary files
+                val t = try extractFromContent(content)
+                  catch { case _: Exception => "" }
+                if (t.nonEmpty) parts += t
+              }
             }
           }
           from = end + "endstream".length
@@ -214,8 +290,53 @@ object Pdf {
         }
       }
     }) ()
-    parts.mkString("\n")
+    if (parts.isEmpty && images.nonEmpty) ocr match {
+      case Some(engine) =>
+        images.flatMap { case (dict, raw) =>
+          decodeImageXObject(dict, raw).map(engine.recognize).filter(_.nonEmpty)
+        }.mkString("\n")
+      case None => ""
+    }
+    else parts.mkString("\n")
   }
+
+  private val DictInt = """/(Width|Height|BitsPerComponent)\s+(\d+)""".r
+
+  /** Image XObject body → raster: DCT bodies are whole JPEG files (ImageIO
+    * reads them directly); otherwise inflate-if-Flate and rebuild the
+    * DeviceGray 8-bit sample grid. Unsupported color spaces / truncated
+    * bodies yield None — the scan never fails on someone else's PDF. */
+  private def decodeImageXObject(dict: String,
+                                 raw: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try {
+      if (dict.contains("/DCTDecode")) {
+        Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(raw)))
+      } else {
+        val ints = DictInt.findAllMatchIn(dict)
+          .map(m => m.group(1) -> m.group(2).toInt).toMap
+        for {
+          w <- ints.get("Width") if w > 0
+          h <- ints.get("Height") if h > 0
+          if ints.getOrElse("BitsPerComponent", 8) == 8
+          if dict.contains("/DeviceGray")
+          samples <- if (dict.contains("/FlateDecode")) inflate(raw) else Some(raw)
+          if samples.length >= w * h
+        } yield {
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.getRaster.setSample(x, y, 0, samples(y * w + x) & 0xFF)
+              x += 1
+            }
+            y += 1
+          }
+          img
+        }
+      }
+    } catch { case _: Exception => None }
 
   private object ArrayMark // TJ '[' sentinel (can't collide with data)
 

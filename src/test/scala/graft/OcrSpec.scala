@@ -90,6 +90,28 @@ class OcrSpec extends AnyFunSuite {
       s"unexpected shuffle in OCR pass:\n$plan")
   }
 
+  test("scanned PDF: no text layer, text recovered optically from the XObject") {
+    import graft.sources.Pdf
+    val msg = "Invoice #4711 total: $123.45 (net)"
+    val pdf = Pdf.writeScanned(msg)
+    // no text layer: the plain extraction honestly returns nothing
+    assert(Pdf.extractText(pdf) == "")
+    // with the engine, the pixels read back exactly
+    assert(Pdf.extractText(pdf, Some(GlyphOcr)) == msg)
+    // born-digital pages keep their text layer and never OCR-noise
+    val digital = Pdf.write("typed text")
+    assert(Pdf.extractText(digital, Some(GlyphOcr)) == "typed text")
+  }
+
+  test("DocumentLoader routes text-layer-free PDFs through OCR") {
+    val spark = SparkSpec.session
+    val dir = Files.createTempDirectory("scanned_docs")
+    val msg = "FAX page 1 of 1"
+    Files.write(dir.resolve("fax.pdf"), graft.sources.Pdf.writeScanned(msg))
+    val rows = DocumentLoader.load(spark, dir.toString).select("text").collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq(msg))
+  }
+
   test("DocumentLoader reads image files through the OCR branch") {
     val spark = SparkSpec.session
     val dir = Files.createTempDirectory("ocr_docs")
