@@ -185,8 +185,8 @@ object SourceQueries {
 
   val q96Sql: String =
     """SELECT doc_id,
-      |  substr(trim(regexp_replace(regexp_replace(text, '[^ -~]', '?', 'g'),
-      |    ' +', ' ', 'g')), 1, 48) AS ocr_text
+      |  rtrim(substr(trim(regexp_replace(regexp_replace(text, '[^ -~]', '?', 'g'),
+      |    ' +', ' ', 'g')), 1, 48)) AS ocr_text
       |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -464,8 +464,8 @@ object TextQueries {
 
   val q39Sql: String =
     """SELECT doc_id,
-      |  substr(trim(regexp_replace(regexp_replace(text, '[^ -~]', '?', 'g'),
-      |    ' +', ' ', 'g')), 1, 48) AS ocr_text
+      |  rtrim(substr(trim(regexp_replace(regexp_replace(text, '[^ -~]', '?', 'g'),
+      |    ' +', ' ', 'g')), 1, 48)) AS ocr_text
       |FROM documents ORDER BY doc_id""".stripMargin
 
   private val wavUdf =

@@ -28,9 +28,9 @@ object DocumentLoader {
     * parser state), applied only on the pdf branch of the dispatch.
     * Text-layer-free documents fall back to OCR over their embedded
     * page images (the scanned-document path). */
-  private val extractPdf =
+  private def extractPdf(engine: OcrEngine) =
     udf((b: Array[Byte]) =>
-      if (b == null) "" else Pdf.extractText(b, Some(GlyphOcr)))
+      if (b == null) "" else Pdf.extractText(b, Some(engine)))
 
   /** Strip html to text: drop script/style blocks, tags, decode the
     * common entities, collapse runs of whitespace (loader.py's
@@ -50,9 +50,13 @@ object DocumentLoader {
   private def csvToText(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     trim(regexp_replace(c, "[,;\\t]", " "))
 
-  /** Load one file or a directory tree. */
+  /** Load one file or a directory tree. `engine` is the OCR provider for
+    * image files and text-layer-free (scanned) PDFs — the drop-in point
+    * for a Tesseract-class model; the default reads machine-set
+    * fixed-metric type. */
   def load(spark: SparkSession, path: String,
-           recursive: Boolean = true): DataFrame = {
+           recursive: Boolean = true,
+           engine: OcrEngine = GlyphOcr): DataFrame = {
     val raw = spark.read.format("binaryFile")
       .option("pathGlobFilter", SupportedGlob)
       .option("recursiveFileLookup", recursive.toString)
@@ -61,8 +65,8 @@ object DocumentLoader {
     val text0 = decode(col("content"), "UTF-8")
     val text = when(ext.isin("html", "htm"), stripHtml(text0))
       .when(ext === "csv", csvToText(text0))
-      .when(ext === "pdf", extractPdf(col("content")))
-      .when(ext.isin(ImageExts: _*), Ocr.ocrColumn(col("content")))
+      .when(ext === "pdf", extractPdf(engine)(col("content")))
+      .when(ext.isin(ImageExts: _*), Ocr.ocrColumn(col("content"), engine))
       .otherwise(text0)
     raw.select(
       xxhash64(col("path")).as("doc_id"),

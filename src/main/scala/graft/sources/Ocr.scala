@@ -130,10 +130,23 @@ object GlyphOcr extends OcrEngine {
   def glyphBitmap(ch: Char): Long =
     if (ch >= 32 && ch <= 126) Bitmaps(ch - 32) else Bitmaps('?' - 32)
 
-  /** Nearest glyph by pixel Hamming distance; ties resolve to the lowest
-    * char code (deterministic — and unreachable for clean renders, since
-    * the atlas is pairwise distinct). */
-  private[sources] def classify(bitmap: Long): Char = {
+  /** A cell farther than this from EVERY glyph is not machine-set type in
+    * this face (clean renders are distance 0; the noise the engine
+    * tolerates stays well under it). */
+  val MaxCellDistance = 6
+
+  /** Fraction of cells allowed past [[MaxCellDistance]] before the page is
+    * rejected as not-text (photos, diagrams, foreign scripts): recognition
+    * must say "I can't read this" rather than emit deterministic garbage —
+    * a text-layer-free PDF full of photos must OCR to "", not to 200k
+    * noise chars that poison dedup and search downstream. */
+  val MaxBadCellFraction = 0.125
+
+  /** Nearest glyph by pixel Hamming distance, with the distance returned
+    * so the caller can judge page-level confidence; ties resolve to the
+    * lowest char code (deterministic — and unreachable for clean renders,
+    * since the atlas is pairwise distinct). */
+  private[sources] def classify(bitmap: Long): (Char, Int) = {
     var best = 0
     var bestD = Integer.MAX_VALUE
     var i = 0
@@ -142,7 +155,7 @@ object GlyphOcr extends OcrEngine {
       if (d < bestD) { bestD = d; best = i }
       i += 1
     }
-    (best + 32).toChar
+    ((best + 32).toChar, bestD)
   }
 
   // --- rendering (the fixture/printer side of the loop) ------------------
@@ -195,22 +208,38 @@ object GlyphOcr extends OcrEngine {
   // --- recognition --------------------------------------------------------
 
   private def ink(img: BufferedImage, x: Int, y: Int): Boolean = {
-    val rgb = img.getRGB(x, y)
-    // integer luminance (Rec.601 weights); < 128 = ink
-    val lum = (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
-      114 * (rgb & 0xFF)) / 1000
+    // single-band rasters read band 0 directly: getRGB gamma-converts
+    // linear gray to sRGB, which would shift the stated sample-space
+    // threshold (gray 100 reads back as sRGB ~168 — "paper")
+    val lum =
+      if (img.getRaster.getNumBands == 1) img.getRaster.getSample(x, y, 0)
+      else {
+        val rgb = img.getRGB(x, y)
+        // integer luminance (Rec.601 weights)
+        (299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) +
+          114 * (rgb & 0xFF)) / 1000
+      }
     lum < 128
   }
 
+  /** Read a page. Trailing spaces are stripped per line — a scanner
+    * cannot distinguish trailing whitespace from the page margin, so the
+    * honest output shape is the rtrimmed line (compare with `rtrim` on
+    * the oracle side). Pages that are not machine-set type in this face
+    * (photos, diagrams) return "" via the confidence rule rather than
+    * deterministic garbage. */
   override def recognize(img: BufferedImage): String = {
     if (img == null) return ""
     val cols = (img.getWidth - 2 * Margin) / CellW
     val lines = (img.getHeight - 2 * Margin) / CellH
-    if (cols <= 0 || lines <= 0) return ""
+    if (lines <= 0) return ""
+    if (cols <= 0) return "\n" * (lines - 1) // margin-only page: empty lines
     val sb = new StringBuilder
+    var bad = 0
     var li = 0
     while (li < lines) {
       if (li > 0) sb.append('\n')
+      val lineStart = sb.length
       var ci = 0
       while (ci < cols) {
         var bm = 0L
@@ -224,12 +253,18 @@ object GlyphOcr extends OcrEngine {
           }
           c += 1
         }
-        sb.append(classify(bm))
+        val (ch, d) = classify(bm)
+        if (d > MaxCellDistance) bad += 1
+        sb.append(ch)
         ci += 1
       }
+      // rtrim the line in place
+      var e = sb.length
+      while (e > lineStart && sb.charAt(e - 1) == ' ') e -= 1
+      sb.setLength(e)
       li += 1
     }
-    sb.toString
+    if (bad > MaxBadCellFraction * (cols.toLong * lines)) "" else sb.toString
   }
 }
 

@@ -221,6 +221,25 @@ object Pdf {
       Some(bos.toByteArray)
     } catch { case _: Exception => None }
 
+  /** Inflate with a hard output cap: None once `maxOut` is exceeded, so a
+    * crafted stream can't expand into an allocation that kills the task
+    * (OutOfMemoryError is an Error no `catch Exception` recovers). */
+  private def inflateBounded(raw: Array[Byte], maxOut: Int): Option[Array[Byte]] =
+    try {
+      val inf = new Inflater()
+      inf.setInput(raw)
+      val bos = new ByteArrayOutputStream(math.min(raw.length * 4 + 64, maxOut))
+      val buf = new Array[Byte](64 * 1024)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && !inf.finished()) return None // stuck (dict needed etc.)
+        if (bos.size() + n > maxOut) return None
+        bos.write(buf, 0, n)
+      }
+      inf.end()
+      Some(bos.toByteArray)
+    } catch { case _: Exception => None }
+
   def extractText(bytes: Array[Byte]): String = extractText(bytes, None)
 
   /** Extract the text layer of a PDF. Streams appear in file order —
@@ -234,7 +253,10 @@ object Pdf {
   def extractText(bytes: Array[Byte], ocr: Option[OcrEngine]): String = {
     val s = new String(bytes, Latin1)
     val parts = ArrayBuffer.empty[String]
-    val images = ArrayBuffer.empty[(String, Array[Byte])] // (dict, raw body)
+    // (dict, dataStart, dataEnd) offsets only — bodies are sliced lazily
+    // inside the fallback, so a photo-heavy born-digital PDF never copies
+    // its image megabytes just to discard them
+    val images = ArrayBuffer.empty[(String, Int, Int)]
     var from = 0
     while ({
       val at = s.indexOf("stream", from)
@@ -267,11 +289,11 @@ object Pdf {
             e
           }
           if (dataEnd > end) dataEnd = end
-          val raw = bytes.slice(dataStart, dataEnd)
           if (dict.contains("/Image")) {
             // decode lazily — only a text-layer-free document pays for it
-            if (ocr.isDefined) images += ((dict, raw))
+            if (ocr.isDefined) images += ((dict, dataStart, dataEnd))
           } else {
+            val raw = bytes.slice(dataStart, dataEnd)
             val body =
               if (dict.contains("/FlateDecode")) inflate(raw)
               else Some(raw)
@@ -292,20 +314,30 @@ object Pdf {
     }) ()
     if (parts.isEmpty && images.nonEmpty) ocr match {
       case Some(engine) =>
-        images.flatMap { case (dict, raw) =>
-          decodeImageXObject(dict, raw).map(engine.recognize).filter(_.nonEmpty)
+        images.flatMap { case (dict, ds, de) =>
+          decodeImageXObject(dict, bytes.slice(ds, de))
+            .map(engine.recognize).filter(_.nonEmpty)
         }.mkString("\n")
       case None => ""
     }
     else parts.mkString("\n")
   }
 
-  private val DictInt = """/(Width|Height|BitsPerComponent)\s+(\d+)""".r
+  /** Integer dict value with the same indirect-reference guard as
+    * [[DirectLength]]: `/Width 12 0 R` must be a skip, not Width=12. */
+  private val DictInt = """/(Width|Height|BitsPerComponent)\s+(\d+)\b(?!\s+\d+\s+R)""".r
+
+  /** A page raster larger than this is not a page we OCR (64M samples
+    * ≈ a 600-dpi A4 page area with headroom); also the inflate cap, so a
+    * crafted zlib bomb in a text-free PDF can't balloon a small stream
+    * into gigabytes mid-scan. */
+  private val MaxImageSamples = 64 << 20
 
   /** Image XObject body → raster: DCT bodies are whole JPEG files (ImageIO
     * reads them directly); otherwise inflate-if-Flate and rebuild the
     * DeviceGray 8-bit sample grid. Unsupported color spaces / truncated
-    * bodies yield None — the scan never fails on someone else's PDF. */
+    * bodies / absurd declared dimensions yield None — the scan never
+    * fails on someone else's PDF. */
   private def decodeImageXObject(dict: String,
                                  raw: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try {
@@ -317,9 +349,13 @@ object Pdf {
         for {
           w <- ints.get("Width") if w > 0
           h <- ints.get("Height") if h > 0
+          // Long math: declared 50000x50000 must fail the cap, not
+          // overflow Int into a negative bound every length passes
+          if w.toLong * h <= MaxImageSamples
           if ints.getOrElse("BitsPerComponent", 8) == 8
           if dict.contains("/DeviceGray")
-          samples <- if (dict.contains("/FlateDecode")) inflate(raw) else Some(raw)
+          samples <- if (dict.contains("/FlateDecode"))
+            inflateBounded(raw, MaxImageSamples) else Some(raw)
           if samples.length >= w * h
         } yield {
           val img = new java.awt.image.BufferedImage(

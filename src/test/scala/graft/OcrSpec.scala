@@ -33,17 +33,45 @@ class OcrSpec extends AnyFunSuite {
     assert(Ocr.recognizeBytes(GlyphOcr.renderPng(s)) == s)
   }
 
-  test("multi-line pages read back line by line") {
+  test("multi-line pages round-trip exactly (trailing pad cells rtrimmed)") {
     val s = "line one\nline two!\nand #3"
-    val out = GlyphOcr.recognize(GlyphOcr.render(s))
-    // fixed-grid reader pads short lines with recognized spaces — strip
-    // per line before comparing (an empty line IS spaces to a grid reader)
-    assert(out.split("\n", -1).map(_.replaceAll(" +$", "")).mkString("\n") == s)
+    assert(GlyphOcr.recognize(GlyphOcr.render(s)) == s)
+    // blank middle line survives as an empty line, not as spaces
+    val t = "top\n\nbottom"
+    assert(GlyphOcr.recognize(GlyphOcr.render(t)) == t)
   }
 
   test("empty text is a margin-only page, not a phantom space") {
     assert(GlyphOcr.recognize(GlyphOcr.render("")) == "")
     assert(Ocr.recognizeBytes(GlyphOcr.renderPng("")) == "")
+  }
+
+  test("faded grayscale ink reads by sample value, not gamma-shifted sRGB") {
+    val img = GlyphOcr.render("FADED 42")
+    for (y <- 0 until img.getHeight; x <- 0 until img.getWidth)
+      if (img.getRaster.getSample(x, y, 0) < 128)
+        img.getRaster.setSample(x, y, 0, 100) // ink at gray 100 — still < 128
+    assert(GlyphOcr.recognize(img) == "FADED 42")
+  }
+
+  test("RGB rasters recognize through the luminance branch") {
+    val gray = GlyphOcr.render("RGB path")
+    val rgb = new java.awt.image.BufferedImage(
+      gray.getWidth, gray.getHeight, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    rgb.getGraphics.drawImage(gray, 0, 0, null)
+    assert(GlyphOcr.recognize(rgb) == "RGB path")
+  }
+
+  test("a photo is rejected as not-text, never emitted as garbage glyphs") {
+    // deterministic noise "photo": cells land far from every glyph
+    val img = new java.awt.image.BufferedImage(
+      124, 49, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    var seed = 12345L
+    for (y <- 0 until 49; x <- 0 until 124) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      img.getRaster.setSample(x, y, 0, ((seed >>> 33) & 0xFF).toInt)
+    }
+    assert(GlyphOcr.recognize(img) == "")
   }
 
   test("classification is nearest-neighbor: flipped pixels still recognize") {
@@ -83,11 +111,12 @@ class OcrSpec extends AnyFunSuite {
     val df = texts.zipWithIndex
       .map { case (t, i) => (i.toLong, GlyphOcr.renderPng(t)) }
       .toDF("id", "page")
-    val out = Ocr.ocrImages(df, "page").orderBy("id")
-    assert(out.select("ocr_text").as[String].collect().toSeq == texts)
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange") || plan.contains("rangepartitioning"),
-      s"unexpected shuffle in OCR pass:\n$plan")
+    val pass = Ocr.ocrImages(df, "page")
+    // assert the pass itself is shuffle-free BEFORE the test's own orderBy
+    // adds its range exchange (which would make any plan check vacuous)
+    val plan = pass.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle in OCR pass:\n$plan")
+    assert(pass.orderBy("id").select("ocr_text").as[String].collect().toSeq == texts)
   }
 
   test("scanned PDF: no text layer, text recovered optically from the XObject") {
@@ -101,6 +130,22 @@ class OcrSpec extends AnyFunSuite {
     // born-digital pages keep their text layer and never OCR-noise
     val digital = Pdf.write("typed text")
     assert(Pdf.extractText(digital, Some(GlyphOcr)) == "typed text")
+  }
+
+  test("hostile image dicts are skipped: huge declared dims, indirect refs") {
+    import graft.sources.Pdf
+    def fakePdf(dict: String, body: String): Array[Byte] =
+      (s"%PDF-1.4\n1 0 obj\n<< /Type /XObject /Subtype /Image $dict" +
+        s" /Length ${body.length} >>\nstream\n$body\nendstream\nendobj\n")
+        .getBytes("ISO-8859-1")
+    // 50000x50000 would overflow Int w*h; must skip, not allocate
+    assert(Pdf.extractText(fakePdf(
+      "/Width 50000 /Height 50000 /ColorSpace /DeviceGray /BitsPerComponent 8",
+      "AAAAA"), Some(GlyphOcr)) == "")
+    // indirect-reference dims must be a skip, not Width=12
+    assert(Pdf.extractText(fakePdf(
+      "/Width 12 0 R /Height 13 0 R /ColorSpace /DeviceGray /BitsPerComponent 8",
+      "A" * 200), Some(GlyphOcr)) == "")
   }
 
   test("DocumentLoader routes text-layer-free PDFs through OCR") {
