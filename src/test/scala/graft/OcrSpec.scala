@@ -132,6 +132,30 @@ class OcrSpec extends AnyFunSuite {
     assert(Pdf.extractText(digital, Some(GlyphOcr)) == "typed text")
   }
 
+  test("DCT (JPEG) scanned pages decode through ImageIO and recognize") {
+    import graft.sources.Pdf
+    val msg = "JPEG SCAN 99"
+    val img = GlyphOcr.render(msg)
+    val bos = new java.io.ByteArrayOutputStream()
+    // high-quality JPEG — the realistic scanned-page encoding; the OCR
+    // nearest-match tolerance absorbs the residual codec noise
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(0.95f)
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    w.setOutput(ios)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose(); ios.close()
+    val jpeg = bos.toByteArray
+    val head = ("%PDF-1.4\n1 0 obj\n<< /Type /XObject /Subtype /Image" +
+      s" /Width ${img.getWidth} /Height ${img.getHeight}" +
+      " /ColorSpace /DeviceGray /BitsPerComponent 8 /Filter /DCTDecode" +
+      s" /Length ${jpeg.length} >>\nstream\n").getBytes("ISO-8859-1")
+    val pdf = head ++ jpeg ++ "\nendstream\nendobj\n".getBytes("ISO-8859-1")
+    assert(Pdf.extractText(pdf, Some(GlyphOcr)) == msg)
+  }
+
   test("hostile image dicts are skipped: huge declared dims, indirect refs") {
     import graft.sources.Pdf
     def fakePdf(dict: String, body: String): Array[Byte] =
