@@ -39,21 +39,35 @@ final case class GraphHit(text: String, score: Double, sourceRef: String)
 final class GraphContextStore(
     baseUrl: String,
     graphId: String,
-    apiKey: Option[String] = sys.env.get("GRAPH_STORE_API_KEY"),
+    apiKey: Option[String] = None,
     timeoutMs: Long = 10000L) {
 
   import GraphContextStore._
 
-  @transient private lazy val http: HttpClient =
+  /** Effective credential, with the reference's resolution rule
+    * (zep_store.py:30-32): explicit key, else the environment, and a
+    * BLANK key counts as absent — a set-but-empty env var must not
+    * produce an "active" backend that 401s every call. */
+  private val key: Option[String] =
+    apiKey.filter(_.nonEmpty)
+      .orElse(sys.env.get("GRAPH_STORE_API_KEY").filter(_.nonEmpty))
+
+  // driver-side store, deliberately NOT Serializable: evidence flows into
+  // Spark via ContextStore's DataFrame tables, this client manages the
+  // remote graph from the driver (like the reference's store object)
+  private lazy val http: HttpClient =
     HttpClient.newBuilder()
       .connectTimeout(Duration.ofMillis(math.min(timeoutMs, 10000L)))
       .build()
 
   private val local = new ConcurrentHashMap[String, (String, String)]()
 
-  /** The reference's availability rule: a backend without credentials is
-    * present-but-inactive (zep_store.py:90-91). */
-  def available: Boolean = apiKey.isDefined
+  @volatile private var closed = false
+
+  /** The reference's availability rule: a backend without credentials —
+    * or after close() — is present-but-inactive (zep_store.py:90-91,
+    * :154-156). */
+  def available: Boolean = key.isDefined && !closed
 
   if (available) ensureGraph()
 
@@ -63,28 +77,39 @@ final class GraphContextStore(
         .timeout(Duration.ofMillis(timeoutMs))
         .header("Content-Type", "application/json")
         .POST(HttpRequest.BodyPublishers.ofString(body, StandardCharsets.UTF_8))
-      apiKey.foreach(k => b.header("Authorization", s"Api-Key $k"))
+      key.foreach(k => b.header("Authorization", s"Api-Key $k"))
       Some(http.send(b.build(), HttpResponse.BodyHandlers.ofString()))
-    } catch { case _: Exception => None } // network failure = degradation
+    } catch {
+      case _: InterruptedException =>
+        // degradation must not eat a task kill: restore the flag so the
+        // caller's next interruption point still fires
+        Thread.currentThread().interrupt()
+        None
+      case _: Exception => None // network failure = degradation
+    }
 
   /** Create the graph; idempotent per (endpoint, graph) per JVM.
-    * 409 / "already exists" is success, other failures log-and-continue
-    * (the add path will surface real unavailability). */
+    * 2xx and 409/"already exists" cache as done; an UNREACHABLE or
+    * failed create is deliberately NOT cached (deviation from the
+    * reference's unconditional `_created_graphs.add`, zep_store.py:66:
+    * a transient outage at first construction must not condemn every
+    * later add in this JVM to 404 forever — the next instance retries). */
   private def ensureGraph(): Unit = {
-    val key = s"$baseUrl|$graphId"
-    if (createdGraphs.containsKey(key)) return
+    val cacheKey = s"$baseUrl|$graphId"
+    if (createdGraphs.containsKey(cacheKey)) return
     post("/graph", mapper.writeValueAsString(
       mapper.createObjectNode().put("graph_id", graphId))) match {
       case Some(r) if r.statusCode() / 100 == 2 =>
         log.info("graph store: created graph {}", graphId)
+        createdGraphs.put(cacheKey, java.lang.Boolean.TRUE)
       case Some(r) if r.statusCode() == 409 ||
         Option(r.body()).exists(_.toLowerCase.contains("already exists")) =>
-        () // someone else created it — exactly what idempotent means
+        // someone else created it — exactly what idempotent means
+        createdGraphs.put(cacheKey, java.lang.Boolean.TRUE)
       case other =>
-        log.warn("graph store: create {} -> {}", graphId,
-          other.map(_.statusCode().toString).getOrElse("unreachable"): Any)
+        log.warn("graph store: create {} -> {} (will retry on next instance)",
+          graphId, other.map(_.statusCode().toString).getOrElse("unreachable"): Any)
     }
-    createdGraphs.put(key, java.lang.Boolean.TRUE)
   }
 
   /** Store one claim; returns its id (caller-supplied or minted). The
@@ -139,7 +164,10 @@ final class GraphContextStore(
     }
   }
 
-  def close(): Unit = local.clear()
+  /** Deactivate and drop the cache: post-close, store() is cache-only…
+    * except the cache is cleared too, matching the reference exactly
+    * (zep_store.py:154-156 clears records AND nulls the client). */
+  def close(): Unit = { closed = true; local.clear() }
 }
 
 object GraphContextStore {

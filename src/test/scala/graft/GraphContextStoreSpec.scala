@@ -27,6 +27,7 @@ class GraphContextStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
   /** graphId -> stored texts, in order. */
   private val graphs = new ConcurrentHashMap[String, java.util.List[String]]()
   private val createCalls = new AtomicInteger(0)
+  private val flakyFailedOnce = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   private def respond(ex: HttpExchange, status: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
@@ -48,7 +49,9 @@ class GraphContextStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
       else if (path == "/graph") {
         createCalls.incrementAndGet()
         val id = mapper.readTree(body).path("graph_id").asText
-        if (graphs.containsKey(id))
+        if (id == "flaky-g" && !flakyFailedOnce.getAndSet(true))
+          respond(ex, 500, """{"error":"transient"}""")
+        else if (graphs.containsKey(id))
           respond(ex, 409, """{"error":"graph already exists"}""")
         else {
           graphs.put(id, java.util.Collections.synchronizedList(
@@ -135,6 +138,32 @@ class GraphContextStoreSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s.retrieve(id).contains(("kept locally", "factual")))
     assert(s.search("kept") == Nil)
     assert(!graphs.containsKey("keyless")) // nothing ever sent
+    // a set-but-BLANK key is absent, not an active backend that 401s
+    assert(!new GraphContextStore(base, "keyless", Some("")).available)
+  }
+
+  test("close deactivates the backend: no further remote I/O") {
+    GraphContextStore.resetEnsuredGraphs()
+    val s = new GraphContextStore(base, "closing", Some("test-key"))
+    s.store("before close")
+    assert(graphs.get("closing").size == 1)
+    s.close()
+    assert(!s.available)
+    s.store("after close")
+    assert(graphs.get("closing").size == 1) // nothing sent post-close
+    assert(s.search("before") == Nil)
+  }
+
+  test("a failed create is retried by the next instance, not cached as done") {
+    GraphContextStore.resetEnsuredGraphs()
+    // first create 500s — a transient outage must NOT poison the JVM cache
+    new GraphContextStore(base, "flaky-g", Some("test-key"))
+    assert(!graphs.containsKey("flaky-g"))
+    // next instance, same endpoint+graph: the create is retried and lands
+    val s = new GraphContextStore(base, "flaky-g", Some("test-key"))
+    s.store("made it")
+    assert(graphs.containsKey("flaky-g"))
+    assert(graphs.get("flaky-g").size == 1)
   }
 
   test("dead server and malformed replies degrade, never throw") {
