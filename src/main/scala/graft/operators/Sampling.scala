@@ -58,6 +58,69 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Re-mix a multi-domain corpus to target proportions — the Pile/
+    * Dolma-style mixing step that turns "what we crawled" into "what we
+    * train on". `weights` are integer mixture parts per domain (e.g.
+    * `Seq("web" -> 6, "code" -> 3, "books" -> 1)`); the output holds
+    * ~`totalRows` rows distributed in those proportions, DOWNSAMPLING
+    * over-represented domains (hash-threshold filter) and UPSAMPLING
+    * under-represented ones by emitting repeat copies tagged with an
+    * `epoch` column (0-based; full epochs for every key, the fractional
+    * last epoch again hash-selected).
+    *
+    * All planning is exact integer arithmetic on the driver over one
+    * tiny per-domain census (`need = totalRows*w/Σw`, truncating
+    * division; `threshold = rem*1e6/n`), so the DuckDB oracle recomputes
+    * the identical plan — no cross-engine float hazard. Per-row work is
+    * a map-side when-chain + `explode(sequence)`: the only shuffle is
+    * the census aggregation, whose result is #domains rows. Domains not
+    * in `weights` are dropped. Fails fast if a domain would need more
+    * than `maxEpochs` copies (a 100 TB guard: a typo'd weight on a tiny
+    * domain would otherwise silently explode the output). Row counts per
+    * domain are approximate at 1e-6 resolution, like every hash-rate
+    * sample here; determinism and auditability are exact. */
+  def mixtureSample(df: DataFrame, domainCol: String, keyCol: String,
+                    weights: Seq[(String, Long)], totalRows: Long,
+                    maxEpochs: Int = 10, salt: String = "mix",
+                    epochCol: String = "epoch"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "weights must be positive integers")
+    require(totalRows > 0, "totalRows must be > 0")
+    require(weights.map(_._1).distinct.size == weights.size,
+      "duplicate domain in weights")
+    val wSum = weights.map(_._2).sum
+    val domains = weights.map(_._1)
+    val inDomains = df.filter(col(domainCol).isin(domains: _*))
+    // tiny census: one row per weighted domain
+    val counts = inDomains.groupBy(col(domainCol).cast("string").as("__d"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // integer plan — truncating division matches DuckDB's `//` on the
+    // all-positive operands here
+    val plan = weights.map { case (d, wt) =>
+      val n = counts.getOrElse(d, 0L)
+      val need = totalRows * wt / wSum
+      require(n > 0 || need == 0, s"domain '$d' has weight but no rows")
+      val fullEp = if (n == 0) 0L else need / n
+      val thr = if (n == 0) 0L else (need % n) * 1000000L / n
+      val maxCopies = fullEp + (if (thr > 0) 1 else 0)
+      require(maxCopies <= maxEpochs,
+        s"domain '$d' needs $maxCopies epochs > maxEpochs=$maxEpochs")
+      (d, fullEp, thr)
+    }
+    def chain(f: ((String, Long, Long)) => Long): Column =
+      plan.foldRight(lit(0L)) { case (p, els) =>
+        when(col(domainCol) === lit(p._1), lit(f(p))).otherwise(els)
+      }
+    val copies = chain(_._2) +
+      when(bucket(col(keyCol), salt) < chain(_._3), 1L).otherwise(0L)
+    // guard sequence(): Spark infers step -1 when start > stop, so an
+    // unguarded sequence(0, copies-1) at copies=0 would yield [0,-1]
+    inDomains.withColumn(epochCol,
+      explode(when(copies > 0,
+        sequence(lit(0), (copies - 1).cast("int"))).otherwise(
+        array().cast("array<int>"))))
+  }
+
   /** At most `quota` rows per group, chosen by hash rank — deterministic
     * and unbiased within the group (a `LIMIT` per group would be
     * partitioning-dependent). One window shuffle by `groupCol`. */

@@ -665,6 +665,70 @@ object TextQueries {
       |  FROM documents)
       |SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id""".stripMargin
 
+  /** Pile/Dolma-style mixture re-sampling: re-mix the five-language
+    * corpus to 1:2:2:2:3 target parts at the corpus's own row count —
+    * `en` downsamples, the rest upsample with 0-based `epoch` copies.
+    * The oracle replays the driver's exact integer plan (census →
+    * truncating-division need/threshold) and the hash membership, so the
+    * full planner arithmetic is cross-engine verified, not just the
+    * per-row filter. */
+  def q100MixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = tp(spark, dir, "documents")
+    val total = docs.count()
+    Sampling.mixtureSample(docs, domainCol = "lang", keyCol = "doc_id",
+      weights = Seq("en" -> 1L, "zh" -> 2L, "es" -> 2L,
+        "de" -> 2L, "fr" -> 3L),
+      totalRows = total)
+      .select(col("doc_id"), col("lang"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  val q100Sql: String =
+    """WITH w(domain, wt) AS (
+      |  VALUES ('en', 1), ('zh', 2), ('es', 2), ('de', 2), ('fr', 3)),
+      |census AS (
+      |  SELECT lang AS domain, count(*)::BIGINT AS n FROM documents
+      |  WHERE lang IN (SELECT domain FROM w) GROUP BY 1),
+      |plan AS (
+      |  SELECT c.domain, c.n,
+      |    ((SELECT count(*) FROM documents) * w.wt)
+      |      // (SELECT sum(wt) FROM w) AS need
+      |  FROM census c JOIN w ON w.domain = c.domain),
+      |thresholds AS (
+      |  SELECT domain, need // n AS full_ep,
+      |    ((need % n) * 1000000) // n AS thr
+      |  FROM plan),
+      |hashed AS (
+      |  SELECT d.doc_id, d.lang,
+      |    t.full_ep + CASE WHEN
+      |      ('0x' || substr(md5('mix|' || d.doc_id::VARCHAR), 1, 15))::UBIGINT
+      |        % 1000000 < t.thr THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN thresholds t ON t.domain = d.lang)
+      |SELECT doc_id, lang,
+      |  unnest(generate_series(0, (n_copies - 1)::INT))::INT AS epoch
+      |FROM hashed WHERE n_copies > 0 ORDER BY doc_id, epoch""".stripMargin
+
+  /** Deterministic hash-shard assignment (the write path's membership
+    * function): 8 shards over doc_id, per-shard row and char totals.
+    * The oracle recomputes the portable hash mod — proving any row's
+    * shard is auditable engine-independently, the property the
+    * training-shard writer (`Shards.writeShards`) is built on. */
+  def q101ShardAssign(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Shards
+    Shards.withShard(tp(spark, dir, "documents"), "doc_id", numShards = 8)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+      .orderBy("shard")
+  }
+
+  val q101Sql: String =
+    """SELECT
+      |  (('0x' || substr(md5('shard|' || doc_id::VARCHAR), 1, 15))::UBIGINT
+      |    % 8)::INT AS shard,
+      |  count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> q30TokenStats _,
     "q31_lang_id" -> q31LangId _,
@@ -685,7 +749,9 @@ object TextQueries {
     "q47_video_meta" -> q47VideoMeta _,
     "q48_video_frames" -> q48VideoFrames _,
     "q57_sample_split" -> q57SampleSplit _,
-    "q58_stratified_quota" -> q58StratifiedQuota _)
+    "q58_stratified_quota" -> q58StratifiedQuota _,
+    "q100_mixture_sample" -> q100MixtureSample _,
+    "q101_shard_assign" -> q101ShardAssign _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -707,5 +773,7 @@ object TextQueries {
     "q47_video_meta" -> q47Sql,
     "q48_video_frames" -> q48Sql,
     "q57_sample_split" -> q57Sql,
-    "q58_stratified_quota" -> q58Sql)
+    "q58_stratified_quota" -> q58Sql,
+    "q100_mixture_sample" -> q100Sql,
+    "q101_shard_assign" -> q101Sql)
 }

@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions.hash64
+
+/** Deterministic output sharding — the last step of a training-data
+  * pipeline: split a curated corpus into a fixed number of shards a
+  * training job can stream independently (WebDataset / Megatron-style
+  * shard-per-worker layout).
+  *
+  * Shard assignment is a pure function of a salted portable hash of the
+  * key (same md5 formula as [[graft.operators.Sampling]]), NEVER of the
+  * partitioning: re-running on the same data yields byte-identical shard
+  * membership on any cluster size, and an auditor can recompute any
+  * row's shard engine-independently. At 100 TB the write is one shuffle
+  * (`repartition(numShards, shard)`) and each shard directory receives
+  * exactly one file, because every shard value maps to exactly one of
+  * the `numShards` partitions — no small-file explosion, no
+  * driver-side loops.
+  */
+object Shards {
+
+  /** Append the shard id column: `hash64(salt|key) mod numShards`. */
+  def withShard(df: DataFrame, keyCol: String, numShards: Int,
+                shardCol: String = "shard",
+                salt: String = "shard"): DataFrame = {
+    require(numShards > 0, "numShards must be > 0")
+    val h: Column = hash64(
+      concat(lit(salt), lit("|"), col(keyCol).cast("string")))
+    df.withColumn(shardCol, pmod(h, lit(numShards.toLong)).cast("int"))
+  }
+
+  final case class ShardInfo(shard: Int, rows: Long)
+  final case class ShardManifest(numShards: Int, totalRows: Long,
+                                 shards: Seq[ShardInfo])
+
+  /** Write `df` as `numShards` hash-sharded parquet directories under
+    * `outDir` (`shard=K/part-*.parquet`, one file per shard) and return
+    * a per-shard row-count manifest, also persisted as
+    * `outDir/_manifest.json`. The manifest agg reuses the sharded plan;
+    * cost is one extra #shards-row aggregation. */
+  def writeShards(df: DataFrame, keyCol: String, numShards: Int,
+                  outDir: String, shardCol: String = "shard",
+                  salt: String = "shard"): ShardManifest = {
+    val sharded = withShard(df, keyCol, numShards, shardCol, salt)
+    sharded.repartition(numShards, col(shardCol))
+      .write.partitionBy(shardCol).mode("overwrite").parquet(outDir)
+    val counts = sharded.groupBy(col(shardCol)).count().collect()
+      .map(r => ShardInfo(r.getInt(0), r.getLong(1)))
+      .sortBy(_.shard)
+    val manifest = ShardManifest(numShards, counts.map(_.rows).sum, counts)
+    val json = {
+      val shardsJson = manifest.shards.map(s =>
+        s"""{"shard":${s.shard},"rows":${s.rows}}""").mkString("[", ",", "]")
+      s"""{"numShards":${manifest.numShards},""" +
+        s""""totalRows":${manifest.totalRows},"shards":$shardsJson}"""
+    }
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val path = new org.apache.hadoop.fs.Path(outDir, "_manifest.json")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(path, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    manifest
+  }
+
+  /** Read back a sharded corpus written by [[writeShards]] (the shard
+    * column is restored by Spark's partition discovery). */
+  def readShards(spark: org.apache.spark.sql.SparkSession,
+                 dir: String): DataFrame =
+    spark.read.parquet(dir)
+}

@@ -43,6 +43,59 @@ class SamplingSpec extends SparkSpec {
       .count() === 0)
   }
 
+  test("mixture sample hits target proportions, up- and down-sampling") {
+    // domains sized 3000/600/150; target parts 1:1:1 at totalRows=3000
+    // => need 1000 each: a downsamples (1/3), b upsamples (1 full epoch
+    // + ~2/3), c upsamples (6 full epochs + ~2/3)
+    val df = ids(3750, 8).withColumn("dom",
+      org.apache.spark.sql.functions.when($"id" < 3000, "a")
+        .when($"id" < 3600, "b").otherwise("c"))
+    val out = Sampling.mixtureSample(df, "dom", "id",
+      Seq("a" -> 1L, "b" -> 1L, "c" -> 1L), totalRows = 3000)
+    val counts = out.groupBy("dom").count().as[(String, Long)]
+      .collect().toMap
+    for (d <- Seq("a", "b", "c"))
+      assert(counts(d) > 850 && counts(d) < 1150,
+        s"domain $d got ${counts(d)} rows, wanted ~1000")
+    // every key's copies carry consecutive 0-based epoch ids
+    val epochs = out.groupBy("id").agg(
+      org.apache.spark.sql.functions.collect_set($"epoch").as("es"))
+      .as[(Long, Seq[Int])].collect()
+    assert(epochs.forall { case (_, es) => es.sorted == (0 until es.size) })
+    // full epochs cover EVERY key of an upsampled domain
+    val cIds = out.filter($"dom" === "c" && $"epoch" < 6)
+      .groupBy("id").count().as[(Long, Long)].collect()
+    assert(cIds.length === 150 && cIds.forall(_._2 === 6L))
+  }
+
+  test("mixture sample is partitioning-independent and drops unweighted domains") {
+    val df = ids(2000, 1).withColumn("dom", ($"id" % 3).cast("string"))
+    val a = Sampling.mixtureSample(df, "dom", "id",
+      Seq("0" -> 2L, "1" -> 1L), totalRows = 900)
+    val b = Sampling.mixtureSample(
+      ids(2000, 16).withColumn("dom", ($"id" % 3).cast("string")),
+      "dom", "id", Seq("0" -> 2L, "1" -> 1L), totalRows = 900)
+    assert(a.select("id", "epoch").except(b.select("id", "epoch"))
+      .count() === 0)
+    assert(b.select("id", "epoch").except(a.select("id", "epoch"))
+      .count() === 0)
+    assert(a.filter($"dom" === "2").count() === 0)
+  }
+
+  test("mixture sample fails fast past maxEpochs and on empty weighted domains") {
+    val df = ids(1000, 4).withColumn("dom",
+      org.apache.spark.sql.functions.when($"id" < 990, "big")
+        .otherwise("tiny"))
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(df, "dom", "id",
+        Seq("big" -> 1L, "tiny" -> 1L), totalRows = 1000, maxEpochs = 10)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixtureSample(df, "dom", "id",
+        Seq("big" -> 1L, "absent" -> 1L), totalRows = 1000)
+    }
+  }
+
   test("stratified quota is exact per group and deterministic") {
     val out = Sampling.stratifiedQuota(ids(1000, 8), "grp", "id", quota = 11)
     val counts = out.groupBy("grp").count().as[(String, Long)]

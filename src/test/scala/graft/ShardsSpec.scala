@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Shards
+
+class ShardsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shard assignment is deterministic and partitioning-independent") {
+    val a = Shards.withShard(spark.range(0, 4000, 1, 1).toDF("id"), "id", 16)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    val b = Shards.withShard(spark.range(0, 4000, 1, 32).toDF("id"), "id", 16)
+      .select("id", "shard").as[(Long, Int)].collect().toMap
+    assert(a === b)
+    assert(a.values.toSet === (0 until 16).toSet)
+    // roughly balanced: every shard within 2x of the uniform share
+    val counts = a.values.groupBy(identity).map(_._2.size)
+    assert(counts.forall(c => c > 125 && c < 500), counts.toString)
+  }
+
+  test("writeShards round-trips, one file per shard, manifest matches") {
+    val dir = Files.createTempDirectory("graft_shards").toString
+    val df = spark.range(0, 1000, 1, 7).toDF("id")
+      .withColumn("payload", concat(lit("row-"), $"id"))
+    val manifest = Shards.writeShards(df, "id", numShards = 8, dir)
+    assert(manifest.numShards === 8)
+    assert(manifest.totalRows === 1000L)
+    assert(manifest.shards.map(_.shard) === (0 until 8))
+
+    val back = Shards.readShards(spark, dir)
+    assert(back.count() === 1000L)
+    assert(back.select("id", "payload").except(
+      df.select("id", "payload")).count() === 0)
+    // partition discovery restores the shard column, and the on-disk
+    // counts agree with the manifest
+    val diskCounts = back.groupBy("shard").count()
+      .as[(Int, Long)].collect().toMap
+    assert(manifest.shards.forall(s => diskCounts(s.shard) === s.rows))
+    // exactly one data file under each shard directory
+    for (s <- 0 until 8) {
+      val files = new java.io.File(s"$dir/shard=$s")
+        .listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length === 1, s"shard $s has ${files.length} files")
+    }
+    // the manifest file is valid JSON with the same totals
+    val json = new String(Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "_manifest.json")), "UTF-8")
+    assert(json.contains("\"totalRows\":1000"))
+  }
+}
