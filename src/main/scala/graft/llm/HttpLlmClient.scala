@@ -49,6 +49,14 @@ object LlmClients {
   def forSpec(spec: graft.core.LlmSpec,
               typedSchema: Option[org.apache.spark.sql.types.StructType]): LlmClient =
     spec.endpoint match {
+      // local sidecar inference (MLX/llama.cpp-style runners): the
+      // command line after "proc:", one shared child per executor.
+      // Typed output still flows through the generic parse chain — a
+      // local runner owns its own formatting, there is no provider
+      // structured mode to negotiate.
+      case Some(cmd) if cmd.startsWith("proc:") =>
+        val argv = cmd.stripPrefix("proc:").trim.split("\\s+").toSeq
+        new ProcessLlmClient(argv, spec.model, timeoutMs = spec.timeoutMs)
       case Some(url) =>
         val structured = typedSchema.map { st =>
           val mode = StructuredOutput.detect(spec.model, spec.structuredMode,
