@@ -294,12 +294,13 @@ object Dedup {
                       numBands: Int = 8, shingleSize: Int = 3,
                       threshold: Double = 0.5, maxBucketSize: Int = 100,
                       maxIters: Int = 50,
-                      starSwitchIters: Int = 5): DataFrame = {
+                      starSwitchIters: Int = 5,
+                      smallGraphPairs: Long = 5000000L): DataFrame = {
     val df = Parallelism.ensure(df0)
     val pairs = nearDuplicatePairs(df, idCol, textCol, numBands,
       shingleSize, threshold, maxBucketSize)
     clusterLabels(df.select(col(idCol)), idCol, pairs, maxIters,
-      starSwitchIters)
+      starSwitchIters, smallGraphPairs)
   }
 
   /** Connected-component labels over an ARBITRARY confirmed-pair graph:
@@ -316,10 +317,23 @@ object Dedup {
     * `ids` are dropped (semi-filtered on both endpoints) — without that
     * rule the two internal paths would disagree on such graphs: the
     * propagation join ignores unlabeled endpoints while the star
-    * contraction would route connectivity through them. */
+    * contraction would route connectivity through them.
+    *
+    * Pair graphs that FIT THE DRIVER (≤ `smallGraphPairs` edges after
+    * the semi-filter; ~16 B/edge ⇒ the 5M default is ~80 MB) take a
+    * driver union-find fast path instead: one collect + one broadcast
+    * join replaces every propagation round, which on iteration-dominated
+    * workloads is most of the wall-clock (each round is a join + agg +
+    * checkpoint job whose FIXED cost dwarfs its data at any corpus size
+    * — the pair count tracks the duplicate rate, not the corpus, so
+    * even 100 TB corpora with sane dup rates stay under the threshold).
+    * Labels are identical by construction (component-min roots). Larger
+    * graphs, or exotic id types, run the distributed paths unchanged;
+    * `smallGraphPairs = 0` forces them. */
   def clusterLabels(ids: DataFrame, idCol: String, pairs0: DataFrame,
                     maxIters: Int = 50,
-                    starSwitchIters: Int = 5): DataFrame = {
+                    starSwitchIters: Int = 5,
+                    smallGraphPairs: Long = 5000000L): DataFrame = {
     val idOnly = ids.select(col(idCol).as("id"))
     // staged once: every propagation round (and the star fallback)
     // re-reads the pair set
@@ -327,6 +341,16 @@ object Dedup {
       .join(idOnly.select(col("id").as("id_a")), Seq("id_a"), "left_semi")
       .join(idOnly.select(col("id").as("id_b")), Seq("id_b"), "left_semi")
       .transform(Parallelism.stage)
+    val dt = pairs.schema("id_a").dataType
+    val driverableType = {
+      import org.apache.spark.sql.types._
+      dt == LongType || dt == IntegerType || dt == ShortType ||
+        dt == ByteType || dt == StringType
+    }
+    val driverable = driverableType &&
+      smallGraphPairs > 0 && pairs.count() <= smallGraphPairs
+    if (driverable)
+      return unionFindLabels(idOnly, idCol, pairs, dt)
     val edges = pairs.unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -368,6 +392,49 @@ object Dedup {
         .transform(Parallelism.stage)
     }
     labels.select(col("id").as(idCol), col("lab").as("cluster_id"))
+  }
+
+  /** Driver union-find over a collected pair set (the
+    * [[clusterLabels]] small-graph fast path): min-ordered roots, path
+    * compression, then one broadcast map-join back onto the ids.
+    * Produces exactly the component-min labels the distributed paths
+    * converge to. */
+  private def unionFindLabels(idOnly: DataFrame, idCol: String,
+                              pairs: DataFrame,
+                              dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    val isStr = dt == org.apache.spark.sql.types.StringType
+    def less(a: AnyRef, b: AnyRef): Boolean =
+      if (isStr) a.asInstanceOf[String] < b.asInstanceOf[String]
+      else a.asInstanceOf[Number].longValue < b.asInstanceOf[Number].longValue
+    val parent = new java.util.HashMap[AnyRef, AnyRef]()
+    def root(x: AnyRef): AnyRef = {
+      if (!parent.containsKey(x)) { parent.put(x, x); return x }
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x // path compression (puts on EXISTING keys only)
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.toLocalIterator().forEachRemaining { row =>
+      val (ra, rb) = (root(row.get(0).asInstanceOf[AnyRef]),
+        root(row.get(1).asInstanceOf[AnyRef]))
+      if (ra != rb) {
+        if (less(ra, rb)) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val labRows = parent.keySet().asScala.toSeq
+      .map(n => org.apache.spark.sql.Row(n, root(n)))
+    val spark = idOnly.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", dt),
+      org.apache.spark.sql.types.StructField("lab", dt)))
+    val labDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(labRows,
+        math.max(1, labRows.size / 500000)), schema)
+    idOnly.join(broadcast(labDf), Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("lab"), col("id")).as("cluster_id"))
   }
 
   /** Connected components by large-star/small-star alternation (Kiveris

@@ -89,6 +89,8 @@ object Sampling {
     require(weights.map(_._1).distinct.size == weights.size,
       "duplicate domain in weights")
     val wSum = weights.map(_._2).sum
+    require(wSum <= Long.MaxValue / totalRows,
+      s"totalRows * weight overflows Long (totalRows=$totalRows, sum=$wSum)")
     val domains = weights.map(_._1)
     val inDomains = df.filter(col(domainCol).isin(domains: _*))
     // tiny census: one row per weighted domain

@@ -300,13 +300,15 @@ object Similarity {
                                vecCol: String = "embedding",
                                maxBucketSize: Int = 1000,
                                maxIters: Int = 50,
-                               starSwitchIters: Int = 5): DataFrame = {
+                               starSwitchIters: Int = 5,
+                               smallGraphPairs: Long = 5000000L): DataFrame = {
     // no ensure here: embeddingNearDupPairs ensures internally, and the
     // ids projection below carries no per-row compute worth widening
     val pairs = embeddingNearDupPairs(df0, threshold, numPlanes, idCol,
       vecCol, maxBucketSize)
     Dedup.clusterLabels(df0.select(col(idCol)), idCol, pairs,
-      maxIters = maxIters, starSwitchIters = starSwitchIters)
+      maxIters = maxIters, starSwitchIters = starSwitchIters,
+      smallGraphPairs = smallGraphPairs)
   }
 
   /** Drop every row except one representative per semantic dup family —

@@ -39,17 +39,34 @@ object Shards {
   /** Write `df` as `numShards` hash-sharded parquet directories under
     * `outDir` (`shard=K/part-*.parquet`, one file per shard) and return
     * a per-shard row-count manifest, also persisted as
-    * `outDir/_manifest.json`. The manifest agg reuses the sharded plan;
-    * cost is one extra #shards-row aggregation. */
+    * `outDir/_manifest.json`. The manifest counts the WRITTEN files
+    * (parquet footer metadata — no data read), not the input plan: at
+    * 100 TB a second input scan would double the job, and counting the
+    * output also confirms what actually landed. A hash-missed shard
+    * (possible when rows ≪ shards) appears with 0 rows and no
+    * directory. */
   def writeShards(df: DataFrame, keyCol: String, numShards: Int,
                   outDir: String, shardCol: String = "shard",
                   salt: String = "shard"): ShardManifest = {
     val sharded = withShard(df, keyCol, numShards, shardCol, salt)
+    // rows inside each shard land in a deterministic pseudo-random order
+    // (hash of the key under a distinct salt): training readers stream
+    // shards sequentially, so the within-file order IS the sample order —
+    // sortWithinPartitions is a partition-local sort, no extra shuffle
+    // the sort leads with the shard column: the dynamic-partition writer
+    // requires rows ordered by partition value and inserts its own
+    // (order-destroying) sort otherwise — leading with it makes this
+    // sort satisfy that requirement, so hash order survives into files
     sharded.repartition(numShards, col(shardCol))
+      .sortWithinPartitions(col(shardCol),
+        hash64(concat(lit(salt), lit("#order|"), col(keyCol).cast("string"))),
+        col(keyCol))
       .write.partitionBy(shardCol).mode("overwrite").parquet(outDir)
-    val counts = sharded.groupBy(col(shardCol)).count().collect()
-      .map(r => ShardInfo(r.getInt(0), r.getLong(1)))
-      .sortBy(_.shard)
+    val written = df.sparkSession.read.parquet(outDir)
+      .groupBy(col(shardCol)).count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val counts = (0 until numShards)
+      .map(s => ShardInfo(s, written.getOrElse(s, 0L)))
     val manifest = ShardManifest(numShards, counts.map(_.rows).sum, counts)
     val json = {
       val shardsJson = manifest.shards.map(s =>

@@ -303,14 +303,19 @@ class CurationSpec extends SparkSpec {
     val docs = (0 until 16).map { i =>
       (i.toLong, words.slice(3 * i, 3 * i + 10).mkString(" "))
     }.toDF("doc_id", "text")
-    def run(switchIters: Int): Map[Long, Long] = graft.operators.Dedup
-      .nearDupClusters(docs, "doc_id", "text", numBands = 8,
-        shingleSize = 3, threshold = 0.3, starSwitchIters = switchIters)
-      .as[(Long, Long)].collect().toMap
+    def run(switchIters: Int, smallGraph: Long = 0L): Map[Long, Long] =
+      graft.operators.Dedup
+        .nearDupClusters(docs, "doc_id", "text", numBands = 8,
+          shingleSize = 3, threshold = 0.3, starSwitchIters = switchIters,
+          smallGraphPairs = smallGraph)
+        .as[(Long, Long)].collect().toMap
     val viaStar = run(1)
     val viaProp = run(50)
     assert(viaStar == viaProp,
       s"star path $viaStar != propagation path $viaProp")
+    val viaDriver = run(1, smallGraph = 5000000L) // union-find fast path
+    assert(viaDriver == viaProp,
+      s"driver fast path $viaDriver != propagation path $viaProp")
     val pairIds = graft.operators.Dedup.nearDuplicatePairs(
       docs, "doc_id", "text", 8, 3, 0.3)
       .select("id_a", "id_b").as[(Long, Long)].collect()

@@ -245,8 +245,15 @@ class OperatorsSpec extends SparkSpec {
       (0L, a), (1L, a.map(_ * 2f)), (2L, a.map(_ * 3f)),
       (10L, b), (11L, b.map(_ * 0.5f)),
       (20L, solo)).toDF("vec_id", "embedding")
-    val clusters = Similarity.embeddingNearDupClusters(vecs, 0.95, 4)
+    // distributed propagation path (smallGraphPairs = 0 disables the
+    // driver fast path) — keeps the union-find check independent
+    val clusters = Similarity.embeddingNearDupClusters(vecs, 0.95, 4,
+      smallGraphPairs = 0L)
       .as[(Long, Long)].collect().toMap
+    // the driver union-find fast path must agree exactly
+    val fast = Similarity.embeddingNearDupClusters(vecs, 0.95, 4)
+      .as[(Long, Long)].collect().toMap
+    assert(fast == clusters, "fast path diverged from propagation path")
     val pairs = Similarity.embeddingNearDupPairs(vecs, 0.95, 4)
       .select("id_a", "id_b").as[(Long, Long)].collect()
     val parent = scala.collection.mutable.Map(

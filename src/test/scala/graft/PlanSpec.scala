@@ -261,4 +261,42 @@ class PlanSpec extends SparkSpec {
     assert(!"Exchange[^\\n]*text#".r.findFirstIn(p).isDefined,
       s"document text crosses a shuffle:\n$p")
   }
+
+  test("mixture sample is a map-side filter + generator after the census") {
+    val df = (0L until 500L).map(i => (i, if (i % 5 == 0) "a" else "b", s"t$i"))
+      .toDF("id", "dom", "text")
+    val p = plan(graft.operators.Sampling.mixtureSample(
+      df, "dom", "id", Seq("a" -> 3L, "b" -> 1L), totalRows = 400))
+    // the census runs eagerly at plan-build; the RESULT plan must be
+    // scan -> filter -> generate with no exchange at all
+    assert(!p.contains("Exchange"),
+      s"mixture sampling must not shuffle the corpus:\n$p")
+    assert(p.contains("Generate"), s"epoch fan-out generator missing:\n$p")
+  }
+
+  test("shard assignment is map-side; the shard write shuffles exactly once") {
+    val df = (0L until 500L).map(i => (i, s"t$i")).toDF("id", "text")
+    val assign = plan(graft.sources.Shards.withShard(df, "id", 16))
+    assert(!assign.contains("Exchange"),
+      s"shard id assignment must not shuffle:\n$assign")
+    val write = plan(graft.sources.Shards.withShard(df, "id", 16)
+      .repartition(16, col("shard")))
+    assert("Exchange".r.findAllIn(write).size === 1,
+      s"shard write must shuffle exactly once:\n$write")
+  }
+
+  test("reading one shard partition-prunes the others") {
+    val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    val df = (0L until 400L).map(i => (i, s"t$i")).toDF("id", "text")
+    graft.sources.Shards.writeShards(df, "id", numShards = 8, out)
+    val one = graft.sources.Shards.readShards(spark, out)
+      .filter(col("shard") === 3)
+    val scanned = one.queryExecution.executedPlan.collectLeaves()
+      .flatMap(_.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      })
+    assert(scanned === Seq(1),
+      s"shard filter must prune to ONE directory, scanned=$scanned")
+  }
 }

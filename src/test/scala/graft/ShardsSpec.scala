@@ -49,5 +49,18 @@ class ShardsSpec extends SparkSpec {
     val json = new String(Files.readAllBytes(
       java.nio.file.Paths.get(dir, "_manifest.json")), "UTF-8")
     assert(json.contains("\"totalRows\":1000"))
+    // rows inside a shard file sit in the deterministic pseudo-random
+    // order (hash under the order salt) — the training sample order
+    def orderHash(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"shard#order|$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 15), 16)
+    }
+    val f0 = new java.io.File(s"$dir/shard=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val inFile = spark.read.parquet(f0.toString).coalesce(1)
+      .select("id").as[Long].collect()
+    assert(inFile.toSeq === inFile.toSeq.sortBy(id => (orderHash(id), id)))
   }
 }
