@@ -545,4 +545,70 @@ object Dedup {
   /** Hamming distance between two simhash signatures. */
   def hammingDistance(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Corpus-level duplicate-LINE removal — the C4/RefinedWeb boilerplate
+    * scrub: any line whose exact text occurs more than `maxOccurrences`
+    * times across the WHOLE corpus is removed from every document that
+    * contains it (nav bars, cookie banners, "subscribe" footers);
+    * surviving lines re-join in original order under the same separator.
+    * Output = input columns with `textCol` rewritten + `n_lines_dropped`.
+    *
+    * Scale shape (text must never ride the census):
+    *  1. census on 8-byte line hashes only — one map-side-combined
+    *     shuffle of (hash, count), never line text;
+    *  2. hot hashes (count > maxOccurrences — the boilerplate set, small
+    *     by nature) compress into ONE bloom filter sized for the real hot
+    *     count; exploded lines that miss it are pruned MAP-SIDE, so only
+    *     actual boilerplate occurrences (plus the fpp sliver) reach
+    *  3. the exact confirm: candidate lines group by full text — shuffle
+    *     proportional to the duplicated-line mass, killing both bloom fps
+    *     and xxhash64 collisions (a collision can only ADD a candidate;
+    *     the exact census removes it, so rare lines are never lost);
+    *  4. drop-lists ((id, sorted line indexes), rows only for affected
+    *     docs) join back on the id key — AQE broadcasts when boilerplate
+    *     touches a bounded doc set; the worst case (every doc hit) falls
+    *     back to the same id-keyed join the merge path (ResultMerger)
+    *     already pays, the floor for corpus-global text surgery.
+    * Line reassembly is a higher-order filter over split() — map-side,
+    * codegen'd, index-exact (ties of identical text in one doc drop all
+    * copies, which is what a corpus count > maxOccurrences implies). */
+  def dropDuplicateLines(df: DataFrame, idCol: String, textCol: String,
+      maxOccurrences: Long = 1, sep: String = "\n"): DataFrame = {
+    require(maxOccurrences >= 1, "maxOccurrences must be >= 1")
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val parts = split(col(textCol), sepRe, -1) // limit -1 keeps trailing ""
+    val hashed = df
+      .select(col(idCol), posexplode(parts).as(Seq("__graft_idx", "__graft_line")))
+      .withColumn("__graft_h", xxhash64(col("__graft_line")))
+    val hot = hashed.groupBy(col("__graft_h"))
+      .agg(count(lit(1)).as("__graft_c"))
+      .filter(col("__graft_c") > maxOccurrences)
+      .select(col("__graft_h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nHot = hot.count()
+      val noDrops = df.withColumn("n_lines_dropped", lit(0))
+      if (nHot == 0) return noDrops
+      val bloom = BloomBuild.bloomBytes(hot, col("__graft_h"), nHot)
+      val candidates = hashed
+        .filter(BloomBuild.mightContain(bloom, col("__graft_h")))
+        .join(hot, Seq("__graft_h"), "left_semi")
+        .transform(Parallelism.stage)
+      val exactHot = candidates.groupBy(col("__graft_line"))
+        .agg(count(lit(1)).as("__graft_c"))
+        .filter(col("__graft_c") > maxOccurrences)
+        .select(col("__graft_line"))
+      val dropIdx = candidates
+        .join(exactHot, Seq("__graft_line"), "left_semi")
+        .groupBy(col(idCol))
+        .agg(sort_array(collect_list(col("__graft_idx"))).as("__graft_drop"))
+      val dropArr = coalesce(col("__graft_drop"),
+        lit(Array.empty[Int]).cast("array<int>"))
+      df.join(dropIdx, Seq(idCol), "left")
+        .withColumn("n_lines_dropped", size(dropArr))
+        .withColumn(textCol, array_join(
+          filter(parts, (_, i) => !array_contains(dropArr, i)), sep))
+        .drop("__graft_drop")
+    } finally hot.unpersist(blocking = false)
+  }
 }

@@ -301,7 +301,44 @@ object CurationQueries {
       |SELECT pack_group, doc_id, n_tokens, cum_tokens FROM p
       |WHERE cum_tokens <= 2000 ORDER BY pack_group, doc_id""".stripMargin
 
+  // --- q103: corpus-trained bigram-LM quality score -----------------------
+
+  /** CCNet-style bits-per-bigram under an add-one bigram LM counted over
+    * the corpus itself. Exactness across engines: each log2 term rounds
+    * to integer micro-bits BEFORE the per-doc sum, so accumulation is
+    * order-independent integer math (see LanguageModel scaladoc). */
+  def q103LmScore(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.bigramBits(
+      tp(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q103Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      |  FROM toks WHERE len(w) >= 2),
+      |uni AS (
+      |  SELECT t, count(*) AS c1
+      |  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+      |big AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY 1),
+      |v AS (SELECT count(*) AS vs FROM uni),
+      |terms AS (
+      |  SELECT bi.doc_id,
+      |    CAST(round(log2((big.c12 + 1)::DOUBLE / (uni.c1 + v.vs)) * 1000000.0, 0) AS BIGINT) AS micro
+      |  FROM bi JOIN big USING (bg)
+      |       JOIN uni ON split_part(bi.bg, ' ', 1) = uni.t
+      |       CROSS JOIN v),
+      |sc AS (SELECT doc_id, sum(micro) AS s, count(*) AS n FROM terms GROUP BY 1)
+      |SELECT d.doc_id, coalesce(sc.n, 0) AS n_bigrams,
+      |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS lm_bits
+      |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q103_lm_score" -> q103LmScore _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
     "q67_gopher_filter" -> q67GopherFilter _,
@@ -311,6 +348,7 @@ object CurationQueries {
     "q77_token_budget" -> q77TokenBudget _)
 
   val oracles: Map[String, String] = Map(
+    "q103_lm_score" -> q103Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,
     "q67_gopher_filter" -> q67Sql,

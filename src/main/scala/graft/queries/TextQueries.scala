@@ -729,6 +729,52 @@ object TextQueries {
       |  count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- corpus-level duplicate-line removal ------------------------------
+
+  /** C4/RefinedWeb boilerplate-line scrub. The corpus is single-line, so
+    * multi-line "pages" are synthesized in-query (the q66 discipline):
+    * every page gets a newsletter banner, 1-in-3 a share footer, 1-in-7 a
+    * cookie notice — corpus-wide duplicates the operator must drop — plus
+    * the doc's own unique body and a unique 1-in-5 promo line it must
+    * keep, in original order. */
+  def q102LineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat_ws("\n",
+      lit("SUBSCRIBE to our newsletter"),
+      col("text"),
+      when(col("doc_id") % 3 === 0, lit("share this article on social media")),
+      when(col("doc_id") % 5 === 0, concat(lit("promo code "), col("doc_id"))),
+      when(col("doc_id") % 7 === 0, lit("cookie consent required")))
+    val aug = tp(spark, dir, "documents").select(col("doc_id"), page.as("page"))
+    Dedup.dropDuplicateLines(aug, "doc_id", "page")
+      .select(col("doc_id"), col("n_lines_dropped"), col("page").as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: corpus-global line census, keep lines with count <= 1;
+    * list_filter against the hot-line list reproduces order-preserving
+    * reassembly without needing ordinality. */
+  val q102Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    'SUBSCRIBE to our newsletter',
+      |    text,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'share this article on social media' END,
+      |    CASE WHEN doc_id % 5 = 0 THEN 'promo code ' || doc_id END,
+      |    CASE WHEN doc_id % 7 = 0 THEN 'cookie consent required' END) AS page
+      |  FROM documents),
+      |hot AS (
+      |  SELECT line FROM (
+      |    SELECT unnest(string_split(page, chr(10))) AS line FROM aug)
+      |  GROUP BY line HAVING count(*) > 1),
+      |hl AS (SELECT coalesce(list(line), []::VARCHAR[]) AS h FROM hot)
+      |SELECT a.doc_id,
+      |  len(parts) - len(list_filter(parts, l -> NOT list_contains(hl.h, l)))
+      |    AS n_lines_dropped,
+      |  array_to_string(list_filter(parts, l -> NOT list_contains(hl.h, l)),
+      |    chr(10)) AS cleaned
+      |FROM (SELECT doc_id, string_split(page, chr(10)) AS parts FROM aug) a
+      |CROSS JOIN hl ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> q30TokenStats _,
     "q31_lang_id" -> q31LangId _,
@@ -751,7 +797,8 @@ object TextQueries {
     "q57_sample_split" -> q57SampleSplit _,
     "q58_stratified_quota" -> q58StratifiedQuota _,
     "q100_mixture_sample" -> q100MixtureSample _,
-    "q101_shard_assign" -> q101ShardAssign _)
+    "q101_shard_assign" -> q101ShardAssign _,
+    "q102_line_dedup" -> q102LineDedup _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -775,5 +822,6 @@ object TextQueries {
     "q57_sample_split" -> q57Sql,
     "q58_stratified_quota" -> q58Sql,
     "q100_mixture_sample" -> q100Sql,
-    "q101_shard_assign" -> q101Sql)
+    "q101_shard_assign" -> q101Sql,
+    "q102_line_dedup" -> q102Sql)
 }

@@ -523,6 +523,89 @@ class CurationSpec extends SparkSpec {
     assert(r == Seq((11L, "kept-intact")))
   }
 
+  test("line dedup: corpus-hot lines dropped everywhere, order kept") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "BANNER\nalpha unique one\nFOOTER"),
+      (2L, "BANNER\nbeta unique two\nFOOTER"),
+      (3L, "BANNER\ngamma unique three"),
+      (4L, "delta only body"),
+      (5L, "BANNER\nBANNER\nepsilon solo")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateLines(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_lines_dropped")
+      .as[(Long, String, Int)].collect()
+    assert(out(0) == ((1L, "alpha unique one", 2)))
+    assert(out(1) == ((2L, "beta unique two", 2)))
+    assert(out(2) == ((3L, "gamma unique three", 1)))
+    assert(out(3) == ((4L, "delta only body", 0)))
+    // intra-doc repeats count toward the corpus census and all copies drop
+    assert(out(4) == ((5L, "epsilon solo", 2)))
+  }
+
+  test("line dedup: maxOccurrences threshold and empty-result docs") {
+    import graft.operators.Dedup
+    val docs = Seq(
+      (1L, "twice\nbody one"), (2L, "twice\nbody two"),
+      (3L, "thrice"), (4L, "thrice"), (5L, "thrice")).toDF("doc_id", "text")
+    val out = Dedup.dropDuplicateLines(docs, "doc_id", "text",
+      maxOccurrences = 2).orderBy("doc_id")
+      .select("doc_id", "text", "n_lines_dropped")
+      .as[(Long, String, Int)].collect()
+    // "twice" occurs 2x <= 2 -> kept; "thrice" occurs 3x > 2 -> dropped,
+    // leaving those docs empty (kept as rows, empty text)
+    assert(out(0) == ((1L, "twice\nbody one", 0)))
+    assert(out(2) == ((3L, "", 1)))
+    // no duplicates at all -> early path, zero drops, text untouched
+    val clean = Seq((1L, "a\nb"), (2L, "c\nd")).toDF("doc_id", "text")
+    val kept = Dedup.dropDuplicateLines(clean, "doc_id", "text")
+      .select("doc_id", "text", "n_lines_dropped")
+      .as[(Long, String, Int)].collect().sortBy(_._1)
+    assert(kept.toSeq == Seq((1L, "a\nb", 0), (2L, "c\nd", 0)))
+  }
+
+  test("bigram LM: hand-computed add-one bits, short docs null") {
+    import graft.operators.LanguageModel
+    // corpus: "a b" x2, "a c", "solo"; V=4; c(a)=3, c(a b)=2, c(a c)=1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.bigramBits(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "lm_bits")
+      .as[(Long, Long, Option[Double])].collect()
+    def bits(c12: Long, c1: Long, v: Long): Double = {
+      val micro = math.round(math.log((c12 + 1).toDouble / (c1 + v)) /
+        math.log(2.0) * 1e6)
+      BigDecimal(-micro.toDouble / 1 / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(0)._2 == 1L && math.abs(out(0)._3.get - bits(2, 3, 4)) < 2e-6)
+    assert(out(2)._3.get > out(0)._3.get) // rarer continuation -> more bits
+    assert(out(3) == ((4L, 0L, None))) // single token: no bigrams
+  }
+
+  test("bigram LM: partitioning-independent and filter keeps the head") {
+    import graft.operators.LanguageModel
+    val docs = (0L until 60L).map(i =>
+      (i, if (i % 10 == 0) s"rare${i} phrase${i} token${i}"
+          else "the quick brown fox jumps")).toDF("doc_id", "text")
+    val a = LanguageModel.bigramBits(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    val b = LanguageModel.bigramBits(docs.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq, "score must not depend on partitioning")
+    // common-phrase docs score fewer bits than unique-gibberish docs
+    val byKind = LanguageModel.bigramBits(docs, "doc_id", "text")
+      .withColumn("rare", col("doc_id") % 10 === 0)
+      .groupBy("rare").agg(avg("lm_bits").as("m"))
+      .as[(Boolean, Double)].collect().toMap
+    assert(byKind(true) > byKind(false))
+    val kept = LanguageModel.filterByBits(docs, "doc_id", "text",
+      maxBits = (byKind(true) + byKind(false)) / 2)
+    assert(kept.filter(col("doc_id") % 10 === 0).count() == 0)
+    assert(kept.filter(col("doc_id") % 10 =!= 0).count() == 54)
+  }
+
   test("q65/q66/q67 run on testdata with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val q65 = graft.queries.CurationQueries.q65Repetition(spark, dir)

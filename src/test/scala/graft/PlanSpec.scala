@@ -221,6 +221,32 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "confirm join must broadcast")
   }
 
+  test("line dedup: doc text never shuffles; bloom prunes map-side") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text", concat_ws("\n", lit("BANNER"), col("text")))
+    val out = graft.operators.Dedup.dropDuplicateLines(docs, "doc_id", "text")
+    val p = plan(out)
+    // candidate lines are staged (bloom prune + hot semi-join ran inside
+    // the checkpoint, so the final plan reads them back as an RDD scan)
+    assert(p.contains("Scan ExistingRDD"),
+      s"staged candidate set missing:\n$p")
+    // the doc text column may only move through the id-keyed recompose
+    // join; census/candidate exchanges carry hashes and hot-line strings
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l =>
+        !l.contains("text#") || l.contains("hashpartitioning(doc_id")),
+      s"doc text crossed a non-recompose shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("bigram LM: corpus text never crosses an exchange") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.LanguageModel.bigramBits(
+      docs, "doc_id", "text"))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("text#")),
+      s"doc text crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("packing window partitions by group (no single-partition window)") {
     val docs = (0L until 1000L).map(i => (i, (i % 40 + 10).toInt))
       .toDF("doc_id", "ntok")
