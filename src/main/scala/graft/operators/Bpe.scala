@@ -1,0 +1,125 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.ops.Parallelism
+
+/** Distributed BPE tokenizer training (Sennrich et al. 2016) — the
+  * vocabulary-learning step of a pretraining-data pipeline, run against
+  * the corpus the engine is curating.
+  *
+  * Scale shape: the corpus is touched ONCE, by the word-frequency census
+  * (canonical map-side-combined wordcount; only token strings and counts
+  * shuffle). Every merge round then operates on the WORD table — vocab-
+  * sized, corpus-size independent — exactly how production tokenizer
+  * trainers work: 2 small jobs per round (weighted pair census + top-1)
+  * plus a 16-byte driver collect of the winning pair, with the word table
+  * re-staged each round so plan lineage stays flat (the [[Dedup]]
+  * cluster-loop discipline). Training cost grows with `numMerges` and
+  * vocabulary size only, never with corpus size.
+  *
+  * Determinism: pair counts are exact integer sums of word frequencies;
+  * the winning pair is picked by the total order (count DESC, left ASC,
+  * right ASC), so ties break identically in any engine — the whole merge
+  * sequence is reproducible in SQL (q104 replays it in DuckDB with the
+  * same greedy left-to-right merge application).
+  */
+object Bpe {
+
+  /** End-of-word marker symbol (separate trailing symbol, the common BPE
+    * formulation — lets merges learn word-final units). */
+  val EndOfWord = "</w>"
+
+  /** One learned merge: rank r joined `lhs`+`rhs` into one symbol. */
+  final case class Merge(rank: Int, lhs: String, rhs: String, pairCount: Long)
+
+  /** Initial symbol sequence for a word: its characters plus [[EndOfWord]].
+    * (transform over char positions, not split(w, "") — the regex split
+    * leaves a trailing empty string under Java semantics.) */
+  private def charSymbols(word: Column): Column =
+    concat(
+      transform(sequence(lit(1), length(word)), i => word.substr(i, lit(1))),
+      array(lit(EndOfWord)))
+
+  /** Greedy left-to-right application of one merge to a symbol array:
+    * fold that joins every adjacent (lhs, rhs) occurrence, consuming
+    * matched symbols so overlaps resolve exactly like the sequential
+    * algorithm ("a a a" under (a,a) -> ["aa", "a"]). */
+  private def applyMerge(sym: Column, lhs: String, rhs: String): Column =
+    aggregate(sym, array().cast("array<string>"),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(lhs) && s === lit(rhs),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
+        .otherwise(concat(acc, array(s))))
+
+  private val PairSep = "" // never occurs in corpus-derived symbols
+
+  /** Learn `numMerges` BPE merges over `textCol` (lowercased whitespace
+    * words, char symbols + end-of-word marker). Stops early when the best
+    * remaining pair's weighted count falls below `minPairCount` or no
+    * pairs remain. */
+  def train(df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 1L): Seq[Merge] = {
+    require(numMerges >= 1, "numMerges must be >= 1")
+    var words = Parallelism.stage(
+      df.select(explode(TextFunctions.tokens(lower(col(textCol))))
+          .as("__graft_w"))
+        .groupBy(col("__graft_w"))
+        .agg(count(lit(1)).as("__graft_freq"))
+        .select(charSymbols(col("__graft_w")).as("__graft_sym"),
+          col("__graft_freq")))
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      val sym = col("__graft_sym")
+      val top = words
+        .filter(size(sym) >= 2)
+        .select(col("__graft_freq"), explode(
+          zip_with(slice(sym, lit(1), size(sym) - 1),
+            slice(sym, lit(2), size(sym) - 1),
+            (a, b) => concat(a, lit(PairSep), b))).as("__graft_p"))
+        .groupBy(col("__graft_p"))
+        .agg(sum(col("__graft_freq")).as("__graft_c"))
+        .orderBy(col("__graft_c").desc, col("__graft_p").asc)
+        .limit(1).collect()
+      if (top.isEmpty || top.head.getLong(1) < minPairCount) done = true
+      else {
+        val Array(l, r) = top.head.getString(0).split(PairSep, 2)
+        merges += Merge(rank, l, r, top.head.getLong(1))
+        words = Parallelism.stage(words.select(
+          applyMerge(sym, l, r).as("__graft_sym"), col("__graft_freq")))
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** Merge table as a DataFrame: (merge_rank, lhs, rhs, pair_count). */
+  def trainTable(df: DataFrame, textCol: String, numMerges: Int,
+      minPairCount: Long = 1L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    train(df, textCol, numMerges, minPairCount)
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** Encode `textCol` with a learned merge list: per word, char symbols
+    * then each merge applied in rank order (equivalent to the standard
+    * rank-greedy BPE encoder, since earlier merges always outrank later
+    * ones). Output column = array of subword tokens, word-concatenated.
+    * The merge list is baked into the expression tree — one fold per
+    * merge — so keep it bounded (hundreds, not tens of thousands); a
+    * production-size vocabulary would move the loop into a broadcast
+    * rank map. */
+  def encodeColumn(textCol: Column, merges: Seq[Merge]): Column = {
+    val words = TextFunctions.tokens(lower(textCol))
+    flatten(transform(words, w =>
+      merges.foldLeft(charSymbols(w))((s, m) => applyMerge(s, m.lhs, m.rhs))))
+  }
+
+  /** Ordered pair-census sort key — exposed so tests can replay it. */
+  private[operators] def pairKey(l: String, r: String): String = l + PairSep + r
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.ml.classification.{LogisticRegression, LogisticRegressionModel}
+import org.apache.spark.ml.feature.HashingTF
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Model-based document quality filtering — the fastText-style classifier
+  * step of the GPT-3 / LLaMA / CCNet pipelines: train a linear classifier
+  * to recognize "reference-quality" text (positives = a trusted corpus,
+  * negatives = raw crawl), score every crawl document, keep the
+  * high-probability head. Here it is the Spark-native formulation:
+  * hashed bag of word uni+bigrams (fastText's feature map) into
+  * `HashingTF`, `LogisticRegression` on top, scoring as a vectorized
+  * model transform.
+  *
+  * Scale shape: feature hashing is a pure per-row map (no vocabulary
+  * build, no shuffle — the reason fastText-style hashing beats TF-IDF
+  * vocabularies at corpus scale); L-BFGS training aggregates gradients
+  * tree-wise per iteration over the (usually small, labeled) training
+  * frame; scoring the 100 TB corpus is one map over hashed features with
+  * the coefficient vector broadcast by the model transform.
+  *
+  * Determinism note: gradient treeAggregate sums floats, so coefficients
+  * can wiggle at machine precision across partitionings — scores are
+  * stable for any separated corpus but are NOT bit-replayable in SQL;
+  * the verification contract is therefore behavioral (QualitySpec) plus
+  * a rows-only query (q105), not a DuckDB hash oracle. */
+object QualityClassifier {
+
+  final case class QualityModel(lr: LogisticRegressionModel, numFeatures: Int)
+
+  /** Word uni+bigram terms, the fastText feature recipe. */
+  private[graft] def terms(textCol: Column): Column = {
+    val w = TextFunctions.tokens(lower(textCol))
+    concat(w, when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** Train on a labeled frame: `labelCol` ∈ {0.0, 1.0} (1 = quality). */
+  def train(labeled: DataFrame, textCol: String, labelCol: String,
+      numFeatures: Int = 1 << 18, regParam: Double = 1e-4): QualityModel = {
+    val tf = new HashingTF().setInputCol("__graft_terms")
+      .setOutputCol("__graft_features").setNumFeatures(numFeatures)
+    val feats = tf.transform(
+      labeled.withColumn("__graft_terms", terms(col(textCol))))
+    val lr = new LogisticRegression()
+      .setFeaturesCol("__graft_features").setLabelCol(labelCol)
+      .setRegParam(regParam).setMaxIter(100)
+    QualityModel(lr.fit(feats), numFeatures)
+  }
+
+  /** Score: adds `quality_prob` = P(label=1 | text) per row. */
+  def score(df: DataFrame, textCol: String, m: QualityModel): DataFrame = {
+    val tf = new HashingTF().setInputCol("__graft_terms")
+      .setOutputCol("__graft_features").setNumFeatures(m.numFeatures)
+    m.lr.setProbabilityCol("__graft_prob")
+      .transform(tf.transform(df.withColumn("__graft_terms", terms(col(textCol)))))
+      .withColumn("quality_prob", element_at(
+        org.apache.spark.ml.functions.vector_to_array(col("__graft_prob")), 2))
+      .drop("__graft_terms", "__graft_features", "__graft_prob",
+        m.lr.getRawPredictionCol, m.lr.getPredictionCol)
+  }
+
+  /** Keep documents the classifier rates at or above `minProb` —
+    * GPT-3-style head selection (their pipeline additionally re-admits a
+    * Pareto-sampled tail; that is a [[Sampling]] composition). */
+  def filterByProb(df: DataFrame, textCol: String, m: QualityModel,
+      minProb: Double): DataFrame =
+    score(df, textCol, m).filter(col("quality_prob") >= minProb)
+      .drop("quality_prob")
+}

@@ -337,8 +337,36 @@ object CurationQueries {
       |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS lm_bits
       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // --- q105: fastText-style quality classifier (rows-only check) ----------
+
+  /** Train-and-filter arc for the model-based quality gate: even-id docs
+    * are dressed as reference prose, odd-id as boilerplate junk; the
+    * classifier trains on those labels and must separate them. Output is
+    * the per-label keep summary (2 rows) — coefficients come from
+    * float gradient sums, so there is no SQL hash oracle (the driver's
+    * rows-only check + QualityClassifierSpec cover it). */
+  def q105QualityFilter(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.QualityClassifier
+    val labeled = tp(spark, dir, "documents").select(
+      col("doc_id"),
+      when(col("doc_id") % 2 === 0,
+        concat(col("text"), lit(" curated encyclopedic reference article")))
+        .otherwise(concat(col("text"),
+          lit(" click here buy now limited offer click here")))
+        .as("page"),
+      when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0).as("label"))
+    val model = QualityClassifier.train(labeled, "page", "label",
+      numFeatures = 1 << 16)
+    QualityClassifier.score(labeled, "page", model)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("quality_prob") >= 0.5, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("label")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_lm_score" -> q103LmScore _,
+    "q105_quality_filter" -> q105QualityFilter _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
     "q67_gopher_filter" -> q67GopherFilter _,

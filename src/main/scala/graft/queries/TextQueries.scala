@@ -775,6 +775,65 @@ object TextQueries {
       |FROM (SELECT doc_id, string_split(page, chr(10)) AS parts FROM aug) a
       |CROSS JOIN hl ORDER BY doc_id""".stripMargin
 
+  // --- BPE tokenizer training -------------------------------------------
+
+  private val BpeMerges = 6
+
+  /** First 6 learned BPE merges over the corpus (rank, pair, weighted
+    * count). Deterministic: exact integer pair counts, total-order
+    * tie-break — so the whole greedy merge sequence replays in SQL. */
+  def q104BpeMerges(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.trainTable(
+      tp(spark, dir, "documents"), "text", numMerges = BpeMerges)
+      .orderBy("merge_rank")
+
+  /** Oracle: the merge loop unrolled as generated CTE rounds. Each round
+    * censuses adjacent symbol pairs weighted by word frequency, picks the
+    * winner by (count DESC, pair-string ASC), and applies it with the
+    * delimiter-string replace trick: symbols joined by DOUBLE chr(31)
+    * with single chr(31) ends makes `replace` consume exactly the
+    * greedy left-to-right non-overlapping occurrences the sequential
+    * algorithm merges (shared-boundary repeats like "a a a" included). */
+  val q104Sql: String = {
+    val d = "chr(31)"
+    val rounds = (0 until BpeMerges).map { r =>
+      s"""p$r AS (
+         |  SELECT s AS pair, sum(freq)::BIGINT AS cnt FROM (
+         |    SELECT freq, unnest([sym[i] || chr(1) || sym[i+1]
+         |                         for i in range(1, len(sym))]) AS s
+         |    FROM w$r WHERE len(sym) >= 2)
+         |  GROUP BY 1),
+         |t$r AS (
+         |  SELECT pair, split_part(pair, chr(1), 1) AS l,
+         |    split_part(pair, chr(1), 2) AS r, cnt
+         |  FROM p$r ORDER BY cnt DESC, pair LIMIT 1),
+         |w${r + 1} AS (
+         |  SELECT string_split(
+         |      trim(replace($d || array_to_string(sym, $d || $d) || $d,
+         |                   $d || t.l || $d || $d || t.r || $d,
+         |                   $d || t.l || t.r || $d), $d),
+         |      $d || $d) AS sym, freq
+         |  FROM w$r, t$r AS t)""".stripMargin
+    }.mkString(",\n")
+    val finalSelect = (0 until BpeMerges).map(r =>
+      s"SELECT $r AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),
+       |                     x -> x <> '') AS w
+       |  FROM documents),
+       |wf AS (
+       |  SELECT t AS word, count(*)::BIGINT AS freq
+       |  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+       |w0 AS (
+       |  SELECT [word[i] for i in range(1, length(word) + 1)] || ['</w>'] AS sym,
+       |    freq
+       |  FROM wf),
+       |$rounds
+       |$finalSelect
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_token_stats" -> q30TokenStats _,
     "q31_lang_id" -> q31LangId _,
@@ -798,7 +857,8 @@ object TextQueries {
     "q58_stratified_quota" -> q58StratifiedQuota _,
     "q100_mixture_sample" -> q100MixtureSample _,
     "q101_shard_assign" -> q101ShardAssign _,
-    "q102_line_dedup" -> q102LineDedup _)
+    "q102_line_dedup" -> q102LineDedup _,
+    "q104_bpe_merges" -> q104BpeMerges _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -823,5 +883,6 @@ object TextQueries {
     "q58_stratified_quota" -> q58Sql,
     "q100_mixture_sample" -> q100Sql,
     "q101_shard_assign" -> q101Sql,
-    "q102_line_dedup" -> q102Sql)
+    "q102_line_dedup" -> q102Sql,
+    "q104_bpe_merges" -> q104Sql)
 }

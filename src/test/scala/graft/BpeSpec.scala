@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bpe
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference BPE (Sennrich alg. 1): word-freq table, then
+    * per round count adjacent pairs weighted by freq, merge the winner
+    * (count desc, then pair order) greedily left-to-right. */
+  private def referenceTrain(corpus: Seq[String], numMerges: Int)
+      : Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] = corpus
+      .flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .groupBy(identity).map { case (w, g) =>
+        (w.map(_.toString).toVector :+ Bpe.EndOfWord) -> g.size.toLong
+      }
+    val out = Seq.newBuilder[(String, String, Long)]
+    for (_ <- 0 until numMerges) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((sym, f) <- words; i <- 0 until sym.size - 1)
+        counts((sym(i), sym(i + 1))) = counts.getOrElse((sym(i), sym(i + 1)), 0L) + f
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l + "" + r) }
+        out += ((l, r, c))
+        words = words.map { case (sym, f) =>
+          val merged = sym.foldLeft(Vector.empty[String]) { (acc, s) =>
+            if (acc.nonEmpty && acc.last == l && s == r)
+              acc.init :+ (l + r)
+            else acc :+ s
+          }
+          merged -> f
+        }.groupBy(_._1).map { case (k, vs) => k -> vs.values.sum }
+      }
+    }
+    out.result()
+  }
+
+  test("train matches the sequential reference on a nontrivial corpus") {
+    val corpus = Seq(
+      "low lower lowest low low", "newer newest new news",
+      "wide wider widest", "low newer lowest")
+    val df = corpus.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    val got = Bpe.train(df, "text", numMerges = 8)
+      .map(m => (m.lhs, m.rhs, m.pairCount))
+    assert(got == referenceTrain(corpus, 8))
+  }
+
+  test("overlapping repeats merge greedily left-to-right") {
+    val df = Seq((1L, "aaaa aaaa aaa")).toDF("doc_id", "text")
+    val m = Bpe.train(df, "text", numMerges = 1)
+    assert(m.head.lhs == "a" && m.head.rhs == "a")
+    // "aaaa" -> [aa, aa, </w>] x2, "aaa" -> [aa, a, </w>]: pair (a,a)
+    // counted 3+3+2 = 8 before merging (4 chars = 3 adjacent pairs)
+    assert(m.head.pairCount == 8L)
+    val enc = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+      .select(Bpe.encodeColumn(col("text"), m).as("toks"))
+      .as[Seq[String]].head()
+    assert(enc == Seq("aa", "aa", Bpe.EndOfWord, "aa", "a", Bpe.EndOfWord))
+  }
+
+  test("training is partitioning-independent; encode applies rank order") {
+    val docs = (0L until 40L).map(i => (i, s"the cat sat on the mat ${i % 5}"))
+    val a = Bpe.train(docs.toDF("doc_id", "text"), "text", 6)
+    val b = Bpe.train(docs.toDF("doc_id", "text").repartition(7), "text", 6)
+    assert(a == b, "merge sequence must not depend on partitioning")
+    // encoding with the learned merges reconstructs each word's chars
+    val joined = docs.take(1).toSeq.toDF("doc_id", "text")
+      .select(Bpe.encodeColumn(col("text"), a).as("toks"))
+      .as[Seq[String]].head()
+    val flat = joined.mkString.replace(Bpe.EndOfWord, "")
+    assert(flat == "thecatsatonthemat0", "merges must be lossless")
+  }
+
+  test("early stop below minPairCount and on empty corpora") {
+    val df = Seq((1L, "ab")).toDF("doc_id", "text")
+    // pairs (a,b) and (b,</w>) each count 1 -> stops immediately at min 2
+    assert(Bpe.train(df, "text", 5, minPairCount = 2L).isEmpty)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Bpe.train(empty, "text", 3).isEmpty)
+  }
+}

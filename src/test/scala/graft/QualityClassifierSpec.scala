@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.QualityClassifier
+
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def corpus(n: Int) = (0 until n).map { i =>
+    if (i % 2 == 0)
+      (i.toLong, s"the history of science volume $i covers early astronomy", 1.0)
+    else
+      (i.toLong, s"buy cheap pills now $i click here winner winner", 0.0)
+  }.toDF("doc_id", "text", "label")
+
+  test("separable classes: trained filter keeps the quality head") {
+    val df = corpus(200)
+    val m = QualityClassifier.train(df, "text", "label",
+      numFeatures = 1 << 14)
+    val scored = QualityClassifier.score(df, "text", m)
+    assert(scored.columns.contains("quality_prob"))
+    assert(scored.columns.toSet.intersect(
+      Set("prediction", "rawPrediction", "__graft_prob")).isEmpty)
+    val byLabel = scored.groupBy("label")
+      .agg(min("quality_prob").as("lo"), max("quality_prob").as("hi"))
+      .as[(Double, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byLabel(1.0)._1 > 0.9, s"quality docs must score high: $byLabel")
+    assert(byLabel(0.0)._2 < 0.1, s"junk docs must score low: $byLabel")
+    val kept = QualityClassifier.filterByProb(df, "text", m, minProb = 0.5)
+    assert(kept.count() == 100 &&
+      kept.filter(col("label") === 0.0).count() == 0)
+    assert(kept.columns.sameElements(df.columns), "filter must be transparent")
+  }
+
+  test("unseen docs score by phrasing similarity (generalization)") {
+    val m = QualityClassifier.train(corpus(200), "text", "label",
+      numFeatures = 1 << 14)
+    val unseen = Seq(
+      (900L, "the science of early history covers astronomy"),
+      (901L, "click here cheap winner pills")).toDF("doc_id", "text")
+    val s = QualityClassifier.score(unseen, "text", m)
+      .orderBy("doc_id").select("quality_prob").as[Double].collect()
+    assert(s(0) > 0.5 && s(1) < 0.5, s"generalization failed: ${s.toSeq}")
+  }
+
+  test("feature terms: uni+bigram map, empty and single-token safe") {
+    val t = Seq((1L, "a b c"), (2L, "solo"), (3L, ""))
+      .toDF("doc_id", "text")
+      .select(QualityClassifier.terms(col("text")).as("t"))
+      .as[Seq[String]].collect()
+    assert(t(0) == Seq("a", "b", "c", "a b", "b c"))
+    assert(t(1) == Seq("solo"))
+    assert(t(2) == Seq.empty)
+  }
+}
