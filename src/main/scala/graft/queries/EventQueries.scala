@@ -40,8 +40,8 @@ object EventQueries {
     * answer (Trigger.AvailableNow drains the source then stops). */
   def q51StreamingRollup(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // stream source sees the RAW file schema (ts = nanos-as-long);
-    // the ns→us conversion happens inside the stream
+    // stream source sees the RAW file schema (nanos-as-long or, on
+    // Spark 4.1.2+, TIMESTAMP_NTZ); normalization happens inside the stream
     val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
     // the file-stream source lists a DIRECTORY; stage the single parquet
     // file into one via symlink
@@ -53,10 +53,9 @@ object EventQueries {
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$dir/events.parquet"))
     val sinkName = "graft_stream_rollup"
-    val stream = spark.readStream.schema(rawSchema)
+    val stream = Tables.normalizeTs(spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .parquet(streamDir.toString))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val query = stream.writeStream
