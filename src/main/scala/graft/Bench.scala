@@ -47,19 +47,27 @@ object Bench {
     // two runs is the stable signal and also absorbs first-query JVM/codegen
     // warmup.
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt
+    // arms where every rep threw: recorded by name in the published JSON
+    // ("failed": [...]) so a fast-failing broken query can never again
+    // masquerade as a 13x speedup (round-5 events-table lesson)
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
+
     // a rep that threw must not publish its fast-fail duration as the
-    // "best" time: prefer the min over successful reps, fall back to the
-    // max (slowest, most honest) timing only when every rep failed
-    def timeBest(f: => Unit, between: () => Unit = () => ()): Double = {
+    // "best" time: prefer the min over successful reps; when every rep
+    // failed, record the name in `failed` and fall back to the max
+    // (slowest, most honest) timing
+    def timeBest(name: String, f: => Unit,
+                 between: () => Unit = () => ()): Double = {
       val runs = (1 to reps).map { _ =>
         var ok = true
         val t = time { try f catch { case e: Throwable => ok = false
-          System.err.println(s"[bench] rep failed: ${e.getMessage}") } }
+          System.err.println(s"[bench] rep failed ($name): ${e.getMessage}") } }
         between()
         (t, ok)
       }
       val good = runs.collect { case (t, true) => t }
-      if (good.nonEmpty) good.min else runs.map(_._1).max
+      if (good.nonEmpty) good.min
+      else { failed += name; runs.map(_._1).max }
     }
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -77,7 +85,7 @@ object Bench {
     // 1. the full query inventory (cache cleared between runs so
     // operator-internal persists don't leak memory pressure across runs)
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = timeBest(
+      results(name) = timeBest(name,
         { materialize(fn(spark, sfDir)) },
         () => spark.catalog.clearCache())
     }
@@ -95,7 +103,7 @@ object Bench {
     // a failing arm must never kill the bench — log and move on so the
     // JSON line always prints
     def arm(name: String)(f: => Unit): Unit =
-      results(name) = timeBest(f)
+      results(name) = timeBest(name, f)
 
     arm("enrich_100k_batch50") {
       val r = Enricher.enrich(rows100k, "Classify the tone of: {review}",
@@ -155,7 +163,8 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

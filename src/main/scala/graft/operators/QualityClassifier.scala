@@ -23,11 +23,12 @@ import graft.functions.TextFunctions
   * frame; scoring the 100 TB corpus is one map over hashed features with
   * the coefficient vector broadcast by the model transform.
   *
-  * Determinism note: gradient treeAggregate sums floats, so coefficients
-  * can wiggle at machine precision across partitionings — scores are
-  * stable for any separated corpus but are NOT bit-replayable in SQL;
-  * the verification contract is therefore behavioral (QualitySpec) plus
-  * a rows-only query (q105), not a DuckDB hash oracle. */
+  * Determinism note: gradient treeAggregate sums floats, so TRAINED
+  * coefficients can wiggle at machine precision across partitionings —
+  * training is verified behaviorally (QualityClassifierSpec). SCORING
+  * against exported weights is deterministic: [[scorePinned]] uses
+  * integer micro-weights so the declared query (q105) hash-matches a
+  * DuckDB oracle exactly. */
 object QualityClassifier {
 
   final case class QualityModel(lr: LogisticRegressionModel, numFeatures: Int)
@@ -73,4 +74,31 @@ object QualityClassifier {
       minProb: Double): DataFrame =
     score(df, textCol, m).filter(col("quality_prob") >= minProb)
       .drop("quality_prob")
+
+  /** Score with a PINNED linear model — the production corpus-scoring
+    * shape: a classifier trained offline exports its (pruned) term
+    * weights, and scoring is a pure per-row map with the weight table
+    * broadcast, no vocabulary shuffle, no model object.
+    *
+    * Weights are integer MICRO-units (1e-6) so the per-document dot
+    * product accumulates in exact integer math — order-independent,
+    * partitioning-independent, and bit-replayable in SQL (the same trick
+    * as [[LanguageModel.bigramBits]]); the one float op (sigmoid) happens
+    * once on the final integer total. Adds `quality_micro` (the integer
+    * dot product incl. bias) and `quality_prob` = sigmoid(micro / 1e6).
+    *
+    * The literal map stays codegen-friendly up to ~10k terms; a full
+    * 100k-term export becomes a broadcast join on exploded terms — same
+    * semantics, still no corpus shuffle. */
+  def scorePinned(df: DataFrame, textCol: String,
+      microWeights: Map[String, Long], microBias: Long = 0L): DataFrame = {
+    val m = map(microWeights.toSeq.flatMap {
+      case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val dot = aggregate(terms(col(textCol)), lit(0L),
+      (acc, t) => acc + coalesce(element_at(m, t), lit(0L))) + lit(microBias)
+    df.withColumn("quality_micro", dot)
+      .withColumn("quality_prob",
+        lit(1.0) / (lit(1.0) +
+          exp(-col("quality_micro").cast("double") / lit(1e6))))
+  }
 }

@@ -337,32 +337,84 @@ object CurationQueries {
       |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS lm_bits
       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
-  // --- q105: fastText-style quality classifier (rows-only check) ----------
+  // --- q105: fastText-style quality classifier (pinned-model scoring) -----
 
-  /** Train-and-filter arc for the model-based quality gate: even-id docs
-    * are dressed as reference prose, odd-id as boilerplate junk; the
-    * classifier trains on those labels and must separate them. Output is
-    * the per-label keep summary (2 rows) — coefficients come from
-    * float gradient sums, so there is no SQL hash oracle (the driver's
-    * rows-only check + QualityClassifierSpec cover it). */
+  /** Exported-model quality scoring — the production arc of the
+    * model-based gate: the classifier trains OFFLINE (covered
+    * behaviorally by QualityClassifierSpec — float gradient sums make
+    * trained coefficients non-replayable in SQL), exports its term
+    * weights, and the corpus is scored map-side against the pinned
+    * integer micro-weight table. Even-id docs are dressed as reference
+    * prose, odd-id as boilerplate junk; the pinned model must separate
+    * them. Integer dot products make the result order-independent and
+    * exactly DuckDB-replayable — the hash oracle the train-and-score
+    * formulation could never have. */
   def q105QualityFilter(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.QualityClassifier
-    val labeled = tp(spark, dir, "documents").select(
+    val pages = tp(spark, dir, "documents").select(
       col("doc_id"),
       when(col("doc_id") % 2 === 0,
         concat(col("text"), lit(" curated encyclopedic reference article")))
         .otherwise(concat(col("text"),
           lit(" click here buy now limited offer click here")))
         .as("page"),
-      when(col("doc_id") % 2 === 0, 1.0).otherwise(0.0).as("label"))
-    val model = QualityClassifier.train(labeled, "page", "label",
-      numFeatures = 1 << 16)
-    QualityClassifier.score(labeled, "page", model)
-      .groupBy(col("label"))
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("quality_prob") >= 0.5, 1L).otherwise(0L)).as("n_kept"))
-      .orderBy("label")
+      when(col("doc_id") % 2 === 0, 1L).otherwise(0L).as("label"))
+    QualityClassifier.scorePinned(pages, "page",
+      q105MicroWeights, microBias = q105MicroBias)
+      .select(col("doc_id"), col("label"), col("quality_micro"),
+        round(col("quality_prob"), 6).as("quality_score"),
+        when(col("quality_micro") >= 0L, 1L).otherwise(0L).as("kept"))
+      .orderBy("doc_id")
   }
+
+  /** The pinned export: positive weight on reference-prose markers,
+    * negative on boilerplate, in exact 1e-6 units. `kept` derives from
+    * the sign of the INTEGER dot product (threshold prob 0.5 ⇔ micro ≥ 0)
+    * so the flag never depends on a float comparison. */
+  private val q105MicroWeights: Map[String, Long] = Map(
+    "curated" -> 1500000L, "encyclopedic" -> 2000000L,
+    "reference" -> 1000000L, "article" -> 500000L,
+    "click" -> -1200000L, "buy" -> -800000L, "now" -> -600000L,
+    "limited" -> -700000L, "offer" -> -900000L, "here" -> -400000L,
+    "click here" -> -2000000L, "buy now" -> -1500000L)
+  private val q105MicroBias: Long = 200000L
+
+  /** Replays the pinned scoring exactly: same tokenizer CTE as q103, the
+    * weight table as VALUES, integer dot product + micro-bias, one
+    * sigmoid on the total. `kept` compares the integer, not the float. */
+  val q105Sql: String =
+    """WITH w(t, mw) AS (VALUES
+      |  ('curated', 1500000), ('encyclopedic', 2000000),
+      |  ('reference', 1000000), ('article', 500000),
+      |  ('click', -1200000), ('buy', -800000), ('now', -600000),
+      |  ('limited', -700000), ('offer', -900000), ('here', -400000),
+      |  ('click here', -2000000), ('buy now', -1500000)),
+      |docs AS (
+      |  SELECT doc_id,
+      |    CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT) AS label,
+      |    text || CASE WHEN doc_id % 2 = 0
+      |      THEN ' curated encyclopedic reference article'
+      |      ELSE ' click here buy now limited offer click here' END AS page
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, label,
+      |    list_filter(regexp_split_to_array(trim(lower(page)), '\s+'), x -> x <> '') AS wl
+      |  FROM docs),
+      |terms AS (
+      |  SELECT doc_id, unnest(wl) AS t FROM toks
+      |  UNION ALL
+      |  SELECT doc_id, unnest([wl[i] || ' ' || wl[i+1] for i in range(1, len(wl))]) AS t
+      |  FROM toks WHERE len(wl) >= 2),
+      |dot AS (
+      |  SELECT terms.doc_id, CAST(sum(w.mw) AS BIGINT) AS s
+      |  FROM terms JOIN w ON terms.t = w.t GROUP BY 1),
+      |sc AS (
+      |  SELECT t.doc_id, t.label, coalesce(dot.s, 0) + 200000 AS micro
+      |  FROM toks t LEFT JOIN dot ON t.doc_id = dot.doc_id)
+      |SELECT doc_id, label, CAST(micro AS BIGINT) AS quality_micro,
+      |  round(1.0 / (1.0 + exp(-(micro::DOUBLE / 1000000.0))), 6) AS quality_score,
+      |  CAST(CASE WHEN micro >= 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM sc ORDER BY doc_id""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_lm_score" -> q103LmScore _,
@@ -377,6 +429,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q103_lm_score" -> q103Sql,
+    "q105_quality_filter" -> q105Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,
     "q67_gopher_filter" -> q67Sql,

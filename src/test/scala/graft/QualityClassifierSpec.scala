@@ -53,4 +53,23 @@ class QualityClassifierSpec extends SparkSpec {
     assert(t(1) == Seq("solo"))
     assert(t(2) == Seq.empty)
   }
+
+  test("pinned scoring: exact integer dot product, bigram hits, bias-only miss") {
+    val w = Map("good" -> 500000L, "bad" -> -300000L, "very good" -> 250000L)
+    val df = Seq(
+      (1L, "good very good"),    // good + very + good + "good very" + "very good"
+      (2L, "bad"),
+      (3L, "nothing matches")).toDF("doc_id", "text")
+    val s = QualityClassifier.scorePinned(df, "text", w, microBias = 100000L)
+      .orderBy("doc_id")
+      .select("quality_micro", "quality_prob")
+      .as[(Long, Double)].collect()
+    // doc 1: 2*good + "very good" + bias = 1000000 + 250000 + 100000
+    assert(s(0)._1 == 1350000L)
+    assert(s(1)._1 == -200000L)
+    assert(s(2)._1 == 100000L, "unmatched terms contribute exactly zero")
+    // sigmoid of the micro total, one float op at the end
+    assert(math.abs(s(0)._2 - 1.0 / (1.0 + math.exp(-1.35))) < 1e-12)
+    assert(s(1)._2 < 0.5 && s(2)._2 > 0.5)
+  }
 }
