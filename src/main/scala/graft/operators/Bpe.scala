@@ -54,7 +54,7 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(lhs + rhs))))
         .otherwise(concat(acc, array(s))))
 
-  private val PairSep = "" // never occurs in corpus-derived symbols
+  private val PairSep = "\u0001" // never occurs in corpus-derived symbols
 
   /** Learn `numMerges` BPE merges over `textCol` (lowercased whitespace
     * words, char symbols + end-of-word marker). Stops early when the best

@@ -23,7 +23,7 @@ class BpeSpec extends SparkSpec {
       for ((sym, f) <- words; i <- 0 until sym.size - 1)
         counts((sym(i), sym(i + 1))) = counts.getOrElse((sym(i), sym(i + 1)), 0L) + f
       if (counts.nonEmpty) {
-        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l + "" + r) }
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l + "\u0001" + r) }
         out += ((l, r, c))
         words = words.map { case (sym, f) =>
           val merged = sym.foldLeft(Vector.empty[String]) { (acc, s) =>

@@ -22,7 +22,7 @@ class PdfSpec extends SparkSpec {
       "parens (nested (deep)) and \\ backslash",
       "line one\nline two\n\nline four after a blank",
       "trailing spaces   \n  leading too",
-      "control\ttab and bell char",
+      "control\ttab and bell\u0007 char",
       "accented: café naïve ß straße",
       "",
       "\n",
