@@ -106,18 +106,107 @@ object Bpe {
       .toDF("merge_rank", "lhs", "rhs", "pair_count")
   }
 
-  /** Encode `textCol` with a learned merge list: per word, char symbols
-    * then each merge applied in rank order (equivalent to the standard
-    * rank-greedy BPE encoder, since earlier merges always outrank later
-    * ones). Output column = array of subword tokens, word-concatenated.
-    * The merge list is baked into the expression tree — one fold per
-    * merge — so keep it bounded (hundreds, not tens of thousands); a
-    * production-size vocabulary would move the loop into a broadcast
-    * rank map. */
-  def encodeColumn(textCol: Column, merges: Seq[Merge]): Column = {
+  /** Above this merge-list size, [[encodeColumn]] switches from the baked
+    * expression tree to the broadcast rank-map encoder. */
+  val MaxExprMerges = 256
+
+  /** Encode `textCol` with a learned merge list. Output column = array of
+    * subword tokens, word-concatenated. Dispatches on vocabulary size:
+    * small merge lists stay in the fully-codegen'd expression tree
+    * ([[encodeColumnExpr]]); production-size vocabularies (30k–50k
+    * merges, which no expression tree can hold) go through the broadcast
+    * rank-map encoder ([[encodeColumnBroadcast]]). Both compute the same
+    * function on rank-consistent (learned) merge tables. */
+  def encodeColumn(textCol: Column, merges: Seq[Merge]): Column =
+    if (merges.size <= MaxExprMerges) encodeColumnExpr(textCol, merges)
+    else encodeColumnBroadcast(textCol, merges)
+
+  /** Expression-tree encoder: per word, char symbols then each merge
+    * applied in rank order as one catalyst fold — zero serialization,
+    * whole-stage codegen, but the plan grows with the merge list, so it
+    * is only for bounded vocabularies (≤ [[MaxExprMerges]]). */
+  def encodeColumnExpr(textCol: Column, merges: Seq[Merge]): Column = {
     val words = TextFunctions.tokens(lower(textCol))
     flatten(transform(words, w =>
       merges.foldLeft(charSymbols(w))((s, m) => applyMerge(s, m.lhs, m.rhs))))
+  }
+
+  /** Broadcast rank-map encoder — the production shape: the merge table
+    * ships to executors ONCE as a broadcast (not per-task in the closure),
+    * and each word is encoded by the standard rank-greedy loop (repeatedly
+    * merge the lowest-rank adjacent pair, all occurrences left-to-right).
+    * A per-task word→tokens memo exploits the Zipfian word distribution —
+    * most corpus words encode once per partition, not once per occurrence.
+    * Cost is vocabulary-size-independent per row; the map lookup replaces
+    * the expression path's O(merges) folds. */
+  def encodeColumnBroadcast(textCol: Column, merges: Seq[Merge]): Column = {
+    val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+      .broadcast(merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap)
+    val enc = udf { (text: String) =>
+      if (text == null) Array.empty[String]
+      else {
+        val ranks = bc.value
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
+          if (w.nonEmpty) out ++= encodeCache.get.getOrElseUpdate(w,
+            encodeWord(w, ranks))
+        }
+        out.toArray
+      }
+    }
+    enc(textCol)
+  }
+
+  /** Per-task (thread-confined) word→tokens memo for the broadcast
+    * encoder. ThreadLocal so concurrent tasks in one executor JVM never
+    * share a mutable map; bounded by clearing at 64k entries. */
+  private val encodeCache =
+    new ThreadLocal[scala.collection.mutable.HashMap[String, Array[String]]] {
+      override def initialValue() =
+        scala.collection.mutable.HashMap.empty[String, Array[String]]
+      override def get() = {
+        val m = super.get()
+        if (m.size > 65536) { m.clear() }
+        m
+      }
+    }
+
+  /** Rank-greedy BPE encode of one word: char symbols + end-of-word, then
+    * repeatedly merge the lowest-rank adjacent pair present (all
+    * occurrences, left to right) until no learned pair remains — the
+    * reference BPE encoder semantics, which also covers the pathological
+    * case the rank-order fold cannot (an earlier pair re-created by a
+    * later merge). */
+  private[graft] def encodeWord(
+      word: String, ranks: Map[(String, String), Int]): Array[String] = {
+    var sym = new scala.collection.mutable.ArrayBuffer[String](word.length + 1)
+    word.foreach(c => sym += c.toString)
+    sym += EndOfWord
+    var continue = sym.length >= 2
+    while (continue) {
+      var best = Int.MaxValue
+      var bl: String = null
+      var br: String = null
+      var i = 0
+      while (i < sym.length - 1) {
+        val r = ranks.getOrElse((sym(i), sym(i + 1)), Int.MaxValue)
+        if (r < best) { best = r; bl = sym(i); br = sym(i + 1) }
+        i += 1
+      }
+      if (best == Int.MaxValue) continue = false
+      else {
+        val out = new scala.collection.mutable.ArrayBuffer[String](sym.length)
+        var j = 0
+        while (j < sym.length) {
+          if (j < sym.length - 1 && sym(j) == bl && sym(j + 1) == br) {
+            out += bl + br; j += 2
+          } else { out += sym(j); j += 1 }
+        }
+        sym = out
+        continue = sym.length >= 2
+      }
+    }
+    sym.toArray
   }
 
   /** Ordered pair-census sort key — exposed so tests can replay it. */

@@ -74,6 +74,59 @@ class BpeSpec extends SparkSpec {
     assert(flat == "thecatsatonthemat0", "merges must be lossless")
   }
 
+  test("broadcast encoder matches the expression path on learned merges") {
+    val corpus = Seq(
+      "low lower lowest low low", "newer newest new news",
+      "wide wider widest", "low newer lowest", "the cat sat on the mat")
+    val df = corpus.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+    val merges = Bpe.train(df, "text", numMerges = 12)
+    val expr = df.select(col("doc_id"),
+      Bpe.encodeColumnExpr(col("text"), merges).as("toks"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    val bcast = df.select(col("doc_id"),
+      Bpe.encodeColumnBroadcast(col("text"), merges).as("toks"))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    assert(expr.sameElements(bcast),
+      s"paths diverged: ${expr.toSeq} vs ${bcast.toSeq}")
+    // null and empty text are safe through the broadcast path
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "  "))
+      .toDF("doc_id", "text")
+      .select(Bpe.encodeColumnBroadcast(col("text"), merges).as("toks"))
+      .as[Seq[String]].collect()
+    assert(edge.forall(_.isEmpty))
+  }
+
+  test("a 10k-merge vocabulary encodes through the broadcast dispatch") {
+    // the expression path cannot compile a 10k-fold tree; the dispatcher
+    // must route a production-size merge list to the broadcast encoder.
+    // Synthetic rank-consistent chain vocabulary: "ab", "abc", "abcd", ...
+    // over a 26-letter alphabet plus filler merges to pass 10k.
+    val alphabet = ('a' to 'z').map(_.toString)
+    val chain = (1 until 26).map { i =>
+      Bpe.Merge(i - 1, alphabet.take(i).mkString, alphabet(i), 1L)
+    }
+    val filler = (0 until 10000).map { i =>
+      Bpe.Merge(26 + i, s"zz$i", s"qq$i", 1L) // never matches real text
+    }
+    val merges = chain ++ filler
+    assert(merges.size > Bpe.MaxExprMerges)
+    val enc = Seq((1L, "abcdefghijklmnopqrstuvwxyz abc zzz"))
+      .toDF("doc_id", "text")
+      .select(Bpe.encodeColumn(col("text"), merges).as("toks"))
+      .as[Seq[String]].head()
+    assert(enc == Seq("abcdefghijklmnopqrstuvwxyz", Bpe.EndOfWord,
+      "abc", Bpe.EndOfWord, "z", "z", "z", Bpe.EndOfWord))
+  }
+
+  test("rank-greedy word encoder: lowest rank wins, all occurrences merge") {
+    val ranks = Map(("a", "b") -> 0, ("c", "d") -> 1, ("ab", "cd") -> 2)
+    assert(Bpe.encodeWord("abcdab", ranks).toSeq ==
+      Seq("abcd", "ab", Bpe.EndOfWord))
+    assert(Bpe.encodeWord("", ranks).toSeq == Seq(Bpe.EndOfWord))
+    assert(Bpe.encodeWord("xy", Map.empty).toSeq ==
+      Seq("x", "y", Bpe.EndOfWord))
+  }
+
   test("early stop below minPairCount and on empty corpora") {
     val df = Seq((1L, "ab")).toDF("doc_id", "text")
     // pairs (a,b) and (b,</w>) each count 1 -> stops immediately at min 2
