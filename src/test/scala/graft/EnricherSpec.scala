@@ -366,6 +366,49 @@ class EnricherSpec extends SparkSpec {
       s"took ${elapsedMs}ms: leaked permit starved the healthy call")
   }
 
+  test("config-only redis scope: enrichment rate-limits through a live bucket") {
+    // the reference's production rate-limit shape: a YAML config line is
+    // the ONLY activation — no code changes — and every executor's
+    // admission round-trips the shared Redis bucket
+    val redis = new MiniRedis
+    try {
+      val spec = graft.run.ConfigLoader.fromYaml(
+        s"""dataset: {input_columns: [text]}
+           |prompt: {template: "R:{text}"}
+           |llm:
+           |  requests_per_minute: 6000
+           |  rate_limit_scope_file: redis://127.0.0.1:${redis.port}/prov:model
+           |output: {output_columns: [out]}
+           |""".stripMargin)
+      val df = (0 until 20).map(i => s"t$i").toDF("text")
+      val r = new Enricher(spec, new MockLlmClient()).enrich(df)
+      assert(r.quality.successRate == 1.0)
+      assert(r.data.select("out").as[String].head() == md5("R:t0"))
+      assert(redis.commandsServed.get() > 0,
+        "enrichment admitted without ever consulting the redis bucket")
+    } finally redis.close()
+  }
+
+  test("redis outage mid-config: breaker opens, local fallback completes the run") {
+    // a dead coordinator must degrade to the worker-local split bucket,
+    // not fail the enrichment
+    val deadPort = { val s = new java.net.ServerSocket(0)
+      try s.getLocalPort finally s.close() }
+    val spec = graft.run.ConfigLoader.fromYaml(
+      s"""dataset: {input_columns: [text]}
+         |prompt: {template: "D:{text}"}
+         |llm:
+         |  requests_per_minute: 6000
+         |  rate_limit_scope_file: redis://127.0.0.1:$deadPort/prov:model
+         |output: {output_columns: [out]}
+         |""".stripMargin)
+    val df = (0 until 10).map(i => s"t$i").toDF("text")
+    val r = new Enricher(spec, new MockLlmClient()).enrich(df)
+    assert(r.quality.successRate == 1.0,
+      "outage fallback must keep the run green")
+    assert(r.metrics.calls == 10)
+  }
+
   test("ClientPool: same runId with different config gets its own pool/limiter") {
     import graft.ops.ClientPool
     val id = s"coherence-${System.nanoTime()}"
