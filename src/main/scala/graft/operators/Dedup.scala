@@ -611,4 +611,28 @@ object Dedup {
         .drop("__graft_drop")
     } finally hot.unpersist(blocking = false)
   }
+
+  /** WITHIN-document repeated-line scrub — the RefinedWeb/MassiveText
+    * in-page dedup (navigation chrome, repeated banners, copy-pasted
+    * paragraphs inside one page), complementary to the corpus-global
+    * [[dropDuplicateLines]]: here each document is scrubbed against
+    * ITSELF, keeping the first occurrence of every line.
+    *
+    * Pure per-row map — split, keep-first filter, reassemble — entirely
+    * inside whole-stage codegen with no shuffle and no census: the 100 TB
+    * cost is exactly one pass over the text column. Line comparison is
+    * the first-index test (`array_position(lines, l) == i+1`), quadratic
+    * in a document's LINE count — fine for real pages (hundreds of
+    * lines), and cheaper than hashing for short arrays. `minChars` keeps
+    * short structural lines (blanks, separators) unconditionally, the
+    * usual production guard against collapsing formatting. */
+  def dropRepeatedLinesWithin(df: DataFrame, textCol: String,
+      minChars: Int = 0, sep: String = "\n"): DataFrame = {
+    val sepRe = java.util.regex.Pattern.quote(sep)
+    val parts = split(col(textCol), sepRe, -1)
+    val kept = filter(parts, (l, i) =>
+      (length(l) < minChars) || (array_position(parts, l) === i + 1))
+    df.withColumn("n_lines_dropped", size(parts) - size(kept))
+      .withColumn(textCol, array_join(kept, sep))
+  }
 }

@@ -289,6 +289,51 @@ object SimilarityQueries {
        |SELECT src AS vec_id FROM reach
        |GROUP BY src HAVING src = min(dst) ORDER BY vec_id""".stripMargin
 
+  /** Int8-quantized ANN: same query set as q40, scored on symmetric int8
+    * codes — the memory-bound (4× smaller) tier of a two-stage design.
+    * Entirely integer until one final division, so the oracle replays it
+    * exactly. */
+  def q107Int8TopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.int8TopK(
+      emb.filter(col("vec_id") < NumQueries), emb, K)
+      .orderBy("query_id", "rank")
+  }
+
+  /** DuckDB int8 codes for a DOUBLE[] vector: round half-away-from-zero
+    * matches Spark's ROUND; zero vector → all-zero codes. */
+  private def duckInt8(v: String): String =
+    s"""(CASE WHEN list_max(list_transform($v, x -> abs(x))) = 0
+       |  THEN list_transform($v, x -> 0::BIGINT)
+       |  ELSE list_transform($v, x -> CAST(round(
+       |    x * 127.0 / list_max(list_transform($v, y -> abs(y)))) AS BIGINT))
+       |  END)""".stripMargin
+
+  private def duckIntDot(a: String, b: String): String =
+    s"CAST(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) AS BIGINT)"
+
+  val q107Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, ${duckInt8("(embedding::DOUBLE[])")} AS qq
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (
+       |  SELECT vec_id AS neighbor_id, ${duckInt8("(embedding::DOUBLE[])")} AS qc
+       |  FROM embeddings),
+       |scored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN ${duckIntDot("qq", "qq")} = 0
+       |           OR ${duckIntDot("qc", "qc")} = 0 THEN round(0.0, 6)
+       |    ELSE round(CAST(${duckIntDot("qq", "qc")} AS DOUBLE) /
+       |      sqrt(CAST(${duckIntDot("qq", "qq")} * ${duckIntDot("qc", "qc")}
+       |        AS DOUBLE)), 6) END AS qsim
+       |  FROM q, c WHERE query_id <> neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, qsim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY qsim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, qsim FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
     "q41_ann_lsh_topk" -> q41LshTopK _,
@@ -296,7 +341,8 @@ object SimilarityQueries {
     "q43_ann_multitable" -> q43LshMultiTable _,
     "q44_ann_ivf" -> q44AnnIvf _,
     "q49_embed_clusters" -> q49EmbeddingClusters _,
-    "q59_drop_semantic_dups" -> q59DropSemanticDups _)
+    "q59_drop_semantic_dups" -> q59DropSemanticDups _,
+    "q107_ann_int8" -> q107Int8TopK _)
 
   val oracles: Map[String, String] = Map(
     "q40_ann_brute_topk" -> q40Sql,
@@ -305,5 +351,6 @@ object SimilarityQueries {
     "q43_ann_multitable" -> q43Sql,
     "q44_ann_ivf" -> q44Sql,
     "q49_embed_clusters" -> q49Sql,
-    "q59_drop_semantic_dups" -> q59Sql)
+    "q59_drop_semantic_dups" -> q59Sql,
+    "q107_ann_int8" -> q107Sql)
 }

@@ -775,6 +775,45 @@ object TextQueries {
       |FROM (SELECT doc_id, string_split(page, chr(10)) AS parts FROM aug) a
       |CROSS JOIN hl ORDER BY doc_id""".stripMargin
 
+  // --- within-document repeated-line removal ----------------------------
+
+  /** RefinedWeb/MassiveText in-page line dedup: each synthesized page
+    * carries nav chrome twice (always dropped once), its body twice
+    * (dropped once), 1-in-3 a third chrome copy (dropped) vs a unique
+    * promo line (kept), and two empty lines the `minChars=1` guard must
+    * keep verbatim. Pure map-side scrub — no census, no shuffle. */
+  def q106InDocLineDedup(spark: SparkSession, dir: String): DataFrame = {
+    val chrome = lit("MENU home about contact")
+    val page = concat_ws("\n",
+      chrome, col("text"), chrome,
+      when(col("doc_id") % 3 === 0, chrome)
+        .otherwise(concat(lit("promo "), col("doc_id"))),
+      col("text"), lit(""), lit(""))
+    val aug = tp(spark, dir, "documents").select(col("doc_id"), page.as("page"))
+    Dedup.dropRepeatedLinesWithin(aug, "page", minChars = 1)
+      .select(col("doc_id"), col("n_lines_dropped"), col("page").as("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: keep-first filter with the same 1-based first-index test
+    * (Spark's 0-based lambda index + 1 ≡ DuckDB's 1-based index). */
+  val q106Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    'MENU home about contact', text, 'MENU home about contact',
+      |    CASE WHEN doc_id % 3 = 0 THEN 'MENU home about contact'
+      |         ELSE 'promo ' || doc_id END,
+      |    text, '', '') AS page
+      |  FROM documents),
+      |p AS (SELECT doc_id, string_split(page, chr(10)) AS parts FROM aug),
+      |k AS (SELECT doc_id, parts,
+      |  list_filter(parts, (l, i) -> len(l) < 1 OR list_position(parts, l) = i)
+      |    AS kept
+      |  FROM p)
+      |SELECT doc_id, len(parts) - len(kept) AS n_lines_dropped,
+      |  array_to_string(kept, chr(10)) AS cleaned
+      |FROM k ORDER BY doc_id""".stripMargin
+
   // --- BPE tokenizer training -------------------------------------------
 
   private val BpeMerges = 6
@@ -858,7 +897,8 @@ object TextQueries {
     "q100_mixture_sample" -> q100MixtureSample _,
     "q101_shard_assign" -> q101ShardAssign _,
     "q102_line_dedup" -> q102LineDedup _,
-    "q104_bpe_merges" -> q104BpeMerges _)
+    "q104_bpe_merges" -> q104BpeMerges _,
+    "q106_indoc_line_dedup" -> q106InDocLineDedup _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -884,5 +924,6 @@ object TextQueries {
     "q100_mixture_sample" -> q100Sql,
     "q101_shard_assign" -> q101Sql,
     "q102_line_dedup" -> q102Sql,
-    "q104_bpe_merges" -> q104Sql)
+    "q104_bpe_merges" -> q104Sql,
+    "q106_indoc_line_dedup" -> q106Sql)
 }

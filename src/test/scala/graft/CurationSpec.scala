@@ -564,6 +564,28 @@ class CurationSpec extends SparkSpec {
     assert(kept.toSeq == Seq((1L, "a\nb", 0), (2L, "c\nd", 0)))
   }
 
+  test("in-doc repeated lines: keep-first, minChars guard, cross-doc blind") {
+    val docs = Seq(
+      (1L, "nav\nbody one\nnav\nbody one\nend"), // nav, body repeated in-doc
+      (2L, "nav\nbody two"),                     // nav repeats ACROSS docs only
+      (3L, "a\n\nmid\n\na\nz")                   // blanks repeat; minChars keeps
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup.dropRepeatedLinesWithin(docs, "text", minChars = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "n_lines_dropped")
+      .as[(Long, String, Int)].collect()
+    assert(out(0) == ((1L, "nav\nbody one\nend", 2)))
+    // within-doc only: doc 2's nav is its first occurrence, kept
+    assert(out(1) == ((2L, "nav\nbody two", 0)))
+    // empty lines are under minChars -> kept verbatim; the repeated "a" drops
+    assert(out(2) == ((3L, "a\n\nmid\n\nz", 1)))
+    // minChars=0 dedups blanks too
+    val strict = graft.operators.Dedup.dropRepeatedLinesWithin(
+      Seq((1L, "x\n\ny\n\nx")).toDF("doc_id", "text"), "text")
+      .select("text", "n_lines_dropped").as[(String, Int)].head()
+    assert(strict == (("x\n\ny", 2)))
+  }
+
   test("bigram LM: hand-computed add-one bits, short docs null") {
     import graft.operators.LanguageModel
     // corpus: "a b" x2, "a c", "solo"; V=4; c(a)=3, c(a b)=2, c(a c)=1

@@ -274,6 +274,48 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(0L, 10L, 20L))
   }
 
+  test("int8 quantization: exact codes, scale cancellation, top-k recall") {
+    import graft.operators.Similarity
+    val df = Seq(
+      (0L, Array(1.0f, -2.0f, 4.0f)),      // mx 4 -> codes 32, -64, 127
+      (1L, Array(0.5f, -1.0f, 2.0f)),      // same direction -> same codes
+      (2L, Array(0.0f, 0.0f, 0.0f))        // zero vector -> zero codes
+    ).toDF("vec_id", "embedding")
+    val codes = df.select(col("vec_id"),
+      Similarity.int8Codes(col("embedding")).as("q"))
+      .orderBy("vec_id").as[(Long, Seq[Byte])].collect()
+    assert(codes(0)._2 == Seq[Byte](32, -64, 127))
+    // symmetric quantization preserves direction: a scaled copy gets
+    // IDENTICAL codes, so quantized cosine of the pair is exactly 1
+    assert(codes(1)._2 == codes(0)._2)
+    assert(codes(2)._2 == Seq[Byte](0, 0, 0))
+    val sim = df.filter(col("vec_id") === 0L)
+      .select(lit(1).as("j"), col("embedding").as("a"))
+      .join(df.filter(col("vec_id") === 1L)
+        .select(lit(1).as("j"), col("embedding").as("b")), "j")
+      .select(Similarity.int8Cosine(
+        Similarity.int8Codes(col("a")),
+        Similarity.int8Codes(col("b"))).as("s"))
+      .as[Double].head()
+    assert(sim == 1.0)
+    // quantized top-k on a real-ish corpus recalls the exact top-k head
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val corpus = (0L until 50L).map { i =>
+      val v = Array.tabulate(16)(d =>
+        base(d) + (rnd.nextFloat() * 2 - 1) * (if (i < 5) 0.05f else 1.0f))
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val exact = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") === 0L), corpus, 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    val quant = Similarity.int8TopK(
+      corpus.filter(col("vec_id") === 0L), corpus, 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(quant.intersect(exact).size >= 2,
+      s"int8 top-3 lost the exact head: $exact vs $quant")
+  }
+
   test("preprocessing stats: changed/truncated/removed counters") {
     import graft.ops.Preprocess
     val df = Seq(
