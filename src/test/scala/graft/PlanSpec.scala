@@ -238,6 +238,30 @@ class PlanSpec extends SparkSpec {
       s"doc text crossed a non-recompose shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("in-doc line scrub is a pure map: zero exchanges") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .withColumn("text", concat_ws("\n", col("text"), lit("x"), lit("x")))
+    val p = plan(graft.operators.Dedup.dropRepeatedLinesWithin(docs, "text"))
+    assert(!p.contains("Exchange"),
+      s"within-doc scrub must not shuffle:\n$p")
+  }
+
+  test("int8 top-k: codes quantize before the join, corpus never shuffles") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.int8TopK(
+      emb.filter(col("vec_id") < 5), emb, 3))
+    // the only float->code work sits in projections below the join; the
+    // join itself broadcasts the (tiny) query side, so the corpus side
+    // must not hash-shuffle its vectors or codes
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$p")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .toSeq
+    assert(exchanges.forall(l => !l.contains("embedding#") && !l.contains("qc#")),
+      s"corpus vectors/codes crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("bigram LM: corpus text never crosses an exchange") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.LanguageModel.bigramBits(
