@@ -387,4 +387,34 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("qsim"))
   }
+
+  /** Two-stage ANN — the full production shape: the int8 quantized scan
+    * selects a shortlist of `k·refine` candidates per query (memory-bound
+    * tier: codes only), then the float vectors join back for the exact
+    * cosine re-rank of the shortlist (compute-bound tier: touches
+    * `k·refine` vectors per query instead of the corpus). Recall loss is
+    * bounded by what quantization drops OUT of the shortlist; `refine` of
+    * 3–5 recovers nearly all of it. Both stages are deterministic
+    * (integer shortlist ties → neighbor_id, float re-rank ties →
+    * neighbor_id), so the whole cascade replays in SQL. */
+  def int8RefineTopK(queries: DataFrame, corpus0: DataFrame, k: Int,
+                     refine: Int = 4, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    require(refine >= 1, "refine must be >= 1")
+    val corpus = graft.ops.Parallelism.ensure(corpus0)
+    val shortlist = int8TopK(queries, corpus, k * refine, idCol, vecCol)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val rescored = shortlist
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
+      .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    rescored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
 }

@@ -334,6 +334,54 @@ object SimilarityQueries {
        |SELECT query_id, rank, neighbor_id, qsim FROM ranked
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  private val Refine = 4
+
+  /** Two-stage ANN: int8 shortlist (k·4 candidates) → exact float cosine
+    * re-rank to k. Both tiers deterministic, so the cascade replays in
+    * SQL end-to-end. */
+  def q108Int8Refine(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.int8RefineTopK(
+      emb.filter(col("vec_id") < NumQueries), emb, K, Refine)
+      .orderBy("query_id", "rank")
+  }
+
+  val q108Sql: String =
+    s"""WITH q AS (
+       |  SELECT vec_id AS query_id, ${duckInt8("(embedding::DOUBLE[])")} AS qq
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |c AS (
+       |  SELECT vec_id AS neighbor_id, ${duckInt8("(embedding::DOUBLE[])")} AS qc
+       |  FROM embeddings),
+       |qscored AS (
+       |  SELECT query_id, neighbor_id,
+       |    CASE WHEN ${duckIntDot("qq", "qq")} = 0
+       |           OR ${duckIntDot("qc", "qc")} = 0 THEN round(0.0, 6)
+       |    ELSE round(CAST(${duckIntDot("qq", "qc")} AS DOUBLE) /
+       |      sqrt(CAST(${duckIntDot("qq", "qq")} * ${duckIntDot("qc", "qc")}
+       |        AS DOUBLE)), 6) END AS qsim
+       |  FROM q, c WHERE query_id <> neighbor_id),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY qsim DESC, neighbor_id) AS qrank
+       |    FROM qscored)
+       |  WHERE qrank <= ${K * Refine}),
+       |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       |       WHERE vec_id < $NumQueries),
+       |cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |rescored AS (
+       |  SELECT s.query_id, s.neighbor_id, ${duckCosine("q.qv", "v.cv")} AS sim
+       |  FROM shortlist s JOIN qv q USING (query_id)
+       |                   JOIN cv v USING (neighbor_id)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rescored)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
     "q41_ann_lsh_topk" -> q41LshTopK _,
@@ -342,7 +390,8 @@ object SimilarityQueries {
     "q44_ann_ivf" -> q44AnnIvf _,
     "q49_embed_clusters" -> q49EmbeddingClusters _,
     "q59_drop_semantic_dups" -> q59DropSemanticDups _,
-    "q107_ann_int8" -> q107Int8TopK _)
+    "q107_ann_int8" -> q107Int8TopK _,
+    "q108_ann_int8_refine" -> q108Int8Refine _)
 
   val oracles: Map[String, String] = Map(
     "q40_ann_brute_topk" -> q40Sql,
@@ -352,5 +401,6 @@ object SimilarityQueries {
     "q44_ann_ivf" -> q44Sql,
     "q49_embed_clusters" -> q49Sql,
     "q59_drop_semantic_dups" -> q59Sql,
-    "q107_ann_int8" -> q107Sql)
+    "q107_ann_int8" -> q107Sql,
+    "q108_ann_int8_refine" -> q108Sql)
 }

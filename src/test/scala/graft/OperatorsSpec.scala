@@ -314,6 +314,18 @@ class OperatorsSpec extends SparkSpec {
       .select("neighbor_id").as[Long].collect().toSet
     assert(quant.intersect(exact).size >= 2,
       s"int8 top-3 lost the exact head: $exact vs $quant")
+    // two-stage cascade: the exact re-rank of the 4x shortlist recovers
+    // the exact top-k, ranks and float scores included
+    val exactFull = Similarity.bruteForceTopK(
+      corpus.filter(col("vec_id") === 0L), corpus, 3)
+      .select("rank", "neighbor_id", "sim")
+      .as[(Int, Long, Double)].collect().toSeq
+    val refined = Similarity.int8RefineTopK(
+      corpus.filter(col("vec_id") === 0L), corpus, 3, refine = 4)
+      .select("rank", "neighbor_id", "sim")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(refined == exactFull,
+      s"refine cascade diverged from exact: $exactFull vs $refined")
   }
 
   test("preprocessing stats: changed/truncated/removed counters") {
