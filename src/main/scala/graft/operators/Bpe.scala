@@ -142,34 +142,30 @@ object Bpe {
   def encodeColumnBroadcast(textCol: Column, merges: Seq[Merge]): Column = {
     val bc = org.apache.spark.sql.SparkSession.active.sparkContext
       .broadcast(merges.map(m => (m.lhs, m.rhs) -> m.rank).toMap)
-    val enc = udf { (text: String) =>
-      if (text == null) Array.empty[String]
-      else {
-        val ranks = bc.value
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
-          if (w.nonEmpty) out ++= encodeCache.get.getOrElseUpdate(w,
-            encodeWord(w, ranks))
+    // The memo lives INSIDE the serialized closure: each task deserializes
+    // its own copy, so it is (a) thread-confined without locking and
+    // (b) scoped to THIS merge table — a JVM-wide cache keyed only by word
+    // would serve stale tokenizations when a reused executor thread
+    // encodes under a different vocabulary. Bounded against adversarial
+    // vocabulary-sized partitions by clearing at 64k entries.
+    val enc = udf(new (String => Array[String]) with Serializable {
+      @transient private lazy val memo =
+        scala.collection.mutable.HashMap.empty[String, Array[String]]
+      def apply(text: String): Array[String] = {
+        if (text == null) Array.empty[String]
+        else {
+          if (memo.size > 65536) memo.clear()
+          val ranks = bc.value
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
+            if (w.nonEmpty) out ++= memo.getOrElseUpdate(w, encodeWord(w, ranks))
+          }
+          out.toArray
         }
-        out.toArray
       }
-    }
+    })
     enc(textCol)
   }
-
-  /** Per-task (thread-confined) word→tokens memo for the broadcast
-    * encoder. ThreadLocal so concurrent tasks in one executor JVM never
-    * share a mutable map; bounded by clearing at 64k entries. */
-  private val encodeCache =
-    new ThreadLocal[scala.collection.mutable.HashMap[String, Array[String]]] {
-      override def initialValue() =
-        scala.collection.mutable.HashMap.empty[String, Array[String]]
-      override def get() = {
-        val m = super.get()
-        if (m.size > 65536) { m.clear() }
-        m
-      }
-    }
 
   /** Rank-greedy BPE encode of one word: char symbols + end-of-word, then
     * repeatedly merge the lowest-rank adjacent pair present (all

@@ -629,10 +629,20 @@ object Dedup {
   def dropRepeatedLinesWithin(df: DataFrame, textCol: String,
       minChars: Int = 0, sep: String = "\n"): DataFrame = {
     val sepRe = java.util.regex.Pattern.quote(sep)
-    val parts = split(col(textCol), sepRe, -1)
-    val kept = filter(parts, (l, i) =>
-      (length(l) < minChars) || (array_position(parts, l) === i + 1))
-    df.withColumn("n_lines_dropped", size(parts) - size(kept))
+    // two barriers keep the claim honest: without them projection
+    // collapse inlines the split into every keep-first lambda invocation
+    // (re-splitting the whole document per line) and inlines the
+    // quadratic kept-filter into both consumers (size + array_join),
+    // doubling it — HOF expressions get no cross-expression CSE
+    val parts = col("__graft_parts")
+    val kept = col("__graft_kept")
+    Parallelism.barrier(
+      Parallelism.barrier(
+        df.withColumn("__graft_parts", split(col(textCol), sepRe, -1)))
+        .withColumn("__graft_kept", filter(parts, (l, i) =>
+          (length(l) < minChars) || (array_position(parts, l) === i + 1))))
+      .withColumn("n_lines_dropped", size(parts) - size(kept))
       .withColumn(textCol, array_join(kept, sep))
+      .drop("__graft_parts", "__graft_kept")
   }
 }

@@ -338,8 +338,13 @@ object Similarity {
   def int8Codes(vec: Column): Column = {
     val mx = aggregate(vec, lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
-    transform(vec, x => when(mx === 0.0, lit(0))
-      .otherwise(round(x.cast("double") * 127.0 / mx)).cast("tinyint"))
+    // bind the max ONCE per row via a 1-element transform: HOF lambdas
+    // get no cross-expression CSE, so inlining `mx` into the per-element
+    // lambda would re-run the full-vector aggregate for every element
+    // (O(d^2) per row)
+    element_at(transform(array(mx), m =>
+      transform(vec, x => when(m === 0.0, lit(0))
+        .otherwise(round(x.cast("double") * 127.0 / m)).cast("tinyint"))), 1)
   }
 
   /** Exact integer dot product of two int8 code vectors (long
@@ -353,13 +358,16 @@ object Similarity {
     * computation — dot and both norms are exact longs — with ONE float
     * division at the end. Deterministic across engines and partitionings
     * by construction. Zero-code vectors score 0. */
-  def int8Cosine(qa: Column, qb: Column): Column = {
-    val na = int8Dot(qa, qa)
-    val nb = int8Dot(qb, qb)
-    when(na === lit(0L) || nb === lit(0L), lit(0.0))
-      .otherwise(int8Dot(qa, qb).cast("double") /
-        sqrt((na * nb).cast("double")))
-  }
+  def int8Cosine(qa: Column, qb: Column): Column =
+    // each norm binds once (same 1-element-transform trick as int8Codes):
+    // a naive when/otherwise would evaluate both full-vector norm folds
+    // twice per pair. [[int8TopK]] goes further and hoists the norms per
+    // VECTOR; this form is for ad-hoc pair scoring.
+    element_at(transform(array(int8Dot(qa, qa)), na =>
+      element_at(transform(array(int8Dot(qb, qb)), nb =>
+        when(na === lit(0L) || nb === lit(0L), lit(0.0))
+          .otherwise(int8Dot(qa, qb).cast("double") /
+            sqrt((na * nb).cast("double")))), 1)), 1)
 
   /** Approximate top-k over int8 codes — [[bruteForceTopK]]'s scan with
     * 4× less memory traffic and integer arithmetic in the hot loop. At
@@ -373,13 +381,22 @@ object Similarity {
                idCol: String = "vec_id",
                vecCol: String = "embedding"): DataFrame = {
     val corpus = graft.ops.Parallelism.ensure(corpus0)
-    val q = queries.select(col(idCol).as("query_id"),
-      int8Codes(col(vecCol)).as("qq"))
-    val c = corpus.select(col(idCol).as("neighbor_id"),
-      int8Codes(col(vecCol)).as("qc"))
+    // codes and norms hoist PER VECTOR behind barriers (projection
+    // collapse would otherwise inline the quantization into the norm fold
+    // and the norm fold into every pair) — the pair stage then pays one
+    // dot product and scalar arithmetic per pair, nothing vector-sized
+    def sided(df: DataFrame, id: String, codes: String, n: String) =
+      graft.ops.Parallelism.barrier(
+        df.select(col(idCol).as(id), int8Codes(col(vecCol)).as(codes)))
+        .withColumn(n, int8Dot(col(codes), col(codes)))
+    val q = sided(queries, "query_id", "qq", "qn")
+    val c = sided(corpus, "neighbor_id", "qc", "cn")
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("qsim", round(int8Cosine(col("qq"), col("qc")), 6))
+      .withColumn("qsim", round(
+        when(col("qn") === 0L || col("cn") === 0L, lit(0.0))
+          .otherwise(int8Dot(col("qq"), col("qc")).cast("double") /
+            sqrt((col("qn") * col("cn")).cast("double"))), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("qsim").desc, col("neighbor_id"))
@@ -406,8 +423,10 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    val rescored = shortlist
-      .join(broadcast(qv), "query_id")
+    // the shortlist (+ its query vectors) is Q·k·refine rows — broadcast
+    // it so the corpus float vectors are probed in place, never shuffled
+    // (the whole point of the cascade)
+    val rescored = broadcast(shortlist.join(broadcast(qv), "query_id"))
       .join(cv, "neighbor_id")
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
     val w = org.apache.spark.sql.expressions.Window
