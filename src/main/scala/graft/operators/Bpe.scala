@@ -154,11 +154,15 @@ object Bpe {
       def apply(text: String): Array[String] = {
         if (text == null) Array.empty[String]
         else {
-          if (memo.size > 65536) memo.clear()
           val ranks = bc.value
           val out = scala.collection.mutable.ArrayBuffer.empty[String]
           text.toLowerCase(java.util.Locale.ROOT).split("\\s+").foreach { w =>
-            if (w.nonEmpty) out ++= memo.getOrElseUpdate(w, encodeWord(w, ranks))
+            if (w.nonEmpty) {
+              // bound enforced per WORD: one row with millions of distinct
+              // tokens must not grow the memo unchecked
+              if (memo.size > 65536) memo.clear()
+              out ++= memo.getOrElseUpdate(w, encodeWord(w, ranks))
+            }
           }
           out.toArray
         }

@@ -618,9 +618,12 @@ object Dedup {
     * [[dropDuplicateLines]]: here each document is scrubbed against
     * ITSELF, keeping the first occurrence of every line.
     *
-    * Pure per-row map — split, keep-first filter, reassemble — entirely
-    * inside whole-stage codegen with no shuffle and no census: the 100 TB
-    * cost is exactly one pass over the text column. Line comparison is
+    * Pure per-row map — split, keep-first filter, reassemble — with no
+    * shuffle and no census: the 100 TB cost is one pass over the text
+    * column plus two row-conversion barriers (the split and kept arrays
+    * each stage once so they evaluate once — see the inline comment; the
+    * barriers split the stage into three codegen'd spans but move no data
+    * between executors). Line comparison is
     * the first-index test (`array_position(lines, l) == i+1`), quadratic
     * in a document's LINE count — fine for real pages (hundreds of
     * lines), and cheaper than hashing for short arrays. `minChars` keeps

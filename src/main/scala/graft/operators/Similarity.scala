@@ -423,11 +423,14 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // the shortlist (+ its query vectors) is Q·k·refine rows — broadcast
-    // it so the corpus float vectors are probed in place, never shuffled
-    // (the whole point of the cascade)
-    val rescored = broadcast(shortlist.join(broadcast(qv), "query_id"))
+    // ids-only shortlist broadcasts first (Q·k·refine longs) so the
+    // corpus float vectors are probed in place, never shuffled; the query
+    // vectors attach AFTER (Q·d floats) — broadcasting the joined pair
+    // instead would duplicate each query vector k·refine times and blow
+    // the broadcast limit at production Q
+    val rescored = broadcast(shortlist)
       .join(cv, "neighbor_id")
+      .join(broadcast(qv), "query_id")
       .withColumn("sim", round(cosine(col("qv"), col("cv")), 6))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
