@@ -421,13 +421,21 @@ object Similarity {
     val corpus = graft.ops.Parallelism.ensure(corpus0)
     val shortlist = int8TopK(queries, corpus, k * refine, idCol, vecCol)
       .select(col("query_id"), col("neighbor_id"))
+    refineStage(queries, corpus, shortlist, k, idCol, vecCol)
+  }
+
+  /** Exact float-cosine re-rank of a (query_id, neighbor_id) shortlist to
+    * the final top-k — stage 2 of every cascade. The ids-only shortlist
+    * broadcasts first (Q·k·refine longs) so the corpus float vectors are
+    * probed in place, never shuffled; the query vectors attach AFTER
+    * (Q·d floats) — broadcasting the joined pair instead would duplicate
+    * each query vector k·refine times and blow the broadcast limit at
+    * production Q. */
+  private def refineStage(queries: DataFrame, corpus: DataFrame,
+                          shortlist: DataFrame, k: Int,
+                          idCol: String, vecCol: String): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
-    // ids-only shortlist broadcasts first (Q·k·refine longs) so the
-    // corpus float vectors are probed in place, never shuffled; the query
-    // vectors attach AFTER (Q·d floats) — broadcasting the joined pair
-    // instead would duplicate each query vector k·refine times and blow
-    // the broadcast limit at production Q
     val rescored = broadcast(shortlist)
       .join(cv, "neighbor_id")
       .join(broadcast(qv), "query_id")
@@ -438,5 +446,121 @@ object Similarity {
     rescored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("sim"))
+  }
+
+  // --- IVF-SQ8 — the composed production cascade -------------------------
+
+  /** Dot product of a row vector against a driver-side literal vector —
+    * the map-side kernel of the composed cascade's centroid assignment. */
+  private def dotLit(vec: Column, w: Seq[Double]): Column =
+    aggregate(zip_with(vec, typedlit(w), (x, y) => x.cast("double") * y),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Per-centroid (score, -centroid_id) structs for one row vector.
+    * Struct ordering makes max/sort break score ties toward the SMALLER
+    * centroid id — the same ORDER BY score DESC, centroid_id ASC the
+    * oracle replays. */
+  private def centScores(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.map { case (cid, w) =>
+      struct(dotLit(vec, w).as("s"), lit(-cid).as("nid")) }: _*)
+
+  /** IVF + int8 + float re-rank — the full production ANN shape at
+    * 100 TB, composing the three tiers this file builds separately:
+    * coarse centroids prune the corpus to probed inverted lists
+    * ([[ivfTopK]]'s quantizer), int8 codes score only those lists
+    * ([[int8TopK]]'s memory-bound scan), and the float vectors join back
+    * for the exact re-rank of the k·refine shortlist
+    * ([[int8RefineTopK]]'s stage 2). Per query the work is
+    * `numCentroids` dot products + the probed lists' codes — sublinear
+    * in corpus size — instead of [[int8TopK]]'s full quantized scan.
+    *
+    * Scale shape: the centroid table is a BOUNDED driver collect
+    * (≤ `numCentroids` rows — the [[Dedup]] union-find discipline of
+    * explicit driver bounds), pre-normalized so centroid assignment and
+    * probe ranking are pure literal dot products computed MAP-SIDE in the
+    * same projection as the int8 quantization: the corpus is never
+    * shuffled at all. Candidate selection is a broadcast hash join of the
+    * (tiny) probe-pair and query-code sets against the coded corpus; the
+    * only non-broadcast exchange in the whole cascade carries pruned
+    * (query_id, neighbor_id, qsim) triples into the shortlist window.
+    *
+    * Determinism: assignment/probe ranking order by the raw double dot
+    * against driver-normalized centroids (argmax_c cos(v,c) =
+    * argmax_c <v, c/|c|> — |v| is a positive per-row constant), ties to
+    * the smaller centroid id; both quantized and float stages tie-break
+    * by neighbor_id — the whole cascade replays in SQL (q109).
+    *
+    * (Reference contrast: the reference's dense path is a brute-force
+    * scan — crates/ondine-core/src/evidence/store.rs:289-307; this
+    * composition is where the Spark build is strictly better.) */
+  def ivfInt8RefineTopK(queries: DataFrame, corpus0: DataFrame, k: Int,
+      numCentroids: Int = 8, nProbe: Int = 2, refine: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusSize: Option[Long] = None): DataFrame = {
+    require(refine >= 1, "refine must be >= 1")
+    require(numCentroids >= 1 && numCentroids <= 65536,
+      s"numCentroids=$numCentroids: the centroid set collects to the driver")
+    val corpus = graft.ops.Parallelism.ensure(corpus0)
+    val n = corpusSize.getOrElse(corpus.count())
+    val stride = math.max(1L, n / numCentroids)
+    // stride-picked centroid seeds, same rule (and same sparse-id
+    // fallback) as ivfTopK — reproducible across engines
+    val strided = corpus
+      .filter(col(idCol) % stride === 0 &&
+        expr(s"$idCol div $stride") < numCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val centRows = (if (strided.isEmpty)
+        corpus.orderBy(col(idCol)).limit(numCentroids)
+          .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+      else strided).collect()
+    if (centRows.isEmpty)
+      return queries.limit(0).select(col(idCol).as("query_id"),
+        lit(1).as("rank"), col(idCol).as("neighbor_id"), lit(0.0).as("sim"))
+    val cents: Seq[(Long, Seq[Double])] = centRows.toSeq.map { r =>
+      val cid = r.get(0).asInstanceOf[Number].longValue
+      val cv = r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.doubleValue
+        case d: java.lang.Double => d.doubleValue
+        case x => x.asInstanceOf[Number].doubleValue
+      }
+      // driver-normalized (x/|c|, both IEEE-identical to the oracle's
+      // list arithmetic); a zero centroid scores 0 against everything
+      val nrm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+      (cid, if (nrm == 0.0) cv.map(_ => 0.0) else cv.map(_ / nrm))
+    }
+    // corpus pass: cluster assignment + quantization in ONE map-side
+    // projection (codes/norms hoisted per vector behind the barrier,
+    // exactly like int8TopK)
+    val c = graft.ops.Parallelism.barrier(
+      corpus.select(col(idCol).as("neighbor_id"),
+        negate(array_max(centScores(col(vecCol), cents)).getField("nid"))
+          .as("cluster"),
+        int8Codes(col(vecCol)).as("qc")))
+      .withColumn("cn", int8Dot(col("qc"), col("qc")))
+    val q = graft.ops.Parallelism.barrier(
+      queries.select(col(idCol).as("query_id"),
+        int8Codes(col(vecCol)).as("qq")))
+      .withColumn("qn", int8Dot(col("qq"), col("qq")))
+    // nProbe nearest lists per query: sort desc by (score, -id) — ties
+    // toward the smaller centroid id, like the assignment argmax
+    val probed = transform(
+      slice(reverse(array_sort(centScores(col(vecCol), cents))), 1, nProbe),
+      s => negate(s.getField("nid")))
+    val queryLists = queries.select(col(idCol).as("query_id"),
+      explode(probed).as("cluster"))
+    val scored = c.join(broadcast(queryLists), Seq("cluster"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qsim", round(
+        when(col("qn") === 0L || col("cn") === 0L, lit(0.0))
+          .otherwise(int8Dot(col("qq"), col("qc")).cast("double") /
+            sqrt((col("qn") * col("cn")).cast("double"))), 6))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    val shortlist = scored.withColumn("qrank", row_number().over(ws))
+      .filter(col("qrank") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    refineStage(queries, corpus, shortlist, k, idCol, vecCol)
   }
 }

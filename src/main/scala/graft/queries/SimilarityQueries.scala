@@ -382,6 +382,93 @@ object SimilarityQueries {
        |SELECT query_id, rank, neighbor_id, sim FROM ranked
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 
+  /** IVF-SQ8 cascade — the composed production ANN: centroid pruning
+    * (map-side literal dots), int8 scoring of the probed lists only,
+    * float re-rank of the k·refine shortlist. nProbe=3 of 8 lists so the
+    * oracle genuinely exercises the pruning (not a full scan in
+    * disguise). */
+  def q109IvfSq8(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.ivfInt8RefineTopK(
+      emb.filter(col("vec_id") < NumQueries), emb, K,
+      NumCentroids, nProbe = 3, refine = Refine)
+      .orderBy("query_id", "rank")
+  }
+
+  val q109Sql: String = {
+    val stride = s"((SELECT count(*) FROM embeddings) // $NumCentroids)"
+    // assignment/probe ranking use the raw dot against NORMALIZED
+    // centroids (argmax-equivalent to cosine; |v| is constant per row) —
+    // the exact arithmetic the Spark side ships as driver literals
+    def normDot(v: String): String =
+      s"""list_sum(list_transform(list_zip($v, cn.cw), x -> x[1] * x[2]))"""
+    s"""WITH cent AS (
+       |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
+       |  FROM embeddings
+       |  WHERE vec_id % $stride = 0 AND vec_id // $stride < $NumCentroids),
+       |cnorm AS (
+       |  SELECT centroid_id,
+       |    CASE WHEN sqrt(list_sum(list_transform(centv, x -> x * x))) = 0
+       |      THEN list_transform(centv, x -> 0.0)
+       |      ELSE list_transform(centv,
+       |        x -> x / sqrt(list_sum(list_transform(centv, y -> y * y))))
+       |    END AS cw
+       |  FROM cent),
+       |assign AS (
+       |  SELECT neighbor_id, centroid_id AS cluster FROM (
+       |    SELECT c.vec_id AS neighbor_id, cn.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${normDot("(c.embedding::DOUBLE[])")} DESC,
+       |          cn.centroid_id) AS rn
+       |    FROM embeddings c, cnorm cn)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id AS cluster FROM (
+       |    SELECT q.vec_id AS query_id, cn.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${normDot("(q.embedding::DOUBLE[])")} DESC,
+       |          cn.centroid_id) AS rn
+       |    FROM embeddings q, cnorm cn WHERE q.vec_id < $NumQueries)
+       |  WHERE rn <= 3),
+       |qc AS (
+       |  SELECT vec_id AS query_id, ${duckInt8("(embedding::DOUBLE[])")} AS qq
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |cc AS (
+       |  SELECT vec_id AS neighbor_id, ${duckInt8("(embedding::DOUBLE[])")} AS qc
+       |  FROM embeddings),
+       |qscored AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    CASE WHEN ${duckIntDot("qq", "qq")} = 0
+       |           OR ${duckIntDot("qc", "qc")} = 0 THEN round(0.0, 6)
+       |    ELSE round(CAST(${duckIntDot("qq", "qc")} AS DOUBLE) /
+       |      sqrt(CAST(${duckIntDot("qq", "qq")} * ${duckIntDot("qc", "qc")}
+       |        AS DOUBLE)), 6) END AS qsim
+       |  FROM probes p JOIN assign a USING (cluster)
+       |       JOIN qc ON p.query_id = qc.query_id
+       |       JOIN cc ON a.neighbor_id = cc.neighbor_id
+       |  WHERE p.query_id <> a.neighbor_id),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY qsim DESC, neighbor_id) AS qrank
+       |    FROM qscored)
+       |  WHERE qrank <= ${K * Refine}),
+       |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       |       WHERE vec_id < $NumQueries),
+       |cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |rescored AS (
+       |  SELECT s.query_id, s.neighbor_id, ${duckCosine("q.qv", "v.cv")} AS sim
+       |  FROM shortlist s JOIN qv q USING (query_id)
+       |                   JOIN cv v USING (neighbor_id)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rescored)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
     "q41_ann_lsh_topk" -> q41LshTopK _,
@@ -391,7 +478,8 @@ object SimilarityQueries {
     "q49_embed_clusters" -> q49EmbeddingClusters _,
     "q59_drop_semantic_dups" -> q59DropSemanticDups _,
     "q107_ann_int8" -> q107Int8TopK _,
-    "q108_ann_int8_refine" -> q108Int8Refine _)
+    "q108_ann_int8_refine" -> q108Int8Refine _,
+    "q109_ann_ivf_sq8" -> q109IvfSq8 _)
 
   val oracles: Map[String, String] = Map(
     "q40_ann_brute_topk" -> q40Sql,
@@ -402,5 +490,6 @@ object SimilarityQueries {
     "q49_embed_clusters" -> q49Sql,
     "q59_drop_semantic_dups" -> q59Sql,
     "q107_ann_int8" -> q107Sql,
-    "q108_ann_int8_refine" -> q108Sql)
+    "q108_ann_int8_refine" -> q108Sql,
+    "q109_ann_ivf_sq8" -> q109Sql)
 }

@@ -328,6 +328,39 @@ class OperatorsSpec extends SparkSpec {
       s"refine cascade diverged from exact: $exactFull vs $refined")
   }
 
+  test("IVF-SQ8 cascade: nProbe=all + refine recovers exact; pruning recalls the head") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val corpus = (0L until 120L).map { i =>
+      val v = Array.tabulate(16)(d =>
+        base(d) + (rnd.nextFloat() * 2 - 1) * (if (i < 6) 0.05f else 1.0f))
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    // probing EVERY list makes candidate selection complete, so the
+    // cascade must reproduce exact brute-force top-k bit-for-bit (ranks
+    // and float scores included) — the same guarantee int8RefineTopK
+    // carries, now surviving the IVF composition
+    val full = Similarity.ivfInt8RefineTopK(queries, corpus, 3,
+      numCentroids = 4, nProbe = 4, refine = 4)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    assert(full == exact,
+      s"nProbe=all cascade diverged from exact: $exact vs $full")
+    // genuine pruning (2 of 4 lists) still recalls most of the exact head
+    val pruned = Similarity.ivfInt8RefineTopK(queries, corpus, 3,
+      numCentroids = 4, nProbe = 2, refine = 4)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(t => (t._1, t._3)).toSet
+    val recall = (exactPairs intersect pruned).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"IVF-SQ8 recall $recall too low: $pruned vs $exactPairs")
+  }
+
   test("preprocessing stats: changed/truncated/removed counters") {
     import graft.ops.Preprocess
     val df = Seq(

@@ -262,6 +262,28 @@ class PlanSpec extends SparkSpec {
       s"corpus vectors/codes crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("IVF-SQ8 cascade: no cartesian, corpus never shuffles, assignment is map-side") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val p = plan(graft.operators.Similarity.ivfInt8RefineTopK(
+      emb.filter(col("vec_id") < 5), emb, 3,
+      numCentroids = 4, nProbe = 2, refine = 4))
+    // composed plan: centroid assignment is a literal-dot projection (no
+    // join at all), candidate selection broadcasts probe pairs + query
+    // codes, the re-rank broadcasts the ids-only shortlist — never a
+    // queries×corpus cross product anywhere
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the cascade:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"every cascade join must be keyed (cluster/query_id/neighbor_id):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe/shortlist joins must broadcast:\n$p")
+    // the corpus embedding/code columns must never enter a non-broadcast
+    // exchange: the only shuffle carries shortlist triples into the window
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .toSeq
+    assert(exchanges.forall(l => !l.contains("embedding#") && !l.contains("qc#")),
+      s"corpus vectors/codes crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("bigram LM: corpus text never crosses an exchange") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.LanguageModel.bigramBits(
