@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextFunctions
@@ -34,21 +34,30 @@ object LanguageModel {
 
   private val Dup = "__graft_"
 
+  /** Lowercased whitespace tokens of `textCol` — the ONE tokenizer both
+    * scoring paths share. */
+  private def tokCol(textCol: String): Column =
+    TextFunctions.tokens(lower(col(textCol)))
+
+  /** Per-row "w1 w2" bigram array (tokens cannot contain spaces); empty
+    * for docs with < 2 tokens (and for null text — `when` on a null size
+    * falls through to the empty branch, matching the exact path's
+    * no-bigrams outcome). */
+  private def bigramArr(w: Column): Column =
+    when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+
   /** Per-document bigram-LM score: (idCol, n_bigrams, lm_bits).
     * `lm_bits` = mean negative log2 P(w2|w1) over the doc's bigrams with
     * add-one smoothing (P = (c12+1)/(c1+V)); null when the doc has < 2
     * tokens (no bigrams). Tokenization = lowercased whitespace split,
     * matching [[TextFunctions.tokens]]. */
   def bigramBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = df.select(col(idCol),
-      TextFunctions.tokens(lower(col(textCol))).as(s"${Dup}w"))
+    val toks = df.select(col(idCol), tokCol(textCol).as(s"${Dup}w"))
     val w = col(s"${Dup}w")
-    // bigram list per doc: "w1 w2" strings (tokens cannot contain spaces)
-    val bigrams = toks.select(col(idCol),
-      when(size(w) >= 2,
-        zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-          (a, b) => concat(a, lit(" "), b)))
-        .otherwise(array().cast("array<string>")).as(s"${Dup}bg"))
+    val bigrams = toks.select(col(idCol), bigramArr(w).as(s"${Dup}bg"))
       .select(col(idCol), explode(col(s"${Dup}bg")).as(s"${Dup}bg"))
       .withColumn(s"${Dup}w1", substring_index(col(s"${Dup}bg"), " ", 1))
     // staged: the unigram table feeds two consumers (vocab count + the
@@ -74,6 +83,81 @@ object LanguageModel {
       .select(col(idCol),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         col("lm_bits"))
+  }
+
+  /** Broadcast pruned-LM scoring — the 100 TB shape the [[bigramBits]]
+    * scaladoc documents: the trained bigram model prunes to its `topN`
+    * most frequent bigrams (count DESC, bigram ASC — a total order, so
+    * the cut is deterministic and engine-reproducible), each head
+    * bigram's integer micro-bit term precomputes ONCE with the exact
+    * path's log2 expression, and the whole head ships to executors as a
+    * broadcast map. Scoring is then a pure per-row pass over each
+    * document's bigram array — NO shuffle join of exploded bigrams, no
+    * bigram-keyed exchange at all (PlanSpec pins this), which also
+    * removes the hot-bigram skew shape entirely: a bigram carrying 25%
+    * of corpus mass is just one more map entry instead of one reducer's
+    * join partition.
+    *
+    * Bigrams outside the head score the OOV floor `log2(1/V)` micro-bits
+    * — the add-one term of an unseen bigram after an unseen context word,
+    * the most optimistic unseen estimate (pass `oovMicro` to pin a
+    * pessimistic floor instead). Whenever every bigram of a document is
+    * in the head, the result is IDENTICAL to [[bigramBits]] (CurationSpec
+    * proves the equality; q110's oracle replays head + floor exactly).
+    *
+    * The model build still aggregates the corpus once (token/bigram
+    * counts — map-side combined, text never shuffles); only the pruned
+    * head (≤ topN rows, explicitly bounded) is collected. */
+  def bigramBitsBroadcast(df: DataFrame, idCol: String, textCol: String,
+      topN: Int, oovMicro: Option[Long] = None): DataFrame = {
+    require(topN >= 1 && topN <= 5000000,
+      s"topN=$topN: the pruned head collects to the driver (bounded)")
+    val toks = df.select(tokCol(textCol).as(s"${Dup}w"))
+    val w = col(s"${Dup}w")
+    val uni = Parallelism.stage(toks.select(explode(w).as(s"${Dup}t"))
+      .groupBy(col(s"${Dup}t")).agg(count(lit(1)).as(s"${Dup}c1")))
+    val big = toks.select(explode(bigramArr(w)).as(s"${Dup}bg"))
+      .groupBy(col(s"${Dup}bg")).agg(count(lit(1)).as(s"${Dup}c12"))
+    val vocab = uni.count()
+    // head join AFTER the limit: topN rows join the unigram table, not
+    // the full bigram census; micro uses the exact path's expression so
+    // head terms are bit-identical to bigramBits'
+    val head = big
+      .orderBy(col(s"${Dup}c12").desc, col(s"${Dup}bg").asc)
+      .limit(topN)
+      .withColumn(s"${Dup}w1", substring_index(col(s"${Dup}bg"), " ", 1))
+      .join(uni, col(s"${Dup}w1") === uni(s"${Dup}t"))
+      .select(col(s"${Dup}bg"),
+        round(log2((col(s"${Dup}c12") + 1).cast("double") /
+          (col(s"${Dup}c1") + lit(vocab))) * 1e6, 0).cast("long")
+          .as(s"${Dup}m"))
+      .collect()
+    // the floor evaluates through the same Spark round/log2 kernel as
+    // the head terms (a 1-row job), not driver-side math — one source of
+    // truth for the float ops the oracle replays
+    val floor = oovMicro.getOrElse(
+      if (vocab == 0L) 0L
+      else df.sparkSession.range(1)
+        .select(round(log2(lit(1.0) / lit(vocab.toDouble)) * 1e6, 0)
+          .cast("long").as("f")).head().getLong(0))
+    val bc = df.sparkSession.sparkContext.broadcast(
+      head.map(r => r.getString(0) -> r.getLong(1)).toMap)
+    val sumMicro = udf((bgs: Seq[String]) =>
+      if (bgs == null) null
+      else {
+        val m = bc.value
+        var s = 0L
+        bgs.foreach(b => s += m.getOrElse(b, floor))
+        java.lang.Long.valueOf(s)
+      })
+    df.withColumn(s"${Dup}bgs", bigramArr(tokCol(textCol)))
+      .withColumn("n_bigrams", size(col(s"${Dup}bgs")).cast("long"))
+      .withColumn(s"${Dup}s", sumMicro(col(s"${Dup}bgs")))
+      .withColumn("lm_bits",
+        when(col("n_bigrams") > 0,
+          round((-col(s"${Dup}s")).cast("double") / col("n_bigrams") / 1e6, 6))
+          .otherwise(lit(null).cast("double")))
+      .select(col(idCol), col("n_bigrams"), col("lm_bits"))
   }
 
   /** CCNet-style head selection: keep documents whose bits-per-bigram is

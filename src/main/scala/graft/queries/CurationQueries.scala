@@ -337,6 +337,52 @@ object CurationQueries {
       |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS lm_bits
       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // --- q110: broadcast pruned-LM scoring (the 100 TB q103 shape) ----------
+
+  private val LmHeadN = 500
+
+  /** q103's scoring through the broadcast pruned head: top-500 bigrams
+    * precompute their micro-bit terms, everything else scores the
+    * log2(1/V) OOV floor, and the corpus is scored map-side with zero
+    * bigram-keyed exchanges (PlanSpec pins the plan). At sf0.01 the
+    * corpus holds far more than 500 distinct bigrams, so the floor
+    * genuinely fires and the oracle replays head AND floor. */
+  def q110LmBroadcast(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.bigramBitsBroadcast(
+      tp(spark, dir, "documents"), "doc_id", "text", topN = LmHeadN)
+      .orderBy("doc_id")
+
+  val q110Sql: String =
+    s"""WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      |  FROM toks WHERE len(w) >= 2),
+      |uni AS (
+      |  SELECT t, count(*) AS c1
+      |  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY 1),
+      |big AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY 1),
+      |v AS (SELECT count(*) AS vs FROM uni),
+      |head AS (
+      |  SELECT h.bg,
+      |    CAST(round(log2((h.c12 + 1)::DOUBLE / (uni.c1 + v.vs)) * 1000000.0, 0) AS BIGINT) AS micro
+      |  FROM (SELECT bg, c12 FROM big ORDER BY c12 DESC, bg LIMIT $LmHeadN) h
+      |  JOIN uni ON split_part(h.bg, ' ', 1) = uni.t
+      |  CROSS JOIN v),
+      |fl AS (
+      |  SELECT CAST(round(log2(1.0 / vs) * 1000000.0, 0) AS BIGINT) AS fm
+      |  FROM v),
+      |terms AS (
+      |  SELECT bi.doc_id, coalesce(head.micro, fl.fm) AS micro
+      |  FROM bi LEFT JOIN head USING (bg) CROSS JOIN fl),
+      |sc AS (SELECT doc_id, sum(micro) AS s, count(*) AS n FROM terms GROUP BY 1)
+      |SELECT d.doc_id, coalesce(sc.n, 0) AS n_bigrams,
+      |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS lm_bits
+      |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // --- q105: fastText-style quality classifier (pinned-model scoring) -----
 
   /** Exported-model quality scoring — the production arc of the
@@ -418,6 +464,7 @@ object CurationQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_lm_score" -> q103LmScore _,
+    "q110_lm_broadcast" -> q110LmBroadcast _,
     "q105_quality_filter" -> q105QualityFilter _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -429,6 +476,7 @@ object CurationQueries {
 
   val oracles: Map[String, String] = Map(
     "q103_lm_score" -> q103Sql,
+    "q110_lm_broadcast" -> q110Sql,
     "q105_quality_filter" -> q105Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

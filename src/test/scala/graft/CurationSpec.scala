@@ -628,6 +628,41 @@ class CurationSpec extends SparkSpec {
     assert(kept.filter(col("doc_id") % 10 =!= 0).count() == 54)
   }
 
+  test("broadcast pruned LM: exact-path identity under coverage, OOV floor outside, hot bigram is just a map entry") {
+    import graft.operators.LanguageModel
+    // hot-bigram corpus: "the of"/"of the" carry >25% of bigram mass —
+    // the skew shape that would serialize a bigram-keyed scoring join on
+    // one reducer; in the broadcast path they are just map entries
+    val docs = (0L until 80L).map(i =>
+      (i, if (i % 4 == 0) s"rare$i phrase$i" else "the of the of the of"))
+      .toDF("doc_id", "text")
+    val exact = LanguageModel.bigramBits(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    // a head covering EVERY distinct bigram makes the broadcast path the
+    // identical function — same n_bigrams, same micro terms, same bits
+    val covered = LanguageModel.bigramBitsBroadcast(docs, "doc_id", "text",
+      topN = 1000000).orderBy("doc_id").collect().toSeq
+    assert(covered == exact,
+      s"covered-head broadcast diverged from exact:\n$exact\nvs\n$covered")
+    // pruned to the two hot bigrams: hot docs keep their exact scores
+    // (all their bigrams are in the head), rare docs fall to the
+    // log2(1/V) floor — which reads as MORE bits than the fluent head
+    val pruned = LanguageModel.bigramBitsBroadcast(docs, "doc_id", "text",
+      topN = 2).orderBy("doc_id").collect().toSeq
+    (exact zip pruned).foreach { case (e, p) =>
+      if (e.getLong(0) % 4 != 0)
+        assert(e == p, s"hot doc diverged under pruning: $e vs $p")
+    }
+    val hotBits = pruned.find(_.getLong(0) % 4 != 0).get.getDouble(2)
+    val rareBits = pruned.find(_.getLong(0) % 4 == 0).get.getDouble(2)
+    assert(rareBits > hotBits, s"OOV floor must out-bit the head: $rareBits vs $hotBits")
+    // pinned floor: a doc whose single bigram is OOV scores exactly it
+    val pinned = LanguageModel.bigramBitsBroadcast(docs, "doc_id", "text",
+      topN = 2, oovMicro = Some(-7000000L))
+      .filter(col("doc_id") === 4L).select("lm_bits").as[Double].head()
+    assert(pinned == 7.0, s"pinned floor must score exactly 7 bits: $pinned")
+  }
+
   test("q65/q66/q67 run on testdata with sane shapes") {
     val dir = "/root/testdata/sf0.001"
     val q65 = graft.queries.CurationQueries.q65Repetition(spark, dir)

@@ -293,6 +293,18 @@ class PlanSpec extends SparkSpec {
       s"doc text crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("broadcast LM scoring is a pure map: zero exchanges, no bigram join") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.LanguageModel.bigramBitsBroadcast(
+      docs, "doc_id", "text", topN = 100))
+    // the model build aggregates eagerly at call time; the SCORING plan
+    // handed back must be scan -> project(+udf) with no exchange and no
+    // join — the no-bigram-keyed-exchange guarantee of the pruned path
+    assert(!p.contains("Exchange"),
+      s"broadcast LM scoring must not shuffle:\n$p")
+    assert(!p.contains("Join"), s"no join in the scoring plan:\n$p")
+  }
+
   test("packing window partitions by group (no single-partition window)") {
     val docs = (0L until 1000L).map(i => (i, (i % 40 + 10).toInt))
       .toDF("doc_id", "ntok")
