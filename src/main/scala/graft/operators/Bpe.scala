@@ -59,17 +59,42 @@ object Bpe {
   /** Learn `numMerges` BPE merges over `textCol` (lowercased whitespace
     * words, char symbols + end-of-word marker). Stops early when the best
     * remaining pair's weighted count falls below `minPairCount` or no
-    * pairs remain. */
+    * pairs remain.
+    *
+    * Dispatch: the corpus is touched once, by the word-frequency census.
+    * Word tables that FIT THE DRIVER (≤ `smallVocabWords` distinct words
+    * — vocab-sized, corpus-size independent, so even 100 TB corpora with
+    * natural-language vocabularies qualify) train in-driver with
+    * incrementally-maintained pair counts ([[trainDriver]]): a 50k-merge
+    * production vocabulary is ~50k map updates instead of ~100k
+    * sequential Spark jobs (2 jobs + 1 collect per round), whose FIXED
+    * scheduling cost dwarfs the data at any corpus size. The merge
+    * sequence is identical by construction (same counts, same
+    * count-DESC / UTF8-binary-ASC tie-break — BpeSpec proves it); larger
+    * word tables, or `smallVocabWords = 0`, run the distributed loop
+    * unchanged ([[Dedup.clusterLabels]]'s bounded-collect discipline). */
   def train(df: DataFrame, textCol: String, numMerges: Int,
-      minPairCount: Long = 1L): Seq[Merge] = {
+      minPairCount: Long = 1L, smallVocabWords: Long = 2000000L): Seq[Merge] = {
     require(numMerges >= 1, "numMerges must be >= 1")
-    var words = Parallelism.stage(
+    val census = Parallelism.stage(
       df.select(explode(TextFunctions.tokens(lower(col(textCol))))
           .as("__graft_w"))
         .groupBy(col("__graft_w"))
         .agg(count(lit(1)).as("__graft_freq"))
         .select(charSymbols(col("__graft_w")).as("__graft_sym"),
           col("__graft_freq")))
+    if (smallVocabWords > 0 && census.count() <= smallVocabWords)
+      trainDriver(census, numMerges, minPairCount)
+    else trainDistributed(census, numMerges, minPairCount)
+  }
+
+  /** The distributed merge loop: 2 small jobs (weighted pair census +
+    * top-1) plus a 16-byte collect per round over the word table. Exact
+    * but scheduling-bound at production merge counts — the fallback tier
+    * when the word table exceeds the driver bound. */
+  private def trainDistributed(census: DataFrame, numMerges: Int,
+      minPairCount: Long): Seq[Merge] = {
+    var words = census
     val merges = Seq.newBuilder[Merge]
     var rank = 0
     var done = false
@@ -91,6 +116,112 @@ object Bpe {
         merges += Merge(rank, l, r, top.head.getLong(1))
         words = Parallelism.stage(words.select(
           applyMerge(sym, l, r).as("__graft_sym"), col("__graft_freq")))
+        rank += 1
+      }
+    }
+    merges.result()
+  }
+
+  /** UTF8-binary string order — Spark compares StringType byte-wise
+    * unsigned, which diverges from Java's UTF-16 `compareTo` for
+    * supplementary characters; the driver tie-break must replay Spark's
+    * order exactly or the two paths could pick different same-count
+    * winners on exotic corpora. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val n = math.min(x.length, y.length)
+    var i = 0
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** In-driver merge loop over the collected word table — the fast path
+    * of [[train]]. Pair counts are maintained INCREMENTALLY (the classic
+    * fast BPE trainer): each round touches only the words containing the
+    * winning pair, adjusting count deltas and the pair→words occurrence
+    * index, so cost tracks affected words, not the vocabulary. Selection
+    * scans the live pair map for (count DESC, pair-key UTF8 ASC) — the
+    * same total order the distributed top-1 job sorts by. */
+  private def trainDriver(census: DataFrame, numMerges: Int,
+      minPairCount: Long): Seq[Merge] = {
+    import scala.collection.mutable
+    val collected = census.collect()
+    val syms = new Array[mutable.ArrayBuffer[String]](collected.length)
+    val freqs = new Array[Long](collected.length)
+    var wi = 0
+    while (wi < collected.length) {
+      syms(wi) = mutable.ArrayBuffer.from(collected(wi).getSeq[String](0))
+      freqs(wi) = collected(wi).getLong(1)
+      wi += 1
+    }
+    // live pair census + occurrence index (word indices containing pair)
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val occ = mutable.HashMap.empty[(String, String), mutable.HashSet[Int]]
+    def pairsOf(s: mutable.ArrayBuffer[String]): mutable.HashMap[(String, String), Int] = {
+      val m = mutable.HashMap.empty[(String, String), Int]
+      var i = 0
+      while (i < s.length - 1) {
+        val k = (s(i), s(i + 1))
+        m.update(k, m.getOrElse(k, 0) + 1)
+        i += 1
+      }
+      m
+    }
+    wi = 0
+    while (wi < syms.length) {
+      pairsOf(syms(wi)).foreach { case (k, m) =>
+        counts.update(k, counts.getOrElse(k, 0L) + m * freqs(wi))
+        occ.getOrElseUpdate(k, mutable.HashSet.empty) += wi
+      }
+      wi += 1
+    }
+    val merges = Seq.newBuilder[Merge]
+    var rank = 0
+    var done = false
+    while (rank < numMerges && !done) {
+      // best pair: count DESC, then pairKey UTF8-binary ASC (ties only)
+      var best: (String, String) = null
+      var bestC = Long.MinValue
+      counts.foreach { case (k, c) =>
+        if (c > bestC ||
+            (c == bestC && utf8Less(pairKey(k._1, k._2), pairKey(best._1, best._2))))
+          { best = k; bestC = c }
+      }
+      if (best == null || bestC < minPairCount) done = true
+      else {
+        val (l, r) = best
+        merges += Merge(rank, l, r, bestC)
+        val joined = l + r
+        occ.getOrElse(best, mutable.HashSet.empty).toArray.foreach { w =>
+          val s = syms(w)
+          val before = pairsOf(s)
+          // greedy left-to-right in place
+          val out = new mutable.ArrayBuffer[String](s.length)
+          var j = 0
+          while (j < s.length) {
+            if (j < s.length - 1 && s(j) == l && s(j + 1) == r) {
+              out += joined; j += 2
+            } else { out += s(j); j += 1 }
+          }
+          syms(w) = out
+          val after = pairsOf(out)
+          (before.keySet ++ after.keySet).foreach { k =>
+            val d = after.getOrElse(k, 0) - before.getOrElse(k, 0)
+            if (d != 0) {
+              val nc = counts.getOrElse(k, 0L) + d * freqs(w)
+              if (nc == 0L) counts.remove(k) else counts.update(k, nc)
+            }
+            if (before.contains(k) && !after.contains(k))
+              occ.get(k).foreach { s2 => s2 -= w; if (s2.isEmpty) occ.remove(k) }
+            else if (after.contains(k) && !before.contains(k))
+              occ.getOrElseUpdate(k, mutable.HashSet.empty) += w
+          }
+        }
         rank += 1
       }
     }
@@ -152,7 +283,10 @@ object Bpe {
       @transient private lazy val memo =
         scala.collection.mutable.HashMap.empty[String, Array[String]]
       def apply(text: String): Array[String] = {
-        if (text == null) Array.empty[String]
+        // null propagates as null, matching the expression path's SQL
+        // semantics — the dispatch must not change null-row output when
+        // the merge list crosses MaxExprMerges
+        if (text == null) null
         else {
           val ranks = bc.value
           val out = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -48,6 +48,46 @@ class BpeSpec extends SparkSpec {
     assert(got == referenceTrain(corpus, 8))
   }
 
+  test("driver fast path and distributed path emit identical merge sequences") {
+    val corpora = Seq(
+      Seq("low lower lowest low low", "newer newest new news",
+        "wide wider widest", "low newer lowest"),
+      Seq("aaaa aaaa aaa", "the cat sat on the mat", "ab ab abab"),
+      (0 until 30).map(i => s"doc word$i shares share sharing ${i % 7}"))
+    corpora.foreach { corpus =>
+      val df = corpus.zipWithIndex.map(_.swap).toDF("doc_id", "text")
+      val fast = Bpe.train(df, "text", numMerges = 12)
+      val dist = Bpe.train(df, "text", numMerges = 12, smallVocabWords = 0L)
+      assert(fast == dist,
+        s"paths diverged on $corpus:\n fast=$fast\n dist=$dist")
+    }
+    // minPairCount early stop agrees too
+    val df = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    assert(Bpe.train(df, "text", 5, minPairCount = 2L) ==
+      Bpe.train(df, "text", 5, minPairCount = 2L, smallVocabWords = 0L))
+  }
+
+  test("driver fast path trains a 5k-merge vocabulary in seconds") {
+    // vocab-sized work, corpus-size independent: 2500 distinct words of
+    // length 16 admit ~35k merges; the incremental trainer must clear
+    // 5000 of them interactively (the distributed loop would schedule
+    // ~10k Spark jobs for the same result)
+    val rng = new scala.util.Random(42)
+    val words = (0 until 2500).map(_ =>
+      (0 until 16).map(_ => ('a' + rng.nextInt(26)).toChar).mkString)
+    val df = words.grouped(50).zipWithIndex
+      .map { case (g, i) => (i.toLong, g.mkString(" ")) }.toSeq
+      .toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val merges = Bpe.train(df, "text", numMerges = 5000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"5000-merge training took $secs%.2f s")
+    assert(merges.size == 5000, s"expected 5000 merges, got ${merges.size}")
+    assert(secs < 30.0, f"driver fast path too slow: $secs%.2f s")
+    // ranks are sequential and counts non-increasing per the greedy order
+    assert(merges.map(_.rank) == (0 until 5000))
+  }
+
   test("overlapping repeats merge greedily left-to-right") {
     val df = Seq((1L, "aaaa aaaa aaa")).toDF("doc_id", "text")
     val m = Bpe.train(df, "text", numMerges = 1)
@@ -88,12 +128,18 @@ class BpeSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, Seq[String])].collect()
     assert(expr.sameElements(bcast),
       s"paths diverged: ${expr.toSeq} vs ${bcast.toSeq}")
-    // null and empty text are safe through the broadcast path
-    val edge = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "  "))
+    // null/empty agreement: null text is null TOKENS on BOTH paths (the
+    // dispatch must not change null-row output when the merge list
+    // crosses MaxExprMerges); empty/whitespace text is an empty array
+    val edgeDf = Seq((1L, null.asInstanceOf[String]), (2L, ""), (3L, "  "))
       .toDF("doc_id", "text")
-      .select(Bpe.encodeColumnBroadcast(col("text"), merges).as("toks"))
-      .as[Seq[String]].collect()
-    assert(edge.forall(_.isEmpty))
+    Seq(Bpe.encodeColumnExpr(col("text"), merges),
+        Bpe.encodeColumnBroadcast(col("text"), merges)).foreach { encCol =>
+      val edge = edgeDf.orderBy("doc_id").select(encCol.as("toks"))
+        .as[Option[Seq[String]]].collect()
+      assert(edge(0).isEmpty, "null text must encode to null tokens")
+      assert(edge(1).contains(Seq.empty) && edge(2).contains(Seq.empty))
+    }
   }
 
   test("a 10k-merge vocabulary encodes through the broadcast dispatch") {
