@@ -87,18 +87,60 @@ object QualityClassifier {
     * once on the final integer total. Adds `quality_micro` (the integer
     * dot product incl. bias) and `quality_prob` = sigmoid(micro / 1e6).
     *
-    * The literal map stays codegen-friendly up to ~10k terms; a full
-    * 100k-term export becomes a broadcast join on exploded terms — same
-    * semantics, still no corpus shuffle. */
+    * Dispatches on export size ([[Bpe.encodeColumn]] discipline): the
+    * literal map stays codegen-friendly up to [[MaxLiteralTerms]]; a
+    * full 100k-term export ships once per executor as a broadcast and
+    * scores through the same per-row integer accumulation — same
+    * semantics (spec-proven equal), still no corpus shuffle, and no
+    * plan-size blowup. */
   def scorePinned(df: DataFrame, textCol: String,
+      microWeights: Map[String, Long], microBias: Long = 0L): DataFrame =
+    if (microWeights.size <= MaxLiteralTerms)
+      scorePinnedExpr(df, textCol, microWeights, microBias)
+    else scorePinnedBroadcast(df, textCol, microWeights, microBias)
+
+  /** Above this many exported terms, [[scorePinned]] leaves the baked
+    * literal-map expression (whose plan grows with the table and stops
+    * being codegen-friendly) for the broadcast path. */
+  val MaxLiteralTerms = 10000
+
+  /** Literal-map scoring: the weight table is baked into the expression
+    * tree as a codegen'd map literal — zero serialization, whole-stage
+    * codegen, bounded to ≤ [[MaxLiteralTerms]] terms. */
+  def scorePinnedExpr(df: DataFrame, textCol: String,
       microWeights: Map[String, Long], microBias: Long = 0L): DataFrame = {
     val m = map(microWeights.toSeq.flatMap {
       case (k, v) => Seq(lit(k), lit(v)) }: _*)
     val dot = aggregate(terms(col(textCol)), lit(0L),
       (acc, t) => acc + coalesce(element_at(m, t), lit(0L))) + lit(microBias)
-    df.withColumn("quality_micro", dot)
-      .withColumn("quality_prob",
-        lit(1.0) / (lit(1.0) +
-          exp(-col("quality_micro").cast("double") / lit(1e6))))
+    withProb(df.withColumn("quality_micro", dot))
   }
+
+  /** Broadcast scoring — the production 100k-term shape: the exported
+    * weight table ships to executors ONCE as a broadcast (one copy per
+    * executor, not per task), and each document's integer dot product
+    * accumulates map-side over the same [[terms]] recipe. Strictly no
+    * exchange at all — beating even a broadcast JOIN on exploded terms,
+    * which would still re-aggregate per-document partials across an
+    * id-keyed exchange. Null text scores null on both paths. */
+  def scorePinnedBroadcast(df: DataFrame, textCol: String,
+      microWeights: Map[String, Long], microBias: Long = 0L): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(microWeights)
+    val dot = udf((ts: Seq[String]) =>
+      if (ts == null) null
+      else {
+        val m = bc.value
+        var s = microBias
+        ts.foreach(t => s += m.getOrElse(t, 0L))
+        java.lang.Long.valueOf(s)
+      })
+    withProb(df.withColumn("quality_micro", dot(terms(col(textCol)))))
+  }
+
+  /** The single float op both pinned paths share: one sigmoid on the
+    * exact integer total. */
+  private def withProb(scored: DataFrame): DataFrame =
+    scored.withColumn("quality_prob",
+      lit(1.0) / (lit(1.0) +
+        exp(-col("quality_micro").cast("double") / lit(1e6))))
 }

@@ -72,4 +72,37 @@ class QualityClassifierSpec extends SparkSpec {
     assert(math.abs(s(0)._2 - 1.0 / (1.0 + math.exp(-1.35))) < 1e-12)
     assert(s(1)._2 < 0.5 && s(2)._2 > 0.5)
   }
+
+  test("pinned scoring: literal-map and broadcast paths agree on the same weights") {
+    val w = Map("good" -> 500000L, "bad" -> -300000L, "very good" -> 250000L,
+      "science" -> 700000L, "click here" -> -900000L)
+    val df = Seq(
+      (1L, "good very good science"), (2L, "bad click here"),
+      (3L, "nothing matches"), (4L, ""),
+      (5L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    def run(f: => org.apache.spark.sql.DataFrame) = f.orderBy("doc_id")
+      .select("quality_micro", "quality_prob")
+      .as[(Option[Long], Option[Double])].collect().toSeq
+    val expr = run(QualityClassifier.scorePinnedExpr(df, "text", w, 100000L))
+    val bcast = run(QualityClassifier.scorePinnedBroadcast(df, "text", w, 100000L))
+    assert(expr == bcast, s"paths diverged:\n expr=$expr\n bcast=$bcast")
+    // null text scores null on BOTH paths (the dispatch must not change
+    // null-row output when the export crosses MaxLiteralTerms)
+    assert(expr.last._1.isEmpty && expr.last._2.isEmpty)
+  }
+
+  test("a 100k-term export scores through the broadcast dispatch") {
+    // the literal-map expression cannot hold a production-size export;
+    // the dispatcher must route it to the broadcast path and score the
+    // real terms among the filler identically
+    val filler = (0 until 100000).map(i => s"zzfiller$i" -> 1L).toMap
+    val w = filler ++ Map("good" -> 500000L, "bad" -> -300000L)
+    assert(w.size > QualityClassifier.MaxLiteralTerms)
+    val s = QualityClassifier.scorePinned(
+      Seq((1L, "good good bad"), (2L, "zzfiller7")).toDF("doc_id", "text"),
+      "text", w, microBias = 0L)
+      .orderBy("doc_id").select("quality_micro").as[Long].collect()
+    assert(s(0) == 2 * 500000L - 300000L)
+    assert(s(1) == 1L)
+  }
 }
