@@ -54,10 +54,12 @@ object Bench {
 
     // a rep that threw must not publish its fast-fail duration as the
     // "best" time: prefer the min over successful reps; when every rep
-    // failed, record the name in `failed` and fall back to the max
-    // (slowest, most honest) timing
+    // failed, the arm contributes NO timing at all — it appears only in
+    // "failed", and its "queries" entry publishes as null, so a consumer
+    // summing "queries" or reading "value" can never silently ingest a
+    // fast-fail as a measurement
     def timeBest(name: String, f: => Unit,
-                 between: () => Unit = () => ()): Double = {
+                 between: () => Unit = () => ()): Option[Double] = {
       val runs = (1 to reps).map { _ =>
         var ok = true
         val t = time { try f catch { case e: Throwable => ok = false
@@ -66,11 +68,17 @@ object Bench {
         (t, ok)
       }
       val good = runs.collect { case (t, true) => t }
-      if (good.nonEmpty) good.min
-      else { failed += name; runs.map(_._1).max }
+      if (good.nonEmpty) Some(good.min)
+      else { failed += name; None }
     }
 
-    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // focused runs (A/B, noise calibration): SPARK_GRAFT_ONLY=q44_ann_ivf,...
+    // restricts the record to the named arms; absent = full inventory
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Option[Double]]
 
     // Materialize through the noop sink, NOT count(): count() lets the
     // optimizer prune every unreferenced column, so a pure-map query
@@ -84,11 +92,13 @@ object Bench {
 
     // 1. the full query inventory (cache cleared between runs so
     // operator-internal persists don't leak memory pressure across runs)
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      results(name) = timeBest(name,
-        { materialize(fn(spark, sfDir)) },
-        () => spark.catalog.clearCache())
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => wanted(name) }
+      .foreach { case (name, fn) =>
+        results(name) = timeBest(name,
+          { materialize(fn(spark, sfDir)) },
+          () => spark.catalog.clearCache())
+      }
 
     // 2. BASELINE-aligned arms: 100k-row enrichment, mock client, batch 50.
     // 20 slices of exactly 5000 rows — partition size a multiple of the
@@ -103,7 +113,7 @@ object Bench {
     // a failing arm must never kill the bench — log and move on so the
     // JSON line always prints
     def arm(name: String)(f: => Unit): Unit =
-      results(name) = timeBest(name, f)
+      if (wanted(name)) results(name) = timeBest(name, f)
 
     arm("enrich_100k_batch50") {
       val r = Enricher.enrich(rows100k, "Classify the tone of: {review}",
@@ -160,11 +170,31 @@ object Bench {
         System.err.println(s"[bench] WARN expected 100k rows, got ${r.metrics.rows}")
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("null") }
       .mkString("{", ",", "}")
-    val total = results.values.sum
+    val total = results.values.flatten.sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // In-record machine-speed probe: the four enrich arms run IDENTICAL
+    // code regardless of sf (fixed 100k synthetic rows), so their ratio
+    // against the pinned round-4 reference timings measures host speed at
+    // record time — cross-round comparisons can drift-normalize from the
+    // record alone instead of relying on same-day A/B archaeology
+    // (BENCH_NOTES.md round-6 lesson).
+    val probeRef = Seq(
+      "enrich_100k_batch50" -> 0.623, "enrich_100k_durable" -> 1.602,
+      "enrich_100k_resume" -> 1.156, "enrich_100k_durable_10chunks" -> 2.736)
+    val probeRatios = probeRef.flatMap { case (k, ref) =>
+      results.getOrElse(k, None).map(_ / ref) }
+    val calibration =
+      if (probeRatios.isEmpty) "null"
+      else {
+        val sorted = probeRatios.sorted
+        val median = sorted(sorted.size / 2)
+        f"""{"probe":"enrich_arms_vs_r4","median_speed_ratio":$median%.3f,"ratios":${
+          probeRatios.map(r => f"$r%.3f").mkString("[", ",", "]")}}"""
+      }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calibration":$calibration,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

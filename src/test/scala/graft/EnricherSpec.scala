@@ -391,22 +391,34 @@ class EnricherSpec extends SparkSpec {
 
   test("redis outage mid-config: breaker opens, local fallback completes the run") {
     // a dead coordinator must degrade to the worker-local split bucket,
-    // not fail the enrichment
-    val deadPort = { val s = new java.net.ServerSocket(0)
-      try s.getLocalPort finally s.close() }
-    val spec = graft.run.ConfigLoader.fromYaml(
-      s"""dataset: {input_columns: [text]}
-         |prompt: {template: "D:{text}"}
-         |llm:
-         |  requests_per_minute: 6000
-         |  rate_limit_scope_file: redis://127.0.0.1:$deadPort/prov:model
-         |output: {output_columns: [out]}
-         |""".stripMargin)
-    val df = (0 until 10).map(i => s"t$i").toDF("text")
-    val r = new Enricher(spec, new MockLlmClient()).enrich(df)
-    assert(r.quality.successRate == 1.0,
-      "outage fallback must keep the run green")
-    assert(r.metrics.calls == 10)
+    // not fail the enrichment. The "dead" endpoint is a live listener
+    // that closes every accepted connection before any protocol byte —
+    // unlike a probed-then-released port (which another process could
+    // rebind between probe and connect), this failure mode is
+    // deterministic: every transport attempt dies with a closed socket.
+    val srv = new java.net.ServerSocket(0, 1,
+      java.net.InetAddress.getLoopbackAddress)
+    val reaper = new Thread(() => {
+      try { while (true) srv.accept().close() }
+      catch { case _: Throwable => () } // server closed: test over
+    })
+    reaper.setDaemon(true)
+    reaper.start()
+    try {
+      val spec = graft.run.ConfigLoader.fromYaml(
+        s"""dataset: {input_columns: [text]}
+           |prompt: {template: "D:{text}"}
+           |llm:
+           |  requests_per_minute: 6000
+           |  rate_limit_scope_file: redis://127.0.0.1:${srv.getLocalPort}/prov:model
+           |output: {output_columns: [out]}
+           |""".stripMargin)
+      val df = (0 until 10).map(i => s"t$i").toDF("text")
+      val r = new Enricher(spec, new MockLlmClient()).enrich(df)
+      assert(r.quality.successRate == 1.0,
+        "outage fallback must keep the run green")
+      assert(r.metrics.calls == 10)
+    } finally srv.close()
   }
 
   test("ClientPool: same runId with different config gets its own pool/limiter") {

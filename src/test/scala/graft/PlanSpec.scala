@@ -305,6 +305,57 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join in the scoring plan:\n$p")
   }
 
+  test("bigram LM under a hot bigram: AQE splits the skewed scoring-join partition") {
+    // the verdict's q103 skew question: a bigram carrying >25% of corpus
+    // mass concentrates one reducer of the exploded-bigram scoring join.
+    // Proof AQE handles it: force the join to sort-merge (no broadcast),
+    // lower the skew thresholds to test scale, and assert the EXECUTED
+    // plan contains a skew-split join — plus that the skew-split answer
+    // is bit-identical to the broadcast path (which has no such join at
+    // all, and is the documented auto-switch for known-skewed corpora).
+    // the hot bigram's shuffle partition must exceed the (compressed,
+    // MapOutputStatistics-measured) skew threshold while the median
+    // stays tiny — hence the aggressive test-scale thresholds and
+    // coalescing off (coalesce would otherwise swallow small-partition
+    // stats before the skew check sees them)
+    val hot = (0 until 600).map(i => (i.toLong, "the cat " * 200))
+    val cold = (0 until 600).map(i =>
+      ((1000 + i).toLong, s"unique$i word${i * 3} tail${i * 7} end$i"))
+    import spark.implicits._
+    val docs = (hot ++ cold).toDF("doc_id", "text")
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "2KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "1KB")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val skewed = graft.operators.LanguageModel.bigramBits(
+        docs, "doc_id", "text")
+      val rows = skewed.collect()
+      val p = skewed.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected an AQE skew-split join in the executed plan:\n$p")
+      // same answer as the shuffle-free broadcast path (every bigram in
+      // the head -> spec-proven identical): the skew split changed the
+      // schedule, never the result
+      val bcast = graft.operators.LanguageModel.bigramBitsBroadcast(
+        docs, "doc_id", "text", topN = 1000000)
+      assert(rows.map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)))).sortBy(_._1).toSeq ==
+        bcast.collect().map(r => (r.getLong(0), r.getLong(1),
+          Option(r.get(2)))).sortBy(_._1).toSeq)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("packing window partitions by group (no single-partition window)") {
     val docs = (0L until 1000L).map(i => (i, (i % 40 + 10).toInt))
       .toDF("doc_id", "ntok")
