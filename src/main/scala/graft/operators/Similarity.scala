@@ -563,4 +563,198 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     refineStage(queries, corpus, shortlist, k, idCol, vecCol)
   }
+
+  // --- Product quantization (the FAISS PQ memory tier) -------------------
+
+  /** Stride-picked PQ codebooks: centroid i of subspace j is the j-th
+    * subvector of the corpus vector at id `i·stride` — the same
+    * deterministic, SQL-replayable seeding rule as [[ivfTopK]]'s coarse
+    * quantizer, here seeding `m` per-subspace codebooks of `k` centroids
+    * each. Data-adaptive (real corpus subvectors) without any RNG or
+    * float-mean nondeterminism; [[pqTrain]] refines these seeds with
+    * Lloyd iterations when reproducibility-in-SQL is not required.
+    * Bounded driver collect (≤ k rows). */
+  def pqStrideCodebooks(corpus0: DataFrame, m: Int, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      corpusSize: Option[Long] = None): Seq[Seq[Seq[Double]]] = {
+    require(m >= 1, "m must be >= 1")
+    require(k >= 1 && k <= 65536,
+      s"k=$k: the codebook seeds collect to the driver")
+    val corpus = graft.ops.Parallelism.ensure(corpus0)
+    val n = corpusSize.getOrElse(corpus.count())
+    val stride = math.max(1L, n / k)
+    val strided = corpus
+      .filter(col(idCol) % stride === 0 &&
+        expr(s"$idCol div $stride") < k)
+      .orderBy(col(idCol)).select(col(vecCol))
+    val rows = (if (strided.isEmpty)
+        corpus.orderBy(col(idCol)).limit(k).select(col(vecCol))
+      else strided).collect()
+    require(rows.nonEmpty, "empty corpus: no codebook seeds")
+    val vecs = rows.toSeq.map(_.getSeq[Any](0).map {
+      case f: java.lang.Float => f.doubleValue
+      case d: java.lang.Double => d.doubleValue
+      case x => x.asInstanceOf[Number].doubleValue
+    })
+    val d = vecs.head.size
+    require(d % m == 0, s"vector dim $d not divisible by m=$m subspaces")
+    val ds = d / m
+    (0 until m).map(j => vecs.map(v => v.slice(j * ds, (j + 1) * ds)))
+  }
+
+  /** Lloyd-refined PQ codebooks over a BOUNDED collected sample (the
+    * [[Dedup]] union-find driver-bound discipline): stride seeds, then
+    * `iters` assign/mean rounds per subspace in fixed sample order (ties
+    * toward the smaller centroid index, empty clusters keep their
+    * centroid). Deterministic for a given corpus, but float means are
+    * not engine-replayable — the declared query (q111) uses the stride
+    * seeds; this is the offline-training quality path (the q105
+    * pinned-vs-trained split). Quantization MSE is non-increasing per
+    * round by construction (each step is a Lloyd descent step —
+    * OperatorsSpec asserts it on real embeddings). */
+  def pqTrain(corpus0: DataFrame, m: Int, k: Int, iters: Int = 5,
+      sampleCap: Int = 100000, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    require(iters >= 0, "iters must be >= 0")
+    require(sampleCap >= k && sampleCap <= 1000000,
+      s"sampleCap=$sampleCap: the training sample collects to the driver")
+    val seeds = pqStrideCodebooks(corpus0, m, k, idCol, vecCol)
+    val sample = graft.ops.Parallelism.ensure(corpus0)
+      .orderBy(col(idCol)).limit(sampleCap).select(col(vecCol))
+      .collect().toSeq.map(_.getSeq[Any](0).map {
+        case f: java.lang.Float => f.doubleValue
+        case d: java.lang.Double => d.doubleValue
+        case x => x.asInstanceOf[Number].doubleValue
+      })
+    val ds = seeds.head.head.size
+    seeds.zipWithIndex.map { case (seed, j) =>
+      val subs = sample.map(v => v.slice(j * ds, (j + 1) * ds))
+      var cents = seed.map(_.toArray).toArray
+      for (_ <- 0 until iters) {
+        val sums = Array.fill(cents.length, ds)(0.0)
+        val counts = new Array[Long](cents.length)
+        subs.foreach { s =>
+          var best = 0; var bestD = Double.MaxValue
+          var i = 0
+          while (i < cents.length) {
+            var dd = 0.0; var x = 0
+            while (x < ds) { val t = s(x) - cents(i)(x); dd += t * t; x += 1 }
+            if (dd < bestD) { bestD = dd; best = i }
+            i += 1
+          }
+          var x = 0
+          while (x < ds) { sums(best)(x) += s(x); x += 1 }
+          counts(best) += 1L
+        }
+        cents = cents.zipWithIndex.map { case (c, i) =>
+          if (counts(i) == 0L) c
+          else sums(i).map(_ / counts(i))
+        }
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** PQ encode: array of `m` codes (tinyint), code j = index of the
+    * nearest (squared L2, ties toward the smaller index) centroid of
+    * subspace j's codebook to the j-th subvector. Codebooks bake into
+    * the expression as literals — scoring a 100 TB corpus is a pure
+    * map over the vector column, m·k little distance folds per row,
+    * output m BYTES per vector (d/ds·8-fold smaller than the floats;
+    * 64× at the q111 shape). */
+  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val ds = codebooks.head.head.size
+    array(codebooks.zipWithIndex.map { case (cents, j) =>
+      val sub = slice(vec, j * ds + 1, ds)
+      val scored = array(cents.zipWithIndex.map { case (c, i) =>
+        struct(
+          aggregate(zip_with(sub, typedlit(c), (x, y) => {
+            val t = x.cast("double") - y; t * t
+          }), lit(0.0), (a, v) => a + v).as("d"),
+          lit(i).as("i")) }: _*)
+      array_min(scored).getField("i").cast("tinyint")
+    }: _*)
+  }
+
+  /** Per-query ADC lookup table in integer MICRO units: entry (j, i) =
+    * round(1e6 · <q_subvector_j, centroid_{j,i}>). The per-entry dot is
+    * one float fold (both engines accumulate left-to-right — the q44
+    * precedent); everything ABOVE the entry is exact integer math, so
+    * the cross-subspace accumulation is order-independent and
+    * SQL-replayable (the q103/q105 micro-unit discipline). */
+  private def adcMicroTable(vec: Column,
+      codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val ds = codebooks.head.head.size
+    array(codebooks.zipWithIndex.map { case (cents, j) =>
+      val sub = slice(vec, j * ds + 1, ds)
+      array(cents.map(c =>
+        round(aggregate(zip_with(sub, typedlit(c),
+          (x, y) => x.cast("double") * y), lit(0.0), (a, v) => a + v) * 1e6, 0)
+          .cast("long")): _*)
+    }: _*)
+  }
+
+  /** Approximate PQ-ADC top-k — the FAISS PQ memory tier as a flat scan:
+    * the corpus is represented by m-byte codes (one map-side encode
+    * pass, hoisted behind a barrier), each query precomputes its
+    * micro-integer ADC table map-side, and scoring a pair is m table
+    * lookups + integer adds — no vector arithmetic in the hot loop and
+    * 64× less corpus traffic than floats at the default shape.
+    * Similarity = ADC inner product over the reconstructed-norm product
+    * (reconstructed norm² from the codes via a literal lookup table,
+    * micro-integer accumulated like the ADC dot). Deterministic by
+    * construction: integer shortlist ties break by neighbor_id. Compose
+    * with [[pqAdcRefineTopK]] for the exact-re-rank cascade, or bucket/
+    * IVF-prune the scan exactly as [[int8TopK]] documents. */
+  def pqAdcTopK(queries: DataFrame, corpus0: DataFrame, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]], idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val corpus = graft.ops.Parallelism.ensure(corpus0)
+    // per-(j,i) centroid norm² in micro units — the reconstructed norm
+    // of a coded vector is a pure integer function of its codes
+    val normTab: Seq[Seq[Long]] = codebooks.map(_.map(c =>
+      math.round(c.map(x => x * x).sum * 1e6)))
+    val c = graft.ops.Parallelism.barrier(
+      corpus.select(col(idCol).as("neighbor_id"),
+        pqCodes(col(vecCol), codebooks).as("pc")))
+      .withColumn("rn", aggregate(
+        zip_with(col("pc"), typedlit(normTab),
+          (cd, tab) => element_at(tab, cd.cast("int") + 1)),
+        lit(0L), (a, v) => a + v))
+    val q = graft.ops.Parallelism.barrier(
+      queries.select(col(idCol).as("query_id"),
+        adcMicroTable(col(vecCol), codebooks).as("adc"),
+        round(aggregate(col(vecCol), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")) * 1e6, 0)
+          .cast("long").as("qn")))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qsim", round(
+        when(col("qn") <= 0L || col("rn") <= 0L, lit(0.0))
+          .otherwise(
+            aggregate(zip_with(col("pc"), col("adc"),
+              (cd, row) => element_at(row, cd.cast("int") + 1)),
+              lit(0L), (a, v) => a + v).cast("double") /
+            sqrt(col("qn").cast("double") * col("rn").cast("double"))), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("qsim"))
+  }
+
+  /** PQ-ADC shortlist + exact float re-rank — [[int8RefineTopK]]'s
+    * cascade shape at PQ compression: the m-byte codes select k·refine
+    * candidates per query, the float vectors join back only for the
+    * shortlist re-rank ([[refineStage]], shared by all cascades). */
+  def pqAdcRefineTopK(queries: DataFrame, corpus0: DataFrame, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]], refine: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(refine >= 1, "refine must be >= 1")
+    val corpus = graft.ops.Parallelism.ensure(corpus0)
+    val shortlist = pqAdcTopK(queries, corpus, k * refine, codebooks,
+      idCol, vecCol).select(col("query_id"), col("neighbor_id"))
+    refineStage(queries, corpus, shortlist, k, idCol, vecCol)
+  }
 }

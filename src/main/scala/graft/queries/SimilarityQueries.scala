@@ -469,6 +469,98 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- q111: PQ-ADC cascade (the FAISS PQ memory tier) -------------------
+
+  private val PqM = 4  // subspaces of 16 dims over the 64-dim embeddings
+  private val PqK = 8  // centroids per subspace codebook
+
+  /** Product-quantization ANN: stride-seeded per-subspace codebooks
+    * (the q44/q109 deterministic seeding rule, so the oracle rebuilds
+    * the identical codebooks from the corpus itself), corpus encoded to
+    * 4-byte codes (64× smaller than the floats), queries score via
+    * micro-integer ADC tables, float re-rank of the k·refine shortlist.
+    * Every cross-subspace accumulation is integer (the q103/q105 micro
+    * discipline) so the whole cascade replays in SQL. */
+  def q111AnnPqAdc(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cb = Similarity.pqStrideCodebooks(emb, PqM, PqK)
+    Similarity.pqAdcRefineTopK(
+      emb.filter(col("vec_id") < NumQueries), emb, K, cb, Refine)
+      .orderBy("query_id", "rank")
+  }
+
+  val q111Sql: String = {
+    val ds = 16 // 64-dim embeddings / PqM subspaces
+    val stride = s"((SELECT count(*) FROM embeddings) // $PqK)"
+    def sub(v: String, j: String): String =
+      s"list_slice($v, $j*$ds + 1, $j*$ds + $ds)"
+    s"""WITH js AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+       |cb AS (
+       |  SELECT js.j, CAST(e.vec_id // $stride AS INT) AS i,
+       |    ${sub("(e.embedding::DOUBLE[])", "js.j")} AS centv
+       |  FROM embeddings e, js
+       |  WHERE e.vec_id % $stride = 0 AND e.vec_id // $stride < $PqK),
+       |cbn AS (
+       |  SELECT j, i,
+       |    CAST(round(list_sum(list_transform(centv, x -> x * x)) * 1000000.0, 0) AS BIGINT) AS n2
+       |  FROM cb),
+       |codes AS (
+       |  SELECT vec_id, j, i AS code FROM (
+       |    SELECT v.vec_id, c.j, c.i,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, c.j ORDER BY
+       |        list_sum(list_transform(
+       |          list_zip(${sub("(v.embedding::DOUBLE[])", "c.j")}, c.centv),
+       |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.i ASC) AS rn
+       |    FROM embeddings v, cb c)
+       |  WHERE rn = 1),
+       |rn AS (
+       |  SELECT codes.vec_id, SUM(cbn.n2) AS rn2
+       |  FROM codes JOIN cbn ON codes.j = cbn.j AND codes.code = cbn.i
+       |  GROUP BY 1),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.j, c.i,
+       |    CAST(round(list_sum(list_transform(
+       |      list_zip(${sub("(q.embedding::DOUBLE[])", "c.j")}, c.centv),
+       |      x -> x[1] * x[2])) * 1000000.0, 0) AS BIGINT) AS micro
+       |  FROM embeddings q, cb c WHERE q.vec_id < $NumQueries),
+       |qn AS (
+       |  SELECT vec_id AS query_id,
+       |    CAST(round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) * 1000000.0, 0) AS BIGINT) AS qn2
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |approx AS (
+       |  SELECT a.query_id, codes.vec_id AS neighbor_id, SUM(a.micro) AS adot
+       |  FROM codes JOIN adc a ON codes.j = a.j AND codes.code = a.i
+       |  WHERE codes.vec_id <> a.query_id
+       |  GROUP BY 1, 2),
+       |sim0 AS (
+       |  SELECT ap.query_id, ap.neighbor_id,
+       |    round(CASE WHEN qn.qn2 <= 0 OR rn.rn2 <= 0 THEN 0.0
+       |      ELSE ap.adot::DOUBLE / sqrt(qn.qn2::DOUBLE * rn.rn2::DOUBLE)
+       |      END, 6) AS qsim
+       |  FROM approx ap JOIN qn USING (query_id)
+       |                 JOIN rn ON ap.neighbor_id = rn.vec_id),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY qsim DESC, neighbor_id) AS qrank
+       |    FROM sim0)
+       |  WHERE qrank <= ${K * Refine}),
+       |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       |       WHERE vec_id < $NumQueries),
+       |cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |rescored AS (
+       |  SELECT s.query_id, s.neighbor_id, ${duckCosine("q.qv", "v.cv")} AS sim
+       |  FROM shortlist s JOIN qv q USING (query_id)
+       |                   JOIN cv v USING (neighbor_id)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rescored)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
     "q41_ann_lsh_topk" -> q41LshTopK _,
@@ -479,7 +571,8 @@ object SimilarityQueries {
     "q59_drop_semantic_dups" -> q59DropSemanticDups _,
     "q107_ann_int8" -> q107Int8TopK _,
     "q108_ann_int8_refine" -> q108Int8Refine _,
-    "q109_ann_ivf_sq8" -> q109IvfSq8 _)
+    "q109_ann_ivf_sq8" -> q109IvfSq8 _,
+    "q111_ann_pq_adc" -> q111AnnPqAdc _)
 
   val oracles: Map[String, String] = Map(
     "q40_ann_brute_topk" -> q40Sql,
@@ -491,5 +584,6 @@ object SimilarityQueries {
     "q59_drop_semantic_dups" -> q59Sql,
     "q107_ann_int8" -> q107Sql,
     "q108_ann_int8_refine" -> q108Sql,
-    "q109_ann_ivf_sq8" -> q109Sql)
+    "q109_ann_ivf_sq8" -> q109Sql,
+    "q111_ann_pq_adc" -> q111Sql)
 }

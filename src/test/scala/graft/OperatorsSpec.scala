@@ -361,6 +361,75 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF-SQ8 recall $recall too low: $pruned vs $exactPairs")
   }
 
+  test("PQ: exact codes with index tie-break, ADC recall, refine recovers exact") {
+    import graft.operators.Similarity
+    // hand-checkable codebooks: m=2 subspaces of 2 dims, 2 centroids each
+    val cb: Seq[Seq[Seq[Double]]] = Seq(
+      Seq(Seq(0.0, 0.0), Seq(1.0, 1.0)),
+      Seq(Seq(2.0, 2.0), Seq(3.0, 3.0)))
+    val toy = Seq(
+      (0L, Array(0.9f, 0.9f, 2.1f, 2.1f)),  // -> nearest (1,1) then (2,2)
+      (1L, Array(0.5f, 0.5f, 2.5f, 2.5f))   // equidistant BOTH subspaces
+    ).toDF("vec_id", "embedding")
+    val codes = toy.select(col("vec_id"),
+      Similarity.pqCodes(col("embedding"), cb).as("c"))
+      .orderBy("vec_id").as[(Long, Seq[Byte])].collect()
+    assert(codes(0)._2 == Seq[Byte](1, 0))
+    // exact distance ties break toward the SMALLER centroid index (the
+    // oracle's ROW_NUMBER order), in every subspace
+    assert(codes(1)._2 == Seq[Byte](0, 0))
+
+    // stride codebooks + ADC on a real-ish corpus: shortlist recalls the
+    // exact head, and the refine cascade recovers exact top-k including
+    // ranks and float scores
+    val rnd = new scala.util.Random(13)
+    val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val corpus = (0L until 120L).map { i =>
+      val v = Array.tabulate(16)(d =>
+        base(d) + (rnd.nextFloat() * 2 - 1) * (if (i < 6) 0.05f else 1.0f))
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val books = Similarity.pqStrideCodebooks(corpus, m = 4, k = 8)
+    assert(books.size == 4 && books.forall(_.size == 8) &&
+      books.forall(_.forall(_.size == 4)))
+    val exact = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    val approx = Similarity.pqAdcTopK(queries, corpus, 3, books)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(t => (t._1, t._3)).toSet
+    val recall = (exactPairs intersect approx).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"PQ-ADC recall $recall too low: $approx vs $exactPairs")
+    val refined = Similarity.pqAdcRefineTopK(queries, corpus, 3, books,
+      refine = 8)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    assert(refined == exact,
+      s"PQ refine cascade diverged from exact: $exact vs $refined")
+
+    // Lloyd training: quantization MSE never increases per iteration and
+    // the refined codebooks beat the stride seeds on their own sample
+    def mse(codebooks: Seq[Seq[Seq[Double]]]): Double = {
+      val vecs = corpus.orderBy("vec_id").select("embedding")
+        .as[Seq[Float]].collect().map(_.map(_.toDouble))
+      val ds = codebooks.head.head.size
+      vecs.map { v =>
+        codebooks.zipWithIndex.map { case (cents, j) =>
+          val s = v.slice(j * ds, (j + 1) * ds)
+          cents.map(c => c.zip(s).map { case (a, b) =>
+            (a - b) * (a - b) }.sum).min
+        }.sum
+      }.sum / vecs.length
+    }
+    val errs = (0 to 3).map(it =>
+      mse(Similarity.pqTrain(corpus, m = 4, k = 8, iters = it)))
+    assert(errs.sliding(2).forall(p => p(1) <= p(0) + 1e-12),
+      s"Lloyd MSE must be non-increasing: $errs")
+    assert(errs.last < errs.head, s"training never improved the seeds: $errs")
+  }
+
   test("preprocessing stats: changed/truncated/removed counters") {
     import graft.ops.Preprocess
     val df = Seq(

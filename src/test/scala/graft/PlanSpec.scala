@@ -262,6 +262,23 @@ class PlanSpec extends SparkSpec {
       s"corpus vectors/codes crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("PQ-ADC: codes encode before the join, corpus never shuffles") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = graft.operators.Similarity.pqStrideCodebooks(emb, m = 4, k = 8)
+    val p = plan(graft.operators.Similarity.pqAdcTopK(
+      emb.filter(col("vec_id") < 5), emb, 3, cb))
+    // encode + reconstructed-norm lookup are projections below the join;
+    // the scan join broadcasts the (tiny) query/ADC-table side, so the
+    // corpus must not hash-shuffle its vectors or codes
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"query side must broadcast:\n$p")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .toSeq
+    assert(exchanges.forall(l => !l.contains("embedding#") && !l.contains("pc#")),
+      s"corpus vectors/codes crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("IVF-SQ8 cascade: no cartesian, corpus never shuffles, assignment is map-side") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(graft.operators.Similarity.ivfInt8RefineTopK(
