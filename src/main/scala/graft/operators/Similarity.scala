@@ -757,4 +757,94 @@ object Similarity {
       idCol, vecCol).select(col("query_id"), col("neighbor_id"))
     refineStage(queries, corpus, shortlist, k, idCol, vecCol)
   }
+
+  /** IVF + PQ + float re-rank — the billion-scale production ANN shape
+    * (what FAISS deploys as IVF-PQ): coarse centroids prune the corpus
+    * to probed inverted lists ([[ivfInt8RefineTopK]]'s quantizer,
+    * unchanged), m-byte PQ codes score only those lists via the
+    * micro-integer ADC tables ([[pqAdcTopK]]'s kernel), and the float
+    * vectors join back for the exact re-rank of the k·refine shortlist
+    * ([[refineStage]]). Per query: `numCentroids` literal dots + the
+    * probed lists' codes at m bytes each — sublinear in corpus size AND
+    * 64× less candidate traffic than floats at the default PQ shape.
+    *
+    * Scale/determinism shape is [[ivfInt8RefineTopK]]'s verbatim: one
+    * map-side corpus projection computes cluster + codes + reconstructed
+    * norm (never shuffled); probe pairs and query ADC tables broadcast;
+    * integer shortlist ties → neighbor_id; the whole cascade replays in
+    * SQL (q112). */
+  def ivfPqRefineTopK(queries: DataFrame, corpus0: DataFrame, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]], numCentroids: Int = 8,
+      nProbe: Int = 2, refine: Int = 4, idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      corpusSize: Option[Long] = None): DataFrame = {
+    require(refine >= 1, "refine must be >= 1")
+    require(numCentroids >= 1 && numCentroids <= 65536,
+      s"numCentroids=$numCentroids: the centroid set collects to the driver")
+    val corpus = graft.ops.Parallelism.ensure(corpus0)
+    val n = corpusSize.getOrElse(corpus.count())
+    val stride = math.max(1L, n / numCentroids)
+    val strided = corpus
+      .filter(col(idCol) % stride === 0 &&
+        expr(s"$idCol div $stride") < numCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val centRows = (if (strided.isEmpty)
+        corpus.orderBy(col(idCol)).limit(numCentroids)
+          .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+      else strided).collect()
+    if (centRows.isEmpty)
+      return queries.limit(0).select(col(idCol).as("query_id"),
+        lit(1).as("rank"), col(idCol).as("neighbor_id"), lit(0.0).as("sim"))
+    val cents: Seq[(Long, Seq[Double])] = centRows.toSeq.map { r =>
+      val cid = r.get(0).asInstanceOf[Number].longValue
+      val cv = r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.doubleValue
+        case d: java.lang.Double => d.doubleValue
+        case x => x.asInstanceOf[Number].doubleValue
+      }
+      val nrm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+      (cid, if (nrm == 0.0) cv.map(_ => 0.0) else cv.map(_ / nrm))
+    }
+    val normTab: Seq[Seq[Long]] = codebooks.map(_.map(c =>
+      math.round(c.map(x => x * x).sum * 1e6)))
+    // ONE map-side corpus projection: cluster assignment + PQ encode +
+    // reconstructed norm — the corpus is never shuffled
+    val c = graft.ops.Parallelism.barrier(
+      corpus.select(col(idCol).as("neighbor_id"),
+        negate(array_max(centScores(col(vecCol), cents)).getField("nid"))
+          .as("cluster"),
+        pqCodes(col(vecCol), codebooks).as("pc")))
+      .withColumn("rn", aggregate(
+        zip_with(col("pc"), typedlit(normTab),
+          (cd, tab) => element_at(tab, cd.cast("int") + 1)),
+        lit(0L), (a, v) => a + v))
+    val q = graft.ops.Parallelism.barrier(
+      queries.select(col(idCol).as("query_id"),
+        adcMicroTable(col(vecCol), codebooks).as("adc"),
+        round(aggregate(col(vecCol), lit(0.0),
+          (a, x) => a + x.cast("double") * x.cast("double")) * 1e6, 0)
+          .cast("long").as("qn")))
+    val probed = transform(
+      slice(reverse(array_sort(centScores(col(vecCol), cents))), 1, nProbe),
+      s => negate(s.getField("nid")))
+    val queryLists = queries.select(col(idCol).as("query_id"),
+      explode(probed).as("cluster"))
+    val scored = c.join(broadcast(queryLists), Seq("cluster"))
+      .join(broadcast(q), Seq("query_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("qsim", round(
+        when(col("qn") <= 0L || col("rn") <= 0L, lit(0.0))
+          .otherwise(
+            aggregate(zip_with(col("pc"), col("adc"),
+              (cd, row) => element_at(row, cd.cast("int") + 1)),
+              lit(0L), (a, v) => a + v).cast("double") /
+            sqrt(col("qn").cast("double") * col("rn").cast("double"))), 6))
+    val ws = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("qsim").desc, col("neighbor_id"))
+    val shortlist = scored.withColumn("qrank", row_number().over(ws))
+      .filter(col("qrank") <= k * refine)
+      .select(col("query_id"), col("neighbor_id"))
+    refineStage(queries, corpus, shortlist, k, idCol, vecCol)
+  }
 }

@@ -561,6 +561,127 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- q112: IVF-PQ cascade (the billion-scale production shape) ---------
+
+  /** IVF coarse pruning + PQ-ADC scoring of the probed lists + float
+    * re-rank — q109's skeleton with q111's scoring kernel, i.e. what
+    * FAISS deploys at billion scale. nProbe=3 of 8 lists so the oracle
+    * genuinely exercises pruning. */
+  def q112AnnIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cb = Similarity.pqStrideCodebooks(emb, PqM, PqK)
+    Similarity.ivfPqRefineTopK(
+      emb.filter(col("vec_id") < NumQueries), emb, K, cb,
+      NumCentroids, nProbe = 3, refine = Refine)
+      .orderBy("query_id", "rank")
+  }
+
+  val q112Sql: String = {
+    val ds = 16
+    val cstride = s"((SELECT count(*) FROM embeddings) // $NumCentroids)"
+    val pstride = s"((SELECT count(*) FROM embeddings) // $PqK)"
+    def normDot(v: String): String =
+      s"""list_sum(list_transform(list_zip($v, cn.cw), x -> x[1] * x[2]))"""
+    def sub(v: String, j: String): String =
+      s"list_slice($v, $j*$ds + 1, $j*$ds + $ds)"
+    s"""WITH cent AS (
+       |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
+       |  FROM embeddings
+       |  WHERE vec_id % $cstride = 0 AND vec_id // $cstride < $NumCentroids),
+       |cnorm AS (
+       |  SELECT centroid_id,
+       |    CASE WHEN sqrt(list_sum(list_transform(centv, x -> x * x))) = 0
+       |      THEN list_transform(centv, x -> 0.0)
+       |      ELSE list_transform(centv,
+       |        x -> x / sqrt(list_sum(list_transform(centv, y -> y * y))))
+       |    END AS cw
+       |  FROM cent),
+       |assign AS (
+       |  SELECT neighbor_id, centroid_id AS cluster FROM (
+       |    SELECT c.vec_id AS neighbor_id, cn.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${normDot("(c.embedding::DOUBLE[])")} DESC,
+       |          cn.centroid_id) AS rn
+       |    FROM embeddings c, cnorm cn)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id AS cluster FROM (
+       |    SELECT q.vec_id AS query_id, cn.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${normDot("(q.embedding::DOUBLE[])")} DESC,
+       |          cn.centroid_id) AS rn
+       |    FROM embeddings q, cnorm cn WHERE q.vec_id < $NumQueries)
+       |  WHERE rn <= 3),
+       |js AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+       |cb AS (
+       |  SELECT js.j, CAST(e.vec_id // $pstride AS INT) AS i,
+       |    ${sub("(e.embedding::DOUBLE[])", "js.j")} AS centv
+       |  FROM embeddings e, js
+       |  WHERE e.vec_id % $pstride = 0 AND e.vec_id // $pstride < $PqK),
+       |cbn AS (
+       |  SELECT j, i,
+       |    CAST(round(list_sum(list_transform(centv, x -> x * x)) * 1000000.0, 0) AS BIGINT) AS n2
+       |  FROM cb),
+       |codes AS (
+       |  SELECT vec_id, j, i AS code FROM (
+       |    SELECT v.vec_id, c.j, c.i,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, c.j ORDER BY
+       |        list_sum(list_transform(
+       |          list_zip(${sub("(v.embedding::DOUBLE[])", "c.j")}, c.centv),
+       |          x -> (x[1] - x[2]) * (x[1] - x[2]))) ASC, c.i ASC) AS rn
+       |    FROM embeddings v, cb c)
+       |  WHERE rn = 1),
+       |rn AS (
+       |  SELECT codes.vec_id, SUM(cbn.n2) AS rn2
+       |  FROM codes JOIN cbn ON codes.j = cbn.j AND codes.code = cbn.i
+       |  GROUP BY 1),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c.j, c.i,
+       |    CAST(round(list_sum(list_transform(
+       |      list_zip(${sub("(q.embedding::DOUBLE[])", "c.j")}, c.centv),
+       |      x -> x[1] * x[2])) * 1000000.0, 0) AS BIGINT) AS micro
+       |  FROM embeddings q, cb c WHERE q.vec_id < $NumQueries),
+       |qn AS (
+       |  SELECT vec_id AS query_id,
+       |    CAST(round(list_sum(list_transform(embedding::DOUBLE[], x -> x * x)) * 1000000.0, 0) AS BIGINT) AS qn2
+       |  FROM embeddings WHERE vec_id < $NumQueries),
+       |qscored AS (
+       |  SELECT p.query_id, a.neighbor_id, SUM(ad.micro) AS adot
+       |  FROM probes p JOIN assign a USING (cluster)
+       |       JOIN codes co ON a.neighbor_id = co.vec_id
+       |       JOIN adc ad ON p.query_id = ad.query_id
+       |                  AND co.j = ad.j AND co.code = ad.i
+       |  WHERE p.query_id <> a.neighbor_id
+       |  GROUP BY 1, 2),
+       |sim0 AS (
+       |  SELECT qs.query_id, qs.neighbor_id,
+       |    round(CASE WHEN qn.qn2 <= 0 OR rn.rn2 <= 0 THEN 0.0
+       |      ELSE qs.adot::DOUBLE / sqrt(qn.qn2::DOUBLE * rn.rn2::DOUBLE)
+       |      END, 6) AS qsim
+       |  FROM qscored qs JOIN qn USING (query_id)
+       |                  JOIN rn ON qs.neighbor_id = rn.vec_id),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY qsim DESC, neighbor_id) AS qrank
+       |    FROM sim0)
+       |  WHERE qrank <= ${K * Refine}),
+       |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       |       WHERE vec_id < $NumQueries),
+       |cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+       |rescored AS (
+       |  SELECT s.query_id, s.neighbor_id, ${duckCosine("q.qv", "v.cv")} AS sim
+       |  FROM shortlist s JOIN qv q USING (query_id)
+       |                   JOIN cv v USING (neighbor_id)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM rescored)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
     "q41_ann_lsh_topk" -> q41LshTopK _,
@@ -572,7 +693,8 @@ object SimilarityQueries {
     "q107_ann_int8" -> q107Int8TopK _,
     "q108_ann_int8_refine" -> q108Int8Refine _,
     "q109_ann_ivf_sq8" -> q109IvfSq8 _,
-    "q111_ann_pq_adc" -> q111AnnPqAdc _)
+    "q111_ann_pq_adc" -> q111AnnPqAdc _,
+    "q112_ann_ivf_pq" -> q112AnnIvfPq _)
 
   val oracles: Map[String, String] = Map(
     "q40_ann_brute_topk" -> q40Sql,
@@ -585,5 +707,6 @@ object SimilarityQueries {
     "q107_ann_int8" -> q107Sql,
     "q108_ann_int8_refine" -> q108Sql,
     "q109_ann_ivf_sq8" -> q109Sql,
-    "q111_ann_pq_adc" -> q111Sql)
+    "q111_ann_pq_adc" -> q111Sql,
+    "q112_ann_ivf_pq" -> q112Sql)
 }

@@ -430,6 +430,39 @@ class OperatorsSpec extends SparkSpec {
     assert(errs.last < errs.head, s"training never improved the seeds: $errs")
   }
 
+  test("IVF-PQ cascade: nProbe=all + refine recovers exact; pruning recalls the head") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(17)
+    val base = Array.fill(16)(rnd.nextFloat() * 2 - 1)
+    val corpus = (0L until 120L).map { i =>
+      val v = Array.tabulate(16)(d =>
+        base(d) + (rnd.nextFloat() * 2 - 1) * (if (i < 6) 0.05f else 1.0f))
+      (i, v)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 3)
+    val books = Similarity.pqStrideCodebooks(corpus, m = 4, k = 8)
+    val exact = Similarity.bruteForceTopK(queries, corpus, 3)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    // complete candidate selection (every list probed) + a shortlist
+    // wide enough that ADC cannot drop a true neighbor out of it -> the
+    // exact float re-rank must reproduce brute force bit-for-bit
+    val full = Similarity.ivfPqRefineTopK(queries, corpus, 3, books,
+      numCentroids = 4, nProbe = 4, refine = 16)
+      .select("query_id", "rank", "neighbor_id", "sim")
+      .as[(Long, Int, Long, Double)].collect().toSeq.sorted
+    assert(full == exact,
+      s"nProbe=all IVF-PQ diverged from exact: $exact vs $full")
+    // genuine pruning (2 of 4 lists) still recalls most of the head
+    val pruned = Similarity.ivfPqRefineTopK(queries, corpus, 3, books,
+      numCentroids = 4, nProbe = 2, refine = 4)
+      .select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val exactPairs = exact.map(t => (t._1, t._3)).toSet
+    val recall = (exactPairs intersect pruned).size.toDouble / exactPairs.size
+    assert(recall >= 0.5, s"IVF-PQ recall $recall too low: $pruned vs $exactPairs")
+  }
+
   test("preprocessing stats: changed/truncated/removed counters") {
     import graft.ops.Preprocess
     val df = Seq(

@@ -279,6 +279,23 @@ class PlanSpec extends SparkSpec {
       s"corpus vectors/codes crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("IVF-PQ cascade: no cartesian, every join keyed, corpus never shuffles") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val cb = graft.operators.Similarity.pqStrideCodebooks(emb, m = 4, k = 8)
+    val p = plan(graft.operators.Similarity.ivfPqRefineTopK(
+      emb.filter(col("vec_id") < 5), emb, 3, cb,
+      numCentroids = 4, nProbe = 2, refine = 4))
+    assert(!p.contains("CartesianProduct"), s"no cartesian in the cascade:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"every cascade join must be keyed (cluster/query_id/neighbor_id):\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"probe/shortlist joins must broadcast:\n$p")
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .toSeq
+    assert(exchanges.forall(l => !l.contains("embedding#") && !l.contains("pc#")),
+      s"corpus vectors/codes crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("IVF-SQ8 cascade: no cartesian, corpus never shuffles, assignment is map-side") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val p = plan(graft.operators.Similarity.ivfInt8RefineTopK(
