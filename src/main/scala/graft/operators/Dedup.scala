@@ -648,4 +648,92 @@ object Dedup {
       .withColumn(textCol, array_join(kept, sep))
       .drop("__graft_parts", "__graft_kept")
   }
+
+  /** EXACT-SUBSTRING dedup — the ExactSubstr tier of Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better"): any
+    * character span of `windowLen` chars that occurs more than once
+    * ANYWHERE in the corpus is cut from every occurrence except one
+    * (global keeper = smallest (id, pos)), with overlapping cut windows
+    * merged into maximal spans before excision. The reference paper does
+    * this with a single-node suffix array; this is the distributed
+    * re-expression: a banded window census instead of suffix ranking.
+    * Windows are sampled every `stride` chars, so only stride-aligned
+    * repeats dedup — the usual banding recall trade (stride=1 recovers
+    * the paper's exact semantics at stride× the census cost).
+    *
+    * Scale shape, stage by stage, at 100 TB:
+    *   1. Window extraction is a pure map (explode of `len/stride`
+    *      positions per doc).
+    *   2. The census groups by a 128-bit content key — TWO
+    *      independently-seeded xxhash64s, NOT the window text — so the
+    *      corpus-wide shuffle moves ~28 B/window (≈2.8 B per corpus byte
+    *      at stride 10) instead of `windowLen` bytes of text. A 128-bit
+    *      collision (≈10^-19 per pair) is the documented correctness
+    *      trade; the DuckDB oracle keys on the substring itself, so a
+    *      collision would surface as a hash mismatch, not hide.
+    *   3. Only duplicated keys (cnt > 1) survive the census filter;
+    *      everything downstream — the occurrence re-join, the island
+    *      merge, the per-doc interval list — is proportional to the
+    *      DUPLICATED span count, not the corpus. AQE broadcasts the
+    *      surviving census side when it is small (the common case).
+    *   4. Interval merge is the classic gaps-and-islands window pass,
+    *      partitioned by doc id — removal positions only, a sliver.
+    *   5. Reconstruction joins the interval lists back id-keyed and cuts
+    *      spans in one `aggregate` fold per doc (codegen'd, no UDF).
+    *
+    * Occurrence order is the arithmetic key `id * 2^32 + pos` (docs to
+    * 4 GiB of text, ids to 2^30 — both far past any real corpus row).
+    * Emits `clean_text`, `n_spans` (merged), `removed_chars`; docs
+    * shorter than `windowLen` pass through untouched.
+    * Ref: /root/reference/ondine/curation (no substring tier there —
+    * this goes beyond the reference per the build brief). */
+  def dropDuplicateSpans(df: DataFrame, idCol: String, textCol: String,
+      windowLen: Int = 50, stride: Int = 10): DataFrame = {
+    require(windowLen >= 1 && stride >= 1, "windowLen and stride must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val id = col(idCol)
+    val occ = (id.cast("long") * lit(4294967296L) + col("__graft_pos"))
+    val wins = df
+      .filter(length(col(textCol)) >= windowLen)
+      .select(id, col(textCol), explode(sequence(lit(0),
+        length(col(textCol)) - windowLen, lit(stride))).as("__graft_pos"))
+      .select(id, col("__graft_pos"),
+        expr(s"substring(`$textCol`, __graft_pos + 1, $windowLen)").as("__graft_w"))
+    // 128-bit content key: the shuffle carries hashes, never window text
+    val keyed = wins.select(id, col("__graft_pos"),
+      xxhash64(col("__graft_w")).as("__graft_h1"),
+      xxhash64(lit("graft-span-2"), col("__graft_w")).as("__graft_h2"),
+      occ.as("__graft_occ"))
+    val census = keyed.groupBy("__graft_h1", "__graft_h2")
+      .agg(count(lit(1)).as("__graft_cnt"), min("__graft_occ").as("__graft_keeper"))
+      .filter(col("__graft_cnt") > 1)
+    val removals = keyed
+      .join(census, Seq("__graft_h1", "__graft_h2"))
+      .filter(col("__graft_occ") =!= col("__graft_keeper"))
+      .select(id, col("__graft_pos"))
+    val wPrev = Window.partitionBy(idCol).orderBy("__graft_pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(idCol).orderBy("__graft_pos")
+    val ivs = removals
+      .withColumn("__graft_new", when(col("__graft_pos") >
+        coalesce(max(col("__graft_pos") + windowLen).over(wPrev), lit(-1)), 1)
+        .otherwise(0))
+      .withColumn("__graft_isl", sum("__graft_new").over(wRun))
+      .groupBy(id, col("__graft_isl"))
+      .agg(min("__graft_pos").as("s"), (max("__graft_pos") + windowLen).as("e"))
+    val perDoc = ivs.groupBy(idCol).agg(
+      sort_array(collect_list(struct(col("s"), col("e")))).as("__graft_ivs"),
+      count(lit(1)).as("__graft_n"), sum(col("e") - col("s")).cast("long").as("__graft_rm"))
+    df.join(perDoc, Seq(idCol), "left")
+      .withColumn("clean_text", when(col("__graft_ivs").isNull, col(textCol))
+        .otherwise(expr(
+          s"""aggregate(__graft_ivs, struct(0 AS cur, '' AS acc),
+             |  (st, iv) -> struct(iv.e AS cur,
+             |    concat(st.acc, substring(`$textCol`, st.cur + 1, iv.s - st.cur)) AS acc),
+             |  st -> concat(st.acc,
+             |    substring(`$textCol`, st.cur + 1, length(`$textCol`))))""".stripMargin)))
+      .withColumn("n_spans", coalesce(col("__graft_n"), lit(0L)))
+      .withColumn("removed_chars", coalesce(col("__graft_rm"), lit(0L)))
+      .drop("__graft_ivs", "__graft_n", "__graft_rm")
+  }
 }

@@ -814,6 +814,71 @@ object TextQueries {
       |  array_to_string(kept, chr(10)) AS cleaned
       |FROM k ORDER BY doc_id""".stripMargin
 
+  // --- exact-substring dedup (Lee et al. 2022 ExactSubstr) --------------
+
+  /** Corpus-global exact-substring scrub: every 50-char window sampled at
+    * stride 10 that repeats anywhere in the corpus is cut from all but
+    * its first occurrence, overlapping cuts merged into maximal spans.
+    * The synthetic corpus carries real cross-doc repeats (545 duplicated
+    * windows at sf0.01), so the query exercises census, keeper election,
+    * island merge, and reconstruction on natural data — no augmentation
+    * needed. */
+  def q113SubstringDedup(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dropDuplicateSpans(
+      tp(spark, dir, "documents").select(col("doc_id"), col("text")),
+      "doc_id", "text", windowLen = 50, stride = 10)
+      .select(col("doc_id"), col("clean_text"), col("n_spans"),
+        col("removed_chars"))
+      .orderBy("doc_id")
+
+  /** Oracle keys the census on the window SUBSTRING itself (the Spark
+    * side keys on a 128-bit hash pair — identical output absent a
+    * 2^-128-scale collision, which would surface as a hash mismatch
+    * here). Island merge and reconstruction replay via the same
+    * gaps-and-islands windowing. */
+  val q113Sql: String =
+    """WITH d AS (SELECT doc_id, text FROM documents),
+      |wins AS (
+      |  SELECT doc_id, i AS pos, substr(text, i + 1, 50) AS w
+      |  FROM d, LATERAL (SELECT unnest(generate_series(0,
+      |    CAST(length(text) AS INT) - 50, 10)) AS i) t
+      |  WHERE length(text) >= 50),
+      |census AS (
+      |  SELECT w, count(*) AS cnt, min(doc_id * 4294967296 + pos) AS keeper
+      |  FROM wins GROUP BY w),
+      |removals AS (
+      |  SELECT doc_id, pos FROM wins JOIN census USING (w)
+      |  WHERE cnt > 1 AND doc_id * 4294967296 + pos <> keeper),
+      |isl AS (
+      |  SELECT doc_id, pos,
+      |    CASE WHEN pos > coalesce(max(pos + 50) OVER (
+      |      PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+      |    THEN 1 ELSE 0 END AS newisl
+      |  FROM removals),
+      |isl2 AS (
+      |  SELECT doc_id, pos,
+      |    sum(newisl) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      |  FROM isl),
+      |ivs AS (
+      |  SELECT doc_id, min(pos) AS s, max(pos) + 50 AS e
+      |  FROM isl2 GROUP BY doc_id, isl_id),
+      |ivd AS (
+      |  SELECT i.doc_id, i.s, i.e, d.text,
+      |    coalesce(lag(i.e) OVER (PARTITION BY i.doc_id ORDER BY i.s), 0)
+      |      AS prev_e
+      |  FROM ivs i JOIN d USING (doc_id)),
+      |rebuilt AS (
+      |  SELECT doc_id,
+      |    string_agg(substr(text, prev_e + 1, s - prev_e), '' ORDER BY s)
+      |      || substr(max(text), max(e) + 1) AS clean_text,
+      |    count(*) AS n_spans, CAST(sum(e - s) AS BIGINT) AS removed_chars
+      |  FROM ivd GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(r.clean_text, d.text) AS clean_text,
+      |  coalesce(r.n_spans, 0) AS n_spans,
+      |  coalesce(r.removed_chars, 0) AS removed_chars
+      |FROM d LEFT JOIN rebuilt r USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // --- BPE tokenizer training -------------------------------------------
 
   private val BpeMerges = 6
@@ -898,7 +963,8 @@ object TextQueries {
     "q101_shard_assign" -> q101ShardAssign _,
     "q102_line_dedup" -> q102LineDedup _,
     "q104_bpe_merges" -> q104BpeMerges _,
-    "q106_indoc_line_dedup" -> q106InDocLineDedup _)
+    "q106_indoc_line_dedup" -> q106InDocLineDedup _,
+    "q113_substring_dedup" -> q113SubstringDedup _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -925,5 +991,6 @@ object TextQueries {
     "q101_shard_assign" -> q101Sql,
     "q102_line_dedup" -> q102Sql,
     "q104_bpe_merges" -> q104Sql,
-    "q106_indoc_line_dedup" -> q106Sql)
+    "q106_indoc_line_dedup" -> q106Sql,
+    "q113_substring_dedup" -> q113Sql)
 }

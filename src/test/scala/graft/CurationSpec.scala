@@ -679,4 +679,41 @@ class CurationSpec extends SparkSpec {
       .select("pass_filter").as[Int].collect()
     assert(q67.toSet == Set(0, 1)) // thresholds split the corpus
   }
+
+  test("substring dedup: keeper kept, overlap merge, within-doc, short-doc") {
+    // windowLen=10, stride=5: windows at 0/5/10/...
+    val docs = Seq(
+      (1L, "AAAAABBBBBCCCCCDDDDD"),      // keeper for all shared windows
+      (2L, "XXXXXBBBBBCCCCCYYYYY"),      // one shared window [5,15)
+      (3L, "AAAAABBBBBCCCCCDDDDDZZZZZ"), // three overlapping dups -> [0,20)
+      (4L, "PPPPPQQQQQPPPPPQQQQQ"),      // WITHIN-doc repeat at pos 0 and 10
+      (5L, "short")                      // under windowLen: untouched
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .dropDuplicateSpans(docs, "doc_id", "text", windowLen = 10, stride = 5)
+      .orderBy("doc_id")
+      .select("doc_id", "clean_text", "n_spans", "removed_chars")
+      .as[(Long, String, Long, Long)].collect()
+    assert(out(0) == ((1L, "AAAAABBBBBCCCCCDDDDD", 0L, 0L)))
+    assert(out(1) == ((2L, "XXXXXYYYYY", 1L, 10L)))
+    // three cut windows [0,10),[5,15),[10,20) merge into ONE span [0,20)
+    assert(out(2) == ((3L, "ZZZZZ", 1L, 20L)))
+    // the first in-doc occurrence is the global keeper; the second cuts
+    assert(out(3) == ((4L, "PPPPPQQQQQ", 1L, 10L)))
+    assert(out(4) == ((5L, "short", 0L, 0L)))
+  }
+
+  test("substring dedup is partitioning-independent") {
+    val dir = "/root/testdata/sf0.001"
+    val a = graft.queries.TextQueries.q113SubstringDedup(spark, dir).collect()
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).repartition(7)
+    val b = graft.operators.Dedup
+      .dropDuplicateSpans(docs, "doc_id", "text", windowLen = 50, stride = 10)
+      .select("doc_id", "clean_text", "n_spans", "removed_chars")
+      .orderBy("doc_id").collect()
+    assert(a.toSeq == b.toSeq)
+    // the corpus plants real cross-doc repeats — the scrub must fire
+    assert(a.exists(_.getAs[Long]("n_spans") > 0))
+  }
 }

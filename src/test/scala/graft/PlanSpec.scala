@@ -238,6 +238,19 @@ class PlanSpec extends SparkSpec {
       s"doc text crossed a non-recompose shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("substring dedup: census shuffles hashes, never window text") {
+    val p = plan(graft.queries.TextQueries.q113SubstringDedup(spark, dir))
+    assert(!p.contains("CartesianProduct"), s"cartesian in substring dedup:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    // the 50-char window column must be projected away before any shuffle
+    assert(exchanges.forall(l => !l.contains("__graft_w#")),
+      s"window text crossed a shuffle:\n${exchanges.mkString("\n")}")
+    // the doc text column may only move through the id-keyed recompose join
+    assert(exchanges.forall(l =>
+        !l.contains("text#") || l.contains("hashpartitioning(doc_id")),
+      s"doc text crossed a non-recompose shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("in-doc line scrub is a pure map: zero exchanges") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("text", concat_ws("\n", col("text"), lit("x"), lit("x")))
