@@ -328,6 +328,90 @@ object Similarity {
     df0.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** SemDeDup (Abbas et al. 2023): semantic dedup scoped INSIDE coarse
+    * embedding clusters instead of over LSH buckets — the shape that made
+    * semantic dedup tractable on LAION/web scale. Every vector is
+    * assigned to its nearest of `numCentroids` stride-picked centroids
+    * (the exact q44/IVF rule, broadcast, map-side, SQL-replayable);
+    * pairwise cosine runs only WITHIN a cluster; components of the
+    * τ-graph elect one survivor each. The paper keeps the member FARTHEST
+    * from its centroid (lowest assignment cosine, the "least prototypical
+    * keeps the most information" rule); ties break toward the smaller id.
+    *
+    * Scale shape: centroids broadcast (tiny); assignment is one map-side
+    * pass; the only corpus shuffle is the cluster-keyed self-join, whose
+    * pair work is Σ size² over clusters — bounded by [[autoCentroids]]'s
+    * sqrt rule to ~N^1.5/numCentroids and hard-capped per cluster by
+    * `maxClusterSize` via the salted hot-bucket census ([[Skew]]), so one
+    * mega-cluster cannot go quadratic: capped-out clusters pass through
+    * un-deduped (keep=1), the same recall-for-robustness trade as the LSH
+    * bucket cap. Components use [[Dedup.clusterLabels]] (driver
+    * union-find under the bounded fast path, min-label propagation
+    * above it).
+    *
+    * Emits one row per input vector: (id, cluster, keep ∈ {0,1}).
+    * Ref: /root/reference/crates/ondine-core/src/evidence/store.rs:289
+    * has only brute-force dense search — this tier goes beyond the
+    * reference per the build brief. */
+  def semDeDup(df0: DataFrame, threshold: Double, numCentroids: Int = 8,
+               idCol: String = "vec_id", vecCol: String = "embedding",
+               maxClusterSize: Int = 1000,
+               corpusSize: Option[Long] = None): DataFrame = {
+    val corpus = graft.ops.Parallelism.ensure(df0)
+    val n = corpusSize.getOrElse(corpus.count())
+    val stride = math.max(1L, n / numCentroids)
+    val strided = corpus
+      .filter(col(idCol) % stride === 0 &&
+        expr(s"$idCol div $stride") < numCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val cents = broadcast(
+      if (strided.isEmpty)
+        corpus.orderBy(col(idCol)).limit(numCentroids)
+          .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+      else strided)
+    // nearest-centroid assignment, argmax on the UNROUNDED cosine with
+    // smaller-centroid tie-break (the q44 rule, engine-stable); the
+    // winning similarity is kept 6dp-rounded for the keeper election
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .crossJoin(cents)
+      .withColumn("csim", cosine(col("v"), col("centv")))
+      .groupBy("id")
+      .agg(expr("max_by(centroid_id, struct(csim, -centroid_id))")
+        .as("cluster"), round(max(col("csim")), 6).as("csimr"))
+      .transform(graft.ops.Parallelism.stage)
+    val capped = Skew.dropHotBuckets(assigned, Seq("cluster"), maxClusterSize)
+      .select(col("id"), col("cluster"), col("csimr"))
+    // cluster-local τ-graph on hoisted-norm cosine (bit-identical to the
+    // unhoisted formula — see embeddingNearDupPairs)
+    val vecs = graft.ops.Parallelism.barrier(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("nrm", norm(col("v"))))
+    val pairs = capped.select(col("id").as("id_a"), col("cluster"))
+      .join(capped.select(col("id").as("id_b"), col("cluster")), Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .join(vecs.select(col("id").as("id_a"), col("v").as("va"),
+        col("nrm").as("na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("id_b"))
+      .withColumn("sim",
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"))
+    val comps = Dedup.clusterLabels(capped.select(col("id")), "id", pairs)
+      .select(col("id"), col("cluster_id").as("comp"))
+    val withC = comps.join(capped, Seq("id"))
+    val keepers = withC.groupBy(col("comp"))
+      .agg(expr("min_by(id, struct(csimr, id))").as("keeper"))
+    val flags = withC.join(keepers, Seq("comp"))
+      .select(col("id"), col("cluster"),
+        (col("id") === col("keeper")).cast("int").as("keep"))
+    // capped-out hot clusters pass through un-deduped
+    val hot = assigned.join(capped.select(col("id")), Seq("id"), "left_anti")
+      .select(col("id"), col("cluster"), lit(1).as("keep"))
+    flags.unionByName(hot).withColumnRenamed("id", idCol)
+  }
+
   // --- int8-quantized similarity — the memory-bound scale path -----------
 
   /** Per-vector symmetric int8 quantization: code_i = round(v_i·127/max|v|),

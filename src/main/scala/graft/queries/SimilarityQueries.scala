@@ -682,6 +682,77 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- q114: SemDeDup — cluster-scoped semantic dedup -------------------
+
+  /** SemDeDup over the embeddings table: nearest-of-8 stride centroids
+    * (the q44 assignment rule), τ=0.3 pairwise cosine INSIDE each
+    * cluster, one survivor per component — the member farthest from its
+    * centroid (lowest assignment cosine, ties to smaller id). Emits
+    * every vector with its cluster and keep flag, so the oracle checks
+    * assignment, the cluster-local pair graph, component closure, AND
+    * keeper election in one hash. */
+  def q114SemDeDup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    Similarity.semDeDup(emb, threshold = 0.3, NumCentroids)
+      .select(col("vec_id"), col("cluster"), col("keep"))
+      .orderBy("vec_id")
+  }
+
+  val q114Sql: String = {
+    val stride = s"((SELECT count(*) FROM embeddings) // $NumCentroids)"
+    def rawCosine(a: String, b: String): String =
+      s"""(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+         |  (sqrt(list_sum(list_transform($a, x -> x * x))) *
+         |   sqrt(list_sum(list_transform($b, x -> x * x)))))""".stripMargin
+    s"""WITH RECURSIVE cent AS (
+       |  SELECT vec_id AS centroid_id, embedding::DOUBLE[] AS centv
+       |  FROM embeddings
+       |  WHERE vec_id % $stride = 0 AND vec_id // $stride < $NumCentroids),
+       |assign AS (
+       |  SELECT vec_id, cluster, round(csim, 6) AS csimr FROM (
+       |    SELECT c.vec_id, cent.centroid_id AS cluster,
+       |      ${rawCosine("(c.embedding::DOUBLE[])", "cent.centv")} AS csim,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${rawCosine("(c.embedding::DOUBLE[])", "cent.centv")} DESC,
+       |          cent.centroid_id) AS rn
+       |    FROM embeddings c, cent)
+       |  WHERE rn = 1),
+       |sz AS (
+       |  SELECT vec_id, cluster, csimr,
+       |    count(*) OVER (PARTITION BY cluster) AS n
+       |  FROM assign),
+       |capped AS (SELECT vec_id, cluster, csimr FROM sz WHERE n <= 1000),
+       |hot AS (SELECT vec_id, cluster FROM sz WHERE n > 1000),
+       |v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+       |pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  JOIN v va ON va.vec_id = a.vec_id
+       |  JOIN v vb ON vb.vec_id = b.vec_id
+       |  WHERE ${duckCosine("va.vec", "vb.vec")} >= 0.3),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT vec_id AS src, vec_id AS dst FROM capped
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |comps AS (SELECT src AS vec_id, min(dst) AS comp FROM reach GROUP BY src),
+       |keepers AS (
+       |  SELECT comp, vec_id AS keeper FROM (
+       |    SELECT c.comp, c.vec_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.comp
+       |        ORDER BY a.csimr ASC, c.vec_id ASC) AS rn
+       |    FROM comps c JOIN capped a USING (vec_id))
+       |  WHERE rn = 1)
+       |SELECT c.vec_id, a.cluster,
+       |  CASE WHEN c.vec_id = k.keeper THEN 1 ELSE 0 END AS keep
+       |FROM comps c JOIN capped a USING (vec_id) JOIN keepers k USING (comp)
+       |UNION ALL SELECT vec_id, cluster, 1 AS keep FROM hot
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
     "q41_ann_lsh_topk" -> q41LshTopK _,
@@ -694,7 +765,8 @@ object SimilarityQueries {
     "q108_ann_int8_refine" -> q108Int8Refine _,
     "q109_ann_ivf_sq8" -> q109IvfSq8 _,
     "q111_ann_pq_adc" -> q111AnnPqAdc _,
-    "q112_ann_ivf_pq" -> q112AnnIvfPq _)
+    "q112_ann_ivf_pq" -> q112AnnIvfPq _,
+    "q114_semdedup" -> q114SemDeDup _)
 
   val oracles: Map[String, String] = Map(
     "q40_ann_brute_topk" -> q40Sql,
@@ -708,5 +780,6 @@ object SimilarityQueries {
     "q108_ann_int8_refine" -> q108Sql,
     "q109_ann_ivf_sq8" -> q109Sql,
     "q111_ann_pq_adc" -> q111Sql,
-    "q112_ann_ivf_pq" -> q112Sql)
+    "q112_ann_ivf_pq" -> q112Sql,
+    "q114_semdedup" -> q114Sql)
 }

@@ -463,6 +463,49 @@ class OperatorsSpec extends SparkSpec {
     assert(recall >= 0.5, s"IVF-PQ recall $recall too low: $pruned vs $exactPairs")
   }
 
+  test("semDeDup: farthest-from-centroid keeper, cluster-scoped blindness") {
+    // corpusSize=6 pins stride=3 -> centroids are ids 0 and 3
+    val vecs = Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0.95f, 0.05f),
+      3L -> Seq(0f, 1f), 4L -> Seq(0.1f, 0.9f), 5L -> Seq(-0.5f, 0.5f),
+      6L -> Seq(0.71f, 0.70f), 7L -> Seq(0.70f, 0.71f)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDeDup(vecs, threshold = 0.9, numCentroids = 2,
+      corpusSize = Some(6L))
+      .orderBy("vec_id").select("vec_id", "cluster", "keep")
+      .as[(Long, Long, Int)].collect()
+    // component {0,1,2}: keeper is 1 — FARTHEST from centroid (1,0)
+    // (cos 0.9939 < 0.9986 < 1.0) — the min-id rule would wrongly keep 0
+    assert(out(0) == ((0L, 0L, 0)))
+    assert(out(1) == ((1L, 0L, 1)))
+    assert(out(2) == ((2L, 0L, 0)))
+    // component {3,4}: keeper 4 (farther); 5 is below τ -> singleton keeps
+    assert(out(3) == ((3L, 3L, 0)))
+    assert(out(4) == ((4L, 3L, 1)))
+    assert(out(5) == ((5L, 3L, 1)))
+    // 6 and 7 are near-identical (cos ~0.9998) but straddle the cluster
+    // boundary: cluster-scoped dedup is blind to the pair — BOTH keep
+    // (the documented SemDeDup approximation)
+    assert(out(6) == ((6L, 0L, 1)))
+    assert(out(7) == ((7L, 3L, 1)))
+  }
+
+  test("semDeDup: capped-out hot cluster passes through un-deduped") {
+    val vecs = Seq(
+      0L -> Seq(1f, 0f), 1L -> Seq(0.9f, 0.1f), 2L -> Seq(0.95f, 0.05f),
+      3L -> Seq(0f, 1f), 4L -> Seq(0.1f, 0.9f), 5L -> Seq(-0.5f, 0.5f),
+      6L -> Seq(0.71f, 0.70f)
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.semDeDup(vecs, threshold = 0.9, numCentroids = 2,
+      maxClusterSize = 3, corpusSize = Some(6L))
+      .orderBy("vec_id").select("vec_id", "keep")
+      .as[(Long, Int)].collect()
+    // cluster 0 holds {0,1,2,6} = 4 > cap -> every member survives
+    assert(out.take(3).forall(_._2 == 1) && out(6) == ((6L, 1)))
+    // cluster 3 holds {3,4,5} = 3 <= cap -> dedup still fires there
+    assert(out(3) == ((3L, 0)) && out(4) == ((4L, 1)) && out(5) == ((5L, 1)))
+  }
+
   test("preprocessing stats: changed/truncated/removed counters") {
     import graft.ops.Preprocess
     val df = Seq(

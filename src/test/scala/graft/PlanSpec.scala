@@ -251,6 +251,12 @@ class PlanSpec extends SparkSpec {
       s"doc text crossed a non-recompose shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("semDeDup: no cartesian beyond the broadcast centroid cross") {
+    val p = plan(graft.queries.SimilarityQueries.q114SemDeDup(spark, dir))
+    assert(!p.contains("CartesianProduct"),
+      s"cartesian in the semdedup plan:\n$p")
+  }
+
   test("in-doc line scrub is a pure map: zero exchanges") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .withColumn("text", concat_ws("\n", col("text"), lit("x"), lit("x")))
