@@ -170,4 +170,48 @@ object LanguageModel {
       .select(col(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** CCNet-style perplexity partition (Wenzek et al. 2020): scored
+    * documents split into head/middle/tail TERCILES per `groupCol`
+    * (language, in CCNet) by bits-per-bigram. Deliberately NOT an
+    * `ntile` window over the corpus — per-group ntile puts every
+    * document of one language through a single reducer's sort, the
+    * classic 100 TB scale-killer. Instead the tercile CUT VALUES are
+    * derived from the per-group (bits → count) histogram (distinct
+    * scored values only, a sliver of the corpus) and broadcast back, so
+    * assignment is one map-side comparison. Thresholds use explicit
+    * integer rank arithmetic — t_k = min bits with cumulative count ≥
+    * ceil(k·n/3), ties share a bucket (real CCNet semantics: a cut value
+    * never splits equal-perplexity docs) — so the oracle replays them
+    * without engine-specific quantile interpolation. Unscorable docs
+    * (no bigrams) are excluded, as in CCNet.
+    * Emits (idCol, groupCol, lm_bits, bucket ∈ head|middle|tail). */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramBits(df, idCol, textCol)
+    val g = df.select(col(idCol), col(groupCol))
+      .join(scored.filter(col("lm_bits").isNotNull)
+        .select(col(idCol), col("lm_bits")), Seq(idCol))
+      .transform(graft.ops.Parallelism.stage) // histogram + assign reuse
+    val hist = g.groupBy(col(groupCol), col("lm_bits"))
+      .agg(count(lit(1)).as("__graft_c"))
+    val cum = hist.withColumn("__graft_cum",
+      sum("__graft_c").over(Window.partitionBy(groupCol).orderBy("lm_bits")))
+    val tot = hist.groupBy(col(groupCol))
+      .agg(sum("__graft_c").as("__graft_n"))
+    val cuts = cum.join(tot, Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(
+        min(when(expr("__graft_cum >= (__graft_n + 2) div 3"),
+          col("lm_bits"))).as("__graft_t1"),
+        min(when(expr("__graft_cum >= (2 * __graft_n + 2) div 3"),
+          col("lm_bits"))).as("__graft_t2"))
+    g.join(broadcast(cuts), Seq(groupCol))
+      .withColumn("bucket",
+        when(col("lm_bits") <= col("__graft_t1"), "head")
+          .when(col("lm_bits") <= col("__graft_t2"), "middle")
+          .otherwise("tail"))
+      .select(col(idCol), col(groupCol), col("lm_bits"), col("bucket"))
+  }
 }

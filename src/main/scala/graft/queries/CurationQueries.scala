@@ -337,6 +337,46 @@ object CurationQueries {
       |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS lm_bits
       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // --- q115: CCNet perplexity terciles ------------------------------------
+
+  /** CCNet head/middle/tail partition per language: q103's bigram-LM
+    * score split into per-lang terciles by broadcast cut values (no
+    * per-language single-reducer ntile sort — see
+    * [[graft.operators.LanguageModel.perplexityBuckets]]). */
+  def q115PerplexityBuckets(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.perplexityBuckets(
+      tp(spark, dir, "documents"), "doc_id", "text", "lang")
+      .orderBy("doc_id")
+
+  /** Oracle: q103's scoring as a nested CTE, then the same integer rank
+    * rule — t_k = min bits with cumulative histogram count ≥
+    * ceil(k·n/3) — and the same ≤-threshold assignment. */
+  val q115Sql: String =
+    s"""WITH scored AS (
+       |${q103Sql.linesIterator.map("  " + _).mkString("\n")}
+       |),
+       |g AS (
+       |  SELECT d.doc_id, d.lang, s.lm_bits
+       |  FROM documents d JOIN scored s USING (doc_id)
+       |  WHERE s.lm_bits IS NOT NULL),
+       |hist AS (
+       |  SELECT lang, lm_bits, count(*) AS c FROM g GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, lm_bits, c,
+       |    sum(c) OVER (PARTITION BY lang ORDER BY lm_bits) AS cum
+       |  FROM hist),
+       |tot AS (SELECT lang, sum(c) AS n FROM hist GROUP BY 1),
+       |cuts AS (
+       |  SELECT lang,
+       |    min(CASE WHEN cum >= (n + 2) // 3 THEN lm_bits END) AS t1,
+       |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN lm_bits END) AS t2
+       |  FROM cum JOIN tot USING (lang) GROUP BY lang)
+       |SELECT g.doc_id, g.lang, g.lm_bits,
+       |  CASE WHEN g.lm_bits <= c.t1 THEN 'head'
+       |       WHEN g.lm_bits <= c.t2 THEN 'middle'
+       |       ELSE 'tail' END AS bucket
+       |FROM g JOIN cuts c USING (lang) ORDER BY g.doc_id""".stripMargin
+
   // --- q110: broadcast pruned-LM scoring (the 100 TB q103 shape) ----------
 
   private val LmHeadN = 500
@@ -465,6 +505,7 @@ object CurationQueries {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q103_lm_score" -> q103LmScore _,
     "q110_lm_broadcast" -> q110LmBroadcast _,
+    "q115_ppl_buckets" -> q115PerplexityBuckets _,
     "q105_quality_filter" -> q105QualityFilter _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -477,6 +518,7 @@ object CurationQueries {
   val oracles: Map[String, String] = Map(
     "q103_lm_score" -> q103Sql,
     "q110_lm_broadcast" -> q110Sql,
+    "q115_ppl_buckets" -> q115Sql,
     "q105_quality_filter" -> q105Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

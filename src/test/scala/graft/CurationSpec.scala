@@ -680,6 +680,46 @@ class CurationSpec extends SparkSpec {
     assert(q67.toSet == Set(0, 1)) // thresholds split the corpus
   }
 
+  test("perplexity buckets: monotone terciles, ties share, unscorable excluded") {
+    // two language groups with enough bits diversity to fill 3 buckets;
+    // docs 1 and 2 are identical -> identical bits -> same bucket; doc 99
+    // is a single word (no bigrams) -> excluded entirely
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta"),
+      (2L, "en", "alpha beta gamma delta"),
+      (3L, "en", "alpha beta alpha beta alpha beta"),
+      (4L, "en", "epsilon zeta eta theta iota kappa"),
+      (5L, "en", "alpha beta gamma epsilon zeta unusual"),
+      (6L, "en", "rare tokens entirely unrepeated sequence here"),
+      (7L, "fr", "un deux trois quatre"),
+      (8L, "fr", "un deux un deux un deux"),
+      (9L, "fr", "cinq six sept huit neuf"),
+      (99L, "en", "solo")
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.operators.LanguageModel
+      .perplexityBuckets(docs, "doc_id", "text", "lang")
+      .select("doc_id", "lang", "lm_bits", "bucket")
+      .as[(Long, String, Double, String)].collect()
+    assert(!out.exists(_._1 == 99L), "unscorable doc must be excluded")
+    assert(out.length == 9)
+    // identical docs score identically and NEVER split across a cut
+    val b12 = out.filter(r => r._1 == 1L || r._1 == 2L)
+    assert(b12.map(_._4).distinct.length == 1, s"tie split: ${b12.toSeq}")
+    // per group: every head bit <= every middle bit <= every tail bit
+    for (lang <- Seq("en", "fr")) {
+      val g = out.filter(_._2 == lang)
+      def bits(b: String) = g.filter(_._4 == b).map(_._3)
+      for ((lo, hi) <- Seq(("head", "middle"), ("middle", "tail")))
+        if (bits(lo).nonEmpty && bits(hi).nonEmpty)
+          assert(bits(lo).max <= bits(hi).min,
+            s"$lang $lo/$hi not monotone: ${g.toSeq}")
+      assert(bits("head").nonEmpty, s"$lang head empty: ${g.toSeq}")
+    }
+    // en has >= 3 distinct scores -> all three buckets must be inhabited
+    val en = out.filter(_._2 == "en")
+    assert(en.map(_._4).toSet == Set("head", "middle", "tail"), en.toSeq.toString)
+  }
+
   test("substring dedup: keeper kept, overlap merge, within-doc, short-doc") {
     // windowLen=10, stride=5: windows at 0/5/10/...
     val docs = Seq(

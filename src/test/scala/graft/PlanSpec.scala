@@ -251,6 +251,17 @@ class PlanSpec extends SparkSpec {
       s"doc text crossed a non-recompose shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("perplexity buckets: cut values broadcast; no corpus-wide ntile sort") {
+    val p = plan(graft.queries.CurationQueries.q115PerplexityBuckets(spark, dir))
+    assert(p.contains("BroadcastHashJoin"),
+      s"tercile cuts must broadcast-join back:\n$p")
+    // the only Window may run over the (group, bits) histogram — the doc
+    // id must not appear in any window operator's required ordering
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.forall(l => !l.contains("doc_id#")),
+      s"corpus-wide window sort detected:\n${windows.mkString("\n")}")
+  }
+
   test("semDeDup: no cartesian beyond the broadcast centroid cross") {
     val p = plan(graft.queries.SimilarityQueries.q114SemDeDup(spark, dir))
     assert(!p.contains("CartesianProduct"),
