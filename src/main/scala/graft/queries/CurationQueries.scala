@@ -337,6 +337,67 @@ object CurationQueries {
       |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS lm_bits
       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // --- q116: composed curation pipeline (gate → dedup → pack) -------------
+
+  /** The end-to-end shape a pretraining team actually runs, as ONE
+    * declarative plan: the q67 composite quality gate, exact dedup of
+    * the survivors (min-id keeper per content fingerprint), and q69's
+    * grouped bin packing of what remains — no materialization between
+    * stages, so Catalyst fuses the gate into the scan, the dedup
+    * semi-join is the only corpus shuffle (16-byte fingerprints), and
+    * packing runs G-parallel on the survivor sliver. Composability IS
+    * the feature under test: each stage is the already-verified
+    * operator, unchanged. */
+  def q116CurationPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val dup = dupFrac(w)
+    val mwl = meanWordLen(w)
+    val stopCt = size(filter(w, t => t.isin("the", "a")))
+    val passed = tp(spark, dir, "documents")
+      .filter(size(w).between(30, 1000) && dup <= 0.55 &&
+        mwl >= 3.0 && mwl <= 6.0 && stopCt >= 1)
+    val deduped = graft.operators.Dedup
+      .dropExactDuplicates(passed, "doc_id", "text")
+    val toks = deduped.select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"))
+    val packed = graft.operators.Packing.packBins(
+      toks, "doc_id", "ntok", capacity = 512, groups = 8)
+    graft.operators.Packing.binStats(packed, capacity = 512)
+      .orderBy("pack_group", "pack_bin")
+  }
+
+  val q116Sql: String =
+    """WITH toks0 AS (
+      |  SELECT doc_id, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |sig AS (
+      |  SELECT doc_id, text, w, len(w) AS n_words,
+      |    CASE WHEN len(w) = 0 THEN 0
+      |      ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END AS dup,
+      |    CASE WHEN len(w) = 0 THEN 0
+      |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS mwl,
+      |    len(list_filter(w, x -> x IN ('the', 'a'))) AS stop_ct
+      |  FROM toks0),
+      |passed AS (
+      |  SELECT doc_id, text, len(w) AS n_tokens FROM sig
+      |  WHERE n_words BETWEEN 30 AND 1000 AND dup <= 0.55
+      |    AND mwl >= 3.0 AND mwl <= 6.0 AND stop_ct >= 1),
+      |keep AS (
+      |  SELECT min(doc_id) AS doc_id FROM passed
+      |  GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))),
+      |surv AS (SELECT p.doc_id, p.n_tokens FROM passed p JOIN keep USING (doc_id)),
+      |packed AS (
+      |  SELECT doc_id, doc_id % 8 AS pack_group, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY doc_id % 8 ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM surv)
+      |SELECT pack_group,
+      |  CAST(floor((cum - n_tokens)::DOUBLE / 512) AS BIGINT) AS pack_bin,
+      |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+      |  round(sum(n_tokens)::DOUBLE / 512, 6) AS fill
+      |FROM packed GROUP BY 1, 2 ORDER BY pack_group, pack_bin""".stripMargin
+
   // --- q115: CCNet perplexity terciles ------------------------------------
 
   /** CCNet head/middle/tail partition per language: q103's bigram-LM
@@ -506,6 +567,7 @@ object CurationQueries {
     "q103_lm_score" -> q103LmScore _,
     "q110_lm_broadcast" -> q110LmBroadcast _,
     "q115_ppl_buckets" -> q115PerplexityBuckets _,
+    "q116_curation_e2e" -> q116CurationPipeline _,
     "q105_quality_filter" -> q105QualityFilter _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -519,6 +581,7 @@ object CurationQueries {
     "q103_lm_score" -> q103Sql,
     "q110_lm_broadcast" -> q110Sql,
     "q115_ppl_buckets" -> q115Sql,
+    "q116_curation_e2e" -> q116Sql,
     "q105_quality_filter" -> q105Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

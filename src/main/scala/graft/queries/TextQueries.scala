@@ -729,6 +729,30 @@ object TextQueries {
       |  count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- seeded epoch shuffle ---------------------------------------------
+
+  /** Epoch-seeded deterministic shuffle: every doc addressed by (shard,
+    * pos) under the epoch-1 hash order. Reading shards in order yields
+    * the epoch's reproducible global sample order; a different seed
+    * string is a different epoch permutation. */
+  def q117SeededShuffle(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Shards
+    Shards.seededShuffle(tp(spark, dir, "documents"), "doc_id",
+      numShards = 8, seed = "epoch1")
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+
+  val q117Sql: String =
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('epoch1|' || doc_id::VARCHAR), 1, 15))::UBIGINT
+      |      AS hv
+      |  FROM documents)
+      |SELECT doc_id, (hv % 8)::INT AS shard,
+      |  ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
+      |FROM h ORDER BY doc_id""".stripMargin
+
   // --- corpus-level duplicate-line removal ------------------------------
 
   /** C4/RefinedWeb boilerplate-line scrub. The corpus is single-line, so
@@ -964,7 +988,8 @@ object TextQueries {
     "q102_line_dedup" -> q102LineDedup _,
     "q104_bpe_merges" -> q104BpeMerges _,
     "q106_indoc_line_dedup" -> q106InDocLineDedup _,
-    "q113_substring_dedup" -> q113SubstringDedup _)
+    "q113_substring_dedup" -> q113SubstringDedup _,
+    "q117_seeded_shuffle" -> q117SeededShuffle _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -992,5 +1017,6 @@ object TextQueries {
     "q102_line_dedup" -> q102Sql,
     "q104_bpe_merges" -> q104Sql,
     "q106_indoc_line_dedup" -> q106Sql,
-    "q113_substring_dedup" -> q113Sql)
+    "q113_substring_dedup" -> q113Sql,
+    "q117_seeded_shuffle" -> q117Sql)
 }

@@ -32,6 +32,34 @@ object Shards {
     df.withColumn(shardCol, pmod(h, lit(numShards.toLong)).cast("int"))
   }
 
+  /** Deterministic per-epoch corpus shuffle: every row gets a (shard,
+    * pos) address under a seeded hash order — the reproducible
+    * training-order primitive. A training run reads shards in shard
+    * order, each shard internally in `pos` order, so the epoch's global
+    * sample order is fully determined by (seed, corpus) and changes with
+    * the seed; resuming an interrupted epoch is "skip to (shard, pos)".
+    *
+    * Scale shape: the only shuffle is the shard-keyed repartition that
+    * the sharded WRITE needs anyway ([[writeShards]] uses the same
+    * order under a fixed salt); `pos` is a row_number window
+    * PARTITIONED BY SHARD — numShards concurrent partition-local sorts
+    * of hash-sized keys, never a global single-reducer sort. Hash
+    * sharding keeps shards balanced regardless of key skew. */
+  def seededShuffle(df: DataFrame, keyCol: String, numShards: Int,
+                    seed: String = "epoch0",
+                    shardCol: String = "shard",
+                    posCol: String = "pos"): DataFrame = {
+    require(numShards > 0, "numShards must be > 0")
+    val h = hash64(concat(lit(seed), lit("|"), col(keyCol).cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(shardCol)).orderBy(col("__graft_h"), col(keyCol))
+    df.withColumn("__graft_h", h)
+      .withColumn(shardCol,
+        pmod(col("__graft_h"), lit(numShards.toLong)).cast("int"))
+      .withColumn(posCol, row_number().over(w).cast("long"))
+      .drop("__graft_h")
+  }
+
   final case class ShardInfo(shard: Int, rows: Long)
   final case class ShardManifest(numShards: Int, totalRows: Long,
                                  shards: Seq[ShardInfo])

@@ -720,6 +720,30 @@ class CurationSpec extends SparkSpec {
     assert(en.map(_._4).toSet == Set("head", "middle", "tail"), en.toSeq.toString)
   }
 
+  test("curation e2e: composition invariants tie the three stages together") {
+    val dir = "/root/testdata/sf0.001"
+    val bins = graft.queries.CurationQueries.q116CurationPipeline(spark, dir)
+      .collect()
+    assert(bins.nonEmpty)
+    // reproduce the survivor set independently: gate, then exact dedup
+    val q67 = graft.queries.CurationQueries.q67GopherFilter(spark, dir)
+      .filter(col("pass_filter") === 1).select("doc_id")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .join(q67, Seq("doc_id"), "left_semi")
+    val survivors = graft.operators.Dedup
+      .dropExactDuplicates(docs, "doc_id", "text")
+    val survTok = survivors
+      .select(graft.functions.TextFunctions.tokenCount(col("text")))
+      .as[Int].collect()
+    // packed token mass equals the survivors' token mass exactly, and the
+    // doc count in bins equals the survivor count (nothing lost or double
+    // packed between stages)
+    assert(bins.map(_.getAs[Long]("bin_tokens")).sum == survTok.map(_.toLong).sum)
+    assert(bins.map(_.getAs[Long]("n_docs")).sum == survTok.length.toLong)
+    // the gate genuinely cut something, and dedup ran on the gated set
+    assert(survTok.length < spark.read.parquet(s"$dir/documents.parquet").count())
+  }
+
   test("substring dedup: keeper kept, overlap merge, within-doc, short-doc") {
     // windowLen=10, stride=5: windows at 0/5/10/...
     val docs = Seq(

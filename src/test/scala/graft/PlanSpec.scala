@@ -420,6 +420,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("seeded shuffle: position window partitions by shard, not globally") {
+    val p = plan(graft.queries.TextQueries.q117SeededShuffle(spark, dir))
+    assert(p.contains("Window"), s"expected a window:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"epoch shuffle must not serialize onto one partition:\n$p")
+    assert(p.contains("hashpartitioning(shard"),
+      s"position window must key on the shard column:\n$p")
+  }
+
   test("packing window partitions by group (no single-partition window)") {
     val docs = (0L until 1000L).map(i => (i, (i % 40 + 10).toInt))
       .toDF("doc_id", "ntok")

@@ -63,4 +63,24 @@ class ShardsSpec extends SparkSpec {
       .select("id").as[Long].collect()
     assert(inFile.toSeq === inFile.toSeq.sortBy(id => (orderHash(id), id)))
   }
+
+  test("seededShuffle: per-shard permutation, deterministic, seed-sensitive") {
+    val df = spark.range(0, 2000, 1, 8).toDF("id")
+    val a = Shards.seededShuffle(df, "id", numShards = 4, seed = "epoch1")
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    // pos is exactly 1..n within every shard (a permutation address)
+    a.groupBy(_._2).foreach { case (s, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (1L to rows.length).toSeq,
+        s"shard $s pos not a permutation")
+    }
+    // deterministic under a different input partitioning
+    val b = Shards.seededShuffle(spark.range(0, 2000, 1, 1).toDF("id"),
+      "id", numShards = 4, seed = "epoch1")
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(a.sortBy(_._1).toSeq == b.sortBy(_._1).toSeq)
+    // a different epoch is a genuinely different permutation
+    val c = Shards.seededShuffle(df, "id", numShards = 4, seed = "epoch2")
+      .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
+    assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
+  }
 }
