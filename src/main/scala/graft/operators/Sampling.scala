@@ -58,6 +58,23 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** LEAKAGE-SAFE split: hash the near-dup FAMILY label instead of the
+    * row id, so an entire duplicate/near-duplicate family lands on one
+    * side of every cut — the standard defense against train→holdout
+    * contamination through paraphrases and templated copies (a per-doc
+    * hash split puts ~holdout-fraction of each family's members in the
+    * holdout, leaking their trained twins' content). `labels` is any
+    * (id → family) relation — [[Dedup.nearDupClusters]] /
+    * [[Similarity.embeddingNearDupClusters]] output slots in directly;
+    * singleton families degrade to the plain per-id split. One id-keyed
+    * join, then the same map-side hash-threshold rule as [[withSplit]]
+    * (same salt + labels ⇒ same verdict forever). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, labels: DataFrame,
+                       labelCol: String, weights: Seq[(String, Double)],
+                       salt: String = "split"): DataFrame =
+    withSplit(df.join(labels.select(col(idCol), col(labelCol)), Seq(idCol)),
+      labelCol, weights, salt)
+
   /** Re-mix a multi-domain corpus to target proportions — the Pile/
     * Dolma-style mixing step that turns "what we crawled" into "what we
     * train on". `weights` are integer mixture parts per domain (e.g.

@@ -248,6 +248,42 @@ object TextQueries {
        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // --- leakage-safe split ------------------------------------------------
+
+  /** 80/20 train/holdout split hashed on the q78 near-dup FAMILY label:
+    * every member of a dup family carries the same verdict, so no
+    * paraphrase of a training doc can leak into the holdout. */
+  def q118LeakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val labels = Dedup.nearDupClusters(docs, "doc_id", "text",
+      NumBands, ShingleK, threshold = 0.12)
+    graft.operators.Sampling.leakageSafeSplit(
+      docs.select(col("doc_id")), "doc_id", labels, "cluster_id",
+      Seq("train" -> 0.8, "holdout" -> 0.2))
+      .select(col("doc_id"), col("cluster_id"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  /** Oracle: the q78 closure labels, then the q57 hash-threshold rule
+    * applied to the LABEL. */
+  val q118Sql: String =
+    s"""WITH RECURSIVE $nearDupCtes,
+       |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.12),
+       |edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |reach AS (
+       |  SELECT doc_id AS src, doc_id AS dst FROM toks
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |lab AS (
+       |  SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
+       |  FROM reach GROUP BY src)
+       |SELECT doc_id, cluster_id,
+       |  CASE WHEN ('0x' || substr(md5('split|' || cluster_id::VARCHAR), 1, 15))::UBIGINT
+       |    % 1000000 < 800000 THEN 'train' ELSE 'holdout' END AS split
+       |FROM lab ORDER BY doc_id""".stripMargin
+
   // --- winnowing fingerprints -------------------------------------------
 
   /** Winnowed (MOSS) fingerprints, k=8-char grams, window w=4: one row
@@ -989,7 +1025,8 @@ object TextQueries {
     "q104_bpe_merges" -> q104BpeMerges _,
     "q106_indoc_line_dedup" -> q106InDocLineDedup _,
     "q113_substring_dedup" -> q113SubstringDedup _,
-    "q117_seeded_shuffle" -> q117SeededShuffle _)
+    "q117_seeded_shuffle" -> q117SeededShuffle _,
+    "q118_leakage_safe_split" -> q118LeakageSafeSplit _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -1018,5 +1055,6 @@ object TextQueries {
     "q104_bpe_merges" -> q104Sql,
     "q106_indoc_line_dedup" -> q106Sql,
     "q113_substring_dedup" -> q113Sql,
-    "q117_seeded_shuffle" -> q117Sql)
+    "q117_seeded_shuffle" -> q117Sql,
+    "q118_leakage_safe_split" -> q118Sql)
 }

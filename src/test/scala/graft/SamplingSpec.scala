@@ -107,4 +107,27 @@ class SamplingSpec extends SparkSpec {
     val small = Sampling.stratifiedQuota(ids(5, 1), "grp", "id", quota = 11)
     assert(small.count() === 5)
   }
+
+  test("leakage-safe split: families never straddle the cut; per-id split would") {
+    // 1000 ids in 100 families of 10 — label = id / 10 * 10 (min member)
+    val df = spark.range(0, 1000).toDF("id")
+    val labels = df.withColumn("fam", ($"id" / 10).cast("long") * 10)
+    val out = Sampling.leakageSafeSplit(df, "id", labels, "fam",
+      Seq("train" -> 0.8, "holdout" -> 0.2))
+      .select("id", "fam", "split").as[(Long, Long, String)].collect()
+    assert(out.length == 1000)
+    // every family is entirely on one side
+    out.groupBy(_._2).foreach { case (fam, rows) =>
+      assert(rows.map(_._3).distinct.length == 1, s"family $fam straddles")
+    }
+    // both sides inhabited, roughly proportional at the FAMILY level
+    val famSplit = out.groupBy(_._2).map(_._2.head._3)
+    val nTrain = famSplit.count(_ == "train")
+    assert(nTrain > 60 && nTrain < 95, s"train families: $nTrain")
+    // contrast: the per-id split breaks >half of these families apart
+    val perId = Sampling.withSplit(df, "id", Seq("train" -> 0.8, "holdout" -> 0.2))
+      .select("id", "split").as[(Long, String)].collect()
+    val broken = perId.groupBy(_._1 / 10).count(_._2.map(_._2).distinct.length > 1)
+    assert(broken > 50, s"expected the naive split to break families: $broken")
+  }
 }
