@@ -515,7 +515,7 @@ object Similarity {
     * (Q·d floats) — broadcasting the joined pair instead would duplicate
     * each query vector k·refine times and blow the broadcast limit at
     * production Q. */
-  private def refineStage(queries: DataFrame, corpus: DataFrame,
+  private[operators] def refineStage(queries: DataFrame, corpus: DataFrame,
                           shortlist: DataFrame, k: Int,
                           idCol: String, vecCol: String): DataFrame = {
     val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
@@ -534,6 +534,37 @@ object Similarity {
 
   // --- IVF-SQ8 — the composed production cascade -------------------------
 
+  /** Stride-picked centroid seeds collected (bounded) to the driver and
+    * pre-NORMALIZED there — the shared coarse-quantizer seeding of the
+    * composed cascades and [[DenseIndex]]: same stride rule (and same
+    * sparse-id fallback) as [[ivfTopK]], reproducible across engines; a
+    * zero centroid scores 0 against everything. */
+  private[operators] def collectCentroids(corpus: DataFrame,
+      numCentroids: Int, n: Long, idCol: String,
+      vecCol: String): Seq[(Long, Seq[Double])] = {
+    val stride = math.max(1L, n / numCentroids)
+    val strided = corpus
+      .filter(col(idCol) % stride === 0 &&
+        expr(s"$idCol div $stride") < numCentroids)
+      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val centRows = (if (strided.isEmpty)
+        corpus.orderBy(col(idCol)).limit(numCentroids)
+          .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+      else strided).collect()
+    centRows.toSeq.map { r =>
+      val cid = r.get(0).asInstanceOf[Number].longValue
+      val cv = r.getSeq[Any](1).map {
+        case f: java.lang.Float => f.doubleValue
+        case d: java.lang.Double => d.doubleValue
+        case x => x.asInstanceOf[Number].doubleValue
+      }
+      // driver-normalized (x/|c|, both IEEE-identical to the oracle's
+      // list arithmetic)
+      val nrm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+      (cid, if (nrm == 0.0) cv.map(_ => 0.0) else cv.map(_ / nrm))
+    }
+  }
+
   /** Dot product of a row vector against a driver-side literal vector —
     * the map-side kernel of the composed cascade's centroid assignment. */
   private def dotLit(vec: Column, w: Seq[Double]): Column =
@@ -544,7 +575,7 @@ object Similarity {
     * Struct ordering makes max/sort break score ties toward the SMALLER
     * centroid id — the same ORDER BY score DESC, centroid_id ASC the
     * oracle replays. */
-  private def centScores(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
+  private[operators] def centScores(vec: Column, cents: Seq[(Long, Seq[Double])]): Column =
     array(cents.map { case (cid, w) =>
       struct(dotLit(vec, w).as("s"), lit(-cid).as("nid")) }: _*)
 
@@ -586,32 +617,10 @@ object Similarity {
       s"numCentroids=$numCentroids: the centroid set collects to the driver")
     val corpus = graft.ops.Parallelism.ensure(corpus0)
     val n = corpusSize.getOrElse(corpus.count())
-    val stride = math.max(1L, n / numCentroids)
-    // stride-picked centroid seeds, same rule (and same sparse-id
-    // fallback) as ivfTopK — reproducible across engines
-    val strided = corpus
-      .filter(col(idCol) % stride === 0 &&
-        expr(s"$idCol div $stride") < numCentroids)
-      .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
-    val centRows = (if (strided.isEmpty)
-        corpus.orderBy(col(idCol)).limit(numCentroids)
-          .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
-      else strided).collect()
-    if (centRows.isEmpty)
+    val cents = collectCentroids(corpus, numCentroids, n, idCol, vecCol)
+    if (cents.isEmpty)
       return queries.limit(0).select(col(idCol).as("query_id"),
         lit(1).as("rank"), col(idCol).as("neighbor_id"), lit(0.0).as("sim"))
-    val cents: Seq[(Long, Seq[Double])] = centRows.toSeq.map { r =>
-      val cid = r.get(0).asInstanceOf[Number].longValue
-      val cv = r.getSeq[Any](1).map {
-        case f: java.lang.Float => f.doubleValue
-        case d: java.lang.Double => d.doubleValue
-        case x => x.asInstanceOf[Number].doubleValue
-      }
-      // driver-normalized (x/|c|, both IEEE-identical to the oracle's
-      // list arithmetic); a zero centroid scores 0 against everything
-      val nrm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
-      (cid, if (nrm == 0.0) cv.map(_ => 0.0) else cv.map(_ / nrm))
-    }
     // corpus pass: cluster assignment + quantization in ONE map-side
     // projection (codes/norms hoisted per vector behind the barrier,
     // exactly like int8TopK)

@@ -682,6 +682,23 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  // --- q119: persisted dense index round-trip ----------------------------
+
+  /** Index lifecycle: build the IVF-SQ8 index to disk, then answer the
+    * q109 query batch FROM the persisted index (cluster-partitioned
+    * lists, probe set pushed down as a partition filter). Results are
+    * bit-identical to the in-memory cascade, so the oracle IS q109's. */
+  def q119DenseIndex(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val ix = System.getProperty("java.io.tmpdir") +
+      "/graft_dense_index_" + Integer.toHexString(dir.hashCode)
+    graft.operators.DenseIndex.build(emb, ix, NumCentroids)
+    graft.operators.DenseIndex.query(
+      emb.filter(col("vec_id") < NumQueries), ix, K,
+      nProbe = 3, refine = Refine)
+      .orderBy("query_id", "rank")
+  }
+
   // --- q114: SemDeDup — cluster-scoped semantic dedup -------------------
 
   /** SemDeDup over the embeddings table: nearest-of-8 stride centroids
@@ -766,7 +783,8 @@ object SimilarityQueries {
     "q109_ann_ivf_sq8" -> q109IvfSq8 _,
     "q111_ann_pq_adc" -> q111AnnPqAdc _,
     "q112_ann_ivf_pq" -> q112AnnIvfPq _,
-    "q114_semdedup" -> q114SemDeDup _)
+    "q114_semdedup" -> q114SemDeDup _,
+    "q119_dense_index" -> q119DenseIndex _)
 
   val oracles: Map[String, String] = Map(
     "q40_ann_brute_topk" -> q40Sql,
@@ -781,5 +799,6 @@ object SimilarityQueries {
     "q109_ann_ivf_sq8" -> q109Sql,
     "q111_ann_pq_adc" -> q111Sql,
     "q112_ann_ivf_pq" -> q112Sql,
-    "q114_semdedup" -> q114Sql)
+    "q114_semdedup" -> q114Sql,
+    "q119_dense_index" -> q109Sql) // identical semantics by construction
 }

@@ -506,6 +506,26 @@ class OperatorsSpec extends SparkSpec {
     assert(out(3) == ((3L, 0)) && out(4) == ((4L, 1)) && out(5) == ((5L, 1)))
   }
 
+  test("dense index round-trip equals the in-memory cascade bit-for-bit") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ix = java.nio.file.Files.createTempDirectory("graft_dix").toString
+    graft.operators.DenseIndex.build(emb, ix, numCentroids = 8)
+    val fromIndex = graft.operators.DenseIndex.query(
+      emb.filter(col("vec_id") < 10), ix, k = 5, nProbe = 3, refine = 4)
+      .orderBy("query_id", "rank").collect()
+    val direct = Similarity.ivfInt8RefineTopK(
+      emb.filter(col("vec_id") < 10), emb, 5,
+      numCentroids = 8, nProbe = 3, refine = 4)
+      .orderBy("query_id", "rank").collect()
+    assert(fromIndex.toSeq == direct.toSeq)
+    assert(fromIndex.nonEmpty)
+    // a second query batch against the SAME persisted index (no rebuild)
+    val second = graft.operators.DenseIndex.query(
+      emb.filter(col("vec_id") >= 10 && col("vec_id") < 15), ix,
+      k = 3, nProbe = 2)
+    assert(second.count() > 0)
+  }
+
   test("preprocessing stats: changed/truncated/removed counters") {
     import graft.ops.Preprocess
     val df = Seq(

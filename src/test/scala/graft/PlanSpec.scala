@@ -262,6 +262,20 @@ class PlanSpec extends SparkSpec {
       s"corpus-wide window sort detected:\n${windows.mkString("\n")}")
   }
 
+  test("dense index query: probed clusters prune list partitions at the scan") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val ix = java.nio.file.Files.createTempDirectory("graft_dix_plan").toString
+    graft.operators.DenseIndex.build(emb, ix, numCentroids = 8)
+    val q = graft.operators.DenseIndex.query(
+      emb.filter(col("vec_id") < 3), ix, k = 5, nProbe = 2)
+    val p = plan(q)
+    // the probe set must reach the lists scan as a PARTITION filter
+    // (cluster is the partition column), not a post-scan Filter
+    assert(p.contains("PartitionFilters: [cluster"),
+      s"probe set did not push down as a partition filter:\n$p")
+    assert(!p.contains("CartesianProduct"), s"cartesian in index query:\n$p")
+  }
+
   test("semDeDup: no cartesian beyond the broadcast centroid cross") {
     val p = plan(graft.queries.SimilarityQueries.q114SemDeDup(spark, dir))
     assert(!p.contains("CartesianProduct"),
