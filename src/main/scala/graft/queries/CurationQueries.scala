@@ -337,6 +337,68 @@ object CurationQueries {
       |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS lm_bits
       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // --- q120: per-source corpus health report ------------------------------
+
+  /** The curation dashboard a data team reads before training: per
+    * source, doc and token mass, how many docs are corpus-wide exact
+    * duplicates (census across ALL sources — cross-source copies count),
+    * how many clear the composite quality gate, and language spread.
+    * One scan + one 16-byte fingerprint census; every signal is the
+    * already-verified operator's arithmetic. */
+  def q120CorpusReport(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val dup = dupFrac(w)
+    val mwl = meanWordLen(w)
+    val stopCt = size(filter(w, t => t.isin("the", "a")))
+    val pass = when(size(w).between(30, 1000) && dup <= 0.55 &&
+      mwl >= 3.0 && mwl <= 6.0 && stopCt >= 1, 1).otherwise(0)
+    val base = tp(spark, dir, "documents").select(
+      col("doc_id"), col("source"), col("lang"),
+      graft.functions.TextFunctions.fingerprint(col("text")).as("__graft_fp"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("__graft_ntok"),
+      pass.as("__graft_pass"))
+      .transform(graft.ops.Parallelism.stage)
+    val hot = base.groupBy(col("__graft_fp"))
+      .agg(count(lit(1)).as("__graft_c"))
+      .filter(col("__graft_c") > 1).select(col("__graft_fp"))
+    val flagged = base.join(hot, Seq("__graft_fp"), "left_semi")
+      .select(col("doc_id"), lit(1).as("__graft_isdup"))
+    base.join(flagged, Seq("doc_id"), "left")
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("__graft_ntok")).cast("long").as("total_tokens"),
+        sum(coalesce(col("__graft_isdup"), lit(0))).cast("long").as("dup_docs"),
+        sum(col("__graft_pass")).cast("long").as("gopher_pass"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy("source")
+  }
+
+  val q120Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source, lang, text,
+      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |base AS (
+      |  SELECT doc_id, source, lang, len(w) AS ntok,
+      |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fp,
+      |    CASE WHEN len(w) BETWEEN 30 AND 1000
+      |      AND (CASE WHEN len(w) = 0 THEN 0
+      |        ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END) <= 0.55
+      |      AND (CASE WHEN len(w) = 0 THEN 0
+      |        ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END)
+      |        BETWEEN 3.0 AND 6.0
+      |      AND len(list_filter(w, x -> x IN ('the', 'a'))) >= 1
+      |      THEN 1 ELSE 0 END AS pass
+      |  FROM toks),
+      |hot AS (SELECT fp FROM base GROUP BY fp HAVING count(*) > 1)
+      |SELECT source, count(*) AS n_docs,
+      |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+      |  CAST(sum(CASE WHEN fp IN (SELECT fp FROM hot) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS dup_docs,
+      |  CAST(sum(pass) AS BIGINT) AS gopher_pass,
+      |  count(DISTINCT lang) AS n_langs
+      |FROM base GROUP BY source ORDER BY source""".stripMargin
+
   // --- q116: composed curation pipeline (gate → dedup → pack) -------------
 
   /** The end-to-end shape a pretraining team actually runs, as ONE
@@ -568,6 +630,7 @@ object CurationQueries {
     "q110_lm_broadcast" -> q110LmBroadcast _,
     "q115_ppl_buckets" -> q115PerplexityBuckets _,
     "q116_curation_e2e" -> q116CurationPipeline _,
+    "q120_corpus_report" -> q120CorpusReport _,
     "q105_quality_filter" -> q105QualityFilter _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -582,6 +645,7 @@ object CurationQueries {
     "q110_lm_broadcast" -> q110Sql,
     "q115_ppl_buckets" -> q115Sql,
     "q116_curation_e2e" -> q116Sql,
+    "q120_corpus_report" -> q120Sql,
     "q105_quality_filter" -> q105Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

@@ -248,6 +248,40 @@ object TextQueries {
        |SELECT src AS doc_id, CAST(min(dst) AS BIGINT) AS cluster_id
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
 
+  // --- cross-source duplication matrix ------------------------------------
+
+  /** Which sources copy from which: confirmed near-dup pairs labeled by
+    * the two docs' sources, aggregated into an (unordered) source-pair
+    * matrix — the provenance view that catches a mirror site or a
+    * scraped-twice domain before it skews the mixture. Pair volume ∝
+    * duplicated mass; the id-keyed label joins move only (id, source). */
+  def q121SourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val pairs = Dedup.nearDuplicatePairs(docs, "doc_id", "text",
+      NumBands, ShingleK, threshold = 0.12)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
+  val q121Sql: String =
+    s"""WITH $nearDupCtes,
+       |pairs AS (SELECT id_a, id_b FROM jac WHERE jaccard >= 0.12),
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |         greatest(da.source, db.source) AS source_b
+       |  FROM pairs p
+       |  JOIN documents da ON da.doc_id = p.id_a
+       |  JOIN documents db ON db.doc_id = p.id_b)
+       |SELECT source_a, source_b, count(*) AS n_pairs
+       |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- leakage-safe split ------------------------------------------------
 
   /** 80/20 train/holdout split hashed on the q78 near-dup FAMILY label:
@@ -1026,7 +1060,8 @@ object TextQueries {
     "q106_indoc_line_dedup" -> q106InDocLineDedup _,
     "q113_substring_dedup" -> q113SubstringDedup _,
     "q117_seeded_shuffle" -> q117SeededShuffle _,
-    "q118_leakage_safe_split" -> q118LeakageSafeSplit _)
+    "q118_leakage_safe_split" -> q118LeakageSafeSplit _,
+    "q121_source_dup_matrix" -> q121SourceDupMatrix _)
 
   val oracles: Map[String, String] = Map(
     "q30_token_stats" -> q30Sql,
@@ -1056,5 +1091,6 @@ object TextQueries {
     "q106_indoc_line_dedup" -> q106Sql,
     "q113_substring_dedup" -> q113Sql,
     "q117_seeded_shuffle" -> q117Sql,
-    "q118_leakage_safe_split" -> q118Sql)
+    "q118_leakage_safe_split" -> q118Sql,
+    "q121_source_dup_matrix" -> q121Sql)
 }
