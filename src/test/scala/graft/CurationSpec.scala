@@ -466,6 +466,40 @@ class CurationSpec extends SparkSpec {
     byDoc.foreach { case (_, st, nt) => assert(st == nt) }
   }
 
+  test("property: substring dedup accounting holds on random corpora") {
+    import org.scalacheck.Gen
+    // word-soup docs with a small alphabet so cross-doc window repeats
+    // genuinely occur; one Spark job for all sampled cases
+    val wordGen = Gen.listOfN(40,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "eps"))
+      .map(_.mkString(" "))
+    val docs = (0 until 60).flatMap(i => wordGen.sample.map(t => (i.toLong, t)))
+      .toDF("doc_id", "text")
+    val out = graft.operators.Dedup
+      .dropDuplicateSpans(docs, "doc_id", "text", windowLen = 20, stride = 5)
+      .select("doc_id", "text", "clean_text", "n_spans", "removed_chars")
+      .as[(Long, String, String, Long, Long)].collect()
+    assert(out.length == docs.count())
+    out.foreach { case (id, orig, clean, spans, removed) =>
+      // exact length accounting: what was cut is what went missing
+      assert(clean.length.toLong == orig.length - removed,
+        s"doc $id: ${orig.length} - $removed != ${clean.length}")
+      assert((spans == 0) == (removed == 0L))
+      if (spans == 0) assert(clean == orig, s"doc $id changed with 0 spans")
+      // merged spans each cover at least one full window
+      if (spans > 0) assert(removed >= spans * 20, s"doc $id span too small")
+    }
+    // the tiny alphabet guarantees repeats: the scrub must have fired
+    assert(out.exists(_._4 > 0), "no duplicated windows in a 5-word alphabet?")
+    // a corpus of globally-unique strings passes through untouched
+    val uniq = (0 until 30).map(i => (i.toLong,
+      Seq.tabulate(8)(j => ((i * 31L + j) * 2654435761L).toHexString)
+        .mkString(" "))).toDF("doc_id", "text")
+    val clean = graft.operators.Dedup
+      .dropDuplicateSpans(uniq, "doc_id", "text", windowLen = 20, stride = 5)
+    assert(clean.filter(col("n_spans") > 0).count() == 0)
+  }
+
   test("property: signal bounds and redaction idempotence on random docs") {
     import org.scalacheck.Gen
     // one Spark job for all sampled cases (job-per-case would be slow)
