@@ -187,9 +187,16 @@ object LanguageModel {
     * (no bigrams) are excluded, as in CCNet.
     * Emits (idCol, groupCol, lm_bits, bucket ∈ head|middle|tail). */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
-      groupCol: String): DataFrame = {
+      groupCol: String, topN: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = bigramBits(df, idCol, textCol)
+    // topN routes the scoring through the broadcast pruned-LM path (the
+    // q110/100 TB shape: zero bigram-keyed exchanges); the tercile
+    // machinery downstream is identical either way, and whenever every
+    // doc's bigrams sit in the head the buckets match the exact path
+    val scored = topN match {
+      case Some(n) => bigramBitsBroadcast(df, idCol, textCol, n)
+      case None    => bigramBits(df, idCol, textCol)
+    }
     val g = df.select(col(idCol), col(groupCol))
       .join(scored.filter(col("lm_bits").isNotNull)
         .select(col(idCol), col("lm_bits")), Seq(idCol))

@@ -778,6 +778,19 @@ class CurationSpec extends SparkSpec {
     assert(survTok.length < spark.read.parquet(s"$dir/documents.parquet").count())
   }
 
+  test("perplexity buckets: broadcast-LM path matches exact when head covers") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val exact = graft.operators.LanguageModel
+      .perplexityBuckets(docs, "doc_id", "text", "lang")
+      .orderBy("doc_id").collect()
+    // head big enough to hold every distinct bigram -> identical buckets
+    val bcast = graft.operators.LanguageModel
+      .perplexityBuckets(docs, "doc_id", "text", "lang", topN = Some(5000000))
+      .orderBy("doc_id").collect()
+    assert(exact.toSeq == bcast.toSeq)
+  }
+
   test("substring dedup: keeper kept, overlap merge, within-doc, short-doc") {
     // windowLen=10, stride=5: windows at 0/5/10/...
     val docs = Seq(
