@@ -526,6 +526,21 @@ class OperatorsSpec extends SparkSpec {
     assert(second.count() > 0)
   }
 
+  test("dense index: empty corpus builds a queryable empty index; rebuild overwrites") {
+    val empty = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 0)
+    val ix = java.nio.file.Files.createTempDirectory("graft_dix_e").toString
+    graft.operators.DenseIndex.build(empty, ix, numCentroids = 4)
+    val q = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .filter(col("vec_id") < 3)
+    assert(graft.operators.DenseIndex.query(q, ix, k = 5).count() == 0)
+    // rebuilding over the same dir with real data serves real results
+    graft.operators.DenseIndex.build(
+      spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet"), ix,
+      numCentroids = 4)
+    assert(graft.operators.DenseIndex.query(q, ix, k = 5).count() > 0)
+  }
+
   test("preprocessing stats: changed/truncated/removed counters") {
     import graft.ops.Preprocess
     val df = Seq(
