@@ -225,8 +225,88 @@ object EventQueries {
       |FROM events e JOIN w ON e.ts >= w.lo AND e.ts < w.hi
       |GROUP BY window_id ORDER BY window_id""".stripMargin
 
+  // --- q122: streaming curation (stateful content dedup + gate) ----------
+
+  /** Curation AS a stream: the documents table arrives twice (two files,
+    * one micro-batch each — a crawl re-delivering every page), stateful
+    * `dropDuplicates` on the content fingerprint holds the seen-ledger
+    * across batches, the composite quality gate runs map-side on the
+    * survivors, and the sink keeps running (pass → docs, token mass)
+    * totals. All aggregates are functions of the TEXT only, so whichever
+    * twin of a duplicate arrives first, the output is deterministic and
+    * replays in batch SQL. At scale the dedup state is 16-byte
+    * fingerprints in the state store — the streaming form of the
+    * incremental ledger ([[graft.operators.Dedup.dropSeenBefore]]). */
+  def q122StreamingCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.{fingerprint, tokens, tokenCount}
+    import graft.functions.CurationFunctions.{dupFrac, meanWordLen}
+    val rawSchema = spark.read.parquet(s"$dir/documents.parquet").schema
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_cur_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    for (name <- Seq("a.parquet", "b.parquet")) {
+      val link = streamDir.resolve(name)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/documents.parquet"))
+    }
+    val w = tokens(col("text"))
+    val dup = dupFrac(w)
+    val mwl = meanWordLen(w)
+    val stopCt = size(filter(w, t => t.isin("the", "a")))
+    val pass = when(size(w).between(30, 1000) && dup <= 0.55 &&
+      mwl >= 3.0 && mwl <= 6.0 && stopCt >= 1, 1).otherwise(0)
+    val sinkName = "graft_stream_curation"
+    val stream = spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .withColumn("fp", fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .select(pass.as("pass_filter"), tokenCount(col("text")).as("ntok"))
+      .groupBy(col("pass_filter"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("long")
+        .as("total_tokens"))
+    val query = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(col("pass_filter"), col("n_docs"), col("total_tokens"))
+      .orderBy("pass_filter")
+  }
+
+  /** Oracle: one representative per content fingerprint (text identical
+    * within a group, so min() is canonical), then the same gate and
+    * totals in batch. */
+  val q122Sql: String =
+    """WITH ded AS (
+      |  SELECT min(text) AS text FROM documents
+      |  GROUP BY md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))),
+      |sig AS (
+      |  SELECT list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |    x -> x <> '') AS w
+      |  FROM ded),
+      |flags AS (
+      |  SELECT len(w) AS ntok,
+      |    CASE WHEN len(w) BETWEEN 30 AND 1000
+      |      AND (CASE WHEN len(w) = 0 THEN 0
+      |        ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END) <= 0.55
+      |      AND (CASE WHEN len(w) = 0 THEN 0
+      |        ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END)
+      |        BETWEEN 3.0 AND 6.0
+      |      AND len(list_filter(w, x -> x IN ('the', 'a'))) >= 1
+      |      THEN 1 ELSE 0 END AS pass_filter
+      |  FROM sig)
+      |SELECT pass_filter, count(*) AS n_docs,
+      |  CAST(sum(ntok) AS BIGINT) AS total_tokens
+      |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q50_hourly_rollup" -> q50HourlyRollup _,
+    "q122_streaming_curation" -> q122StreamingCuration _,
     "q51_streaming_rollup" -> q51StreamingRollup _,
     "q52_sessionize" -> q52Sessionize _,
     "q53_asof_join" -> q53AsOfJoin _,
@@ -236,6 +316,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q50_hourly_rollup" -> q50Sql,
+    "q122_streaming_curation" -> q122Sql,
     "q51_streaming_rollup" -> q51Sql,
     "q52_sessionize" -> q52Sql,
     "q53_asof_join" -> q53Sql,
