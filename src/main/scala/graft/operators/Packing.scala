@@ -177,4 +177,27 @@ object Packing {
       count(lit(1)).as("n_docs"),
       sum(col("n_tokens")).as("bin_tokens"),
       round(sum(col("n_tokens")).cast("double") / capacity, 6).as("fill"))
+
+  /** Length-bucketed batching stats — the dynamic-batching planner's
+    * input for INFERENCE over a corpus: sequences grouped into
+    * fixed-`width` token-count buckets (bucket k holds lengths
+    * [k·width, (k+1)·width)), with the padding waste each bucket pays if
+    * its members pad to the bucket's longest member — the quantity
+    * length-bucketing exists to minimize (padding to the GLOBAL max
+    * instead is the naive batcher's cost; the saved fraction is the
+    * operator's value, and the report makes it measurable). One bounded
+    * groupBy (≤ maxLen/width buckets); everything else is map-side. */
+  def lengthBuckets(df: DataFrame, idCol: String, ntokCol: String,
+                    width: Int): DataFrame = {
+    require(width >= 1, "width must be >= 1")
+    df.select(col(idCol), col(ntokCol).cast("long").as("__graft_ntok"))
+      .withColumn("bucket", (col("__graft_ntok") / width).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("__graft_ntok")).as("max_tokens"),
+        sum(col("__graft_ntok")).as("total_tokens"),
+        (count(lit(1)) * max(col("__graft_ntok")) -
+          sum(col("__graft_ntok"))).as("padding_waste"))
+  }
 }

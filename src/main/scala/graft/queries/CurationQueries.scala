@@ -337,6 +337,30 @@ object CurationQueries {
       |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS lm_bits
       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // --- q123: length-bucketed inference batching stats ---------------------
+
+  /** Dynamic-batching report: 32-token-wide length buckets with the
+    * padding waste each pays against its own max — the measurable win of
+    * length bucketing over pad-to-global-max. */
+  def q123LengthBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents").select(col("doc_id"),
+      graft.functions.TextFunctions.tokenCount(col("text")).as("ntok"))
+    graft.operators.Packing.lengthBuckets(docs, "doc_id", "ntok", width = 32)
+      .orderBy("bucket")
+  }
+
+  val q123Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+      |      x -> x <> '')) AS ntok
+      |  FROM documents)
+      |SELECT CAST(ntok // 32 AS BIGINT) AS bucket, count(*) AS n_docs,
+      |  CAST(max(ntok) AS BIGINT) AS max_tokens,
+      |  CAST(sum(ntok) AS BIGINT) AS total_tokens,
+      |  CAST(count(*) * max(ntok) - sum(ntok) AS BIGINT) AS padding_waste
+      |FROM toks GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --- q120: per-source corpus health report ------------------------------
 
   /** The curation dashboard a data team reads before training: per
@@ -631,6 +655,7 @@ object CurationQueries {
     "q115_ppl_buckets" -> q115PerplexityBuckets _,
     "q116_curation_e2e" -> q116CurationPipeline _,
     "q120_corpus_report" -> q120CorpusReport _,
+    "q123_length_buckets" -> q123LengthBuckets _,
     "q105_quality_filter" -> q105QualityFilter _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -646,6 +671,7 @@ object CurationQueries {
     "q115_ppl_buckets" -> q115Sql,
     "q116_curation_e2e" -> q116Sql,
     "q120_corpus_report" -> q120Sql,
+    "q123_length_buckets" -> q123Sql,
     "q105_quality_filter" -> q105Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,
