@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.ops.Parallelism
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al., NeurIPS
+  * 2023): pick the slice of a raw web corpus that "looks like" a small
+  * high-quality target set, by importance weights computed over HASHED
+  * N-GRAM features instead of a learned model. Each document's features
+  * are its unigrams + word bigrams hashed into `buckets` counters; the
+  * target and raw corpora each induce a bucket distribution (add-one
+  * smoothed); a document's log importance weight is the sum over its
+  * gram occurrences of `log p_target[bucket] − log p_raw[bucket]`.
+  *
+  * Cross-engine determinism follows the [[LanguageModel]] discipline:
+  * each bucket's log-ratio is rounded ONCE to integer micro-bits (the
+  * only float op is a single IEEE log2 chain per bucket, computed in one
+  * place), and per-document accumulation is exact integer addition —
+  * reproducible under any partitioning and replayable in DuckDB.
+  *
+  * Scale shape — this is why DSIR is THE feasible quality-targeting
+  * method at 100 TB while a per-doc classifier forward pass is not:
+  *  - ONE aggregation pass builds both bucket censuses simultaneously
+  *    (raw count + target-flagged count per bucket); only (bucket,
+  *    count) pairs shuffle — at most `buckets` groups, map-side
+  *    combined, document text never crosses an exchange.
+  *  - The model IS the bucket array (`buckets` longs, ~32 KB at 4096):
+  *    it broadcasts as one literal and scoring is a pure per-row map —
+  *    zero shuffles, zero joins, whole corpus scored at scan speed.
+  *  - The selection cut runs over the value-distinct score histogram
+  *    (the q115 broadcast-cut discipline — no global sort of documents;
+  *    at extreme scale, coarsen the micro grid before the histogram).
+  */
+object Dsir {
+
+  private val Dup = "__graft_"
+
+  /** Lowercased whitespace unigrams ++ "w1 w2" bigrams — the feature
+    * grams. Unigrams cannot contain spaces, so the two spaces can share
+    * one array without collisions. */
+  private def gramArr(textCol: Column): Column = {
+    // null text must mean ZERO grams (score 0, like the oracle's
+    // left-join + coalesce), not a null score column
+    val w = coalesce(TextFunctions.tokens(lower(textCol)),
+      array().cast("array<string>"))
+    val bi = when(size(w) >= 2,
+      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+      .otherwise(array().cast("array<string>"))
+    concat(w, bi)
+  }
+
+  /** Feature bucket of one gram: salted portable 60-bit hash mod
+    * `buckets` (same md5 formula every other sampling/hashing operator
+    * uses — DuckDB replays it as `('0x'||substr(md5(...),1,15))::UBIGINT
+    * % buckets`). */
+  private def bucketOf(g: Column, buckets: Int): Column =
+    pmod(TextFunctions.hash64(concat(lit("dsir|"), g)), lit(buckets.toLong))
+
+  /** Importance-score `df` against the target slice `targetPred` and
+    * flag the global top `keepFrac` quantile.
+    *
+    * Output: (idCol, n_grams, logw_micro, log_weight, kept) — one row
+    * per input row; `logw_micro` is the exact integer micro-bit sum,
+    * `log_weight` its 1e-6-rounded float form, `kept` = 1 iff the score
+    * is STRICTLY above the (1−keepFrac)-quantile cut value (ties at the
+    * cut are excluded — deterministic, no sampling noise; the paper's
+    * Gumbel-resampling variant trades auditability for variance and is
+    * out of scope by design).
+    *
+    * Documents with no grams (empty/null text) score 0 with n_grams=0
+    * and take the same cut comparison as everyone else. */
+  def importanceWeights(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 4096,
+      keepFrac: Double = 0.25): DataFrame = {
+    require(buckets >= 2 && buckets <= (1 << 24),
+      s"buckets=$buckets: the bucket model collects to the driver (bounded)")
+    require(keepFrac > 0 && keepFrac < 1, "keepFrac must be in (0,1)")
+
+    // --- model: one pass, both censuses at once --------------------------
+    val grams = df.select(
+      explode(gramArr(col(textCol))).as(s"${Dup}g"),
+      when(targetPred, 1L).otherwise(0L).as(s"${Dup}tf"))
+    val census = Parallelism.stage(
+      grams.select(bucketOf(col(s"${Dup}g"), buckets).as(s"${Dup}b"),
+          col(s"${Dup}tf"))
+        .groupBy(col(s"${Dup}b"))
+        .agg(count(lit(1)).as(s"${Dup}rc"), sum(col(s"${Dup}tf")).as(s"${Dup}tc")))
+    val totals = census.agg(
+      sum(col(s"${Dup}rc")).as("nr"), sum(col(s"${Dup}tc")).as("nt")).collect()(0)
+    val nr = Option(totals.get(0)).fold(0L)(_.asInstanceOf[Long])
+    val nt = Option(totals.get(1)).fold(0L)(_.asInstanceOf[Long])
+    require(nt > 0, "targetPred selects no grams: nothing to resample toward")
+    // micro log-ratio per bucket, computed by the same Spark log2
+    // expression chain the DuckDB oracle uses (one IEEE chain per bucket)
+    val micro = round((log2((col(s"${Dup}tc") + 1).cast("double") /
+      lit(nt + buckets.toLong)) -
+      log2((col(s"${Dup}rc") + 1).cast("double") / lit(nr + buckets.toLong)))
+      * 1e6, 0).cast("long")
+    // the unseen-bucket floor (tc=rc=0): fires only for text outside the
+    // fitted corpus — computed through the identical expression for parity
+    val floorMicro = df.sparkSession.range(1).select(
+      round((log2(lit(1.0) / lit((nt + buckets).toDouble)) -
+        log2(lit(1.0) / lit((nr + buckets).toDouble))) * 1e6, 0)
+        .cast("long")).collect()(0).getLong(0)
+    val model = Array.fill[Long](buckets)(floorMicro)
+    census.select(col(s"${Dup}b"), micro.as(s"${Dup}m")).collect()
+      .foreach(r => model(r.getLong(0).toInt) = r.getLong(1))
+
+    // --- scoring: pure map over a broadcast literal ----------------------
+    val lut = lit(model)
+    val g = gramArr(col(textCol))
+    val scored = Parallelism.stage(df.select(col(idCol),
+      size(g).cast("long").as("n_grams"),
+      aggregate(g, lit(0L), (acc, t) =>
+        acc + element_at(lut, (bucketOf(t, buckets) + 1).cast("int")))
+        .as("logw_micro")))
+
+    // --- global quantile cut over the value-distinct histogram -----------
+    import org.apache.spark.sql.expressions.Window
+    val n = scored.count()
+    // exact ceil((1−keepFrac)·n) through the 1e-6 integer grid — for the
+    // canonical keepFrac=0.25 this equals ceil(3n/4) = (3n+3)//4, the
+    // form the oracle replays
+    val fr = math.round((1.0 - keepFrac) * 1000000L)
+    val cutRank = (fr * n + 999999L) / 1000000L
+    val hist = scored.groupBy(col("logw_micro"))
+      .agg(count(lit(1)).as(s"${Dup}c"))
+    val cut = hist
+      .withColumn(s"${Dup}cum",
+        sum(s"${Dup}c").over(Window.orderBy("logw_micro")))
+      .agg(min(when(col(s"${Dup}cum") >= lit(cutRank), col("logw_micro")))
+        .as(s"${Dup}t"))
+    scored.join(broadcast(cut))
+      .select(col(idCol), col("n_grams"), col("logw_micro"),
+        round(col("logw_micro").cast("double") / 1e6, 6).as("log_weight"),
+        when(col("logw_micro") > col(s"${Dup}t"), 1L).otherwise(0L)
+          .as("kept"))
+  }
+}

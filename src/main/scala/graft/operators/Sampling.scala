@@ -102,19 +102,63 @@ object Sampling {
                     epochCol: String = "epoch"): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "weights must be positive integers")
-    require(totalRows > 0, "totalRows must be > 0")
     require(weights.map(_._1).distinct.size == weights.size,
       "duplicate domain in weights")
-    val wSum = weights.map(_._2).sum
-    require(wSum <= Long.MaxValue / totalRows,
-      s"totalRows * weight overflows Long (totalRows=$totalRows, sum=$wSum)")
     val domains = weights.map(_._1)
     val inDomains = df.filter(col(domainCol).isin(domains: _*))
     // tiny census: one row per weighted domain
     val counts = inDomains.groupBy(col(domainCol).cast("string").as("__d"))
       .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // integer plan — truncating division matches DuckDB's `//` on the
-    // all-positive operands here
+    mixturePlan(inDomains, domainCol, keyCol, counts, weights, totalRows,
+      maxEpochs, salt, epochCol)
+  }
+
+  /** Temperature-scaled domain re-mixing (the multilingual-LM recipe:
+    * sample domain i with probability ∝ n_i^α, α < 1 flattening the
+    * head so low-resource domains aren't drowned — mBERT/XLM-R use
+    * exactly this with α ≈ 0.3–0.7). This is [[mixtureSample]] with the
+    * weights DERIVED from the corpus itself at α = 1/2: integer weight
+    * `isqrt(n_i)` per domain. The square root is the one α where the
+    * exponent is exactly replayable cross-engine — `floor(sqrt(n))` of a
+    * BIGINT is deterministic in both JVM and DuckDB because IEEE sqrt is
+    * correctly rounded and a non-square n keeps `sqrt(n)` at least
+    * `1/(2·isqrt(n))` away from an integer, orders of magnitude beyond
+    * one ulp. Everything downstream is [[mixtureSample]]'s exact integer
+    * plan over the same census (one #domains-row collect, bounded). */
+  def temperatureMixture(df: DataFrame, domainCol: String, keyCol: String,
+                         totalRows: Long, maxEpochs: Int = 10,
+                         maxDomains: Int = 10000, salt: String = "mix",
+                         epochCol: String = "epoch"): DataFrame = {
+    val counts = df.groupBy(col(domainCol).cast("string").as("__d"))
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.size <= maxDomains,
+      s"${counts.size} domains > maxDomains=$maxDomains: the census " +
+        "collects one row per domain; raise the bound only if that is sane")
+    require(counts.nonEmpty, "empty input: no domains to mix")
+    // isqrt weights, domain-sorted so the plan (and its when-chain) is
+    // deterministic regardless of census row order
+    val weights = counts.toSeq.sortBy(_._1).map { case (d, n) =>
+      d -> math.sqrt(n.toDouble).toLong
+    }
+    mixturePlan(df, domainCol, keyCol, counts, weights, totalRows,
+      maxEpochs, salt, epochCol)
+  }
+
+  /** The shared exact-integer mixture plan: census + weights → per-domain
+    * (full epochs, fractional hash threshold) → map-side when-chain +
+    * `explode(sequence)`. Truncating division matches DuckDB's `//` on
+    * the all-positive operands here. */
+  private def mixturePlan(inDomains: DataFrame, domainCol: String,
+                          keyCol: String, counts: Map[String, Long],
+                          weights: Seq[(String, Long)], totalRows: Long,
+                          maxEpochs: Int, salt: String,
+                          epochCol: String): DataFrame = {
+    require(totalRows > 0, "totalRows must be > 0")
+    require(weights.forall(_._2 > 0),
+      s"every domain weight must be positive: ${weights.filter(_._2 <= 0)}")
+    val wSum = weights.map(_._2).sum
+    require(wSum <= Long.MaxValue / totalRows,
+      s"totalRows * weight overflows Long (totalRows=$totalRows, sum=$wSum)")
     val plan = weights.map { case (d, wt) =>
       val n = counts.getOrElse(d, 0L)
       val need = totalRows * wt / wSum

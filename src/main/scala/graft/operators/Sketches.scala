@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Count–min sketch (Cormode & Muthukrishnan 2005) — the fixed-size
+  * mergeable frequency summary that answers "roughly how often does
+  * token X occur?" over a corpus whose exact census is infeasible. The
+  * sketch is a `depth × width` grid of counters; item `t` increments one
+  * counter per row (`hash_r(t) mod width`), a point estimate reads the
+  * MINIMUM of its `depth` counters — an overestimate by construction
+  * (collisions only ever add), within `ε·N` with probability `1−δ` for
+  * `width = e/ε`, `depth = ln(1/δ)`.
+  *
+  * Scale shape — why this is a 100 TB primitive:
+  *  - Building is ONE aggregation whose key space is at most
+  *    `depth·width` cells regardless of corpus size: partial counts
+  *    combine map-side, so the shuffle moves ≤ `depth·width` rows per
+  *    partition, never the token census (which at web scale is billions
+  *    of distinct keys and the thing you're trying to avoid).
+  *  - Sketches MERGE by cell-wise addition (counts are linear), so
+  *    per-shard sketches roll up hierarchically — build per day/crawl,
+  *    add to taste. [[merge]] is that cell-wise union.
+  *  - Probing is a broadcast-size join against the ≤ `depth·width`-row
+  *    sketch.
+  *
+  * Hashes are the portable salted md5 formula every sampling operator
+  * here uses, so any engine can replay both the build and the probe —
+  * a sketch written to parquet is engine-independent infrastructure,
+  * not a Spark-runtime artifact.
+  */
+object Sketches {
+
+  private val Dup = "__graft_"
+
+  /** Counter column of item `t` in sketch row `r`. */
+  private def cellOf(t: Column, r: Int, width: Int): Column =
+    pmod(TextFunctions.hash64(concat(lit(s"cms$r|"), t)), lit(width.toLong))
+
+  /** Build a count–min sketch over `itemCol` of `df` (one increment per
+    * row — pre-weight by exploding upstream). Output: (r, c, cnt) with
+    * ≤ depth·width rows — the sparse grid (absent cells are zero). */
+  def cmsBuild(df: DataFrame, itemCol: String, depth: Int = 4,
+               width: Int = 1024): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth=$depth out of [1,16]")
+    require(width >= 16 && width <= (1 << 24), s"width=$width out of range")
+    val t = col(itemCol)
+    val cells = array((0 until depth).map(r =>
+      struct(lit(r).as("r"), cellOf(t, r, width).as("c"))): _*)
+    df.select(explode(cells).as(s"${Dup}cell"))
+      .select(col(s"${Dup}cell.r").as("r"), col(s"${Dup}cell.c").as("c"))
+      .groupBy(col("r"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Cell-wise sum of two sketches built with the same (depth, width) —
+    * count linearity makes the merged sketch exactly the sketch of the
+    * concatenated corpora. */
+  def merge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("r"), col("c"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Point-estimate the frequency of each row of `probes(itemCol)`
+    * against a sketch: min over the item's `depth` cells (an absent
+    * cell reads zero). Output: probes' columns + `cms_est`. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, itemCol: String,
+                  depth: Int = 4, width: Int = 1024): DataFrame = {
+    val t = col(itemCol)
+    val cells = array((0 until depth).map(r =>
+      struct(lit(r).as("r"), cellOf(t, r, width).as("c"))): _*)
+    val exploded = probes
+      .withColumn(s"${Dup}cell", explode(cells))
+      .withColumn(s"${Dup}r", col(s"${Dup}cell.r"))
+      .withColumn(s"${Dup}c", col(s"${Dup}cell.c"))
+      .drop(s"${Dup}cell")
+    exploded
+      .join(broadcast(sketch.withColumnRenamed("r", s"${Dup}r")
+        .withColumnRenamed("c", s"${Dup}c")),
+        Seq(s"${Dup}r", s"${Dup}c"), "left")
+      .groupBy(probes.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+  }
+}

@@ -570,6 +570,63 @@ object CurationQueries {
       |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS lm_bits
       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // --- q124: DSIR importance-weighted data selection ----------------------
+
+  /** DSIR (Xie et al. 2023) over the documents corpus: hashed-ngram
+    * importance weights against a two-source "high-quality target"
+    * slice, top-quarter selection by broadcast histogram cut. The
+    * oracle replays the entire arc — feature hashing, the twin bucket
+    * censuses, add-one log-ratios in micro-bits, exact integer per-doc
+    * sums, and the ceil(3n/4) cut — so the importance MODEL itself is
+    * cross-engine verified, not just the final flags. */
+  def q124DsirSelect(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Dsir.importanceWeights(
+      tp(spark, dir, "documents"), "doc_id", "text",
+      targetPred = col("source").isin("src0", "src1"),
+      buckets = 4096, keepFrac = 0.25)
+      .orderBy("doc_id")
+
+  val q124Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, source,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |garr AS (
+      |  SELECT doc_id, source,
+      |    w || CASE WHEN len(w) >= 2
+      |      THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+      |      ELSE []::VARCHAR[] END AS g
+      |  FROM toks),
+      |bk AS (
+      |  SELECT doc_id, source,
+      |    (('0x' || substr(md5('dsir|' || t), 1, 15))::UBIGINT % 4096)::BIGINT AS b
+      |  FROM (SELECT doc_id, source, unnest(g) AS t FROM garr)),
+      |census AS (
+      |  SELECT b, count(*)::BIGINT AS rc,
+      |    sum(CASE WHEN source IN ('src0', 'src1') THEN 1 ELSE 0 END)::BIGINT AS tc
+      |  FROM bk GROUP BY 1),
+      |tot AS (SELECT sum(rc) AS nr, sum(tc) AS nt FROM census),
+      |micro AS (
+      |  SELECT b, CAST(round((log2((tc + 1)::DOUBLE / (nt + 4096))
+      |      - log2((rc + 1)::DOUBLE / (nr + 4096))) * 1000000.0, 0) AS BIGINT) AS m
+      |  FROM census CROSS JOIN tot),
+      |sc AS (
+      |  SELECT bk.doc_id, sum(micro.m)::BIGINT AS s, count(*)::BIGINT AS ng
+      |  FROM bk JOIN micro ON bk.b = micro.b GROUP BY 1),
+      |base AS (
+      |  SELECT d.doc_id, coalesce(sc.ng, 0) AS n_grams, coalesce(sc.s, 0) AS s
+      |  FROM documents d LEFT JOIN sc USING (doc_id)),
+      |hist AS (SELECT s, count(*) AS c FROM base GROUP BY 1),
+      |cum AS (SELECT s, sum(c) OVER (ORDER BY s) AS cum FROM hist),
+      |nn AS (SELECT count(*) AS n FROM base),
+      |cut AS (
+      |  SELECT min(CASE WHEN cum >= (3 * nn.n + 3) // 4 THEN s END) AS t
+      |  FROM cum CROSS JOIN nn)
+      |SELECT b.doc_id, b.n_grams, b.s AS logw_micro,
+      |  round(b.s::DOUBLE / 1000000.0, 6) AS log_weight,
+      |  CAST(CASE WHEN b.s > cut.t THEN 1 ELSE 0 END AS BIGINT) AS kept
+      |FROM base b CROSS JOIN cut ORDER BY b.doc_id""".stripMargin
+
   // --- q105: fastText-style quality classifier (pinned-model scoring) -----
 
   /** Exported-model quality scoring — the production arc of the
@@ -657,6 +714,7 @@ object CurationQueries {
     "q120_corpus_report" -> q120CorpusReport _,
     "q123_length_buckets" -> q123LengthBuckets _,
     "q105_quality_filter" -> q105QualityFilter _,
+    "q124_dsir_select" -> q124DsirSelect _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
     "q67_gopher_filter" -> q67GopherFilter _,
@@ -673,6 +731,7 @@ object CurationQueries {
     "q120_corpus_report" -> q120Sql,
     "q123_length_buckets" -> q123Sql,
     "q105_quality_filter" -> q105Sql,
+    "q124_dsir_select" -> q124Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,
     "q67_gopher_filter" -> q67Sql,

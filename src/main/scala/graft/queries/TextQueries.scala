@@ -799,6 +799,48 @@ object TextQueries {
       |  count(*) AS n_docs, sum(n_chars)::BIGINT AS chars
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Temperature-scaled re-mixing over the 20-source corpus at α = 1/2:
+    * weights are `isqrt(n_source)` derived from the census itself (the
+    * mBERT/XLM-R low-resource-upweighting recipe), then the exact q100
+    * integer plan. The oracle recomputes the census, the isqrt weights,
+    * and the full planner arithmetic — the derived-weight step is
+    * cross-engine verified end-to-end. */
+  def q126TemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    val docs = tp(spark, dir, "documents")
+    val total = docs.count()
+    Sampling.temperatureMixture(docs, domainCol = "source",
+      keyCol = "doc_id", totalRows = total)
+      .select(col("doc_id"), col("source"), col("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  val q126Sql: String =
+    """WITH census AS (
+      |  SELECT source AS domain, count(*)::BIGINT AS n
+      |  FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT domain, n, CAST(floor(sqrt(n::DOUBLE)) AS BIGINT) AS wt
+      |  FROM census),
+      |plan AS (
+      |  SELECT domain, n,
+      |    ((SELECT count(*) FROM documents) * wt)
+      |      // (SELECT sum(wt) FROM w) AS need
+      |  FROM w),
+      |thresholds AS (
+      |  SELECT domain, need // n AS full_ep,
+      |    ((need % n) * 1000000) // n AS thr
+      |  FROM plan),
+      |hashed AS (
+      |  SELECT d.doc_id, d.source,
+      |    t.full_ep + CASE WHEN
+      |      ('0x' || substr(md5('mix|' || d.doc_id::VARCHAR), 1, 15))::UBIGINT
+      |        % 1000000 < t.thr THEN 1 ELSE 0 END AS n_copies
+      |  FROM documents d JOIN thresholds t ON t.domain = d.source)
+      |SELECT doc_id, source,
+      |  unnest(generate_series(0, (n_copies - 1)::INT))::INT AS epoch
+      |FROM hashed WHERE n_copies > 0 ORDER BY doc_id, epoch""".stripMargin
+
   // --- seeded epoch shuffle ---------------------------------------------
 
   /** Epoch-seeded deterministic shuffle: every doc addressed by (shard,
@@ -822,6 +864,54 @@ object TextQueries {
       |SELECT doc_id, (hv % 8)::INT AS shard,
       |  ROW_NUMBER() OVER (PARTITION BY hv % 8 ORDER BY hv, doc_id) AS pos
       |FROM h ORDER BY doc_id""".stripMargin
+
+  /** Count–min sketch frequency estimation, the full arc: build a 4×32
+    * sketch over corpus tokens (width deliberately small so collisions
+    * genuinely fire at this scale), probe the exact top-20 tokens, and
+    * publish estimate vs truth. The oracle replays hashing, the sketch
+    * grid, and the min-of-rows probe — proving the overestimate-only
+    * guarantee (`cms_est ≥ exact_ct`, every row) cross-engine. */
+  def q125CmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val toks = tp(spark, dir, "documents").select(
+      explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+        .as("token"))
+    val sketch = Sketches.cmsBuild(toks, "token", depth = 4, width = 32)
+    val top = toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("exact_ct"))
+      .orderBy(col("exact_ct").desc, col("token").asc).limit(20)
+    Sketches.cmsEstimate(sketch, top, "token", depth = 4, width = 32)
+      .select(col("token"), col("exact_ct"), col("cms_est"),
+        (col("cms_est") - col("exact_ct")).as("overestimate"))
+      .orderBy(col("exact_ct").desc, col("token"))
+  }
+
+  val q125Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS token
+      |  FROM documents),
+      |census AS (SELECT token, count(*)::BIGINT AS exact_ct FROM toks GROUP BY 1),
+      |top AS (SELECT token, exact_ct FROM census ORDER BY exact_ct DESC, token LIMIT 20),
+      |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cells AS (
+      |  SELECT r,
+      |    (('0x' || substr(md5('cms' || r || '|' || token), 1, 15))::UBIGINT
+      |      % 32)::BIGINT AS c
+      |  FROM toks CROSS JOIN rows_),
+      |sketch AS (SELECT r, c, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+      |probe AS (
+      |  SELECT t.token, t.exact_ct, r,
+      |    (('0x' || substr(md5('cms' || r || '|' || t.token), 1, 15))::UBIGINT
+      |      % 32)::BIGINT AS c
+      |  FROM top t CROSS JOIN rows_),
+      |est AS (
+      |  SELECT p.token, p.exact_ct,
+      |    min(coalesce(s.cnt, 0))::BIGINT AS cms_est
+      |  FROM probe p LEFT JOIN sketch s ON p.r = s.r AND p.c = s.c
+      |  GROUP BY 1, 2)
+      |SELECT token, exact_ct, cms_est, cms_est - exact_ct AS overestimate
+      |FROM est ORDER BY exact_ct DESC, token""".stripMargin
 
   // --- corpus-level duplicate-line removal ------------------------------
 
@@ -1055,6 +1145,8 @@ object TextQueries {
     "q58_stratified_quota" -> q58StratifiedQuota _,
     "q100_mixture_sample" -> q100MixtureSample _,
     "q101_shard_assign" -> q101ShardAssign _,
+    "q125_cms_heavy_hitters" -> q125CmsHeavyHitters _,
+    "q126_temperature_mix" -> q126TemperatureMix _,
     "q102_line_dedup" -> q102LineDedup _,
     "q104_bpe_merges" -> q104BpeMerges _,
     "q106_indoc_line_dedup" -> q106InDocLineDedup _,
@@ -1086,6 +1178,8 @@ object TextQueries {
     "q58_stratified_quota" -> q58Sql,
     "q100_mixture_sample" -> q100Sql,
     "q101_shard_assign" -> q101Sql,
+    "q125_cms_heavy_hitters" -> q125Sql,
+    "q126_temperature_mix" -> q126Sql,
     "q102_line_dedup" -> q102Sql,
     "q104_bpe_merges" -> q104Sql,
     "q106_indoc_line_dedup" -> q106Sql,

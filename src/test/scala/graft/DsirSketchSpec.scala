@@ -1,0 +1,172 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dsir, Sampling, Sketches}
+
+/** DSIR importance weighting, count–min sketches, and temperature
+  * mixing — the round-7 corpus-statistics additions. */
+class DsirSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- DSIR ----------------------------------------------------------------
+
+  private def corpus(parts: Int = 4) = {
+    // 20 "reference prose" docs (the target), 40 raw docs of the SAME
+    // length: half sample the target's vocabulary, half a disjoint junk
+    // vocabulary (equal lengths — DSIR log weights are feature SUMS, so
+    // a length skew would dominate the vocabulary signal). Per-doc
+    // multiplicity patterns come from a fixed seed so scores are
+    // distinct, not block-tied.
+    val rnd = new scala.util.Random(42)
+    def doc(vocab: String) =
+      Seq.fill(20)(s"$vocab${rnd.nextInt(10)}").mkString(" ")
+    val target = (0 until 20).map(i => (i.toLong, doc("a"), "wiki"))
+    val like = (0 until 20).map(i => ((100 + i).toLong, doc("a"), "web"))
+    val junk = (0 until 20).map(i => ((200 + i).toLong, doc("z"), "web"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(target ++ like ++ junk, parts))
+      .toDF("doc_id", "text", "source")
+  }
+
+  test("dsir: target-like docs outscore junk and fill the kept quarter") {
+    val out = Dsir.importanceWeights(corpus(), "doc_id", "text",
+      targetPred = col("source") === "wiki", buckets = 2048, keepFrac = 0.25)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4))).toMap
+    val likeAvg = (100L until 120L).map(out(_)._1).sum / 20.0
+    val junkAvg = (200L until 220L).map(out(_)._1).sum / 20.0
+    assert(likeAvg > junkAvg,
+      s"target-like docs must outscore junk: $likeAvg <= $junkAvg")
+    val kept = out.filter(_._2._2 == 1L).keys.toSet
+    // keepFrac=0.25 of 60 docs → at most 15 strictly above the cut
+    assert(kept.size <= 15 && kept.nonEmpty, s"kept ${kept.size}")
+    // nothing from the junk block may beat the cut
+    assert(kept.forall(_ < 200L), s"junk doc kept: $kept")
+  }
+
+  test("dsir: scores are independent of partitioning") {
+    val a = Dsir.importanceWeights(corpus(1), "doc_id", "text",
+      col("source") === "wiki").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val b = Dsir.importanceWeights(corpus(7), "doc_id", "text",
+      col("source") === "wiki").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(a === b)
+  }
+
+  test("dsir: empty and null text score zero grams, and guards fire") {
+    val df = Seq((1L, "curated reference", "t"), (2L, "", "r"),
+      (3L, null.asInstanceOf[String], "r")).toDF("doc_id", "text", "source")
+    val out = Dsir.importanceWeights(df, "doc_id", "text",
+      col("source") === "t", keepFrac = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out(2L) === ((0L, 0L)))
+    assert(out(3L) === ((0L, 0L)))
+    intercept[IllegalArgumentException] {
+      Dsir.importanceWeights(df, "doc_id", "text", lit(false))
+    }
+    intercept[IllegalArgumentException] {
+      Dsir.importanceWeights(df, "doc_id", "text", lit(true), keepFrac = 1.5)
+    }
+  }
+
+  test("dsir: scoring plan is a pure map — no exchange carries the text") {
+    val p = Dsir.importanceWeights(corpus(), "doc_id", "text",
+      col("source") === "wiki")
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("text#")),
+      s"doc text crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  // --- count–min sketch ----------------------------------------------------
+
+  private def tokenDf(rows: Seq[String], parts: Int = 4) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Tuple1(_)), parts))
+      .toDF("token")
+
+  test("cms: estimate dominates the exact count for every item") {
+    val rnd = new scala.util.Random(7)
+    val toks = Seq.fill(5000)(s"tok${rnd.nextInt(300)}")
+    val sketch = Sketches.cmsBuild(tokenDf(toks), "token", depth = 4, width = 64)
+    val exact = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val probes = tokenDf(exact.keys.toSeq).withColumn("one", lit(1))
+    val est = Sketches.cmsEstimate(sketch, probes, "token", depth = 4, width = 64)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t: est ${est(t)} < exact $c")
+    }
+    // the sketch is a real summary, not a census: at most depth*width cells
+    assert(sketch.count() <= 4L * 64)
+  }
+
+  test("cms: merge of shard sketches equals the sketch of the union") {
+    val a = Seq.fill(800)("alpha") ++ Seq.fill(300)("beta")
+    val b = Seq.fill(500)("beta") ++ Seq.fill(200)("gamma")
+    val merged = Sketches.merge(
+      Sketches.cmsBuild(tokenDf(a), "token", 4, 32),
+      Sketches.cmsBuild(tokenDf(b), "token", 4, 32))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketches.cmsBuild(tokenDf(a ++ b), "token", 4, 32)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === whole)
+  }
+
+  test("cms: never-seen item over a disjoint sketch estimates zero") {
+    val sketch = Sketches.cmsBuild(tokenDf(Seq("only")), "token", 4, 1024)
+    val est = Sketches.cmsEstimate(sketch,
+      tokenDf(Seq("absent-item-xyz")), "token", 4, 1024)
+      .collect().head.getLong(1)
+    // width 1024 with a single occupied cell per row: the probe's cells
+    // are empty unless md5 collides on all four rows — they don't here
+    assert(est === 0L)
+  }
+
+  test("cms: build shuffles cells, never tokens") {
+    val p = Sketches.cmsBuild(tokenDf(Seq.fill(100)("x")), "token")
+      .queryExecution.executedPlan.toString
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("token#")),
+      s"raw tokens crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  // --- temperature mixture -------------------------------------------------
+
+  test("temperature mixing flattens the head: rare domains gain share") {
+    // 6400 "web" rows vs 100 "books": raw share 64:1, sqrt share 8:1
+    val df = ((0 until 6400).map(i => (i.toLong, "web")) ++
+      (0 until 100).map(i => ((10000 + i).toLong, "books")))
+      .toDF("id", "domain")
+    val out = Sampling.temperatureMixture(df, "domain", "id",
+      totalRows = 1800, maxEpochs = 20)
+      .groupBy("domain").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // plan: weights isqrt = (80, 10); needs = 1800*80/90=1600, 1800*10/90=200
+    // books upsamples to ~2 epochs, web downsamples to ~25%
+    assert(out("books") > 150 && out("books") < 250, s"books=${out("books")}")
+    assert(out("web") > 1400 && out("web") < 1800, s"web=${out("web")}")
+    val ratio = out("web").toDouble / out("books")
+    assert(ratio > 6 && ratio < 11, s"sqrt-flattened ratio ~8, got $ratio")
+  }
+
+  test("temperature mixing equals mixtureSample with isqrt weights") {
+    val df = ((0 until 900).map(i => (i.toLong, "a")) ++
+      (0 until 400).map(i => ((5000 + i).toLong, "b")))
+      .toDF("id", "domain")
+    val auto = Sampling.temperatureMixture(df, "domain", "id", totalRows = 1000)
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val manual = Sampling.mixtureSample(df, "domain", "id",
+      weights = Seq("a" -> 30L, "b" -> 20L), totalRows = 1000)
+      .select("id", "epoch").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(auto === manual)
+  }
+
+  test("temperature mixing bounds its domain census collect") {
+    val df = (0 until 100).map(i => (i.toLong, s"d$i")).toDF("id", "domain")
+    intercept[IllegalArgumentException] {
+      Sampling.temperatureMixture(df, "domain", "id", totalRows = 100,
+        maxDomains = 50)
+    }
+  }
+}
