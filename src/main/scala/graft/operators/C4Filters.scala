@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The C4 heuristic cleaning rules (Raffel et al. 2020, §2.2 — the
+  * filters that turned Common Crawl into the "Colossal Clean Crawled
+  * Corpus"), as one declarative per-row map:
+  *
+  * Line level (a line survives iff ALL hold):
+  *  - ends in a terminal punctuation mark (`. ! ? "` after right-trim);
+  *  - has at least `minWordsPerLine` whitespace words (C4 uses 5);
+  *  - does not contain the word "javascript" (case-insensitive).
+  *
+  * Page level (the cleaned page is kept iff NONE hold, first match
+  * wins as `reason`):
+  *  - the ORIGINAL page mentions "lorem ipsum" (case-insensitive);
+  *  - the original page contains a curly brace (code markup);
+  *  - the cleaned page has fewer than `minSentences` sentence-ending
+  *    marks (C4 uses 3).
+  *
+  * Everything is built from split / filter / regexp primitives on one
+  * projection — no UDF, no shuffle, no census: at 100 TB this runs at
+  * scan throughput and composes with predicate pushdown when `kept`
+  * is used as a filter. Deduplication (C4's other half) is the
+  * [[Dedup]] family; the bad-words list is site policy, pluggable as
+  * one more `lower(page) contains` term where required.
+  */
+object C4Filters {
+
+  /** Whitespace word count of one line. */
+  private def wordCount(l: Column): Column =
+    size(filter(split(trim(l), "\\s+"), x => x =!= ""))
+
+  /** The line-survival predicate. */
+  private def lineOk(l: Column, minWordsPerLine: Int): Column =
+    rtrim(l).rlike("[.!?\"]$") &&
+      (wordCount(l) >= minWordsPerLine) &&
+      !lower(l).contains("javascript")
+
+  /** Clean `textCol` page-wise. Output = input columns plus:
+    * `cleaned` (surviving lines re-joined), `n_lines_kept`,
+    * `n_lines_dropped`, `n_sentences` (terminal marks in the cleaned
+    * text), `kept` (1/0) and `reason` ('ok' | 'lorem_ipsum' | 'brace'
+    * | 'too_few_sentences'). */
+  def clean(df: DataFrame, textCol: String, minWordsPerLine: Int = 5,
+            minSentences: Int = 3): DataFrame = {
+    require(minWordsPerLine >= 1 && minSentences >= 0, "bad thresholds")
+    val page = col(textCol)
+    val lines = split(page, "\n", -1)
+    val keptLines = filter(lines, l => lineOk(l, minWordsPerLine))
+    val stage1 = df
+      .withColumn("cleaned", array_join(keptLines, "\n"))
+      .withColumn("n_lines_kept", size(keptLines).cast("long"))
+      .withColumn("n_lines_dropped",
+        (size(lines) - size(keptLines)).cast("long"))
+    val nSent = size(regexp_extract_all(col("cleaned"), lit("[.!?]"), lit(0)))
+    stage1
+      .withColumn("n_sentences", nSent.cast("long"))
+      .withColumn("reason",
+        when(lower(page).contains("lorem ipsum"), "lorem_ipsum")
+          .when(page.contains("{"), "brace")
+          .when(col("n_sentences") < minSentences, "too_few_sentences")
+          .otherwise("ok"))
+      .withColumn("kept", when(col("reason") === "ok", 1L).otherwise(0L))
+  }
+}

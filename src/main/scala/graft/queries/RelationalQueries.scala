@@ -398,7 +398,42 @@ object RelationalQueries {
       |  round(quantile_cont(o_totalprice, 0.9), 6) AS p90
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Z-order (Morton) layout audit: interleave the low 10 bits of two
+    * independent lineitem keys and report each 2^14-z-value block's
+    * min/max range of BOTH keys. Every block is a 128×128 tile of the
+    * 1024×1024 key space — `a_spread`/`b_spread` ≤ 127 in every row is
+    * the data-skipping property the z-sorted write layout buys: parquet
+    * footer ranges stay tight on both keys, so a filter on either one
+    * prunes files. The oracle replays the exact interleave formula. */
+  def q128ZOrderBlocks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Layout
+    val li = t(spark, dir, "lineitem").select(
+      pmod(col("l_partkey"), lit(1024L)).as("a"),
+      pmod(col("l_suppkey"), lit(1024L)).as("b"))
+    Layout.withZValue(li, "a", "b", bits = 10)
+      .groupBy(shiftright(col("z"), 14).as("z_block"))
+      .agg(count(lit(1)).as("n_rows"),
+        min("a").as("a_min"), max("a").as("a_max"),
+        min("b").as("b_min"), max("b").as("b_max"),
+        (max("a") - min("a")).as("a_spread"),
+        (max("b") - min("b")).as("b_spread"))
+      .orderBy("z_block")
+  }
+
+  val q128Sql: String =
+    s"""WITH k AS (
+       |  SELECT l_partkey % 1024 AS a, l_suppkey % 1024 AS b FROM lineitem),
+       |z AS (
+       |  SELECT a, b,
+       |    ${graft.operators.Layout.zValueSql("a", "b", 10)} AS z
+       |  FROM k)
+       |SELECT (z >> 14) AS z_block, count(*) AS n_rows,
+       |  min(a) AS a_min, max(a) AS a_max, min(b) AS b_min, max(b) AS b_max,
+       |  max(a) - min(a) AS a_spread, max(b) - min(b) AS b_spread
+       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q128_zorder_blocks" -> q128ZOrderBlocks _,
     "q19_percentiles" -> q19Percentiles _,
     "q13_approx_distinct" -> q13ApproxDistinct _,
     "q14_running_sum" -> q14RunningSum _,
@@ -420,6 +455,7 @@ object RelationalQueries {
     "q12_conditional_agg" -> q12ConditionalAgg _)
 
   val oracles: Map[String, String] = Map(
+    "q128_zorder_blocks" -> q128Sql,
     "q19_percentiles" -> q19Sql,
     "q17_cube" -> q17Sql,
     "q18_string_funcs" -> q18Sql,

@@ -913,6 +913,75 @@ object TextQueries {
       |SELECT token, exact_ct, cms_est, cms_est - exact_ct AS overestimate
       |FROM est ORDER BY exact_ct DESC, token""".stripMargin
 
+  /** The C4 heuristic cleaning pass over synthesized pages (the q66/q102
+    * discipline — the corpus is single-line, so pages are built
+    * in-query): every page carries a good body, a too-short line and an
+    * unterminated line (line-dropped); 1-in-4 a javascript notice
+    * (line-dropped), 1-in-6 a lorem-ipsum filler (page-dropped), 1-in-8
+    * code markup (page-dropped via brace), and 1-in-5 bodies have only
+    * one sentence (page-dropped via min-sentences). The oracle replays
+    * every rule including the reason precedence. */
+  def q127C4Filters(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.C4Filters
+    val body = when(col("doc_id") % 5 === 0, concat(col("text"), lit(".")))
+      .otherwise(concat(col("text"),
+        lit(". It has more detail here. It ends well.")))
+    val page = concat_ws("\n",
+      body,
+      lit("short line."),
+      lit("this line has no terminal punctuation"),
+      when(col("doc_id") % 4 === 0,
+        lit("please enable javascript to continue reading.")),
+      when(col("doc_id") % 6 === 0,
+        lit("lorem ipsum dolor sit amet consectetur.")),
+      when(col("doc_id") % 8 === 0, lit("var config = { mode: 1 };")))
+    val aug = tp(spark, dir, "documents").select(col("doc_id"), page.as("page"))
+    C4Filters.clean(aug, "page")
+      .select(col("doc_id"), col("n_lines_kept"), col("n_lines_dropped"),
+        col("n_sentences"), col("reason"), col("kept"), col("cleaned"))
+      .orderBy("doc_id")
+  }
+
+  val q127Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id, concat_ws(chr(10),
+      |    text || CASE WHEN doc_id % 5 = 0 THEN '.'
+      |      ELSE '. It has more detail here. It ends well.' END,
+      |    'short line.',
+      |    'this line has no terminal punctuation',
+      |    CASE WHEN doc_id % 4 = 0
+      |      THEN 'please enable javascript to continue reading.' END,
+      |    CASE WHEN doc_id % 6 = 0
+      |      THEN 'lorem ipsum dolor sit amet consectetur.' END,
+      |    CASE WHEN doc_id % 8 = 0 THEN 'var config = { mode: 1 };' END) AS page
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, page, string_split(page, chr(10)) AS parts,
+      |    list_filter(string_split(page, chr(10)), l ->
+      |      regexp_matches(rtrim(l), '[.!?"]$')
+      |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
+      |            x -> x <> '')) >= 5
+      |      AND NOT contains(lower(l), 'javascript')) AS keptl
+      |  FROM aug),
+      |c AS (
+      |  SELECT doc_id, page, len(keptl)::BIGINT AS n_lines_kept,
+      |    (len(parts) - len(keptl))::BIGINT AS n_lines_dropped,
+      |    array_to_string(keptl, chr(10)) AS cleaned
+      |  FROM f),
+      |s AS (
+      |  SELECT doc_id, n_lines_kept, n_lines_dropped, cleaned,
+      |    len(regexp_extract_all(cleaned, '[.!?]'))::BIGINT AS n_sentences,
+      |    CASE WHEN contains(lower(page), 'lorem ipsum') THEN 'lorem_ipsum'
+      |         WHEN contains(page, '{') THEN 'brace'
+      |         WHEN len(regexp_extract_all(cleaned, '[.!?]')) < 3
+      |           THEN 'too_few_sentences'
+      |         ELSE 'ok' END AS reason
+      |  FROM c)
+      |SELECT doc_id, n_lines_kept, n_lines_dropped, n_sentences, reason,
+      |  CAST(CASE WHEN reason = 'ok' THEN 1 ELSE 0 END AS BIGINT) AS kept,
+      |  cleaned
+      |FROM s ORDER BY doc_id""".stripMargin
+
   // --- corpus-level duplicate-line removal ------------------------------
 
   /** C4/RefinedWeb boilerplate-line scrub. The corpus is single-line, so
@@ -1146,6 +1215,7 @@ object TextQueries {
     "q100_mixture_sample" -> q100MixtureSample _,
     "q101_shard_assign" -> q101ShardAssign _,
     "q125_cms_heavy_hitters" -> q125CmsHeavyHitters _,
+    "q127_c4_filters" -> q127C4Filters _,
     "q126_temperature_mix" -> q126TemperatureMix _,
     "q102_line_dedup" -> q102LineDedup _,
     "q104_bpe_merges" -> q104BpeMerges _,
@@ -1179,6 +1249,7 @@ object TextQueries {
     "q100_mixture_sample" -> q100Sql,
     "q101_shard_assign" -> q101Sql,
     "q125_cms_heavy_hitters" -> q125Sql,
+    "q127_c4_filters" -> q127Sql,
     "q126_temperature_mix" -> q126Sql,
     "q102_line_dedup" -> q102Sql,
     "q104_bpe_merges" -> q104Sql,
