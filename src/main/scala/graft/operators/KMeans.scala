@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd's k-means over embedding columns, in EXACT integer
+  * arithmetic: vectors quantize once to 1e-6 "micro" longs, distances
+  * are integer sums of squares, and centroid updates round back to the
+  * micro grid with a fixed floor rule — so the entire training loop is
+  * deterministic under any partitioning AND replayable in DuckDB (the
+  * q129 oracle re-runs both Lloyd iterations from scratch in SQL). The
+  * usual float k-means can never be hash-verified cross-engine: its
+  * per-cluster mean is an order-dependent float sum.
+  *
+  * Scale shape per iteration:
+  *  - assignment is a pure map against the k×d BROADCAST centroid
+  *    literal (no join, no shuffle of vectors);
+  *  - the update aggregates d per-dimension sums by cluster — k groups,
+  *    map-side combined, so the shuffle carries k×(d+1) longs per
+  *    partition regardless of corpus size;
+  *  - one k-row collect recomputes the means on the driver (bounded:
+  *    k×d longs).
+  * Total: `iters` linear passes, vectors never cross an exchange. The
+  * trained centroids slot into [[Similarity]]'s IVF/SemDeDup paths,
+  * which today take deterministically-sampled vectors as centroids —
+  * training tightens the lists without changing the serving plan.
+  *
+  * Determinism rules shared with the oracle:
+  *  - init: centroid j = micro-mean of vectors with `id % k == j`;
+  *  - mean per dimension = `floor((2·sum + n) / (2·n))` in one IEEE
+  *    double division (round-half-up of sum/n; exact, both engines —
+  *    the quotient is a rational with denominator 2n, so it is never
+  *    within one ulp of a wrong integer);
+  *  - assignment tie-break: lowest cluster id;
+  *  - empty cluster: keeps its previous centroid.
+  */
+object KMeans {
+
+  /** Trained model: micro-grid centroids (k × d) and the iteration's
+    * final assignment (idCol, cluster, dist — exact squared micro
+    * distance to the centroid that claimed the vector). */
+  final case class Model(centroids: Array[Array[Long]],
+                         assignments: DataFrame)
+
+  /** 1e-6 quantization of a float/double vector column. */
+  def microVec(vecCol: Column): Column =
+    transform(vecCol, x => round(x.cast("double") * 1e6, 0).cast("long"))
+
+  /** Exact squared distance between a micro vector column and a pinned
+    * micro centroid. */
+  private def sqDist(v: Column, cent: Array[Long]): Column =
+    aggregate(zip_with(v, lit(cent), (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, t) => acc + t)
+
+  /** (cluster, dist) struct of the argmin centroid, ties to lowest id —
+    * array_min over (dist, id) structs is exactly that order. */
+  private def best(v: Column, cents: Array[Array[Long]]): Column =
+    array_min(array(cents.zipWithIndex.map { case (c, j) =>
+      struct(sqDist(v, c).as("d"), lit(j.toLong).as("c"))
+    }: _*))
+
+  /** Label `df` with the nearest of `centroids`: adds `cluster` and
+    * `dist` columns (exact integer micro² distance). `vecCol` is the
+    * RAW float vector column; quantization happens here. */
+  def assign(df: DataFrame, vecCol: String,
+             centroids: Array[Array[Long]]): DataFrame = {
+    require(centroids.nonEmpty, "no centroids")
+    val b = best(microVec(col(vecCol)), centroids)
+    df.withColumn("cluster", b.getField("c"))
+      .withColumn("dist", b.getField("d"))
+  }
+
+  /** The driver-side mean rule (see scaladoc). */
+  private def intMean(sum: Long, n: Long): Long =
+    math.floor((2.0 * sum + n) / (2.0 * n)).toLong
+
+  /** Per-cluster micro means of `df(vecCol)` grouped by `keyExpr` —
+    * the k-row bounded collect. Returns cluster → centroid. */
+  private def meansBy(df: DataFrame, vecCol: String, keyExpr: Column,
+                      dim: Int): Map[Long, Array[Long]] = {
+    val v = microVec(col(vecCol))
+    val aggs = count(lit(1)).as("__graft_n") +:
+      (0 until dim).map(i => sum(element_at(v, i + 1)).as(s"__graft_s$i"))
+    df.groupBy(keyExpr.as("__graft_c"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val n = r.getLong(1)
+        r.getLong(0) -> Array.tabulate(dim)(i => intMean(r.getLong(2 + i), n))
+      }.toMap
+  }
+
+  /** Train k-means with `iters` Lloyd rounds from the deterministic
+    * `id % k` seeding. Requires a non-null fixed-dimension vector
+    * column and non-negative ids. */
+  def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
+          iters: Int): Model = {
+    require(k >= 1 && k <= 65536, s"k=$k out of range")
+    require(iters >= 1, "iters must be >= 1")
+    val dim = df.select(size(col(vecCol))).head().getInt(0)
+    require(dim >= 1, "empty vectors")
+    // init: micro-mean of each id-residue class; a class can only be
+    // empty when the corpus has < k rows — then seed at the origin
+    val init = meansBy(df, vecCol, pmod(col(idCol), lit(k.toLong)), dim)
+    var cents = Array.tabulate(k)(j =>
+      init.getOrElse(j.toLong, Array.fill(dim)(0L)))
+    var assigned: DataFrame = null
+    for (_ <- 0 until iters) {
+      assigned = assign(df, vecCol, cents)
+      val upd = meansBy(assigned, vecCol, col("cluster"), dim)
+      cents = Array.tabulate(k)(j => upd.getOrElse(j.toLong, cents(j)))
+    }
+    Model(cents, assigned)
+  }
+}

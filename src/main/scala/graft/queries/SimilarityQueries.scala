@@ -770,7 +770,74 @@ object SimilarityQueries {
        |ORDER BY vec_id""".stripMargin
   }
 
+  /** Integer-exact k-means (k=4, two Lloyd rounds from the `id % k`
+    * seeding) over the embeddings — the oracle re-trains BOTH rounds in
+    * SQL from scratch (quantize → seed means → assign → update with
+    * empty-cluster fallback → reassign) and must land on identical
+    * clusters AND identical integer distances, so the whole training
+    * loop is cross-engine verified, not just a final labeling. */
+  def q129KMeans(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeans
+    val emb = t(spark, dir, "embeddings")
+    KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+      .assignments
+      .select(col("vec_id"), col("cluster"), col("dist"))
+      .orderBy("vec_id")
+  }
+
+  val q129Sql: String =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round((x::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |flat0 AS (
+      |  SELECT vec_id % 4 AS j, unnest(v) AS x,
+      |    unnest(range(1, len(v) + 1)) AS i
+      |  FROM q),
+      |c0 AS (
+      |  SELECT j, i,
+      |    CAST(floor((2 * sum(x) + count(*))::DOUBLE / (2 * count(*)))
+      |      AS BIGINT) AS m
+      |  FROM flat0 GROUP BY 1, 2),
+      |c0v AS (SELECT j, list(m ORDER BY i) AS cv FROM c0 GROUP BY 1),
+      |d1 AS (
+      |  SELECT q.vec_id, c.j,
+      |    list_sum(list_transform(list_zip(q.v, c.cv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      |  FROM q CROSS JOIN c0v c),
+      |a1 AS (
+      |  SELECT vec_id, j AS cluster,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+      |  FROM d1),
+      |flat1 AS (
+      |  SELECT a.cluster AS j, unnest(q.v) AS x,
+      |    unnest(range(1, len(q.v) + 1)) AS i
+      |  FROM q JOIN (SELECT vec_id, cluster FROM a1 WHERE rk = 1) a
+      |    USING (vec_id)),
+      |c1 AS (
+      |  SELECT j, i,
+      |    CAST(floor((2 * sum(x) + count(*))::DOUBLE / (2 * count(*)))
+      |      AS BIGINT) AS m
+      |  FROM flat1 GROUP BY 1, 2),
+      |c1v0 AS (SELECT j, list(m ORDER BY i) AS cv FROM c1 GROUP BY 1),
+      |c1v AS (
+      |  SELECT c0v.j, coalesce(c1v0.cv, c0v.cv) AS cv
+      |  FROM c0v LEFT JOIN c1v0 ON c0v.j = c1v0.j),
+      |d2 AS (
+      |  SELECT q.vec_id, c.j,
+      |    list_sum(list_transform(list_zip(q.v, c.cv),
+      |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+      |  FROM q CROSS JOIN c1v c),
+      |a2 AS (
+      |  SELECT vec_id, j, d,
+      |    row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+      |  FROM d2)
+      |SELECT vec_id, j::BIGINT AS cluster, d::BIGINT AS dist
+      |FROM a2 WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q129_kmeans" -> q129KMeans _,
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
     "q41_ann_lsh_topk" -> q41LshTopK _,
     "q42_embed_near_dups" -> q42EmbeddingNearDups _,
@@ -787,6 +854,7 @@ object SimilarityQueries {
     "q119_dense_index" -> q119DenseIndex _)
 
   val oracles: Map[String, String] = Map(
+    "q129_kmeans" -> q129Sql,
     "q40_ann_brute_topk" -> q40Sql,
     "q41_ann_lsh_topk" -> q41Sql,
     "q42_embed_near_dups" -> q42Sql,

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.KMeans
+
+class KMeansSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Three well-separated 2-D blobs with seeded jitter. */
+  private def blobs(parts: Int = 4) = {
+    val rnd = new scala.util.Random(11)
+    val centers = Seq((0.0, 0.0), (5.0, 5.0), (-5.0, 4.0))
+    val rows = for {
+      (cx, cy) <- centers
+      i <- 0 until 40
+    } yield (centers.indexOf((cx, cy)) * 1000L + i,
+      Array((cx + rnd.nextGaussian() * 0.2).toFloat,
+        (cy + rnd.nextGaussian() * 0.2).toFloat))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, parts))
+      .toDF("id", "vec")
+  }
+
+  test("kmeans recovers well-separated blobs") {
+    val m = KMeans.fit(blobs(), "id", "vec", k = 3, iters = 5)
+    val byBlob = m.assignments
+      .withColumn("blob", col("id") / 1000)
+      .groupBy(col("blob").cast("long"), col("cluster"))
+      .count().collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every blob must land wholly in one cluster, each blob distinct
+    val owner = (0L to 2L).map(b =>
+      b -> byBlob.collect { case ((`b`, c), n) => (c, n) }.maxBy(_._2)._1)
+    owner.foreach { case (b, c) =>
+      assert(byBlob((b, c)) === 40L, s"blob $b split: $byBlob")
+    }
+    assert(owner.map(_._2).distinct.size === 3, s"clusters collide: $owner")
+  }
+
+  test("lloyd iterations never increase total inertia") {
+    val df = blobs()
+    val inertias = (1 to 4).map(it =>
+      KMeans.fit(df, "id", "vec", k = 3, iters = it)
+        .assignments.agg(sum("dist")).head().getLong(0))
+    inertias.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"inertia rose: $inertias")
+    }
+  }
+
+  test("training is independent of partitioning") {
+    val a = KMeans.fit(blobs(1), "id", "vec", 3, 3)
+    val b = KMeans.fit(blobs(7), "id", "vec", 3, 3)
+    assert(a.centroids.map(_.toSeq).toSeq === b.centroids.map(_.toSeq).toSeq)
+    assert(a.assignments.select("id", "cluster").collect().toSet ===
+      b.assignments.select("id", "cluster").collect().toSet)
+  }
+
+  test("an emptied cluster keeps its previous centroid") {
+    // two tight blobs but k=4: two residue-seeded centroids lose every
+    // member after the first assignment — training must stay total and
+    // the surviving clusters must still partition the data
+    val m = KMeans.fit(blobs().filter(col("id") < 2000), "id", "vec",
+      k = 4, iters = 3)
+    assert(m.centroids.length === 4)
+    val used = m.assignments.select("cluster").distinct()
+      .as[Long].collect().toSet
+    assert(used.subsetOf((0L until 4L).toSet) && used.size <= 2,
+      s"two blobs cannot fill more than two clusters: $used")
+  }
+
+  test("assignment ties break to the lowest cluster id") {
+    // identical duplicate centroids: every vector is equidistant
+    val cents = Array(Array(0L, 0L), Array(0L, 0L))
+    val out = KMeans.assign(Seq((1L, Array(1.0f, 1.0f)))
+      .toDF("id", "vec"), "vec", cents)
+      .select("cluster").head().getLong(0)
+    assert(out === 0L)
+  }
+
+  test("assignment is a pure map: vectors never cross an exchange") {
+    val m = KMeans.fit(blobs(), "id", "vec", 3, 1)
+    val p = KMeans.assign(blobs(), "vec", m.centroids)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"assign must not shuffle:\n$p")
+  }
+}
