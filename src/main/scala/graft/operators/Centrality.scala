@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Link-graph centrality for corpus curation — the signal CCNet-era
+  * pipelines and Common Crawl itself use to prioritize sources (their
+  * harmonic-centrality ranking decides which hosts are worth crawling
+  * and weighting; RefinedWeb inherits the idea as URL weighting). This
+  * is PageRank in EXACT INTEGER micro arithmetic: every rank is a long
+  * in 1e-6 units, each update round is
+  *
+  *   r'(v) = (1e6 − d) + (d · Σ_{u→v} (r(u) div outdeg(u))) div 1e6
+  *
+  * with `div` the floor division both engines share on the all-positive
+  * operands — so the whole iteration, including its quantization, is
+  * deterministic under any partitioning and replayable in DuckDB (q133
+  * re-runs both rounds in SQL and must match every node's rank to the
+  * micro). Float PageRank can never hash-verify: its per-node sum is
+  * order-dependent.
+  *
+  * Scale shape per iteration (the Pregel message-passing shape in two
+  * declarative shuffles): one join of the edge list against the rank
+  * table keyed by source, one aggregation of contributions keyed by
+  * destination — both map-side combinable; degrees are computed once.
+  * Dangling mass is dropped (the classic simplification; add a sink
+  * node when stray mass matters). Total mass `n · 1e6` must keep
+  * `d · Σ` inside a long, hence the explicit node-count guard — at
+  * 100 TB this operator runs over the DOMAIN/host graph (millions of
+  * nodes), not the document graph.
+  */
+object Centrality {
+
+  /** `iters` PageRank rounds over `edges(srcCol, dstCol)`. Nodes are
+    * the distinct endpoints; every node starts at 1e6 micro. Returns
+    * (id, rank_micro). Parallel edges count once per occurrence;
+    * self-loops are legal. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, dampingMicro: Long = 850000L): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters=$iters out of [1,64]")
+    require(dampingMicro >= 0 && dampingMicro <= 1000000L,
+      s"dampingMicro=$dampingMicro out of [0, 1e6]")
+    val e = edges.select(col(srcCol).cast("long").as("__graft_src"),
+      col(dstCol).cast("long").as("__graft_dst"))
+    val nodes = graft.ops.Parallelism.stage(
+      e.select(col("__graft_src").as("id"))
+        .union(e.select(col("__graft_dst").as("id")))
+        .distinct())
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    require(n <= 10000000L,
+      s"$n nodes: micro-integer PageRank bounds total mass to keep " +
+        "d*sum inside a long — run the domain graph, not the doc graph")
+    val deg = graft.ops.Parallelism.stage(
+      e.groupBy(col("__graft_src"))
+        .agg(count(lit(1)).as("__graft_outdeg")))
+    var ranks = nodes.withColumn("rank_micro", lit(1000000L))
+    for (_ <- 0 until iters) {
+      val contrib = e
+        .join(deg, "__graft_src")
+        .join(ranks.select(col("id").as("__graft_src"),
+          col("rank_micro").as("__graft_r")), "__graft_src")
+        .select(col("__graft_dst").as("id"),
+          expr("__graft_r div __graft_outdeg").as("__graft_c"))
+        .groupBy(col("id"))
+        .agg(sum(col("__graft_c")).as("__graft_s"))
+      ranks = ranks.select(col("id"))
+        .join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(1000000L - dampingMicro) +
+            expr(s"($dampingMicro * coalesce(__graft_s, 0L)) div 1000000"))
+            .as("rank_micro"))
+    }
+    ranks
+  }
+}

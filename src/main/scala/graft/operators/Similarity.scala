@@ -168,11 +168,25 @@ object Similarity {
       .filter(col(idCol) % stride === 0 &&
         expr(s"$idCol div $stride") < numCentroids)
       .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
-    val cents = broadcast(
+    val cents =
       if (strided.isEmpty)
         corpus.orderBy(col(idCol)).limit(numCentroids)
           .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
-      else strided)
+      else strided
+    ivfTopKWithCentroids(queries, corpus, k, cents, nProbe, idCol, vecCol)
+  }
+
+  /** IVF-flat probing against a CALLER-SUPPLIED centroid table
+    * `(centroid_id, centv)` — the seam that turns the stride-seeded
+    * [[ivfTopK]] into a trained coarse quantizer: pass
+    * [[KMeans]]-trained centroids (converted back to float space) and
+    * the serving plan is unchanged — centroids broadcast, assignment
+    * map-side, the corpus never re-shuffles by cluster. */
+  def ivfTopKWithCentroids(queries: DataFrame, corpus0: DataFrame, k: Int,
+      centroids: DataFrame, nProbe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val corpus = graft.ops.Parallelism.ensure(corpus0)
+    val cents = broadcast(centroids)
     // nearest centroid per corpus vector: broadcast cross + argmax with a
     // (sim, -id) struct so ties break toward the smaller centroid id —
     // the same ORDER BY sim DESC, id ASC the oracle uses

@@ -627,6 +627,55 @@ object CurationQueries {
       |  CAST(CASE WHEN b.s > cut.t THEN 1 ELSE 0 END AS BIGINT) AS kept
       |FROM base b CROSS JOIN cut ORDER BY b.doc_id""".stripMargin
 
+  // --- q133: link-graph centrality (integer-exact PageRank) ---------------
+
+  /** Source-authority weighting over a synthesized citation graph (the
+    * corpus carries no links, so each doc deterministically cites two
+    * others — the q66 in-query-fixture discipline): two micro-integer
+    * PageRank rounds, every node's final rank exact to the micro. The
+    * oracle re-runs both rounds in SQL — join-by-source, floor-divided
+    * contributions, damped floor-divided update — so the full iteration
+    * arithmetic is cross-engine verified. */
+  def q133PageRank(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
+      .union(docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 13 + 3, lit(n)).as("dst")))
+    graft.operators.Centrality.pageRank(edges, "src", "dst", iters = 2)
+      .select(col("id").as("doc_id"), col("rank_micro"))
+      .orderBy("doc_id")
+  }
+
+  val q133Sql: String =
+    """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (
+      |  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+      |  FROM documents CROSS JOIN nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 3) % nn.n
+      |  FROM documents CROSS JOIN nn),
+      |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT doc_id AS id, 1000000::BIGINT AS r FROM documents),
+      |c1 AS (
+      |  SELECT e.dst AS id, sum(r0.r // deg.outdeg)::BIGINT AS s
+      |  FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src
+      |  GROUP BY 1),
+      |r1 AS (
+      |  SELECT r0.id,
+      |    (150000 + (850000 * coalesce(c1.s, 0)) // 1000000)::BIGINT AS r
+      |  FROM r0 LEFT JOIN c1 USING (id)),
+      |c2 AS (
+      |  SELECT e.dst AS id, sum(r1.r // deg.outdeg)::BIGINT AS s
+      |  FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src
+      |  GROUP BY 1),
+      |r2 AS (
+      |  SELECT r1.id,
+      |    (150000 + (850000 * coalesce(c2.s, 0)) // 1000000)::BIGINT AS r
+      |  FROM r1 LEFT JOIN c2 USING (id))
+      |SELECT id AS doc_id, r AS rank_micro FROM r2 ORDER BY doc_id""".stripMargin
+
   // --- q105: fastText-style quality classifier (pinned-model scoring) -----
 
   /** Exported-model quality scoring — the production arc of the
@@ -715,6 +764,7 @@ object CurationQueries {
     "q123_length_buckets" -> q123LengthBuckets _,
     "q105_quality_filter" -> q105QualityFilter _,
     "q124_dsir_select" -> q124DsirSelect _,
+    "q133_pagerank" -> q133PageRank _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
     "q67_gopher_filter" -> q67GopherFilter _,
@@ -732,6 +782,7 @@ object CurationQueries {
     "q123_length_buckets" -> q123Sql,
     "q105_quality_filter" -> q105Sql,
     "q124_dsir_select" -> q124Sql,
+    "q133_pagerank" -> q133Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,
     "q67_gopher_filter" -> q67Sql,

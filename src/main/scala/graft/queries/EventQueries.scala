@@ -304,7 +304,67 @@ object EventQueries {
       |  CAST(sum(ntok) AS BIGINT) AS total_tokens
       |FROM flags GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q130: watermarked stream-stream interval join ----------------------
+
+  /** Stream-stream INTERVAL join (the attribution shape): each `error`
+    * event joins the same user's `click` events from the preceding
+    * hour, both sides watermarked — Spark's state-store machinery must
+    * buffer each side and emit append-mode matches. The whole file
+    * drains in one AvailableNow trigger so the watermark (a STATE BOUND,
+    * sized so either side tolerates an hour of skew before eviction)
+    * provably drops nothing, and the batch interval-join oracle is
+    * exact. Pair rows land in the sink; the compact per-user rollup
+    * aggregates the sink table in batch. */
+  def q130StreamStreamJoin(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_ssj_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def src = Tables.normalizeTs(spark.readStream.schema(rawSchema)
+      .parquet(streamDir.toString))
+    val errors = src.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("err_ts"))
+      .withWatermark("err_ts", "1 hour")
+    val clicks = src.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val joined = errors.join(clicks,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("err_ts") - expr("INTERVAL 1 HOUR") &&
+        col("click_ts") <= col("err_ts"))
+    val sinkName = "graft_stream_ssj"
+    val query = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("error_id")).as("n_errors_with_click"))
+      .orderBy("user_id")
+  }
+
+  val q130Sql: String =
+    """SELECT e.user_id, count(*) AS n_pairs,
+      |  count(DISTINCT e.event_id) AS n_errors_with_click
+      |FROM events e JOIN events c
+      |  ON c.user_id = e.user_id
+      |  AND e.event_type = 'error' AND c.event_type = 'click'
+      |  AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q130_stream_stream_join" -> q130StreamStreamJoin _,
     "q50_hourly_rollup" -> q50HourlyRollup _,
     "q122_streaming_curation" -> q122StreamingCuration _,
     "q51_streaming_rollup" -> q51StreamingRollup _,
@@ -315,6 +375,7 @@ object EventQueries {
     "q56_range_join" -> q56RangeJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q130_stream_stream_join" -> q130Sql,
     "q50_hourly_rollup" -> q50Sql,
     "q122_streaming_curation" -> q122Sql,
     "q51_streaming_rollup" -> q51Sql,

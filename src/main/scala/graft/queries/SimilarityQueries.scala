@@ -231,6 +231,132 @@ object SimilarityQueries {
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
   }
 
+  /** TRAINED-quantizer IVF (the q44 serving plan under q129's k-means):
+    * two integer-exact Lloyd rounds learn 8 centroids, which convert
+    * back to float space and drive the same broadcast-assign /
+    * probe-2-lists / exact-rerank plan — the production "train the
+    * coarse quantizer offline, serve unchanged" composition. The oracle
+    * replays BOTH halves from scratch: the full training loop in micro
+    * integers, then the inverted-list probe against the trained
+    * centroids. */
+  def q131IvfTrained(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.KMeans
+    val emb = t(spark, dir, "embeddings")
+    val model = KMeans.fit(emb, "vec_id", "embedding",
+      k = NumCentroids, iters = 2)
+    val cents = spark.createDataFrame(
+      model.centroids.zipWithIndex.toSeq.map { case (c, j) =>
+        (j.toLong, c.map(_.toDouble / 1e6)) })
+      .toDF("centroid_id", "centv")
+    Similarity.ivfTopKWithCentroids(
+      emb.filter(col("vec_id") < NumQueries), emb, K, cents, NProbe)
+      .orderBy("query_id", "rank")
+  }
+
+  val q131Sql: String = {
+    def rawCosine(a: String, b: String): String =
+      s"""(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
+         |  (sqrt(list_sum(list_transform($a, x -> x * x))) *
+         |   sqrt(list_sum(list_transform($b, x -> x * x)))))""".stripMargin
+    s"""WITH qm AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(round((x::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |flat0 AS (
+       |  SELECT vec_id % $NumCentroids AS j, unnest(v) AS x,
+       |    unnest(range(1, len(v) + 1)) AS i
+       |  FROM qm),
+       |c0 AS (
+       |  SELECT j, i,
+       |    CAST(floor((2 * sum(x) + count(*))::DOUBLE / (2 * count(*)))
+       |      AS BIGINT) AS m
+       |  FROM flat0 GROUP BY 1, 2),
+       |c0v AS (SELECT j, list(m ORDER BY i) AS cl FROM c0 GROUP BY 1),
+       |d1 AS (
+       |  SELECT qm.vec_id, c.j,
+       |    list_sum(list_transform(list_zip(qm.v, c.cl),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM qm CROSS JOIN c0v c),
+       |a1 AS (
+       |  SELECT vec_id, j AS cluster,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+       |  FROM d1),
+       |flat1 AS (
+       |  SELECT a.cluster AS j, unnest(qm.v) AS x,
+       |    unnest(range(1, len(qm.v) + 1)) AS i
+       |  FROM qm JOIN (SELECT vec_id, cluster FROM a1 WHERE rk = 1) a
+       |    USING (vec_id)),
+       |c1 AS (
+       |  SELECT j, i,
+       |    CAST(floor((2 * sum(x) + count(*))::DOUBLE / (2 * count(*)))
+       |      AS BIGINT) AS m
+       |  FROM flat1 GROUP BY 1, 2),
+       |c1v0 AS (SELECT j, list(m ORDER BY i) AS cl FROM c1 GROUP BY 1),
+       |c1v AS (
+       |  SELECT c0v.j, coalesce(c1v0.cl, c0v.cl) AS cl
+       |  FROM c0v LEFT JOIN c1v0 ON c0v.j = c1v0.j),
+       |d2 AS (
+       |  SELECT qm.vec_id, c.j,
+       |    list_sum(list_transform(list_zip(qm.v, c.cl),
+       |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+       |  FROM qm CROSS JOIN c1v c),
+       |a2 AS (
+       |  SELECT vec_id, j AS cluster,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY d, j) AS rk
+       |  FROM d2),
+       |flat2 AS (
+       |  SELECT a.cluster AS j, unnest(qm.v) AS x,
+       |    unnest(range(1, len(qm.v) + 1)) AS i
+       |  FROM qm JOIN (SELECT vec_id, cluster FROM a2 WHERE rk = 1) a
+       |    USING (vec_id)),
+       |c2 AS (
+       |  SELECT j, i,
+       |    CAST(floor((2 * sum(x) + count(*))::DOUBLE / (2 * count(*)))
+       |      AS BIGINT) AS m
+       |  FROM flat2 GROUP BY 1, 2),
+       |c2v0 AS (SELECT j, list(m ORDER BY i) AS cl FROM c2 GROUP BY 1),
+       |c2v AS (
+       |  SELECT c1v.j, coalesce(c2v0.cl, c1v.cl) AS cl
+       |  FROM c1v LEFT JOIN c2v0 ON c1v.j = c2v0.j),
+       |cent AS (
+       |  SELECT j AS centroid_id,
+       |    list_transform(cl, m -> m / 1000000.0) AS centv
+       |  FROM c2v),
+       |assign AS (
+       |  SELECT neighbor_id, centroid_id AS cluster FROM (
+       |    SELECT c.vec_id AS neighbor_id, cent.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY c.vec_id
+       |        ORDER BY ${rawCosine("(c.embedding::DOUBLE[])", "cent.centv")} DESC,
+       |          cent.centroid_id) AS rn
+       |    FROM embeddings c, cent)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT query_id, centroid_id AS cluster FROM (
+       |    SELECT q.vec_id AS query_id, cent.centroid_id,
+       |      ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |        ORDER BY ${rawCosine("(q.embedding::DOUBLE[])", "cent.centv")} DESC,
+       |          cent.centroid_id) AS rn
+       |    FROM embeddings q, cent WHERE q.vec_id < $NumQueries)
+       |  WHERE rn <= $NProbe),
+       |cands AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM probes JOIN assign USING (cluster)
+       |  WHERE query_id <> neighbor_id),
+       |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
+       |       WHERE vec_id < $NumQueries),
+       |cw AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cw FROM embeddings),
+       |scored AS (
+       |  SELECT c.query_id, c.neighbor_id, ${duckCosine("q.qv", "v.cw")} AS sim
+       |  FROM cands c JOIN qv q USING (query_id) JOIN cw v USING (neighbor_id)),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, rank, neighbor_id, sim FROM ranked
+       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
   /** Transitive semantic-dup clusters over the q42 pair graph: every
     * vector labeled with its component's min id (singletons themselves).
     * Uses the corpus-scaled plane count like q42 so the two queries see
@@ -838,6 +964,7 @@ object SimilarityQueries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q129_kmeans" -> q129KMeans _,
+    "q131_ivf_trained" -> q131IvfTrained _,
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
     "q41_ann_lsh_topk" -> q41LshTopK _,
     "q42_embed_near_dups" -> q42EmbeddingNearDups _,
@@ -855,6 +982,7 @@ object SimilarityQueries {
 
   val oracles: Map[String, String] = Map(
     "q129_kmeans" -> q129Sql,
+    "q131_ivf_trained" -> q131Sql,
     "q40_ann_brute_topk" -> q40Sql,
     "q41_ann_lsh_topk" -> q41Sql,
     "q42_embed_near_dups" -> q42Sql,

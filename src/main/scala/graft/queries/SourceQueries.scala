@@ -189,7 +189,28 @@ object SourceQueries {
       |    ' +', ' ', 'g')), 1, 48)) AS ocr_text
       |FROM documents WHERE doc_id < 2000 ORDER BY doc_id""".stripMargin
 
+  /** ORC roundtrip through the suffix dispatcher — Spark's second
+    * columnar format, wired for interop with Hive-era estates (the
+    * common "existing warehouse is ORC" migration shape). The oracle
+    * reads the parquet source directly: any loss anywhere in the
+    * write→read arc breaks the hash. */
+  def q132OrcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
+    val out = s"/tmp/graft_roundtrip_${dir.replaceAll("[^A-Za-z0-9]", "_")}.orc"
+    Sources.write(
+      t(spark, dir, "documents").select("doc_id", "text", "lang", "n_chars"),
+      out)
+    Sources.requireColumns(
+      Sources.read(spark, out), Seq("doc_id", "text", "lang", "n_chars"))
+      .select(col("doc_id").cast("long"), col("text"), col("lang"),
+        col("n_chars").cast("long"))
+      .orderBy("doc_id")
+  }
+
+  val q132Sql: String =
+    """SELECT doc_id, text, lang, n_chars FROM documents ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_orc_roundtrip" -> q132OrcRoundtrip _,
     "q80_cost_estimate" -> q80CostEstimate _,
     "q81_preprocess" -> q81Preprocess _,
     "q82_csv_roundtrip" -> q82CsvRoundtrip _,
@@ -199,6 +220,7 @@ object SourceQueries {
     "q96_scanned_pdf" -> q96ScannedPdf _)
 
   val oracles: Map[String, String] = Map(
+    "q132_orc_roundtrip" -> q132Sql,
     "q80_cost_estimate" -> q80Sql,
     "q81_preprocess" -> q81Sql,
     "q82_csv_roundtrip" -> q82Sql,

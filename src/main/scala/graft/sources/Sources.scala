@@ -21,12 +21,14 @@ object Sources {
       inferSchema: Boolean = true)
 
   /** Read any supported file by suffix: .csv / .tsv / .parquet / .pq /
-    * .json / .jsonl / .ndjson. */
+    * .json / .jsonl / .ndjson / .orc / .xlsx. */
   def read(spark: SparkSession, path: String,
            opts: ReadOptions = ReadOptions()): DataFrame = {
     val lower = path.toLowerCase
     if (lower.endsWith(".parquet") || lower.endsWith(".pq"))
       spark.read.parquet(path)
+    else if (lower.endsWith(".orc"))
+      spark.read.orc(path)
     else if (lower.endsWith(".csv") || lower.endsWith(".tsv"))
       spark.read
         .option("header", opts.header.toString)
@@ -61,6 +63,7 @@ object Sources {
     val lower = path.toLowerCase
     val w: DataFrameWriter[Row] = df.write.mode(mode)
     if (lower.endsWith(".parquet") || lower.endsWith(".pq")) w.parquet(path)
+    else if (lower.endsWith(".orc")) w.orc(path)
     else if (lower.endsWith(".csv"))
       w.option("header", "true").option("quote", "\"").option("escape", "\"")
         .csv(path)

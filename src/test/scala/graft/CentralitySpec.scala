@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.Centrality
+
+class CentralitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ranks(edges: Seq[(Long, Long)], iters: Int, parts: Int = 4) =
+    Centrality.pageRank(
+      spark.createDataFrame(spark.sparkContext.parallelize(edges, parts))
+        .toDF("src", "dst"), "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("a cycle is a fixed point at rank 1e6") {
+    val out = ranks(Seq((0L, 1L), (1L, 2L), (2L, 0L)), iters = 5)
+    assert(out === Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L))
+  }
+
+  test("a hub out-ranks its spokes, exactly as hand-computed") {
+    // 1,2,3 -> 0; 0 -> 1. After one round:
+    //   r(0) = 150000 + 850000*3e6/1e6 = 2700000
+    //   r(1) = 150000 + 850000       = 1000000
+    //   r(2) = r(3) = 150000 (no in-links)
+    val out = ranks(Seq((1L, 0L), (2L, 0L), (3L, 0L), (0L, 1L)), iters = 1)
+    assert(out(0L) === 2700000L)
+    assert(out(1L) === 1000000L)
+    assert(out(2L) === 150000L && out(3L) === 150000L)
+    assert(out(0L) > out(1L) && out(1L) > out(2L))
+  }
+
+  test("dangling nodes drop their mass but keep a defined rank") {
+    // 0 -> 1, 1 has no out-edges: node 1's mass vanishes next round
+    val out = ranks(Seq((0L, 1L)), iters = 2)
+    assert(out.keySet === Set(0L, 1L))
+    assert(out(0L) === 150000L) // nothing ever points at 0
+    // r1(1) = 150000 + 850000 = 1000000; r2(1) = 150000 + 850000*r1(0)/1e6
+    assert(out(1L) === 150000L + 850000L * 150000L / 1000000L)
+  }
+
+  test("ranks are independent of partitioning and parallel edges count") {
+    val e = (0L until 200L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 200), (i, (i * 13 + 3) % 200)))
+    assert(ranks(e, 3, parts = 1) === ranks(e, 3, parts = 16))
+    // a doubled edge doubles its weight share: 0 -> {1,1,2} vs 0 -> {1,2}
+    val doubled = ranks(Seq((0L, 1L), (0L, 1L), (0L, 2L)), 1)
+    val single = ranks(Seq((0L, 1L), (0L, 2L)), 1)
+    assert(doubled(1L) > single(1L) && doubled(2L) < single(2L))
+  }
+
+  test("guards reject bad arguments") {
+    val e = Seq((0L, 1L)).toDF("src", "dst")
+    intercept[IllegalArgumentException] {
+      Centrality.pageRank(e, "src", "dst", iters = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Centrality.pageRank(e, "src", "dst", iters = 1, dampingMicro = 2000000L)
+    }
+  }
+}

@@ -77,6 +77,27 @@ class KMeansSpec extends SparkSpec {
     assert(out === 0L)
   }
 
+  test("trained-centroid IVF at nProbe=k reproduces exact brute-force top-k") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(5)
+    val vecs = (0 until 120).map(i =>
+      (i.toLong, Array.fill(16)((rnd.nextDouble() * 2 - 1).toFloat)))
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(vecs, 4)).toDF("vec_id", "embedding")
+    val m = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val cents = spark.createDataFrame(
+      m.centroids.zipWithIndex.toSeq.map { case (c, j) =>
+        (j.toLong, c.map(_.toDouble / 1e6)) })
+      .toDF("centroid_id", "centv")
+    val queries = emb.filter(col("vec_id") < 5)
+    val ivf = Similarity.ivfTopKWithCentroids(queries, emb, 3, cents,
+      nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val exact = Similarity.bruteForceTopK(queries, emb, 3).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(ivf === exact)
+  }
+
   test("assignment is a pure map: vectors never cross an exchange") {
     val m = KMeans.fit(blobs(), "id", "vec", 3, 1)
     val p = KMeans.assign(blobs(), "vec", m.centroids)
