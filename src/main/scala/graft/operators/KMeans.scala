@@ -63,9 +63,16 @@ object KMeans {
     * `dist` columns (exact integer micro² distance). `vecCol` is the
     * RAW float vector column; quantization happens here. */
   def assign(df: DataFrame, vecCol: String,
-             centroids: Array[Array[Long]]): DataFrame = {
+             centroids: Array[Array[Long]]): DataFrame =
+    assignOn(df, microVec(col(vecCol)), centroids)
+
+  /** [[assign]] against an already-quantized micro vector expression —
+    * the training loop quantizes ONCE into a staged column and reuses
+    * it across every iteration's assignment and update. */
+  private def assignOn(df: DataFrame, micro: Column,
+                       centroids: Array[Array[Long]]): DataFrame = {
     require(centroids.nonEmpty, "no centroids")
-    val b = best(microVec(col(vecCol)), centroids)
+    val b = best(micro, centroids)
     df.withColumn("cluster", b.getField("c"))
       .withColumn("dist", b.getField("d"))
   }
@@ -74,11 +81,12 @@ object KMeans {
   private def intMean(sum: Long, n: Long): Long =
     math.floor((2.0 * sum + n) / (2.0 * n)).toLong
 
-  /** Per-cluster micro means of `df(vecCol)` grouped by `keyExpr` —
-    * the k-row bounded collect. Returns cluster → centroid. */
-  private def meansBy(df: DataFrame, vecCol: String, keyExpr: Column,
+  /** Per-cluster micro means of an already-quantized micro column
+    * grouped by `keyExpr` — the k-row bounded collect. Returns
+    * cluster → centroid. */
+  private def meansBy(df: DataFrame, microCol: String, keyExpr: Column,
                       dim: Int): Map[Long, Array[Long]] = {
-    val v = microVec(col(vecCol))
+    val v = col(microCol)
     val aggs = count(lit(1)).as("__graft_n") +:
       (0 until dim).map(i => sum(element_at(v, i + 1)).as(s"__graft_s$i"))
     df.groupBy(keyExpr.as("__graft_c"))
@@ -99,17 +107,23 @@ object KMeans {
     require(iters >= 1, "iters must be >= 1")
     val dim = df.select(size(col(vecCol))).head().getInt(0)
     require(dim >= 1, "empty vectors")
+    // quantize ONCE behind a stage barrier: every iteration's
+    // assignment and per-dim update reads the same materialized micro
+    // column instead of re-running the float->micro transform per pass
+    val mv = "__graft_mv"
+    val q = graft.ops.Parallelism.stage(
+      df.withColumn(mv, microVec(col(vecCol))))
     // init: micro-mean of each id-residue class; a class can only be
     // empty when the corpus has < k rows — then seed at the origin
-    val init = meansBy(df, vecCol, pmod(col(idCol), lit(k.toLong)), dim)
+    val init = meansBy(q, mv, pmod(col(idCol), lit(k.toLong)), dim)
     var cents = Array.tabulate(k)(j =>
       init.getOrElse(j.toLong, Array.fill(dim)(0L)))
     var assigned: DataFrame = null
     for (_ <- 0 until iters) {
-      assigned = assign(df, vecCol, cents)
-      val upd = meansBy(assigned, vecCol, col("cluster"), dim)
+      assigned = assignOn(q, col(mv), cents)
+      val upd = meansBy(assigned, mv, col("cluster"), dim)
       cents = Array.tabulate(k)(j => upd.getOrElse(j.toLong, cents(j)))
     }
-    Model(cents, assigned)
+    Model(cents, assigned.drop(mv))
   }
 }
