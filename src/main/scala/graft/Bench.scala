@@ -90,6 +90,16 @@ object Bench {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
 
+    // Untimed warmup: the alphabetically-first arm otherwise absorbs the
+    // one-time costs (executor thread spin-up, noop-sink codegen, parquet
+    // footer caching) — q01 read 4.9 s in a full record vs 1.4 s isolated,
+    // a 3.5 s artifact that survived even the min-of-2 rep fold.
+    try {
+      materialize(spark.read.parquet(s"$sfDir/region.parquet"))
+      spark.range(0, 1000000L, 1, 4).select(sum(col("id"))).collect()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
+
     // 1. the full query inventory (cache cleared between runs so
     // operator-internal persists don't leak memory pressure across runs)
     SparkEntry.queries.toSeq.sortBy(_._1)
