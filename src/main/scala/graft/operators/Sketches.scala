@@ -62,6 +62,50 @@ object Sketches {
     a.unionByName(b).groupBy(col("r"), col("c"))
       .agg(sum(col("cnt")).as("cnt"))
 
+  /** Document NOVELTY scoring through a broadcast sketch — the rarity
+    * signal (a page dominated by corpus-rare tokens is either novel
+    * content worth keeping or gibberish worth gating; either way the
+    * signal is the input): fraction of a document's token OCCURRENCES
+    * whose corpus-wide CMS estimate is ≤ `rareMax`.
+    *
+    * The DSIR discipline at sketch scale: the corpus aggregates ONCE
+    * into the ≤ depth×width-cell grid, the grid collects (bounded,
+    * explicitly guarded) and ships as a single flattened literal, and
+    * scoring is a pure per-row map — zero joins, zero shuffles, the
+    * whole corpus scored at scan speed. CMS only ever OVERestimates,
+    * so `n_rare` is a conservative lower bound on true rare mass —
+    * exactly the safe direction for a keep/gate signal.
+    *
+    * Output: (idCol, n_tokens, n_rare, novelty) with novelty =
+    * n_rare / n_tokens (0 for empty docs), rounded to 6dp. */
+  def cmsNoveltyScore(df: DataFrame, idCol: String, textCol: String,
+                      depth: Int = 4, width: Int = 1024,
+                      rareMax: Long = 2L): DataFrame = {
+    require(depth >= 1 && depth <= 16 && width >= 16 &&
+      depth.toLong * width <= (1 << 22),
+      s"sketch ${depth}x$width collects to the driver (bounded)")
+    require(rareMax >= 1, "rareMax must be >= 1")
+    val toks = coalesce(
+      TextFunctions.tokens(lower(col(textCol))),
+      array().cast("array<string>"))
+    val sketch = cmsBuild(df.select(explode(toks).as(s"${Dup}t")),
+      s"${Dup}t", depth, width)
+    val flat = Array.fill[Long](depth * width)(0L)
+    sketch.collect().foreach(r =>
+      flat(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
+    val lut = lit(flat)
+    def est(t: Column): Column =
+      least((0 until depth).map(r =>
+        element_at(lut,
+          (lit(r.toLong * width) + cellOf(t, r, width) + 1).cast("int"))): _*)
+    val nTok = size(toks).cast("long")
+    val nRare = size(filter(toks, t => est(t) <= lit(rareMax))).cast("long")
+    df.select(col(idCol), nTok.as("n_tokens"), nRare.as("n_rare"),
+      round(when(nTok === 0, lit(0.0))
+        .otherwise(nRare.cast("double") / nTok.cast("double")), 6)
+        .as("novelty"))
+  }
+
   /** Point-estimate the frequency of each row of `probes(itemCol)`
     * against a sketch: min over the item's `depth` cells (an absent
     * cell reads zero). Output: probes' columns + `cms_est`. */

@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Snapshot diffing for incremental corpora — the report an ingestion
+  * team reads between two crawls of the same id space: which documents
+  * are ADDED (id only in the new snapshot), REMOVED (only in the old),
+  * CHANGED (both, content fingerprint differs), UNCHANGED. Content
+  * equality is the corpus-wide canonical fingerprint
+  * ([[TextFunctions.fingerprint]] — whitespace/punctuation-jitter
+  * tolerant), so a re-serialized but identical page doesn't read as a
+  * change.
+  *
+  * One full-outer join on the id — both sides project to (id,
+  * 16-byte fingerprint) first, so at 100 TB the shuffle carries ids
+  * and fingerprints, never document text. Pair with
+  * [[Dedup.dropSeenBefore]] (content-keyed) when ids are unstable
+  * across crawls.
+  */
+object Snapshot {
+
+  /** Per-document diff: (idCol, status) with status ∈ added | removed |
+    * changed | unchanged. */
+  def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+           textCol: String): DataFrame = {
+    def fp(df: DataFrame, as: String) =
+      df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as(as))
+    fp(oldDf, "__graft_fpo").join(fp(newDf, "__graft_fpn"), Seq(idCol), "full")
+      .select(col(idCol),
+        when(col("__graft_fpo").isNull, "added")
+          .when(col("__graft_fpn").isNull, "removed")
+          .when(col("__graft_fpo") === col("__graft_fpn"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
+  /** The dashboard rollup: status → count. */
+  def diffSummary(oldDf: DataFrame, newDf: DataFrame, idCol: String,
+                  textCol: String): DataFrame =
+    diff(oldDf, newDf, idCol, textCol)
+      .groupBy(col("status")).agg(count(lit(1)).as("n"))
+}

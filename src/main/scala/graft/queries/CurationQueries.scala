@@ -676,6 +676,49 @@ object CurationQueries {
       |  FROM r1 LEFT JOIN c2 USING (id))
       |SELECT id AS doc_id, r AS rank_micro FROM r2 ORDER BY doc_id""".stripMargin
 
+  // --- q136: crawl snapshot diff ------------------------------------------
+
+  /** Incremental-crawl diff report: the "new crawl" is synthesized from
+    * the corpus (1-in-7 pages vanish, 1-in-5 of the survivors change
+    * content, 1-in-10 spawn a brand-new id) and diffed against the
+    * original by id + canonical fingerprint. Only (id, 16-byte
+    * fingerprint) pairs cross the full-outer join — never text. The
+    * oracle rebuilds the same synthetic crawl and replays the diff. */
+  def q136SnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val survivors = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    graft.operators.Snapshot.diff(
+      docs, survivors.unionByName(fresh), "doc_id", "text")
+      .orderBy("doc_id")
+  }
+
+  val q136Sql: String =
+    """WITH newd AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+      |o AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+      |  FROM documents),
+      |n AS (
+      |  SELECT doc_id,
+      |    md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f
+      |  FROM newd)
+      |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+      |  CASE WHEN o.doc_id IS NULL THEN 'added'
+      |       WHEN n.doc_id IS NULL THEN 'removed'
+      |       WHEN o.f = n.f THEN 'unchanged' ELSE 'changed' END AS status
+      |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+      |ORDER BY doc_id""".stripMargin
+
   // --- q105: fastText-style quality classifier (pinned-model scoring) -----
 
   /** Exported-model quality scoring — the production arc of the
@@ -765,6 +808,7 @@ object CurationQueries {
     "q105_quality_filter" -> q105QualityFilter _,
     "q124_dsir_select" -> q124DsirSelect _,
     "q133_pagerank" -> q133PageRank _,
+    "q136_snapshot_diff" -> q136SnapshotDiff _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
     "q67_gopher_filter" -> q67GopherFilter _,
@@ -783,6 +827,7 @@ object CurationQueries {
     "q105_quality_filter" -> q105Sql,
     "q124_dsir_select" -> q124Sql,
     "q133_pagerank" -> q133Sql,
+    "q136_snapshot_diff" -> q136Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,
     "q67_gopher_filter" -> q67Sql,

@@ -312,7 +312,34 @@ object RagQueries {
       |  unnest(chunks) AS chunk
       |FROM wins ORDER BY doc_id, chunk_idx""".stripMargin
 
+  /** Exact phrase search over a positional inverted index: the postings
+    * relation (term, doc, pos), then "table value" resolved as one
+    * adjacency equi-join on (doc, shifted start). The oracle replays
+    * matches positionally from the raw text — the index build, the
+    * offset arithmetic, and the per-doc rollup all have to agree
+    * (first_pos included, 0-based both sides). */
+  def q135PhraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rag.PhraseIndex
+    val idx = PhraseIndex.build(tp(spark, dir, "documents"), "doc_id", "text")
+    PhraseIndex.phraseSearch(idx, "table value")
+      .select(col("doc").as("doc_id"), col("n_matches"), col("first_pos"))
+      .orderBy("doc_id")
+  }
+
+  val q135Sql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, ${toksSql("text")} AS w FROM documents),
+       |m AS (
+       |  SELECT doc_id,
+       |    [i for i in range(1, len(w))
+       |      if w[i] = 'table' AND w[i + 1] = 'value'] AS hits
+       |  FROM toks)
+       |SELECT doc_id, len(hits)::BIGINT AS n_matches,
+       |  (hits[1] - 1)::BIGINT AS first_pos
+       |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_phrase_search" -> q135PhraseSearch _,
     "q60_tfidf_pair" -> q60TfidfPair _,
     "q61_sparse_search" -> q61SparseSearch _,
     "q62_hybrid_rrf" -> q62HybridRrf _,
@@ -320,6 +347,7 @@ object RagQueries {
     "q64_rerank" -> q64Rerank _)
 
   val oracles: Map[String, String] = Map(
+    "q135_phrase_search" -> q135Sql,
     "q60_tfidf_pair" -> q60Sql,
     "q61_sparse_search" -> q61Sql,
     "q62_hybrid_rrf" -> q62Sql,

@@ -982,6 +982,61 @@ object TextQueries {
       |  cleaned
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** CMS-composed novelty scoring: each page carries two copies of a
+    * doc-unique marker token (the q66 fixture discipline — the tiny
+    * synthetic vocabulary has no naturally rare tokens), the corpus
+    * builds one 4×1024 sketch, and every doc scores its rare-token
+    * fraction map-side against the broadcast grid. The oracle replays
+    * sketch, min-of-rows estimates, and per-doc fractions; ~540
+    * distinct keys in 1024 columns means real collisions fire and the
+    * overestimate direction is genuinely exercised. */
+  def q134CmsNovelty(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val aug = tp(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" uniq"), col("doc_id"),
+        lit(" uniq"), col("doc_id")).as("page"))
+    Sketches.cmsNoveltyScore(aug, "doc_id", "page",
+      depth = 4, width = 1024, rareMax = 2)
+      .orderBy("doc_id")
+  }
+
+  val q134Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    text || ' uniq' || doc_id || ' uniq' || doc_id AS page
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, unnest(list_filter(
+      |    regexp_split_to_array(trim(lower(page)), '\s+'), x -> x <> '')) AS t
+      |  FROM aug),
+      |rows_ AS (SELECT unnest([0, 1, 2, 3]) AS r),
+      |cells AS (
+      |  SELECT r,
+      |    (('0x' || substr(md5('cms' || r || '|' || t), 1, 15))::UBIGINT
+      |      % 1024)::BIGINT AS c
+      |  FROM toks CROSS JOIN rows_),
+      |sketch AS (SELECT r, c, count(*)::BIGINT AS cnt FROM cells GROUP BY 1, 2),
+      |dist AS (SELECT DISTINCT t FROM toks),
+      |probe AS (
+      |  SELECT dist.t, rows_.r,
+      |    (('0x' || substr(md5('cms' || rows_.r || '|' || dist.t), 1, 15))::UBIGINT
+      |      % 1024)::BIGINT AS c
+      |  FROM dist CROSS JOIN rows_),
+      |estc AS (
+      |  SELECT p.t, min(coalesce(s.cnt, 0))::BIGINT AS est
+      |  FROM probe p LEFT JOIN sketch s ON p.r = s.r AND p.c = s.c
+      |  GROUP BY 1),
+      |sc AS (
+      |  SELECT toks.doc_id, count(*)::BIGINT AS n_tokens,
+      |    sum(CASE WHEN estc.est <= 2 THEN 1 ELSE 0 END)::BIGINT AS n_rare
+      |  FROM toks JOIN estc ON toks.t = estc.t
+      |  GROUP BY 1)
+      |SELECT d.doc_id, coalesce(sc.n_tokens, 0) AS n_tokens,
+      |  coalesce(sc.n_rare, 0) AS n_rare,
+      |  round(CASE WHEN coalesce(sc.n_tokens, 0) = 0 THEN 0
+      |    ELSE sc.n_rare::DOUBLE / sc.n_tokens END, 6) AS novelty
+      |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // --- corpus-level duplicate-line removal ------------------------------
 
   /** C4/RefinedWeb boilerplate-line scrub. The corpus is single-line, so
@@ -1216,6 +1271,7 @@ object TextQueries {
     "q101_shard_assign" -> q101ShardAssign _,
     "q125_cms_heavy_hitters" -> q125CmsHeavyHitters _,
     "q127_c4_filters" -> q127C4Filters _,
+    "q134_cms_novelty" -> q134CmsNovelty _,
     "q126_temperature_mix" -> q126TemperatureMix _,
     "q102_line_dedup" -> q102LineDedup _,
     "q104_bpe_merges" -> q104BpeMerges _,
@@ -1250,6 +1306,7 @@ object TextQueries {
     "q101_shard_assign" -> q101Sql,
     "q125_cms_heavy_hitters" -> q125Sql,
     "q127_c4_filters" -> q127Sql,
+    "q134_cms_novelty" -> q134Sql,
     "q126_temperature_mix" -> q126Sql,
     "q102_line_dedup" -> q102Sql,
     "q104_bpe_merges" -> q104Sql,

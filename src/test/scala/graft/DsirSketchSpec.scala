@@ -131,6 +131,41 @@ class DsirSketchSpec extends SparkSpec {
       s"raw tokens crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("cms novelty: unique-token docs score 1, common-token docs 0") {
+    val rows = Seq(
+      (1L, "aardvark basilisk chimera dodo"),      // all singletons
+      (2L, "the the the the"),                     // 4 occurrences
+      (3L, "the aardwolf"),                        // half rare
+      (4L, ""), (5L, null.asInstanceOf[String]))
+    val out = Sketches.cmsNoveltyScore(rows.toDF("id", "text"), "id", "text",
+      depth = 4, width = 1024, rareMax = 1)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) === ((4L, 4L, 1.0)))
+    assert(out(2L) === ((4L, 0L, 0.0)))
+    assert(out(3L) === ((2L, 1L, 0.5)))
+    assert(out(4L) === ((0L, 0L, 0.0)))
+    assert(out(5L) === ((0L, 0L, 0.0)))
+  }
+
+  test("cms novelty is a conservative lower bound on true rare mass") {
+    // narrow sketch forces collisions: estimated rarity can only shrink
+    val rnd = new scala.util.Random(13)
+    val rows = (0 until 80).map(i =>
+      (i.toLong, Seq.fill(12)(s"w${rnd.nextInt(200)}").mkString(" ")))
+    val df = rows.toDF("id", "text")
+    val census = rows.flatMap(_._2.split(" ")).groupBy(identity)
+      .map { case (t, g) => t -> g.size }
+    val trueRare = rows.map { case (id, text) =>
+      id -> text.split(" ").count(census(_) <= 2).toLong }.toMap
+    val est = Sketches.cmsNoveltyScore(df, "id", "text",
+      depth = 2, width = 16, rareMax = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rows.foreach { case (id, _) =>
+      assert(est(id) <= trueRare(id), s"doc $id: ${est(id)} > ${trueRare(id)}")
+    }
+  }
+
   // --- temperature mixture -------------------------------------------------
 
   test("temperature mixing flattens the head: rare domains gain share") {

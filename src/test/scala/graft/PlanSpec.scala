@@ -24,6 +24,39 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_returnflag"), "read schema not pruned")
   }
 
+  test("MIN/MAX/COUNT push down to parquet footers (scan-less aggregates)") {
+    // footer-stat aggregates are the cheapest possible 100 TB query: the
+    // scan reads row-group metadata, never data pages. V2 source only —
+    // parquet must leave the V1 list for the pushdown rule to apply.
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    val prevAgg = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    try {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+      spark.conf.set("spark.sql.sources.useV1SourceList",
+        prevV1.split(",").filterNot(_.trim == "parquet").mkString(","))
+      val df = spark.read.parquet(s"$dir/lineitem.parquet")
+        .agg(min("l_orderkey").as("lo"), max("l_orderkey").as("hi"),
+          count(lit(1)).as("n"))
+      val p = plan(df)
+      assert(p.contains("PushedAggregation: [MIN(l_orderkey), " +
+        "MAX(l_orderkey), COUNT(*)]"),
+        s"footer aggregate not pushed:\n$p")
+      // and the pushed answer must equal the unpushed one
+      val pushed = df.collect().head
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      val exact = spark.read.parquet(s"$dir/lineitem.parquet")
+        .agg(min("l_orderkey"), max("l_orderkey"), count(lit(1)))
+        .collect().head
+      assert(pushed.toSeq === exact.toSeq)
+    } finally {
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+      prevAgg match {
+        case Some(v) => spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None => spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+    }
+  }
+
   test("dimension joins broadcast (no fact-table shuffle for the dim side)") {
     val p = plan(graft.queries.RelationalQueries.q03SegmentRevenue(spark, dir))
     assert(p.contains("BroadcastHashJoin"), s"expected broadcast join:\n$p")
