@@ -338,7 +338,55 @@ object RagQueries {
        |  (hits[1] - 1)::BIGINT AS first_pos
        |FROM m WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin
 
+  /** Okapi BM25 top-10 for three fixed query strings — the
+    * Lucene-default lexical ranking beside the TF-IDF cosine (q61) and
+    * exact phrase (q135) paths. Scores follow the micro-integer
+    * determinism discipline, so the oracle replays idf, the saturated
+    * tf term, and the length normalization to the exact micro. */
+  def q137Bm25(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rag.Bm25
+    val idx = Bm25.build(tp(spark, dir, "documents"), "doc_id", "text")
+    val qs = spark.createDataFrame(Seq(
+      (1L, "table value part"), (2L, "stream window agg"),
+      (3L, "customer merge join"))).toDF("query_id", "qtext")
+    Bm25.search(idx, qs, "query_id", "qtext", k = 10)
+      .orderBy("query_id", "rank")
+  }
+
+  val q137Sql: String =
+    s"""WITH q(query_id, qtext) AS (VALUES
+       |    (1, 'table value part'), (2, 'stream window agg'),
+       |    (3, 'customer merge join')),
+       |toks AS (SELECT doc_id AS doc, ${toksSql("text")} AS w FROM documents),
+       |lens AS (SELECT doc, len(w)::BIGINT AS dl FROM toks),
+       |tfq AS (
+       |  SELECT term, doc, count(*)::BIGINT AS tf
+       |  FROM (SELECT doc, unnest(w) AS term FROM toks) GROUP BY 1, 2),
+       |dft AS (SELECT term, count(*)::BIGINT AS df FROM tfq GROUP BY 1),
+       |tot AS (SELECT count(*)::BIGINT AS n, sum(dl)::BIGINT AS s FROM lens),
+       |qt AS (
+       |  SELECT DISTINCT query_id, unnest(${toksSql("qtext")}) AS term FROM q),
+       |terms AS (
+       |  SELECT qt.query_id, tfq.doc,
+       |    CAST(round(
+       |      ln((tot.n::DOUBLE - dft.df + 0.5) / (dft.df + 0.5) + 1.0)
+       |      * (tfq.tf::DOUBLE * 2.2)
+       |      / (tfq.tf::DOUBLE + 1.2 * (0.25
+       |          + 0.75 * (lens.dl::DOUBLE * tot.n::DOUBLE) / tot.s::DOUBLE))
+       |      * 1000000.0, 0) AS BIGINT) AS m
+       |  FROM qt JOIN tfq USING (term) JOIN dft USING (term)
+       |  JOIN lens ON lens.doc = tfq.doc CROSS JOIN tot),
+       |sc AS (SELECT query_id, doc, sum(m)::BIGINT AS s FROM terms GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT query_id, doc, s,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY s DESC, doc) AS rank
+       |  FROM sc)
+       |SELECT CAST(query_id AS BIGINT) AS query_id, rank, doc AS doc_id,
+       |  round(s::DOUBLE / 1000000.0, 6) AS score
+       |FROM rk WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q137_bm25" -> q137Bm25 _,
     "q135_phrase_search" -> q135PhraseSearch _,
     "q60_tfidf_pair" -> q60TfidfPair _,
     "q61_sparse_search" -> q61SparseSearch _,
@@ -347,6 +395,7 @@ object RagQueries {
     "q64_rerank" -> q64Rerank _)
 
   val oracles: Map[String, String] = Map(
+    "q137_bm25" -> q137Sql,
     "q135_phrase_search" -> q135Sql,
     "q60_tfidf_pair" -> q60Sql,
     "q61_sparse_search" -> q61Sql,

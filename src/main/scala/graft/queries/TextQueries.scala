@@ -841,6 +841,44 @@ object TextQueries {
       |  unnest(generate_series(0, (n_copies - 1)::INT))::INT AS epoch
       |FROM hashed WHERE n_copies > 0 ORDER BY doc_id, epoch""".stripMargin
 
+  /** Rendezvous-hash shard movement matrix: assign every doc under 3
+    * nodes, then again with a 4th added, and publish the (before,
+    * after) counts. HRW's point IS this output's shape — every row that
+    * moved, moved TO the new node (~1/4 of the corpus); mod-sharding
+    * would scatter ~3/4 of it. The oracle replays the per-node hash
+    * argmax and the matrix. */
+  def q138RendezvousShards(spark: SparkSession, dir: String): DataFrame = {
+    import graft.sources.Shards
+    val docs = tp(spark, dir, "documents")
+    val before = Shards.rendezvousShard(docs, "doc_id",
+      Seq("node-a", "node-b", "node-c"), "node_before")
+    val both = Shards.rendezvousShard(before, "doc_id",
+      Seq("node-a", "node-b", "node-c", "node-d"), "node_after")
+    both.groupBy(col("node_before"), col("node_after"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("node_before", "node_after")
+  }
+
+  val q138Sql: String =
+    """WITH nodes3 AS (
+      |  SELECT unnest(['node-a', 'node-b', 'node-c']) AS nd),
+      |nodes4 AS (
+      |  SELECT unnest(['node-a', 'node-b', 'node-c', 'node-d']) AS nd),
+      |b AS (
+      |  SELECT doc_id, nd, row_number() OVER (PARTITION BY doc_id ORDER BY
+      |    ('0x' || substr(md5(nd || '|hrw|' || doc_id::VARCHAR), 1, 15))::UBIGINT
+      |      DESC, nd DESC) AS rk
+      |  FROM documents CROSS JOIN nodes3),
+      |a AS (
+      |  SELECT doc_id, nd, row_number() OVER (PARTITION BY doc_id ORDER BY
+      |    ('0x' || substr(md5(nd || '|hrw|' || doc_id::VARCHAR), 1, 15))::UBIGINT
+      |      DESC, nd DESC) AS rk
+      |  FROM documents CROSS JOIN nodes4)
+      |SELECT b.nd AS node_before, a.nd AS node_after, count(*) AS n
+      |FROM (SELECT doc_id, nd FROM b WHERE rk = 1) b
+      |JOIN (SELECT doc_id, nd FROM a WHERE rk = 1) a USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // --- seeded epoch shuffle ---------------------------------------------
 
   /** Epoch-seeded deterministic shuffle: every doc addressed by (shard,
@@ -1272,6 +1310,7 @@ object TextQueries {
     "q125_cms_heavy_hitters" -> q125CmsHeavyHitters _,
     "q127_c4_filters" -> q127C4Filters _,
     "q134_cms_novelty" -> q134CmsNovelty _,
+    "q138_rendezvous_shards" -> q138RendezvousShards _,
     "q126_temperature_mix" -> q126TemperatureMix _,
     "q102_line_dedup" -> q102LineDedup _,
     "q104_bpe_merges" -> q104BpeMerges _,
@@ -1307,6 +1346,7 @@ object TextQueries {
     "q125_cms_heavy_hitters" -> q125Sql,
     "q127_c4_filters" -> q127Sql,
     "q134_cms_novelty" -> q134Sql,
+    "q138_rendezvous_shards" -> q138Sql,
     "q126_temperature_mix" -> q126Sql,
     "q102_line_dedup" -> q102Sql,
     "q104_bpe_merges" -> q104Sql,

@@ -32,6 +32,27 @@ object Shards {
     df.withColumn(shardCol, pmod(h, lit(numShards.toLong)).cast("int"))
   }
 
+  /** Rendezvous (highest-random-weight) shard assignment: the key goes
+    * to the NAMED node with the greatest `hash64(node|salt|key)`. Where
+    * `mod numShards` reshuffles ~everything when the shard count
+    * changes, HRW moves ONLY the keys won by the added node (or owned
+    * by a removed one) — ~1/(n+1) of the corpus — which is the property
+    * that makes incremental shard-set growth cheap at 100 TB (the q138
+    * oracle replays the argmax AND exhibits the movement matrix). Pure
+    * per-row map over a literal node list; ties (a 60-bit md5
+    * collision) break toward the lexically larger node, matching the
+    * oracle's ORDER BY h DESC, node DESC. */
+  def rendezvousShard(df: DataFrame, keyCol: String, nodes: Seq[String],
+                      shardCol: String = "node",
+                      salt: String = "hrw"): DataFrame = {
+    require(nodes.nonEmpty && nodes.distinct.size == nodes.size,
+      "nodes must be non-empty and distinct")
+    val weights = array(nodes.map(nd =>
+      struct(hash64(concat(lit(nd), lit(s"|$salt|"),
+        col(keyCol).cast("string"))).as("h"), lit(nd).as("nd"))): _*)
+    df.withColumn(shardCol, array_max(weights).getField("nd"))
+  }
+
   /** Deterministic per-epoch corpus shuffle: every row gets a (shard,
     * pos) address under a seeded hash order — the reproducible
     * training-order primitive. A training run reads shards in shard

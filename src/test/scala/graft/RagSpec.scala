@@ -211,4 +211,44 @@ class RagSpec extends SparkSpec {
       .select("chunk").as[String].head()
     assert(chunkText.contains("solar"))
   }
+
+  test("bm25 ranks rare matched terms above common ones, length-normalized") {
+    import graft.rag.Bm25
+    val docs = Seq(
+      (1L, "zebra migration patterns in the wild"),
+      (2L, "the the the the the the the the zebra"),
+      (3L, "the cat sat on the mat"),
+      (4L, "zebra zebra zebra zebra zebra zebra zebra zebra " +
+        "and then a very long tail of filler words about nothing specific"))
+      .toDF("id", "text")
+    val idx = Bm25.build(docs, "id", "text")
+    val qs = Seq((1L, "zebra")).toDF("qid", "qtext")
+    val out = Bm25.search(idx, qs, "qid", "qtext", k = 10)
+      .collect().map(r => r.getLong(2) -> (r.getInt(1), r.getDouble(3))).toMap
+    assert(!out.contains(3L), "doc without the term must not rank")
+    // tf saturation + length norm: the 8x-repetition long doc still wins
+    // on raw tf, but scores sublinearly vs 8x a single occurrence
+    assert(out(4L)._2 < 8 * out(1L)._2)
+    // same tf=1: the shorter doc outranks the longer one
+    assert(out.contains(1L) && out.contains(2L))
+    assert(out(1L)._2 > out(2L)._2, s"length norm failed: $out")
+    // duplicated query terms score once
+    val dup = Bm25.search(idx, Seq((1L, "zebra zebra zebra"))
+      .toDF("qid", "qtext"), "qid", "qtext", k = 10)
+      .collect().map(r => r.getLong(2) -> r.getDouble(3)).toMap
+    assert(dup === out.map { case (d, (_, s)) => d -> s })
+  }
+
+  test("bm25 scores are independent of partitioning") {
+    import graft.rag.Bm25
+    def run(parts: Int) = {
+      val docs = spark.createDataFrame(spark.sparkContext.parallelize(
+        (0 until 200).map(i => (i.toLong, s"term${i % 17} filler common text")),
+        parts)).toDF("id", "text")
+      Bm25.search(Bm25.build(docs, "id", "text"),
+        Seq((1L, "term3 common")).toDF("qid", "qtext"), "qid", "qtext", k = 20)
+        .collect().map(r => (r.getLong(2), r.getInt(1), r.getDouble(3))).toSet
+    }
+    assert(run(1) === run(11))
+  }
 }

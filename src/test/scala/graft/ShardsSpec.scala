@@ -83,4 +83,32 @@ class ShardsSpec extends SparkSpec {
       .select("id", "shard", "pos").as[(Long, Int, Long)].collect()
     assert(a.sortBy(_._1).toSeq != c.sortBy(_._1).toSeq)
   }
+
+  test("rendezvous sharding moves ONLY the new node's keys on growth") {
+    val df = spark.range(0, 3000, 1, 8).toDF("id")
+    def owners(nodes: Seq[String]) =
+      Shards.rendezvousShard(df, "id", nodes)
+        .select("id", "node").as[(Long, String)].collect().toMap
+    val three = owners(Seq("n1", "n2", "n3"))
+    val four = owners(Seq("n1", "n2", "n3", "n4"))
+    val moved = three.keys.filter(k => three(k) != four(k))
+    assert(moved.nonEmpty, "the new node must win some keys")
+    assert(moved.forall(k => four(k) == "n4"),
+      "every moved key must land on the ADDED node")
+    // ~1/4 of the keys, with generous hash tolerance
+    assert(moved.size > 500 && moved.size < 1000, s"moved ${moved.size}")
+    // and removal only relocates the removed node's keys
+    val without = owners(Seq("n1", "n3", "n4"))
+    four.foreach { case (k, nd) =>
+      if (nd != "n2") assert(without(k) == nd, s"key $k moved needlessly")
+    }
+    // balance: each of 4 nodes owns 15-35%
+    val byNode = four.values.groupBy(identity).view.mapValues(_.size)
+    byNode.foreach { case (nd, n) =>
+      assert(n > 450 && n < 1050, s"$nd owns $n of 3000")
+    }
+    intercept[IllegalArgumentException] {
+      Shards.rendezvousShard(df, "id", Seq("n1", "n1"))
+    }
+  }
 }
