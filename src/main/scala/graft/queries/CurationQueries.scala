@@ -719,6 +719,39 @@ object CurationQueries {
       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
 
+  // --- q140: per-source winsorized length metric --------------------------
+
+  /** Winsorize `n_chars` to each source's exact [p5, p95] band — the
+    * outlier clipping a heavy-tailed metric gets before feeding a gate
+    * or a mixture weight. The oracle replays the integer rank rule and
+    * the clip, so the exact-percentile machinery itself is verified. */
+  def q140Winsorize(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Winsorize.winsorize(
+      tp(spark, dir, "documents").select("doc_id", "source", "n_chars"),
+      "source", "n_chars", loPct = 5, hiPct = 95)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("cut_lo"), col("cut_hi"), col("n_chars_clipped"))
+      .orderBy("doc_id")
+
+  val q140Sql: String =
+    """WITH hist AS (
+      |  SELECT source, n_chars, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, n_chars, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+      |  FROM hist),
+      |tot AS (SELECT source, sum(c) AS n FROM hist GROUP BY 1),
+      |cuts AS (
+      |  SELECT cum.source,
+      |    min(CASE WHEN cum >= (5 * n + 99) // 100 THEN n_chars END) AS cut_lo,
+      |    min(CASE WHEN cum >= (95 * n + 99) // 100 THEN n_chars END) AS cut_hi
+      |  FROM cum JOIN tot USING (source) GROUP BY 1)
+      |SELECT d.doc_id, d.source, d.n_chars, c.cut_lo, c.cut_hi,
+      |  least(greatest(d.n_chars, c.cut_lo), c.cut_hi) AS n_chars_clipped
+      |FROM documents d JOIN cuts c USING (source)
+      |ORDER BY d.doc_id""".stripMargin
+
   // --- q105: fastText-style quality classifier (pinned-model scoring) -----
 
   /** Exported-model quality scoring — the production arc of the
@@ -809,6 +842,7 @@ object CurationQueries {
     "q124_dsir_select" -> q124DsirSelect _,
     "q133_pagerank" -> q133PageRank _,
     "q136_snapshot_diff" -> q136SnapshotDiff _,
+    "q140_winsorize" -> q140Winsorize _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
     "q67_gopher_filter" -> q67GopherFilter _,
@@ -828,6 +862,7 @@ object CurationQueries {
     "q124_dsir_select" -> q124Sql,
     "q133_pagerank" -> q133Sql,
     "q136_snapshot_diff" -> q136Sql,
+    "q140_winsorize" -> q140Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,
     "q67_gopher_filter" -> q67Sql,

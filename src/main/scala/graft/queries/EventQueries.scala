@@ -363,7 +363,61 @@ object EventQueries {
       |  AND c.ts >= e.ts - INTERVAL 1 HOUR AND c.ts <= e.ts
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --- q139: per-type z-score anomaly flags -------------------------------
+
+  /** Statistical outlier detection per event_type: z-scores against the
+    * type's own mean/std, the ops-dashboard primitive. Cross-engine
+    * determinism by EXACT moments: Σv and Σv² accumulate in DECIMAL
+    * (order-independent, exact at 2/4 dp), the variance numerator
+    * `n·Σv² − (Σv)²` stays exact decimal, and only then does ONE fixed
+    * IEEE chain produce std and each row's z — so the oracle matches
+    * every z to 6dp and the anomaly set exactly. One k-group aggregate
+    * broadcast back over the scan; no window, no per-type sort. */
+  def q139Anomalies(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val vd = col("value").cast("decimal(18,2)")
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(vd).as("s1"),
+      sum(vd * vd).as("s2"))
+    // moments cast to double AFTER the exact decimal accumulation; every
+    // cast value and every product here is < 2^53, so the double
+    // arithmetic is itself exact until the one final division + sqrt
+    val nD = col("n").cast("double")
+    val s1D = col("s1").cast("double")
+    val s2D = col("s2").cast("double")
+    val std = sqrt((nD * s2D - s1D * s1D) / (nD * nD))
+    val mean = s1D / nD
+    val z = round((col("value") - col("mean")) / col("std"), 6)
+    ev.join(broadcast(stats
+        .select(col("event_type"), mean.as("mean"), std.as("std"))),
+        Seq("event_type"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        z.as("z"),
+        when(abs(z) > 1.5, 1L).otherwise(0L).as("is_anomaly"))
+      .orderBy("event_id")
+  }
+
+  val q139Sql: String =
+    """WITH stats AS (
+      |  SELECT event_type, count(*)::BIGINT AS n,
+      |    sum(CAST(value AS DECIMAL(18,2))) AS s1,
+      |    sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS s2
+      |  FROM events GROUP BY 1),
+      |m AS (
+      |  SELECT event_type,
+      |    s1::DOUBLE / n::DOUBLE AS mean,
+      |    sqrt((n::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+      |      / (n::DOUBLE * n::DOUBLE)) AS std
+      |  FROM stats)
+      |SELECT e.event_id, e.event_type, e.value,
+      |  round((e.value - m.mean) / m.std, 6) AS z,
+      |  CAST(CASE WHEN abs(round((e.value - m.mean) / m.std, 6)) > 1.5
+      |    THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+      |FROM events e JOIN m USING (event_type)
+      |ORDER BY event_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q139_anomaly_zscore" -> q139Anomalies _,
     "q130_stream_stream_join" -> q130StreamStreamJoin _,
     "q50_hourly_rollup" -> q50HourlyRollup _,
     "q122_streaming_curation" -> q122StreamingCuration _,
@@ -375,6 +429,7 @@ object EventQueries {
     "q56_range_join" -> q56RangeJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q139_anomaly_zscore" -> q139Sql,
     "q130_stream_stream_join" -> q130Sql,
     "q50_hourly_rollup" -> q50Sql,
     "q122_streaming_curation" -> q122Sql,
