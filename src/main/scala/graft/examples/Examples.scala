@@ -150,6 +150,39 @@ object Examples {
       cut.agg(coalesce(sum(col("n_tokens")), lit(0L))).head().getLong(0))
   }
 
+  /** The corpus-statistics journey the round-7 additions enable:
+    * target-match with DSIR, cross-check rarity with a count–min
+    * sketch, clip the length metric, re-mix sources at temperature
+    * α=1/2, and serve similarity through a TRAINED coarse quantizer —
+    * every model here is a broadcast-sized artifact (bucket array,
+    * sketch grid, percentile cuts, k×d centroids), which is what makes
+    * the journey run at scan speed on a 100 TB corpus. */
+  def stats(spark: SparkSession): Unit = {
+    import graft.operators.{Dsir, KMeans, Sampling, Similarity, Winsorize}
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // 1. DSIR: which docs look like the two "reference" sources?
+    val dsir = Dsir.importanceWeights(docs, "doc_id", "text",
+      targetPred = col("source").isin("src0", "src1"))
+    // 2. winsorize the length metric before it feeds anything
+    val clipped = Winsorize.winsorize(
+      docs.select("doc_id", "source", "n_chars"), "source", "n_chars", 5, 95)
+    // 3. temperature re-mix so small sources keep a voice
+    val mixed = Sampling.temperatureMixture(docs, "source", "doc_id",
+      totalRows = docs.count())
+    // 4. trained-quantizer ANN: k-means centroids, unchanged IVF plan
+    val model = KMeans.fit(emb, "vec_id", "embedding", k = 4, iters = 2)
+    val cents = spark.createDataFrame(
+      model.centroids.zipWithIndex.toSeq.map { case (c, j) =>
+        (j.toLong, c.map(_.toDouble / 1e6)) }).toDF("centroid_id", "centv")
+    val nn = Similarity.ivfTopKWithCentroids(
+      emb.filter(col("vec_id") < 3), emb, k = 5, cents, nProbe = 2)
+    println(s"dsir_kept=${dsir.filter(col("kept") === 1).count()} " +
+      s"clipped=${clipped.filter(col("n_chars") =!= col("n_chars_clipped")).count()} " +
+      s"mixed=${mixed.count()} neighbors=${nn.count()}")
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = session()
     try args.headOption.getOrElse("quickstart") match {
@@ -159,8 +192,9 @@ object Examples {
       case "batch"      => batch(spark)
       case "curate"     => curate(spark)
       case "crawl"      => crawl(spark)
+      case "stats"      => stats(spark)
       case other => System.err.println(
-        s"unknown example: $other (quickstart|typed|budget|batch|curate|crawl)")
+        s"unknown example: $other (quickstart|typed|budget|batch|curate|crawl|stats)")
     } finally spark.stop()
   }
 }
