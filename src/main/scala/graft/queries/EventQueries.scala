@@ -416,7 +416,53 @@ object EventQueries {
       |FROM events e JOIN m USING (event_type)
       |ORDER BY event_id""".stripMargin
 
+  // --- q141: ordered conversion funnel ------------------------------------
+
+  /** Strictly-ordered event funnel (view → later click → later error):
+    * per stage, how many users progressed — the product-analytics
+    * primitive. Each stage is one filtered aggregate joined to the
+    * previous stage's first-completion time, so the plan is two
+    * user-keyed joins of per-user 1-row tables, never a per-user
+    * event-sequence sort. The oracle replays the chain. */
+  def q141Funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = ev.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(col("ts") > col("t1"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+    val e = ev.filter(col("event_type") === "error")
+      .join(c, Seq("user_id"))
+      .filter(col("ts") > col("t2"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    val one = (df: DataFrame, stage: String) =>
+      df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"),
+        col("n_users"))
+    one(v, "1_view").unionByName(one(c, "2_click"))
+      .unionByName(one(e, "3_error"))
+      .orderBy("stage")
+  }
+
+  val q141Sql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS t1 FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, min(e.ts) AS t2
+      |  FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t1 GROUP BY 1),
+      |er AS (
+      |  SELECT e.user_id, min(e.ts) AS t3
+      |  FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'error' AND e.ts > c.t2 GROUP BY 1)
+      |SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      |UNION ALL SELECT '2_click', count(*) FROM c
+      |UNION ALL SELECT '3_error', count(*) FROM er
+      |ORDER BY stage""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q141_funnel" -> q141Funnel _,
     "q139_anomaly_zscore" -> q139Anomalies _,
     "q130_stream_stream_join" -> q130StreamStreamJoin _,
     "q50_hourly_rollup" -> q50HourlyRollup _,
@@ -429,6 +475,7 @@ object EventQueries {
     "q56_range_join" -> q56RangeJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q141_funnel" -> q141Sql,
     "q139_anomaly_zscore" -> q139Sql,
     "q130_stream_stream_join" -> q130Sql,
     "q50_hourly_rollup" -> q50Sql,
