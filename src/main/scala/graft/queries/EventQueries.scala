@@ -461,7 +461,43 @@ object EventQueries {
       |UNION ALL SELECT '3_error', count(*) FROM er
       |ORDER BY stage""".stripMargin
 
+  // --- q142: cohort retention matrix --------------------------------------
+
+  /** Classic cohort retention: users grouped by first-seen WEEK, then
+    * distinct-user counts per (cohort week, weeks-since) cell — the
+    * churn dashboard. One per-user min aggregate, one distinct
+    * (user, week) projection, one join; cohort arithmetic is integer
+    * week-diff on date-truncated timestamps (exact both engines). */
+  def q142CohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date")
+        .as("wk"))
+    val first = ev.groupBy(col("user_id"))
+      .agg(min(col("wk")).as("cohort_week"))
+    ev.distinct()
+      .join(first, Seq("user_id"))
+      .groupBy(col("cohort_week").cast("string").as("cohort_week"),
+        (datediff(col("wk"), col("cohort_week")) / 7).cast("long")
+          .as("weeks_since"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "weeks_since")
+  }
+
+  val q142Sql: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(date_trunc('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |first AS (
+      |  SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY 1)
+      |SELECT CAST(f.cohort_week AS VARCHAR) AS cohort_week,
+      |  (datediff('day', f.cohort_week, ev.wk) // 7)::BIGINT AS weeks_since,
+      |  count(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN first f USING (user_id)
+      |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_cohort_retention" -> q142CohortRetention _,
     "q141_funnel" -> q141Funnel _,
     "q139_anomaly_zscore" -> q139Anomalies _,
     "q130_stream_stream_join" -> q130StreamStreamJoin _,
@@ -475,6 +511,7 @@ object EventQueries {
     "q56_range_join" -> q56RangeJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q142_cohort_retention" -> q142Sql,
     "q141_funnel" -> q141Sql,
     "q139_anomaly_zscore" -> q139Sql,
     "q130_stream_stream_join" -> q130Sql,
