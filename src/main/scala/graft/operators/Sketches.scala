@@ -35,20 +35,33 @@ object Sketches {
 
   private val Dup = "__graft_"
 
-  /** Counter column of item `t` in sketch row `r`. */
-  private def cellOf(t: Column, r: Int, width: Int): Column =
-    pmod(TextFunctions.hash64(concat(lit(s"cms$r|"), t)), lit(width.toLong))
+  /** Counter column of item `t` in sketch row `r`. Two tiers:
+    *  - portable (default): the md5 formula every oracle replays —
+    *    engine-independent sketches, ~8 md5 evaluations per token at
+    *    depth 4 (build + probe);
+    *  - fast: Spark's codegen'd xxHash64 — same guarantees (the CMS
+    *    analysis only needs pairwise-independent-ish rows), ~5× less
+    *    hash cost, but the sketch is Spark-reproducible rather than
+    *    any-engine-reproducible. Build and probe must agree on the
+    *    tier; the q134 oracle pins the portable one.
+    */
+  private def cellOf(t: Column, r: Int, width: Int,
+                     portable: Boolean): Column =
+    if (portable)
+      pmod(TextFunctions.hash64(concat(lit(s"cms$r|"), t)), lit(width.toLong))
+    else
+      pmod(xxhash64(lit(s"cms$r"), t), lit(width.toLong))
 
   /** Build a count–min sketch over `itemCol` of `df` (one increment per
     * row — pre-weight by exploding upstream). Output: (r, c, cnt) with
     * ≤ depth·width rows — the sparse grid (absent cells are zero). */
   def cmsBuild(df: DataFrame, itemCol: String, depth: Int = 4,
-               width: Int = 1024): DataFrame = {
+               width: Int = 1024, portable: Boolean = true): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth=$depth out of [1,16]")
     require(width >= 16 && width <= (1 << 24), s"width=$width out of range")
     val t = col(itemCol)
     val cells = array((0 until depth).map(r =>
-      struct(lit(r).as("r"), cellOf(t, r, width).as("c"))): _*)
+      struct(lit(r).as("r"), cellOf(t, r, width, portable).as("c"))): _*)
     df.select(explode(cells).as(s"${Dup}cell"))
       .select(col(s"${Dup}cell.r").as("r"), col(s"${Dup}cell.c").as("c"))
       .groupBy(col("r"), col("c"))
@@ -80,7 +93,8 @@ object Sketches {
     * n_rare / n_tokens (0 for empty docs), rounded to 6dp. */
   def cmsNoveltyScore(df: DataFrame, idCol: String, textCol: String,
                       depth: Int = 4, width: Int = 1024,
-                      rareMax: Long = 2L): DataFrame = {
+                      rareMax: Long = 2L,
+                      portable: Boolean = true): DataFrame = {
     require(depth >= 1 && depth <= 16 && width >= 16 &&
       depth.toLong * width <= (1 << 22),
       s"sketch ${depth}x$width collects to the driver (bounded)")
@@ -89,7 +103,7 @@ object Sketches {
       TextFunctions.tokens(lower(col(textCol))),
       array().cast("array<string>"))
     val sketch = cmsBuild(df.select(explode(toks).as(s"${Dup}t")),
-      s"${Dup}t", depth, width)
+      s"${Dup}t", depth, width, portable)
     val flat = Array.fill[Long](depth * width)(0L)
     sketch.collect().foreach(r =>
       flat(r.getInt(0) * width + r.getLong(1).toInt) = r.getLong(2))
@@ -97,7 +111,8 @@ object Sketches {
     def est(t: Column): Column =
       least((0 until depth).map(r =>
         element_at(lut,
-          (lit(r.toLong * width) + cellOf(t, r, width) + 1).cast("int"))): _*)
+          (lit(r.toLong * width) + cellOf(t, r, width, portable) + 1)
+            .cast("int"))): _*)
     val nTok = size(toks).cast("long")
     val nRare = size(filter(toks, t => est(t) <= lit(rareMax))).cast("long")
     df.select(col(idCol), nTok.as("n_tokens"), nRare.as("n_rare"),
@@ -110,10 +125,11 @@ object Sketches {
     * against a sketch: min over the item's `depth` cells (an absent
     * cell reads zero). Output: probes' columns + `cms_est`. */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, itemCol: String,
-                  depth: Int = 4, width: Int = 1024): DataFrame = {
+                  depth: Int = 4, width: Int = 1024,
+                  portable: Boolean = true): DataFrame = {
     val t = col(itemCol)
     val cells = array((0 until depth).map(r =>
-      struct(lit(r).as("r"), cellOf(t, r, width).as("c"))): _*)
+      struct(lit(r).as("r"), cellOf(t, r, width, portable).as("c"))): _*)
     val exploded = probes
       .withColumn(s"${Dup}cell", explode(cells))
       .withColumn(s"${Dup}r", col(s"${Dup}cell.r"))

@@ -35,6 +35,16 @@ object ScratchBench {
           .groupBy(col("query_id"), col("id"))
           .agg(count(lit(1)).as("band_score"))
       },
+      "novelty_fast" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        graft.operators.Sketches.cmsNoveltyScore(docs, "doc_id", "text",
+          depth = 4, width = 1024, rareMax = 2, portable = false)
+      },
+      "novelty_portable" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        graft.operators.Sketches.cmsNoveltyScore(docs, "doc_id", "text",
+          depth = 4, width = 1024, rareMax = 2, portable = true)
+      },
       "decon_shingle_only" -> { (s, d) =>
         val docs = graft.queries.Tables.tp(s, d, "documents")
         docs.filter(col("doc_id") % 50 =!= 0).select(col("doc_id"),

@@ -131,6 +131,36 @@ class DsirSketchSpec extends SparkSpec {
       s"raw tokens crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("cms fast tier (xxhash64) keeps the overestimate guarantee") {
+    val rnd = new scala.util.Random(23)
+    val toks = Seq.fill(3000)(s"tok${rnd.nextInt(250)}")
+    val sketch = Sketches.cmsBuild(tokenDf(toks), "token",
+      depth = 4, width = 64, portable = false)
+    val exact = toks.groupBy(identity).map { case (t, g) => t -> g.size.toLong }
+    val est = Sketches.cmsEstimate(sketch, tokenDf(exact.keys.toSeq),
+      "token", depth = 4, width = 64, portable = false)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) =>
+      assert(est(t) >= c, s"$t: fast-tier est ${est(t)} < exact $c")
+    }
+    // mixing tiers between build and probe is a caller bug the
+    // guarantee does NOT survive — the probe may read empty cells
+    val mixed = Sketches.cmsEstimate(sketch, tokenDf(exact.keys.toSeq),
+      "token", depth = 4, width = 64, portable = true)
+      .collect().map(r => r.getLong(1))
+    assert(mixed.exists(_ == 0L), "tier mismatch should visibly break")
+    // and the fast novelty path agrees with its own sketch end-to-end
+    val nov = Sketches.cmsNoveltyScore(
+      Seq((1L, "aardvark basilisk"), (2L, toks.take(40).mkString(" ")))
+        .toDF("id", "text").union(tokenDf(toks).select(
+          org.apache.spark.sql.functions.monotonically_increasing_id() + 100,
+          org.apache.spark.sql.functions.col("token"))),
+      "id", "text", depth = 4, width = 1024, rareMax = 1, portable = false)
+      .filter(org.apache.spark.sql.functions.col("id") === 1L)
+      .collect().head
+    assert(nov.getLong(2) === 2L, "two singleton tokens must read rare")
+  }
+
   test("cms novelty: unique-token docs score 1, common-token docs 0") {
     val rows = Seq(
       (1L, "aardvark basilisk chimera dodo"),      // all singletons
