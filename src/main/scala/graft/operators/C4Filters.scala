@@ -32,11 +32,13 @@ object C4Filters {
   private def wordCount(l: Column): Column =
     size(filter(split(trim(l), "\\s+"), x => x =!= ""))
 
-  /** The line-survival predicate. */
+  /** The line-survival predicate. The javascript rule matches the WORD
+    * (Raffel et al. §2.2), not the substring — 'a javascripted widget.'
+    * survives. */
   private def lineOk(l: Column, minWordsPerLine: Int): Column =
     rtrim(l).rlike("[.!?\"]$") &&
       (wordCount(l) >= minWordsPerLine) &&
-      !lower(l).contains("javascript")
+      !lower(l).rlike("\\bjavascript\\b")
 
   /** Clean `textCol` page-wise. Output = input columns plus:
     * `cleaned` (surviving lines re-joined), `n_lines_kept`,

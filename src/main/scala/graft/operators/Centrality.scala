@@ -64,12 +64,16 @@ object Centrality {
           expr("__graft_r div __graft_outdeg").as("__graft_c"))
         .groupBy(col("id"))
         .agg(sum(col("__graft_c")).as("__graft_s"))
-      ranks = ranks.select(col("id"))
+      // stage each round: the update references the previous `ranks` plan
+      // twice (contrib join + outer select), so without the barrier the
+      // logical tree doubles per iteration and analysis hangs long before
+      // any task runs at the allowed iters=64
+      ranks = graft.ops.Parallelism.stage(ranks.select(col("id"))
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(1000000L - dampingMicro) +
             expr(s"($dampingMicro * coalesce(__graft_s, 0L)) div 1000000"))
-            .as("rank_micro"))
+            .as("rank_micro")))
     }
     ranks
   }

@@ -27,10 +27,12 @@ import org.apache.spark.sql.functions._
   *
   * Determinism rules shared with the oracle:
   *  - init: centroid j = micro-mean of vectors with `id % k == j`;
-  *  - mean per dimension = `floor((2·sum + n) / (2·n))` in one IEEE
-  *    double division (round-half-up of sum/n; exact, both engines —
-  *    the quotient is a rational with denominator 2n, so it is never
-  *    within one ulp of a wrong integer);
+  *  - mean per dimension = `floor((2·sum + n) / (2·n))` (round-half-up
+  *    of sum/n) computed in PURE INTEGER arithmetic on the driver
+  *    (BigInt floor division — never a float rounding, so exactness
+  *    holds even when |2·sum + n| exceeds 2^53, plausible for micro
+  *    sums over billions of rows per cluster); the oracle mirrors the
+  *    same integer floor division in HUGEINT;
   *  - assignment tie-break: lowest cluster id;
   *  - empty cluster: keeps its previous centroid.
   */
@@ -77,9 +79,15 @@ object KMeans {
       .withColumn("dist", b.getField("d"))
   }
 
-  /** The driver-side mean rule (see scaladoc). */
-  private def intMean(sum: Long, n: Long): Long =
-    math.floor((2.0 * sum + n) / (2.0 * n)).toLong
+  /** The driver-side mean rule (see scaladoc): floor((2·sum + n) / (2·n))
+    * in exact integer arithmetic — BigInt `/` truncates toward zero, so
+    * negative non-exact quotients step down one to the floor. */
+  private[graft] def intMean(sum: Long, n: Long): Long = {
+    val num = BigInt(sum) * 2 + n
+    val den = BigInt(n) * 2
+    val q = num / den
+    (if (num.signum < 0 && q * den != num) q - 1 else q).toLong
+  }
 
   /** Per-cluster micro means of an already-quantized micro column
     * grouped by `keyExpr` — the k-row bounded collect. Returns

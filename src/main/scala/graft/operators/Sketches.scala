@@ -123,23 +123,31 @@ object Sketches {
 
   /** Point-estimate the frequency of each row of `probes(itemCol)`
     * against a sketch: min over the item's `depth` cells (an absent
-    * cell reads zero). Output: probes' columns + `cms_est`. */
+    * cell reads zero). Output: probes' columns + `cms_est`, one output
+    * row PER INPUT ROW — duplicate probe rows each keep their own row
+    * (the re-group key is a synthetic per-row id, not the probe
+    * columns), and the sketch's (r, c, cnt) columns are renamed behind
+    * the `__graft_` prefix before the join so a probe column named
+    * `cnt`/`r`/`c` cannot collide. */
   def cmsEstimate(sketch: DataFrame, probes: DataFrame, itemCol: String,
                   depth: Int = 4, width: Int = 1024,
                   portable: Boolean = true): DataFrame = {
     val t = col(itemCol)
+    val key = s"${Dup}pk"
     val cells = array((0 until depth).map(r =>
       struct(lit(r).as("r"), cellOf(t, r, width, portable).as("c"))): _*)
     val exploded = probes
+      .withColumn(key, monotonically_increasing_id())
       .withColumn(s"${Dup}cell", explode(cells))
       .withColumn(s"${Dup}r", col(s"${Dup}cell.r"))
       .withColumn(s"${Dup}c", col(s"${Dup}cell.c"))
       .drop(s"${Dup}cell")
     exploded
-      .join(broadcast(sketch.withColumnRenamed("r", s"${Dup}r")
-        .withColumnRenamed("c", s"${Dup}c")),
+      .join(broadcast(sketch.select(col("r").as(s"${Dup}r"),
+        col("c").as(s"${Dup}c"), col("cnt").as(s"${Dup}cnt"))),
         Seq(s"${Dup}r", s"${Dup}c"), "left")
-      .groupBy(probes.columns.map(col): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      .groupBy(col(key) +: probes.columns.map(col): _*)
+      .agg(min(coalesce(col(s"${Dup}cnt"), lit(0L))).as("cms_est"))
+      .drop(key)
   }
 }

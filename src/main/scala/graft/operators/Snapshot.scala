@@ -23,16 +23,22 @@ import graft.functions.TextFunctions
 object Snapshot {
 
   /** Per-document diff: (idCol, status) with status ∈ added | removed |
-    * changed | unchanged. */
+    * changed | unchanged. Presence is tracked by per-side markers, NOT by
+    * fingerprint nullness — a document with null text (null fingerprint)
+    * present in both snapshots is unchanged, not added/removed — and the
+    * fingerprint comparison is null-safe, so null-text twins compare
+    * equal instead of falling through to 'changed'. */
   def diff(oldDf: DataFrame, newDf: DataFrame, idCol: String,
            textCol: String): DataFrame = {
-    def fp(df: DataFrame, as: String) =
-      df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as(as))
-    fp(oldDf, "__graft_fpo").join(fp(newDf, "__graft_fpn"), Seq(idCol), "full")
+    def fp(df: DataFrame, pres: String, as: String) =
+      df.select(col(idCol), lit(true).as(pres),
+        TextFunctions.fingerprint(col(textCol)).as(as))
+    fp(oldDf, "__graft_po", "__graft_fpo")
+      .join(fp(newDf, "__graft_pn", "__graft_fpn"), Seq(idCol), "full")
       .select(col(idCol),
-        when(col("__graft_fpo").isNull, "added")
-          .when(col("__graft_fpn").isNull, "removed")
-          .when(col("__graft_fpo") === col("__graft_fpn"), "unchanged")
+        when(col("__graft_po").isNull, "added")
+          .when(col("__graft_pn").isNull, "removed")
+          .when(col("__graft_fpo") <=> col("__graft_fpn"), "unchanged")
           .otherwise("changed").as("status"))
   }
 

@@ -715,7 +715,8 @@ object CurationQueries {
       |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
       |  CASE WHEN o.doc_id IS NULL THEN 'added'
       |       WHEN n.doc_id IS NULL THEN 'removed'
-      |       WHEN o.f = n.f THEN 'unchanged' ELSE 'changed' END AS status
+      |       WHEN o.f IS NOT DISTINCT FROM n.f THEN 'unchanged'
+      |       ELSE 'changed' END AS status
       |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
       |ORDER BY doc_id""".stripMargin
 

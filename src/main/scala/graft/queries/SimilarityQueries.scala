@@ -269,7 +269,10 @@ object SimilarityQueries {
        |  FROM qm),
        |c0 AS (
        |  SELECT j, i,
-       |    CAST(floor((2 * sum(x) + count(*))::DOUBLE / (2 * count(*)))
+       |    CAST(CASE WHEN (2 * sum(x) + count(*)) < 0
+       |        AND (2 * sum(x) + count(*)) % (2 * count(*)) <> 0
+       |      THEN (2 * sum(x) + count(*)) // (2 * count(*)) - 1
+       |      ELSE (2 * sum(x) + count(*)) // (2 * count(*)) END
        |      AS BIGINT) AS m
        |  FROM flat0 GROUP BY 1, 2),
        |c0v AS (SELECT j, list(m ORDER BY i) AS cl FROM c0 GROUP BY 1),
@@ -289,7 +292,10 @@ object SimilarityQueries {
        |    USING (vec_id)),
        |c1 AS (
        |  SELECT j, i,
-       |    CAST(floor((2 * sum(x) + count(*))::DOUBLE / (2 * count(*)))
+       |    CAST(CASE WHEN (2 * sum(x) + count(*)) < 0
+       |        AND (2 * sum(x) + count(*)) % (2 * count(*)) <> 0
+       |      THEN (2 * sum(x) + count(*)) // (2 * count(*)) - 1
+       |      ELSE (2 * sum(x) + count(*)) // (2 * count(*)) END
        |      AS BIGINT) AS m
        |  FROM flat1 GROUP BY 1, 2),
        |c1v0 AS (SELECT j, list(m ORDER BY i) AS cl FROM c1 GROUP BY 1),
@@ -312,7 +318,10 @@ object SimilarityQueries {
        |    USING (vec_id)),
        |c2 AS (
        |  SELECT j, i,
-       |    CAST(floor((2 * sum(x) + count(*))::DOUBLE / (2 * count(*)))
+       |    CAST(CASE WHEN (2 * sum(x) + count(*)) < 0
+       |        AND (2 * sum(x) + count(*)) % (2 * count(*)) <> 0
+       |      THEN (2 * sum(x) + count(*)) // (2 * count(*)) - 1
+       |      ELSE (2 * sum(x) + count(*)) // (2 * count(*)) END
        |      AS BIGINT) AS m
        |  FROM flat2 GROUP BY 1, 2),
        |c2v0 AS (SELECT j, list(m ORDER BY i) AS cl FROM c2 GROUP BY 1),
@@ -923,7 +932,10 @@ object SimilarityQueries {
       |  FROM q),
       |c0 AS (
       |  SELECT j, i,
-      |    CAST(floor((2 * sum(x) + count(*))::DOUBLE / (2 * count(*)))
+      |    CAST(CASE WHEN (2 * sum(x) + count(*)) < 0
+      |        AND (2 * sum(x) + count(*)) % (2 * count(*)) <> 0
+      |      THEN (2 * sum(x) + count(*)) // (2 * count(*)) - 1
+      |      ELSE (2 * sum(x) + count(*)) // (2 * count(*)) END
       |      AS BIGINT) AS m
       |  FROM flat0 GROUP BY 1, 2),
       |c0v AS (SELECT j, list(m ORDER BY i) AS cv FROM c0 GROUP BY 1),
@@ -943,7 +955,10 @@ object SimilarityQueries {
       |    USING (vec_id)),
       |c1 AS (
       |  SELECT j, i,
-      |    CAST(floor((2 * sum(x) + count(*))::DOUBLE / (2 * count(*)))
+      |    CAST(CASE WHEN (2 * sum(x) + count(*)) < 0
+      |        AND (2 * sum(x) + count(*)) % (2 * count(*)) <> 0
+      |      THEN (2 * sum(x) + count(*)) // (2 * count(*)) - 1
+      |      ELSE (2 * sum(x) + count(*)) // (2 * count(*)) END
       |      AS BIGINT) AS m
       |  FROM flat1 GROUP BY 1, 2),
       |c1v0 AS (SELECT j, list(m ORDER BY i) AS cv FROM c1 GROUP BY 1),

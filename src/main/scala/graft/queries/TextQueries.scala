@@ -999,7 +999,7 @@ object TextQueries {
       |      regexp_matches(rtrim(l), '[.!?"]$')
       |      AND len(list_filter(regexp_split_to_array(trim(l), '\s+'),
       |            x -> x <> '')) >= 5
-      |      AND NOT contains(lower(l), 'javascript')) AS keptl
+      |      AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS keptl
       |  FROM aug),
       |c AS (
       |  SELECT doc_id, page, len(keptl)::BIGINT AS n_lines_kept,

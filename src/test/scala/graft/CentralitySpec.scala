@@ -16,6 +16,15 @@ class CentralitySpec extends SparkSpec {
     assert(out === Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L))
   }
 
+  test("deep iteration counts stay tractable: lineage is staged per round") {
+    // the update references the previous round's plan twice; without the
+    // per-round stage the logical tree doubles each iteration (2^24 plan
+    // copies at iters=24 — analysis hangs long before execution). The
+    // cycle is a fixed point, so correctness is also pinned.
+    val out = ranks(Seq((0L, 1L), (1L, 2L), (2L, 0L)), iters = 24)
+    assert(out === Map(0L -> 1000000L, 1L -> 1000000L, 2L -> 1000000L))
+  }
+
   test("a hub out-ranks its spokes, exactly as hand-computed") {
     // 1,2,3 -> 0; 0 -> 1. After one round:
     //   r(0) = 150000 + 850000*3e6/1e6 = 2700000

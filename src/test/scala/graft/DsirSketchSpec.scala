@@ -123,6 +123,23 @@ class DsirSketchSpec extends SparkSpec {
     assert(est === 0L)
   }
 
+  test("cms: duplicate probe rows each keep a row, and a probe column " +
+      "named cnt/r/c cannot collide with the sketch") {
+    val sketch = Sketches.cmsBuild(
+      tokenDf(Seq.fill(9)("alpha") ++ Seq.fill(2)("beta")), "token", 4, 64)
+    // two identical probe rows for 'alpha' + a cnt column shadowing the
+    // sketch's count column and r/c shadowing its grid coordinates
+    val probes = Seq(("alpha", 7L, 1, 2), ("alpha", 7L, 1, 2), ("beta", 0L, 3, 4))
+      .toDF("token", "cnt", "r", "c")
+    val out = Sketches.cmsEstimate(sketch, probes, "token", 4, 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(out.length === 3, s"duplicate probes collapsed: ${out.toSeq}")
+    assert(out.count(t => t._1 == "alpha" && t._3 >= 9L) === 2)
+    assert(out.count(t => t._1 == "beta" && t._3 >= 2L) === 1)
+    // the caller's cnt column passes through untouched
+    assert(out.filter(_._1 == "alpha").forall(_._2 === 7L))
+  }
+
   test("cms: build shuffles cells, never tokens") {
     val p = Sketches.cmsBuild(tokenDf(Seq.fill(100)("x")), "token")
       .queryExecution.executedPlan.toString

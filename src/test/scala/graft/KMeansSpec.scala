@@ -37,6 +37,37 @@ class KMeansSpec extends SparkSpec {
     assert(owner.map(_._2).distinct.size === 3, s"clusters collide: $owner")
   }
 
+  test("intMean is exact past 2^53, where the double form breaks") {
+    // n=3, sum = 3K+1 with K near 2^60: true mean rule floor((2s+n)/(2n))
+    // = K, but the old (2.0*s+n)/(2.0*n) path rounds 2*s at ulp 512 and
+    // can land on K±1 at a floor boundary — compute both and require the
+    // integer path to match the BigInt ground truth for a sweep of sums
+    val n = 3L
+    def truth(sum: Long): Long = {
+      val num = BigInt(sum) * 2 + n
+      val q = num /% (BigInt(n) * 2) match {
+        case (q0, r) if num.signum < 0 && r != 0 => q0 - 1
+        case (q0, _) => q0
+      }
+      q.toLong
+    }
+    def doubleForm(sum: Long): Long =
+      math.floor((2.0 * sum + n) / (2.0 * n)).toLong
+    var doubleBroke = false
+    for (delta <- -6L to 6L; base <- Seq(1L << 60, (1L << 61) + 12345L);
+         sum <- Seq(base + delta, -(base + delta))) {
+      assert(KMeans.intMean(sum, n) === truth(sum), s"sum=$sum")
+      if (doubleForm(sum) != truth(sum)) doubleBroke = true
+    }
+    assert(doubleBroke,
+      "sweep never exercised a double-rounding boundary — widen it")
+    // the small-value regime is unchanged: round-half-up of sum/n
+    assert(KMeans.intMean(7L, 2L) === 4L)   // 3.5 -> 4
+    assert(KMeans.intMean(-7L, 2L) === -3L) // -3.5 -> -3 (half-up)
+    assert(KMeans.intMean(6L, 2L) === 3L)
+    assert(KMeans.intMean(-6L, 2L) === -3L)
+  }
+
   test("lloyd iterations never increase total inertia") {
     val df = blobs()
     val inertias = (1 to 4).map(it =>

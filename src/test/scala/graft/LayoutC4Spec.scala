@@ -31,6 +31,19 @@ class LayoutC4Spec extends SparkSpec {
       "Another perfectly good long sentence ends here!"))
   }
 
+  test("c4: the javascript rule matches the word, not the substring") {
+    val r = cleanOne(page(
+      "This page praises a javascripted widget of great beauty.",
+      "Please enable javascript to see the rest of it now.",
+      "A closing sentence keeps the page above the sentence floor.",
+      "One more long sentence for the minimum sentence count."))
+    // 'javascripted' is NOT the word javascript (Raffel §2.2 drops lines
+    // with the WORD) — only the enable-javascript notice drops
+    assert(r.getAs[Long]("n_lines_kept") === 3)
+    assert(r.getAs[String]("cleaned").contains("javascripted"))
+    assert(!r.getAs[String]("cleaned").contains("enable javascript"))
+  }
+
   test("c4: page rules fire with lorem > brace > sentence precedence") {
     val lorem = "We present Lorem Ipsum dolor here { x }."
     assert(cleanOne(lorem).getAs[String]("reason") === "lorem_ipsum")

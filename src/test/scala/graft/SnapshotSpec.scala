@@ -32,6 +32,20 @@ class SnapshotSpec extends SparkSpec {
     assert(out === Map(1L -> "unchanged"))
   }
 
+  test("null text classifies by presence, not by fingerprint nullness") {
+    // id 1: null on both sides -> unchanged (null fp compares null-safe);
+    // id 2: text -> null = changed; id 3: null only in old, absent in new
+    // -> removed; id 4: null text, only in new -> added
+    val o = Seq((1L, null: String), (2L, "beta"), (3L, null: String))
+      .toDF("id", "text")
+    val n = Seq((1L, null: String), (2L, null: String), (4L, null: String))
+      .toDF("id", "text")
+    val out = Snapshot.diff(o, n, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("only ids and fingerprints cross the join shuffle") {
     val p = Snapshot.diff(old, old, "id", "text")
       .queryExecution.executedPlan.toString
