@@ -31,8 +31,9 @@ import graft.ops.Parallelism
   *    it broadcasts as one literal and scoring is a pure per-row map —
   *    zero shuffles, zero joins, whole corpus scored at scan speed.
   *  - The selection cut runs over the value-distinct score histogram
-  *    (the q115 broadcast-cut discipline — no global sort of documents;
-  *    at extreme scale, coarsen the micro grid before the histogram).
+  *    through [[RankCuts]]' bounded radix search — no global sort of
+  *    documents, no single-reducer cumulative window over the histogram:
+  *    every pass is a ≤2^16-cell aggregation regardless of corpus size.
   */
 object Dsir {
 
@@ -120,20 +121,17 @@ object Dsir {
         .as("logw_micro")))
 
     // --- global quantile cut over the value-distinct histogram -----------
-    import org.apache.spark.sql.expressions.Window
-    val n = scored.count()
     // exact ceil((1−keepFrac)·n) through the 1e-6 integer grid — for the
     // canonical keepFrac=0.25 this equals ceil(3n/4) = (3n+3)//4, the
-    // form the oracle replays
+    // form the oracle replays. The cut itself goes through RankCuts'
+    // bounded radix search: the micro-score histogram's distinct-value
+    // count grows with document count, so a cumulative-sum window over it
+    // would funnel an O(N)-row table through one reducer at 100 TB.
     val fr = math.round((1.0 - keepFrac) * 1000000L)
-    val cutRank = (fr * n + 999999L) / 1000000L
     val hist = scored.groupBy(col("logw_micro"))
       .agg(count(lit(1)).as(s"${Dup}c"))
-    val cut = hist
-      .withColumn(s"${Dup}cum",
-        sum(s"${Dup}c").over(Window.orderBy("logw_micro")))
-      .agg(min(when(col(s"${Dup}cum") >= lit(cutRank), col("logw_micro")))
-        .as(s"${Dup}t"))
+    val cut = RankCuts.rankValues(hist, Nil, "logw_micro", s"${Dup}c",
+      Seq(s"${Dup}t" -> RankCuts.ceilRank(fr, 1000000L)))
     scored.join(broadcast(cut))
       .select(col(idCol), col("n_grams"), col("logw_micro"),
         round(col("logw_micro").cast("double") / 1e6, 6).as("log_weight"),

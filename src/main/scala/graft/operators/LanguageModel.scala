@@ -188,7 +188,6 @@ object LanguageModel {
     * Emits (idCol, groupCol, lm_bits, bucket ∈ head|middle|tail). */
   def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
       groupCol: String, topN: Option[Int] = None): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // topN routes the scoring through the broadcast pruned-LM path (the
     // q110/100 TB shape: zero bigram-keyed exchanges); the tercile
     // machinery downstream is identical either way, and whenever every
@@ -201,19 +200,16 @@ object LanguageModel {
       .join(scored.filter(col("lm_bits").isNotNull)
         .select(col(idCol), col("lm_bits")), Seq(idCol))
       .transform(graft.ops.Parallelism.stage) // histogram + assign reuse
+    // tercile cuts through RankCuts' bounded radix search: a per-group
+    // cumulative window still serializes a one-language corpus (the
+    // common 100 TB shape) through one reducer; the radix passes stay
+    // ≤2^16 cells per group regardless
     val hist = g.groupBy(col(groupCol), col("lm_bits"))
       .agg(count(lit(1)).as("__graft_c"))
-    val cum = hist.withColumn("__graft_cum",
-      sum("__graft_c").over(Window.partitionBy(groupCol).orderBy("lm_bits")))
-    val tot = hist.groupBy(col(groupCol))
-      .agg(sum("__graft_c").as("__graft_n"))
-    val cuts = cum.join(tot, Seq(groupCol))
-      .groupBy(col(groupCol))
-      .agg(
-        min(when(expr("__graft_cum >= (__graft_n + 2) div 3"),
-          col("lm_bits"))).as("__graft_t1"),
-        min(when(expr("__graft_cum >= (2 * __graft_n + 2) div 3"),
-          col("lm_bits"))).as("__graft_t2"))
+    val cuts = graft.operators.RankCuts.rankValues(
+      hist, Seq(groupCol), "lm_bits", "__graft_c",
+      Seq("__graft_t1" -> graft.operators.RankCuts.ceilRank(1, 3),
+        "__graft_t2" -> graft.operators.RankCuts.ceilRank(2, 3)))
     g.join(broadcast(cuts), Seq(groupCol))
       .withColumn("bucket",
         when(col("lm_bits") <= col("__graft_t1"), "head")

@@ -10,13 +10,16 @@ import org.apache.spark.sql.functions._
   * whole budget).
   *
   * Percentiles are EXACT and engine-replayable via the q115 broadcast
-  * cut discipline: one (group, value) histogram aggregation, cumulative
-  * counts per group, cut = min value whose cumulative count reaches
-  * `ceil(pct·n/100)` (integer rank arithmetic, no interpolation), cuts
-  * broadcast back over the scan. No per-group sort of rows, no window
-  * over the data — the only shuffles carry histogram cells. An
+  * cut discipline: one (group, value) histogram aggregation, cut =
+  * min value whose cumulative count reaches `ceil(pct·n/100)` (integer
+  * rank arithmetic, no interpolation) resolved through [[RankCuts]]'
+  * bounded radix search, cuts broadcast back over the scan. No
+  * per-group sort of rows, no ordered window over anything unbounded —
+  * even a ONE-giant-group corpus (the case a per-group histogram window
+  * still serializes) cuts through ≤2^16-cell passes. An
   * `approxQuantile` clip can't hash-verify and drifts with sampling;
-  * this one is a pure function of the data.
+  * this one is a pure function of the data. Null metric values take no
+  * part in the percentile ranks and clip to null.
   */
 object Winsorize {
 
@@ -26,21 +29,11 @@ object Winsorize {
                 loPct: Int, hiPct: Int): DataFrame = {
     require(loPct > 0 && hiPct > loPct && hiPct <= 100,
       s"bad percentile band [$loPct, $hiPct]")
-    import org.apache.spark.sql.expressions.Window
     val hist = df.groupBy(col(groupCol), col(valCol))
       .agg(count(lit(1)).as("__graft_c"))
-    val cum = hist.withColumn("__graft_cum",
-      sum("__graft_c").over(
-        Window.partitionBy(groupCol).orderBy(valCol)))
-    val tot = hist.groupBy(col(groupCol))
-      .agg(sum("__graft_c").as("__graft_n"))
-    val cuts = cum.join(tot, Seq(groupCol))
-      .groupBy(col(groupCol))
-      .agg(
-        min(when(expr(s"__graft_cum >= ($loPct * __graft_n + 99) div 100"),
-          col(valCol))).as("cut_lo"),
-        min(when(expr(s"__graft_cum >= ($hiPct * __graft_n + 99) div 100"),
-          col(valCol))).as("cut_hi"))
+    val cuts = RankCuts.rankValues(hist, Seq(groupCol), valCol, "__graft_c",
+      Seq("cut_lo" -> RankCuts.ceilRank(loPct, 100),
+        "cut_hi" -> RankCuts.ceilRank(hiPct, 100)))
     df.join(broadcast(cuts), Seq(groupCol))
       .withColumn(s"${valCol}_clipped",
         least(greatest(col(valCol), col("cut_lo")), col("cut_hi")))

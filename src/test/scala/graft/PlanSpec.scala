@@ -467,6 +467,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dsir select: cut derivation has no single-partition exchange") {
+    // the round-7 residual single-reducer shape: the quantile cut used a
+    // global cumulative-sum window over the micro-score histogram (O(N)
+    // distinct values through one reducer at scale). Now a bounded radix
+    // search — the plan must carry NO SinglePartition exchange anywhere
+    // and its windows must hash-partition on the search-instance key.
+    val p = plan(graft.queries.CurationQueries.q124DsirSelect(spark, dir))
+    assert(p.contains("Window"), s"expected the radix-pass windows:\n$p")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"dsir cut must not serialize onto one partition:\n$p")
+    // text never crosses an exchange (scoring stays a pure map)
+    assert(!"Exchange[^\\n]*text#".r.findFirstIn(p).isDefined,
+      s"document text crossed a shuffle:\n$p")
+  }
+
   test("seeded shuffle: position window partitions by shard, not globally") {
     val p = plan(graft.queries.TextQueries.q117SeededShuffle(spark, dir))
     assert(p.contains("Window"), s"expected a window:\n$p")
