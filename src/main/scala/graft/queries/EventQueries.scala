@@ -418,31 +418,16 @@ object EventQueries {
 
   // --- q141: ordered conversion funnel ------------------------------------
 
-  /** Strictly-ordered event funnel (view → later click → later error):
-    * per stage, how many users progressed — the product-analytics
-    * primitive. Each stage is one filtered aggregate joined to the
-    * previous stage's first-completion time, so the plan is two
-    * user-keyed joins of per-user 1-row tables, never a per-user
-    * event-sequence sort. The oracle replays the chain. */
-  def q141Funnel(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val v = ev.filter(col("event_type") === "view")
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-    val c = ev.filter(col("event_type") === "click")
-      .join(v, Seq("user_id"))
-      .filter(col("ts") > col("t1"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-    val e = ev.filter(col("event_type") === "error")
-      .join(c, Seq("user_id"))
-      .filter(col("ts") > col("t2"))
-      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
-    val one = (df: DataFrame, stage: String) =>
-      df.agg(count(lit(1)).as("n_users")).select(lit(stage).as("stage"),
-        col("n_users"))
-    one(v, "1_view").unionByName(one(c, "2_click"))
-      .unionByName(one(e, "3_error"))
-      .orderBy("stage")
-  }
+  /** Strictly-ordered event funnel (view → later click → later error)
+    * through the parameterized [[graft.operators.Funnel]] operator: per
+    * stage, how many users progressed — the product-analytics primitive.
+    * Each stage is one filtered aggregate joined to the previous stage's
+    * first-completion time, so the plan is a chain of user-keyed joins
+    * of per-user 1-row tables, never a per-user event-sequence sort.
+    * The oracle replays the chain. */
+  def q141Funnel(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnel(Tables.events(spark, dir),
+      "user_id", "ts", "event_type", Seq("view", "click", "error"))
 
   val q141Sql: String =
     """WITH v AS (
@@ -459,6 +444,93 @@ object EventQueries {
       |SELECT '1_view' AS stage, count(*) AS n_users FROM v
       |UNION ALL SELECT '2_click', count(*) FROM c
       |UNION ALL SELECT '3_error', count(*) FROM er
+      |ORDER BY stage""".stripMargin
+
+  // --- q143: watermarked streaming dedup (bounded state) ------------------
+
+  /** q55's exact streaming dedup with BOUNDED state: the event file
+    * arrives twice (every event a duplicate), deduped by
+    * `dropDuplicatesWithinWatermark` under a 1-hour event-time watermark
+    * — the state store holds only events younger than the watermark
+    * (16 bytes/event-hour instead of growing forever, the 100 TB
+    * continuous-crawl shape; q55 keeps the unbounded variant for the
+    * arrival-order-free oracle). Correctness here leans on the watermark
+    * CONTRACT: batch 1 admits everything (watermark starts at epoch 0)
+    * and emits each event once; by batch 2 the watermark sits 1 hour
+    * behind the max event time, so the duplicate copies are either
+    * late (already emitted in batch 1 — dropped as late data) or
+    * in-watermark (still in state — deduped). Either way every event
+    * counts exactly once and the single-copy batch oracle is exact.
+    * StatefulSessionizerSpec proves the state-eviction side (final
+    * state rows ≪ distinct events). */
+  def q143StreamingDedupWatermark(spark: SparkSession,
+      dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_wmdup_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    for (name <- Seq("a.parquet", "b.parquet")) {
+      val link = streamDir.resolve(name)
+      if (!java.nio.file.Files.exists(link))
+        java.nio.file.Files.createSymbolicLink(link,
+          java.nio.file.Paths.get(s"$dir/events.parquet"))
+    }
+    val sinkName = "graft_stream_wmdedup"
+    val stream = Tables.normalizeTs(spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val query = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sinkName)
+      .select(col("event_type"), col("n"))
+      .orderBy("event_type")
+  }
+
+  /** Same single-copy oracle as q55: watermarked dedup must not change
+    * the answer, only bound the state. */
+  val q143Sql: String = q55Sql
+
+  // --- q144: four-stage funnel ---------------------------------------------
+
+  /** The parameterized funnel at depth 4 (signup → view → click →
+    * purchase): same join-chain plan as q141, one more link — proving
+    * the operator generalizes past the hardcoded 3-stage shape. The
+    * oracle replays the chain CTE by CTE. */
+  def q144Funnel4(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Funnel.funnel(Tables.events(spark, dir),
+      "user_id", "ts", "event_type",
+      Seq("signup", "view", "click", "purchase"))
+
+  val q144Sql: String =
+    """WITH s1 AS (
+      |  SELECT user_id, min(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+      |s4 AS (
+      |  SELECT e.user_id, min(e.ts) AS t
+      |  FROM events e JOIN s3 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+      |SELECT '1_signup' AS stage, count(*) AS n_users FROM s1
+      |UNION ALL SELECT '2_view', count(*) FROM s2
+      |UNION ALL SELECT '3_click', count(*) FROM s3
+      |UNION ALL SELECT '4_purchase', count(*) FROM s4
       |ORDER BY stage""".stripMargin
 
   // --- q142: cohort retention matrix --------------------------------------
@@ -497,6 +569,8 @@ object EventQueries {
       |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q144_funnel_4stage" -> q144Funnel4 _,
+    "q143_streaming_dedup_watermark" -> q143StreamingDedupWatermark _,
     "q142_cohort_retention" -> q142CohortRetention _,
     "q141_funnel" -> q141Funnel _,
     "q139_anomaly_zscore" -> q139Anomalies _,
@@ -511,6 +585,8 @@ object EventQueries {
     "q56_range_join" -> q56RangeJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q144_funnel_4stage" -> q144Sql,
+    "q143_streaming_dedup_watermark" -> q143Sql,
     "q142_cohort_retention" -> q142Sql,
     "q141_funnel" -> q141Sql,
     "q139_anomaly_zscore" -> q139Sql,

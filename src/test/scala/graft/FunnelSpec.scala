@@ -1,0 +1,78 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.Funnel
+
+class FunnelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(60000L * min)
+
+  // user 1 completes view->click->error in order; user 2 clicks BEFORE
+  // viewing (click must not count); user 3 views only; user 4 completes
+  // view->click, then errors BEFORE the click (error must not count);
+  // user 5 never views
+  private val events = Seq(
+    (1L, "view", ts(0)), (1L, "click", ts(5)), (1L, "error", ts(9)),
+    (2L, "click", ts(1)), (2L, "view", ts(2)), (2L, "error", ts(3)),
+    (3L, "view", ts(4)),
+    (4L, "view", ts(0)), (4L, "error", ts(1)), (4L, "click", ts(2)),
+    (5L, "click", ts(0)), (5L, "error", ts(1)))
+    .toDF("user_id", "event_type", "ts")
+
+  test("strict ordering: only in-order progressions count per stage") {
+    val out = Funnel.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "error"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // stage 1: users 1,2,3,4 viewed; stage 2: 1 (click@5 > view@0) and
+    // 4 (click@2 > view@0) — user 2's click precedes the view; stage 3:
+    // only 1 (user 4's error precedes the click)
+    assert(out === Map("1_view" -> 4L, "2_click" -> 2L, "3_error" -> 1L))
+  }
+
+  test("counts are monotone non-increasing down the funnel") {
+    val out = Funnel.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "error")).collect().map(_.getLong(1))
+    assert(out.zip(out.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("a repeated stage type anchors to the previous step's time") {
+    // view -> click -> view: user 1 has no second view after the click;
+    // user 6 does
+    val ev = events.union(Seq(
+      (6L, "view", ts(0)), (6L, "click", ts(1)), (6L, "view", ts(2)))
+      .toDF("user_id", "event_type", "ts"))
+    val out = Funnel.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "view"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("1_view" -> 5L, "2_click" -> 3L, "3_view" -> 1L))
+  }
+
+  test("userDepth reports the deepest stage per user") {
+    val out = Funnel.userDepth(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "error"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 3L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+
+  test("guards: empty stages and >9 stages rejected") {
+    intercept[IllegalArgumentException] {
+      Funnel.funnel(events, "user_id", "ts", "event_type", Nil)
+    }
+    intercept[IllegalArgumentException] {
+      Funnel.funnel(events, "user_id", "ts", "event_type",
+        (1 to 10).map(i => s"s$i"))
+    }
+  }
+
+  test("plan: a chain of joins and aggregates, never a per-user sort/window") {
+    val df = Funnel.funnel(events, "user_id", "ts", "event_type",
+      Seq("view", "click", "error", "view"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no window allowed:\n$p")
+    // the only Sort is the 4-row stage ordering; nothing sorts by user/ts
+    assert(!"Sort \\[(user_id|ts)".r.findFirstIn(p).isDefined,
+      s"per-user event sort found:\n$p")
+  }
+}
