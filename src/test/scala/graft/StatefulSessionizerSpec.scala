@@ -55,4 +55,57 @@ class StatefulSessionizerSpec extends SparkSpec {
       .map(r => r._1 -> ((r._2, r._3))).toMap
     assert(got == batch, s"streaming $got != batch $batch")
   }
+
+  test("watermarked streaming dedup: exact output AND state rows evicted") {
+    // 2000 events spread over ~14 days, delivered TWICE (two files, one
+    // micro-batch each). dropDuplicatesWithinWatermark under a 1-hour
+    // watermark must (a) produce exactly the single-copy counts — the
+    // q143 contract — and (b) hold only in-watermark keys in the state
+    // store, unlike plain dropDuplicates whose state grows forever on a
+    // continuous crawl.
+    val n = 2000
+    val events = (0 until n).map { i =>
+      (i.toLong, s"type${i % 4}",
+        new java.sql.Timestamp(1700000000000L + i * 600000L)) // 10-min grid
+    }
+    val srcDir = Files.createTempDirectory("graft_wm_src").toString
+    val one = Files.createTempDirectory("graft_wm_one").toString
+    events.toDF("event_id", "event_type", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(one)
+    val file = new java.io.File(one).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    Files.copy(file, java.nio.file.Paths.get(srcDir, "a.parquet"))
+    Files.copy(file, java.nio.file.Paths.get(srcDir, "b.parquet"))
+
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+      .groupBy($"event_type").agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory").queryName("graft_wm_dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    // (a) exact single-copy counts
+    val got = spark.table("graft_wm_dedup")
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("type0" -> 500L, "type1" -> 500L,
+      "type2" -> 500L, "type3" -> 500L))
+
+    // (b) eviction: the dedup operator's final state holds only keys
+    // within the watermark horizon (1 hour = at most ~7 of the 10-min
+    // grid events + slack), nowhere near the 2000 distinct ids
+    val dedupState = q.recentProgress.flatMap(_.stateOperators)
+      .filter(_.operatorName.contains("dedupe"))
+    assert(dedupState.nonEmpty,
+      s"no dedup state operator in ${q.recentProgress.flatMap(_.stateOperators)
+        .map(_.operatorName).toSeq}")
+    val finalRows = dedupState.last.numRowsTotal
+    assert(finalRows < 100,
+      s"state not evicted: $finalRows rows for $n distinct events")
+  }
 }
