@@ -36,14 +36,24 @@ object DenseIndex {
   /** Build and persist the index. Two corpus passes: the bounded
     * centroid collect, then ONE map-side projection (assignment +
     * quantization fused, never shuffled — the write's partitionBy is
-    * the only data movement). */
+    * the only data movement).
+    *
+    * `centroids`: optional TRAINED coarse quantizer — a (centroid_id,
+    * centv) table (e.g. [[KMeans]] centroids converted back to float
+    * space) that replaces the stride seeding. Trained lists are tighter
+    * on clustered data (lower max/mean list size), so the same nProbe
+    * reads fewer index bytes; the serving plan is unchanged. */
   def build(corpus0: DataFrame, dir: String, numCentroids: Int = 8,
             idCol: String = "vec_id", vecCol: String = "embedding",
-            corpusSize: Option[Long] = None): Unit = {
+            corpusSize: Option[Long] = None,
+            centroids: Option[DataFrame] = None): Unit = {
     val corpus = graft.ops.Parallelism.ensure(corpus0)
-    val n = corpusSize.getOrElse(corpus.count())
-    val cents = Similarity.collectCentroids(corpus, numCentroids, n,
-      idCol, vecCol)
+    val cents = centroids match {
+      case Some(cdf) => Similarity.collectProvidedCentroids(cdf)
+      case None =>
+        val n = corpusSize.getOrElse(corpus.count())
+        Similarity.collectCentroids(corpus, numCentroids, n, idCol, vecCol)
+    }
     val spark = corpus.sparkSession
     import spark.implicits._
     cents.toDF("centroid_id", "centv")

@@ -565,18 +565,34 @@ object Similarity {
         corpus.orderBy(col(idCol)).limit(numCentroids)
           .select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
       else strided).collect()
-    centRows.toSeq.map { r =>
-      val cid = r.get(0).asInstanceOf[Number].longValue
-      val cv = r.getSeq[Any](1).map {
-        case f: java.lang.Float => f.doubleValue
-        case d: java.lang.Double => d.doubleValue
-        case x => x.asInstanceOf[Number].doubleValue
-      }
-      // driver-normalized (x/|c|, both IEEE-identical to the oracle's
-      // list arithmetic)
-      val nrm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
-      (cid, if (nrm == 0.0) cv.map(_ => 0.0) else cv.map(_ / nrm))
+    centRows.toSeq.map(normalizedCentroid)
+  }
+
+  /** One (centroid_id, centv) row → driver-normalized (id, c/|c|) —
+    * shared by the stride seeding above and the trained-centroid
+    * override path ([[collectProvidedCentroids]]). */
+  private def normalizedCentroid(r: org.apache.spark.sql.Row): (Long, Seq[Double]) = {
+    val cid = r.get(0).asInstanceOf[Number].longValue
+    val cv = r.getSeq[Any](1).map {
+      case f: java.lang.Float => f.doubleValue
+      case d: java.lang.Double => d.doubleValue
+      case x => x.asInstanceOf[Number].doubleValue
     }
+    // driver-normalized (x/|c|, both IEEE-identical to the oracle's
+    // list arithmetic)
+    val nrm = math.sqrt(cv.foldLeft(0.0)((a, x) => a + x * x))
+    (cid, if (nrm == 0.0) cv.map(_ => 0.0) else cv.map(_ / nrm))
+  }
+
+  /** Collect + normalize a CALLER-SUPPLIED (centroid_id, centv) table —
+    * the seam that lets a [[KMeans]]-trained coarse quantizer drive the
+    * persisted [[DenseIndex]] lifecycle. Bounded driver collect. */
+  private[operators] def collectProvidedCentroids(
+      centroids: DataFrame): Seq[(Long, Seq[Double])] = {
+    val rows = centroids.select(col("centroid_id"), col("centv")).collect()
+    require(rows.length >= 1 && rows.length <= 65536,
+      s"${rows.length} centroids: the centroid table collects to the driver")
+    rows.toSeq.map(normalizedCentroid).sortBy(_._1)
   }
 
   /** Dot product of a row vector against a driver-side literal vector —

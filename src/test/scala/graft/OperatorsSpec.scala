@@ -526,6 +526,52 @@ class OperatorsSpec extends SparkSpec {
     assert(second.count() > 0)
   }
 
+  test("dense index with trained centroids equals in-memory serving and tightens lists") {
+    // three tight equal blobs, blob = id % 3 over 126 ids: the stride
+    // seeding picks ids 0, 42, 84 — ALL in blob 0 (42 % 3 == 0) — so
+    // stride lists skew badly, while trained centroids land one per blob
+    val rnd = new scala.util.Random(7)
+    val centers = Seq(Seq(1.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0), Seq(0.0, 0.0, 1.0))
+    val rows = (0 until 126).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toArray)
+    }
+    val emb = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4)).toDF("vec_id", "embedding")
+    val model = graft.operators.KMeans.fit(emb, "vec_id", "embedding",
+      k = 3, iters = 3)
+    val cents = spark.createDataFrame(
+      model.centroids.zipWithIndex.toSeq.map { case (c, j) =>
+        (j.toLong, c.map(_.toDouble / 1e6)) }).toDF("centroid_id", "centv")
+    val ix = java.nio.file.Files.createTempDirectory("graft_dix_t").toString
+    graft.operators.DenseIndex.build(emb, ix, centroids = Some(cents))
+    // refine large enough that the quantized shortlist covers every probed
+    // candidate -> the float re-rank IS the exact ranking over the probed
+    // lists, i.e. ivfTopKWithCentroids on the same trained quantizer
+    val queries = emb.filter(col("vec_id") < 6)
+    val fromIndex = graft.operators.DenseIndex.query(
+      queries, ix, k = 4, nProbe = 1, refine = 1000)
+      .orderBy("query_id", "rank").collect()
+    val direct = Similarity.ivfTopKWithCentroids(
+      queries, emb, 4, cents, nProbe = 1)
+      .orderBy("query_id", "rank").collect()
+    assert(fromIndex.toSeq == direct.toSeq)
+    assert(fromIndex.nonEmpty)
+    // trained lists must be TIGHTER than stride lists on this clustered,
+    // id-interleaved corpus: compare max/mean list-size ratios
+    def listRatio(dir: String): Double = {
+      val sizes = spark.read.parquet(s"$dir/lists")
+        .groupBy("cluster").count().collect().map(_.getLong(1).toDouble)
+      sizes.max / (sizes.sum / sizes.length)
+    }
+    val ixStride = java.nio.file.Files.createTempDirectory("graft_dix_s").toString
+    graft.operators.DenseIndex.build(emb, ixStride, numCentroids = 3)
+    assert(listRatio(ix) < listRatio(ixStride),
+      s"trained ${listRatio(ix)} !< stride ${listRatio(ixStride)}")
+    // trained lists are near-balanced on equal-mass blobs
+    assert(listRatio(ix) < 1.3, s"trained lists skewed: ${listRatio(ix)}")
+  }
+
   test("dense index: empty corpus builds a queryable empty index; rebuild overwrites") {
     val empty = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .filter(col("vec_id") < 0)
