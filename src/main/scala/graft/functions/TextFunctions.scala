@@ -97,14 +97,26 @@ object TextFunctions {
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Char k-gram 60-bit hashes of `text`, in order; < k chars → empty.
-    * First stage of winnowing fingerprints — see [[winnowSelect]]. */
-  def kgramHashes(text: Column, k: Int): Column = {
+    * First stage of winnowing fingerprints — see [[winnowSelect]].
+    *
+    * Two hash tiers, the [[graft.operators.Sketches]] discipline:
+    *  - portable (default): the salted md5 formula any engine replays —
+    *    the oracle-verifiable tier, one md5 digest per k-gram (the
+    *    dominant cost of a winnowing pass — q79 is hash-bound at 10×);
+    *  - fast: Spark's codegen'd xxHash64 — same winnowing guarantee
+    *    (the window-min selection is hash-agnostic), ~2-3× less hash
+    *    cost, but fingerprints are Spark-reproducible rather than
+    *    any-engine-reproducible. Fingerprint SETS from different tiers
+    *    never compare — producer and consumer must agree on the tier. */
+  def kgramHashes(text: Column, k: Int, portable: Boolean = true): Column = {
     // coalesce: NULL text must yield an EMPTY array, not null — a null
     // condition would fall into otherwise() and produce null output that
     // downstream winnowSelect would turn into a spurious [null] window
     val m = coalesce(length(text) - (k - 1), lit(0)) // k-gram count
+    def h(g: Column): Column =
+      if (portable) hash64(g) else xxhash64(lit("kgram"), g)
     when(m <= 0, array().cast("array<bigint>")).otherwise(
-      transform(sequence(lit(1), m), i => hash64(text.substr(i, lit(k)))))
+      transform(sequence(lit(1), m), i => h(text.substr(i, lit(k)))))
   }
 
   /** Winnowing selection (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
@@ -145,12 +157,13 @@ object TextFunctions {
     * made the raw Column form private). */
   def winnowFingerprints(df: org.apache.spark.sql.DataFrame,
                          textCol: String, k: Int = 8, w: Int = 4,
-                         outCol: String = "fingerprints"):
+                         outCol: String = "fingerprints",
+                         portable: Boolean = true):
       org.apache.spark.sql.DataFrame = {
     require(k > 0 && w > 0, "k and w must be positive")
     val kh = "__graft_winnow_kh"
     val staged = graft.ops.Parallelism.barrier(
-      df.withColumn(kh, kgramHashes(col(textCol), k)))
+      df.withColumn(kh, kgramHashes(col(textCol), k, portable)))
     graft.ops.Parallelism.barrier(
       staged.withColumn(outCol,
         array_sort(array_distinct(winnowSelect(col(kh), w))))

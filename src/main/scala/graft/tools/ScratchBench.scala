@@ -35,6 +35,18 @@ object ScratchBench {
           .groupBy(col("query_id"), col("id"))
           .agg(count(lit(1)).as("band_score"))
       },
+      "winnow_fast" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        graft.functions.TextFunctions.winnowFingerprints(
+          docs, "text", k = 8, w = 4, portable = false)
+          .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      },
+      "winnow_portable" -> { (s, d) =>
+        val docs = graft.queries.Tables.tp(s, d, "documents")
+        graft.functions.TextFunctions.winnowFingerprints(
+          docs, "text", k = 8, w = 4, portable = true)
+          .select(col("doc_id"), explode(col("fingerprints")).as("fp"))
+      },
       "novelty_fast" -> { (s, d) =>
         val docs = graft.queries.Tables.tp(s, d, "documents")
         graft.operators.Sketches.cmsNoveltyScore(docs, "doc_id", "text",

@@ -206,6 +206,38 @@ class CurationSpec extends SparkSpec {
     assert(nfp(1L).nonEmpty && nfp(2L).isEmpty)
   }
 
+  test("winnowing fast tier (xxhash64): guarantee holds, tiers never mix") {
+    import graft.functions.TextFunctions
+    val shared = "the quick brown fox jumps over the lazy"
+    val docs = Seq(
+      (1L, s"$shared dog in the morning sun"),
+      (2L, s"zebra print also contains $shared tail"),
+      (3L, "entirely disjoint content with no overlap at all present"))
+      .toDF("doc_id", "text")
+    // the winnowing guarantee is hash-agnostic: a common run >= w+k-1
+    // chars shares a fingerprint under the fast tier too
+    val fast = TextFunctions.winnowFingerprints(docs, "text", k = 8, w = 4,
+      outCol = "fp", portable = false)
+      .select(col("doc_id"), col("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fast(1L).toSet intersect fast(2L).toSet).nonEmpty,
+      "fast tier lost the shared-substring guarantee")
+    assert((fast(1L).toSet intersect fast(3L).toSet).isEmpty)
+    // density bound survives the tier swap
+    val m = docs.filter(col("doc_id") === 1L)
+      .select(length(col("text"))).as[Int].head() - 7
+    assert(fast(1L).size <= m - 3 && fast(1L).nonEmpty)
+    // mixing tiers is a caller bug that must be VISIBLE: the same doc's
+    // portable and fast fingerprint sets share nothing, so a cross-tier
+    // comparison reads 0 overlap instead of silently under-matching
+    val portable = TextFunctions.winnowFingerprints(docs, "text", k = 8,
+      w = 4, outCol = "fp", portable = true)
+      .select(col("doc_id"), col("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert((fast(1L).toSet intersect portable(1L).toSet).isEmpty,
+      "tier mismatch should visibly break")
+  }
+
   test("greedy near-dup removal keeps min id, drops confirmed dups only") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
