@@ -1038,6 +1038,24 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** q134 through the xxHash64 FAST tier — the production knob for the
+    * hash-bound flat scan (the portable md5 tier costs ~8 digests per
+    * token; xxHash64 is codegen'd and ~2.4× cheaper at 10×). No SQL
+    * oracle — DuckDB has no xxHash64, which is exactly the trade the
+    * tier documents — so the driver records rows-only; the tier's
+    * CORRECTNESS (overestimate guarantee, build/probe agreement,
+    * tier-mismatch failure) is spec-covered in DsirSketchSpec, and the
+    * portable q134 stays the hash-verified twin. */
+  def q145CmsNoveltyFast(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sketches
+    val aug = tp(spark, dir, "documents").select(col("doc_id"),
+      concat(col("text"), lit(" uniq"), col("doc_id"),
+        lit(" uniq"), col("doc_id")).as("page"))
+    Sketches.cmsNoveltyScore(aug, "doc_id", "page",
+      depth = 4, width = 1024, rareMax = 2, portable = false)
+      .orderBy("doc_id")
+  }
+
   val q134Sql: String =
     """WITH aug AS (
       |  SELECT doc_id,
@@ -1310,6 +1328,7 @@ object TextQueries {
     "q125_cms_heavy_hitters" -> q125CmsHeavyHitters _,
     "q127_c4_filters" -> q127C4Filters _,
     "q134_cms_novelty" -> q134CmsNovelty _,
+    "q145_cms_novelty_fast" -> q145CmsNoveltyFast _,
     "q138_rendezvous_shards" -> q138RendezvousShards _,
     "q126_temperature_mix" -> q126TemperatureMix _,
     "q102_line_dedup" -> q102LineDedup _,

@@ -32,7 +32,12 @@ class SmokeSpec extends SparkSpec {
     // queries without SQL-expressible oracles get a weaker rows-only
     // check from the driver; keep that set explicit so a missing oracle
     // is a decision, not an accident
-    val exempt = Set.empty[String]
+    // q145: the CMS xxHash64 fast tier — DuckDB has no xxHash64, which
+    // is exactly the documented trade of the tier (Spark-reproducible,
+    // not any-engine-reproducible). Rows-only from the driver; the
+    // tier's correctness is spec-covered (DsirSketchSpec) and the
+    // portable q134 twin stays hash-verified.
+    val exempt = Set("q145_cms_novelty_fast")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries with no oracle and no exemption: $missing")
   }
