@@ -832,7 +832,36 @@ object CurationQueries {
       |  CAST(CASE WHEN micro >= 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // --- q146: exact per-source percentiles ----------------------------------
+
+  /** Exact p50/p90/p99 of the length metric per source — the
+    * hash-verifiable percentile report (`approxQuantile` drifts with
+    * sampling and can never oracle), resolved through [[graft.operators
+    * .RankCuts]]' bounded radix search instead of a per-group histogram
+    * window. The oracle replays the integer rank rule. */
+  def q146ExactPercentiles(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Quantiles.exactPercentiles(
+      tp(spark, dir, "documents"), "source", "n_chars", Seq(50, 90, 99))
+      .orderBy("source")
+
+  val q146Sql: String =
+    """WITH hist AS (
+      |  SELECT source, n_chars, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, n_chars, c,
+      |    sum(c) OVER (PARTITION BY source ORDER BY n_chars) AS cum
+      |  FROM hist),
+      |tot AS (SELECT source, sum(c) AS n FROM hist GROUP BY 1)
+      |SELECT cum.source,
+      |  min(CASE WHEN cum >= (50 * n + 99) // 100 THEN n_chars END) AS p50,
+      |  min(CASE WHEN cum >= (90 * n + 99) // 100 THEN n_chars END) AS p90,
+      |  min(CASE WHEN cum >= (99 * n + 99) // 100 THEN n_chars END) AS p99
+      |FROM cum JOIN tot USING (source)
+      |GROUP BY 1 ORDER BY source""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q146_exact_percentiles" -> q146ExactPercentiles _,
     "q103_lm_score" -> q103LmScore _,
     "q110_lm_broadcast" -> q110LmBroadcast _,
     "q115_ppl_buckets" -> q115PerplexityBuckets _,
@@ -853,6 +882,7 @@ object CurationQueries {
     "q77_token_budget" -> q77TokenBudget _)
 
   val oracles: Map[String, String] = Map(
+    "q146_exact_percentiles" -> q146Sql,
     "q103_lm_score" -> q103Sql,
     "q110_lm_broadcast" -> q110Sql,
     "q115_ppl_buckets" -> q115Sql,

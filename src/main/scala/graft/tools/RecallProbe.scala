@@ -72,6 +72,17 @@ object RecallProbe {
       Similarity.ivfPqRefineTopK(queries, emb, k, cb,
         numCentroids = 8, nProbe = 3, refine = 4) }
 
+    // production PQ shape: Lloyd-trained codebooks, 8 subspaces x 64
+    // centroids, deeper refine — what a deployment would run instead of
+    // the oracle-replayable m=4/k=8 toy codebooks
+    val cbT = Similarity.pqTrain(emb, 8, 64, iters = 5,
+      sampleCap = math.min(n, 100000L).toInt)
+    run("pq_adc trained m=8 k=64 r=8") {
+      Similarity.pqAdcRefineTopK(queries, emb, k, cbT, refine = 8) }
+    run("ivf_pq trained m=8 k=64 c=8 p=3 r=8") {
+      Similarity.ivfPqRefineTopK(queries, emb, k, cbT,
+        numCentroids = 8, nProbe = 3, refine = 8) }
+
     // production-ish sqrt-rule points: recall as nProbe sweeps
     for (p <- Seq(math.max(2, autoP / 3), autoP, autoP * 2)) {
       run(s"ivf_sq8 c=$autoC p=$p r=4") {

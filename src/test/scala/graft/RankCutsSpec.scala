@@ -133,6 +133,30 @@ class RankCutsSpec extends SparkSpec {
     assert(out.map(_._3).distinct.toSet === Set("head", "middle", "tail"))
   }
 
+  test("exactPercentiles operator matches brute force per group") {
+    val rnd = new scala.util.Random(5)
+    val rows = for (g <- Seq("x", "y"); i <- 0 until 701)
+      yield (g, rnd.nextInt(10000))
+    val out = graft.operators.Quantiles.exactPercentiles(
+      rows.toDF("src", "len"), "src", "len", Seq(50, 90, 99))
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    for (g <- Seq("x", "y")) {
+      val vs = rows.filter(_._1 == g).map(_._2).sorted
+      val n = vs.length.toLong
+      def pct(p: Int) = vs(((p * n + 99) / 100 - 1).toInt)
+      assert(out(g) === ((pct(50), pct(90), pct(99))), s"group $g")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.exactPercentiles(
+        rows.toDF("src", "len"), "src", "len", Seq(0))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Quantiles.exactPercentiles(
+        rows.toDF("src", "len"), "src", "len", Seq(50, 50))
+    }
+  }
+
   test("cut derivation plan: windows are bounded and never SinglePartition") {
     val df = (0L until 2000L).map(i => (i, "one", i % 701)).toDF("id", "src", "len")
     val p = Winsorize.winsorize(df, "src", "len", 5, 95)
