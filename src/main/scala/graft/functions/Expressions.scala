@@ -35,6 +35,82 @@ object ExprHelpers {
     if (b >= 0) b else b ^ Long.MaxValue
   }
 
+  /** Murmur3 finalizer — decorrelates consecutive rolling-hash values so
+    * window-min selection sees well-mixed longs. */
+  private def fmix64(x0: Long): Long = {
+    var x = x0
+    x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+    x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+    x ^= x >>> 33; x
+  }
+
+  /** All char k-gram hashes of `s` in ONE pass: a polynomial rolling
+    * hash over chars (FNV-prime multiplier, natural 64-bit wraparound)
+    * finalized per position with the murmur mixer. O(m) total with one
+    * String materialization — no per-gram substring allocation, no
+    * per-gram digest (the array-kernel cost that dominates the winnowing
+    * family per BENCH_NOTES round-8). Equal k-grams hash equal by
+    * construction, which is all the winnowing guarantee needs. */
+  private[this] val emptyLongArray =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(Array.empty[Long])
+
+  def kgramRollingHashes(s: UTF8String, k: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val m = str.length - (k - 1)
+    if (m <= 0) return emptyLongArray
+    val B = 0x100000001b3L
+    var bk = 1L // B^(k-1)
+    var i = 0
+    while (i < k - 1) { bk *= B; i += 1 }
+    val out = new Array[Long](m)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + str.charAt(i); i += 1 }
+    out(0) = fmix64(h)
+    i = 1
+    while (i < m) {
+      h = (h - str.charAt(i - 1) * bk) * B + str.charAt(i + k - 1)
+      out(i) = fmix64(h)
+      i += 1
+    }
+    // primitive-packed result: no per-element boxing on the way out
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** Sliding-window minimum over a long array via the monotonic-deque
+    * algorithm: O(m) total versus the declarative
+    * `transform(sequence…, j => array_min(slice(h, j, w)))` form's
+    * O(m·w) work plus one w-element array allocation per window. Values
+    * are identical by definition (a window's minimum is its minimum), so
+    * this is a drop-in for the winnowing selection under BOTH hash tiers
+    * — the oracle replays the same semantics declaratively. Fewer than
+    * `w` elements → one window over what exists; empty → empty. */
+  def windowMins(arr: org.apache.spark.sql.catalyst.util.ArrayData, w: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = arr.numElements()
+    if (m == 0) return emptyLongArray
+    val n = math.max(m - w + 1, 1)
+    val out = new Array[Long](n)
+    val idx = new Array[Int](m) // deque of candidate indices, values rising
+    var head = 0
+    var tail = 0 // live range is [head, tail)
+    var i = 0
+    while (i < m) {
+      val v = arr.getLong(i)
+      while (tail > head && arr.getLong(idx(tail - 1)) >= v) tail -= 1
+      idx(tail) = i; tail += 1
+      if (idx(head) <= i - w) head += 1
+      if (i >= w - 1) out(i - w + 1) = arr.getLong(idx(head))
+      i += 1
+    }
+    if (m < w) out(0) = arr.getLong(idx(head))
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Truncate at the last space at-or-before maxLen (rfind semantics,
     * reference :110-122). */
   def truncateWords(s: UTF8String, maxLen: Int): UTF8String = {
@@ -77,6 +153,38 @@ case class WordBoundaryTruncate(child: Expression, maxLen: Int)
     copy(child = c)
 }
 
+case class KgramRollingHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.kgramRollingHashes(v.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprHelpers.kgramRollingHashes($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): KgramRollingHashes =
+    copy(child = c)
+}
+
+case class WindowMins(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.windowMins(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprHelpers.windowMins($c, $w)")
+
+  override protected def withNewChildInternal(c: Expression): WindowMins =
+    copy(child = c)
+}
+
 case class DoubleOrderKey(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
 
@@ -99,6 +207,10 @@ object Expressions {
       WordBoundaryTruncate(ColumnBridge.expression(c), maxLen))
   def double_order_key(c: Column): Column =
     ColumnBridge.column(DoubleOrderKey(ColumnBridge.expression(c)))
+  def kgram_rolling_hashes(c: Column, k: Int): Column =
+    ColumnBridge.column(KgramRollingHashes(ColumnBridge.expression(c), k))
+  def window_mins(c: Column, w: Int): Column =
+    ColumnBridge.column(WindowMins(ColumnBridge.expression(c), w))
   /** Exact integral division (the SQL `div` operator) as a composable
     * Column — `a.divide(b)` is float division and rounds past 2^53. */
   def int_div(a: Column, b: Column): Column =

@@ -101,22 +101,29 @@ object TextFunctions {
     *
     * Two hash tiers, the [[graft.operators.Sketches]] discipline:
     *  - portable (default): the salted md5 formula any engine replays —
-    *    the oracle-verifiable tier, one md5 digest per k-gram (the
-    *    dominant cost of a winnowing pass — q79 is hash-bound at 10×);
-    *  - fast: Spark's codegen'd xxHash64 — same winnowing guarantee
-    *    (the window-min selection is hash-agnostic), ~2-3× less hash
-    *    cost, but fingerprints are Spark-reproducible rather than
-    *    any-engine-reproducible. Fingerprint SETS from different tiers
-    *    never compare — producer and consumer must agree on the tier. */
+    *    the oracle-verifiable tier, one substring + one md5 digest per
+    *    k-gram;
+    *  - fast: a native rolling-hash Expression
+    *    ([[graft.functions.Expressions.kgram_rolling_hashes]]) computing
+    *    ALL m gram hashes in one O(m) pass — no per-gram substring
+    *    allocation, no per-gram digest, the two kernels that dominate
+    *    the portable tier (BENCH_NOTES round-8: swapping only the digest
+    *    for xxHash64 recovered ~10%, because the substring kernel is the
+    *    cost). Same winnowing guarantee (equal grams hash equal; the
+    *    window-min selection is hash-agnostic), but fingerprints are
+    *    Spark-reproducible rather than any-engine-reproducible.
+    *    Fingerprint SETS from different tiers never compare — producer
+    *    and consumer must agree on the tier. */
   def kgramHashes(text: Column, k: Int, portable: Boolean = true): Column = {
     // coalesce: NULL text must yield an EMPTY array, not null — a null
     // condition would fall into otherwise() and produce null output that
     // downstream winnowSelect would turn into a spurious [null] window
+    if (!portable)
+      return coalesce(Expressions.kgram_rolling_hashes(text, k),
+        array().cast("array<bigint>"))
     val m = coalesce(length(text) - (k - 1), lit(0)) // k-gram count
-    def h(g: Column): Column =
-      if (portable) hash64(g) else xxhash64(lit("kgram"), g)
     when(m <= 0, array().cast("array<bigint>")).otherwise(
-      transform(sequence(lit(1), m), i => h(text.substr(i, lit(k)))))
+      transform(sequence(lit(1), m), i => hash64(text.substr(i, lit(k)))))
   }
 
   /** Winnowing selection (Schleimer/Wilkerson/Aiken, SIGMOD 2003 — the
@@ -141,10 +148,11 @@ object TextFunctions {
     * stages the barrier itself and cannot be misused into the O(m²)
     * shape. */
   private[graft] def winnowSelect(hashes: Column, w: Int): Column =
-    when(coalesce(size(hashes), lit(0)) === 0, array().cast("array<bigint>"))
-      .otherwise(
-        transform(sequence(lit(1), greatest(size(hashes) - (w - 1), lit(1))),
-          j => array_min(slice(hashes, j, lit(w)))))
+    // native monotonic-deque window-min (O(m), one pass, no per-window
+    // slice allocation) — value-identical to the declarative
+    // transform/array_min/slice form the oracle replays, under both
+    // hash tiers; null array (null text upstream) → empty fingerprints
+    coalesce(Expressions.window_mins(hashes, w), array().cast("array<bigint>"))
 
   /** Winnowed (MOSS) document fingerprints as a DataFrame transform:
     * appends `outCol` = the sorted distinct fingerprint set of `textCol`

@@ -238,6 +238,68 @@ class CurationSpec extends SparkSpec {
       "tier mismatch should visibly break")
   }
 
+  test("rolling k-gram hashes: recurrence matches direct polynomial") {
+    // the fast tier's one-pass recurrence must equal hashing each gram
+    // independently with the same polynomial — recompute per position
+    // from scratch here (no rolling) and compare, covering the subtract-
+    // multiply-add rollover and the B^(k-1) precomputation
+    def fmix64(x0: Long): Long = {
+      var x = x0
+      x ^= x >>> 33; x *= 0xff51afd7ed558ccdL
+      x ^= x >>> 33; x *= 0xc4ceb9fe1a85ec53L
+      x ^= x >>> 33; x
+    }
+    val B = 0x100000001b3L
+    def direct(s: String, k: Int): Seq[Long] =
+      (0 to s.length - k).map { i =>
+        var h = 0L
+        var j = i
+        while (j < i + k) { h = h * B + s.charAt(j); j += 1 }
+        fmix64(h)
+      }
+    val rnd = new scala.util.Random(42)
+    val samples = Seq("abcdefghij", "aaaaaaaaaaaa", "ab",
+      "z", "répétition répétée àccents") ++
+      (1 to 20).map(_ => rnd.alphanumeric.take(5 + rnd.nextInt(60)).mkString)
+    for (k <- Seq(3, 8); s0 <- samples) {
+      val got = Seq(("x", s0)).toDF("id", "text")
+        .select(graft.functions.Expressions
+          .kgram_rolling_hashes(col("text"), k).as("h"))
+        .as[Seq[Long]].head()
+      assert(got == direct(s0, k), s"mismatch for k=$k text='$s0'")
+    }
+    // equal grams hash equal across documents (the winnowing guarantee's
+    // only hash requirement) — and the mixer keeps distinct grams distinct
+    val rep = direct("abcdefgh" * 4, 8)
+    assert(rep.distinct.size == 8 && rep.size == 25)
+  }
+
+  test("native window-min deque matches declarative slice/array_min") {
+    // winnowSelect's native deque must be value-identical to the
+    // declarative form the oracle replays, including the m<w one-window
+    // and duplicate-adjacent-min edges
+    val rnd = new scala.util.Random(7)
+    val arrays: Seq[Seq[Long]] =
+      Seq(Seq.empty[Long], Seq(5L), Seq(3L, 3L, 3L), Seq(9L, 1L, 9L, 1L)) ++
+      (1 to 30).map(_ => Seq.fill(1 + rnd.nextInt(40))(rnd.nextLong()))
+    for (w <- Seq(2, 4, 7)) {
+      val df = arrays.zipWithIndex.map { case (a, i) => (i.toLong, a) }
+        .toDF("id", "h")
+      val declarative = df.select(col("id"),
+        when(coalesce(size(col("h")), lit(0)) === 0,
+          array().cast("array<bigint>"))
+          .otherwise(transform(
+            sequence(lit(1), greatest(size(col("h")) - (w - 1), lit(1))),
+            j => array_min(slice(col("h"), j, lit(w))))).as("fp"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val native = df.select(col("id"),
+        coalesce(graft.functions.Expressions.window_mins(col("h"), w),
+          array().cast("array<bigint>")).as("fp"))
+        .as[(Long, Seq[Long])].collect().toMap
+      assert(native == declarative, s"w=$w")
+    }
+  }
+
   test("greedy near-dup removal keeps min id, drops confirmed dups only") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
