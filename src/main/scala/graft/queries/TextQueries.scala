@@ -351,6 +351,23 @@ object TextQueries {
       |SELECT doc_id, unnest(list_sort(list_distinct(w))) AS fp
       |FROM wins ORDER BY doc_id, fp""".stripMargin
 
+  /** q79 through the FAST tier — the production knob for the winnowing
+    * family: `kgram_rolling_hashes` computes all m gram hashes in one
+    * O(m) rolling pass (no per-gram substring, no per-gram digest) and
+    * the native deque window-min selects in O(m). No SQL oracle — the
+    * rolling polynomial is Spark-side-only, which is exactly the trade
+    * the tier documents — so the driver records rows-only; the tier's
+    * correctness (rolling≡direct recurrence, guarantee, tier-mismatch
+    * visibility) is spec-covered in CurationSpec, and the portable q79
+    * stays the hash-verified twin. Same output shape as q79: one row per
+    * (doc, distinct fingerprint). */
+  def q147WinnowingFast(spark: SparkSession, dir: String): DataFrame =
+    graft.functions.TextFunctions.winnowFingerprints(
+      tp(spark, dir, "documents"), "text", k = 8, w = 4,
+      outCol = "fp_arr", portable = false)
+      .select(col("doc_id"), explode(col("fp_arr")).as("fp"))
+      .orderBy("doc_id", "fp")
+
   // --- simhash ----------------------------------------------------------
 
   def q35Simhash(spark: SparkSession, dir: String): DataFrame =
@@ -1313,6 +1330,7 @@ object TextQueries {
     "q76_drop_near_dups" -> q76DropNearDups _,
     "q78_neardup_clusters" -> q78NearDupClusters _,
     "q79_winnowing" -> q79Winnowing _,
+    "q147_winnowing_fast" -> q147WinnowingFast _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
