@@ -37,7 +37,10 @@ class SmokeSpec extends SparkSpec {
     // not any-engine-reproducible). Rows-only from the driver; the
     // tier's correctness is spec-covered (DsirSketchSpec) and the
     // portable q134 twin stays hash-verified.
-    val exempt = Set("q145_cms_novelty_fast")
+    // q147: the winnowing fast tier — the rolling k-gram polynomial is
+    // Spark-side-only by design (same trade). Rows-only from the driver;
+    // spec-covered in CurationSpec, portable q79 twin stays hash-verified.
+    val exempt = Set("q145_cms_novelty_fast", "q147_winnowing_fast")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- exempt
     assert(missing.isEmpty, s"queries with no oracle and no exemption: $missing")
   }
