@@ -111,6 +111,178 @@ object ExprHelpers {
       .fromPrimitiveArray(out)
   }
 
+  private[this] val sha256Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("SHA-256")
+    }
+
+  /** Core of the native MinHash band kernel: fold one shingle's digests
+    * into the running band minima. Replicates EXACTLY the declarative
+    * formula the oracles replay — per digest group g,
+    * `sha256(utf8("g|" + shingle))`, then each lane's band value is hex
+    * chars [lane·15, lane·15+15) of the digest read as an unsigned
+    * 60-bit integer (what `conv(substring(hex, 1+lane*15, 15), 16, 10)`
+    * computes) — without materializing the hex string or parsing it
+    * back. */
+  /** Unsigned value of 15 hex digits of `d` starting at nibble `start` —
+    * what `conv(substring(hex, 1+start, 15), 16, 10)` parses, read off
+    * the digest bytes directly. */
+  private def nibbles60(d: Array[Byte], start: Int): Long = {
+    var v = 0L
+    var n = start
+    val end = start + 15
+    while (n < end) {
+      val b = d(n >> 1)
+      v = (v << 4) | (if ((n & 1) == 0) (b >> 4) & 0xFL else (b & 0xFL))
+      n += 1
+    }
+    v
+  }
+
+  private def foldShingle(shingleUtf8: Array[Byte], prefixes: Array[Array[Byte]],
+                          numBands: Int, mins: Array[Long]): Unit = {
+    val md = sha256Local.get()
+    var g = 0
+    while (g < prefixes.length) {
+      md.reset()
+      md.update(prefixes(g))
+      md.update(shingleUtf8)
+      val d = md.digest()
+      val lanes = math.min(4, numBands - g * 4)
+      var lane = 0
+      while (lane < lanes) {
+        val v = nibbles60(d, lane * 15)
+        val band = g * 4 + lane
+        if (v < mins(band)) mins(band) = v
+        lane += 1
+      }
+      g += 1
+    }
+  }
+
+  private def digestPrefixes(numBands: Int): Array[Array[Byte]] =
+    Array.tabulate((numBands + 3) / 4)(g =>
+      s"$g|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Band minima over an explicit shingle array (null elements skipped —
+    * `concat_ws` never produces them, but stay total). Null when the
+    * array is empty: every band's `array_min` over no digests is null,
+    * and `element_at(null, i)` recovers the per-band nulls. */
+  def bandMins(sh: org.apache.spark.sql.catalyst.util.ArrayData,
+               numBands: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = sh.numElements()
+    val prefixes = digestPrefixes(numBands)
+    val mins = Array.fill(numBands)(Long.MaxValue)
+    var any = false
+    var i = 0
+    while (i < m) {
+      if (!sh.isNullAt(i)) {
+        any = true
+        foldShingle(sh.getUTF8String(i).getBytes, prefixes, numBands, mins)
+      }
+      i += 1
+    }
+    if (!any) null
+    else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
+  }
+
+  /** Fused tokens → distinct word-k-shingles → band minima: one pass,
+    * no shingle-array or hex-array materialization. Shingle strings are
+    * built with a reused StringBuilder and de-duplicated with a hash set
+    * (pure work-skipping — minima are duplicate-blind, matching the
+    * `array_distinct` in the declarative chain). Fewer than k tokens →
+    * null (no shingles → all-null bands). */
+  def wordShingleBandMins(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                          k: Int, numBands: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    if (n < k) return null
+    val prefixes = digestPrefixes(numBands)
+    val mins = Array.fill(numBands)(Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = i
+      var first = true
+      while (j < i + k) {
+        // concat_ws semantics: null elements are skipped, not rendered
+        if (!toks.isNullAt(j)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s))
+        foldShingle(s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          prefixes, numBands, mins)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(mins)
+  }
+
+  private[this] val md5Local =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  /** Fused tokens → distinct word-k-shingles → (md5-prefix hash set,
+    * band minima): the whole per-doc MinHash/Jaccard preparation in one
+    * pass. `hsh` replicates `hash64` (60-bit md5-prefix) per distinct
+    * shingle in first-occurrence order (`array_distinct` semantics);
+    * `bm` the band minima of [[bandMins]]. Neither the shingle strings
+    * nor any hex string ever materializes into a row. Fewer than k
+    * tokens → (empty hsh, null bm) — exactly the declarative chain's
+    * empty-set / all-null-bands pair. */
+  def shingleHashBands(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                       k: Int, numBands: Int):
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val n = toks.numElements()
+    val prefixes = digestPrefixes(numBands)
+    val mins = Array.fill(numBands)(Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    val hsh = new scala.collection.mutable.ArrayBuilder.ofLong
+    val md = md5Local.get()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (n >= k && i <= n - k) {
+      sb.setLength(0)
+      var j = i
+      var first = true
+      while (j < i + k) {
+        if (!toks.isNullAt(j)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      val s = sb.toString
+      if (seen.add(s)) {
+        val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        md.reset()
+        hsh += nibbles60(md.digest(bytes), 0)
+        foldShingle(bytes, prefixes, numBands, mins)
+      }
+      i += 1
+    }
+    val hs = hsh.result()
+    val bm =
+      if (hs.isEmpty) null
+      else org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(mins)
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(hs), bm))
+  }
+
   /** Truncate at the last space at-or-before maxLen (rfind semantics,
     * reference :110-122). */
   def truncateWords(s: UTF8String, maxLen: Int): UTF8String = {
@@ -169,6 +341,69 @@ case class KgramRollingHashes(child: Expression, k: Int)
     copy(child = c)
 }
 
+case class BandMins(child: Expression, numBands: Int)
+    extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.bandMins(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = graft.functions.ExprHelpers.bandMins($c, $numBands);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(c: Expression): BandMins =
+    copy(child = c)
+}
+
+case class WordShingleBandMins(child: Expression, k: Int, numBands: Int)
+    extends UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.wordShingleBandMins(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      k, numBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} =
+        graft.functions.ExprHelpers.wordShingleBandMins($c, $k, $numBands);
+      ${ev.isNull} = ${ev.value} == null;""")
+
+  override protected def withNewChildInternal(c: Expression): WordShingleBandMins =
+    copy(child = c)
+}
+
+case class ShingleHashBands(child: Expression, k: Int, numBands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("hsh",
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+        nullable = false),
+      org.apache.spark.sql.types.StructField("bm",
+        org.apache.spark.sql.types.ArrayType(LongType, containsNull = false),
+        nullable = true)))
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.shingleHashBands(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      k, numBands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprHelpers.shingleHashBands($c, $k, $numBands)")
+
+  override protected def withNewChildInternal(c: Expression): ShingleHashBands =
+    copy(child = c)
+}
+
 case class WindowMins(child: Expression, w: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
@@ -211,6 +446,14 @@ object Expressions {
     ColumnBridge.column(KgramRollingHashes(ColumnBridge.expression(c), k))
   def window_mins(c: Column, w: Int): Column =
     ColumnBridge.column(WindowMins(ColumnBridge.expression(c), w))
+  def band_mins(c: Column, numBands: Int): Column =
+    ColumnBridge.column(BandMins(ColumnBridge.expression(c), numBands))
+  def word_shingle_band_mins(c: Column, k: Int, numBands: Int): Column =
+    ColumnBridge.column(
+      WordShingleBandMins(ColumnBridge.expression(c), k, numBands))
+  def shingle_hash_bands(c: Column, k: Int, numBands: Int): Column =
+    ColumnBridge.column(
+      ShingleHashBands(ColumnBridge.expression(c), k, numBands))
   /** Exact integral division (the SQL `div` operator) as a composable
     * Column — `a.divide(b)` is float division and rounds past 2^53. */
   def int_div(a: Column, b: Column): Column =

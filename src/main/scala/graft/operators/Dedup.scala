@@ -131,8 +131,18 @@ object Dedup {
   def minhashSignatures(df0: DataFrame, idCol: String, textCol: String,
                         numBands: Int, shingleSize: Int): DataFrame = {
     val df = Parallelism.ensure(df0)
-    val sh = array_distinct(shingles(tokens(col(textCol)), shingleSize))
-    bandSignatures(df, Seq(idCol), sh, numBands)
+    // fused native kernel: tokens -> distinct shingles -> band minima in
+    // ONE expression — no shingle-array or hex-array ever materializes
+    // (the declarative chain built both; see bandSignatures for the
+    // shared-arithmetic contract). One barrier so the per-band
+    // element_at projection reads a materialized array instead of
+    // re-evaluating the kernel numBands times.
+    val bm = graft.functions.Expressions.word_shingle_band_mins(
+      tokens(col(textCol)), shingleSize, numBands)
+    val mat = Parallelism.barrier(
+      df.select(col(idCol), bm.as("__graft_bm")))
+    mat.select(col(idCol) +: (0 until numBands).map(b =>
+      element_at(col("__graft_bm"), b + 1).as(s"band_$b")): _*)
   }
 
   /** Append band_0..band_{numBands-1} MinHash columns computed from a
@@ -149,19 +159,19 @@ object Dedup {
     * arithmetic via sha256()/substr()/::UBIGINT. */
   private[operators] def bandSignatures(df: DataFrame, keep: Seq[String],
       sh: Column, numBands: Int): DataFrame = {
-    val groups = (numBands + 3) / 4
-    val shMat = Parallelism.barrier(
-      df.select(keep.map(col) :+ sh.as("__graft_sh"): _*))
-    val hexCols = (0 until groups).map(g =>
-      transform(col("__graft_sh"), s => sha2(concat(lit(s"$g|"), s), 256))
-        .as(s"__graft_hex_$g"))
-    val mat = Parallelism.barrier(shMat.select(keep.map(col) ++ hexCols: _*))
-    val bands = (0 until numBands).map { b =>
-      val off = 1 + (b % 4) * 15
-      array_min(transform(col(s"__graft_hex_${b / 4}"),
-        h => conv(substring(h, off, 15), 16, 10).cast("long"))).as(s"band_$b")
-    }
-    mat.select(keep.map(col) ++ bands: _*)
+    // native digest kernel per shingle array: per group g of 4 bands,
+    // sha256("g|" + shingle), band value = hex chars [lane·15, +15) as
+    // an unsigned 60-bit integer — byte-for-byte the arithmetic of the
+    // declarative transform(sha2)/conv(substring) chain the DuckDB
+    // oracles replay, WITHOUT materializing hex-string arrays between
+    // two barrier stages (measured q34 at 10×: the hex/conv form cost
+    // ~2× the digests alone). One barrier so the per-band element_at
+    // projection reads a materialized minima array.
+    val mat = Parallelism.barrier(df.select(keep.map(col) :+
+      graft.functions.Expressions.band_mins(sh, numBands)
+        .as("__graft_bm"): _*))
+    mat.select(keep.map(col) ++ (0 until numBands).map(b =>
+      element_at(col("__graft_bm"), b + 1).as(s"band_$b")): _*)
   }
 
   /** LSH candidate pairs: docs sharing ANY band value. Emits (id_a, id_b)
@@ -224,21 +234,24 @@ object Dedup {
                          threshold: Double = 0.5,
                          maxBucketSize: Int = 100): DataFrame = {
     val df = Parallelism.ensure(df0)
-    // barrier before the hash projection: projection collapse would
-    // otherwise evaluate the shingle chain twice (once for sh, once
-    // inside the hash transform) when the cache fills
+    // ONE fused pass per doc builds both per-pair inputs — the distinct
+    // shingle HASH set (md5-prefix, the hash64 formula) for the Jaccard
+    // confirm and the band minima for candidate generation — so neither
+    // shingle strings nor hex arrays ever materialize into a row, and
+    // the staged checkpoint holds longs only (the old shape staged the
+    // full shingle-string arrays just to re-derive both).
     // eager stage, not persist: no unpersist hook exists (the confirm
     // join consumes this lazily after return) and a CacheManager entry
-    // would pin one shingle-set copy per call for the session's lifetime;
-    // see [[Parallelism.stage]]
-    val sets = Parallelism.barrier(df.select(col(idCol).as("sid"),
-      array_distinct(shingles(tokens(col(textCol)), shingleSize)).as("sh")))
-      .select(col("sid"), col("sh"),
-        transform(col("sh"), s => hash64(s)).as("hsh"))
-      .transform(Parallelism.stage)
-    val sigs = bandSignatures(
-      sets.select(col("sid").as(idCol), col("sh")),
-      Seq(idCol), col("sh"), numBands)
+    // would pin one copy per call for the session's lifetime; see
+    // [[Parallelism.stage]]
+    val sets = Parallelism.stage(df.select(col(idCol).as("sid"),
+        graft.functions.Expressions.shingle_hash_bands(
+          tokens(col(textCol)), shingleSize, numBands).as("__graft_shb")))
+      .select(col("sid"), col("__graft_shb.hsh").as("hsh"),
+        col("__graft_shb.bm").as("__graft_bm"))
+    val sigs = sets.select(col("sid").as(idCol) +:
+      (0 until numBands).map(b =>
+        element_at(col("__graft_bm"), b + 1).as(s"band_$b")): _*)
     val cands = candidatesFromSignatures(sigs, idCol, numBands, maxBucketSize)
     val inter = size(array_intersect(col("hsh_a"), col("hsh_b"))).cast("double")
     val uni = size(array_union(col("hsh_a"), col("hsh_b"))).cast("double")

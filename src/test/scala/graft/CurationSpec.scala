@@ -300,6 +300,66 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("native band kernel matches declarative sha256/hex-slice formula") {
+    // minhashSignatures' fused kernel (and bandSignatures' BandMins)
+    // must reproduce the transform(sha2)/conv(substring) arithmetic the
+    // DuckDB oracles replay — byte for byte, including the <k-token
+    // null bands, null text, duplicate shingles, and non-ASCII
+    import graft.functions.TextFunctions.{shingles, tokens}
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "délta", "eps", "z")
+    val docs = (Seq((0L, Option("")), (1L, Option("one two")),
+      (2L, Option((1 to 30).map(_ => "alpha beta gamma").mkString(" "))),
+      (3L, None)) ++
+      (4L to 40L).map(i => (i, Option(
+        (1 to 2 + rnd.nextInt(25)).map(_ => words(rnd.nextInt(6)))
+          .mkString(" ")))))
+      .toDF("doc_id", "text")
+    for ((numBands, k) <- Seq((8, 3), (4, 2), (6, 3))) {
+      val declarative = {
+        val groups = (numBands + 3) / 4
+        val sh = array_distinct(shingles(tokens(col("text")), k))
+        val hexCols = (0 until groups).map(g =>
+          transform(sh, s => sha2(concat(lit(s"$g|"), s), 256))
+            .as(s"hex_$g"))
+        val mat = docs.select(col("doc_id") +: hexCols: _*)
+        val bands = (0 until numBands).map { b =>
+          val off = 1 + (b % 4) * 15
+          array_min(transform(col(s"hex_${b / 4}"),
+            h => conv(substring(h, off, 15), 16, 10).cast("long")))
+            .as(s"band_$b")
+        }
+        mat.select(col("doc_id") +: bands: _*)
+      }
+      val native = graft.operators.Dedup.minhashSignatures(
+        docs, "doc_id", "text", numBands, k)
+      val dRows = declarative.orderBy("doc_id").collect().map(_.toSeq)
+      val nRows = native.orderBy("doc_id").collect().map(_.toSeq)
+      assert(nRows.toSeq == dRows.toSeq, s"numBands=$numBands k=$k")
+
+      // the fused pair-prep kernel: hsh must equal the declarative
+      // hash64-over-distinct-shingles chain (same order), bm the bands
+      import graft.functions.TextFunctions.hash64
+      val fused = docs.select(col("doc_id"),
+        graft.functions.Expressions.shingle_hash_bands(
+          tokens(col("text")), k, numBands).as("shb"))
+        .select(col("doc_id"), col("shb.hsh").as("hsh"),
+          col("shb.bm").as("bm"))
+      val declH = docs.select(col("doc_id"),
+        transform(array_distinct(shingles(tokens(col("text")), k)),
+          s => hash64(s)).as("hsh"))
+      val fRows = fused.orderBy("doc_id")
+        .select("doc_id", "hsh").collect().map(_.toSeq)
+      val hRows = declH.orderBy("doc_id").collect().map(_.toSeq)
+      // declarative: null text -> null hsh; fused: null struct -> null
+      assert(fRows.toSeq == hRows.toSeq, s"hsh numBands=$numBands k=$k")
+      val fBands = fused.select(col("doc_id") +: (0 until numBands).map(
+        b => element_at(col("bm"), b + 1).as(s"band_$b")): _*)
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(fBands.toSeq == dRows.toSeq, s"bm numBands=$numBands k=$k")
+    }
+  }
+
   test("greedy near-dup removal keeps min id, drops confirmed dups only") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
