@@ -283,6 +283,54 @@ object ExprHelpers {
         .fromPrimitiveArray(hs), bm))
   }
 
+  /** SimHash signature over a token array in one pass — the native form
+    * of the higher-order-aggregate chain (which allocates a fresh
+    * `bits`-element vote array per token via zip_with). Identical
+    * arithmetic: per DISTINCT token (first-occurrence dedup, the
+    * array_distinct), the md5-prefix 60-bit hash votes ±1 per bit;
+    * signature = Σ 2^b over bits with positive votes. A null token
+    * element replicates the declarative chain's null-hash path: the
+    * when() falls to otherwise(), a −1 vote on every bit. Empty array →
+    * all-zero votes → signature 0 (not null). */
+  def simhash(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+              bits: Int): Long = {
+    val votes = new Array[Int](bits)
+    val seen = new java.util.HashSet[String]()
+    var sawNull = false
+    val md = md5Local.get()
+    val m = toks.numElements()
+    var i = 0
+    while (i < m) {
+      if (toks.isNullAt(i)) {
+        if (!sawNull) { // array_distinct keeps ONE null element
+          sawNull = true
+          var b = 0
+          while (b < bits) { votes(b) -= 1; b += 1 }
+        }
+      } else {
+        val s = toks.getUTF8String(i).toString
+        if (seen.add(s)) {
+          md.reset()
+          val h = nibbles60(
+            md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 0)
+          var b = 0
+          while (b < bits) {
+            votes(b) += (if (((h >>> b) & 1L) != 0L) 1 else -1)
+            b += 1
+          }
+        }
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      if (votes(b) > 0) sig |= 1L << b
+      b += 1
+    }
+    sig
+  }
+
   /** Truncate at the last space at-or-before maxLen (rfind semantics,
     * reference :110-122). */
   def truncateWords(s: UTF8String, maxLen: Int): UTF8String = {
@@ -404,6 +452,21 @@ case class ShingleHashBands(child: Expression, k: Int, numBands: Int)
     copy(child = c)
 }
 
+case class SimhashAgg(child: Expression, bits: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.simhash(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], bits)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprHelpers.simhash($c, $bits)")
+
+  override protected def withNewChildInternal(c: Expression): SimhashAgg =
+    copy(child = c)
+}
+
 case class WindowMins(child: Expression, w: Int) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
@@ -454,6 +517,8 @@ object Expressions {
   def shingle_hash_bands(c: Column, k: Int, numBands: Int): Column =
     ColumnBridge.column(
       ShingleHashBands(ColumnBridge.expression(c), k, numBands))
+  def simhash_agg(c: Column, bits: Int): Column =
+    ColumnBridge.column(SimhashAgg(ColumnBridge.expression(c), bits))
   /** Exact integral division (the SQL `div` operator) as a composable
     * Column — `a.divide(b)` is float division and rounds past 2^53. */
   def int_div(a: Column, b: Column): Column =

@@ -534,26 +534,14 @@ object Dedup {
     * array — no explode, no shuffle, stays inside codegen.
     * (SQL oracle does the same arithmetic via unnest + group-by; both are
     * exact integer math, so results match bit-for-bit.) */
-  def simhash(toks: Column, bits: Int = 60): Column = {
-    // bit masks as a literal array column: lambda-variable bit indices
-    // can't feed the Int-typed shift functions, but bitwiseAND takes a
-    // Column, so test bits against element_at(masks, b+1) instead.
-    val masks = array((0 until bits).map(b => lit(1L << b)): _*)
-    val votes = aggregate(
-      array_distinct(toks),
-      array_repeat(lit(0L), bits),
-      (acc, t) => {
-        val h = hash64(t)
-        zip_with(acc,
-          transform(sequence(lit(0), lit(bits - 1)),
-            b => when(h.bitwiseAND(element_at(masks, (b + 1).cast("int")))
-              =!= 0L, 1L).otherwise(-1L)),
-          (x, y) => x + y)
-      })
-    aggregate(
-      zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
-      lit(0L), (x, y) => x + y)
-  }
+  def simhash(toks: Column, bits: Int = 60): Column =
+    // native one-pass kernel: the higher-order-aggregate form allocated
+    // a fresh `bits`-element vote array per token (zip_with); the
+    // expression does the identical per-distinct-token md5-prefix ±1
+    // vote arithmetic in a single tight loop — value-identical
+    // (spec-compared against the declarative chain), so the q35 oracle
+    // is untouched
+    graft.functions.Expressions.simhash_agg(toks, bits)
 
   /** Hamming distance between two simhash signatures. */
   def hammingDistance(a: Column, b: Column): Column =

@@ -360,6 +360,57 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("native simhash matches the declarative vote chain") {
+    import graft.functions.TextFunctions.{hash64, tokens}
+    // the retired higher-order-aggregate form, inlined as the reference
+    def declarative(toks: org.apache.spark.sql.Column,
+                    bits: Int): org.apache.spark.sql.Column = {
+      val masks = array((0 until bits).map(b => lit(1L << b)): _*)
+      val votes = aggregate(
+        array_distinct(toks),
+        array_repeat(lit(0L), bits),
+        (acc, t) => {
+          val h = hash64(t)
+          zip_with(acc,
+            transform(sequence(lit(0), lit(bits - 1)),
+              b => when(h.bitwiseAND(element_at(masks, (b + 1).cast("int")))
+                =!= 0L, 1L).otherwise(-1L)),
+            (x, y) => x + y)
+        })
+      aggregate(
+        zip_with(votes, masks, (v, m) => when(v > 0, m).otherwise(0L)),
+        lit(0L), (x, y) => x + y)
+    }
+    val rnd = new scala.util.Random(23)
+    val words = Vector("alpha", "beta", "gamma", "délta", "eps", "zz", "q")
+    val docs = (Seq((0L, Option("")), (1L, None),
+      (2L, Option("alpha alpha alpha"))) ++
+      (3L to 40L).map(i => (i, Option(
+        (1 to 1 + rnd.nextInt(30)).map(_ => words(rnd.nextInt(7)))
+          .mkString(" ")))))
+      .toDF("doc_id", "text")
+    for (bits <- Seq(60, 16)) {
+      val d = docs.select(col("doc_id"),
+        declarative(tokens(col("text")), bits).as("s"))
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val n = docs.select(col("doc_id"),
+        graft.operators.Dedup.simhash(tokens(col("text")), bits).as("s"))
+        .orderBy("doc_id").collect().map(_.toSeq)
+      assert(n.toSeq == d.toSeq, s"bits=$bits")
+    }
+    // null ELEMENT inside the array: declarative gives every bit a -1
+    // vote through the null-hash otherwise() path — pin that quirk
+    val withNull = Seq((1L, Seq(Some("alpha"), None, Some("beta"))),
+      (2L, Seq[Option[String]](None))).toDF("doc_id", "toks")
+    val d2 = withNull.select(col("doc_id"),
+      declarative(col("toks"), 60).as("s")).orderBy("doc_id")
+      .collect().map(_.toSeq)
+    val n2 = withNull.select(col("doc_id"),
+      graft.operators.Dedup.simhash(col("toks"), 60).as("s"))
+      .orderBy("doc_id").collect().map(_.toSeq)
+    assert(n2.toSeq == d2.toSeq)
+  }
+
   test("greedy near-dup removal keeps min id, drops confirmed dups only") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
