@@ -331,6 +331,38 @@ object ExprHelpers {
     sig
   }
 
+  /** Word k-shingle strings in one pass — the native form of
+    * `transform(sequence…, i => concat_ws(" ", slice(toks, i, k)))`,
+    * which allocates a k-element slice array plus join machinery per
+    * position. Identical output strings (null elements skipped, the
+    * concat_ws rule); fewer than k elements → empty array. */
+  def wordShingles(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                   k: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    if (n < k)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
+    val out = new Array[AnyRef](n - k + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= n - k) {
+      sb.setLength(0)
+      var j = i
+      var first = true
+      while (j < i + k) {
+        if (!toks.isNullAt(j)) {
+          if (!first) sb.append(' ')
+          sb.append(toks.getUTF8String(j).toString)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Truncate at the last space at-or-before maxLen (rfind semantics,
     * reference :110-122). */
   def truncateWords(s: UTF8String, maxLen: Int): UTF8String = {
@@ -452,6 +484,22 @@ case class ShingleHashBands(child: Expression, k: Int, numBands: Int)
     copy(child = c)
 }
 
+case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.wordShingles(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprHelpers.wordShingles($c, $k)")
+
+  override protected def withNewChildInternal(c: Expression): WordShingles =
+    copy(child = c)
+}
+
 case class SimhashAgg(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
 
@@ -519,6 +567,8 @@ object Expressions {
       ShingleHashBands(ColumnBridge.expression(c), k, numBands))
   def simhash_agg(c: Column, bits: Int): Column =
     ColumnBridge.column(SimhashAgg(ColumnBridge.expression(c), bits))
+  def word_shingles(c: Column, k: Int): Column =
+    ColumnBridge.column(WordShingles(ColumnBridge.expression(c), k))
   /** Exact integral division (the SQL `div` operator) as a composable
     * Column — `a.divide(b)` is float division and rounds past 2^53. */
   def int_div(a: Column, b: Column): Column =

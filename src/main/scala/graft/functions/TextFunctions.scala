@@ -178,11 +178,14 @@ object TextFunctions {
         .drop(kh))
   }
 
-  /** Word k-shingles ("w1 w2 w3" strings) for n-gram similarity. */
+  /** Word k-shingles ("w1 w2 w3" strings) for n-gram similarity.
+    * Native one-pass kernel — value-identical to the declarative
+    * `transform(sequence…, concat_ws(slice))` form (spec-compared), so
+    * every oracle over shingle strings is untouched; avoids the per-
+    * position slice-array + join-machinery allocation that dominated
+    * the winnowing family's portable tier before its same treatment. */
   def shingles(toks: Column, k: Int): Column =
-    when(size(toks) < k, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(1), size(toks) - (k - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(k)))))
+    Expressions.word_shingles(toks, k)
 
   /** Exact Jaccard similarity of two string sets. */
   def jaccard(a: Column, b: Column): Column = {

@@ -44,10 +44,11 @@ object LanguageModel {
     * falls through to the empty branch, matching the exact path's
     * no-bigrams outcome). */
   private def bigramArr(w: Column): Column =
-    when(size(w) >= 2,
-      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
+    // native one-pass shingle kernel (value-identical to the retired
+    // zip_with-of-two-slices form: same "w1 w2" strings, empty for < 2
+    // tokens); coalesce keeps the null-text -> empty contract
+    coalesce(graft.functions.Expressions.word_shingles(w, 2),
+      array().cast("array<string>"))
 
   /** Per-document bigram-LM score: (idCol, n_bigrams, lm_bits).
     * `lm_bits` = mean negative log2 P(w2|w1) over the doc's bigrams with

@@ -360,6 +360,40 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("native word shingles match the declarative slice/concat_ws form") {
+    import graft.functions.TextFunctions.tokens
+    def declarative(toks: org.apache.spark.sql.Column,
+                    k: Int): org.apache.spark.sql.Column =
+      when(size(toks) < k, array().cast("array<string>")).otherwise(
+        transform(sequence(lit(1), size(toks) - (k - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(k)))))
+    val rnd = new scala.util.Random(31)
+    val words = Vector("alpha", "beta", "gamma", "délta", "eps")
+    val docs = (Seq((0L, Option("")), (1L, None), (2L, Option("one")),
+      (3L, Option("a b"))) ++
+      (4L to 40L).map(i => (i, Option(
+        (1 to 1 + rnd.nextInt(20)).map(_ => words(rnd.nextInt(5)))
+          .mkString(" ")))))
+      .toDF("doc_id", "text")
+    for (k <- Seq(2, 3, 5)) {
+      val d = docs.select(col("doc_id"),
+        declarative(tokens(col("text")), k).as("sh"))
+        .orderBy("doc_id").collect().map(_.toSeq)
+      val n = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.shingles(tokens(col("text")), k)
+          .as("sh")).orderBy("doc_id").collect().map(_.toSeq)
+      assert(n.toSeq == d.toSeq, s"k=$k")
+    }
+    // null ELEMENTS: concat_ws skips them — pin the skip rule
+    val withNull = Seq((1L, Seq(Some("a"), None, Some("b"), Some("c"))))
+      .toDF("doc_id", "toks")
+    val d2 = withNull.select(declarative(col("toks"), 2).as("sh"))
+      .as[Seq[String]].head()
+    val n2 = withNull.select(graft.functions.TextFunctions
+      .shingles(col("toks"), 2).as("sh")).as[Seq[String]].head()
+    assert(n2 == d2 && n2 == Seq("a", "b", "b c"))
+  }
+
   test("native simhash matches the declarative vote chain") {
     import graft.functions.TextFunctions.{hash64, tokens}
     // the retired higher-order-aggregate form, inlined as the reference
