@@ -363,6 +363,56 @@ object ExprHelpers {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Left-to-right double dot product of two numeric arrays — the
+    * native form of `aggregate(zip_with(a, b, x*y), 0.0, +)`, with the
+    * fold's exact null semantics: zip_with pads a length mismatch with
+    * nulls and a null product poisons the accumulator, so EITHER a
+    * length mismatch OR any null element yields null. Identical IEEE
+    * result (same product/accumulation order) — every cosine oracle is
+    * untouched. Element kinds: 0=float, 1=double. */
+  def vecDot(a: org.apache.spark.sql.catalyst.util.ArrayData,
+             b: org.apache.spark.sql.catalyst.util.ArrayData,
+             aKind: Int, bKind: Int): java.lang.Double = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = if (aKind == 0) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bKind == 0) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  /** Exact long dot product of two integral arrays (int8 ANN codes) —
+    * the native `aggregate(zip_with(a, b, long*long), 0L, +)` with the
+    * same null semantics as [[vecDot]]. Element kinds: 0=byte, 1=short,
+    * 2=int, 3=long. */
+  def vecDotLong(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                 b: org.apache.spark.sql.catalyst.util.ArrayData,
+                 aKind: Int, bKind: Int): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    def get(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            i: Int, kind: Int): Long = kind match {
+      case 0 => arr.getByte(i).toLong
+      case 1 => arr.getShort(i).toLong
+      case 2 => arr.getInt(i).toLong
+      case _ => arr.getLong(i)
+    }
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      acc += get(a, i, aKind) * get(b, i, bKind)
+      i += 1
+    }
+    acc
+  }
+
   /** Truncate at the last space at-or-before maxLen (rfind semantics,
     * reference :110-122). */
   def truncateWords(s: UTF8String, maxLen: Int): UTF8String = {
@@ -500,6 +550,66 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+case class VecDot(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType => DT, FloatType => FT}
+  override def nullable: Boolean = true
+  override def dataType: DataType = DT
+
+  private def kind(e: Expression): Int =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case FT => 0
+      case DT => 1
+      case t => throw new IllegalArgumentException(s"vec_dot over $t array")
+    }
+  private lazy val (ak, bk) = (kind(left), kind(right))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.vecDot(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ak, bk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Double r = graft.functions.ExprHelpers.vecDot($a, $b, $ak, $bk);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.doubleValue(); }""")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecDot = copy(left = l, right = r)
+}
+
+case class VecDotLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, ShortType}
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  private def kind(e: Expression): Int =
+    e.dataType.asInstanceOf[ArrayType].elementType match {
+      case ByteType => 0
+      case ShortType => 1
+      case IntegerType => 2
+      case LongType => 3
+      case t => throw new IllegalArgumentException(s"vec_dot_long over $t array")
+    }
+  private lazy val (ak, bk) = (kind(left), kind(right))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.vecDotLong(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ak, bk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long r = graft.functions.ExprHelpers.vecDotLong($a, $b, $ak, $bk);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.longValue(); }""")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecDotLong = copy(left = l, right = r)
+}
+
 case class SimhashAgg(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
 
@@ -569,6 +679,12 @@ object Expressions {
     ColumnBridge.column(SimhashAgg(ColumnBridge.expression(c), bits))
   def word_shingles(c: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), k))
+  def vec_dot(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def vec_dot_long(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      VecDotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   /** Exact integral division (the SQL `div` operator) as a composable
     * Column — `a.divide(b)` is float division and rounds past 2^53. */
   def int_div(a: Column, b: Column): Column =

@@ -24,10 +24,12 @@ import graft.functions.TextFunctions.hash64
   */
 object Similarity {
 
-  /** Left-to-right double-precision dot product of two float vectors. */
+  /** Left-to-right double-precision dot product of two float vectors.
+    * Native one-pass kernel — same product/accumulation order and the
+    * same null semantics as the aggregate(zip_with) form (spec-compared
+    * bit-for-bit), without allocating the zipped array per pair. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.Expressions.vec_dot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -448,8 +450,9 @@ object Similarity {
   /** Exact integer dot product of two int8 code vectors (long
     * accumulation — order-independent, overflow-free to 2^47 dims). */
   def int8Dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
-      lit(0L), (acc, v) => acc + v)
+    // native kernel, same exact-integer arithmetic as the
+    // aggregate(zip_with) fold it replaces (see [[dot]])
+    graft.functions.Expressions.vec_dot_long(a, b)
 
   /** Quantized cosine: the per-vector scales cancel (symmetric
     * quantization preserves direction), so similarity is a pure integer
@@ -598,8 +601,7 @@ object Similarity {
   /** Dot product of a row vector against a driver-side literal vector —
     * the map-side kernel of the composed cascade's centroid assignment. */
   private def dotLit(vec: Column, w: Seq[Double]): Column =
-    aggregate(zip_with(vec, typedlit(w), (x, y) => x.cast("double") * y),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.Expressions.vec_dot(vec, typedlit(w))
 
   /** Per-centroid (score, -centroid_id) structs for one row vector.
     * Struct ordering makes max/sort break score ties toward the SMALLER

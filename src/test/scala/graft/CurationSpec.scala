@@ -394,6 +394,46 @@ class CurationSpec extends SparkSpec {
     assert(n2 == d2 && n2 == Seq("a", "b", "b c"))
   }
 
+  test("native vector dot kernels match the aggregate(zip_with) folds") {
+    def declDot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def declDotL(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => x.cast("long") * y.cast("long")),
+        lit(0L), (acc, v) => acc + v)
+    val rnd = new scala.util.Random(5)
+    val rows = (1L to 40L).map { i =>
+      (i, Seq.fill(8)(rnd.nextFloat()), Seq.fill(8)(rnd.nextFloat()))
+    } ++ Seq(
+      (98L, Seq(1f, 2f), Seq(1f, 2f, 3f)), // length mismatch -> null
+      (99L, Seq.empty[Float], Seq.empty[Float])) // empty -> 0.0
+    val df = rows.toDF("id", "a", "b")
+    // bit-for-bit: same left-to-right product/accumulation order
+    val d = df.select(col("id"), declDot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect().map(_.toSeq)
+    val n = df.select(col("id"),
+      graft.operators.Similarity.dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(n.toSeq == d.toSeq)
+    // null ELEMENT poisons the fold -> null, both forms
+    val withNull = Seq((1L, Seq(Some(1f), None, Some(2f)),
+      Seq(Some(1f), Some(1f), Some(1f)))).toDF("id", "a", "b")
+    assert(withNull.select(declDot(col("a"), col("b"))).head().isNullAt(0))
+    assert(withNull.select(graft.operators.Similarity.dot(col("a"), col("b")))
+      .head().isNullAt(0))
+    // integer codes variant (tinyint arrays, exact longs)
+    val codes = (1L to 30L).map { i =>
+      (i, Seq.fill(6)((rnd.nextInt(255) - 127).toByte),
+        Seq.fill(6)((rnd.nextInt(255) - 127).toByte))
+    }.toDF("id", "a", "b")
+    val dl = codes.select(col("id"), declDotL(col("a"), col("b")).as("d"))
+      .orderBy("id").collect().map(_.toSeq)
+    val nl = codes.select(col("id"),
+      graft.operators.Similarity.int8Dot(col("a"), col("b")).as("d"))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(nl.toSeq == dl.toSeq)
+  }
+
   test("native simhash matches the declarative vote chain") {
     import graft.functions.TextFunctions.{hash64, tokens}
     // the retired higher-order-aggregate form, inlined as the reference
