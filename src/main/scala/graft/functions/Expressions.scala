@@ -413,6 +413,34 @@ object ExprHelpers {
     acc
   }
 
+  /** Whitespace tokenization in one scan — the native form of
+    * `filter(split(trim(c), "\\s+"), t => t =!= "")`. The composed
+    * chain's value is exactly the maximal runs of non-whitespace
+    * characters: `trim` strips leading/trailing SPACES, `split` (Java
+    * regex, limit −1) yields at most one empty token (leading, when the
+    * trimmed string starts with non-space whitespace; trailing empties
+    * when the string ends with whitespace), and the filter drops every
+    * empty. Whitespace = Java regex `\s` = [ \t\n\x0B\f\r]. Empty or
+    * all-whitespace input → empty array (split('') → [''] → filtered). */
+  def whitespaceTokens(s: UTF8String):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val str = s.toString
+    val n = str.length
+    def isWs(c: Char): Boolean =
+      c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' ||
+        c == '\r'
+    val out = new scala.collection.mutable.ArrayBuffer[AnyRef]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWs(str.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWs(str.charAt(i))) i += 1
+      if (i > start)
+        out += UTF8String.fromString(str.substring(start, i))
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
+
   /** Truncate at the last space at-or-before maxLen (rfind semantics,
     * reference :110-122). */
   def truncateWords(s: UTF8String, maxLen: Int): UTF8String = {
@@ -610,6 +638,21 @@ case class VecDotLong(left: Expression, right: Expression)
       l: Expression, r: Expression): VecDotLong = copy(left = l, right = r)
 }
 
+case class WhitespaceTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.whitespaceTokens(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprHelpers.whitespaceTokens($c)")
+
+  override protected def withNewChildInternal(c: Expression): WhitespaceTokens =
+    copy(child = c)
+}
+
 case class SimhashAgg(child: Expression, bits: Int) extends UnaryExpression {
   override def dataType: DataType = LongType
 
@@ -685,6 +728,8 @@ object Expressions {
   def vec_dot_long(a: Column, b: Column): Column =
     ColumnBridge.column(
       VecDotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def whitespace_tokens(c: Column): Column =
+    ColumnBridge.column(WhitespaceTokens(ColumnBridge.expression(c)))
   /** Exact integral division (the SQL `div` operator) as a composable
     * Column — `a.divide(b)` is float division and rounds past 2^53. */
   def int_div(a: Column, b: Column): Column =

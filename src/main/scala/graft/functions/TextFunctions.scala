@@ -20,8 +20,13 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokenization; empty input → empty array (not [""]). */
+  // native one-scan tokenizer — value-identical to the retired
+  // filter(split(trim(c), "\\s+"), _ =!= "") chain (spec-compared: the
+  // composition reduces to maximal runs of non-\s characters), so every
+  // oracle's regexp_split_to_array replay is untouched; no JDK regex
+  // engine per document
   def tokens(c: Column): Column =
-    filter(split(trim(c), "\\s+"), t => t =!= "")
+    Expressions.whitespace_tokens(c)
 
   def tokenCount(c: Column): Column = size(tokens(c))
 

@@ -360,6 +360,31 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("native tokenizer matches filter(split(trim, \\s+))") {
+    def declarative(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      filter(split(trim(c), "\\s+"), t => t =!= "")
+    val rnd = new scala.util.Random(17)
+    val ws = Vector(' ', '\t', '\n', '\u000B', '\f', '\r')
+    val cases: Seq[Option[String]] =
+      Seq(None, Some(""), Some("   "), Some("\t\n"), Some("a"),
+        Some(" a "), Some("\ta\tb\t"), Some("a  b\r\nc"),
+        Some("répé titionx")) ++
+      (1 to 40).map { _ =>
+        Some((1 to 1 + rnd.nextInt(30)).map { _ =>
+          if (rnd.nextBoolean()) ws(rnd.nextInt(6)).toString
+          else ('a' + rnd.nextInt(26)).toChar.toString
+        }.mkString)
+      }
+    val df = cases.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+      .toDF("id", "text")
+    val d = df.select(col("id"), declarative(col("text")).as("t"))
+      .orderBy("id").collect().map(_.toSeq)
+    val n = df.select(col("id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("t"))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(n.toSeq == d.toSeq)
+  }
+
   test("native word shingles match the declarative slice/concat_ws form") {
     import graft.functions.TextFunctions.tokens
     def declarative(toks: org.apache.spark.sql.Column,
