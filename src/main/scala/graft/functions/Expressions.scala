@@ -441,6 +441,42 @@ object ExprHelpers {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
 
+  /** Distinct intersection/union cardinalities of two SORTED long
+    * arrays in one merge scan — what `size(array_intersect(a, b))` and
+    * `size(array_union(a, b))` compute (distinct-set semantics; equal
+    * runs within one array count once), without building a hash set per
+    * evaluated pair. Callers sort each side ONCE per row
+    * (`sort_array`); the pair stage then pays O(na+nb) per candidate. */
+  def sortedSetOps(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   b: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.expressions.GenericInternalRow = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0L
+    var uni = 0L
+    while (i < na || j < nb) {
+      if (j >= nb || (i < na && a.getLong(i) < b.getLong(j))) {
+        val v = a.getLong(i)
+        uni += 1
+        while (i < na && a.getLong(i) == v) i += 1
+      } else if (i >= na || b.getLong(j) < a.getLong(i)) {
+        val v = b.getLong(j)
+        uni += 1
+        while (j < nb && b.getLong(j) == v) j += 1
+      } else {
+        val v = a.getLong(i)
+        inter += 1
+        uni += 1
+        while (i < na && a.getLong(i) == v) i += 1
+        while (j < nb && b.getLong(j) == v) j += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](inter, uni))
+  }
+
   /** Truncate at the last space at-or-before maxLen (rfind semantics,
     * reference :110-122). */
   def truncateWords(s: UTF8String, maxLen: Int): UTF8String = {
@@ -638,6 +674,27 @@ case class VecDotLong(left: Expression, right: Expression)
       l: Expression, r: Expression): VecDotLong = copy(left = l, right = r)
 }
 
+case class SortedSetOps(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.StructType(
+    Seq(org.apache.spark.sql.types.StructField("inter", LongType,
+        nullable = false),
+      org.apache.spark.sql.types.StructField("uni", LongType,
+        nullable = false)))
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.sortedSetOps(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ExprHelpers.sortedSetOps($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): SortedSetOps = copy(left = l, right = r)
+}
+
 case class WhitespaceTokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
@@ -730,6 +787,9 @@ object Expressions {
       VecDotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def whitespace_tokens(c: Column): Column =
     ColumnBridge.column(WhitespaceTokens(ColumnBridge.expression(c)))
+  def sorted_set_ops(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      SortedSetOps(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   /** Exact integral division (the SQL `div` operator) as a composable
     * Column — `a.divide(b)` is float division and rounds past 2^53. */
   def int_div(a: Column, b: Column): Column =

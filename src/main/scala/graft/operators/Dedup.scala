@@ -247,17 +247,28 @@ object Dedup {
     val sets = Parallelism.stage(df.select(col(idCol).as("sid"),
         graft.functions.Expressions.shingle_hash_bands(
           tokens(col(textCol)), shingleSize, numBands).as("__graft_shb")))
-      .select(col("sid"), col("__graft_shb.hsh").as("hsh"),
+      .select(col("sid"),
+        // sorted ONCE per doc so the per-pair confirm is a merge scan,
+        // not a hash-set build (intersect/union are set ops — element
+        // order is semantically irrelevant)
+        sort_array(col("__graft_shb.hsh")).as("hsh"),
         col("__graft_shb.bm").as("__graft_bm"))
     val sigs = sets.select(col("sid").as(idCol) +:
       (0 until numBands).map(b =>
         element_at(col("__graft_bm"), b + 1).as(s"band_$b")): _*)
     val cands = candidatesFromSignatures(sigs, idCol, numBands, maxBucketSize)
-    val inter = size(array_intersect(col("hsh_a"), col("hsh_b"))).cast("double")
-    val uni = size(array_union(col("hsh_a"), col("hsh_b"))).cast("double")
+    // one merge scan per candidate pair yields BOTH cardinalities —
+    // distinct-set semantics identical to size(array_intersect)/
+    // size(array_union) (spec-compared incl. duplicate values); the
+    // division and round are unchanged, so jaccard is bit-identical
+    val so = graft.functions.Expressions.sorted_set_ops(
+      col("hsh_a"), col("hsh_b"))
+    val inter = col("__graft_so.inter").cast("double")
+    val uni = col("__graft_so.uni").cast("double")
     cands
       .join(sets.select(col("sid").as("id_a"), col("hsh").as("hsh_a")), Seq("id_a"))
       .join(sets.select(col("sid").as("id_b"), col("hsh").as("hsh_b")), Seq("id_b"))
+      .withColumn("__graft_so", so)
       .withColumn("jaccard",
         when(uni === 0, 0.0).otherwise(round(inter / uni, 6)))
       .filter(col("jaccard") >= threshold)

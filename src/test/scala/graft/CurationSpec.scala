@@ -459,6 +459,27 @@ class CurationSpec extends SparkSpec {
     assert(nl.toSeq == dl.toSeq)
   }
 
+  test("sorted merge set-ops match array_intersect/array_union sizes") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1L to 60L).map { i =>
+      // small value domain forces real collisions AND duplicate values
+      def arr() = Seq.fill(rnd.nextInt(12))(rnd.nextInt(8).toLong).sorted
+      (i, arr(), arr())
+    } ++ Seq((98L, Seq.empty[Long], Seq(1L, 1L, 2L)),
+      (99L, Seq.empty[Long], Seq.empty[Long]))
+    val df = rows.toDF("id", "a", "b")
+    val decl = df.select(col("id"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("i"),
+      size(array_union(col("a"), col("b"))).cast("long").as("u"))
+      .orderBy("id").collect().map(_.toSeq)
+    val nat = df.select(col("id"),
+      graft.functions.Expressions.sorted_set_ops(col("a"), col("b"))
+        .as("so"))
+      .select(col("id"), col("so.inter").as("i"), col("so.uni").as("u"))
+      .orderBy("id").collect().map(_.toSeq)
+    assert(nat.toSeq == decl.toSeq)
+  }
+
   test("native simhash matches the declarative vote chain") {
     import graft.functions.TextFunctions.{hash64, tokens}
     // the retired higher-order-aggregate form, inlined as the reference
