@@ -477,6 +477,63 @@ object ExprHelpers {
       Array[Any](inter, uni))
   }
 
+  /** Rare-token count against a broadcast CMS grid, portable (md5)
+    * tier: for each token, the min over `depth` rows of
+    * lut[r·width + cell(r, t)] with cell = hash64("cms{r}|" + t) mod
+    * width — exactly the declarative `least(element_at(lut, …))` chain
+    * over `pmod(hash64(concat(...)))` — counted against `rareMax` in
+    * one pass with no per-row concat strings or hex parsing. `lut` is
+    * the flattened depth×width literal the caller already ships. */
+  def cmsRareCount(toks: org.apache.spark.sql.catalyst.util.ArrayData,
+                   lut: org.apache.spark.sql.catalyst.util.ArrayData,
+                   depth: Int, width: Int, rareMax: Long): Long = {
+    val prefixes = Array.tabulate(depth)(r =>
+      s"cms$r|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = md5Local.get()
+    val m = toks.numElements()
+    var rare = 0L
+    var i = 0
+    while (i < m) {
+      val tb = toks.getUTF8String(i).getBytes
+      var est = Long.MaxValue
+      var r = 0
+      while (r < depth) {
+        md.reset()
+        md.update(prefixes(r))
+        md.update(tb)
+        val cell = nibbles60(md.digest(), 0) % width
+        val v = lut.getLong(r * width + cell.toInt)
+        if (v < est) est = v
+        r += 1
+      }
+      if (est <= rareMax) rare += 1
+      i += 1
+    }
+    rare
+  }
+
+  /** The `depth` CMS cell ids of one item, portable (md5) tier — entry
+    * r is `hash64("cms{r}|" + t) mod width`, the declarative
+    * `pmod(hash64(concat(lit("cms{r}|"), t)), width)`. Computed without
+    * concat strings or hex parsing; `posexplode` recovers the (r, c)
+    * pairs the sketch build/probe explode. */
+  def cmsCells(t: UTF8String, depth: Int, width: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val md = md5Local.get()
+    val tb = t.getBytes
+    val out = new Array[Long](depth)
+    var r = 0
+    while (r < depth) {
+      md.reset()
+      md.update(s"cms$r|".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      md.update(tb)
+      out(r) = nibbles60(md.digest(), 0) % width
+      r += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Truncate at the last space at-or-before maxLen (rfind semantics,
     * reference :110-122). */
   def truncateWords(s: UTF8String, maxLen: Int): UTF8String = {
@@ -695,6 +752,41 @@ case class SortedSetOps(left: Expression, right: Expression)
       l: Expression, r: Expression): SortedSetOps = copy(left = l, right = r)
 }
 
+case class CmsCells(child: Expression, depth: Int, width: Int)
+    extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.cmsCells(v.asInstanceOf[UTF8String], depth, width)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprHelpers.cmsCells($c, $depth, $width)")
+
+  override protected def withNewChildInternal(c: Expression): CmsCells =
+    copy(child = c)
+}
+
+case class CmsRareCount(left: Expression, right: Expression, depth: Int,
+                        width: Int, rareMax: Long)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(toks: Any, lut: Any): Any =
+    ExprHelpers.cmsRareCount(
+      toks.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lut.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      depth, width, rareMax)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, l) =>
+      s"graft.functions.ExprHelpers.cmsRareCount($t, $l, $depth, $width, ${rareMax}L)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): CmsRareCount = copy(left = l, right = r)
+}
+
 case class WhitespaceTokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
@@ -790,6 +882,12 @@ object Expressions {
   def sorted_set_ops(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedSetOps(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def cms_cells(c: Column, depth: Int, width: Int): Column =
+    ColumnBridge.column(CmsCells(ColumnBridge.expression(c), depth, width))
+  def cms_rare_count(toks: Column, lut: Column, depth: Int, width: Int,
+                     rareMax: Long): Column =
+    ColumnBridge.column(CmsRareCount(ColumnBridge.expression(toks),
+      ColumnBridge.expression(lut), depth, width, rareMax))
   /** Exact integral division (the SQL `div` operator) as a composable
     * Column — `a.divide(b)` is float division and rounds past 2^53. */
   def int_div(a: Column, b: Column): Column =

@@ -60,12 +60,21 @@ object Sketches {
     require(depth >= 1 && depth <= 16, s"depth=$depth out of [1,16]")
     require(width >= 16 && width <= (1 << 24), s"width=$width out of range")
     val t = col(itemCol)
-    val cells = array((0 until depth).map(r =>
-      struct(lit(r).as("r"), cellOf(t, r, width, portable).as("c"))): _*)
-    df.select(explode(cells).as(s"${Dup}cell"))
-      .select(col(s"${Dup}cell.r").as("r"), col(s"${Dup}cell.c").as("c"))
-      .groupBy(col("r"), col("c"))
-      .agg(count(lit(1)).as("cnt"))
+    // portable tier: the native cells kernel (one md5 per row, no
+    // concat/hex round-trip) + posexplode recovers identical (r, c)
+    // pairs to the declarative struct-array explode
+    val exploded =
+      if (portable)
+        df.select(posexplode(
+          graft.functions.Expressions.cms_cells(t, depth, width))
+          .as(Seq("r", "c")))
+      else {
+        val cells = array((0 until depth).map(r =>
+          struct(lit(r).as("r"), cellOf(t, r, width, portable).as("c"))): _*)
+        df.select(explode(cells).as(s"${Dup}cell"))
+          .select(col(s"${Dup}cell.r").as("r"), col(s"${Dup}cell.c").as("c"))
+      }
+    exploded.groupBy(col("r"), col("c")).agg(count(lit(1)).as("cnt"))
   }
 
   /** Cell-wise sum of two sketches built with the same (depth, width) —
@@ -114,7 +123,14 @@ object Sketches {
           (lit(r.toLong * width) + cellOf(t, r, width, portable) + 1)
             .cast("int"))): _*)
     val nTok = size(toks).cast("long")
-    val nRare = size(filter(toks, t => est(t) <= lit(rareMax))).cast("long")
+    // portable tier: one native pass per doc (no per-token concat/md5
+    // hex round-trip or per-row least chain); fast tier keeps the
+    // declarative xxhash64 form — same outputs either way
+    val nRare =
+      if (portable)
+        graft.functions.Expressions.cms_rare_count(
+          toks, lut, depth, width, rareMax)
+      else size(filter(toks, t => est(t) <= lit(rareMax))).cast("long")
     df.select(col(idCol), nTok.as("n_tokens"), nRare.as("n_rare"),
       round(when(nTok === 0, lit(0.0))
         .otherwise(nRare.cast("double") / nTok.cast("double")), 6)

@@ -251,4 +251,46 @@ class DsirSketchSpec extends SparkSpec {
         maxDomains = 50)
     }
   }
+
+  test("native portable CMS kernels match the declarative md5 formula") {
+    import graft.functions.TextFunctions.hash64
+    // cells: cms_cells posexplode must equal the struct-array explode
+    val items = Seq("alpha", "beta", "uniq7", "x y", "", "d\u00e9j\u00e0")
+      .toDF("t")
+    val (depth, width) = (4, 64)
+    val decl = items.select(explode(array((0 until depth).map(r =>
+        struct(lit(r).as("r"),
+          pmod(hash64(concat(lit(s"cms$r|"), col("t"))), lit(width.toLong))
+            .as("c"))): _*)).as("cell"))
+      .select(col("cell.r"), col("cell.c"))
+      .orderBy("r", "c").collect().map(_.toSeq)
+    val nat = items.select(posexplode(
+        graft.functions.Expressions.cms_cells(col("t"), depth, width))
+        .as(Seq("r", "c")))
+      .orderBy("r", "c").collect().map(_.toSeq)
+    assert(nat.toSeq == decl.toSeq)
+
+    // rare count: one grid, both scorer tiers of the SAME portable
+    // formula (native pass vs declarative least/element_at chain)
+    val lutVals = Array.tabulate(depth * width)(i => (i % 5).toLong)
+    val lut = lit(lutVals)
+    val docs = Seq((1L, Seq("alpha", "beta", "gamma", "alpha")),
+      (2L, Seq.empty[String])).toDF("id", "toks")
+    def est(t: org.apache.spark.sql.Column) =
+      least((0 until depth).map(r =>
+        element_at(lut,
+          (lit(r.toLong * width) +
+            pmod(hash64(concat(lit(s"cms$r|"), t)), lit(width.toLong)) + 1)
+            .cast("int"))): _*)
+    for (rareMax <- Seq(0L, 2L, 4L)) {
+      val d = docs.select(col("id"),
+        size(filter(col("toks"), t => est(t) <= lit(rareMax)))
+          .cast("long").as("n")).orderBy("id").collect().map(_.toSeq)
+      val n = docs.select(col("id"),
+        graft.functions.Expressions.cms_rare_count(
+          col("toks"), lut, depth, width, rareMax).as("n"))
+        .orderBy("id").collect().map(_.toSeq)
+      assert(n.toSeq == d.toSeq, s"rareMax=$rareMax")
+    }
+  }
 }
