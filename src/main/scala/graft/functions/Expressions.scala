@@ -534,6 +534,26 @@ object ExprHelpers {
       .fromPrimitiveArray(out)
   }
 
+  /** Exact long squared distance Σ(x−y)² of two integral arrays — the
+    * native `aggregate(zip_with(v, cent, (x−y)²), 0L, +)` with the same
+    * fold null semantics as [[vecDotLong]] (length mismatch or null
+    * element → null). Same accumulation order; exact integer math. */
+  def vecSqDistLong(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                    b: org.apache.spark.sql.catalyst.util.ArrayData):
+      java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val d = a.getLong(i) - b.getLong(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   /** Truncate at the last space at-or-before maxLen (rfind semantics,
     * reference :110-122). */
   def truncateWords(s: UTF8String, maxLen: Int): UTF8String = {
@@ -787,6 +807,26 @@ case class CmsRareCount(left: Expression, right: Expression, depth: Int,
       l: Expression, r: Expression): CmsRareCount = copy(left = l, right = r)
 }
 
+case class VecSqDistLong(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.vecSqDistLong(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Long r = graft.functions.ExprHelpers.vecSqDistLong($a, $b);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.longValue(); }""")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): VecSqDistLong = copy(left = l, right = r)
+}
+
 case class WhitespaceTokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
@@ -888,6 +928,9 @@ object Expressions {
                      rareMax: Long): Column =
     ColumnBridge.column(CmsRareCount(ColumnBridge.expression(toks),
       ColumnBridge.expression(lut), depth, width, rareMax))
+  def vec_sq_dist_long(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      VecSqDistLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   /** Exact integral division (the SQL `div` operator) as a composable
     * Column — `a.divide(b)` is float division and rounds past 2^53. */
   def int_div(a: Column, b: Column): Column =

@@ -51,8 +51,9 @@ object KMeans {
   /** Exact squared distance between a micro vector column and a pinned
     * micro centroid. */
   private def sqDist(v: Column, cent: Array[Long]): Column =
-    aggregate(zip_with(v, lit(cent), (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, t) => acc + t)
+    // native one-pass kernel — same exact-integer arithmetic and fold
+    // order as the aggregate(zip_with) form it replaces (spec-compared)
+    graft.functions.Expressions.vec_sq_dist_long(v, lit(cent))
 
   /** (cluster, dist) struct of the argmin centroid, ties to lowest id —
     * array_min over (dist, id) structs is exactly that order. */

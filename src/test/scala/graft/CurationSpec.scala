@@ -480,6 +480,24 @@ class CurationSpec extends SparkSpec {
     assert(nat.toSeq == decl.toSeq)
   }
 
+  test("native squared distance matches the aggregate(zip_with) fold") {
+    val rnd = new scala.util.Random(29)
+    val cent = Array.fill(8)(rnd.nextLong() % 1000000L)
+    def decl(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(v, lit(cent), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, t) => acc + t)
+    val rows = (1L to 30L).map(i =>
+      (i, Seq.fill(8)(rnd.nextLong() % 1000000L))) ++
+      Seq((98L, Seq(1L, 2L)), (99L, Seq.empty[Long])) // mismatch -> null
+    val df = rows.toDF("id", "v")
+    val d = df.select(col("id"), decl(col("v")).as("d"))
+      .orderBy("id").collect().map(_.toSeq)
+    val n = df.select(col("id"),
+      graft.functions.Expressions.vec_sq_dist_long(col("v"), lit(cent))
+        .as("d")).orderBy("id").collect().map(_.toSeq)
+    assert(n.toSeq == d.toSeq)
+  }
+
   test("native simhash matches the declarative vote chain") {
     import graft.functions.TextFunctions.{hash64, tokens}
     // the retired higher-order-aggregate form, inlined as the reference
