@@ -150,14 +150,16 @@ object Sketches {
                   portable: Boolean = true): DataFrame = {
     val t = col(itemCol)
     val key = s"${Dup}pk"
-    val cells = array((0 until depth).map(r =>
-      struct(lit(r).as("r"), cellOf(t, r, width, portable).as("c"))): _*)
+    // same cells either way; the portable tier goes through the native
+    // md5 kernel (see cmsBuild)
+    val cells =
+      if (portable)
+        graft.functions.Expressions.cms_cells(t, depth, width)
+      else array((0 until depth).map(r =>
+        cellOf(t, r, width, portable)): _*)
     val exploded = probes
       .withColumn(key, monotonically_increasing_id())
-      .withColumn(s"${Dup}cell", explode(cells))
-      .withColumn(s"${Dup}r", col(s"${Dup}cell.r"))
-      .withColumn(s"${Dup}c", col(s"${Dup}cell.c"))
-      .drop(s"${Dup}cell")
+      .select(col("*"), posexplode(cells).as(Seq(s"${Dup}r", s"${Dup}c")))
     exploded
       .join(broadcast(sketch.select(col("r").as(s"${Dup}r"),
         col("c").as(s"${Dup}c"), col("cnt").as(s"${Dup}cnt"))),
