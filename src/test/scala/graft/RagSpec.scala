@@ -35,6 +35,27 @@ class RagSpec extends SparkSpec {
     assert(rows.forall(_.getSeq[Float](1).size == 16))
   }
 
+  test("rerank's prepared-side score equals pairScore on every pair") {
+    val rnd = new scala.util.Random(41)
+    val words = Vector("spark", "join", "data", "big", "query", "x", "y")
+    def txt() = (1 to 1 + rnd.nextInt(12))
+      .map(_ => words(rnd.nextInt(7))).mkString(" ")
+    val corpus = (1L to 25L).map(i => (i, txt())).toDF("id", "text")
+    val queries = (10L to 14L).map(i => (i, txt())).toDF("query_id", "qtext")
+    val cands = (for (q <- 10L to 14L; d <- 1L to 25L) yield (q, d))
+      .toDF("query_id", "id")
+    val viaRerank = Reranker.rerank(cands, corpus, queries, k = 1000)
+      .select("query_id", "id", "rerank_score")
+      .as[(Long, Long, Double)].collect().toSeq
+      .map { case (q, d, s) => (q, d) -> s }.toMap
+    val viaPair = cands.join(corpus, "id").join(queries, "query_id")
+      .select(col("query_id"), col("id"),
+        Reranker.pairScore(col("qtext"), col("text")).as("s"))
+      .as[(Long, Long, Double)].collect().toSeq
+      .map { case (q, d, s) => (q, d) -> s }.toMap
+    assert(viaRerank == viaPair)
+  }
+
   test("reranker orders candidates by query-doc similarity") {
     val corpus = Seq((1L, "spark query optimization"),
       (2L, "cooking pasta recipes"), (3L, "spark join strategies"))
