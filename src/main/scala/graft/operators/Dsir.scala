@@ -47,11 +47,9 @@ object Dsir {
     // left-join + coalesce), not a null score column
     val w = coalesce(TextFunctions.tokens(lower(textCol)),
       array().cast("array<string>"))
-    val bi = when(size(w) >= 2,
-      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>"))
-    concat(w, bi)
+    // native one-pass shingle kernel — identical "w1 w2" strings to the
+    // zip_with-of-two-slices form (see TextFunctions.shingles)
+    concat(w, graft.functions.Expressions.word_shingles(w, 2))
   }
 
   /** Feature bucket of one gram: salted portable 60-bit hash mod

@@ -36,10 +36,11 @@ object QualityClassifier {
   /** Word uni+bigram terms, the fastText feature recipe. */
   private[graft] def terms(textCol: Column): Column = {
     val w = TextFunctions.tokens(lower(textCol))
-    concat(w, when(size(w) >= 2,
-      zip_with(slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-        (a, b) => concat(a, lit(" "), b)))
-      .otherwise(array().cast("array<string>")))
+    // native one-pass shingle kernel — identical "w1 w2" strings to the
+    // zip_with-of-two-slices form (see TextFunctions.shingles); empty
+    // for < 2 tokens either way, null text -> null terms -> null score
+    // (unchanged: tokens(null) is null and concat propagates)
+    concat(w, graft.functions.Expressions.word_shingles(w, 2))
   }
 
   /** Train on a labeled frame: `labelCol` ∈ {0.0, 1.0} (1 = quality). */
