@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Corpus collocation mining (PMI) and per-document keyword extraction
+  * (TF-IDF) — the two classic corpus-analytics signals a training-data
+  * pipeline reads before choosing tokenizer merges or building topic
+  * mixes. (Reference anchor: the corpus-statistics surface around
+  * ondine/ops/quality.py — aggregate signals over the full corpus; PMI
+  * and keyword extraction are the standard public formulations, Church
+  * & Hanks 1990 for PMI.)
+  *
+  * Scale shape, both operators: everything is censuses and key-
+  * partitioned joins — the LanguageModel discipline. Document text
+  * never crosses an exchange; only (term, count) / (bigram, count)
+  * pairs shuffle, each map-side combined. No operator here sorts rows
+  * globally: PMI ranks a vocabulary-sized table, keywords rank within
+  * per-document groups.
+  *
+  * Determinism: counts are exact integers; each score is ONE IEEE
+  * double chain rounded once at 6dp — both engines replay it
+  * identically (the q103/q137 discipline).
+  */
+object Collocations {
+
+  private val Dup = "__graft_"
+
+  /** Pointwise mutual information of corpus bigrams:
+    * pmi = log2( (c12 / B) / ((c1 / T) · (c2 / T)) ) with T = total
+    * token occurrences, B = total bigram occurrences. Output: (w1, w2,
+    * c12, pmi) for bigrams with c12 ≥ minCount, one row per distinct
+    * bigram. High PMI = words that co-occur far more than chance — the
+    * collocation ("new york") signal.
+    *
+    * Plan: one token census + one bigram census (both map-side
+    * combined), two key-partitioned joins of the bigram table against
+    * the unigram table, a scalar (T, B) cross of a 1-row aggregate. */
+  def pmi(docs: DataFrame, textCol: String, minCount: Long = 2L): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val uni = docs.select(explode(toks).as("w"))
+      .groupBy("w").agg(count(lit(1)).as(s"${Dup}c"))
+    val bi = docs.select(explode(
+        graft.functions.Expressions.word_shingles(toks, 2)).as(s"${Dup}bg"))
+      .groupBy(s"${Dup}bg").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= minCount)
+      .withColumn("w1", split_part(col(s"${Dup}bg"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col(s"${Dup}bg"), lit(" "), lit(2)))
+    // scalar totals: a 1-row aggregate each, crossed in (the bounded
+    // driver-free form of a broadcast literal)
+    val totals = uni.agg(sum(col(s"${Dup}c")).as(s"${Dup}T"))
+      .crossJoin(docs.select(explode(
+          graft.functions.Expressions.word_shingles(toks, 2)).as("b"))
+        .agg(count(lit(1)).as(s"${Dup}B")))
+    val scored = bi
+      .join(uni.select(col("w").as("w1"), col(s"${Dup}c").as(s"${Dup}c1")), "w1")
+      .join(uni.select(col("w").as("w2"), col(s"${Dup}c").as(s"${Dup}c2")), "w2")
+      .crossJoin(broadcast(totals))
+    val pmiCol = round(
+      log2((col("c12").cast("double") / col(s"${Dup}B").cast("double")) /
+        ((col(s"${Dup}c1").cast("double") / col(s"${Dup}T").cast("double")) *
+          (col(s"${Dup}c2").cast("double") / col(s"${Dup}T").cast("double")))),
+      6)
+    scored.select(col("w1"), col("w2"), col("c12"), pmiCol.as("pmi"))
+  }
+
+  /** Top-k TF-IDF keywords per document: tf = cnt/len,
+    * idf = ln((N+1)/(df+1)) + 1 (the SparseIndex weighting), score
+    * rounded at 6dp, ties to the lexicographically smaller term. Output:
+    * (idCol, rank, term, score). The window partitions BY DOCUMENT —
+    * G-parallel small sorts, never a global order. */
+  def keywords(docs: DataFrame, idCol: String, textCol: String,
+               k: Int = 5): DataFrame = {
+    val n = docs.count()
+    val postings = docs
+      .select(col(idCol), explode(
+        TextFunctions.tokens(lower(col(textCol)))).as("term"))
+      .groupBy(idCol, "term").agg(count(lit(1)).as(s"${Dup}cnt"))
+    val docLen = postings.groupBy(idCol)
+      .agg(sum(s"${Dup}cnt").as(s"${Dup}len"))
+    val df_ = postings.groupBy("term")
+      .agg(countDistinct(idCol).as(s"${Dup}df"))
+    val scored = postings
+      .join(docLen, idCol)
+      .join(df_, "term")
+      .withColumn("score", round(
+        (col(s"${Dup}cnt").cast("double") / col(s"${Dup}len").cast("double")) *
+          (log(lit((n + 1).toDouble) / (col(s"${Dup}df") + 1).cast("double"))
+            + 1.0), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("score"))
+  }
+
+  private def log2(c: Column): Column = log(c) / log(lit(2.0))
+}

@@ -368,6 +368,81 @@ object TextQueries {
       .select(col("doc_id"), explode(col("fp_arr")).as("fp"))
       .orderBy("doc_id", "fp")
 
+  // --- collocations / keywords ------------------------------------------
+
+  /** Corpus PMI collocations (Church & Hanks 1990), minCount=2: the
+    * bigrams that co-occur far above chance — the signal behind
+    * multi-word tokenizer entries and boilerplate phrase detection.
+    * Exact integer censuses; one IEEE chain per bigram rounded at 6dp
+    * (the q137 discipline). */
+  def q148PmiCollocations(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.pmi(
+      tp(spark, dir, "documents"), "text", minCount = 2)
+      .orderBy("w1", "w2")
+
+  val q148Sql: String =
+    """WITH toksl AS (
+      |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                     x -> x <> '') AS w
+      |  FROM documents),
+      |uni AS (
+      |  SELECT t, count(*)::BIGINT AS c
+      |  FROM (SELECT unnest(w) AS t FROM toksl) GROUP BY 1),
+      |big AS (
+      |  SELECT unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))])
+      |    AS bg
+      |  FROM toksl),
+      |c12 AS (
+      |  SELECT bg, count(*)::BIGINT AS c12 FROM big GROUP BY 1
+      |  HAVING count(*) >= 2),
+      |tot AS (
+      |  SELECT (SELECT sum(c) FROM uni)::BIGINT AS t_,
+      |         (SELECT count(*) FROM big)::BIGINT AS b_)
+      |SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+      |  c12,
+      |  round(ln((c12::DOUBLE / b_::DOUBLE) /
+      |    ((u1.c::DOUBLE / t_::DOUBLE) * (u2.c::DOUBLE / t_::DOUBLE)))
+      |    / ln(2.0), 6) AS pmi
+      |FROM c12, tot
+      |JOIN uni u1 ON u1.t = split_part(bg, ' ', 1)
+      |JOIN uni u2 ON u2.t = split_part(bg, ' ', 2)
+      |ORDER BY w1, w2""".stripMargin
+
+  /** Top-3 TF-IDF keywords per document — the per-doc topical summary
+    * (SparseIndex's exact weighting, ranked within each doc: G-parallel
+    * small sorts, never a global order). */
+  def q149Keywords(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.keywords(
+      tp(spark, dir, "documents"), "doc_id", "text", k = 3)
+      .orderBy("doc_id", "rank")
+
+  val q149Sql: String =
+    """WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |posts AS (
+      |  SELECT doc_id, t AS term, count(*)::BIGINT AS cnt
+      |  FROM (SELECT doc_id, unnest(list_filter(
+      |          regexp_split_to_array(trim(lower(text)), '\s+'),
+      |          x -> x <> '')) AS t
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, sum(cnt)::BIGINT AS len FROM posts GROUP BY 1),
+      |df_ AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df
+      |        FROM posts GROUP BY 1),
+      |scored AS (
+      |  SELECT p.doc_id, p.term,
+      |    round((p.cnt::DOUBLE / dl.len::DOUBLE) *
+      |      (ln((n.n + 1)::DOUBLE / (df_.df + 1)::DOUBLE) + 1.0), 6)
+      |      AS score
+      |  FROM posts p
+      |  JOIN dl USING (doc_id) JOIN df_ USING (term) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT doc_id, term, score,
+      |    row_number() OVER (PARTITION BY doc_id
+      |                       ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, rank, term, score FROM ranked
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
+
   // --- simhash ----------------------------------------------------------
 
   def q35Simhash(spark: SparkSession, dir: String): DataFrame =
@@ -1331,6 +1406,8 @@ object TextQueries {
     "q78_neardup_clusters" -> q78NearDupClusters _,
     "q79_winnowing" -> q79Winnowing _,
     "q147_winnowing_fast" -> q147WinnowingFast _,
+    "q148_pmi_collocations" -> q148PmiCollocations _,
+    "q149_keywords" -> q149Keywords _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
@@ -1368,6 +1445,8 @@ object TextQueries {
     "q76_drop_near_dups" -> q76Sql,
     "q78_neardup_clusters" -> q78Sql,
     "q79_winnowing" -> q79Sql,
+    "q148_pmi_collocations" -> q148Sql,
+    "q149_keywords" -> q149Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,

@@ -549,6 +549,33 @@ class CurationSpec extends SparkSpec {
     assert(n2.toSeq == d2.toSeq)
   }
 
+  test("PMI collocations and TF-IDF keywords: hand-computed values") {
+    // corpus: "new york" always together (collocation), "the" everywhere
+    val docs = Seq(
+      (1L, "new york is big"),
+      (2L, "new york the city"),
+      (3L, "the big apple")).toDF("doc_id", "text")
+    val pmi = graft.operators.Collocations.pmi(docs, "text", minCount = 2)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // T=11 tokens, B=8 bigrams; "new york": c12=2, c1=c2=2
+    //   pmi = log2((2/8)/((2/11)*(2/11))) = log2(0.25/0.03305...)
+    val expected = math.log((2.0 / 8) / ((2.0 / 11) * (2.0 / 11))) /
+      math.log(2.0)
+    val (c12, p) = pmi(("new", "york"))
+    assert(c12 == 2L && math.abs(p - expected) < 1e-6)
+    assert(!pmi.contains(("is", "big")), "minCount=2 must drop singletons")
+
+    val kw = graft.operators.Collocations.keywords(docs, "doc_id", "text",
+      k = 2).as[(Long, Int, String, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    // doc 3: "apple" (df=1) outranks "big" (df=2) outranks "the" (df=2,
+    // same idf as big, later term)
+    assert(kw(3L) == Seq("apple", "big"))
+    // every doc gets at most k keywords, ranked without gaps
+    assert(kw.values.forall(_.size <= 2))
+  }
+
   test("greedy near-dup removal keeps min id, drops confirmed dups only") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
