@@ -40,20 +40,25 @@ object Collocations {
     * the unigram table, a scalar (T, B) cross of a 1-row aggregate. */
   def pmi(docs: DataFrame, textCol: String, minCount: Long = 2L): DataFrame = {
     val toks = TextFunctions.tokens(lower(col(textCol)))
-    val uni = docs.select(explode(toks).as("w"))
-      .groupBy("w").agg(count(lit(1)).as(s"${Dup}c"))
-    val bi = docs.select(explode(
-        graft.functions.Expressions.word_shingles(toks, 2)).as(s"${Dup}bg"))
-      .groupBy(s"${Dup}bg").agg(count(lit(1)).as("c12"))
+    // two censuses = two passes over the text, both map-side combined
+    // and both vocab-sized afterwards; staged so the totals and the
+    // scored table read the census, not the corpus, a second time
+    val uni = graft.ops.Parallelism.stage(
+      docs.select(explode(toks).as("w"))
+        .groupBy("w").agg(count(lit(1)).as(s"${Dup}c")))
+    val biAll = graft.ops.Parallelism.stage(
+      docs.select(explode(
+          graft.functions.Expressions.word_shingles(toks, 2)).as(s"${Dup}bg"))
+        .groupBy(s"${Dup}bg").agg(count(lit(1)).as("c12")))
+    val bi = biAll
       .filter(col("c12") >= minCount)
       .withColumn("w1", split_part(col(s"${Dup}bg"), lit(" "), lit(1)))
       .withColumn("w2", split_part(col(s"${Dup}bg"), lit(" "), lit(2)))
-    // scalar totals: a 1-row aggregate each, crossed in (the bounded
-    // driver-free form of a broadcast literal)
+    // scalar totals: 1-row aggregates of the CENSUSES (B = Σ c12 over
+    // the unfiltered census ≡ total bigram occurrences), crossed in —
+    // the bounded driver-free form of a broadcast literal
     val totals = uni.agg(sum(col(s"${Dup}c")).as(s"${Dup}T"))
-      .crossJoin(docs.select(explode(
-          graft.functions.Expressions.word_shingles(toks, 2)).as("b"))
-        .agg(count(lit(1)).as(s"${Dup}B")))
+      .crossJoin(biAll.agg(sum(col("c12")).as(s"${Dup}B")))
     val scored = bi
       .join(uni.select(col("w").as("w1"), col(s"${Dup}c").as(s"${Dup}c1")), "w1")
       .join(uni.select(col("w").as("w2"), col(s"${Dup}c").as(s"${Dup}c2")), "w2")
