@@ -443,6 +443,82 @@ object TextQueries {
       |SELECT doc_id, rank, term, score FROM ranked
       |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin
 
+  // --- HLL distinct sketch ----------------------------------------------
+
+  /** HyperLogLog distinct estimates NEXT TO the exact censuses they
+    * approximate — the mergeable-sketch distinct counter
+    * ([[graft.operators.Hll]]). Two arms so BOTH estimate branches are
+    * hash-verified: `tok` = per-source distinct tokens (small counts →
+    * the linear-counting branch), `pair` = token#doc_id pairs in 4
+    * buckets (thousands of distincts at p=10 → the raw harmonic-mean
+    * branch). The oracle rebuilds the registers with pure integer math
+    * (md5 hash, smear+popcount rank, exact scaled register sum) and
+    * replays the one-expression IEEE estimate, so the sketch core is
+    * hash-verified, not just bounded. */
+  def q150HllDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tp(spark, dir, "documents").select(col("source"),
+      col("doc_id"),
+      explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+    val items = toks.select(lit("tok").as("arm"), col("source").as("grp"),
+        col("t").as("item"))
+      .unionByName(toks.select(lit("pair").as("arm"),
+        concat(lit("g"), pmod(col("doc_id"), lit(4))).as("grp"),
+        concat(col("t"), lit("#"), col("doc_id")).as("item")))
+    val est = graft.operators.Hll.distinctEstimate(
+      items, "item", Seq("arm", "grp"), p = 10)
+    val exact = items.groupBy("arm", "grp")
+      .agg(countDistinct(col("item")).as("n_exact"))
+    est.join(exact, Seq("arm", "grp")).orderBy("arm", "grp")
+  }
+
+  val q150Sql: String =
+    """WITH toks AS (
+      |  SELECT source, doc_id, unnest(list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS t
+      |  FROM documents),
+      |items AS (
+      |  SELECT 'tok' AS arm, source AS grp, t AS item FROM toks
+      |  UNION ALL
+      |  SELECT 'pair' AS arm, 'g' || (doc_id % 4) AS grp,
+      |    t || '#' || doc_id AS item
+      |  FROM toks),
+      |hash AS (
+      |  SELECT DISTINCT arm, grp, item,
+      |    (('0x' || substr(md5('hll|' || item), 1, 15))::UBIGINT)::BIGINT AS h
+      |  FROM items),
+      |w0 AS (SELECT arm, grp, h % 1024 AS b, h >> 10 AS w FROM hash),
+      |w1 AS (SELECT arm, grp, b, w | (w >> 1) AS w FROM w0),
+      |w2 AS (SELECT arm, grp, b, w | (w >> 2) AS w FROM w1),
+      |w3 AS (SELECT arm, grp, b, w | (w >> 4) AS w FROM w2),
+      |w4 AS (SELECT arm, grp, b, w | (w >> 8) AS w FROM w3),
+      |w5 AS (SELECT arm, grp, b, w | (w >> 16) AS w FROM w4),
+      |w6 AS (SELECT arm, grp, b, w | (w >> 32) AS w FROM w5),
+      |regs AS (
+      |  SELECT arm, grp, b, max(51 - bit_count(w)) AS reg
+      |  FROM w6 GROUP BY 1, 2, 3),
+      |agg AS (
+      |  SELECT arm, grp,
+      |    sum(2251799813685248 >> reg)::BIGINT AS sp,
+      |    count(*)::BIGINT AS nb
+      |  FROM regs GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT arm, grp, 1024 - nb AS v_zero,
+      |    sp + (1024 - nb) * 2251799813685248 AS s_scaled
+      |  FROM agg),
+      |est AS (
+      |  SELECT arm, grp, v_zero, s_scaled,
+      |    round(CASE WHEN 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 *
+      |          2251799813685248.0 / s_scaled::DOUBLE <= 2.5 * 1024.0
+      |        AND v_zero > 0
+      |      THEN 1024.0 * ln(1024.0 / v_zero::DOUBLE)
+      |      ELSE 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 *
+      |        2251799813685248.0 / s_scaled::DOUBLE END, 6) AS hll_est
+      |  FROM sc),
+      |ex AS (SELECT arm, grp, count(DISTINCT item)::BIGINT AS n_exact
+      |       FROM items GROUP BY 1, 2)
+      |SELECT est.arm, est.grp, v_zero, s_scaled, hll_est, n_exact
+      |FROM est JOIN ex USING (arm, grp) ORDER BY arm, grp""".stripMargin
+
   // --- simhash ----------------------------------------------------------
 
   def q35Simhash(spark: SparkSession, dir: String): DataFrame =
@@ -1408,6 +1484,7 @@ object TextQueries {
     "q147_winnowing_fast" -> q147WinnowingFast _,
     "q148_pmi_collocations" -> q148PmiCollocations _,
     "q149_keywords" -> q149Keywords _,
+    "q150_hll_distinct" -> q150HllDistinct _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
@@ -1447,6 +1524,7 @@ object TextQueries {
     "q79_winnowing" -> q79Sql,
     "q148_pmi_collocations" -> q148Sql,
     "q149_keywords" -> q149Sql,
+    "q150_hll_distinct" -> q150Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,
