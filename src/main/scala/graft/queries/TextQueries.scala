@@ -519,6 +519,29 @@ object TextQueries {
       |SELECT est.arm, est.grp, v_zero, s_scaled, hll_est, n_exact
       |FROM est JOIN ex USING (arm, grp) ORDER BY arm, grp""".stripMargin
 
+  // --- exact heavy hitters ----------------------------------------------
+
+  /** Exact tokens above 1/40 of corpus mass via Misra–Gries candidate
+    * pruning + one confirm pass ([[graft.operators.HeavyHitters]]) —
+    * exact answers in bounded memory, the complement to q125's
+    * overestimating CMS route. The oracle is the plain census filter
+    * the operator provably equals regardless of partitioning. */
+  def q151HeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val toks = tp(spark, dir, "documents").select(
+      explode(TextFunctions.tokens(lower(col("text")))).as("t"))
+    graft.operators.HeavyHitters.frequentItems(toks, "t", k = 40)
+      .orderBy("item")
+  }
+
+  val q151Sql: String =
+    """WITH toks AS (
+      |  SELECT unnest(list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS t
+      |  FROM documents),
+      |cnt AS (SELECT t AS item, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
+      |tot AS (SELECT sum(cnt)::BIGINT AS n FROM cnt)
+      |SELECT item, cnt FROM cnt, tot WHERE cnt * 40 > n ORDER BY item""".stripMargin
+
   // --- simhash ----------------------------------------------------------
 
   def q35Simhash(spark: SparkSession, dir: String): DataFrame =
@@ -1485,6 +1508,7 @@ object TextQueries {
     "q148_pmi_collocations" -> q148PmiCollocations _,
     "q149_keywords" -> q149Keywords _,
     "q150_hll_distinct" -> q150HllDistinct _,
+    "q151_heavy_hitters" -> q151HeavyHitters _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
@@ -1525,6 +1549,7 @@ object TextQueries {
     "q148_pmi_collocations" -> q148Sql,
     "q149_keywords" -> q149Sql,
     "q150_hll_distinct" -> q150Sql,
+    "q151_heavy_hitters" -> q151Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,
