@@ -519,6 +519,75 @@ object TextQueries {
       |SELECT est.arm, est.grp, v_zero, s_scaled, hll_est, n_exact
       |FROM est JOIN ex USING (arm, grp) ORDER BY arm, grp""".stripMargin
 
+  // --- bigram diversity (distinct-n) ------------------------------------
+
+  /** Per-source distinct-bigram ratio — the "distinct-n" diversity
+    * metric used to QC synthetic/duplicated corpora (low diversity =
+    * templated or repetitive text). Exact total bigram occurrences;
+    * distinct bigrams through the [[graft.operators.Hll]] sketch (the
+    * count a 100 TB corpus cannot census exactly), both replayed by
+    * the oracle register-for-register. */
+  def q152BigramDiversity(spark: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col("text")))
+    val bi = tp(spark, dir, "documents").select(col("source"),
+      explode(graft.functions.Expressions.word_shingles(toks, 2)).as("bg"))
+    val est = graft.operators.Hll.distinctEstimate(
+      bi, "bg", Seq("source"), p = 10)
+    val tot = bi.groupBy("source").agg(count(lit(1)).as("n_bigrams"))
+    est.join(tot, Seq("source"))
+      .select(col("source"), col("n_bigrams"), col("hll_est"),
+        round(col("hll_est") / col("n_bigrams").cast("double"), 6)
+          .as("diversity"))
+      .orderBy("source")
+  }
+
+  val q152Sql: String =
+    """WITH toksl AS (
+      |  SELECT source, list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |big AS (
+      |  SELECT source,
+      |    unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS bg
+      |  FROM toksl),
+      |hash AS (
+      |  SELECT DISTINCT source, bg,
+      |    (('0x' || substr(md5('hll|' || bg), 1, 15))::UBIGINT)::BIGINT AS h
+      |  FROM big),
+      |w0 AS (SELECT source, h % 1024 AS b, h >> 10 AS w FROM hash),
+      |w1 AS (SELECT source, b, w | (w >> 1) AS w FROM w0),
+      |w2 AS (SELECT source, b, w | (w >> 2) AS w FROM w1),
+      |w3 AS (SELECT source, b, w | (w >> 4) AS w FROM w2),
+      |w4 AS (SELECT source, b, w | (w >> 8) AS w FROM w3),
+      |w5 AS (SELECT source, b, w | (w >> 16) AS w FROM w4),
+      |w6 AS (SELECT source, b, w | (w >> 32) AS w FROM w5),
+      |regs AS (
+      |  SELECT source, b, max(51 - bit_count(w)) AS reg
+      |  FROM w6 GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT source,
+      |    sum(2251799813685248 >> reg)::BIGINT AS sp,
+      |    count(*)::BIGINT AS nb
+      |  FROM regs GROUP BY 1),
+      |sc AS (
+      |  SELECT source, 1024 - nb AS v_zero,
+      |    sp + (1024 - nb) * 2251799813685248 AS s_scaled
+      |  FROM agg),
+      |est AS (
+      |  SELECT source,
+      |    round(CASE WHEN 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 *
+      |          2251799813685248.0 / s_scaled::DOUBLE <= 2.5 * 1024.0
+      |        AND v_zero > 0
+      |      THEN 1024.0 * ln(1024.0 / v_zero::DOUBLE)
+      |      ELSE 0.7213 / (1.0 + 1.079 / 1024.0) * 1024.0 * 1024.0 *
+      |        2251799813685248.0 / s_scaled::DOUBLE END, 6) AS hll_est
+      |  FROM sc),
+      |tot AS (SELECT source, count(*)::BIGINT AS n_bigrams
+      |        FROM big GROUP BY 1)
+      |SELECT est.source, n_bigrams, hll_est,
+      |  round(hll_est / n_bigrams::DOUBLE, 6) AS diversity
+      |FROM est JOIN tot USING (source) ORDER BY source""".stripMargin
+
   // --- exact heavy hitters ----------------------------------------------
 
   /** Exact tokens above 1/40 of corpus mass via Misra–Gries candidate
@@ -541,6 +610,70 @@ object TextQueries {
       |cnt AS (SELECT t AS item, count(*)::BIGINT AS cnt FROM toks GROUP BY 1),
       |tot AS (SELECT sum(cnt)::BIGINT AS n FROM cnt)
       |SELECT item, cnt FROM cnt, tot WHERE cnt * 40 > n ORDER BY item""".stripMargin
+
+  // --- n-gram overlap (BLEU-2) ------------------------------------------
+
+  /** Row-level BLEU-2 against a synthesized reference — the
+    * deterministic eval sibling of the LLM-judge
+    * ([[graft.operators.Overlap]]). References are jittered in-query
+    * (the q134 discipline) so BOTH brevity-penalty branches are
+    * hash-verified: even docs score against a truncated reference
+    * (candidate longer → bp=1), odd docs against a padded one
+    * (candidate shorter → bp=exp(1−r/c)<1). */
+  def q153Bleu(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextFunctions.tokens(lower(col("text")))
+    val base = tp(spark, dir, "documents")
+      .select(col("doc_id"), w.as("cand"))
+      .withColumn("ref",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          slice(col("cand"), lit(1),
+            floor(size(col("cand")) * 4 / 5).cast("int")))
+          .otherwise(concat(col("cand"),
+            slice(col("cand"), lit(1),
+              floor(size(col("cand")) / 3).cast("int")))))
+    base.select(col("doc_id") +:
+      graft.operators.Overlap.bleu2(col("cand"), col("ref")): _*)
+      .orderBy("doc_id")
+  }
+
+  val q153Sql: String =
+    """WITH toksl AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |pair AS (
+      |  SELECT doc_id, w AS cand,
+      |    CASE WHEN doc_id % 2 = 0 THEN w[1:(4 * len(w)) // 5]
+      |         ELSE list_concat(w, w[1:len(w) // 3]) END AS ref
+      |  FROM toksl),
+      |grams AS (
+      |  SELECT doc_id, cand, ref,
+      |    [cand[i] || ' ' || cand[i + 1] for i in range(1, len(cand))] AS cg,
+      |    [ref[i] || ' ' || ref[i + 1] for i in range(1, len(ref))] AS rg
+      |  FROM pair),
+      |m AS (
+      |  SELECT doc_id, len(cand) AS c_len, len(ref) AS r_len, len(cg) AS g_len,
+      |    coalesce(list_sum(list_transform(list_distinct(cand),
+      |      g -> least(len(list_filter(cand, x -> x = g)),
+      |                 len(list_filter(ref,  x -> x = g))))), 0) AS clip1,
+      |    coalesce(list_sum(list_transform(list_distinct(cg),
+      |      g -> least(len(list_filter(cg, x -> x = g)),
+      |                 len(list_filter(rg, x -> x = g))))), 0) AS clip2
+      |  FROM grams),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN c_len > 0 THEN clip1::DOUBLE / c_len ELSE 0.0 END AS p1,
+      |    CASE WHEN g_len > 0 THEN clip2::DOUBLE / g_len ELSE 0.0 END AS p2,
+      |    CASE WHEN c_len = 0 THEN 0.0
+      |         WHEN c_len > r_len THEN 1.0
+      |         ELSE exp(1.0 - r_len::DOUBLE / c_len::DOUBLE) END AS bp,
+      |    c_len, r_len
+      |  FROM m)
+      |SELECT doc_id, round(p1, 6) AS p1, round(p2, 6) AS p2,
+      |  round(bp, 6) AS bp,
+      |  round(CASE WHEN c_len >= 2 AND r_len >= 2 AND p1 > 0 AND p2 > 0
+      |    THEN bp * exp((ln(p1) + ln(p2)) / 2.0) ELSE 0.0 END, 6) AS bleu
+      |FROM sc ORDER BY doc_id""".stripMargin
 
   // --- simhash ----------------------------------------------------------
 
@@ -1509,6 +1642,8 @@ object TextQueries {
     "q149_keywords" -> q149Keywords _,
     "q150_hll_distinct" -> q150HllDistinct _,
     "q151_heavy_hitters" -> q151HeavyHitters _,
+    "q152_bigram_diversity" -> q152BigramDiversity _,
+    "q153_bleu" -> q153Bleu _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
@@ -1550,6 +1685,8 @@ object TextQueries {
     "q149_keywords" -> q149Sql,
     "q150_hll_distinct" -> q150Sql,
     "q151_heavy_hitters" -> q151Sql,
+    "q152_bigram_diversity" -> q152Sql,
+    "q153_bleu" -> q153Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,
