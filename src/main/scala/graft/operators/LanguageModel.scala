@@ -161,6 +161,68 @@ object LanguageModel {
       .select(col(idCol), col("n_bigrams"), col("lm_bits"))
   }
 
+  /** Kneser–Ney smoothed bigram scoring (Kneser & Ney 1995; the
+    * interpolated form of Chen & Goodman 1999) — the smoothing family
+    * real KenLM-style curation models use, next to [[bigramBits]]'s
+    * add-one baseline. Absolute discount D from every seen bigram, the
+    * freed mass re-spent on the CONTINUATION unigram ("how many
+    * contexts does w2 follow?" — the 'san francisco' fix: frequent but
+    * context-locked words stop inflating unseen estimates):
+    *
+    *   P(w2|w1) = (c12 − D)/c1 + D·N1+(w1·)/c1 · N1+(·w2)/B
+    *
+    * with c1 = Σ_w2 c12 (context mass), N1+(w1·)/N1+(·w2) the distinct
+    * continuation counts, B = distinct bigram types. Trained on the
+    * corpus it scores, so every scored bigram is in the census and the
+    * max(c12−D, 0) clamp never binds (c12 ≥ 1 > D).
+    *
+    * Scale + determinism discipline is [[bigramBits]]': ONE bigram
+    * census (map-side combined, text never shuffles) from which c1,
+    * N1+(w1·) (sum + row count per w1), N1+(·w2) (row count per w2)
+    * and B (1-row agg) all derive — no second corpus pass — then the
+    * scoring join, per-bigram micro-bit rounding, exact integer
+    * per-doc sums. The float work is one IEEE chain per DISTINCT
+    * bigram, replayable in any engine. Output: (idCol, n_bigrams,
+    * kn_bits); null kn_bits for docs with < 2 tokens. */
+  def kneserNeyBits(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount=$discount not in (0,1)")
+    val toks = df.select(col(idCol), tokCol(textCol).as(s"${Dup}w"))
+    val w = col(s"${Dup}w")
+    val bigrams = toks.select(col(idCol), explode(bigramArr(w)).as(s"${Dup}bg"))
+    // the ONE census; everything else reads it, not the corpus
+    val census = Parallelism.stage(bigrams.groupBy(col(s"${Dup}bg"))
+      .agg(count(lit(1)).as(s"${Dup}c12"))
+      .withColumn(s"${Dup}w1", substring_index(col(s"${Dup}bg"), " ", 1))
+      .withColumn(s"${Dup}w2", substring_index(col(s"${Dup}bg"), " ", -1)))
+    val byW1 = census.groupBy(col(s"${Dup}w1").as(s"${Dup}k1"))
+      .agg(sum(col(s"${Dup}c12")).as(s"${Dup}c1"),
+        count(lit(1)).as(s"${Dup}nf"))
+    val byW2 = census.groupBy(col(s"${Dup}w2").as(s"${Dup}k2"))
+      .agg(count(lit(1)).as(s"${Dup}nb"))
+    val bTypes = census.count() // 1-row agg over the census, not the corpus
+    val d = lit(discount)
+    val term = log2(
+      (col(s"${Dup}c12").cast("double") - d) / col(s"${Dup}c1").cast("double") +
+        d * col(s"${Dup}nf").cast("double") / col(s"${Dup}c1").cast("double") *
+          (col(s"${Dup}nb").cast("double") / lit(bTypes.toDouble)))
+    val scored = bigrams
+      .join(census, Seq(s"${Dup}bg"))
+      .join(byW1, col(s"${Dup}w1") === col(s"${Dup}k1"))
+      .join(byW2, col(s"${Dup}w2") === col(s"${Dup}k2"))
+      .withColumn(s"${Dup}micro", round(term * 1e6, 0).cast("long"))
+      .groupBy(col(idCol))
+      .agg(sum(col(s"${Dup}micro")).as(s"${Dup}s"),
+        count(lit(1)).as("n_bigrams"))
+      .withColumn("kn_bits",
+        round((-col(s"${Dup}s")).cast("double") / col("n_bigrams") / 1e6, 6))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        col("kn_bits"))
+  }
+
   /** CCNet-style head selection: keep documents whose bits-per-bigram is
     * at or below `maxBits` (docs too short to score are kept — no
     * evidence against them, the reference pipelines' usual choice). */

@@ -47,4 +47,27 @@ object Snapshot {
                   textCol: String): DataFrame =
     diff(oldDf, newDf, idCol, textCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** Order-invariant dataset checksum — the one-row content identity a
+    * reproducibility ledger records next to a training run ("exactly
+    * which corpus was this?"): row count, the modular SUM and the XOR
+    * of every row's 60-bit content hash. Both folds are commutative
+    * and associative, so the checksum is invariant to row order and
+    * partitioning, and MERGEABLE: checksums of shards combine
+    * (counts/sums add mod 2^61, xors xor) into the checksum of the
+    * union — no re-scan to re-stamp a grown corpus. Computed as one
+    * map + a 1-row aggregate (sum carried in DECIMAL(38,0) so no
+    * overflow before the final mod); the salted md5 row hash is the
+    * portable formula any engine replays. Null text hashes as empty —
+    * a (id, null) row still counts. */
+  def checksum(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = TextFunctions.hash64(concat(col(idCol).cast("string"),
+      lit("|"), coalesce(col(textCol), lit(""))))
+    val mod = 1L << 61
+    df.select(h.as("__graft_h"))
+      .agg(count(lit(1)).as("n_rows"),
+        pmod(sum(col("__graft_h").cast("decimal(38,0)")), lit(mod))
+          .cast("long").as("fp_sum"),
+        expr("bit_xor(__graft_h)").as("fp_xor"))
+  }
 }

@@ -337,6 +337,51 @@ object CurationQueries {
       |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS lm_bits
       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // --- q155: Kneser-Ney smoothed bigram-LM score --------------------------
+
+  /** Bits-per-bigram under interpolated Kneser–Ney (the KenLM smoothing
+    * family) trained on the corpus itself — q103's add-one baseline
+    * upgraded to absolute discounting + continuation-unigram backoff.
+    * Same determinism discipline: per-bigram micro-bit rounding before
+    * the exact integer per-doc sum; the oracle re-derives c1/N1+ tables
+    * from the same single bigram census and replays the IEEE chain. */
+  def q155KneserNey(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.kneserNeyBits(
+      tp(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  val q155Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |bi AS (
+      |  SELECT doc_id,
+      |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+      |  FROM toks WHERE len(w) >= 2),
+      |census AS (
+      |  SELECT bg, count(*)::BIGINT AS c12,
+      |    split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2
+      |  FROM bi GROUP BY 1),
+      |byw1 AS (SELECT w1, sum(c12)::BIGINT AS c1, count(*)::BIGINT AS nf
+      |         FROM census GROUP BY 1),
+      |byw2 AS (SELECT w2, count(*)::BIGINT AS nb FROM census GROUP BY 1),
+      |b AS (SELECT count(*)::BIGINT AS bt FROM census),
+      |terms AS (
+      |  SELECT bi.doc_id,
+      |    CAST(round(log2((census.c12::DOUBLE - 0.75) / byw1.c1::DOUBLE
+      |      + 0.75 * byw1.nf::DOUBLE / byw1.c1::DOUBLE *
+      |        (byw2.nb::DOUBLE / b.bt::DOUBLE)) * 1000000.0, 0) AS BIGINT)
+      |      AS micro
+      |  FROM bi JOIN census USING (bg)
+      |       JOIN byw1 ON census.w1 = byw1.w1
+      |       JOIN byw2 ON census.w2 = byw2.w2
+      |       CROSS JOIN b),
+      |sc AS (SELECT doc_id, sum(micro) AS s, count(*) AS n FROM terms GROUP BY 1)
+      |SELECT d.doc_id, coalesce(sc.n, 0) AS n_bigrams,
+      |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS kn_bits
+      |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // --- q123: length-bucketed inference batching stats ---------------------
 
   /** Dynamic-batching report: 32-token-wide length buckets with the
@@ -697,6 +742,54 @@ object CurationQueries {
       .orderBy("doc_id")
   }
 
+  // --- q154: dataset checksum ----------------------------------------------
+
+  /** Order-invariant corpus checksums ([[graft.operators.Snapshot
+    * .checksum]]) for the original corpus and the q136 synthetic new
+    * crawl — the reproducibility-ledger stamp that answers "is this
+    * bit-for-bit the corpus that trained run X?" without any row
+    * ordering or single-partition funnel. The oracle recomputes both
+    * stamps from the same salted md5 row hashes. */
+  def q154DatasetChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val survivors = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    val newCrawl = survivors.unionByName(fresh)
+    graft.operators.Snapshot.checksum(docs, "doc_id", "text")
+      .withColumn("arm", lit("old"))
+      .unionByName(graft.operators.Snapshot.checksum(newCrawl, "doc_id", "text")
+        .withColumn("arm", lit("new")))
+      .select(col("arm"), col("n_rows"), col("fp_sum"), col("fp_xor"))
+      .orderBy("arm")
+  }
+
+  val q154Sql: String =
+    """WITH newd AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+      |ho AS (
+      |  SELECT (('0x' || substr(md5(doc_id::VARCHAR || '|' ||
+      |    coalesce(text, '')), 1, 15))::UBIGINT)::BIGINT AS h
+      |  FROM documents),
+      |hn AS (
+      |  SELECT (('0x' || substr(md5(doc_id::VARCHAR || '|' ||
+      |    coalesce(text, '')), 1, 15))::UBIGINT)::BIGINT AS h
+      |  FROM newd)
+      |SELECT 'old' AS arm, count(*)::BIGINT AS n_rows,
+      |  (sum(h) % 2305843009213693952)::BIGINT AS fp_sum,
+      |  bit_xor(h) AS fp_xor FROM ho
+      |UNION ALL
+      |SELECT 'new', count(*)::BIGINT,
+      |  (sum(h) % 2305843009213693952)::BIGINT, bit_xor(h) FROM hn
+      |ORDER BY arm""".stripMargin
+
   val q136Sql: String =
     """WITH newd AS (
       |  SELECT doc_id,
@@ -872,6 +965,8 @@ object CurationQueries {
     "q124_dsir_select" -> q124DsirSelect _,
     "q133_pagerank" -> q133PageRank _,
     "q136_snapshot_diff" -> q136SnapshotDiff _,
+    "q154_dataset_checksum" -> q154DatasetChecksum _,
+    "q155_kneser_ney" -> q155KneserNey _,
     "q140_winsorize" -> q140Winsorize _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -893,6 +988,8 @@ object CurationQueries {
     "q124_dsir_select" -> q124Sql,
     "q133_pagerank" -> q133Sql,
     "q136_snapshot_diff" -> q136Sql,
+    "q154_dataset_checksum" -> q154Sql,
+    "q155_kneser_ney" -> q155Sql,
     "q140_winsorize" -> q140Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

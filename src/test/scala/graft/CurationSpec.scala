@@ -1010,6 +1010,53 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == ((4L, 0L, None))) // single token: no bigrams
   }
 
+  test("Kneser-Ney: hand-computed bits, continuation-diversity property") {
+    import graft.operators.LanguageModel
+    // corpus: "a b" x2, "a c", "solo"
+    // census: (a b, 2), (a c, 1); c1(a)=3, nf(a)=2; nb(b)=1, nb(c)=1; B=2
+    // P(b|a) = (2-.75)/3 + .75*2/3*(1/2) = 1.25/3 + 0.25 = 0.666667
+    // P(c|a) = (1-.75)/3 + .25 = 0.333333
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "solo"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.kneserNeyBits(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_bigrams", "kn_bits")
+      .as[(Long, Long, Option[Double])].collect()
+    def bits(p: Double): Double = {
+      val micro = math.round(math.log(p) / math.log(2.0) * 1e6)
+      BigDecimal(-micro.toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(0)._2 == 1L)
+    assert(math.abs(out(0)._3.get - bits(1.25 / 3 + 0.75 * 2.0 / 3 * 0.5)) < 2e-6)
+    assert(math.abs(out(2)._3.get - bits(0.25 / 3 + 0.75 * 2.0 / 3 * 0.5)) < 2e-6)
+    assert(out(3) == ((4L, 0L, None)))
+    // the 'san francisco' property: after a FRESH context (same c12=1,
+    // c1=1, nf=1 both times), a continuation word seen after many
+    // contexts (common: 4+1) must outscore one context-locked to a
+    // single predecessor (francisco: san+probe=2) even though both are
+    // equally frequent as unigrams (20 occurrences each)
+    val corpus = (0L until 20L).map(i => (i, "san francisco")) ++
+      (20L until 40L).map(i => (i, s"w${i % 4} common"))
+    val kn = LanguageModel.kneserNeyBits(
+      (corpus :+ ((99L, "probe common"))).toDF("doc_id", "text"),
+      "doc_id", "text").filter(col("doc_id") === 99L)
+      .select("kn_bits").as[Double].head()
+    val knF = LanguageModel.kneserNeyBits(
+      (corpus :+ ((99L, "probe francisco"))).toDF("doc_id", "text"),
+      "doc_id", "text").filter(col("doc_id") === 99L)
+      .select("kn_bits").as[Double].head()
+    assert(kn < knF,
+      s"context-diverse continuation should score fewer bits: $kn vs $knF")
+    // partitioning invariance, same contract as the add-one path
+    val base = (0L until 50L).map(i => (i, s"tok${i % 7} tok${(i + 1) % 5} x"))
+      .toDF("doc_id", "text")
+    assert(LanguageModel.kneserNeyBits(base, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq ===
+      LanguageModel.kneserNeyBits(base.repartition(9), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq)
+  }
+
   test("bigram LM: partitioning-independent and filter keeps the head") {
     import graft.operators.LanguageModel
     val docs = (0L until 60L).map(i =>

@@ -53,4 +53,40 @@ class SnapshotSpec extends SparkSpec {
     assert(exchanges.forall(l => !l.contains("text#")),
       s"document text crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
+
+  test("checksum is invariant to row order and partitioning") {
+    val rows = (0 until 300).map(i => (i.toLong, s"content $i"))
+    val base = rows.toDF("id", "text")
+    val shuffled = new scala.util.Random(3).shuffle(rows)
+      .toDF("id", "text").repartition(7)
+    assert(Snapshot.checksum(base, "id", "text").collect().toSeq ===
+      Snapshot.checksum(shuffled, "id", "text").collect().toSeq)
+  }
+
+  test("shard checksums merge into the union checksum") {
+    val a = (0 until 100).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+    val b = (100 until 250).map(i => (i.toLong, s"t$i")).toDF("id", "text")
+    val Array(na, sa, xa) = Snapshot.checksum(a, "id", "text")
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val Array(nb, sb, xb) = Snapshot.checksum(b, "id", "text")
+      .collect().head.toSeq.map(_.asInstanceOf[Long]).toArray
+    val u = Snapshot.checksum(a.unionByName(b), "id", "text").collect().head
+    assert(u.getLong(0) === na + nb)
+    assert(u.getLong(1) === (sa + sb) % (1L << 61))
+    assert(u.getLong(2) === (xa ^ xb))
+  }
+
+  test("checksum reacts to any single-character change and to null text") {
+    val a = Seq((1L, "alpha"), (2L, "beta")).toDF("id", "text")
+    val b = Seq((1L, "alpha"), (2L, "betA")).toDF("id", "text")
+    val ca = Snapshot.checksum(a, "id", "text").collect().head
+    val cb = Snapshot.checksum(b, "id", "text").collect().head
+    assert(ca.getLong(0) === cb.getLong(0))
+    assert(ca.getLong(1) !== cb.getLong(1))
+    assert(ca.getLong(2) !== cb.getLong(2))
+    // null text participates (hashes as empty), doesn't drop the row
+    val withNull = Seq((1L, "alpha"), (2L, null: String)).toDF("id", "text")
+    assert(Snapshot.checksum(withNull, "id", "text")
+      .collect().head.getLong(0) === 2L)
+  }
 }
