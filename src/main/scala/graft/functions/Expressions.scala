@@ -477,6 +477,42 @@ object ExprHelpers {
       Array[Any](inter, uni))
   }
 
+  /** Clipped overlap count Σ_g min(count_a(g), count_b(g)) over two
+    * string arrays — the BLEU modified-precision numerator — in ONE
+    * hash census of `b` plus one decrementing pass over `a`:
+    * O(|a|+|b|) per row, where the declarative
+    * `aggregate(transform(array_distinct(a), g -> least(size(filter(a,
+    * =g)), size(filter(b, =g)))))` chain rescans both arrays per
+    * distinct gram (O(d·n) — 18.8 s vs ~2 s for q153 at 10×).
+    * Value-identical by construction: each occurrence of g in `a`
+    * counts while census credit remains, so the total per g is
+    * exactly min(count_a, count_b). */
+  def clippedCount(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                   b: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val nb = b.numElements()
+    val census = new java.util.HashMap[UTF8String, java.lang.Long](nb * 2)
+    var j = 0
+    while (j < nb) {
+      val s = b.getUTF8String(j)
+      val cur = census.get(s)
+      census.put(s, if (cur eq null) 1L else cur.longValue() + 1L)
+      j += 1
+    }
+    val na = a.numElements()
+    var i = 0
+    var c = 0L
+    while (i < na) {
+      val s = a.getUTF8String(i)
+      val cur = census.get(s)
+      if ((cur ne null) && cur.longValue() > 0L) {
+        c += 1L
+        census.put(s, cur.longValue() - 1L)
+      }
+      i += 1
+    }
+    c
+  }
+
   /** Rare-token count against a broadcast CMS grid, portable (md5)
     * tier: for each token, the min over `depth` rows of
     * lut[r·width + cell(r, t)] with cell = hash64("cms{r}|" + t) mod
@@ -772,6 +808,23 @@ case class SortedSetOps(left: Expression, right: Expression)
       l: Expression, r: Expression): SortedSetOps = copy(left = l, right = r)
 }
 
+case class ClippedCount(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.clippedCount(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.ExprHelpers.clippedCount($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): ClippedCount = copy(left = l, right = r)
+}
+
 case class CmsCells(child: Expression, depth: Int, width: Int)
     extends UnaryExpression {
   override def dataType: DataType =
@@ -919,6 +972,9 @@ object Expressions {
       VecDotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def whitespace_tokens(c: Column): Column =
     ColumnBridge.column(WhitespaceTokens(ColumnBridge.expression(c)))
+  def clipped_count(a: Column, b: Column): Column =
+    ColumnBridge.column(
+      ClippedCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def sorted_set_ops(a: Column, b: Column): Column =
     ColumnBridge.column(
       SortedSetOps(ColumnBridge.expression(a), ColumnBridge.expression(b)))

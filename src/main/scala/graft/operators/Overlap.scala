@@ -21,13 +21,21 @@ import org.apache.spark.sql.functions._
 object Overlap {
 
   /** Σ_g min(count_a(g), count_b(g)) over distinct grams of `a` —
-    * the clipped overlap count (0 for empty `a`). O(d·n) per row. */
+    * the clipped overlap count (0 for empty `a`). Native one-pass
+    * kernel ([[graft.functions.Expressions.clipped_count]]): O(|a|+|b|)
+    * per row where the declarative distinct×filter chain rescans both
+    * arrays per distinct gram (the q153 10× arm: 18.8 s → ~2 s);
+    * value-identical, OverlapSpec compares the two forms. */
   private def clipped(a: Column, b: Column): Column =
+    coalesce(graft.functions.Expressions.clipped_count(a, b), lit(0L))
+
+  /** The retired declarative form, kept as the kernel's spec twin. */
+  private[graft] def clippedDeclarative(a: Column, b: Column): Column =
     coalesce(aggregate(
       transform(array_distinct(a),
         g => least(size(filter(a, x => x === g)),
           size(filter(b, x => x === g)))),
-      lit(0), (acc, x) => acc + x), lit(0))
+      lit(0), (acc, x) => acc + x), lit(0)).cast("long")
 
   /** Word bigram strings ("w1 w2") of a token array. */
   private def grams2(w: Column): Column =

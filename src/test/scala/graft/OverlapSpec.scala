@@ -48,6 +48,21 @@ class OverlapSpec extends SparkSpec {
     assert(bp === 1.0)
   }
 
+  test("native clipped-count kernel equals the declarative chain") {
+    val rnd = new scala.util.Random(13)
+    val alpha = Vector("a", "b", "c", "dd", "e")
+    val rows = (0 until 300).map { _ =>
+      (Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(alpha.size))),
+        Seq.fill(rnd.nextInt(12))(alpha(rnd.nextInt(alpha.size))))
+    }
+    val df = rows.toDF("a", "b").select(
+      graft.functions.Expressions.clipped_count(col("a"), col("b"))
+        .as("native"),
+      graft.operators.Overlap.clippedDeclarative(col("a"), col("b"))
+        .as("decl"))
+    assert(df.filter(col("native") =!= col("decl")).count() === 0)
+  }
+
   test("degenerate rows score zero, not NaN") {
     assert(score("", "a b")._4 === 0.0)
     assert(score("a", "a")._4 === 0.0)       // under 2 tokens: no bigram
