@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.ops.Parallelism
+
+/** Distribution-drift scoring — KL divergence of each group's token
+  * distribution from the corpus-wide one: the quantitative answer to
+  * "which source/crawl/day stopped looking like the rest of the
+  * corpus?" (domain shift, scraper breakage, language mix changes —
+  * the monitoring twin of the DSIR importance weights, which use the
+  * same log-ratio in the other direction).
+  *
+  * KL(P_g ‖ Q) = Σ_t p_t · ln(p_t/q_t), p from the group census, Q
+  * from the corpus census. Every count is exact; the corpus census
+  * derives from the group census by rollup (ONE corpus pass total,
+  * map-side combined; everything downstream reads censuses, never the
+  * corpus). Q dominates P by construction (every group token is a
+  * corpus token), so no log(0) edge exists.
+  *
+  * Determinism: a float SUM over vocabulary terms is order-dependent,
+  * so each term rounds to integer NANO-nats first (the LanguageModel
+  * micro-bit discipline, 1e9 because per-term masses are small) and
+  * the per-group accumulation is exact integer math — partitioning-
+  * independent and replayable in any engine; the only float work is
+  * one IEEE chain per DISTINCT (group, token) census row. */
+object Drift {
+
+  private val Dup = "__graft_"
+
+  /** Per-group drift: (groupCol, n_tokens, kl_nats) — kl_nats ≥ 0,
+    * rounded at 6dp, 0 for a group distributed exactly like the
+    * corpus. Null text contributes no tokens; a group with no tokens
+    * doesn't appear. */
+  def klDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as(s"${Dup}t"))
+    val census = Parallelism.stage(
+      toks.groupBy(col(groupCol), col(s"${Dup}t"))
+        .agg(count(lit(1)).as(s"${Dup}cgt")))
+    val global = census.groupBy(col(s"${Dup}t"))
+      .agg(sum(col(s"${Dup}cgt")).as(s"${Dup}ct"))
+    val perG = census.groupBy(col(groupCol))
+      .agg(sum(col(s"${Dup}cgt")).as(s"${Dup}ng"))
+    val total = perG.agg(sum(col(s"${Dup}ng")).as(s"${Dup}n"))
+    val p = col(s"${Dup}cgt").cast("double") / col(s"${Dup}ng").cast("double")
+    val q = col(s"${Dup}ct").cast("double") / col(s"${Dup}n").cast("double")
+    val nano = round(p * log(p / q) * lit(1e9), 0).cast("long")
+    census
+      .join(global, Seq(s"${Dup}t"))
+      .join(perG, Seq(groupCol))
+      .crossJoin(broadcast(total)) // 1-row metrics frame
+      .withColumn(s"${Dup}nano", nano)
+      .groupBy(col(groupCol))
+      .agg(max(col(s"${Dup}ng")).as("n_tokens"), // constant within group
+        sum(col(s"${Dup}nano")).as(s"${Dup}s"))
+      .select(col(groupCol), col("n_tokens"),
+        round(col(s"${Dup}s").cast("double") / lit(1e9), 6).as("kl_nats"))
+  }
+}

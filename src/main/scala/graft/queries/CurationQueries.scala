@@ -382,6 +382,50 @@ object CurationQueries {
       |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS kn_bits
       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // --- q156: per-source distribution drift --------------------------------
+
+  /** KL-divergence drift of each source's token distribution from the
+    * corpus-wide one ([[graft.operators.Drift]]) — the domain-shift /
+    * broken-scraper monitor. Two sources get an in-query anomaly token
+    * injected (the q134 discipline) so genuinely drifted groups
+    * exist and must surface with the highest kl_nats; the oracle
+    * replays censuses, nano-nat terms and integer sums exactly. */
+  def q156KlDrift(spark: SparkSession, dir: String): DataFrame = {
+    val aug = tp(spark, dir, "documents").select(col("source"),
+      when(col("source").isin("src0", "src1"),
+        concat(col("text"), lit(" anomaly anomaly anomaly")))
+        .otherwise(col("text")).as("page"))
+    graft.operators.Drift.klDrift(aug, "source", "page")
+      .orderBy("source")
+  }
+
+  val q156Sql: String =
+    """WITH aug AS (
+      |  SELECT source,
+      |    CASE WHEN source IN ('src0', 'src1')
+      |      THEN text || ' anomaly anomaly anomaly' ELSE text END AS page
+      |  FROM documents),
+      |toks AS (
+      |  SELECT source, unnest(list_filter(
+      |    regexp_split_to_array(trim(lower(page)), '\s+'), x -> x <> '')) AS t
+      |  FROM aug),
+      |census AS (SELECT source, t, count(*)::BIGINT AS cgt
+      |           FROM toks GROUP BY 1, 2),
+      |gct AS (SELECT t, sum(cgt)::BIGINT AS ct FROM census GROUP BY 1),
+      |perg AS (SELECT source, sum(cgt)::BIGINT AS ng FROM census GROUP BY 1),
+      |tot AS (SELECT sum(ng)::BIGINT AS n FROM perg),
+      |terms AS (
+      |  SELECT census.source,
+      |    CAST(round((cgt::DOUBLE / ng::DOUBLE) *
+      |      ln((cgt::DOUBLE / ng::DOUBLE) / (ct::DOUBLE / n::DOUBLE)) *
+      |      1000000000.0, 0) AS BIGINT) AS nano
+      |  FROM census JOIN gct USING (t) JOIN perg USING (source)
+      |       CROSS JOIN tot),
+      |sc AS (SELECT source, sum(nano) AS s FROM terms GROUP BY 1)
+      |SELECT sc.source, perg.ng AS n_tokens,
+      |  round(s::DOUBLE / 1000000000.0, 6) AS kl_nats
+      |FROM sc JOIN perg USING (source) ORDER BY source""".stripMargin
+
   // --- q123: length-bucketed inference batching stats ---------------------
 
   /** Dynamic-batching report: 32-token-wide length buckets with the
@@ -967,6 +1011,7 @@ object CurationQueries {
     "q136_snapshot_diff" -> q136SnapshotDiff _,
     "q154_dataset_checksum" -> q154DatasetChecksum _,
     "q155_kneser_ney" -> q155KneserNey _,
+    "q156_kl_drift" -> q156KlDrift _,
     "q140_winsorize" -> q140Winsorize _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -990,6 +1035,7 @@ object CurationQueries {
     "q136_snapshot_diff" -> q136Sql,
     "q154_dataset_checksum" -> q154Sql,
     "q155_kneser_ney" -> q155Sql,
+    "q156_kl_drift" -> q156Sql,
     "q140_winsorize" -> q140Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,
