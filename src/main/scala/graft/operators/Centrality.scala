@@ -77,4 +77,68 @@ object Centrality {
     }
     ranks
   }
+
+  /** HITS (Kleinberg 1999) in the same exact-integer discipline —
+    * hubs-and-authorities for graphs where the two roles genuinely
+    * differ (link directories vs cited content; curated source lists
+    * vs the pages they endorse — PageRank's single score conflates
+    * them). Each round:
+    *
+    *   a(v) = Σ_{u→v} h(u),  then max-normalized: a' = (a·1e6) div max(a)
+    *   h(u) = Σ_{u→v} a'(v), then h' = (h·1e6) div max(h)
+    *
+    * Max-normalization (top score pinned to 1e6) instead of the
+    * textbook L2: power iteration converges to the same dominant
+    * eigenvector direction under ANY per-round rescaling, and an
+    * integer floor-divided max-scale is deterministic and replayable
+    * where an L2 norm (sqrt of a float sum) never hash-verifies.
+    * Same Pregel shape as [[pageRank]] (join by one endpoint, aggregate
+    * by the other, both map-side combinable), lineage staged per round.
+    * Parallel edges count once per occurrence. Returns (id, auth_micro,
+    * hub_micro). The n ≤ 1e6 guard keeps a·1e6 inside a long — the
+    * domain graph, not the doc graph, at 100 TB. */
+  def hits(edges: DataFrame, srcCol: String, dstCol: String,
+           iters: Int): DataFrame = {
+    require(iters >= 1 && iters <= 64, s"iters=$iters out of [1,64]")
+    val e = edges.select(col(srcCol).cast("long").as("__graft_src"),
+      col(dstCol).cast("long").as("__graft_dst"))
+    val nodes = graft.ops.Parallelism.stage(
+      e.select(col("__graft_src").as("id"))
+        .union(e.select(col("__graft_dst").as("id")))
+        .distinct())
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    require(n <= 1000000L,
+      s"$n nodes: micro-integer HITS bounds sums·1e6 to a long — " +
+        "run the domain graph, not the doc graph")
+    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+      // raw: (id, __graft_s) partial sums; absent id -> 0. Max over the
+      // raw sums is a 1-row metrics frame crossed in; floor-divide
+      // rescales the top node to exactly 1e6.
+      val m = raw.agg(max(col("__graft_s")).as("__graft_m"))
+      nodes.join(raw, Seq("id"), "left")
+        .crossJoin(broadcast(m))
+        .select(col("id"),
+          expr("(1000000 * coalesce(__graft_s, 0L)) div __graft_m")
+            .as(outCol))
+    }
+    var hub = nodes.withColumn("hub_micro", lit(1000000L))
+    var auth: DataFrame = null
+    for (_ <- 0 until iters) {
+      val aRaw = e
+        .join(hub.select(col("id").as("__graft_src"),
+          col("hub_micro").as("__graft_h")), "__graft_src")
+        .groupBy(col("__graft_dst").as("id"))
+        .agg(sum(col("__graft_h")).as("__graft_s"))
+      auth = graft.ops.Parallelism.stage(normalized(aRaw, "auth_micro"))
+      val hRaw = e
+        .join(auth.select(col("id").as("__graft_dst"),
+          col("auth_micro").as("__graft_a")), "__graft_dst")
+        .groupBy(col("__graft_src").as("id"))
+        .agg(sum(col("__graft_a")).as("__graft_s"))
+      hub = graft.ops.Parallelism.stage(normalized(hRaw, "hub_micro"))
+    }
+    auth.join(hub, Seq("id"))
+      .select(col("id"), col("auth_micro"), col("hub_micro"))
+  }
 }

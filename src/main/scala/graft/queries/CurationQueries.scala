@@ -765,6 +765,63 @@ object CurationQueries {
       |  FROM r1 LEFT JOIN c2 USING (id))
       |SELECT id AS doc_id, r AS rank_micro FROM r2 ORDER BY doc_id""".stripMargin
 
+  // --- q157: hubs and authorities (integer-exact HITS) --------------------
+
+  /** Two HITS rounds over the same synthesized citation graph as q133 —
+    * the directory-vs-cited-content split PageRank's single score
+    * conflates. Max-normalized integer power iteration (top score
+    * pinned at 1e6, floor divisions both engines share); the oracle
+    * re-runs both full rounds — four sum/normalize passes — in SQL and
+    * must match every node's auth and hub micro-score exactly. */
+  def q157Hits(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
+      .union(docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 13 + 3, lit(n)).as("dst")))
+    graft.operators.Centrality.hits(edges, "src", "dst", iters = 2)
+      .select(col("id").as("doc_id"), col("auth_micro"), col("hub_micro"))
+      .orderBy("doc_id")
+  }
+
+  val q157Sql: String =
+    """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (
+      |  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+      |  FROM documents CROSS JOIN nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 3) % nn.n
+      |  FROM documents CROSS JOIN nn),
+      |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      |h0 AS (SELECT id, 1000000::BIGINT AS h FROM nodes),
+      |a1r AS (SELECT e.dst AS id, sum(h0.h)::BIGINT AS s
+      |        FROM e JOIN h0 ON h0.id = e.src GROUP BY 1),
+      |a1m AS (SELECT max(s)::BIGINT AS m FROM a1r),
+      |a1 AS (SELECT nodes.id,
+      |         ((1000000 * coalesce(a1r.s, 0)) // a1m.m)::BIGINT AS a
+      |       FROM nodes LEFT JOIN a1r USING (id) CROSS JOIN a1m),
+      |h1r AS (SELECT e.src AS id, sum(a1.a)::BIGINT AS s
+      |        FROM e JOIN a1 ON a1.id = e.dst GROUP BY 1),
+      |h1m AS (SELECT max(s)::BIGINT AS m FROM h1r),
+      |h1 AS (SELECT nodes.id,
+      |         ((1000000 * coalesce(h1r.s, 0)) // h1m.m)::BIGINT AS h
+      |       FROM nodes LEFT JOIN h1r USING (id) CROSS JOIN h1m),
+      |a2r AS (SELECT e.dst AS id, sum(h1.h)::BIGINT AS s
+      |        FROM e JOIN h1 ON h1.id = e.src GROUP BY 1),
+      |a2m AS (SELECT max(s)::BIGINT AS m FROM a2r),
+      |a2 AS (SELECT nodes.id,
+      |         ((1000000 * coalesce(a2r.s, 0)) // a2m.m)::BIGINT AS a
+      |       FROM nodes LEFT JOIN a2r USING (id) CROSS JOIN a2m),
+      |h2r AS (SELECT e.src AS id, sum(a2.a)::BIGINT AS s
+      |        FROM e JOIN a2 ON a2.id = e.dst GROUP BY 1),
+      |h2m AS (SELECT max(s)::BIGINT AS m FROM h2r),
+      |h2 AS (SELECT nodes.id,
+      |         ((1000000 * coalesce(h2r.s, 0)) // h2m.m)::BIGINT AS h
+      |       FROM nodes LEFT JOIN h2r USING (id) CROSS JOIN h2m)
+      |SELECT a2.id AS doc_id, a2.a AS auth_micro, h2.h AS hub_micro
+      |FROM a2 JOIN h2 ON a2.id = h2.id ORDER BY doc_id""".stripMargin
+
   // --- q136: crawl snapshot diff ------------------------------------------
 
   /** Incremental-crawl diff report: the "new crawl" is synthesized from
@@ -1012,6 +1069,7 @@ object CurationQueries {
     "q154_dataset_checksum" -> q154DatasetChecksum _,
     "q155_kneser_ney" -> q155KneserNey _,
     "q156_kl_drift" -> q156KlDrift _,
+    "q157_hits" -> q157Hits _,
     "q140_winsorize" -> q140Winsorize _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -1036,6 +1094,7 @@ object CurationQueries {
     "q154_dataset_checksum" -> q154Sql,
     "q155_kneser_ney" -> q155Sql,
     "q156_kl_drift" -> q156Sql,
+    "q157_hits" -> q157Sql,
     "q140_winsorize" -> q140Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

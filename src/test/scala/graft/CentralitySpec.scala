@@ -65,4 +65,46 @@ class CentralitySpec extends SparkSpec {
       Centrality.pageRank(e, "src", "dst", iters = 1, dampingMicro = 2000000L)
     }
   }
+
+  private def hitsOf(e: Seq[(Long, Long)], iters: Int, parts: Int = 4) =
+    Centrality.hits(e.toDF("src", "dst").repartition(parts),
+        "src", "dst", iters)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+  test("HITS separates hubs from authorities where PageRank cannot") {
+    // 0 and 1 are pure hubs pointing at {2,3,4}; 2 gets an extra vote
+    // from hub-ish node 5. Authorities must be 2 >= 3 = 4 > hubs (0);
+    // hubs must be 0 = 1 >= 5 > authorities (0).
+    val e = Seq((0L, 2L), (0L, 3L), (0L, 4L),
+      (1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L))
+    val out = hitsOf(e, iters = 2)
+    val auth = out.view.mapValues(_._1).toMap
+    val hub = out.view.mapValues(_._2).toMap
+    assert(auth(2L) === 1000000L) // max-normalized top authority
+    assert(auth(3L) === auth(4L) && auth(3L) < auth(2L) && auth(3L) > 0)
+    assert(Seq(0L, 1L, 5L).forall(auth(_) === 0L)) // nothing points at hubs
+    assert(hub(0L) === 1000000L && hub(1L) === 1000000L)
+    assert(hub(5L) < hub(0L) && hub(5L) > 0) // one strong citation only
+    assert(Seq(2L, 3L, 4L).forall(hub(_) === 0L))
+  }
+
+  test("HITS hand-check: one round of sums and floor normalizations") {
+    // e: 0->2, 1->2, 1->3. Round 1: a_raw = {2: 2e6, 3: 1e6}, max 2e6
+    // -> a = {2: 1e6, 3: 500000}; h_raw = {0: 1e6, 1: 1.5e6}, max 1.5e6
+    // -> h = {0: (1e6*1e6) div 1.5e6 = 666666, 1: 1e6}
+    val out = hitsOf(Seq((0L, 2L), (1L, 2L), (1L, 3L)), iters = 1)
+    assert(out(2L) === ((1000000L, 0L)))
+    assert(out(3L) === ((500000L, 0L)))
+    assert(out(0L) === ((0L, 666666L)))
+    assert(out(1L) === ((0L, 1000000L)))
+  }
+
+  test("HITS is partitioning-independent and survives deep iteration") {
+    val e = (0L until 150L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 150), (i, (i * 13 + 3) % 150)))
+    assert(hitsOf(e, 3, parts = 1) === hitsOf(e, 3, parts = 16))
+    // the lineage-staging contract: 16 rounds must analyze + run fine
+    val deep = hitsOf(e.take(40), iters = 16)
+    assert(deep.nonEmpty)
+  }
 }
