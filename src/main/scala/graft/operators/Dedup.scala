@@ -284,6 +284,66 @@ object Dedup {
     * only "keeper" was itself dropped. For corpus curation that bias is
     * the safe direction (over-dropping borderline chains), and the rule
     * is deterministic and single-pass at any scale. */
+  /** Exact CONTAINMENT-similarity pairs — the asymmetric near-dup the
+    * Jaccard family misses: a short document quoted inside a much
+    * longer one has |A∩B|/|A| ≈ 1 but Jaccard |A∩B|/|A∪B| ≈ |A|/|B|,
+    * so MinHash banding (tuned for Jaccard) never surfaces it. Quote
+    * and partial-copy detection is exactly this query.
+    *
+    * Algorithm: document-frequency-capped shingle inverted index.
+    * Distinct word-k-shingle hashes per doc; shingles appearing in more
+    * than `maxDf` docs are dropped BEFORE pairing (the standard df-cut
+    * of exact set-similarity joins: corpus-boilerplate shingles carry
+    * no identity signal and are what makes the self-join quadratic).
+    * The surviving postings self-join on the shingle, pair counts
+    * aggregate to the exact intersection size, and containment is
+    * measured both ways against each doc's distinct-shingle count over
+    * the SAME capped shingle space (so the ratio is exact on the space
+    * actually joined). Keep pairs where either direction ≥ `threshold`.
+    *
+    * Scale shape: shuffle carries (shingle_hash, id) postings — never
+    * text; per-shingle pair fan-out is bounded by maxDf² by
+    * construction, so no hot shingle can serialize a reducer. Output:
+    * (id_a, id_b, inter, size_a, size_b, c_ab, c_ba), id_a < id_b. */
+  def containmentPairs(df0: DataFrame, idCol: String, textCol: String,
+      shingleSize: Int = 3, threshold: Double = 0.8,
+      maxDf: Int = 8): DataFrame = {
+    require(shingleSize >= 1 && shingleSize <= 16, s"bad k=$shingleSize")
+    require(threshold > 0.0 && threshold <= 1.0, s"bad threshold=$threshold")
+    require(maxDf >= 2, s"maxDf=$maxDf must allow a pair")
+    val df = Parallelism.ensure(df0)
+    // the native shingle kernel's "hsh" lane is already per-doc
+    // DISTINCT 60-bit md5 shingle hashes — no distinct() shuffle needed
+    val sh = Parallelism.stage(df.select(col(idCol).as("__graft_id"),
+      explode(graft.functions.Expressions.shingle_hash_bands(
+        tokens(lower(col(textCol))), shingleSize, 1).getField("hsh"))
+        .as("__graft_s")))
+    val kept = Parallelism.stage(sh.join(
+      sh.groupBy(col("__graft_s")).agg(count(lit(1)).as("__graft_df"))
+        .filter(col("__graft_df") <= maxDf)
+        .select(col("__graft_s")),
+      Seq("__graft_s"), "left_semi"))
+    val sizes = kept.groupBy(col("__graft_id"))
+      .agg(count(lit(1)).as("__graft_sz"))
+    val pairs = kept.select(col("__graft_s"), col("__graft_id").as("id_a"))
+      .join(kept.select(col("__graft_s"), col("__graft_id").as("id_b")),
+        Seq("__graft_s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val cAb = col("inter").cast("double") / col("size_a").cast("double")
+    val cBa = col("inter").cast("double") / col("size_b").cast("double")
+    pairs
+      .join(sizes.select(col("__graft_id").as("id_a"),
+        col("__graft_sz").as("size_a")), Seq("id_a"))
+      .join(sizes.select(col("__graft_id").as("id_b"),
+        col("__graft_sz").as("size_b")), Seq("id_b"))
+      .filter(greatest(cAb, cBa) >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("inter"),
+        col("size_a"), col("size_b"),
+        round(cAb, 6).as("c_ab"), round(cBa, 6).as("c_ba"))
+  }
+
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          numBands: Int = 8, shingleSize: Int = 3,
                          threshold: Double = 0.5,

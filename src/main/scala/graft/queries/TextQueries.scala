@@ -675,6 +675,65 @@ object TextQueries {
       |    THEN bp * exp((ln(p1) + ln(p2)) / 2.0) ELSE 0.0 END, 6) AS bleu
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // --- containment (asymmetric near-dup) --------------------------------
+
+  /** Quote detection via exact containment pairs
+    * ([[Dedup.containmentPairs]]): 1-in-10 docs get a synthesized
+    * "quoting" page (the original text embedded in unique padding —
+    * the q66 fixture discipline), whose Jaccard to its source is low
+    * (the padding dominates the union) but whose containment is 1.0 —
+    * exactly the asymmetric case MinHash banding misses. The oracle
+    * replays shingle hashes, df-cut, pair census and both ratios. */
+  def q158Containment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val filler = concat_ws(" ", transform(sequence(lit(1), lit(40)),
+      i => concat(lit("pad"), col("doc_id"), lit("x"), i)))
+    val quotes = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 20000).as("doc_id"),
+        concat(col("text"), lit(" "), filler).as("text"))
+    Dedup.containmentPairs(docs.unionByName(quotes), "doc_id", "text",
+      shingleSize = 3, threshold = 0.8, maxDf = 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q158Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 20000,
+      |    text || ' ' || array_to_string(
+      |      list_transform(range(1, 41), i -> 'pad' || doc_id || 'x' || i),
+      |      ' ')
+      |  FROM documents WHERE doc_id % 10 = 0),
+      |toksl AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+      |  FROM base),
+      |shl AS (
+      |  SELECT doc_id, list_distinct(
+      |    [w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+      |     for i in range(1, len(w) - 1)]) AS ss
+      |  FROM toksl WHERE len(w) >= 3),
+      |sh AS (
+      |  SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::UBIGINT)::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(ss) AS s FROM shl)),
+      |dfc AS (SELECT h FROM (SELECT h, count(*) AS c FROM sh GROUP BY 1)
+      |        WHERE c <= 8),
+      |kept AS (SELECT sh.doc_id, sh.h FROM sh JOIN dfc USING (h)),
+      |sz AS (SELECT doc_id, count(*)::BIGINT AS s FROM kept GROUP BY 1),
+      |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+      |       FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2),
+      |j AS (SELECT id_a, id_b, inter, sa.s AS size_a, sb.s AS size_b
+      |      FROM pr JOIN sz sa ON sa.doc_id = id_a
+      |           JOIN sz sb ON sb.doc_id = id_b)
+      |SELECT id_a, id_b, inter, size_a, size_b,
+      |  round(inter::DOUBLE / size_a, 6) AS c_ab,
+      |  round(inter::DOUBLE / size_b, 6) AS c_ba
+      |FROM j
+      |WHERE greatest(inter::DOUBLE / size_a, inter::DOUBLE / size_b) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
   // --- simhash ----------------------------------------------------------
 
   def q35Simhash(spark: SparkSession, dir: String): DataFrame =
@@ -1644,6 +1703,7 @@ object TextQueries {
     "q151_heavy_hitters" -> q151HeavyHitters _,
     "q152_bigram_diversity" -> q152BigramDiversity _,
     "q153_bleu" -> q153Bleu _,
+    "q158_containment" -> q158Containment _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
@@ -1687,6 +1747,7 @@ object TextQueries {
     "q151_heavy_hitters" -> q151Sql,
     "q152_bigram_diversity" -> q152Sql,
     "q153_bleu" -> q153Sql,
+    "q158_containment" -> q158Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,

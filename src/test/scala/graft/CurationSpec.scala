@@ -1010,6 +1010,44 @@ class CurationSpec extends SparkSpec {
     assert(out(3) == ((4L, 0L, None))) // single token: no bigrams
   }
 
+  test("containment finds the quote MinHash-Jaccard misses; df-cut holds") {
+    import graft.operators.Dedup
+    // doc 1 = 12 unique words (10 distinct 3-shingles); doc 2 embeds all
+    // of doc 1 inside 28 more words: containment(1 in 2) = 1.0, Jaccard
+    // ~ 10/48 — under any useful Jaccard threshold
+    val quoted = (1 to 12).map(i => s"q$i").mkString(" ")
+    val host = quoted + " " + (1 to 28).map(i => s"h$i").mkString(" ")
+    val other = (1 to 15).map(i => s"z$i").mkString(" ")
+    val df = Seq((1L, quoted), (2L, host), (3L, other)).toDF("id", "text")
+    val out = Dedup.containmentPairs(df, "id", "text",
+      shingleSize = 3, threshold = 0.8, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(5), r.getDouble(6))).toMap
+    assert(out.keySet === Set((1L, 2L)))
+    val (inter, cAb, cBa) = out((1L, 2L))
+    assert(inter === 10L && cAb === 1.0 && cBa < 0.3)
+    // boilerplate shingles (shared by MANY docs) are cut before pairing:
+    // 10 docs sharing one banner + unique bodies produce NO pairs at
+    // maxDf=8 — the banner is the only overlap and it is dropped
+    val banner = "subscribe to our newsletter today friends"
+    val many = (0L until 10L).map(i =>
+      (i, banner + " " + (1 to 9).map(j => s"b${i}_$j").mkString(" ")))
+      .toDF("id", "text")
+    assert(Dedup.containmentPairs(many, "id", "text",
+      shingleSize = 3, threshold = 0.1, maxDf = 8).count() === 0)
+    // ... and the SAME corpus at maxDf=16 sees the banner overlap
+    assert(Dedup.containmentPairs(many, "id", "text",
+      shingleSize = 3, threshold = 0.1, maxDf = 16).count() === 45)
+    // partitioning invariance
+    val big = (0L until 40L).map(i =>
+      (i, (0 to 10).map(j => s"w${(i + j) % 13}").mkString(" ")))
+      .toDF("id", "text")
+    assert(Dedup.containmentPairs(big, "id", "text", 3, 0.5, 50)
+      .orderBy("id_a", "id_b").collect().toSeq ===
+      Dedup.containmentPairs(big.repartition(9), "id", "text", 3, 0.5, 50)
+        .orderBy("id_a", "id_b").collect().toSeq)
+  }
+
   test("Kneser-Ney: hand-computed bits, continuation-diversity property") {
     import graft.operators.LanguageModel
     // corpus: "a b" x2, "a c", "solo"
