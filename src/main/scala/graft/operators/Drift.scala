@@ -30,6 +30,59 @@ object Drift {
 
   private val Dup = "__graft_"
 
+  /** Per-group DISTINCTIVE terms — Monroe et al. 2008 ("Fightin'
+    * Words") log-odds with a Dirichlet prior, z-scored: for each term,
+    * the log-odds of the term in the group vs the REST of the corpus,
+    * divided by its estimated standard error, ranked top-k per group.
+    * The interpretable companion to [[klDrift]]: KL says "this source
+    * drifted", this says "these words are why".
+    *
+    *   δ_t = ln((c1+α)/(n1+α0−c1−α)) − ln((c2+α)/(n2+α0−c2−α))
+    *   z_t = δ_t / sqrt(1/(c1+α) + 1/(c2+α))
+    *
+    * with (c1,n1) the group census, (c2,n2) the rest (derived by
+    * subtraction from the corpus rollup — still ONE corpus pass), α a
+    * flat 0.01 prior, α0 = α·V. Same census-only shuffle shape as
+    * [[klDrift]]; ranking is a per-group window over the census (G
+    * parallel small sorts, never a global order), ties broken by term.
+    * Output: (groupCol, rank, term, z) with z rounded at 6dp. */
+  def distinctiveTerms(df: DataFrame, groupCol: String, textCol: String,
+      k: Int = 3, alpha: Double = 0.01): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k=$k out of [1,1000]")
+    val toks = df.select(col(groupCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as(s"${Dup}t"))
+    val census = Parallelism.stage(
+      toks.groupBy(col(groupCol), col(s"${Dup}t"))
+        .agg(count(lit(1)).as(s"${Dup}c1")))
+    val global = census.groupBy(col(s"${Dup}t"))
+      .agg(sum(col(s"${Dup}c1")).as(s"${Dup}ct"))
+    val perG = census.groupBy(col(groupCol))
+      .agg(sum(col(s"${Dup}c1")).as(s"${Dup}n1"))
+    val totals = global.agg(sum(col(s"${Dup}ct")).as(s"${Dup}n"),
+      count(lit(1)).as(s"${Dup}v"))
+    val a = lit(alpha)
+    val a0 = a * col(s"${Dup}v").cast("double")
+    val c1 = col(s"${Dup}c1").cast("double")
+    val n1 = col(s"${Dup}n1").cast("double")
+    val c2 = (col(s"${Dup}ct") - col(s"${Dup}c1")).cast("double")
+    val n2 = (col(s"${Dup}n") - col(s"${Dup}n1")).cast("double")
+    val delta = log((c1 + a) / (n1 + a0 - c1 - a)) -
+      log((c2 + a) / (n2 + a0 - c2 - a))
+    val z = delta / sqrt(lit(1.0) / (c1 + a) + lit(1.0) / (c2 + a))
+    val scored = census
+      .join(global, Seq(s"${Dup}t"))
+      .join(perG, Seq(groupCol))
+      .crossJoin(broadcast(totals))
+      .withColumn(s"${Dup}z", z)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col(s"${Dup}z").desc, col(s"${Dup}t").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(groupCol), col("rank"), col(s"${Dup}t").as("term"),
+        round(col(s"${Dup}z"), 6).as("z"))
+  }
+
   /** Per-group drift: (groupCol, n_tokens, kl_nats) — kl_nats ≥ 0,
     * rounded at 6dp, 0 for a group distributed exactly like the
     * corpus. Null text contributes no tokens; a group with no tokens

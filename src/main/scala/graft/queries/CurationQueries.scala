@@ -426,6 +426,54 @@ object CurationQueries {
       |  round(s::DOUBLE / 1000000000.0, 6) AS kl_nats
       |FROM sc JOIN perg USING (source) ORDER BY source""".stripMargin
 
+  // --- q159: distinctive terms (log-odds z-scores) -------------------------
+
+  /** "Fightin' Words" (Monroe et al. 2008) top-3 distinctive terms per
+    * source — the interpretable companion to q156: KL says WHICH source
+    * drifted, this says WHY. Same anomaly injection, so 'anomaly' must
+    * rank #1 for src0/src1; the oracle replays censuses, the prior'd
+    * log-odds chain, the z-scores, and the per-group ranking. */
+  def q159DistinctiveTerms(spark: SparkSession, dir: String): DataFrame = {
+    val aug = tp(spark, dir, "documents").select(col("source"),
+      when(col("source").isin("src0", "src1"),
+        concat(col("text"), lit(" anomaly anomaly anomaly")))
+        .otherwise(col("text")).as("page"))
+    graft.operators.Drift.distinctiveTerms(aug, "source", "page", k = 3)
+      .orderBy("source", "rank")
+  }
+
+  val q159Sql: String =
+    """WITH aug AS (
+      |  SELECT source,
+      |    CASE WHEN source IN ('src0', 'src1')
+      |      THEN text || ' anomaly anomaly anomaly' ELSE text END AS page
+      |  FROM documents),
+      |toks AS (
+      |  SELECT source, unnest(list_filter(
+      |    regexp_split_to_array(trim(lower(page)), '\s+'), x -> x <> '')) AS t
+      |  FROM aug),
+      |census AS (SELECT source, t, count(*)::BIGINT AS c1
+      |           FROM toks GROUP BY 1, 2),
+      |gct AS (SELECT t, sum(c1)::BIGINT AS ct FROM census GROUP BY 1),
+      |perg AS (SELECT source, sum(c1)::BIGINT AS n1 FROM census GROUP BY 1),
+      |tot AS (SELECT sum(ct)::BIGINT AS n, count(*)::BIGINT AS v FROM gct),
+      |sc AS (
+      |  SELECT census.source, census.t,
+      |    (ln((c1::DOUBLE + 0.01) /
+      |        (n1::DOUBLE + 0.01 * v::DOUBLE - c1::DOUBLE - 0.01))
+      |     - ln(((ct - c1)::DOUBLE + 0.01) /
+      |        ((n - n1)::DOUBLE + 0.01 * v::DOUBLE - (ct - c1)::DOUBLE - 0.01)))
+      |    / sqrt(1.0 / (c1::DOUBLE + 0.01) + 1.0 / ((ct - c1)::DOUBLE + 0.01))
+      |      AS z
+      |  FROM census JOIN gct USING (t) JOIN perg USING (source)
+      |       CROSS JOIN tot),
+      |rk AS (SELECT source, t, z,
+      |         row_number() OVER (PARTITION BY source ORDER BY z DESC, t)
+      |           AS rank
+      |       FROM sc)
+      |SELECT source, rank, t AS term, round(z, 6) AS z
+      |FROM rk WHERE rank <= 3 ORDER BY source, rank""".stripMargin
+
   // --- q123: length-bucketed inference batching stats ---------------------
 
   /** Dynamic-batching report: 32-token-wide length buckets with the
@@ -1070,6 +1118,7 @@ object CurationQueries {
     "q155_kneser_ney" -> q155KneserNey _,
     "q156_kl_drift" -> q156KlDrift _,
     "q157_hits" -> q157Hits _,
+    "q159_distinctive_terms" -> q159DistinctiveTerms _,
     "q140_winsorize" -> q140Winsorize _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -1095,6 +1144,7 @@ object CurationQueries {
     "q155_kneser_ney" -> q155Sql,
     "q156_kl_drift" -> q156Sql,
     "q157_hits" -> q157Sql,
+    "q159_distinctive_terms" -> q159Sql,
     "q140_winsorize" -> q140Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

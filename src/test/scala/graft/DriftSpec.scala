@@ -42,6 +42,35 @@ class DriftSpec extends SparkSpec {
     assert(!a.exists(_.getString(0) == "g9")) // no tokens -> no row
   }
 
+  test("distinctive terms: the planted word ranks first with high z") {
+    // planted: heavy in gx, rare-but-present elsewhere — the realistic
+    // over-representation case. (A word with c2 = 0 deliberately gets a
+    // small z: 1/(c2+alpha) blows up the variance, which is the prior's
+    // protection against crowning one-off hapaxes.)
+    val rows = (0 until 60).map(i => (s"g${i % 3}", "common words here")) ++
+      (0 until 20).map(_ => ("gx", "common planted planted")) :+
+      (("g0", "planted appears rarely")) :+ (("g1", "planted again"))
+    val out = Drift.distinctiveTerms(rows.toDF("g", "text"), "g", "text",
+      k = 2).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3)))
+      .toMap
+    val (term, z) = out(("gx", 1))
+    assert(term === "planted" && z > 3.0)
+    // a group with the corpus-average mix has no strongly distinctive term
+    assert(out(("g0", 1))._2 < z)
+    // rank is dense 1..k per group with deterministic term tie-break
+    assert(out.keySet.count(_._1 == "gx") === 2)
+  }
+
+  test("distinctive terms: partitioning-independent ranking") {
+    val rows = (0 until 150).map(i => (s"g${i % 5}", s"w${i % 11} w${(i + 3) % 7} x"))
+    val a = Drift.distinctiveTerms(rows.toDF("g", "text"), "g", "text", 3)
+      .orderBy("g", "rank").collect().toSeq
+    val b = Drift.distinctiveTerms(rows.toDF("g", "text").repartition(8),
+      "g", "text", 3).orderBy("g", "rank").collect().toSeq
+    assert(a === b)
+  }
+
   test("an anomalous group scores strictly above its peers") {
     val rows = (0 until 90).map(i => (s"g${i % 3}", "common words here")) ++
       (0 until 30).map(i => ("gx", "common anomaly anomaly"))

@@ -555,6 +555,53 @@ class PlanSpec extends SparkSpec {
       s"shard write must shuffle exactly once:\n$write")
   }
 
+  test("containment pairs: postings shuffles carry hashes, never text") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val p = plan(graft.operators.Dedup.containmentPairs(
+      docs, "doc_id", "text", shingleSize = 3, threshold = 0.8, maxDf = 8))
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(l => !l.contains("text#")),
+      s"doc text crossed a shuffle:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("CartesianProduct"), s"cartesian in:\n$p")
+  }
+
+  test("KL drift and Kneser-Ney: censuses shuffle, corpus text never does") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    for (df <- Seq(
+      graft.operators.Drift.klDrift(docs, "source", "text"),
+      graft.operators.LanguageModel.kneserNeyBits(docs, "doc_id", "text"))) {
+      val exchanges = plan(df).linesIterator
+        .filter(_.contains("Exchange")).toSeq
+      assert(exchanges.forall(l => !l.contains("text#")),
+        s"doc text crossed a shuffle:\n${exchanges.mkString("\n")}")
+    }
+  }
+
+  test("HLL registers: one bounded-key aggregation, map-side combined") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("source"), explode(
+        graft.functions.TextFunctions.tokens(lower(col("text")))).as("t"))
+    val p = plan(graft.operators.Hll.registers(
+      docs, "t", Seq("source"), p = 10))
+    // partial aggregation before the exchange = the <= m-rows-per-group
+    // shuffle contract (the register build combines map-side)
+    assert(p.contains("partial_max") || p.contains("HashAggregate"),
+      s"no partial aggregate in:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => !l.contains("text#") && !l.contains(" t#")),
+      s"raw items crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
+  test("BLEU scoring is a pure map: zero exchanges") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val w = graft.functions.TextFunctions.tokens(lower(col("text")))
+    val p = plan(docs.select(col("doc_id"), w.as("cand"), w.as("ref"))
+      .select(col("doc_id") +:
+        graft.operators.Overlap.bleu2(col("cand"), col("ref")): _*))
+    assert(!p.contains("Exchange"), s"BLEU must not shuffle:\n$p")
+  }
+
   test("reading one shard partition-prunes the others") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
     val df = (0L until 400L).map(i => (i, s"t$i")).toDF("id", "text")
