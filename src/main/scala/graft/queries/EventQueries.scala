@@ -568,7 +568,29 @@ object EventQueries {
       |FROM ev JOIN first f USING (user_id)
       |GROUP BY 1, 2 ORDER BY cohort_week, weeks_since""".stripMargin
 
+  /** Per-user exponentially-decayed activity ([[graft.operators
+    * .Recency]], half-life 7 days, reference = corpus max ts): the
+    * freshness/churn signal next to q142's cohort matrix. Each event's
+    * weight rounds to integer micro units before the per-user sum, so
+    * accumulation is exact and the oracle replays event-for-event. */
+  def q160RecencyScores(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Recency.recencyScores(
+      Tables.events(spark, dir), "user_id", "ts", halfLifeDays = 7.0)
+      .orderBy("user_id")
+
+  val q160Sql: String =
+    """WITH m AS (SELECT max(epoch_us(ts))::BIGINT AS mx FROM events),
+      |w AS (
+      |  SELECT user_id,
+      |    CAST(round(pow(2.0, -((m.mx - epoch_us(ts))::DOUBLE
+      |      / 604800000000.0)) * 1000000.0, 0) AS BIGINT) AS wm
+      |  FROM events CROSS JOIN m)
+      |SELECT user_id, count(*)::BIGINT AS n_events,
+      |  round(sum(wm)::DOUBLE / 1000000.0, 6) AS recency_score
+      |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_recency_scores" -> q160RecencyScores _,
     "q144_funnel_4stage" -> q144Funnel4 _,
     "q143_streaming_dedup_watermark" -> q143StreamingDedupWatermark _,
     "q142_cohort_retention" -> q142CohortRetention _,
@@ -585,6 +607,7 @@ object EventQueries {
     "q56_range_join" -> q56RangeJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q160_recency_scores" -> q160Sql,
     "q144_funnel_4stage" -> q144Sql,
     "q143_streaming_dedup_watermark" -> q143Sql,
     "q142_cohort_retention" -> q142Sql,

@@ -75,4 +75,29 @@ class FunnelSpec extends SparkSpec {
     assert(!"Sort \\[(user_id|ts)".r.findFirstIn(p).isDefined,
       s"per-user event sort found:\n$p")
   }
+
+  test("recency decay: hand-computed half-life weights, exact sums") {
+    import graft.operators.Recency
+    import org.apache.spark.sql.functions.col
+    // reference = max ts. Ages: 0, 1 half-life, 2 half-lives ->
+    // weights 1.0, 0.5, 0.25 exactly (micro-rounded)
+    val day = 86400000L // ms
+    val rows = Seq(
+      (1L, new Timestamp(14 * day)), // age 0 -> 1.0
+      (1L, new Timestamp(7 * day)),  // age 7d -> 0.5
+      (2L, new Timestamp(0L)))       // age 14d -> 0.25
+      .toDF("user_id", "ts")
+    val out = Recency.recencyScores(rows, "user_id", "ts", 7.0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out(1L) === ((2L, 1.5)))
+    assert(out(2L) === ((1L, 0.25)))
+    // invariant to partitioning (integer micro accumulation)
+    val big = (0 until 500).map(i =>
+      (i.toLong % 7, new Timestamp(i * 3600000L))).toDF("user_id", "ts")
+    assert(Recency.recencyScores(big, "user_id", "ts", 2.0)
+      .orderBy("user_id").collect().toSeq ===
+      Recency.recencyScores(big.repartition(9), "user_id", "ts", 2.0)
+        .orderBy("user_id").collect().toSeq)
+  }
 }
