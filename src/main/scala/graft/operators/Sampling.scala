@@ -197,4 +197,38 @@ object Sampling {
       .filter(col("_sq_rank") <= quota)
       .drop("_sq_rank")
   }
+
+  /** WEIGHTED sampling without replacement, k per group — Efraimidis &
+    * Spirakis 2006 (A-ES): each row draws u ∈ (0, 1] and ranks by
+    * u^(1/w); the top k are a weighted sample without replacement
+    * (quality-weighted subcorpus selection, importance-weighted
+    * eval-set draws). Here u is the salted portable hash (never
+    * `rand()` — the whole Sampling contract): the draw is a pure
+    * function of the key, so the sample is identical under any
+    * partitioning/retry/cluster size and any engine can recompute
+    * membership. Ranking uses ln(u)/w — the strictly monotone log of
+    * the ES key, one IEEE chain instead of a pow — with the key as
+    * deterministic tie-break; rows with w ≤ 0 or null are excluded.
+    * The per-group top-k runs as a rank-limit window (Spark pushes a
+    * WindowGroupLimit below the sort, so each partition keeps only k
+    * candidates before any shuffle). Output: df's columns + es_rank.
+    * Selection EQUALS exact-k weighted sampling w/o replacement under
+    * the hash-as-uniform model; seeds via `salt`. */
+  def weightedSample(df: DataFrame, groupCol: String, keyCol: String,
+                     weightCol: String, k: Int,
+                     salt: String = "ws"): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val h = hash64(concat(lit(salt), lit("|"), col(keyCol).cast("string")))
+    // u = (h+1)/2^60 in (0, 1]; ln(u)/w ranks identically to u^(1/w)
+    val esKey = log((h.cast("double") + lit(1.0)) /
+      lit(1152921504606846976.0)) / col(weightCol).cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("_es_key").desc, col(keyCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("_es_key", esKey)
+      .withColumn("es_rank", row_number().over(w))
+      .filter(col("es_rank") <= k)
+      .drop("_es_key")
+  }
 }

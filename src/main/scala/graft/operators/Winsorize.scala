@@ -38,4 +38,44 @@ object Winsorize {
       .withColumn(s"${valCol}_clipped",
         least(greatest(col(valCol), col("cut_lo")), col("cut_hi")))
   }
+
+  /** Robust per-group outlier scoring — the median/MAD "modified
+    * z-score" (Iglewicz & Hoaglin 1993): z = 0.6745·(x − med)/MAD,
+    * outlier at |z| > cutoff. The robust sibling of the mean/stddev
+    * z-score (q139): one 5000-char page in a group of tweets drags a
+    * mean-based z toward itself and can mask its own outlierness;
+    * median and MAD ignore the tail entirely.
+    *
+    * Both order statistics are EXACT lower-medians (min value whose
+    * cumulative count reaches ceil(n/2) — the integer rank rule) and
+    * resolve through [[RankCuts]]' bounded radix search: no per-group
+    * sort, no unbounded ordered window, safe for the one-giant-group
+    * corpus. Two histogram aggregations (values, then absolute
+    * deviations), cuts broadcast back over the scan. MAD = 0 (over
+    * half the group identical) yields null z / false outlier —
+    * documented, not NaN. Output: df's columns + (med, mad, robust_z,
+    * is_outlier); the outlier test compares the UNROUNDED chain so the
+    * boundary is deterministic in any engine. */
+  def madOutliers(df: DataFrame, groupCol: String, valCol: String,
+                  cutoff: Double = 3.5): DataFrame = {
+    require(cutoff > 0.0, s"cutoff=$cutoff must be > 0")
+    val hist = df.groupBy(col(groupCol), col(valCol))
+      .agg(count(lit(1)).as("__graft_c"))
+    val med = RankCuts.rankValues(hist, Seq(groupCol), valCol, "__graft_c",
+      Seq("med" -> RankCuts.ceilRank(1, 2)))
+    val dev = df.join(broadcast(med), Seq(groupCol))
+      .withColumn("__graft_ad", abs(col(valCol) - col("med")))
+    val dhist = dev.groupBy(col(groupCol), col("__graft_ad"))
+      .agg(count(lit(1)).as("__graft_c"))
+    val mad = RankCuts.rankValues(dhist, Seq(groupCol), "__graft_ad",
+      "__graft_c", Seq("mad" -> RankCuts.ceilRank(1, 2)))
+    val z = lit(0.6745) * (col(valCol) - col("med")) / col("mad")
+    dev.join(broadcast(mad), Seq(groupCol))
+      .withColumn("robust_z",
+        when(col("mad") === 0, lit(null).cast("double"))
+          .otherwise(round(z, 6)))
+      .withColumn("is_outlier",
+        when(col("mad") === 0, lit(false)).otherwise(abs(z) > lit(cutoff)))
+      .drop("__graft_ad")
+  }
 }

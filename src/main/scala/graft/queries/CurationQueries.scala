@@ -474,6 +474,56 @@ object CurationQueries {
       |SELECT source, rank, t AS term, round(z, 6) AS z
       |FROM rk WHERE rank <= 3 ORDER BY source, rank""".stripMargin
 
+  // --- q161: robust MAD outlier scoring -------------------------------------
+
+  /** Median/MAD modified z-scores per source over document length
+    * ([[graft.operators.Winsorize.madOutliers]]) — the robust sibling
+    * of q139's mean/stddev z. 1-in-97 docs get +5000 synthetic chars
+    * (the q66 fixture discipline) so true outliers exist and must flag
+    * while leaving the medians untouched; the oracle replays both
+    * exact lower-median ranks and the modified-z chain. */
+  def q161MadOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val v = tp(spark, dir, "documents").select(col("doc_id"), col("source"),
+      (col("n_chars") +
+        when(col("doc_id") % 97 === 0, lit(5000L)).otherwise(lit(0L)))
+        .as("x"))
+    graft.operators.Winsorize.madOutliers(v, "source", "x", cutoff = 3.5)
+      .select(col("doc_id"), col("source"), col("x"), col("med"),
+        col("mad"), col("robust_z"), col("is_outlier"))
+      .orderBy("doc_id")
+  }
+
+  val q161Sql: String =
+    """WITH v AS (
+      |  SELECT doc_id, source,
+      |    n_chars + CASE WHEN doc_id % 97 = 0 THEN 5000 ELSE 0 END AS x
+      |  FROM documents),
+      |h AS (SELECT source, x, count(*)::BIGINT AS c FROM v GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT source, x,
+      |    sum(c) OVER (PARTITION BY source ORDER BY x) AS cs,
+      |    sum(c) OVER (PARTITION BY source) AS n
+      |  FROM h),
+      |med AS (SELECT source, min(x) AS med FROM cum
+      |        WHERE cs >= (n + 1) // 2 GROUP BY 1),
+      |d AS (SELECT v.doc_id, v.source, v.x, m.med,
+      |        abs(v.x - m.med) AS ad
+      |      FROM v JOIN med m USING (source)),
+      |dh AS (SELECT source, ad, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+      |dcum AS (
+      |  SELECT source, ad,
+      |    sum(c) OVER (PARTITION BY source ORDER BY ad) AS cs,
+      |    sum(c) OVER (PARTITION BY source) AS n
+      |  FROM dh),
+      |mad AS (SELECT source, min(ad) AS mad FROM dcum
+      |        WHERE cs >= (n + 1) // 2 GROUP BY 1)
+      |SELECT d.doc_id, d.source, d.x, d.med, m2.mad,
+      |  CASE WHEN m2.mad = 0 THEN NULL
+      |    ELSE round(0.6745 * (d.x - d.med) / m2.mad, 6) END AS robust_z,
+      |  CASE WHEN m2.mad = 0 THEN FALSE
+      |    ELSE abs(0.6745 * (d.x - d.med) / m2.mad) > 3.5 END AS is_outlier
+      |FROM d JOIN mad m2 USING (source) ORDER BY doc_id""".stripMargin
+
   // --- q123: length-bucketed inference batching stats ---------------------
 
   /** Dynamic-batching report: 32-token-wide length buckets with the
@@ -1119,6 +1169,7 @@ object CurationQueries {
     "q156_kl_drift" -> q156KlDrift _,
     "q157_hits" -> q157Hits _,
     "q159_distinctive_terms" -> q159DistinctiveTerms _,
+    "q161_mad_outliers" -> q161MadOutliers _,
     "q140_winsorize" -> q140Winsorize _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -1145,6 +1196,7 @@ object CurationQueries {
     "q156_kl_drift" -> q156Sql,
     "q157_hits" -> q157Sql,
     "q159_distinctive_terms" -> q159Sql,
+    "q161_mad_outliers" -> q161Sql,
     "q140_winsorize" -> q140Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

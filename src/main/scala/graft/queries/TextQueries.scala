@@ -1118,6 +1118,34 @@ object TextQueries {
       |  FROM documents)
       |SELECT doc_id, lang FROM r WHERE rk <= 20 ORDER BY doc_id""".stripMargin
 
+  /** Weighted sampling without replacement (Efraimidis–Spirakis, q162):
+    * 5 docs per source drawn with probability ∝ length — the
+    * quality-weighted subcorpus draw. The oracle replays the salted
+    * hash draw, the ln(u)/w key chain, and the per-group ranking, so
+    * the full A-ES selection is cross-engine verified. */
+  def q162WeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Sampling
+    Sampling.weightedSample(tp(spark, dir, "documents"),
+      groupCol = "source", keyCol = "doc_id", weightCol = "n_chars", k = 5)
+      .select(col("source"), col("es_rank"), col("doc_id"), col("n_chars"))
+      .orderBy("source", "es_rank")
+  }
+
+  val q162Sql: String =
+    """WITH key AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ln(((('0x' || substr(md5('ws|' || doc_id::VARCHAR), 1, 15))
+      |          ::UBIGINT)::BIGINT::DOUBLE + 1.0) / 1152921504606846976.0)
+      |      / n_chars::DOUBLE AS ek
+      |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+      |r AS (
+      |  SELECT source, doc_id, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY ek DESC, doc_id)
+      |      AS es_rank
+      |  FROM key)
+      |SELECT source, es_rank, doc_id, n_chars
+      |FROM r WHERE es_rank <= 5 ORDER BY source, es_rank""".stripMargin
+
   /** Pile/Dolma-style mixture re-sampling: re-mix the five-language
     * corpus to 1:2:2:2:3 target parts at the corpus's own row count —
     * `en` downsamples, the rest upsample with 0-based `epoch` copies.
@@ -1714,6 +1742,7 @@ object TextQueries {
     "q48_video_frames" -> q48VideoFrames _,
     "q57_sample_split" -> q57SampleSplit _,
     "q58_stratified_quota" -> q58StratifiedQuota _,
+    "q162_weighted_sample" -> q162WeightedSample _,
     "q100_mixture_sample" -> q100MixtureSample _,
     "q101_shard_assign" -> q101ShardAssign _,
     "q125_cms_heavy_hitters" -> q125CmsHeavyHitters _,
@@ -1758,6 +1787,7 @@ object TextQueries {
     "q48_video_frames" -> q48Sql,
     "q57_sample_split" -> q57Sql,
     "q58_stratified_quota" -> q58Sql,
+    "q162_weighted_sample" -> q162Sql,
     "q100_mixture_sample" -> q100Sql,
     "q101_shard_assign" -> q101Sql,
     "q125_cms_heavy_hitters" -> q125Sql,

@@ -130,4 +130,31 @@ class SamplingSpec extends SparkSpec {
     val broken = perId.groupBy(_._1 / 10).count(_._2.map(_._2).distinct.length > 1)
     assert(broken > 50, s"expected the naive split to break families: $broken")
   }
+
+  test("weighted sample: deterministic, weight-proportional, w<=0 excluded") {
+    // 100 light items (w=1) + 10 heavy (w=50): heavy mass = 500 vs 100,
+    // so across many salted draws of k=10 the heavies must dominate
+    val df = ((0L until 100L).map(i => (i, "g", 1L)) ++
+      (100L until 110L).map(i => (i, "g", 50L)))
+      .toDF("id", "grp", "w")
+    val heavyCounts = (0 until 8).map { s =>
+      Sampling.weightedSample(df, "grp", "id", "w", k = 10, salt = s"s$s")
+        .select("id").as[Long].collect().count(_ >= 100L)
+    }
+    // expectation ~8.3 heavies of 10 per draw; demand a clear majority
+    // in every draw and a strong aggregate
+    assert(heavyCounts.forall(_ >= 5), s"per-draw heavies: $heavyCounts")
+    assert(heavyCounts.sum >= 55, s"aggregate heavies: ${heavyCounts.sum}")
+    // same salt -> identical selection under any partitioning
+    assert(Sampling.weightedSample(df, "grp", "id", "w", 10)
+      .orderBy("es_rank").collect().toSeq ===
+      Sampling.weightedSample(df.repartition(7), "grp", "id", "w", 10)
+        .orderBy("es_rank").collect().toSeq)
+    // zero/negative/null weights never selected
+    val mixed = Seq((1L, Some(5L)), (2L, Some(0L)), (3L, Some(-4L)),
+      (4L, None)).toDF("id", "w")
+      .withColumn("grp", org.apache.spark.sql.functions.lit("g"))
+    assert(Sampling.weightedSample(mixed, "grp", "id", "w", 10)
+      .select("id").as[Long].collect().toSeq === Seq(1L))
+  }
 }

@@ -41,4 +41,26 @@ class WinsorizeSpec extends SparkSpec {
       .sorted
     assert(run(1) === run(13))
   }
+
+  test("MAD outliers: hand-computed medians, robust to the tail it flags") {
+    import graft.operators.Winsorize
+    // g: values 10,10,11,12,13 + a 1000 outlier. Lower-median = 11
+    // (n=6, rank ceil(6/2)=3); deviations 1,1,0,1,2,989 -> MAD = 1
+    // z(1000) = 0.6745*989 -> way out; z(12) = 0.6745 -> in
+    val df = Seq(("g", 10L), ("g", 10L), ("g", 11L), ("g", 12L),
+      ("g", 13L), ("g", 1000L)).toDF("grp", "v")
+    val out = Winsorize.madOutliers(df, "grp", "v")
+      .collect().map(r => r.getLong(1) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(5))).toMap
+    assert(out(1000L) === ((11L, 1L, true)))
+    assert(out(12L) === ((11L, 1L, false)))
+    // a MEAN-based z would be dragged by the outlier itself: the robust
+    // median is untouched at 11 even though the mean is ~176
+    // MAD = 0 (constant group): null z, false outlier, no NaN
+    val const = Seq(("c", 5L), ("c", 5L), ("c", 5L), ("c", 7L))
+      .toDF("grp", "v")
+    val cOut = Winsorize.madOutliers(const, "grp", "v").collect()
+    assert(cOut.forall(r => r.isNullAt(4) || r.getLong(3) == 0))
+    assert(cOut.forall(!_.getBoolean(5)))
+  }
 }
