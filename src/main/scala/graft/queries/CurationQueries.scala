@@ -524,6 +524,72 @@ object CurationQueries {
       |    ELSE abs(0.6745 * (d.x - d.med) / m2.mad) > 3.5 END AS is_outlier
       |FROM d JOIN mad m2 USING (source) ORDER BY doc_id""".stripMargin
 
+  // --- q163: exact AUC of the cheap quality score vs the gate --------------
+
+  /** Exact Mann–Whitney AUC ([[graft.operators.Eval.aucExact]]) of the
+    * q30 composite quality score predicting the q67 Gopher gate — "is
+    * the cheap screen worth running before the expensive one?", the
+    * standard curation-cascade question, answered with an exact
+    * integer pair count instead of a sampled curve. The negBelow
+    * prefix sum runs the bounded two-level discipline (≤2^16 buckets ×
+    * ≤2^16 values, never SinglePartition); the oracle replays the
+    * histogram, the cumulative pairing sum, and the one-division AUC. */
+  def q163ClassifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val w = tokens(col("text"))
+    val dup = dupFrac(w)
+    val mwl = meanWordLen(w)
+    val stopCt = size(filter(w, t => t.isin("the", "a")))
+    val labeled = tp(spark, dir, "documents").select(
+      (size(w).between(30, 1000) && dup <= 0.55 &&
+        mwl >= 3.0 && mwl <= 6.0 && stopCt >= 1).as("label"),
+      round(qualityScore(col("text")) * 1e6, 0).cast("long")
+        .as("score_micro"))
+    graft.operators.Eval.aucExact(labeled, "label", "score_micro")
+  }
+
+  val q163Sql: String = {
+    val stops = graft.functions.TextFunctions.EnglishStopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |sig AS (
+       |  SELECT doc_id, text, w, len(w) AS nw,
+       |    CASE WHEN len(w) = 0 THEN 0
+       |      ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END AS dup,
+       |    CASE WHEN len(w) = 0 THEN 0
+       |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS mwl,
+       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS stop_ct
+       |  FROM toks),
+       |lab AS (
+       |  SELECT
+       |    (nw BETWEEN 30 AND 1000 AND dup <= 0.55
+       |      AND mwl >= 3.0 AND mwl <= 6.0 AND stop_ct >= 1) AS y,
+       |    CAST(round(round(
+       |      least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
+       |      (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+       |         / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
+       |      least((CASE WHEN len(w) = 0 THEN 0
+       |        ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
+       |    6) * 1000000.0, 0) AS BIGINT) AS s
+       |  FROM sig),
+       |hist AS (
+       |  SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
+       |    sum(CASE WHEN y THEN 0 ELSE 1 END)::BIGINT AS n
+       |  FROM lab GROUP BY 1),
+       |cum AS (
+       |  SELECT s, p, n,
+       |    coalesce(sum(n) OVER (ORDER BY s
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+       |  FROM hist)
+       |SELECT sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+       |  round(sum(p * (2 * below + n))::DOUBLE /
+       |    (2.0 * sum(p)::DOUBLE * sum(n)::DOUBLE), 6) AS auc
+       |FROM cum""".stripMargin
+  }
+
   // --- q123: length-bucketed inference batching stats ---------------------
 
   /** Dynamic-batching report: 32-token-wide length buckets with the
@@ -1170,6 +1236,7 @@ object CurationQueries {
     "q157_hits" -> q157Hits _,
     "q159_distinctive_terms" -> q159DistinctiveTerms _,
     "q161_mad_outliers" -> q161MadOutliers _,
+    "q163_classifier_auc" -> q163ClassifierAuc _,
     "q140_winsorize" -> q140Winsorize _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -1197,6 +1264,7 @@ object CurationQueries {
     "q157_hits" -> q157Sql,
     "q159_distinctive_terms" -> q159Sql,
     "q161_mad_outliers" -> q161Sql,
+    "q163_classifier_auc" -> q163Sql,
     "q140_winsorize" -> q140Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators.Eval
+
+class EvalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def auc(rows: Seq[(Boolean, Long)], parts: Int = 4): (Long, Long, Option[Double]) = {
+    val r = Eval.aucExact(rows.toDF("y", "s").repartition(parts), "y", "s")
+      .collect().head
+    (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))
+  }
+
+  private def bruteForce(rows: Seq[(Boolean, Long)]): Double = {
+    val pos = rows.filter(_._1).map(_._2)
+    val neg = rows.filterNot(_._1).map(_._2)
+    val num = (for (p <- pos; n <- neg) yield
+      if (p > n) 1.0 else if (p == n) 0.5 else 0.0).sum
+    BigDecimal(num / (pos.size.toDouble * neg.size))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  test("perfect, reversed, and all-tied orderings hit 1 / 0 / 0.5") {
+    val perfect = Seq((true, 10L), (true, 9L), (false, 2L), (false, 1L))
+    assert(auc(perfect) === ((2L, 2L, Some(1.0))))
+    val reversed = perfect.map { case (y, s) => (!y, s) }
+    assert(auc(reversed) === ((2L, 2L, Some(0.0))))
+    val tied = Seq((true, 5L), (true, 5L), (false, 5L))
+    assert(auc(tied) === ((2L, 1L, Some(0.5))))
+  }
+
+  test("matches an all-pairs brute force, including ties and wide ranges") {
+    val rnd = new scala.util.Random(21)
+    // narrow range (single bucket) and wide range (forces the two-level
+    // bucket split: range >> 2^16) against the O(P*N) definition
+    for (span <- Seq(40L, 1L << 28)) {
+      val rows = Seq.fill(300)((rnd.nextBoolean(),
+        // correlated scores so auc is far from 0.5
+        0L.max(rnd.nextLong(span))))
+        .map { case (y, s) => (y, if (y) s + span / 4 else s) }
+      for (parts <- Seq(1, 7)) {
+        val (_, _, got) = auc(rows, parts)
+        assert(got === Some(bruteForce(rows)), s"span=$span parts=$parts")
+      }
+    }
+  }
+
+  test("degenerate inputs: one class empty or no rows give null auc") {
+    assert(auc(Seq((true, 3L), (true, 7L)))._3 === None)
+    assert(auc(Seq.empty[(Boolean, Long)])._3 === None)
+  }
+
+  test("a huge score range is rejected, not silently mis-bucketed") {
+    intercept[IllegalArgumentException] {
+      Eval.aucExact(Seq((true, 0L), (false, Long.MaxValue)).toDF("y", "s"),
+        "y", "s").collect()
+    }
+  }
+
+  test("no single-partition window on the per-score cumulation") {
+    val rows = (0 until 2000).map(i => (i % 3 == 0, (i * 37L) % 100000L))
+    val p = Eval.aucExact(rows.toDF("y", "s"), "y", "s")
+      .queryExecution.executedPlan.toString
+    // the only SinglePartition exchange allowed is the bounded
+    // <=2^16-row bucket-offset level and the final 1-row aggregate;
+    // the per-score window must be hash-partitioned by bucket
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.exists(_.contains("__graft_b")),
+      s"per-score window not partitioned by bucket:\n$p")
+  }
+}
