@@ -81,4 +81,87 @@ object Eval {
             col(s"${Dup}N").cast("double")), 6))
         .otherwise(lit(null).cast("double")).as("auc"))
   }
+
+  /** Reliability table + expected calibration error for MICRO-unit
+    * probability scores (s ∈ [0, 1e6] = P(positive)·1e6; out-of-range
+    * scores clamp into the edge bins). Equal-width bins; per bin the observed
+    * positive rate vs the mean claimed confidence. The usual ECE
+    * Σ (n_b/N)·|acc_b − conf_b| telescopes to the EXACT integer form
+    * Σ_b |acc_b·1e6 − conf_b_micro_sum| / (N·1e6) — no per-bin float
+    * division, ONE division total, so the metric is deterministic and
+    * engine-replayable (a float per-bin sum would be order-dependent).
+    * Output: one row per non-empty bin (bin, n, acc_rate, conf_rate,
+    * gap_micro) + the corpus ECE repeated on each row. */
+  def calibration(df: DataFrame, labelCol: String, scoreCol: String,
+                  bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= (1 << 16), s"bins=$bins out of [2, 2^16]")
+    val rows = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
+      .select(col(labelCol).cast("boolean").as(s"${Dup}y"),
+        col(scoreCol).cast("long").as(s"${Dup}s"))
+    val binCol = least(greatest(
+      Expressions.int_div(col(s"${Dup}s") * lit(bins.toLong), lit(1000001L)),
+      lit(0L)), lit(bins.toLong - 1))
+    val perBin = rows
+      .withColumn(s"${Dup}b", binCol)
+      .groupBy(col(s"${Dup}b"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(s"${Dup}y"), 1L).otherwise(0L)).as(s"${Dup}acc"),
+        sum(col(s"${Dup}s")).as(s"${Dup}conf"))
+      .withColumn("gap_micro",
+        abs(col(s"${Dup}acc") * lit(1000000L) - col(s"${Dup}conf")))
+    val total = perBin.agg(sum(col("n")).as(s"${Dup}N"),
+      sum(col("gap_micro")).as(s"${Dup}g"))
+    perBin.crossJoin(broadcast(total)) // 1-row metrics frame
+      .select(col(s"${Dup}b").as("bin"), col("n"),
+        round(col(s"${Dup}acc").cast("double") / col("n").cast("double"), 6)
+          .as("acc_rate"),
+        round(col(s"${Dup}conf").cast("double") /
+          (col("n").cast("double") * lit(1e6)), 6).as("conf_rate"),
+        col("gap_micro"),
+        round(col(s"${Dup}g").cast("double") /
+          (col(s"${Dup}N").cast("double") * lit(1e6)), 6).as("ece"))
+  }
+
+  /** Population stability index between a reference and a current
+    * score population over equal-width MICRO-unit bins — the standard
+    * "did the score distribution move" production-monitoring metric
+    * (PSI < 0.1 stable, > 0.25 shifted). Add-one smoothing on the bin
+    * counts so empty bins are defined; each bin's (p−q)·ln(p/q) term
+    * micro-rounds to an integer before the cross-bin sum (the
+    * LanguageModel discipline — a float Σ over bins is
+    * order-dependent). Output: one row per bin present in either
+    * population (bin, n_ref, n_cur, psi_term_micro) + the total PSI
+    * repeated on each row. */
+  def psi(ref: DataFrame, cur: DataFrame, scoreCol: String,
+          bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= (1 << 16), s"bins=$bins out of [2, 2^16]")
+    def binned(df: DataFrame, cnt: String) = {
+      val s = col(scoreCol).cast("long")
+      df.filter(s.isNotNull)
+        .withColumn(s"${Dup}b", least(greatest(
+          Expressions.int_div(s * lit(bins.toLong), lit(1000001L)),
+          lit(0L)), lit(bins.toLong - 1)))
+        .groupBy(col(s"${Dup}b")).agg(count(lit(1)).as(cnt))
+    }
+    val joined = binned(ref, "n_ref")
+      .join(binned(cur, "n_cur"), Seq(s"${Dup}b"), "full")
+      .select(col(s"${Dup}b"),
+        coalesce(col("n_ref"), lit(0L)).as("n_ref"),
+        coalesce(col("n_cur"), lit(0L)).as("n_cur"))
+    val totals = joined.agg(
+      (sum(col("n_ref")) + lit(bins.toLong)).as(s"${Dup}tr"),
+      (sum(col("n_cur")) + lit(bins.toLong)).as(s"${Dup}tc"))
+    val p = (col("n_ref") + lit(1L)).cast("double") /
+      col(s"${Dup}tr").cast("double")
+    val q = (col("n_cur") + lit(1L)).cast("double") /
+      col(s"${Dup}tc").cast("double")
+    val termMicro = round((p - q) * log(p / q) * lit(1e6), 0).cast("long")
+    val terms = joined.crossJoin(broadcast(totals))
+      .withColumn("psi_term_micro", termMicro)
+    val total = terms.agg(sum(col("psi_term_micro")).as(s"${Dup}sum"))
+    terms.crossJoin(broadcast(total))
+      .select(col(s"${Dup}b").as("bin"), col("n_ref"), col("n_cur"),
+        col("psi_term_micro"),
+        round(col(s"${Dup}sum").cast("double") / lit(1e6), 6).as("psi"))
+  }
 }

@@ -590,6 +590,143 @@ object CurationQueries {
        |FROM cum""".stripMargin
   }
 
+  /** The q30 quality score in micro units, as a DuckDB subquery over
+    * `src` (doc_id, text, ...) — shared by the q164/q165 oracles. */
+  private def qualityMicroSql(src: String): String = {
+    val stops = graft.functions.TextFunctions.EnglishStopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""SELECT CAST(round(round(
+       |      least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
+       |      (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+       |         / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
+       |      least((CASE WHEN len(w) = 0 THEN 0
+       |        ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
+       |    6) * 1000000.0, 0) AS BIGINT) AS s
+       |  FROM (SELECT text, list_filter(
+       |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+       |    FROM $src) tt""".stripMargin
+  }
+
+  // --- q164: calibration reliability table + ECE ----------------------------
+
+  /** Reliability diagram + exact expected calibration error of the q30
+    * quality score read as P(pass gate) ([[graft.operators.Eval
+    * .calibration]]): is the cheap score's CONFIDENCE honest, not just
+    * its ordering (q163's AUC)? The ECE telescopes to one exact
+    * integer sum over bins — the oracle replays bins, gaps, and the
+    * single division. */
+  def q164Calibration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val w = tokens(col("text"))
+    val dup = dupFrac(w)
+    val mwl = meanWordLen(w)
+    val stopCt = size(filter(w, t => t.isin("the", "a")))
+    val labeled = tp(spark, dir, "documents").select(
+      (size(w).between(30, 1000) && dup <= 0.55 &&
+        mwl >= 3.0 && mwl <= 6.0 && stopCt >= 1).as("label"),
+      round(qualityScore(col("text")) * 1e6, 0).cast("long")
+        .as("score_micro"))
+    graft.operators.Eval.calibration(labeled, "label", "score_micro")
+      .orderBy("bin")
+  }
+
+  val q164Sql: String = {
+    val stops = graft.functions.TextFunctions.EnglishStopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT text, list_filter(
+       |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |sig AS (
+       |  SELECT text, w, len(w) AS nw,
+       |    CASE WHEN len(w) = 0 THEN 0
+       |      ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END AS dup,
+       |    CASE WHEN len(w) = 0 THEN 0
+       |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS mwl,
+       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS stop_ct
+       |  FROM toks),
+       |lab AS (
+       |  SELECT
+       |    (nw BETWEEN 30 AND 1000 AND dup <= 0.55
+       |      AND mwl >= 3.0 AND mwl <= 6.0 AND stop_ct >= 1) AS y,
+       |    CAST(round(round(
+       |      least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
+       |      (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+       |         / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
+       |      least((CASE WHEN len(w) = 0 THEN 0
+       |        ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
+       |    6) * 1000000.0, 0) AS BIGINT) AS s
+       |  FROM sig),
+       |pb AS (
+       |  SELECT least(greatest((s * 10) // 1000001, 0), 9) AS bin,
+       |    count(*)::BIGINT AS n,
+       |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS acc,
+       |    sum(s)::BIGINT AS conf
+       |  FROM lab GROUP BY 1),
+       |g AS (SELECT bin, n, acc, conf,
+       |        abs(acc * 1000000 - conf)::BIGINT AS gap FROM pb),
+       |t AS (SELECT sum(n)::BIGINT AS nn, sum(gap)::BIGINT AS gg FROM g)
+       |SELECT bin, n, round(acc::DOUBLE / n::DOUBLE, 6) AS acc_rate,
+       |  round(conf::DOUBLE / (n::DOUBLE * 1000000.0), 6) AS conf_rate,
+       |  gap AS gap_micro,
+       |  round(gg::DOUBLE / (nn::DOUBLE * 1000000.0), 6) AS ece
+       |FROM g, t ORDER BY bin""".stripMargin
+  }
+
+  // --- q165: population stability index between crawls ----------------------
+
+  /** PSI of the quality-score distribution between the original corpus
+    * and the q136 synthetic new crawl ([[graft.operators.Eval.psi]]) —
+    * the production "did the score distribution move between
+    * snapshots" monitor, with add-one smoothed bins and micro-rounded
+    * per-bin terms so the total is an exact integer sum. */
+  def q165Psi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val docs = tp(spark, dir, "documents")
+    val survivors = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+    def scoreOf(df: DataFrame) = df.select(
+      round(qualityScore(col("text")) * 1e6, 0).cast("long").as("s"))
+    graft.operators.Eval.psi(scoreOf(docs),
+      scoreOf(survivors.unionByName(fresh)), "s", bins = 10)
+      .orderBy("bin")
+  }
+
+  val q165Sql: String =
+    s"""WITH newd AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS text
+       |  FROM documents WHERE doc_id % 7 <> 0
+       |  UNION ALL
+       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
+       |ref AS (${qualityMicroSql("documents")}),
+       |cur AS (${qualityMicroSql("newd")}),
+       |rb AS (SELECT least(greatest((s * 10) // 1000001, 0), 9) AS bin,
+       |         count(*)::BIGINT AS n_ref FROM ref GROUP BY 1),
+       |cb AS (SELECT least(greatest((s * 10) // 1000001, 0), 9) AS bin,
+       |         count(*)::BIGINT AS n_cur FROM cur GROUP BY 1),
+       |j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+       |        coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
+       |      FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+       |t AS (SELECT (sum(n_ref) + 10)::BIGINT AS tr,
+       |             (sum(n_cur) + 10)::BIGINT AS tc FROM j),
+       |terms AS (
+       |  SELECT bin, n_ref, n_cur,
+       |    CAST(round(((n_ref + 1)::DOUBLE / tr::DOUBLE
+       |        - (n_cur + 1)::DOUBLE / tc::DOUBLE) *
+       |      ln(((n_ref + 1)::DOUBLE / tr::DOUBLE) /
+       |         ((n_cur + 1)::DOUBLE / tc::DOUBLE)) * 1000000.0, 0) AS BIGINT)
+       |      AS psi_term_micro
+       |  FROM j, t),
+       |tot AS (SELECT sum(psi_term_micro)::BIGINT AS s FROM terms)
+       |SELECT bin, n_ref, n_cur, psi_term_micro,
+       |  round(s::DOUBLE / 1000000.0, 6) AS psi
+       |FROM terms, tot ORDER BY bin""".stripMargin
+
   // --- q123: length-bucketed inference batching stats ---------------------
 
   /** Dynamic-batching report: 32-token-wide length buckets with the
@@ -1237,6 +1374,8 @@ object CurationQueries {
     "q159_distinctive_terms" -> q159DistinctiveTerms _,
     "q161_mad_outliers" -> q161MadOutliers _,
     "q163_classifier_auc" -> q163ClassifierAuc _,
+    "q164_calibration" -> q164Calibration _,
+    "q165_psi" -> q165Psi _,
     "q140_winsorize" -> q140Winsorize _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -1265,6 +1404,8 @@ object CurationQueries {
     "q159_distinctive_terms" -> q159Sql,
     "q161_mad_outliers" -> q161Sql,
     "q163_classifier_auc" -> q163Sql,
+    "q164_calibration" -> q164Sql,
+    "q165_psi" -> q165Sql,
     "q140_winsorize" -> q140Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

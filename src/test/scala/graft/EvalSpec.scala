@@ -58,6 +58,42 @@ class EvalSpec extends SparkSpec {
     }
   }
 
+  test("calibration: perfectly calibrated scores give ECE 0, gaps exact") {
+    // bin [500000,600000): 10 rows at conf 550000 with exactly 5.5... ->
+    // use 4 rows at 750000 with 3 positives: acc 0.75 = conf 0.75 -> gap 0
+    val perfect = Seq((true, 750000L), (true, 750000L), (true, 750000L),
+      (false, 750000L))
+    val out = Eval.calibration(perfect.toDF("y", "s"), "y", "s")
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(4) === 0L && out.head.getDouble(5) === 0.0)
+    // overconfident bin: 2 rows claim 0.9, none positive ->
+    // gap = |0*1e6 - 1800000| = 1800000; ece = 1800000/(2*1e6) = 0.9
+    val over = Seq((false, 900000L), (false, 900000L))
+    val o = Eval.calibration(over.toDF("y", "s"), "y", "s").collect().head
+    assert(o.getLong(4) === 1800000L && o.getDouble(5) === 0.9)
+    // invariance
+    val rnd = new scala.util.Random(5)
+    val big = Seq.fill(800)((rnd.nextBoolean(), rnd.nextLong(1000001L)))
+    assert(Eval.calibration(big.toDF("y", "s"), "y", "s")
+      .orderBy("bin").collect().toSeq ===
+      Eval.calibration(big.toDF("y", "s").repartition(7), "y", "s")
+        .orderBy("bin").collect().toSeq)
+  }
+
+  test("PSI: identical populations score exactly 0; a shift alarms") {
+    val base = (0 until 1000).map(i => Tuple1((i * 997L) % 1000001L))
+    val same = Eval.psi(base.toDF("s"), base.toDF("s"), "s")
+      .collect()
+    assert(same.forall(_.getLong(3) === 0L))
+    assert(same.head.getDouble(4) === 0.0)
+    // shift everything up 30%: classic "distribution moved" alarm
+    val shifted = base.map(t => Tuple1(math.min(1000000L, t._1 + 300000L)))
+    val psi = Eval.psi(base.toDF("s"), shifted.toDF("s"), "s")
+      .collect().head.getDouble(4)
+    assert(psi > 0.25, s"psi=$psi should alarm on a 30% shift")
+  }
+
   test("no single-partition window on the per-score cumulation") {
     val rows = (0 until 2000).map(i => (i % 3 == 0, (i * 37L) % 100000L))
     val p = Eval.aucExact(rows.toDF("y", "s"), "y", "s")
