@@ -477,6 +477,11 @@ object ExprHelpers {
       Array[Any](inter, uni))
   }
 
+  /** Porter stem of one token ([[Porter.stem]]); non-lowercase-alpha
+    * or sub-3-char tokens pass through unchanged. */
+  def porterStem(s: UTF8String): UTF8String =
+    UTF8String.fromString(Porter.stem(s.toString))
+
   /** Clipped overlap count Σ_g min(count_a(g), count_b(g)) over two
     * string arrays — the BLEU modified-precision numerator — in ONE
     * hash census of `b` plus one decrementing pass over `a`:
@@ -808,6 +813,20 @@ case class SortedSetOps(left: Expression, right: Expression)
       l: Expression, r: Expression): SortedSetOps = copy(left = l, right = r)
 }
 
+case class PorterStem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.porterStem(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprHelpers.porterStem($c)")
+
+  override protected def withNewChildInternal(c: Expression): PorterStem =
+    copy(child = c)
+}
+
 case class ClippedCount(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
@@ -972,6 +991,8 @@ object Expressions {
       VecDotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
   def whitespace_tokens(c: Column): Column =
     ColumnBridge.column(WhitespaceTokens(ColumnBridge.expression(c)))
+  def porter_stem(c: Column): Column =
+    ColumnBridge.column(PorterStem(ColumnBridge.expression(c)))
   def clipped_count(a: Column, b: Column): Column =
     ColumnBridge.column(
       ClippedCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))

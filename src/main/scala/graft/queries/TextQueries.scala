@@ -734,6 +734,24 @@ object TextQueries {
       |WHERE greatest(inter::DOUBLE / size_a, inter::DOUBLE / size_b) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --- stemming ---------------------------------------------------------
+
+  /** Porter-stemmed vocabulary census — the search-side normalization
+    * the reference's FTS5 index gets from SQLite's porter tokenizer,
+    * as a codegen'd per-token map ([[graft.functions.Porter]] via the
+    * native `porter_stem` Expression; zero shuffle until the census).
+    * No SQL oracle — DuckDB has no Porter stemmer and the 60-rule
+    * algorithm isn't SQL-expressible, so the driver records rows-only
+    * (the q145/q147 tier discipline); the stemmer itself is pinned by
+    * PorterSpec's ~80 canonical paper vectors and the expression ≡
+    * function codegen-parity test. */
+  def q166StemmedCensus(spark: SparkSession, dir: String): DataFrame =
+    tp(spark, dir, "documents").select(explode(
+      transform(TextFunctions.tokens(lower(col("text"))),
+        t => graft.functions.Expressions.porter_stem(t))).as("stem"))
+      .groupBy(col("stem")).agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), col("stem"))
+
   // --- simhash ----------------------------------------------------------
 
   def q35Simhash(spark: SparkSession, dir: String): DataFrame =
@@ -1732,6 +1750,7 @@ object TextQueries {
     "q152_bigram_diversity" -> q152BigramDiversity _,
     "q153_bleu" -> q153Bleu _,
     "q158_containment" -> q158Containment _,
+    "q166_stemmed_census" -> q166StemmedCensus _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
