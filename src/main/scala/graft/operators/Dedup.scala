@@ -344,6 +344,57 @@ object Dedup {
         round(cAb, 6).as("c_ab"), round(cBa, 6).as("c_ba"))
   }
 
+  /** Typo-tolerant duplicate pairs — EDIT-DISTANCE confirmation over
+    * shingle-blocked candidates: the record-linkage primitive for
+    * near-identical strings (OCR'd twins, typo'd re-submissions,
+    * boilerplate with one token swapped) where MinHash thresholds are
+    * cruder than "at most k edits".
+    *
+    * Blocking reuses the [[containmentPairs]] df-capped inverted
+    * index (postings are the native kernel's distinct shingle hashes,
+    * never text; per-shingle fan-out ≤ maxDf²); candidate pairs must
+    * share ≥ `minShared` capped shingles BEFORE any text moves — a
+    * k-edit pair at shingle size s loses at most k·s shingles, so
+    * `minShared` trades candidate volume against the shortest
+    * detectable doc, exactly like LSH banding trades recall. Only
+    * surviving candidates join their texts back (two id-keyed joins,
+    * text volume ∝ candidate mass) for the exact `levenshtein`
+    * confirm — a built-in both engines define identically. Output:
+    * (id_a, id_b, inter, dist), dist ≤ maxDist, id_a < id_b. */
+  def fuzzyDuplicatePairs(df0: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 2, shingleSize: Int = 3, minShared: Int = 10,
+      maxDf: Int = 8): DataFrame = {
+    require(maxDist >= 1 && maxDist <= 100, s"bad maxDist=$maxDist")
+    require(minShared >= 1, s"bad minShared=$minShared")
+    val df = Parallelism.ensure(df0)
+    val sh = Parallelism.stage(df.select(col(idCol).as("__graft_id"),
+      explode(graft.functions.Expressions.shingle_hash_bands(
+        tokens(lower(col(textCol))), shingleSize, 1).getField("hsh"))
+        .as("__graft_s")))
+    val kept = Parallelism.stage(sh.join(
+      sh.groupBy(col("__graft_s")).agg(count(lit(1)).as("__graft_df"))
+        .filter(col("__graft_df") <= maxDf)
+        .select(col("__graft_s")),
+      Seq("__graft_s"), "left_semi"))
+    val pairs = kept.select(col("__graft_s"), col("__graft_id").as("id_a"))
+      .join(kept.select(col("__graft_s"), col("__graft_id").as("id_b")),
+        Seq("__graft_s"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+      .filter(col("inter") >= minShared)
+    val txt = df.select(col(idCol), col(textCol))
+    pairs
+      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("__graft_ta")),
+        Seq("id_a"))
+      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("__graft_tb")),
+        Seq("id_b"))
+      .withColumn("dist",
+        levenshtein(col("__graft_ta"), col("__graft_tb")))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("inter"), col("dist"))
+  }
+
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: String,
                          numBands: Int = 8, shingleSize: Int = 3,
                          threshold: Double = 0.5,

@@ -734,6 +734,54 @@ object TextQueries {
       |WHERE greatest(inter::DOUBLE / size_a, inter::DOUBLE / size_b) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --- fuzzy (edit-distance) duplicates ---------------------------------
+
+  /** Typo-tolerant duplicate detection ([[Dedup.fuzzyDuplicatePairs]]):
+    * 1-in-20 docs get a one-character-substituted twin (6th char →
+    * 'q'), which MUST confirm at levenshtein ≤ 2 through the
+    * shingle-blocked candidate pass; the oracle replays blocking,
+    * shared-shingle pruning, and the built-in levenshtein confirm. */
+  def q167FuzzyDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val twins = docs.filter(col("doc_id") % 20 === 0)
+      .select((col("doc_id") + 30000).as("doc_id"),
+        expr("concat(substr(text, 1, 5), 'q', substr(text, 7))").as("text"))
+    Dedup.fuzzyDuplicatePairs(docs.unionByName(twins), "doc_id", "text",
+      maxDist = 2, shingleSize = 3, minShared = 10, maxDf = 8)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q167Sql: String =
+    """WITH base AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 30000,
+      |    substr(text, 1, 5) || 'q' || substr(text, 7)
+      |  FROM documents WHERE doc_id % 20 = 0),
+      |toksl AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+      |  FROM base),
+      |shl AS (
+      |  SELECT doc_id, list_distinct(
+      |    [w[i] || ' ' || w[i + 1] || ' ' || w[i + 2]
+      |     for i in range(1, len(w) - 1)]) AS ss
+      |  FROM toksl WHERE len(w) >= 3),
+      |sh AS (
+      |  SELECT doc_id, (('0x' || substr(md5(s), 1, 15))::UBIGINT)::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(ss) AS s FROM shl)),
+      |dfc AS (SELECT h FROM (SELECT h, count(*) AS c FROM sh GROUP BY 1)
+      |        WHERE c <= 8),
+      |kept AS (SELECT sh.doc_id, sh.h FROM sh JOIN dfc USING (h)),
+      |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS inter
+      |       FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2 HAVING count(*) >= 10),
+      |j AS (SELECT id_a, id_b, inter, ta.text AS t1, tb.text AS t2
+      |      FROM pr JOIN base ta ON ta.doc_id = id_a
+      |           JOIN base tb ON tb.doc_id = id_b)
+      |SELECT id_a, id_b, inter, levenshtein(t1, t2)::INT AS dist
+      |FROM j WHERE levenshtein(t1, t2) <= 2 ORDER BY id_a, id_b""".stripMargin
+
   // --- stemming ---------------------------------------------------------
 
   /** Porter-stemmed vocabulary census — the search-side normalization
@@ -1751,6 +1799,7 @@ object TextQueries {
     "q153_bleu" -> q153Bleu _,
     "q158_containment" -> q158Containment _,
     "q166_stemmed_census" -> q166StemmedCensus _,
+    "q167_fuzzy_dups" -> q167FuzzyDups _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
@@ -1796,6 +1845,7 @@ object TextQueries {
     "q152_bigram_diversity" -> q152Sql,
     "q153_bleu" -> q153Sql,
     "q158_containment" -> q158Sql,
+    "q167_fuzzy_dups" -> q167Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,

@@ -1048,6 +1048,39 @@ class CurationSpec extends SparkSpec {
         .orderBy("id_a", "id_b").collect().toSeq)
   }
 
+  test("fuzzy duplicates: one-edit twin confirms, shingle block prunes") {
+    import graft.operators.Dedup
+    val body = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val typo = "tok1 tokX " + (3 to 20).map(i => s"tok$i").mkString(" ")
+    val unrelated = (1 to 20).map(i => s"other$i").mkString(" ")
+    val df = Seq((1L, body), (2L, typo), (3L, unrelated))
+      .toDF("id", "text")
+    // typo replaces one TOKEN (tok2->tokX, a 1-char edit): levenshtein
+    // 1; the swapped token at index 1 sits in 2 of the 18 3-shingles,
+    // so 16 are shared
+    val out = Dedup.fuzzyDuplicatePairs(df, "id", "text",
+      maxDist = 2, minShared = 10, maxDf = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(3)).toMap
+    assert(out.keySet === Set((1L, 2L)))
+    assert(out((1L, 2L)) === 1)
+    // minShared above the overlap prunes the candidate BEFORE text moves
+    assert(Dedup.fuzzyDuplicatePairs(df, "id", "text",
+      maxDist = 2, minShared = 17, maxDf = 8).count() === 0)
+    // a pair within edit budget but with no shingle overlap is (by
+    // design) not found: blocking is the documented recall trade
+    val short = Seq((1L, "ab"), (2L, "ac")).toDF("id", "text")
+    assert(Dedup.fuzzyDuplicatePairs(short, "id", "text",
+      maxDist = 2, minShared = 1, maxDf = 8).count() === 0)
+    // partitioning invariance
+    val many = (0L until 60L).map(i =>
+      (i, (0 to 15).map(j => s"w${(i / 2 * 31 + j) % 97}").mkString(" ")))
+      .toDF("id", "text")
+    assert(Dedup.fuzzyDuplicatePairs(many, "id", "text", 5, 5, 10)
+      .orderBy("id_a", "id_b").collect().toSeq ===
+      Dedup.fuzzyDuplicatePairs(many.repartition(9), "id", "text", 5, 5, 10)
+        .orderBy("id_a", "id_b").collect().toSeq)
+  }
+
   test("Kneser-Ney: hand-computed bits, continuation-diversity property") {
     import graft.operators.LanguageModel
     // corpus: "a b" x2, "a c", "solo"
