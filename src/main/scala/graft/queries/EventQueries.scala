@@ -589,7 +589,43 @@ object EventQueries {
       |  round(sum(wm)::DOUBLE / 1000000.0, 6) AS recency_score
       |FROM w GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Per-user inter-arrival burstiness ([[graft.operators.Recency
+    * .burstiness]]) — the bot/scraper periodicity signal. Exact
+    * integer gap sums (Σg² in decimal), one IEEE chain with a
+    * correctly-rounded sqrt, so the oracle replays every user's
+    * B = (σ−μ)/(σ+μ) bit-for-bit. */
+  def q168Burstiness(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Recency.burstiness(
+      Tables.events(spark, dir), "user_id", "ts")
+      .orderBy("user_id")
+
+  val q168Sql: String =
+    """WITH g AS (
+      |  SELECT user_id,
+      |    epoch_us(ts) - lag(epoch_us(ts)) OVER (
+      |      PARTITION BY user_id ORDER BY ts) AS gap
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id, count(*)::BIGINT AS n_gaps,
+      |    sum(gap)::BIGINT AS s,
+      |    sum(gap::HUGEINT * gap::HUGEINT) AS ssq
+      |  FROM g WHERE gap IS NOT NULL GROUP BY 1)
+      |SELECT user_id, n_gaps,
+      |  round(s::DOUBLE / n_gaps::DOUBLE / 1000000.0, 6) AS mean_gap_s,
+      |  CASE WHEN s > 0 THEN round(
+      |    sqrt((n_gaps::HUGEINT * ssq - s::HUGEINT * s::HUGEINT)::DOUBLE
+      |      / (n_gaps * n_gaps)::DOUBLE)
+      |    / (s::DOUBLE / n_gaps::DOUBLE), 6) END AS cv,
+      |  CASE WHEN s > 0 THEN round(
+      |    (sqrt((n_gaps::HUGEINT * ssq - s::HUGEINT * s::HUGEINT)::DOUBLE
+      |       / (n_gaps * n_gaps)::DOUBLE) - s::DOUBLE / n_gaps::DOUBLE)
+      |    / (sqrt((n_gaps::HUGEINT * ssq - s::HUGEINT * s::HUGEINT)::DOUBLE
+      |       / (n_gaps * n_gaps)::DOUBLE) + s::DOUBLE / n_gaps::DOUBLE),
+      |    6) END AS burstiness
+      |FROM a ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_burstiness" -> q168Burstiness _,
     "q160_recency_scores" -> q160RecencyScores _,
     "q144_funnel_4stage" -> q144Funnel4 _,
     "q143_streaming_dedup_watermark" -> q143StreamingDedupWatermark _,
@@ -608,6 +644,7 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q160_recency_scores" -> q160Sql,
+    "q168_burstiness" -> q168Sql,
     "q144_funnel_4stage" -> q144Sql,
     "q143_streaming_dedup_watermark" -> q143Sql,
     "q142_cohort_retention" -> q142Sql,

@@ -76,6 +76,31 @@ class FunnelSpec extends SparkSpec {
       s"per-user event sort found:\n$p")
   }
 
+  test("burstiness: metronome hits -1, hand-computed two-gap case") {
+    import graft.operators.Recency
+    // user 1: perfectly periodic (gaps 60s,60s,60s) -> sigma=0 -> B=-1
+    // user 2: gaps 10min and 30min -> mu=1200s, sigma=600s -> B=-1/3
+    val rows = Seq(
+      (1L, ts(0)), (1L, ts(1)), (1L, ts(2)), (1L, ts(3)),
+      (2L, ts(0)), (2L, new Timestamp(600000L)),
+      (2L, new Timestamp(2400000L)))
+      .toDF("user_id", "ts")
+    val out = Recency.burstiness(rows, "user_id", "ts")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(4))).toMap
+    assert(out(1L) === ((3L, 60.0, -1.0)))
+    val (n2, m2, b2) = out(2L)
+    assert(n2 === 2L && m2 === 1200.0)
+    assert(b2 === BigDecimal((10.0 - 20.0) / (10.0 + 20.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // single-event users drop out; all-zero gaps yield null cv/B
+    val edge = Seq((5L, ts(1)), (6L, ts(2)), (6L, ts(2)))
+      .toDF("user_id", "ts")
+    val e = Recency.burstiness(edge, "user_id", "ts").collect()
+    assert(e.map(_.getLong(0)).toSet === Set(6L))
+    assert(e.head.isNullAt(3) && e.head.isNullAt(4))
+  }
+
   test("recency decay: hand-computed half-life weights, exact sums") {
     import graft.operators.Recency
     import org.apache.spark.sql.functions.col
