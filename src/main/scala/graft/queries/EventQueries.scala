@@ -624,7 +624,52 @@ object EventQueries {
       |    6) END AS burstiness
       |FROM a ORDER BY user_id""".stripMargin
 
+  /** Rolling DAU/WAU stickiness per day — the engagement-depth ratio
+    * product dashboards track. The trailing-7-day distinct-user count
+    * (WAU) avoids any per-day recount of raw events: the (user, day)
+    * DISTINCT activity table explodes each activity into the ≤7 days
+    * it supports (a bounded generator, the q74 slice discipline), and
+    * both DAU and WAU are then map-combinable distinct aggregations.
+    * Days are calendar-dated from event time; the first 6 days have a
+    * shorter lookback by construction (reported as-is, the usual
+    * dashboard convention). */
+  def q169Stickiness(spark: SparkSession, dir: String): DataFrame = {
+    val act = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val dau = act.groupBy(col("day"))
+      .agg(countDistinct(col("user_id")).as("dau"))
+    val wau = act
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("off"),
+        col("day"))
+      .select(col("user_id"), date_add(col("day"), col("off")).as("day"))
+      .join(dau.select(col("day")), Seq("day"), "left_semi")
+      .distinct()
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day").cast("string").as("day"), col("dau"), col("wau"),
+        round(col("dau").cast("double") / col("wau").cast("double"), 6)
+          .as("stickiness"))
+      .orderBy("day")
+  }
+
+  val q169Sql: String =
+    """WITH act AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+      |dau AS (SELECT day, count(DISTINCT user_id) AS dau
+      |        FROM act GROUP BY 1),
+      |sup AS (
+      |  SELECT DISTINCT a.user_id, a.day + o.off::INTEGER AS day
+      |  FROM act a CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+      |  WHERE a.day + o.off::INTEGER IN (SELECT day FROM dau)),
+      |wau AS (SELECT day, count(*)::BIGINT AS wau FROM sup GROUP BY 1)
+      |SELECT CAST(dau.day AS VARCHAR) AS day, dau, wau,
+      |  round(dau::DOUBLE / wau::DOUBLE, 6) AS stickiness
+      |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q169_stickiness" -> q169Stickiness _,
     "q168_burstiness" -> q168Burstiness _,
     "q160_recency_scores" -> q160RecencyScores _,
     "q144_funnel_4stage" -> q144Funnel4 _,
@@ -645,6 +690,7 @@ object EventQueries {
   val oracles: Map[String, String] = Map(
     "q160_recency_scores" -> q160Sql,
     "q168_burstiness" -> q168Sql,
+    "q169_stickiness" -> q169Sql,
     "q144_funnel_4stage" -> q144Sql,
     "q143_streaming_dedup_watermark" -> q143Sql,
     "q142_cohort_retention" -> q142Sql,
