@@ -62,6 +62,32 @@ object TextFunctions {
   /** Composite document quality score in [0,1] — the shape of the
     * reference's quality gating (length / punctuation / stopword ratios),
     * deterministic closed-form so it oracles exactly. */
+  /** Flesch reading ease + Flesch–Kincaid grade as one codegen'd map —
+    * the classic readability gate (C4-era pipelines screen on it).
+    * Sentences = runs of [.!?] (min 1); syllables = vowel groups per
+    * word, min 1 (the standard heuristic — exact syllabification needs
+    * a dictionary; the heuristic is the published norm and is
+    * SQL-replayable: both engines count identical regex matches).
+    * Returns (n_words, n_sentences, n_syllables, fk_grade, flesch);
+    * grade/ease null for empty docs. One IEEE chain each, 6dp. */
+  def readability(text: Column): Seq[Column] = {
+    val w = tokens(lower(text))
+    val wc = size(w)
+    val sc = greatest(regexp_count(text, lit("[.!?]+")), lit(1))
+    val syl = aggregate(
+      transform(w, t => greatest(regexp_count(t, lit("[aeiouy]+")), lit(1))),
+      lit(0), (a, x) => a + x)
+    val wD = wc.cast("double")
+    val sD = sc.cast("double")
+    val yD = syl.cast("double")
+    Seq(wc.as("n_words"), sc.as("n_sentences"), syl.as("n_syllables"),
+      when(wc > 0, round(lit(0.39) * (wD / sD) + lit(11.8) * (yD / wD) -
+        lit(15.59), 6)).otherwise(lit(null).cast("double")).as("fk_grade"),
+      when(wc > 0, round(lit(206.835) - lit(1.015) * (wD / sD) -
+        lit(84.6) * (yD / wD), 6)).otherwise(lit(null).cast("double"))
+        .as("flesch"))
+  }
+
   def qualityScore(c: Column): Column = {
     val lenScore = least(length(c).cast("double") / 500.0, lit(1.0))
     val punctPenalty = lit(1.0) - least(punctRatio(c) * 5.0, lit(1.0))

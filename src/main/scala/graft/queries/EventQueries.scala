@@ -668,7 +668,66 @@ object EventQueries {
       |  round(dau::DOUBLE / wau::DOUBLE, 6) AS stickiness
       |FROM dau JOIN wau USING (day) ORDER BY day""".stripMargin
 
+  /** Per-user session quality stats over the q52 sessionization islands:
+    * sessions, bounce rate (single-event sessions), mean session
+    * duration. Island ids come from the running sum of session breaks
+    * (the gaps-and-islands form q52 pins); durations are exact integer
+    * µs max−min per island, bounce/mean one IEEE chain each. */
+  def q170SessionStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val withGap = ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) > 1800000000L,
+          1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_session")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perSession = withGap.groupBy(col("user_id"), col("sess"))
+      .agg(count(lit(1)).as("n_ev"),
+        (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+          .as("dur_us"))
+    perSession.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when(col("n_ev") === 1, 1L).otherwise(0L)).as("n_bounces"),
+        sum(col("dur_us")).as("__graft_d"))
+      .select(col("user_id"), col("n_sessions"), col("n_bounces"),
+        round(col("n_bounces").cast("double") /
+          col("n_sessions").cast("double"), 6).as("bounce_rate"),
+        round(col("__graft_d").cast("double") /
+          col("n_sessions").cast("double") / lit(1e6), 6)
+          .as("mean_session_s"))
+      .orderBy("user_id")
+  }
+
+  val q170Sql: String =
+    """WITH g AS (
+      |  SELECT user_id, ts, event_id,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |      THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |isl AS (
+      |  SELECT user_id, ts,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |  FROM g),
+      |ps AS (
+      |  SELECT user_id, sess, count(*)::BIGINT AS n_ev,
+      |    (max(epoch_us(ts)) - min(epoch_us(ts)))::BIGINT AS dur_us
+      |  FROM isl GROUP BY 1, 2)
+      |SELECT user_id, count(*)::BIGINT AS n_sessions,
+      |  sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounces,
+      |  round(sum(CASE WHEN n_ev = 1 THEN 1 ELSE 0 END)::DOUBLE
+      |    / count(*)::DOUBLE, 6) AS bounce_rate,
+      |  round(sum(dur_us)::DOUBLE / count(*)::DOUBLE / 1000000.0, 6)
+      |    AS mean_session_s
+      |FROM ps GROUP BY 1 ORDER BY user_id""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q170_session_stats" -> q170SessionStats _,
     "q169_stickiness" -> q169Stickiness _,
     "q168_burstiness" -> q168Burstiness _,
     "q160_recency_scores" -> q160RecencyScores _,
@@ -691,6 +750,7 @@ object EventQueries {
     "q160_recency_scores" -> q160Sql,
     "q168_burstiness" -> q168Sql,
     "q169_stickiness" -> q169Sql,
+    "q170_session_stats" -> q170Sql,
     "q144_funnel_4stage" -> q144Sql,
     "q143_streaming_dedup_watermark" -> q143Sql,
     "q142_cohort_retention" -> q142Sql,

@@ -734,6 +734,48 @@ object TextQueries {
       |WHERE greatest(inter::DOUBLE / size_a, inter::DOUBLE / size_b) >= 0.8
       |ORDER BY id_a, id_b""".stripMargin
 
+  // --- readability ------------------------------------------------------
+
+  /** Flesch reading ease + FK grade per document
+    * ([[TextFunctions.readability]]) — the classic readability screen,
+    * as a zero-shuffle map. Sentence punctuation is synthesized
+    * in-query (the corpus is unpunctuated): every 7th word boundary
+    * gets a period, 1-in-3 docs a trailing '?', so the sentence count
+    * genuinely varies. The oracle counts identical regex matches and
+    * replays both IEEE chains. */
+  def q171Readability(spark: SparkSession, dir: String): DataFrame = {
+    val page = concat(
+      regexp_replace(col("text"), "((\\S+\\s+){6}\\S+)\\s+", "$1. "),
+      when(col("doc_id") % 3 === 0, lit("?")).otherwise(lit(".")))
+    tp(spark, dir, "documents")
+      .select(col("doc_id") +: TextFunctions.readability(page): _*)
+      .orderBy("doc_id")
+  }
+
+  val q171Sql: String =
+    """WITH aug AS (
+      |  SELECT doc_id,
+      |    regexp_replace(text, '((\S+\s+){6}\S+)\s+', '\1. ', 'g')
+      |      || CASE WHEN doc_id % 3 = 0 THEN '?' ELSE '.' END AS page
+      |  FROM documents),
+      |toks AS (
+      |  SELECT doc_id, page, list_filter(
+      |    regexp_split_to_array(trim(lower(page)), '\s+'), x -> x <> '') AS w
+      |  FROM aug),
+      |m AS (
+      |  SELECT doc_id, len(w) AS nw,
+      |    greatest(len(regexp_extract_all(page, '[.!?]+')), 1) AS ns,
+      |    list_sum(list_transform(w,
+      |      x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))) AS ny
+      |  FROM toks)
+      |SELECT doc_id, nw AS n_words, ns::INT AS n_sentences,
+      |  coalesce(ny, 0)::INT AS n_syllables,
+      |  CASE WHEN nw > 0 THEN round(0.39 * (nw::DOUBLE / ns::DOUBLE)
+      |    + 11.8 * (ny::DOUBLE / nw::DOUBLE) - 15.59, 6) END AS fk_grade,
+      |  CASE WHEN nw > 0 THEN round(206.835 - 1.015 * (nw::DOUBLE / ns::DOUBLE)
+      |    - 84.6 * (ny::DOUBLE / nw::DOUBLE), 6) END AS flesch
+      |FROM m ORDER BY doc_id""".stripMargin
+
   // --- fuzzy (edit-distance) duplicates ---------------------------------
 
   /** Typo-tolerant duplicate detection ([[Dedup.fuzzyDuplicatePairs]]):
@@ -1800,6 +1842,7 @@ object TextQueries {
     "q158_containment" -> q158Containment _,
     "q166_stemmed_census" -> q166StemmedCensus _,
     "q167_fuzzy_dups" -> q167FuzzyDups _,
+    "q171_readability" -> q171Readability _,
     "q36_multimodal_meta" -> q36Multimodal _,
     "q37_frame_sample" -> q37FrameSample _,
     "q38_resize" -> q38Resize _,
@@ -1846,6 +1889,7 @@ object TextQueries {
     "q153_bleu" -> q153Sql,
     "q158_containment" -> q158Sql,
     "q167_fuzzy_dups" -> q167Sql,
+    "q171_readability" -> q171Sql,
     "q36_multimodal_meta" -> q36Sql,
     "q37_frame_sample" -> q37Sql,
     "q38_resize" -> q38Sql,

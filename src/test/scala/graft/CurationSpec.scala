@@ -1048,6 +1048,25 @@ class CurationSpec extends SparkSpec {
         .orderBy("id_a", "id_b").collect().toSeq)
   }
 
+  test("readability: hand-computed FK grade and Flesch ease") {
+    // "The cat. It sat?" -> 4 words, 2 sentence runs, 4 vowel groups
+    // FK = .39*(4/2) + 11.8*(4/4) - 15.59 = -3.01
+    // Flesch = 206.835 - 1.015*2 - 84.6*1 = 120.205
+    val out = Seq(("The cat. It sat?", 1)).toDF("text", "i")
+      .select(graft.functions.TextFunctions.readability(col("text")): _*)
+      .collect().head
+    assert(out.getInt(0) === 4 && out.getInt(1) === 2 && out.getInt(2) === 4)
+    assert(out.getDouble(3) === -3.01)
+    assert(out.getDouble(4) === 120.205)
+    // no punctuation -> one sentence; empty doc -> nulls, no NaN
+    val edge = Seq(("three simple words", 1), ("", 2)).toDF("text", "i")
+      .select(col("i") +:
+        graft.functions.TextFunctions.readability(col("text")): _*)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    assert(edge(1).getInt(2) === 1) // zero punctuation -> min 1 sentence
+    assert(edge(2).isNullAt(4) && edge(2).isNullAt(5))
+  }
+
   test("fuzzy duplicates: one-edit twin confirms, shingle block prunes") {
     import graft.operators.Dedup
     val body = (1 to 20).map(i => s"tok$i").mkString(" ")
