@@ -726,7 +726,34 @@ object EventQueries {
       |    AS mean_session_s
       |FROM ps GROUP BY 1 ORDER BY user_id""".stripMargin
 
+  /** Column profile of the events table ([[graft.operators.Profiler]])
+    * — counts, null fractions, exact distincts, min/max — restricted
+    * to the columns whose string rendering is engine-portable
+    * (timestamps and doubles format differently across engines; the
+    * operator itself profiles any frame). One pass, one aggregation
+    * row, driver-side reshape bounded by the column count. */
+  def q172ProfileEvents(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Profiler.profile(
+      Tables.events(spark, dir)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("props")))
+
+  val q172Sql: String = {
+    def one(c: String, dtype: String) =
+      s"""SELECT '$c' AS "column", '$dtype' AS dtype,
+         |  count(*)::BIGINT AS n_rows, count($c)::BIGINT AS n_nonnull,
+         |  round((count(*) - count($c))::DOUBLE / count(*)::DOUBLE, 6)
+         |    AS null_frac,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  min($c)::VARCHAR AS min_str, max($c)::VARCHAR AS max_str
+         |FROM events""".stripMargin
+    Seq(one("event_id", "bigint"), one("user_id", "bigint"),
+      one("event_type", "string"), one("props", "string"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q172_profile_events" -> q172ProfileEvents _,
     "q170_session_stats" -> q170SessionStats _,
     "q169_stickiness" -> q169Stickiness _,
     "q168_burstiness" -> q168Burstiness _,
@@ -751,6 +778,7 @@ object EventQueries {
     "q168_burstiness" -> q168Sql,
     "q169_stickiness" -> q169Sql,
     "q170_session_stats" -> q170Sql,
+    "q172_profile_events" -> q172Sql,
     "q144_funnel_4stage" -> q144Sql,
     "q143_streaming_dedup_watermark" -> q143Sql,
     "q142_cohort_retention" -> q142Sql,
