@@ -122,6 +122,50 @@ object Eval {
           (col(s"${Dup}N").cast("double") * lit(1e6)), 6).as("ece"))
   }
 
+  /** Truncated rank-biased overlap RBO@k (Webber et al. 2010, p=0.9) —
+    * the top-weighted agreement measure between two rankings: how
+    * similarly do two scoring functions ORDER the corpus, with early
+    * ranks counting geometrically more. The eval for "does the cheap
+    * ranker agree with the expensive one where it matters" (ANN vs
+    * exact, heuristic quality vs LM).
+    *
+    *   RBO@k = (1−p) · Σ_{d=1..k} p^(d−1) · |A_1..d ∩ B_1..d| / d
+    *
+    * Exactness: an item appearing at ranks (ra, rb) in the two lists
+    * joins every prefix depth d ≥ max(ra, rb), so its total
+    * contribution is w(m) = Σ_{d=m..k} p^(d−1)/d — and with p = 9/10
+    * every w(m) is an EXACT RATIONAL over D = 10^(k−1)·lcm(1..k).
+    * The scaled integer weights embed as a k-entry literal, the
+    * per-item sum is exact integer math, and the single float op is
+    * the final (1−p)·S/D division — fully engine-replayable (k ≤ 10
+    * keeps the scaled sums inside a long). Truncated form: no
+    * extrapolation past k, items outside both top-k contribute 0.
+    * Output: one row (k, n_common, rbo). */
+  def rboTruncated(a: DataFrame, b: DataFrame, idCol: String,
+                   rankCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 10, s"k=$k out of [1,10] (long-exact weights)")
+    val lcm = (1 to k).foldLeft(BigInt(1))((l, d) => l * d / l.gcd(BigInt(d)))
+    val denom = BigInt(10).pow(k - 1) * lcm
+    // w_scaled(m) = Σ_{d=m..k} 9^(d−1) · (lcm/d) · 10^(k−d), exact
+    val weights = (1 to k).map { m =>
+      (m to k).map { d =>
+        BigInt(9).pow(d - 1) * (lcm / d) * BigInt(10).pow(k - d)
+      }.sum.toLong
+    }
+    def side(df: DataFrame, r: String) =
+      df.filter(col(rankCol) <= k)
+        .select(col(idCol).as(s"${Dup}id"), col(rankCol).cast("int").as(r))
+    val joined = side(a, s"${Dup}ra").join(side(b, s"${Dup}rb"), Seq(s"${Dup}id"))
+      .withColumn(s"${Dup}w",
+        element_at(lit(weights.toArray),
+          greatest(col(s"${Dup}ra"), col(s"${Dup}rb"))))
+    joined.agg(count(lit(1)).as("n_common"),
+      coalesce(sum(col(s"${Dup}w")), lit(0L)).as(s"${Dup}s"))
+      .select(lit(k).as("k"), col("n_common"),
+        round(lit(0.1) * col(s"${Dup}s").cast("double") /
+          lit(denom.toDouble), 6).as("rbo"))
+  }
+
   /** Population stability index between a reference and a current
     * score population over equal-width MICRO-unit bins — the standard
     * "did the score distribution move" production-monitoring metric

@@ -727,6 +727,124 @@ object CurationQueries {
        |  round(s::DOUBLE / 1000000.0, 6) AS psi
        |FROM terms, tot ORDER BY bin""".stripMargin
 
+  // --- q173: rank agreement (RBO@10) ----------------------------------------
+
+  /** Truncated rank-biased overlap between the q30 heuristic quality
+    * TOP-10 and the q103 LM-fluency TOP-10
+    * ([[graft.operators.Eval.rboTruncated]]): do the cheap and the
+    * expensive ranker agree where it matters? Exact integer RBO
+    * weights (p=9/10 over D=10^9·2520), rankings tie-broken by
+    * doc_id; the oracle rebuilds BOTH rankings and the weight sum. */
+  def q173RankAgreement(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val docs = tp(spark, dir, "documents")
+    def topQ(scored: DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(desc("q"), col("doc_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+    }
+    val ra = topQ(docs.select(col("doc_id"),
+      qualityScore(col("text")).as("q")))
+    val raTrunc = topQ(docs.select(col("doc_id"),
+      qualityScore(expr("substr(text, 1, (4 * length(text)) div 5)"))
+        .as("q")))
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lm_bits").asc, col("doc_id"))
+    val rb = graft.operators.LanguageModel
+      .bigramBits(docs, "doc_id", "text")
+      .filter(col("lm_bits").isNotNull)
+      .withColumn("rank", row_number().over(wb))
+      .filter(col("rank") <= 10)
+    def arm(name: String, b: DataFrame) =
+      graft.operators.Eval.rboTruncated(ra, b, "doc_id", "rank", k = 10)
+        .withColumn("arm", lit(name))
+        .select(col("arm"), col("k"), col("n_common"), col("rbo"))
+    arm("self", ra)
+      .unionByName(arm("truncated", raTrunc))
+      .unionByName(arm("lm", rb))
+      .orderBy("arm")
+  }
+
+  val q173Sql: String = {
+    val stops = graft.functions.TextFunctions.EnglishStopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, text,
+       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |q AS (
+       |  SELECT doc_id, round(
+       |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
+       |    (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+       |       / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
+       |    least((CASE WHEN len(w) = 0 THEN 0
+       |      ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
+       |  6) AS qs
+       |  FROM toks),
+       |ra AS (SELECT doc_id, row_number() OVER (ORDER BY qs DESC, doc_id) AS r
+       |       FROM q),
+       |ltoks AS (
+       |  SELECT doc_id,
+       |    list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |bi AS (
+       |  SELECT doc_id,
+       |    unnest([w[i] || ' ' || w[i+1] for i in range(1, len(w))]) AS bg
+       |  FROM ltoks WHERE len(w) >= 2),
+       |uni AS (
+       |  SELECT t, count(*) AS c1
+       |  FROM (SELECT unnest(w) AS t FROM ltoks) GROUP BY 1),
+       |big AS (SELECT bg, count(*) AS c12 FROM bi GROUP BY 1),
+       |v AS (SELECT count(*) AS vs FROM uni),
+       |terms AS (
+       |  SELECT bi.doc_id,
+       |    CAST(round(log2((big.c12 + 1)::DOUBLE / (uni.c1 + v.vs)) * 1000000.0, 0) AS BIGINT) AS micro
+       |  FROM bi JOIN big USING (bg)
+       |       JOIN uni ON split_part(bi.bg, ' ', 1) = uni.t
+       |       CROSS JOIN v),
+       |sc AS (SELECT doc_id, sum(micro) AS s, count(*) AS n FROM terms GROUP BY 1),
+       |lm AS (SELECT doc_id, round(((-s)::DOUBLE / n) / 1000000.0, 6) AS bits
+       |       FROM sc),
+       |rbk AS (SELECT doc_id, row_number() OVER (ORDER BY bits ASC, doc_id) AS r
+       |        FROM lm),
+       |qt AS (
+       |  SELECT doc_id, round(
+       |    least(length(tt)::DOUBLE / 500.0, 1.0) * 0.4 +
+       |    (1.0 - least((length(tt) - length(regexp_replace(tt, '[[:punct:]]', '', 'g')))::DOUBLE
+       |       / CASE WHEN length(tt)=0 THEN 1 ELSE length(tt) END * 5.0, 1.0)) * 0.3 +
+       |    least((CASE WHEN len(wt) = 0 THEN 0
+       |      ELSE len(list_filter([lower(x) for x in wt], x -> x IN ($stops)))::DOUBLE / len(wt) END) * 4.0, 1.0) * 0.3,
+       |  6) AS qs
+       |  FROM (SELECT doc_id, substr(text, 1, (4 * length(text)) // 5) AS tt,
+       |          list_filter(regexp_split_to_array(
+       |            trim(substr(text, 1, (4 * length(text)) // 5)), '\\s+'),
+       |            x -> x <> '') AS wt
+       |        FROM documents) z),
+       |rt AS (SELECT doc_id, row_number() OVER (ORDER BY qs DESC, doc_id) AS r
+       |       FROM qt),
+       |arms AS (
+       |  SELECT 'self' AS arm, greatest(a.r, b.r) AS m
+       |  FROM ra a JOIN ra b USING (doc_id) WHERE a.r <= 10 AND b.r <= 10
+       |  UNION ALL
+       |  SELECT 'truncated', greatest(a.r, b.r)
+       |  FROM ra a JOIN rt b USING (doc_id) WHERE a.r <= 10 AND b.r <= 10
+       |  UNION ALL
+       |  SELECT 'lm', greatest(a.r, b.r)
+       |  FROM ra a JOIN rbk b USING (doc_id) WHERE a.r <= 10 AND b.r <= 10),
+       |names AS (SELECT unnest(['self', 'truncated', 'lm']) AS arm),
+       |wsum AS (
+       |  SELECT names.arm, count(m)::BIGINT AS n_common,
+       |    coalesce(sum(list_sum(
+       |      [CAST(9**(d-1) * (2520 // d) * 10**(10-d) AS BIGINT)
+       |       for d in range(m, 11)])), 0)::BIGINT AS s
+       |  FROM names LEFT JOIN arms ON names.arm = arms.arm
+       |  GROUP BY 1)
+       |SELECT arm, 10 AS k, n_common,
+       |  round(0.1 * s::DOUBLE / 2520000000000.0, 6) AS rbo
+       |FROM wsum ORDER BY arm""".stripMargin
+  }
+
   // --- q123: length-bucketed inference batching stats ---------------------
 
   /** Dynamic-batching report: 32-token-wide length buckets with the
@@ -1376,6 +1494,7 @@ object CurationQueries {
     "q163_classifier_auc" -> q163ClassifierAuc _,
     "q164_calibration" -> q164Calibration _,
     "q165_psi" -> q165Psi _,
+    "q173_rank_agreement" -> q173RankAgreement _,
     "q140_winsorize" -> q140Winsorize _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -1406,6 +1525,7 @@ object CurationQueries {
     "q163_classifier_auc" -> q163Sql,
     "q164_calibration" -> q164Sql,
     "q165_psi" -> q165Sql,
+    "q173_rank_agreement" -> q173Sql,
     "q140_winsorize" -> q140Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

@@ -94,6 +94,33 @@ class EvalSpec extends SparkSpec {
     assert(psi > 0.25, s"psi=$psi should alarm on a 30% shift")
   }
 
+  test("RBO: identical lists hit the truncation ceiling, hand case exact") {
+    import org.apache.spark.sql.functions.col
+    def ranking(ids: Seq[Long]) =
+      ids.zipWithIndex.map { case (id, i) => (id, i + 1) }.toDF("id", "rank")
+    val a = ranking(1L to 10L)
+    val self = Eval.rboTruncated(a, a, "id", "rank").collect().head
+    // identical lists: truncated RBO = 1 - p^k = 1 - 0.9^10, exactly
+    assert(self.getLong(1) === 10L)
+    assert(self.getDouble(2) === BigDecimal(1.0 - math.pow(0.9, 10))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // disjoint lists: 0, no NaN
+    val dis = Eval.rboTruncated(a, ranking(100L to 109L), "id", "rank")
+      .collect().head
+    assert(dis.getLong(1) === 0L && dis.getDouble(2) === 0.0)
+    // hand case k=2, p=0.9: A=[1,2], B=[2,1]. Depth1 overlap 0, depth2
+    // overlap 2 -> rbo = 0.1*(0.9*2/2) = 0.09
+    val h = Eval.rboTruncated(ranking(Seq(1L, 2L)), ranking(Seq(2L, 1L)),
+      "id", "rank", k = 2).collect().head
+    assert(h.getLong(1) === 2L && h.getDouble(2) === 0.09)
+    // order sensitivity: sharing items at EARLY ranks beats late ranks
+    val early = Eval.rboTruncated(a, ranking((1L to 3L) ++ (200L to 206L)),
+      "id", "rank").collect().head.getDouble(2)
+    val late = Eval.rboTruncated(a, ranking((200L to 206L) ++ (1L to 3L)),
+      "id", "rank").collect().head.getDouble(2)
+    assert(early > late && late > 0.0)
+  }
+
   test("no single-partition window on the per-score cumulation") {
     val rows = (0 until 2000).map(i => (i % 3 == 0, (i * 37L) % 100000L))
     val p = Eval.aucExact(rows.toDF("y", "s"), "y", "s")
