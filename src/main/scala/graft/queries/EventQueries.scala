@@ -752,7 +752,31 @@ object EventQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  /** Pivot: the day × event-type count matrix via Spark's native
+    * `groupBy().pivot()` (values pinned explicitly — at scale an
+    * unpinned pivot pays a distinct-scan planning job and risks a
+    * column explosion; pinning makes the plan static and the schema
+    * deterministic). Oracle replays it as conditional aggregation —
+    * exactly the rewrite Catalyst itself applies. */
+  def q174PivotMatrix(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(to_date(col("ts")).cast("string").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy("day")
+
+  val q174Sql: String =
+    """SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+      |  sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+      |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+      |  sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+      |  sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+      |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+      |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_pivot_matrix" -> q174PivotMatrix _,
     "q172_profile_events" -> q172ProfileEvents _,
     "q170_session_stats" -> q170SessionStats _,
     "q169_stickiness" -> q169Stickiness _,
@@ -779,6 +803,7 @@ object EventQueries {
     "q169_stickiness" -> q169Sql,
     "q170_session_stats" -> q170Sql,
     "q172_profile_events" -> q172Sql,
+    "q174_pivot_matrix" -> q174Sql,
     "q144_funnel_4stage" -> q144Sql,
     "q143_streaming_dedup_watermark" -> q143Sql,
     "q142_cohort_retention" -> q142Sql,
