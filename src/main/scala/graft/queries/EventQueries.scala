@@ -775,7 +775,63 @@ object EventQueries {
       |  sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
       |FROM events GROUP BY 1 ORDER BY day""".stripMargin
 
+  /** Streaming trending: top-2 event types per 6-hour tumbling window,
+    * with the stateful windowed count running through Structured
+    * Streaming (file stream → event-time window() agg → complete-mode
+    * memory sink, drained with AvailableNow — the q51 discipline) and
+    * the rank applied over the drained result. The oracle computes the
+    * same epoch-aligned buckets and ranking in batch, so the streaming
+    * state machinery must reproduce the batch answer exactly. */
+  def q175StreamingTrending(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_trend_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sinkName = "graft_stream_trending"
+    val stream = Tables.normalizeTs(spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString))
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val query = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val w = Window.partitionBy(col("ws"))
+      .orderBy(desc("n"), col("event_type"))
+    spark.table(sinkName)
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("ws").cast("string").as("window_start"), col("rank"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "rank")
+  }
+
+  val q175Sql: String =
+    """WITH wc AS (
+      |  SELECT time_bucket(INTERVAL 6 HOURS, ts) AS ws, event_type,
+      |    count(*)::BIGINT AS n
+      |  FROM events GROUP BY 1, 2),
+      |r AS (
+      |  SELECT CAST(ws AS VARCHAR) AS window_start,
+      |    row_number() OVER (PARTITION BY ws ORDER BY n DESC, event_type)::INT
+      |      AS rank,
+      |    event_type, n
+      |  FROM wc)
+      |SELECT window_start, rank, event_type, n
+      |FROM r WHERE rank <= 2 ORDER BY window_start, rank""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_streaming_trending" -> q175StreamingTrending _,
     "q174_pivot_matrix" -> q174PivotMatrix _,
     "q172_profile_events" -> q172ProfileEvents _,
     "q170_session_stats" -> q170SessionStats _,
@@ -804,6 +860,7 @@ object EventQueries {
     "q170_session_stats" -> q170Sql,
     "q172_profile_events" -> q172Sql,
     "q174_pivot_matrix" -> q174Sql,
+    "q175_streaming_trending" -> q175Sql,
     "q144_funnel_4stage" -> q144Sql,
     "q143_streaming_dedup_watermark" -> q143Sql,
     "q142_cohort_retention" -> q142Sql,
