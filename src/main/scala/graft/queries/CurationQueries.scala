@@ -845,6 +845,118 @@ object CurationQueries {
        |FROM wsum ORDER BY arm""".stripMargin
   }
 
+  // --- q176: new-vocabulary rate between crawls -----------------------------
+
+  /** Vocabulary novelty of the q136 synthetic new crawl vs the standing
+    * corpus: per source, how many token OCCURRENCES use types never
+    * seen before (scraper-drift / spam-injection tripwire, the
+    * vocabulary-level sibling of q156's distribution drift). One
+    * census anti-join — the old vocabulary is types-only, so the join
+    * input is vocab-sized, never corpus-sized. */
+  def q176NewVocab(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val survivors = docs.filter(col("doc_id") % 7 =!= 0)
+      .select(col("source"),
+        when(col("doc_id") % 5 === 0, concat(col("text"), lit(" updated")))
+          .otherwise(col("text")).as("text"))
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("source"), col("text"))
+    val newCrawl = survivors.unionByName(fresh)
+    def toks(df: DataFrame) = df.select(col("source"),
+      explode(graft.functions.TextFunctions.tokens(lower(col("text"))))
+        .as("t"))
+    val oldVocab = toks(docs).select(col("t")).distinct()
+    val cur = toks(newCrawl)
+    val novel = cur.join(oldVocab, Seq("t"), "left_anti")
+      .groupBy(col("source")).agg(count(lit(1)).as("n_novel"))
+    cur.groupBy(col("source")).agg(count(lit(1)).as("n_tokens"))
+      .join(novel, Seq("source"), "left")
+      .select(col("source"), col("n_tokens"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_tokens").cast("double"), 6).as("novel_rate"))
+      .orderBy("source")
+  }
+
+  val q176Sql: String =
+    """WITH newd AS (
+      |  SELECT source,
+      |    CASE WHEN doc_id % 5 = 0 THEN text || ' updated' ELSE text END AS text
+      |  FROM documents WHERE doc_id % 7 <> 0
+      |  UNION ALL
+      |  SELECT source, text FROM documents WHERE doc_id % 10 = 0),
+      |oldv AS (
+      |  SELECT DISTINCT unnest(list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS t
+      |  FROM documents),
+      |cur AS (
+      |  SELECT source, unnest(list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '')) AS t
+      |  FROM newd),
+      |tot AS (SELECT source, count(*)::BIGINT AS n_tokens
+      |        FROM cur GROUP BY 1),
+      |nov AS (SELECT source, count(*)::BIGINT AS n_novel
+      |        FROM cur WHERE t NOT IN (SELECT t FROM oldv) GROUP BY 1)
+      |SELECT tot.source, n_tokens, coalesce(n_novel, 0) AS n_novel,
+      |  round(coalesce(n_novel, 0)::DOUBLE / n_tokens::DOUBLE, 6)
+      |    AS novel_rate
+      |FROM tot LEFT JOIN nov ON tot.source = nov.source
+      |ORDER BY tot.source""".stripMargin
+
+  // --- q177: exact Pearson correlation per group ------------------------------
+
+  /** Per-source Pearson correlation between document length and
+    * stopword count. Spark's `corr` (and DuckDB's) accumulate float
+    * moments in partition order and can never hash-verify; this one
+    * keeps all five moments as EXACT integer/decimal sums and spends
+    * floats only in the final one-expression chain (IEEE sqrt is
+    * correctly rounded), so r replays bit-for-bit in any engine. */
+  def q177Pearson(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val x = col("n_chars")
+    val y = size(filter(w, t => t.isin("the", "a"))).cast("long")
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = tp(spark, dir, "documents")
+      .select(col("source"), x.as("x"), y.as("y"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(d(col("x")) * d(col("x"))).as("sxx"),
+        sum(d(col("y")) * d(col("y"))).as("syy"),
+        sum(d(col("x")) * d(col("y"))).as("sxy"))
+    val num = (d(col("n")) * col("sxy") - d(col("sx")) * d(col("sy")))
+      .cast("double")
+    val vx = (d(col("n")) * col("sxx") - d(col("sx")) * d(col("sx")))
+      .cast("double")
+    val vy = (d(col("n")) * col("syy") - d(col("sy")) * d(col("sy")))
+      .cast("double")
+    m.select(col("source"), col("n"),
+      when(vx > 0 && vy > 0, round(num / sqrt(vx * vy), 6))
+        .otherwise(lit(null).cast("double")).as("r"))
+      .orderBy("source")
+  }
+
+  val q177Sql: String =
+    """WITH v AS (
+      |  SELECT source, n_chars::BIGINT AS x,
+      |    len(list_filter(list_filter(
+      |      regexp_split_to_array(trim(text), '\s+'), t -> t <> ''),
+      |      t -> t IN ('the', 'a')))::BIGINT AS y
+      |  FROM documents),
+      |m AS (
+      |  SELECT source, count(*)::HUGEINT AS n,
+      |    sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+      |    sum(x::HUGEINT * x::HUGEINT) AS sxx,
+      |    sum(y::HUGEINT * y::HUGEINT) AS syy,
+      |    sum(x::HUGEINT * y::HUGEINT) AS sxy
+      |  FROM v GROUP BY 1)
+      |SELECT source, n::BIGINT AS n,
+      |  CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+      |        AND (n * syy - sy * sy)::DOUBLE > 0
+      |    THEN round((n * sxy - sx * sy)::DOUBLE /
+      |      sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+      |  END AS r
+      |FROM m ORDER BY source""".stripMargin
+
   // --- q123: length-bucketed inference batching stats ---------------------
 
   /** Dynamic-batching report: 32-token-wide length buckets with the
@@ -1495,6 +1607,8 @@ object CurationQueries {
     "q164_calibration" -> q164Calibration _,
     "q165_psi" -> q165Psi _,
     "q173_rank_agreement" -> q173RankAgreement _,
+    "q176_new_vocab" -> q176NewVocab _,
+    "q177_pearson" -> q177Pearson _,
     "q140_winsorize" -> q140Winsorize _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -1526,6 +1640,8 @@ object CurationQueries {
     "q164_calibration" -> q164Sql,
     "q165_psi" -> q165Sql,
     "q173_rank_agreement" -> q173Sql,
+    "q176_new_vocab" -> q176Sql,
+    "q177_pearson" -> q177Sql,
     "q140_winsorize" -> q140Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

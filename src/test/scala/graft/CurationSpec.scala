@@ -1048,6 +1048,28 @@ class CurationSpec extends SparkSpec {
         .orderBy("id_a", "id_b").collect().toSeq)
   }
 
+  test("exact Pearson: the moment discipline survives partitioning") {
+    // the q177 machinery through a synthetic documents dir: x = n_chars,
+    // y = 'the'/'a' count. Perfectly linear docs -> r = 1 exactly.
+    val docs = (0 until 40).map { i =>
+      val stops = Seq.fill(i + 1)("the").mkString(" ")
+      (i.toLong, s"g${i % 2}", stops, (stops.length + 0L))
+    }.toDF("doc_id", "source", "text", "n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_corr").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = graft.queries.CurationQueries.q177Pearson(spark, tmp)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    // n_chars = 4*(k) - 1 for k 'the's: exactly linear in y -> r = 1
+    assert(out.values.forall(_ === 1.0), s"$out")
+    // constant y -> zero variance -> null r, not NaN
+    val const = (0 until 10).map(i =>
+      (i.toLong, "g", "word soup here", 100L + i))
+      .toDF("doc_id", "source", "text", "n_chars")
+    const.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val c = graft.queries.CurationQueries.q177Pearson(spark, tmp).collect()
+    assert(c.forall(_.isNullAt(2)))
+  }
+
   test("readability: hand-computed FK grade and Flesch ease") {
     // "The cat. It sat?" -> 4 words, 2 sentence runs, 4 vowel groups
     // FK = .39*(4/2) + 11.8*(4/4) - 15.59 = -3.01
