@@ -972,4 +972,94 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"))
     refineStage(queries, corpus, shortlist, k, idCol, vecCol)
   }
+
+  /** INTEGER-EXACT distributed PQ training — per-subspace Lloyd's
+    * k-means under [[KMeans]]'s micro-grid discipline, so the trained
+    * codebooks are deterministic under any partitioning AND replayable
+    * in DuckDB SQL (the q131 trained-IVF precedent, extended to the m
+    * independent subspace clusterings FAISS PQ trains). This is the
+    * declared-query trainer; [[pqTrain]] remains the float offline
+    * path.
+    *
+    * Rules shared with the oracle (all [[KMeans]]'s verbatim, with the
+    * subspace index joined into every key):
+    *  - vectors quantize once to 1e-6 micro longs; subvector j of
+    *    vector v is one training point of clustering j;
+    *  - init: centroid (j, c) = the j-th micro subvector of the corpus
+    *    vector at id `c·stride` (the [[pqStrideCodebooks]] spread rule
+    *    — seeding at id-residue MEANS was measured 10+ recall points
+    *    worse: every residue-class mean lands near the global mean, so
+    *    Lloyd starts with k collapsed centroids); ids past the corpus
+    *    seed at the origin (only when n < k);
+    *  - assignment: argmin integer squared L2, ties to the lower
+    *    centroid index; mean = floor((2·sum + n) / (2·n)) in BigInt;
+    *    empty cluster keeps its centroid.
+    *
+    * Scale shape per iteration: assignment is a map against the
+    * m·k·(d/m) BROADCAST centroid literal (no join; the subvector
+    * explode multiplies row COUNT by m but carries each vector's
+    * floats exactly once); the update shuffles m·k groups of d/m sums
+    * (map-side combined, size independent of corpus rows); one
+    * m·k-row driver collect recomputes the means. Vectors never cross
+    * an exchange. Returns float codebooks (micro / 1e6) that slot
+    * unchanged into [[pqCodes]] / [[pqAdcRefineTopK]] serving. */
+  def pqTrainExact(corpus0: DataFrame, m: Int, k: Int, iters: Int = 2,
+      idCol: String = "vec_id", vecCol: String = "embedding")
+      : Seq[Seq[Seq[Double]]] = {
+    require(m >= 1, "m must be >= 1")
+    require(k >= 1 && k <= 4096,
+      s"k=$k: m*k codebook rows collect to the driver")
+    require(iters >= 0, "iters must be >= 0")
+    val corpus = graft.ops.Parallelism.ensure(corpus0)
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
+    val ds = dim / m
+    // one micro-quantize + subspace explode, staged so every
+    // iteration's assignment and update reads the materialized rows
+    val sv = graft.ops.Parallelism.stage(
+      corpus.select(col(idCol).cast("long").as("__graft_id"),
+          KMeans.microVec(col(vecCol)).as("__graft_mv"))
+        .select(col("__graft_id"),
+          posexplode(array((0 until m).map(j =>
+            slice(col("__graft_mv"), j * ds + 1, ds)): _*))
+            .as(Seq("__graft_j", "__graft_s"))))
+    def meansBy(df: DataFrame, keyExpr: Column)
+        : Map[(Int, Long), Array[Long]] = {
+      val s = col("__graft_s")
+      val aggs = count(lit(1)).as("__graft_n") +:
+        (0 until ds).map(i => sum(element_at(s, i + 1)).as(s"__graft_s$i"))
+      df.groupBy(col("__graft_j"), keyExpr.as("__graft_c"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect().map { r =>
+          val n = r.getLong(2)
+          (r.getInt(0), r.getLong(1)) ->
+            Array.tabulate(ds)(i => KMeans.intMean(r.getLong(3 + i), n))
+        }.toMap
+    }
+    val n = corpus.count()
+    val stride = math.max(1L, n / k)
+    val init: Map[(Int, Long), Array[Long]] = sv
+      .filter(col("__graft_id") % stride === 0 &&
+        expr(s"__graft_id div $stride") < k)
+      .select(col("__graft_j"),
+        expr(s"__graft_id div $stride").as("__graft_c"), col("__graft_s"))
+      .collect().map { r =>
+        (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2).toArray
+      }.toMap
+    var cents: Array[Array[Array[Long]]] = Array.tabulate(m, k)((j, c) =>
+      init.getOrElse((j, c.toLong), Array.fill(ds)(0L)))
+    for (_ <- 0 until iters) {
+      val cbj = element_at(
+        typedlit(cents.map(_.map(_.toSeq).toSeq).toSeq),
+        col("__graft_j") + 1)
+      val bestC = array_min(transform(cbj, (c, i) => struct(
+        aggregate(zip_with(col("__graft_s"), c,
+          (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v).as("d"),
+        i.cast("long").as("c")))).getField("c")
+      val upd = meansBy(sv.withColumn("__graft_cl", bestC), col("__graft_cl"))
+      cents = Array.tabulate(m, k)((j, c) =>
+        upd.getOrElse((j, c.toLong), cents(j)(c)))
+    }
+    cents.map(_.map(_.map(_ / 1e6).toSeq).toSeq).toSeq
+  }
 }

@@ -624,18 +624,14 @@ object SimilarityQueries {
       .orderBy("query_id", "rank")
   }
 
-  val q111Sql: String = {
-    val ds = 16 // 64-dim embeddings / PqM subspaces
-    val stride = s"((SELECT count(*) FROM embeddings) // $PqK)"
+  /** The PQ-ADC serving chain as SQL (cbn → final SELECT), assuming a
+    * preceding `cb(j, i, centv DOUBLE[])` codebook CTE — shared verbatim
+    * by the stride-seeded q111 and the trained-codebook q178, exactly as
+    * the Scala side shares [[Similarity.pqAdcRefineTopK]]. */
+  private def pqAdcServingSql(ds: Int, kRefine: Int): String = {
     def sub(v: String, j: String): String =
       s"list_slice($v, $j*$ds + 1, $j*$ds + $ds)"
-    s"""WITH js AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
-       |cb AS (
-       |  SELECT js.j, CAST(e.vec_id // $stride AS INT) AS i,
-       |    ${sub("(e.embedding::DOUBLE[])", "js.j")} AS centv
-       |  FROM embeddings e, js
-       |  WHERE e.vec_id % $stride = 0 AND e.vec_id // $stride < $PqK),
-       |cbn AS (
+    s"""cbn AS (
        |  SELECT j, i,
        |    CAST(round(list_sum(list_transform(centv, x -> x * x)) * 1000000.0, 0) AS BIGINT) AS n2
        |  FROM cb),
@@ -680,7 +676,7 @@ object SimilarityQueries {
        |      ROW_NUMBER() OVER (PARTITION BY query_id
        |        ORDER BY qsim DESC, neighbor_id) AS qrank
        |    FROM sim0)
-       |  WHERE qrank <= ${K * Refine}),
+       |  WHERE qrank <= $kRefine),
        |qv AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings
        |       WHERE vec_id < $NumQueries),
        |cv AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
@@ -694,6 +690,20 @@ object SimilarityQueries {
        |  FROM rescored)
        |SELECT query_id, rank, neighbor_id, sim FROM ranked
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  val q111Sql: String = {
+    val ds = 16 // 64-dim embeddings / PqM subspaces
+    val stride = s"((SELECT count(*) FROM embeddings) // $PqK)"
+    def sub(v: String, j: String): String =
+      s"list_slice($v, $j*$ds + 1, $j*$ds + $ds)"
+    s"""WITH js AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+       |cb AS (
+       |  SELECT js.j, CAST(e.vec_id // $stride AS INT) AS i,
+       |    ${sub("(e.embedding::DOUBLE[])", "js.j")} AS centv
+       |  FROM embeddings e, js
+       |  WHERE e.vec_id % $stride = 0 AND e.vec_id // $stride < $PqK),
+       |""".stripMargin + pqAdcServingSql(ds, K * Refine)
   }
 
   // --- q112: IVF-PQ cascade (the billion-scale production shape) ---------
@@ -815,6 +825,93 @@ object SimilarityQueries {
        |  FROM rescored)
        |SELECT query_id, rank, neighbor_id, sim FROM ranked
        |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
+
+  // --- q178: TRAINED-codebook PQ cascade (the production PQ shape) -------
+
+  private val PqTM = 8   // subspaces of 8 dims over the 64-dim embeddings
+  private val PqTK = 64  // centroids per trained subspace codebook
+  private val PqTIters = 3
+  private val PqTRefine = 8
+
+  /** Trained product quantization at production-ish settings (m=8, k=64
+    * — the FAISS-default shape the round-8 recall table showed recovers
+    * 0.92+ where the stride-seeded q111 toy floors at ~0.002):
+    * [[Similarity.pqTrainExact]] runs three integer-exact Lloyd rounds per
+    * subspace on the micro grid, and the trained codebooks drive the
+    * SAME ADC serving plan as q111. The oracle replays BOTH halves from
+    * scratch: all m per-subspace trainings (stride seeds, three
+    * assign/floor-mean rounds — the q131 trained-IVF discipline with the
+    * subspace index joined into every key), then the encode / ADC /
+    * float-re-rank chain. RecallSpec pins recall@5 ≥ 0.90 for exactly
+    * this declared cascade. */
+  def q178AnnPqTrained(spark: SparkSession, dir: String): DataFrame = {
+    val emb = t(spark, dir, "embeddings")
+    val cb = Similarity.pqTrainExact(emb, PqTM, PqTK, PqTIters)
+    Similarity.pqAdcRefineTopK(
+      emb.filter(col("vec_id") < NumQueries), emb, K, cb, PqTRefine)
+      .orderBy("query_id", "rank")
+  }
+
+  val q178Sql: String = {
+    val m = PqTM; val k = PqTK; val ds = 64 / PqTM
+    val strideSql = s"((SELECT count(*) FROM embeddings) // $k)"
+    // round-half-up integer mean in BIGINT with an explicit floor
+    // adjustment for negative non-exact quotients — KMeans.intMean
+    val mean =
+      s"""CAST(CASE WHEN (2 * sum(x) + count(*)) < 0
+         |        AND (2 * sum(x) + count(*)) % (2 * count(*)) <> 0
+         |      THEN (2 * sum(x) + count(*)) // (2 * count(*)) - 1
+         |      ELSE (2 * sum(x) + count(*)) // (2 * count(*)) END
+         |      AS BIGINT) AS mm""".stripMargin
+    val train = new StringBuilder
+    train ++=
+      s"""WITH mvq AS (
+         |  SELECT vec_id,
+         |    list_transform(embedding,
+         |      x -> CAST(round((x::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS v
+         |  FROM embeddings),
+         |js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
+         |sv AS (
+         |  SELECT vec_id, j, list_slice(v, j*$ds + 1, j*$ds + $ds) AS s
+         |  FROM mvq, js),
+         |v0 AS (
+         |  SELECT j, vec_id // $strideSql AS c, s AS cl
+         |  FROM sv
+         |  WHERE vec_id % $strideSql = 0 AND vec_id // $strideSql < $k),
+         |""".stripMargin
+    for (t <- 1 to PqTIters) {
+      val p = t - 1
+      train ++=
+        s"""d$t AS (
+           |  SELECT sv.vec_id, sv.j, cb.c,
+           |    list_sum(list_transform(list_zip(sv.s, cb.cl),
+           |      p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d
+           |  FROM sv JOIN v$p cb ON sv.j = cb.j),
+           |a$t AS (
+           |  SELECT vec_id, j, c FROM (
+           |    SELECT vec_id, j, c,
+           |      row_number() OVER (PARTITION BY vec_id, j ORDER BY d, c) AS rk
+           |    FROM d$t)
+           |  WHERE rk = 1),
+           |f$t AS (
+           |  SELECT a.j, a.c, unnest(sv.s) AS x,
+           |    unnest(range(1, $ds + 1)) AS i
+           |  FROM sv JOIN a$t a ON sv.vec_id = a.vec_id AND sv.j = a.j),
+           |m$t AS (SELECT j, c, i, $mean FROM f$t GROUP BY 1, 2, 3),
+           |v${t}0 AS (SELECT j, c, list(mm ORDER BY i) AS cl FROM m$t GROUP BY 1, 2),
+           |v$t AS (
+           |  SELECT p.j, p.c, coalesce(n.cl, p.cl) AS cl
+           |  FROM v$p p LEFT JOIN v${t}0 n ON p.j = n.j AND p.c = n.c),
+           |""".stripMargin
+    }
+    train ++=
+      s"""cb AS (
+         |  SELECT j, CAST(c AS INT) AS i,
+         |    list_transform(cl, mm -> mm / 1000000.0) AS centv
+         |  FROM v$PqTIters),
+         |""".stripMargin
+    train.result() + pqAdcServingSql(ds, K * PqTRefine)
   }
 
   // --- q119: persisted dense index round-trip ----------------------------
@@ -992,6 +1089,7 @@ object SimilarityQueries {
     "q109_ann_ivf_sq8" -> q109IvfSq8 _,
     "q111_ann_pq_adc" -> q111AnnPqAdc _,
     "q112_ann_ivf_pq" -> q112AnnIvfPq _,
+    "q178_ann_pq_trained" -> q178AnnPqTrained _,
     "q114_semdedup" -> q114SemDeDup _,
     "q119_dense_index" -> q119DenseIndex _)
 
@@ -1010,6 +1108,7 @@ object SimilarityQueries {
     "q109_ann_ivf_sq8" -> q109Sql,
     "q111_ann_pq_adc" -> q111Sql,
     "q112_ann_ivf_pq" -> q112Sql,
+    "q178_ann_pq_trained" -> q178Sql,
     "q114_semdedup" -> q114Sql,
     "q119_dense_index" -> q109Sql) // identical semantics by construction
 }

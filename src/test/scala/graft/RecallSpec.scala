@@ -39,6 +39,17 @@ class RecallSpec extends SparkSpec {
     assert(ivf >= 0.15, s"ivf_pq recall@$k=$ivf (recorded 0.21)")
   }
 
+  test("declared trained-PQ cascade recall floor at q178 settings") {
+    // the DECLARED oracle arm: integer-exact per-subspace Lloyd (m=8,
+    // k=64, 3 rounds) through the same ADC serving plan — the verdict's
+    // production-tier promotion, pinned here so a regression in the
+    // exact trainer or the serving cascade fails by name
+    val cb = Similarity.pqTrainExact(emb, 8, 64, iters = 3)
+    val r = recallOf(Similarity.pqAdcRefineTopK(queries, emb, k, cb,
+      refine = 8), truth)
+    assert(r >= 0.90, s"trained-exact pq recall@$k=$r")
+  }
+
   test("trained PQ (production shape) recovers high recall") {
     val cbT = Similarity.pqTrain(emb, 8, 64, iters = 5, sampleCap = 1000)
     val r = recallOf(Similarity.pqAdcRefineTopK(queries, emb, k, cbT,
