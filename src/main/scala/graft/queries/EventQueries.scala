@@ -816,6 +816,86 @@ object EventQueries {
       .orderBy("window_start", "rank")
   }
 
+  // --- q179: append-mode watermarked trending (bounded state) -------------
+
+  /** q175's windowed trending under the q143 state discipline: APPEND
+    * output mode + a 1-hour event-time watermark, so each 6-hour window
+    * emits EXACTLY ONCE when the watermark passes its end and is then
+    * EVICTED from the state store. This is the unbounded-stream-safe
+    * sibling: complete mode (q175, kept as the declared re-emitting
+    * variant) retains every window ever seen and replays the whole
+    * result each trigger, while here state is bounded by the windows
+    * still inside the watermark horizon regardless of stream length.
+    *
+    * Drain protocol: one sentinel event far past the corpus arrives as
+    * the LAST file (newest mod-time — the file source processes oldest
+    * first), driving the final watermark past every real window end, the
+    * streaming analog of "the crawl moved on". All real windows
+    * therefore close and the drained output equals the batch oracle
+    * (q175's SQL verbatim); the sentinel's own window stays open and is
+    * never emitted, so no filtering is needed — if the engine ever
+    * emitted an open window, the oracle compare would catch it.
+    * StatefulSessionizerSpec asserts the eviction side: final state rows
+    * = the one still-open sentinel window, not the windows×types
+    * history. */
+  def q179TrendingAppend(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val rawSchema = spark.read.parquet(s"$dir/events.parquet").schema
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_trenda_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    java.nio.file.Files.createDirectories(streamDir)
+    val link = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val sentinel = streamDir.resolve("z_sentinel.parquet")
+    if (!java.nio.file.Files.exists(sentinel)) {
+      val sentinelTs = rawSchema("ts").dataType match {
+        // nanos-as-long layout: 2024-03-01T00:00:00Z in nanoseconds
+        case org.apache.spark.sql.types.LongType =>
+          lit(1709251200000000000L)
+        case dt => lit("2024-03-01 00:00:00").cast(dt)
+      }
+      val buildDir = streamDir.resolve("_sentinel_build")
+      spark.read.schema(rawSchema).parquet(s"$dir/events.parquet").limit(1)
+        .withColumn("ts", sentinelTs)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("event_type", lit("__graft_sentinel"))
+        .coalesce(1).write.mode("overwrite").parquet(buildDir.toString)
+      val part = {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.list(buildDir).iterator().asScala
+          .find(p => p.getFileName.toString.startsWith("part-") &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .getOrElse(sys.error("sentinel parquet part file missing"))
+      }
+      java.nio.file.Files.copy(part, sentinel)
+    }
+    val sinkName = "graft_stream_trend_append"
+    val stream = Tables.normalizeTs(spark.readStream.schema(rawSchema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val query = stream.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    val w = Window.partitionBy(col("ws"))
+      .orderBy(desc("n"), col("event_type"))
+    spark.table(sinkName)
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 2)
+      .select(col("ws").cast("string").as("window_start"), col("rank"),
+        col("event_type"), col("n"))
+      .orderBy("window_start", "rank")
+  }
+
   val q175Sql: String =
     """WITH wc AS (
       |  SELECT time_bucket(INTERVAL 6 HOURS, ts) AS ws, event_type,
@@ -830,7 +910,12 @@ object EventQueries {
       |SELECT window_start, rank, event_type, n
       |FROM r WHERE rank <= 2 ORDER BY window_start, rank""".stripMargin
 
+  /** Append + watermark must not change the answer vs the batch/complete
+    * trending — only bound the state and emit each window once. */
+  val q179Sql: String = q175Sql
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q179_trending_append" -> q179TrendingAppend _,
     "q175_streaming_trending" -> q175StreamingTrending _,
     "q174_pivot_matrix" -> q174PivotMatrix _,
     "q172_profile_events" -> q172ProfileEvents _,
@@ -861,6 +946,7 @@ object EventQueries {
     "q172_profile_events" -> q172Sql,
     "q174_pivot_matrix" -> q174Sql,
     "q175_streaming_trending" -> q175Sql,
+    "q179_trending_append" -> q179Sql,
     "q144_funnel_4stage" -> q144Sql,
     "q143_streaming_dedup_watermark" -> q143Sql,
     "q142_cohort_retention" -> q142Sql,

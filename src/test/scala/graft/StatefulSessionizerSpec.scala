@@ -108,4 +108,73 @@ class StatefulSessionizerSpec extends SparkSpec {
     assert(finalRows < 100,
       s"state not evicted: $finalRows rows for $n distinct events")
   }
+
+  test("append-mode watermarked windowed agg: each window once, state evicted") {
+    // the q179 discipline: windowed counts in APPEND mode under a 1-hour
+    // watermark, drained by a far-future sentinel file arriving last.
+    // Must (a) emit every closed window EXACTLY once with the batch
+    // counts, and (b) end with state holding only the still-open
+    // sentinel window — not the full windows×types history (the q175
+    // complete-mode shape this replaces for unbounded streams).
+    val n = 2000
+    val base = 1700000000000L
+    val events = (0 until n).map { i =>
+      (i.toLong, s"type${i % 4}",
+        new java.sql.Timestamp(base + i * 600000L)) // 10-min grid, ~14 days
+    }
+    val srcDir = Files.createTempDirectory("graft_wmw_src").toString
+    val one = Files.createTempDirectory("graft_wmw_one").toString
+    events.toDF("event_id", "event_type", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(one)
+    val file = new java.io.File(one).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    Files.copy(file, java.nio.file.Paths.get(srcDir, "a.parquet"))
+    // sentinel: one event 60 days out — watermark sails past every real
+    // window end once this (newest mod-time) file is the last batch
+    val two = Files.createTempDirectory("graft_wmw_two").toString
+    Seq((-1L, "sentinel",
+        new java.sql.Timestamp(base + 60L * 86400000L)))
+      .toDF("event_id", "event_type", "ts").coalesce(1)
+      .write.mode("overwrite").parquet(two)
+    val sfile = new java.io.File(two).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head.toPath
+    Files.copy(sfile, java.nio.file.Paths.get(srcDir, "z.parquet"))
+
+    val schema = spark.read.parquet(srcDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .writeStream
+      .outputMode("append")
+      .format("memory").queryName("graft_wm_window")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+
+    val sink = spark.table("graft_wm_window")
+      .select($"window.start".as("ws"), $"event_type", $"n")
+    // (a) exactly once per closed window, batch-exact counts
+    val batch = spark.read.parquet(srcDir)
+      .filter($"event_type" =!= "sentinel")
+      .groupBy(window($"ts", "6 hours"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"window.start".as("ws"), $"event_type", $"n")
+    assert(sink.count() > 200, s"only ${sink.count()} windows drained")
+    assert(sink.count() ===
+      sink.select($"ws", $"event_type").distinct().count(),
+      "a window emitted more than once")
+    assert(sink.exceptAll(batch).isEmpty && batch.exceptAll(sink).isEmpty,
+      "drained append output differs from the batch window counts")
+    // (b) eviction: final state = the open sentinel window only
+    val aggState = q.recentProgress.flatMap(_.stateOperators)
+      .filter(_.operatorName.contains("stateStoreSave"))
+    assert(aggState.nonEmpty,
+      s"no agg state operator in ${q.recentProgress.flatMap(_.stateOperators)
+        .map(_.operatorName).toSeq}")
+    val finalRows = aggState.last.numRowsTotal
+    assert(finalRows < 10,
+      s"state not evicted: $finalRows rows vs ${sink.count()} closed windows")
+  }
 }
