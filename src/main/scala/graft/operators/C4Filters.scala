@@ -33,8 +33,13 @@ object C4Filters {
     size(filter(split(trim(l), "\\s+"), x => x =!= ""))
 
   /** The line-survival predicate. The javascript rule matches the WORD
-    * (Raffel et al. §2.2), not the substring — 'a javascripted widget.'
-    * survives. */
+    * (Raffel et al. §2.2: "any line with the word Javascript"), not the
+    * substring — 'a javascripted widget.' survives. DELIBERATE
+    * divergence from the canonical c4_utils.py, which tests `in`
+    * (substring) and would drop that line: this follows the paper's
+    * wording over the released code, and the oracle replays the same
+    * word-boundary rule, so the divergence is from upstream C4 only,
+    * never between this engine and its oracle. */
   private def lineOk(l: Column, minWordsPerLine: Int): Column =
     rtrim(l).rlike("[.!?\"]$") &&
       (wordCount(l) >= minWordsPerLine) &&

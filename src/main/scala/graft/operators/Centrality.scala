@@ -36,7 +36,33 @@ object Centrality {
     * (id, rank_micro). Parallel edges count once per occurrence;
     * self-loops are legal. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int, dampingMicro: Long = 850000L): DataFrame = {
+               iters: Int, dampingMicro: Long = 850000L): DataFrame =
+    pageRankLoop(edges, srcCol, dstCol, iters, dampingMicro, null)
+
+  /** Per-iteration convergence report: (iter, max_delta_micro) with
+    * `max_delta_micro = max_v |r_i(v) − r_{i−1}(v)|` — the stop-rule
+    * data a production run reads to CHOOSE `iters` instead of guessing
+    * (power iteration contracts the delta by ~the damping factor per
+    * round, so the report shows exactly when extra rounds stop buying
+    * precision). Each round's delta is ONE max over the (already
+    * staged) previous and next rank tables joined by id — a 1-long
+    * driver collect per round, the RankCuts collect discipline; the
+    * ranks themselves are identical to [[pageRank]]'s (same integer
+    * update, same staging), so a green rank oracle stays green. */
+  def pageRankConvergence(edges: DataFrame, srcCol: String,
+                          dstCol: String, iters: Int,
+                          dampingMicro: Long = 850000L): DataFrame = {
+    val spark = edges.sparkSession
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(Int, Long)]
+    pageRankLoop(edges, srcCol, dstCol, iters, dampingMicro,
+      (i, d) => deltas += ((i, d)))
+    import spark.implicits._
+    deltas.toSeq.toDF("iter", "max_delta_micro")
+  }
+
+  private def pageRankLoop(edges: DataFrame, srcCol: String,
+                           dstCol: String, iters: Int, dampingMicro: Long,
+                           onDelta: (Int, Long) => Unit): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters=$iters out of [1,64]")
     require(dampingMicro >= 0 && dampingMicro <= 1000000L,
       s"dampingMicro=$dampingMicro out of [0, 1e6]")
@@ -55,7 +81,7 @@ object Centrality {
       e.groupBy(col("__graft_src"))
         .agg(count(lit(1)).as("__graft_outdeg")))
     var ranks = nodes.withColumn("rank_micro", lit(1000000L))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contrib = e
         .join(deg, "__graft_src")
         .join(ranks.select(col("id").as("__graft_src"),
@@ -68,12 +94,20 @@ object Centrality {
       // twice (contrib join + outer select), so without the barrier the
       // logical tree doubles per iteration and analysis hangs long before
       // any task runs at the allowed iters=64
-      ranks = graft.ops.Parallelism.stage(ranks.select(col("id"))
+      val next = graft.ops.Parallelism.stage(ranks.select(col("id"))
         .join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(1000000L - dampingMicro) +
             expr(s"($dampingMicro * coalesce(__graft_s, 0L)) div 1000000"))
             .as("rank_micro")))
+      if (onDelta != null) {
+        val d = next.join(ranks.select(col("id"),
+            col("rank_micro").as("__graft_prev")), "id")
+          .agg(max(abs(col("rank_micro") - col("__graft_prev"))))
+          .head().getLong(0)
+        onDelta(i + 1, d)
+      }
+      ranks = next
     }
     ranks
   }
@@ -98,7 +132,30 @@ object Centrality {
     * hub_micro). The n ≤ 1e6 guard keeps a·1e6 inside a long — the
     * domain graph, not the doc graph, at 100 TB. */
   def hits(edges: DataFrame, srcCol: String, dstCol: String,
-           iters: Int): DataFrame = {
+           iters: Int): DataFrame =
+    hitsLoop(edges, srcCol, dstCol, iters, null)
+
+  /** Per-iteration convergence report for [[hits]]: (iter,
+    * max_delta_auth_micro, max_delta_hub_micro), each delta the max
+    * absolute per-node change of the max-normalized score vs the
+    * previous round (both vectors read as uniform 1e6 before round 1).
+    * Same stop-rule purpose and same 2-longs-per-round collect
+    * discipline as [[pageRankConvergence]]; scores are identical to
+    * [[hits]]'s. */
+  def hitsConvergence(edges: DataFrame, srcCol: String, dstCol: String,
+                      iters: Int): DataFrame = {
+    val spark = edges.sparkSession
+    val deltas = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    hitsLoop(edges, srcCol, dstCol, iters,
+      (i, da, dh) => deltas += ((i, da, dh)))
+    import spark.implicits._
+    deltas.toSeq
+      .toDF("iter", "max_delta_auth_micro", "max_delta_hub_micro")
+  }
+
+  private def hitsLoop(edges: DataFrame, srcCol: String, dstCol: String,
+                       iters: Int,
+                       onDelta: (Int, Long, Long) => Unit): DataFrame = {
     require(iters >= 1 && iters <= 64, s"iters=$iters out of [1,64]")
     val e = edges.select(col(srcCol).cast("long").as("__graft_src"),
       col(dstCol).cast("long").as("__graft_dst"))
@@ -123,8 +180,10 @@ object Centrality {
             .as(outCol))
     }
     var hub = nodes.withColumn("hub_micro", lit(1000000L))
-    var auth: DataFrame = null
-    for (_ <- 0 until iters) {
+    var auth: DataFrame = nodes.withColumn("auth_micro", lit(1000000L))
+    for (i <- 0 until iters) {
+      val prevAuth = auth
+      val prevHub = hub
       val aRaw = e
         .join(hub.select(col("id").as("__graft_src"),
           col("hub_micro").as("__graft_h")), "__graft_src")
@@ -137,6 +196,13 @@ object Centrality {
         .groupBy(col("__graft_src").as("id"))
         .agg(sum(col("__graft_a")).as("__graft_s"))
       hub = graft.ops.Parallelism.stage(normalized(hRaw, "hub_micro"))
+      if (onDelta != null) {
+        def maxDelta(next: DataFrame, prev: DataFrame, c: String): Long =
+          next.join(prev.select(col("id"), col(c).as("__graft_prev")), "id")
+            .agg(max(abs(col(c) - col("__graft_prev")))).head().getLong(0)
+        onDelta(i + 1, maxDelta(auth, prevAuth, "auth_micro"),
+          maxDelta(hub, prevHub, "hub_micro"))
+      }
     }
     auth.join(hub, Seq("id"))
       .select(col("id"), col("auth_micro"), col("hub_micro"))

@@ -98,8 +98,12 @@ object Eval {
     val rows = df.filter(col(labelCol).isNotNull && col(scoreCol).isNotNull)
       .select(col(labelCol).cast("boolean").as(s"${Dup}y"),
         col(scoreCol).cast("long").as(s"${Dup}s"))
+    // truly equal widths: floor(s·bins/1e6) capped into the top bin, so
+    // every bin spans exactly 1e6/bins micro-units and only the exact
+    // score 1e6 folds into bin bins−1 (the ADVICE r8 fix — the old
+    // //1000001 form gave bin 0 one extra micro-unit of width)
     val binCol = least(greatest(
-      Expressions.int_div(col(s"${Dup}s") * lit(bins.toLong), lit(1000001L)),
+      Expressions.int_div(col(s"${Dup}s") * lit(bins.toLong), lit(1000000L)),
       lit(0L)), lit(bins.toLong - 1))
     val perBin = rows
       .withColumn(s"${Dup}b", binCol)
@@ -173,9 +177,13 @@ object Eval {
     * counts so empty bins are defined; each bin's (p−q)·ln(p/q) term
     * micro-rounds to an integer before the cross-bin sum (the
     * LanguageModel discipline — a float Σ over bins is
-    * order-dependent). Output: one row per bin present in either
-    * population (bin, n_ref, n_cur, psi_term_micro) + the total PSI
-    * repeated on each row. */
+    * order-dependent). Output: one row per bin — ALL `bins` bins, not
+    * just the occupied ones: a generated bin spine outer-joins the two
+    * count sets, so a bin empty in BOTH populations still contributes
+    * its (nonzero when the totals differ) add-one term and the sum
+    * matches the documented all-bins add-one definition exactly (the
+    * ADVICE r8 fix). Columns (bin, n_ref, n_cur, psi_term_micro) +
+    * the total PSI repeated on each row. */
   def psi(ref: DataFrame, cur: DataFrame, scoreCol: String,
           bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= (1 << 16), s"bins=$bins out of [2, 2^16]")
@@ -183,12 +191,15 @@ object Eval {
       val s = col(scoreCol).cast("long")
       df.filter(s.isNotNull)
         .withColumn(s"${Dup}b", least(greatest(
-          Expressions.int_div(s * lit(bins.toLong), lit(1000001L)),
+          Expressions.int_div(s * lit(bins.toLong), lit(1000000L)),
           lit(0L)), lit(bins.toLong - 1)))
         .groupBy(col(s"${Dup}b")).agg(count(lit(1)).as(cnt))
     }
-    val joined = binned(ref, "n_ref")
-      .join(binned(cur, "n_cur"), Seq(s"${Dup}b"), "full")
+    val spine = ref.sparkSession.range(bins.toLong)
+      .select(col("id").as(s"${Dup}b"))
+    val joined = spine
+      .join(broadcast(binned(ref, "n_ref")), Seq(s"${Dup}b"), "left")
+      .join(broadcast(binned(cur, "n_cur")), Seq(s"${Dup}b"), "left")
       .select(col(s"${Dup}b"),
         coalesce(col("n_ref"), lit(0L)).as("n_ref"),
         coalesce(col("n_cur"), lit(0L)).as("n_cur"))

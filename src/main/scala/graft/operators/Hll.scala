@@ -78,6 +78,52 @@ object Hll {
       .agg(max(col(s"${Dup}r")).as("reg"))
   }
 
+  /** Registers for MANY columns in ONE scan — the wide-table profiling
+    * shape ([[Profiler]]'s approximation tier): each row melts into one
+    * `(column, b, r)` triple per non-null atomic column (a single
+    * generate, no joins), and one `groupBy(column, b) → max` builds
+    * every column's register set together. The shuffle carries at most
+    * `cols · 2^p` rows per partition (map-side-combined maxima), never
+    * the distinct censuses — where the exact multi-`count(distinct)`
+    * plans an expand that multiplies the scanned rows by the number of
+    * distinct columns. Values hash through their canonical string cast
+    * (the portable-tier discipline: any engine replays `cast AS
+    * VARCHAR`). Output: (column, b, reg) — feed [[estimate]] with
+    * groupCols = Seq("column"). */
+  def registersByColumn(df: DataFrame, cols: Seq[String], p: Int = 12,
+                        portable: Boolean = true): DataFrame = {
+    require(p >= 4 && p <= 16, s"p=$p out of [4,16]")
+    require(cols.nonEmpty, "no columns to sketch")
+    val m = 1 << p
+    val q = 60 - p
+    // Materialize each column's hash in a projection BELOW the explode:
+    // the bit-smear rank chain references its input ~2^6 times, and a
+    // Generate's generator expression is evaluated without the codegen
+    // subexpression elimination a plain Project gets — inlining the md5
+    // there re-digests every value dozens of times per row (measured
+    // 676 s vs ~8 s on sf0.1 lineitem). Hashing first makes the smear
+    // chain fan out over a cheap long reference. Null values must yield
+    // a null hash EXPLICITLY: md5 is null-preserving but xxhash64 SKIPS
+    // null arguments (an all-null column would otherwise sketch as one
+    // distinct value on the fast tier).
+    val hashed = df.select(cols.map(name =>
+      when(col(name).isNotNull,
+        hash60(col(name).cast("string"), portable)).as(s"${Dup}h_$name")): _*)
+    val triples = cols.map { name =>
+      val h = col(s"${Dup}h_$name")
+      when(h.isNotNull, struct(
+        lit(name).as("column"),
+        pmod(h, lit(m.toLong)).as("b"),
+        (lit(q + 1) - bitLength(shiftright(h, p))).cast("int").as("r")))
+    }
+    hashed.select(explode(array(triples: _*)).as("t"))
+      .filter(col("t").isNotNull)
+      .select(col("t.column").as("column"), col("t.b").as("b"),
+        col("t.r").as(s"${Dup}r"))
+      .groupBy(col("column"), col("b"))
+      .agg(max(col(s"${Dup}r")).as("reg"))
+  }
+
   /** Register-wise max of two register sets built with the same
     * (p, tier) — max idempotence makes the merged registers exactly
     * the registers of the concatenated corpora. */

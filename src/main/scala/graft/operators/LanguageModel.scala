@@ -223,6 +223,97 @@ object LanguageModel {
         col("kn_bits"))
   }
 
+  /** Interpolated TRIGRAM Kneser–Ney (Chen & Goodman 1999 §3 — the
+    * recursive interpolated form [[kneserNeyBits]] documents as its
+    * base case, one level up). The highest order discounts real
+    * counts; every LOWER order is estimated from CONTINUATION counts
+    * (type counts, not token counts), the defining KN move:
+    *
+    *   P(w3|w1w2) = (c123 − D)/c12• + D·N1+(w1w2·)/c12• · P(w3|w2)
+    *   P(w3|w2)   = (N1+(·w2w3) − D)/N1+(·w2·)
+    *                  + D·N1+(w2·)/N1+(·w2·) · N1+(·w3)/B
+    *
+    * where c12• = Σ_w3 c123, every N1+ is a distinct-type count in the
+    * trigram census, and B = distinct (w2,w3) types. All lower-order
+    * statistics derive from the SAME single trigram census (the
+    * (w2,w3)-grouped type table yields N1+(·w2w3), its w2-rollup
+    * yields both N1+(·w2·) and N1+(w2·), its w3-rollup yields
+    * N1+(·w3)) — one corpus pass, everything after it keyed on the
+    * distinct-trigram space. Trained on the corpus it scores, so every
+    * scored trigram is in the census and no clamp binds (c123 ≥ 1 > D,
+    * N1+ ≥ 1 > D).
+    *
+    * Exactness discipline is [[kneserNeyBits]]': integer censuses, ONE
+    * IEEE chain per distinct trigram micro-rounded at 1e-6 bits, exact
+    * integer per-doc sums, one final division rounded at 6dp — the
+    * oracle replays the extra census level in SQL. Output: (idCol,
+    * n_trigrams, kn3_bits); null kn3_bits for docs with < 3 tokens. */
+  def kneserNeyTrigramBits(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): DataFrame = {
+    require(discount > 0.0 && discount < 1.0, s"discount=$discount not in (0,1)")
+    val toks = df.select(col(idCol), tokCol(textCol).as(s"${Dup}w"))
+    val w = col(s"${Dup}w")
+    val triArr = coalesce(graft.functions.Expressions.word_shingles(w, 3),
+      array().cast("array<string>"))
+    val tris = toks.select(col(idCol), explode(triArr).as(s"${Dup}tg"))
+    // the ONE census; every statistic below reads it, not the corpus
+    val census = Parallelism.stage(tris.groupBy(col(s"${Dup}tg"))
+      .agg(count(lit(1)).as(s"${Dup}c123"))
+      .withColumn(s"${Dup}k12", substring_index(col(s"${Dup}tg"), " ", 2))
+      .withColumn(s"${Dup}k23", substring_index(col(s"${Dup}tg"), " ", -2)))
+    val by12 = census.groupBy(col(s"${Dup}k12").as(s"${Dup}j12"))
+      .agg(sum(col(s"${Dup}c123")).as(s"${Dup}ctx12"),
+        count(lit(1)).as(s"${Dup}nf12"))
+    // (w2,w3) type table: nc23 = N1+(·w2w3); staged — three rollups
+    // (w2 twice via one grouping, w3, and B) read it
+    val by23 = Parallelism.stage(census
+      .groupBy(col(s"${Dup}k23").as(s"${Dup}j23"))
+      .agg(count(lit(1)).as(s"${Dup}nc23"))
+      .withColumn(s"${Dup}w2", substring_index(col(s"${Dup}j23"), " ", 1))
+      .withColumn(s"${Dup}w3", substring_index(col(s"${Dup}j23"), " ", -1)))
+    val by2 = by23.groupBy(col(s"${Dup}w2").as(s"${Dup}j2"))
+      .agg(sum(col(s"${Dup}nc23")).as(s"${Dup}ndot2dot"), // N1+(·w2·)
+        count(lit(1)).as(s"${Dup}nf2"))                   // N1+(w2·)
+    val by3 = by23.groupBy(col(s"${Dup}w3").as(s"${Dup}j3"))
+      .agg(count(lit(1)).as(s"${Dup}nc3"))                // N1+(·w3)
+    val bTypes = by23.count() // counts the staged type table
+    val d = lit(discount)
+    val pLower =
+      (col(s"${Dup}nc23").cast("double") - d) /
+        col(s"${Dup}ndot2dot").cast("double") +
+      d * col(s"${Dup}nf2").cast("double") /
+        col(s"${Dup}ndot2dot").cast("double") *
+        (col(s"${Dup}nc3").cast("double") / lit(bTypes.toDouble))
+    val term = log2(
+      (col(s"${Dup}c123").cast("double") - d) /
+        col(s"${Dup}ctx12").cast("double") +
+      d * col(s"${Dup}nf12").cast("double") /
+        col(s"${Dup}ctx12").cast("double") * pLower)
+    // terms per DISTINCT trigram; the doc join only carries the micro
+    val terms = census
+      .withColumn(s"${Dup}w2c", substring_index(col(s"${Dup}k23"), " ", 1))
+      .withColumn(s"${Dup}w3c", substring_index(col(s"${Dup}k23"), " ", -1))
+      .join(by12, col(s"${Dup}k12") === col(s"${Dup}j12"))
+      .join(by23.select(col(s"${Dup}j23"), col(s"${Dup}nc23")),
+        col(s"${Dup}k23") === col(s"${Dup}j23"))
+      .join(by2, col(s"${Dup}w2c") === col(s"${Dup}j2"))
+      .join(by3, col(s"${Dup}w3c") === col(s"${Dup}j3"))
+      .select(col(s"${Dup}tg"),
+        round(term * 1e6, 0).cast("long").as(s"${Dup}micro"))
+    val scored = tris
+      .join(terms, Seq(s"${Dup}tg"))
+      .groupBy(col(idCol))
+      .agg(sum(col(s"${Dup}micro")).as(s"${Dup}s"),
+        count(lit(1)).as("n_trigrams"))
+      .withColumn("kn3_bits",
+        round((-col(s"${Dup}s")).cast("double") / col("n_trigrams") / 1e6, 6))
+    df.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("kn3_bits"))
+  }
+
   /** CCNet-style head selection: keep documents whose bits-per-bigram is
     * at or below `maxBits` (docs too short to score are kept — no
     * evidence against them, the reference pipelines' usual choice). */

@@ -59,9 +59,16 @@ object Snapshot {
     * map + a 1-row aggregate (sum carried in DECIMAL(38,0) so no
     * overflow before the final mod); the salted md5 row hash is the
     * portable formula any engine replays. Null text hashes as empty —
-    * a (id, null) row still counts. */
+    * a (id, null) row still counts — and null IDS hash under the
+    * sentinel `__graft_null_id__` (the ADVICE r8 fix: an un-coalesced
+    * null id made the whole row hash null, so the row counted in
+    * n_rows but dropped out of fp_sum/fp_xor and its TEXT stopped
+    * participating in the content identity). An actual string id equal
+    * to the sentinel is indistinguishable from a null id — the
+    * documented contract, acceptable for a reserved `__graft_` name. */
   def checksum(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val h = TextFunctions.hash64(concat(col(idCol).cast("string"),
+    val h = TextFunctions.hash64(concat(
+      coalesce(col(idCol).cast("string"), lit("__graft_null_id__")),
       lit("|"), coalesce(col(textCol), lit(""))))
     val mod = 1L << 61
     df.select(h.as("__graft_h"))

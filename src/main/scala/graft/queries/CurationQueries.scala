@@ -382,6 +382,66 @@ object CurationQueries {
       |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS kn_bits
       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
 
+  // --- q180: interpolated TRIGRAM Kneser-Ney ------------------------------
+
+  /** q155 one order up ([[graft.operators.LanguageModel
+    * .kneserNeyTrigramBits]]): trigram counts discounted, the lower
+    * order estimated entirely from continuation-type counts in the
+    * SAME trigram census. The oracle re-derives every N1+ table from
+    * its own census and replays the two-level IEEE chain per distinct
+    * trigram. */
+  def q180KneserNeyTrigram(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.LanguageModel.kneserNeyTrigramBits(
+      tp(spark, dir, "documents"), "doc_id", "text")
+      .orderBy("doc_id")
+
+  /** `AS MATERIALIZED` on the multiply-referenced CTEs is load-bearing:
+    * DuckDB inlines plain CTEs per REFERENCE, and census/by23 are each
+    * read 3–5 times — without the keyword the tokenize→explode chain
+    * re-expands inside every join arm (measured >30 min / >100 GB on
+    * the sf0.01 fixture vs 0.9 s materialized). */
+  val q180Sql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |tri AS MATERIALIZED (
+      |  SELECT doc_id,
+      |    unnest([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |            for i in range(1, len(w) - 1)]) AS tg
+      |  FROM toks WHERE len(w) >= 3),
+      |census AS MATERIALIZED (
+      |  SELECT tg, count(*)::BIGINT AS c123,
+      |    split_part(tg, ' ', 1) AS w1, split_part(tg, ' ', 2) AS w2,
+      |    split_part(tg, ' ', 3) AS w3
+      |  FROM tri GROUP BY 1),
+      |by12 AS (SELECT w1, w2, sum(c123)::BIGINT AS ctx12,
+      |           count(*)::BIGINT AS nf12 FROM census GROUP BY 1, 2),
+      |by23 AS MATERIALIZED (SELECT w2, w3, count(*)::BIGINT AS nc23
+      |         FROM census GROUP BY 1, 2),
+      |by2 AS (SELECT w2, sum(nc23)::BIGINT AS nd2d,
+      |          count(*)::BIGINT AS nf2 FROM by23 GROUP BY 1),
+      |by3 AS (SELECT w3, count(*)::BIGINT AS nc3 FROM by23 GROUP BY 1),
+      |b AS (SELECT count(*)::BIGINT AS bt FROM by23),
+      |terms AS (
+      |  SELECT tri.doc_id,
+      |    CAST(round(log2((census.c123::DOUBLE - 0.75) / by12.ctx12::DOUBLE
+      |      + 0.75 * by12.nf12::DOUBLE / by12.ctx12::DOUBLE *
+      |        ((by23.nc23::DOUBLE - 0.75) / by2.nd2d::DOUBLE
+      |         + 0.75 * by2.nf2::DOUBLE / by2.nd2d::DOUBLE *
+      |           (by3.nc3::DOUBLE / b.bt::DOUBLE))) * 1000000.0, 0) AS BIGINT)
+      |      AS micro
+      |  FROM tri JOIN census USING (tg)
+      |       JOIN by12 ON census.w1 = by12.w1 AND census.w2 = by12.w2
+      |       JOIN by23 ON census.w2 = by23.w2 AND census.w3 = by23.w3
+      |       JOIN by2 ON census.w2 = by2.w2
+      |       JOIN by3 ON census.w3 = by3.w3
+      |       CROSS JOIN b),
+      |sc AS (SELECT doc_id, sum(micro) AS s, count(*) AS n FROM terms GROUP BY 1)
+      |SELECT d.doc_id, coalesce(sc.n, 0) AS n_trigrams,
+      |  round(((-sc.s)::DOUBLE / sc.n) / 1000000.0, 6) AS kn3_bits
+      |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   // --- q156: per-source distribution drift --------------------------------
 
   /** KL-divergence drift of each source's token distribution from the
@@ -658,7 +718,7 @@ object CurationQueries {
        |    6) * 1000000.0, 0) AS BIGINT) AS s
        |  FROM sig),
        |pb AS (
-       |  SELECT least(greatest((s * 10) // 1000001, 0), 9) AS bin,
+       |  SELECT least(greatest((s * 10) // 1000000, 0), 9) AS bin,
        |    count(*)::BIGINT AS n,
        |    sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS acc,
        |    sum(s)::BIGINT AS conf
@@ -705,13 +765,15 @@ object CurationQueries {
        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
        |ref AS (${qualityMicroSql("documents")}),
        |cur AS (${qualityMicroSql("newd")}),
-       |rb AS (SELECT least(greatest((s * 10) // 1000001, 0), 9) AS bin,
+       |rb AS (SELECT least(greatest((s * 10) // 1000000, 0), 9) AS bin,
        |         count(*)::BIGINT AS n_ref FROM ref GROUP BY 1),
-       |cb AS (SELECT least(greatest((s * 10) // 1000001, 0), 9) AS bin,
+       |cb AS (SELECT least(greatest((s * 10) // 1000000, 0), 9) AS bin,
        |         count(*)::BIGINT AS n_cur FROM cur GROUP BY 1),
-       |j AS (SELECT coalesce(rb.bin, cb.bin) AS bin,
+       |j AS (SELECT r.range::BIGINT AS bin,
        |        coalesce(n_ref, 0) AS n_ref, coalesce(n_cur, 0) AS n_cur
-       |      FROM rb FULL OUTER JOIN cb ON rb.bin = cb.bin),
+       |      FROM range(10) r
+       |      LEFT JOIN rb ON rb.bin = r.range
+       |      LEFT JOIN cb ON cb.bin = r.range),
        |t AS (SELECT (sum(n_ref) + 10)::BIGINT AS tr,
        |             (sum(n_cur) + 10)::BIGINT AS tc FROM j),
        |terms AS (
@@ -1407,11 +1469,11 @@ object CurationQueries {
       |  UNION ALL
       |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0),
       |ho AS (
-      |  SELECT (('0x' || substr(md5(doc_id::VARCHAR || '|' ||
+      |  SELECT (('0x' || substr(md5(coalesce(doc_id::VARCHAR, '__graft_null_id__') || '|' ||
       |    coalesce(text, '')), 1, 15))::UBIGINT)::BIGINT AS h
       |  FROM documents),
       |hn AS (
-      |  SELECT (('0x' || substr(md5(doc_id::VARCHAR || '|' ||
+      |  SELECT (('0x' || substr(md5(coalesce(doc_id::VARCHAR, '__graft_null_id__') || '|' ||
       |    coalesce(text, '')), 1, 15))::UBIGINT)::BIGINT AS h
       |  FROM newd)
       |SELECT 'old' AS arm, count(*)::BIGINT AS n_rows,
@@ -1599,6 +1661,7 @@ object CurationQueries {
     "q136_snapshot_diff" -> q136SnapshotDiff _,
     "q154_dataset_checksum" -> q154DatasetChecksum _,
     "q155_kneser_ney" -> q155KneserNey _,
+    "q180_kneser_ney_trigram" -> q180KneserNeyTrigram _,
     "q156_kl_drift" -> q156KlDrift _,
     "q157_hits" -> q157Hits _,
     "q159_distinctive_terms" -> q159DistinctiveTerms _,
@@ -1632,6 +1695,7 @@ object CurationQueries {
     "q136_snapshot_diff" -> q136Sql,
     "q154_dataset_checksum" -> q154Sql,
     "q155_kneser_ney" -> q155Sql,
+    "q180_kneser_ney_trigram" -> q180Sql,
     "q156_kl_drift" -> q156Sql,
     "q157_hits" -> q157Sql,
     "q159_distinctive_terms" -> q159Sql,

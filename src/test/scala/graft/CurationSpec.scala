@@ -1169,6 +1169,49 @@ class CurationSpec extends SparkSpec {
         .orderBy("doc_id").collect().toSeq)
   }
 
+  test("trigram Kneser-Ney: hand-computed interpolation, short docs null") {
+    import graft.operators.LanguageModel
+    // census: ("a b c", 2), ("a b d", 1)
+    // by12 (a b): ctx=3, nf12=2; by23: (b c)=1, (b d)=1
+    // by2 (b): nd2d=2, nf2=2; by3: c=1, d=1; B=2
+    // P_low(c|b) = (1-.75)/2 + .75*2/2*(1/2) = 0.5   (same for d)
+    // P(c|a b) = (2-.75)/3 + .75*2/3*0.5 = 2/3
+    // P(d|a b) = (1-.75)/3 + .25 = 1/3
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "a b d"), (4L, "x y"))
+      .toDF("doc_id", "text")
+    val out = LanguageModel.kneserNeyTrigramBits(docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_trigrams", "kn3_bits")
+      .as[(Long, Long, Option[Double])].collect()
+    def bits(p: Double): Double = {
+      val micro = math.round(math.log(p) / math.log(2.0) * 1e6)
+      BigDecimal(-micro.toDouble / 1e6)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out(0) === ((1L, 1L, Some(bits(1.25 / 3 + 0.75 * 2.0 / 3 * 0.5)))))
+    assert(out(2) === ((3L, 1L, Some(bits(0.25 / 3 + 0.75 * 2.0 / 3 * 0.5)))))
+    assert(out(3) === ((4L, 0L, None))) // 2 tokens -> no trigrams
+    // trigram-level continuation diversity: after the SAME fresh
+    // bigram context, a word-pair continuation seen after many contexts
+    // must outscore one locked to a single context
+    val corpus = (0L until 20L).map(i => (i, "big san francisco")) ++
+      (20L until 40L).map(i => (i, s"big w${i % 4} common"))
+    def probeBits(word: String): Double =
+      LanguageModel.kneserNeyTrigramBits(
+        (corpus :+ ((99L, s"big probe $word"))).toDF("doc_id", "text"),
+        "doc_id", "text").filter(col("doc_id") === 99L)
+        .select("kn3_bits").as[Double].head()
+    assert(probeBits("common") < probeBits("francisco"))
+    // partitioning invariance
+    val base = (0L until 50L)
+      .map(i => (i, s"tok${i % 7} tok${(i + 1) % 5} tok${(i + 2) % 3} y"))
+      .toDF("doc_id", "text")
+    assert(LanguageModel.kneserNeyTrigramBits(base, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq ===
+      LanguageModel.kneserNeyTrigramBits(base.repartition(9), "doc_id", "text")
+        .orderBy("doc_id").collect().toSeq)
+  }
+
   test("bigram LM: partitioning-independent and filter keeps the head") {
     import graft.operators.LanguageModel
     val docs = (0L until 60L).map(i =>

@@ -32,3 +32,16 @@ con.execute(f"""
   TO '{DST}/embeddings.parquet' (FORMAT PARQUET)""")
 print('embeddings', con.execute(
     f"SELECT count(*) FROM '{DST}/embeddings.parquet'").fetchone()[0])
+
+# events (10M rows): new users per rep over the SAME time span — the
+# realistic 100x shape for the windowed/sessionized arms (more users,
+# same window count), not a time-stretch that would multiply windows.
+con.execute(f"""
+  COPY (SELECT event_id + r.rep * 1000000 AS event_id, ts,
+               user_id + r.rep * 100000 AS user_id,
+               event_type, value, props
+        FROM '{SRC}/events.parquet'
+        CROSS JOIN (SELECT unnest(range({REPS})) AS rep) r)
+  TO '{DST}/events.parquet' (FORMAT PARQUET)""")
+print('events', con.execute(
+    f"SELECT count(*) FROM '{DST}/events.parquet'").fetchone()[0])
