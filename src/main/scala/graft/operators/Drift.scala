@@ -112,4 +112,49 @@ object Drift {
       .select(col(groupCol), col("n_tokens"),
         round(col(s"${Dup}s").cast("double") / lit(1e9), 6).as("kl_nats"))
   }
+
+  /** Mutual information between two categorical columns — the
+    * dependence monitor (is event mix a function of time-of-day? does
+    * label depend on source?): I(A;B) = Σ_ab p_ab·ln(p_ab/(p_a·p_b)),
+    * 0 iff independent. The bivariate sibling of [[klDrift]]: KL asks
+    * "did this group drift from the corpus", MI asks "are these two
+    * dimensions entangled at all" — the thing to check before
+    * stratifying a sample on both.
+    *
+    * Scale shape: ONE pass builds the (a, b) cell census (map-side
+    * combined; cells bounded by |A|·|B|, a product of domain
+    * taxonomies, never row count); both marginals derive from the
+    * cells by rollup. Null a/b values are excluded (MI over observed
+    * categories). Exactness is the [[klDrift]] discipline: each cell's
+    * p·ln(p/(q·r)) term rounds to integer NANO-nats before the exact
+    * integer total — cells with n_ab ≥ 1 always have p_a, p_b ≥ p_ab
+    * > 0, so no log(0) edge exists. Output: one row per observed cell
+    * (aCol, bCol, n_ab, mi_term_nano) + the corpus totals (n, mi_nats)
+    * repeated on each row — the [[Eval.psi]] report shape, so the full
+    * dependence structure and the headline number hash together. */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val cells = Parallelism.stage(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .groupBy(col(aCol), col(bCol))
+        .agg(count(lit(1)).as(s"${Dup}nab")))
+    val byA = cells.groupBy(col(aCol)).agg(sum(col(s"${Dup}nab")).as(s"${Dup}na"))
+    val byB = cells.groupBy(col(bCol)).agg(sum(col(s"${Dup}nab")).as(s"${Dup}nb"))
+    val total = cells.agg(sum(col(s"${Dup}nab")).as(s"${Dup}n"))
+    val pab = col(s"${Dup}nab").cast("double") / col(s"${Dup}n").cast("double")
+    val ratio = col(s"${Dup}nab").cast("double") * col(s"${Dup}n").cast("double") /
+      (col(s"${Dup}na").cast("double") * col(s"${Dup}nb").cast("double"))
+    val termed = cells
+      .join(byA, Seq(aCol))
+      .join(byB, Seq(bCol))
+      .crossJoin(broadcast(total)) // 1-row metrics frame
+      .withColumn(s"${Dup}nano",
+        round(pab * log(ratio) * lit(1e9), 0).cast("long"))
+    val mi = termed.agg(max(col(s"${Dup}n")).as("n"),
+      sum(col(s"${Dup}nano")).as(s"${Dup}s"))
+    termed.crossJoin(broadcast(mi)) // 1-row metrics frame
+      .select(col(aCol), col(bCol), col(s"${Dup}nab").as("n_ab"),
+        col(s"${Dup}nano").as("mi_term_nano"), col("n"),
+        round(col(s"${Dup}s").cast("double") / lit(1e9), 6).as("mi_nats"))
+  }
 }

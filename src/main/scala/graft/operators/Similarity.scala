@@ -1004,13 +1004,26 @@ object Similarity {
     * an exchange. Returns float codebooks (micro / 1e6) that slot
     * unchanged into [[pqCodes]] / [[pqAdcRefineTopK]] serving. */
   def pqTrainExact(corpus0: DataFrame, m: Int, k: Int, iters: Int = 2,
-      idCol: String = "vec_id", vecCol: String = "embedding")
-      : Seq[Seq[Seq[Double]]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      sampleCap: Long = 65536L): Seq[Seq[Seq[Double]]] = {
     require(m >= 1, "m must be >= 1")
     require(k >= 1 && k <= 4096,
       s"k=$k: m*k codebook rows collect to the driver")
     require(iters >= 0, "iters must be >= 0")
-    val corpus = graft.ops.Parallelism.ensure(corpus0)
+    require(sampleCap >= k, s"sampleCap=$sampleCap below k=$k")
+    // FAISS-practice bounded training sample: Lloyd quality saturates at
+    // a few hundred vectors per centroid, so training cost must NOT
+    // scale with the corpus — the deterministic id-stride sample (the
+    // init idiom) keeps it ≤ ~sampleCap regardless of corpus size, and
+    // an oracle replays `id % trainStride = 0` exactly. The cap does
+    // not bind at the declared fixture scales (stride 1 ⇒ identical
+    // semantics there); it is the 100 TB knob.
+    val corpusAll = graft.ops.Parallelism.ensure(corpus0)
+    val nAll = corpusAll.count()
+    val trainStride = math.max(1L, nAll / sampleCap)
+    val corpus =
+      if (trainStride == 1L) corpusAll
+      else corpusAll.filter(col(idCol).cast("long") % trainStride === 0)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
     val ds = dim / m
@@ -1038,11 +1051,17 @@ object Similarity {
     }
     val n = corpus.count()
     val stride = math.max(1L, n / k)
+    // seeds stride over the sample ORDINAL (id div trainStride — exact
+    // for dense ids; identity when the cap doesn't bind), so a capped
+    // train still seeds ~k centroids instead of whatever survives the
+    // double-stride intersection
+    val ord = expr(s"__graft_id div $trainStride")
     val init: Map[(Int, Long), Array[Long]] = sv
-      .filter(col("__graft_id") % stride === 0 &&
-        expr(s"__graft_id div $stride") < k)
+      .filter(ord % stride === 0 &&
+        expr(s"(__graft_id div $trainStride) div $stride") < k)
       .select(col("__graft_j"),
-        expr(s"__graft_id div $stride").as("__graft_c"), col("__graft_s"))
+        expr(s"(__graft_id div $trainStride) div $stride").as("__graft_c"),
+        col("__graft_s"))
       .collect().map { r =>
         (r.getInt(0), r.getLong(1)) -> r.getSeq[Long](2).toArray
       }.toMap

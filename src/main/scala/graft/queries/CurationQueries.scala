@@ -1019,6 +1019,54 @@ object CurationQueries {
       |  END AS r
       |FROM m ORDER BY source""".stripMargin
 
+  // --- q181: token-frequency distribution shape ---------------------------
+
+  /** Per-source Gini + power-law exponent of the type-frequency
+    * distribution ([[graft.operators.Vocabulary.frequencyShape]]) —
+    * does each source's vocabulary usage still look like natural
+    * language? The oracle collapses its own census by frequency and
+    * replays the rank prefix sum with a plain ordered window (exactly
+    * what the two-level bounded form computes), the HUGEINT Σ i·fᵢ,
+    * and the nano-nat CSN MLE. */
+  def q181VocabShape(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocabulary.frequencyShape(
+      tp(spark, dir, "documents"), "source", "text")
+
+  val q181Sql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT source,
+      |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      x -> x <> '')) AS t
+      |  FROM documents),
+      |census AS MATERIALIZED (
+      |  SELECT source, t, count(*)::BIGINT AS f FROM toks GROUP BY 1, 2),
+      |byf AS MATERIALIZED (
+      |  SELECT source, f, count(*)::BIGINT AS m FROM census GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT source, f, m,
+      |    coalesce(sum(m) OVER (PARTITION BY source ORDER BY f
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS s
+      |  FROM byf),
+      |agg AS (
+      |  SELECT source,
+      |    sum(f * m)::BIGINT AS n_tokens,
+      |    sum(m)::BIGINT AS n_types,
+      |    sum(f::HUGEINT * (m * s + (m * (m + 1)) // 2)::HUGEINT) AS tt,
+      |    sum(m * CAST(round(ln(f::DOUBLE) * 1000000000.0, 0) AS BIGINT))
+      |      ::HUGEINT AS ll
+      |  FROM ranked GROUP BY 1)
+      |SELECT g.source, coalesce(n_tokens, 0) AS n_tokens,
+      |  coalesce(n_types, 0) AS n_types,
+      |  CASE WHEN n_types > 1 THEN
+      |    round(2.0 * tt::DOUBLE / (n_types::DOUBLE * n_tokens::DOUBLE)
+      |      - (n_types + 1)::DOUBLE / n_types::DOUBLE, 6) END AS gini,
+      |  CASE WHEN ll > 0 THEN
+      |    round(1.0 + n_types::DOUBLE / (ll::DOUBLE / 1000000000.0), 6)
+      |  END AS zipf_alpha
+      |FROM (SELECT DISTINCT source FROM documents) g
+      |LEFT JOIN agg USING (source)
+      |ORDER BY source""".stripMargin
+
   // --- q123: length-bucketed inference batching stats ---------------------
 
   /** Dynamic-batching report: 32-token-wide length buckets with the
@@ -1672,6 +1720,7 @@ object CurationQueries {
     "q173_rank_agreement" -> q173RankAgreement _,
     "q176_new_vocab" -> q176NewVocab _,
     "q177_pearson" -> q177Pearson _,
+    "q181_vocab_shape" -> q181VocabShape _,
     "q140_winsorize" -> q140Winsorize _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -1706,6 +1755,7 @@ object CurationQueries {
     "q173_rank_agreement" -> q173Sql,
     "q176_new_vocab" -> q176Sql,
     "q177_pearson" -> q177Sql,
+    "q181_vocab_shape" -> q181Sql,
     "q140_winsorize" -> q140Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

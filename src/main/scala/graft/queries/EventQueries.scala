@@ -914,8 +914,94 @@ object EventQueries {
     * trending — only bound the state and emit each window once. */
   val q179Sql: String = q175Sql
 
+  // --- q182: CUSUM changepoint chart per event type ------------------------
+
+  /** Per-type hourly CUSUM ([[graft.operators.Changepoint
+    * .cusumHourly]]): the sustained-rate-shift alarm. Everything is
+    * exact integer math scaled by the hour-span H, so the oracle
+    * replays the running sum + running floor windows bit-for-bit; the
+    * arm casts cusum_scaled to BIGINT (exact at any declared scale —
+    * the operator itself carries DECIMAL(38,0)) and the hour to a
+    * string (the timestamp-column oracle discipline). */
+  def q182CusumHourly(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Changepoint.cusumHourly(
+      Tables.events(spark, dir), "event_type", "ts")
+      .select(col("event_type"),
+        date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("n_events"), col("cusum_scaled").cast("long").as("cusum_scaled"))
+      .orderBy("event_type", "hour")
+
+  val q182Sql: String =
+    """WITH e AS MATERIALIZED (
+      |  SELECT event_type, date_trunc('hour', ts) AS h
+      |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+      |counts AS MATERIALIZED (
+      |  SELECT event_type, h, count(*)::BIGINT AS x FROM e GROUP BY 1, 2),
+      |b AS (SELECT min(h) AS lo, max(h) AS hi FROM e),
+      |hours AS MATERIALIZED (
+      |  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h FROM b),
+      |hh AS (SELECT count(*)::BIGINT AS hn FROM hours),
+      |tot AS (SELECT event_type, sum(x)::BIGINT AS t FROM counts GROUP BY 1),
+      |st AS (
+      |  SELECT s.event_type, s.h, coalesce(c.x, 0)::BIGINT AS x,
+      |    (hh.hn::HUGEINT * coalesce(c.x, 0)::HUGEINT - t.t::HUGEINT) AS y
+      |  FROM (SELECT k.event_type, hours.h
+      |        FROM (SELECT DISTINCT event_type FROM e) k
+      |        CROSS JOIN hours) s
+      |  LEFT JOIN counts c ON s.event_type = c.event_type AND s.h = c.h
+      |  JOIN tot t ON s.event_type = t.event_type CROSS JOIN hh),
+      |ps AS (
+      |  SELECT event_type, h, x, sum(y) OVER (PARTITION BY event_type
+      |    ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+      |  FROM st),
+      |fs AS (
+      |  SELECT event_type, h, x, p,
+      |    least(0::HUGEINT, min(p) OVER (PARTITION BY event_type ORDER BY h
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS fl
+      |  FROM ps)
+      |SELECT event_type, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+      |  x AS n_events, (p - fl)::BIGINT AS cusum_scaled
+      |FROM fs ORDER BY event_type, hour""".stripMargin
+
+  // --- q184: event-mix x time-of-day mutual information --------------------
+
+  /** MI between event type and hour-of-day ([[graft.operators.Drift
+    * .mutualInformation]]): are the two dimensions entangled — the
+    * check before stratifying a sample on both. Full dependence table
+    * + headline MI in one hashable report (the q165 PSI shape). */
+  def q184TypeHourMi(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.mutualInformation(
+      Tables.events(spark, dir)
+        .withColumn("hod", hour(col("ts")).cast("long")),
+      "event_type", "hod")
+      .orderBy("event_type", "hod")
+
+  val q184Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, extract(hour FROM ts)::BIGINT AS hod
+      |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL),
+      |cells AS MATERIALIZED (
+      |  SELECT event_type, hod, count(*)::BIGINT AS nab FROM e GROUP BY 1, 2),
+      |ma AS (SELECT event_type, sum(nab)::BIGINT AS na FROM cells GROUP BY 1),
+      |mb AS (SELECT hod, sum(nab)::BIGINT AS nb FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(nab)::BIGINT AS n FROM cells),
+      |terms AS MATERIALIZED (
+      |  SELECT c.event_type, c.hod, c.nab,
+      |    CAST(round((c.nab::DOUBLE / tot.n::DOUBLE) *
+      |      ln(c.nab::DOUBLE * tot.n::DOUBLE / (ma.na::DOUBLE * mb.nb::DOUBLE))
+      |      * 1000000000.0, 0) AS BIGINT) AS mi_term_nano
+      |  FROM cells c JOIN ma USING (event_type) JOIN mb USING (hod)
+      |  CROSS JOIN tot),
+      |mi AS (SELECT sum(mi_term_nano)::BIGINT AS s FROM terms)
+      |SELECT t.event_type, t.hod, t.nab AS n_ab, t.mi_term_nano, tot.n,
+      |  round(mi.s::DOUBLE / 1000000000.0, 6) AS mi_nats
+      |FROM terms t CROSS JOIN tot CROSS JOIN mi
+      |ORDER BY t.event_type, t.hod""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q179_trending_append" -> q179TrendingAppend _,
+    "q182_cusum_hourly" -> q182CusumHourly _,
+    "q184_type_hour_mi" -> q184TypeHourMi _,
     "q175_streaming_trending" -> q175StreamingTrending _,
     "q174_pivot_matrix" -> q174PivotMatrix _,
     "q172_profile_events" -> q172ProfileEvents _,
@@ -947,6 +1033,8 @@ object EventQueries {
     "q174_pivot_matrix" -> q174Sql,
     "q175_streaming_trending" -> q175Sql,
     "q179_trending_append" -> q179Sql,
+    "q182_cusum_hourly" -> q182Sql,
+    "q184_type_hour_mi" -> q184Sql,
     "q144_funnel_4stage" -> q144Sql,
     "q143_streaming_dedup_watermark" -> q143Sql,
     "q142_cohort_retention" -> q142Sql,

@@ -844,7 +844,10 @@ object SimilarityQueries {
     * assign/floor-mean rounds — the q131 trained-IVF discipline with the
     * subspace index joined into every key), then the encode / ADC /
     * float-re-rank chain. RecallSpec pins recall@5 ≥ 0.90 for exactly
-    * this declared cascade. */
+    * this declared cascade. Training carries the FAISS-practice
+    * sampleCap (65536): it does NOT bind at any fixture scale (stride
+    * 1 ⇒ the oracle's full-corpus replay is exact), and at 100 TB it
+    * is what keeps Lloyd cost corpus-size-independent. */
   def q178AnnPqTrained(spark: SparkSession, dir: String): DataFrame = {
     val emb = t(spark, dir, "embeddings")
     val cb = Similarity.pqTrainExact(emb, PqTM, PqTK, PqTIters)
@@ -1074,7 +1077,82 @@ object SimilarityQueries {
       |SELECT vec_id, j::BIGINT AS cluster, d::BIGINT AS dist
       |FROM a2 WHERE rk = 1 ORDER BY vec_id""".stripMargin
 
+  // --- q183: top-principal-component projection ----------------------------
+
+  private val PcaIters = 8
+
+  /** Centered projection of every vector on the corpus' top principal
+    * direction ([[graft.operators.Pca.projectTop]]) — the whitening /
+    * dominant-direction diagnostic. The oracle re-derives EVERYTHING:
+    * micro quantization, the exact integer scaled covariance
+    * n·Σvⱼvₖ − Σvⱼ·Σvₖ, its ≤1e6 floor quantization (DuckDB `//`
+    * truncates toward zero, so floor gets the explicit sign
+    * adjustment), all 8 power-iteration rounds with the signed
+    * max-|component| pivot (ties → lowest index), and the final
+    * exact-integer centered dot with ONE IEEE division per vector. */
+  def q183PcaProject(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.projectTop(
+      t(spark, dir, "embeddings"), "vec_id", "embedding", PcaIters)
+      .orderBy("vec_id")
+
+  val q183Sql: String = {
+    // floor division a // b with DuckDB's truncate-toward-zero `//`
+    def fdiv(a: String, b: String): String =
+      s"(($a) // ($b) - CASE WHEN ($a) % ($b) <> 0 AND " +
+        s"((($a) < 0) <> (($b) < 0)) THEN 1 ELSE 0 END)"
+    val sb = new StringBuilder
+    sb ++=
+      """WITH mv AS MATERIALIZED (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round((x::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ex AS MATERIALIZED (
+        |  SELECT vec_id, unnest(v) AS vj,
+        |    generate_subscripts(v, 1) - 1 AS j
+        |  FROM mv),
+        |cells AS MATERIALIZED (
+        |  SELECT a.j AS j, b.j AS k,
+        |    sum(a.vj::HUGEINT * b.vj::HUGEINT) AS ss,
+        |    sum(a.vj)::HUGEINT AS sj, sum(b.vj)::HUGEINT AS sk,
+        |    count(*)::HUGEINT AS n
+        |  FROM ex a JOIN ex b USING (vec_id) GROUP BY 1, 2),
+        |cov AS MATERIALIZED (
+        |  SELECT j, k, (n * ss - sj * sk) AS c FROM cells),
+        |mx AS (SELECT max(abs(c)) AS ma FROM cov),
+        |""".stripMargin
+    sb ++= s"q AS MATERIALIZED (\n  SELECT j, k, " +
+      fdiv("c * 1000000::HUGEINT", "ma") +
+      " AS qc\n  FROM cov CROSS JOIN mx),\n"
+    sb ++= "x0 AS (SELECT DISTINCT j, 1000000::HUGEINT AS xv FROM cov),\n"
+    for (t <- 1 to PcaIters) {
+      val p = t - 1
+      sb ++=
+        s"""y$t AS MATERIALIZED (
+           |  SELECT q.j, sum(q.qc * x$p.xv) AS yv
+           |  FROM q JOIN x$p ON q.k = x$p.j GROUP BY 1),
+           |p$t AS (SELECT yv AS pv FROM y$t ORDER BY abs(yv) DESC, j LIMIT 1),
+           |x$t AS (SELECT j, ${fdiv("yv * 1000000::HUGEINT", "pv")} AS xv
+           |  FROM y$t CROSS JOIN p$t),
+           |""".stripMargin
+    }
+    sb ++=
+      s"""sums AS MATERIALIZED (
+         |  SELECT j, sum(vj)::HUGEINT AS s, count(*)::HUGEINT AS n
+         |  FROM ex GROUP BY 1),
+         |proj AS (
+         |  SELECT ex.vec_id,
+         |    sum((sums.n * ex.vj::HUGEINT - sums.s) * u.xv) AS dot,
+         |    max(sums.n) AS n
+         |  FROM ex JOIN sums USING (j) JOIN x$PcaIters u ON ex.j = u.j
+         |  GROUP BY 1)
+         |SELECT vec_id,
+         |  round(dot::DOUBLE / (n::DOUBLE * 1000000000000.0), 6) AS pc1
+         |FROM proj ORDER BY vec_id""".stripMargin
+    sb.toString
+  }
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q183_pca_project" -> q183PcaProject _,
     "q129_kmeans" -> q129KMeans _,
     "q131_ivf_trained" -> q131IvfTrained _,
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
@@ -1109,6 +1187,7 @@ object SimilarityQueries {
     "q111_ann_pq_adc" -> q111Sql,
     "q112_ann_ivf_pq" -> q112Sql,
     "q178_ann_pq_trained" -> q178Sql,
+    "q183_pca_project" -> q183Sql,
     "q114_semdedup" -> q114Sql,
     "q119_dense_index" -> q109Sql) // identical semantics by construction
 }

@@ -43,6 +43,10 @@ object ScratchBench {
         graft.operators.Profiler.profile(
           s.read.parquet(s"$d/lineitem.parquet"), approxDistinct = true)
       },
+      "profile_events_hll" -> { (s, d) =>
+        graft.operators.Profiler.profile(
+          graft.queries.Tables.events(s, d), approxDistinct = true)
+      },
       "winnow_fast" -> { (s, d) =>
         val docs = graft.queries.Tables.tp(s, d, "documents")
         graft.functions.TextFunctions.winnowFingerprints(

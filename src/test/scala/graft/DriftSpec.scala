@@ -78,4 +78,42 @@ class DriftSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
     assert(Seq("g0", "g1", "g2").forall(g => out("gx") > out(g)))
   }
+
+  test("MI: independent columns score exactly zero") {
+    // every (a, b) cell count factorizes (full product, equal counts)
+    // → every ratio is exactly 1 → every nano term rounds to 0
+    val rows = for (a <- Seq("x", "y"); b <- Seq(1L, 2L, 3L); _ <- 1 to 4)
+      yield (a, b)
+    val out = Drift.mutualInformation(rows.toDF("a", "b"), "a", "b")
+      .collect()
+    assert(out.length === 6)
+    assert(out.forall(_.getLong(3) === 0L))
+    assert(out.forall(_.getDouble(5) === 0.0))
+  }
+
+  test("MI: a deterministic relationship scores ln(k), hand-rounded") {
+    // diagonal 3x3 with equal mass: each cell p=1/3, ratio=3
+    // term_nano = round(ln(3)/3 * 1e9); MI = 3 terms / 1e9
+    val rows = for (i <- Seq("p", "q", "r"); _ <- 1 to 5) yield (i, i)
+    val out = Drift.mutualInformation(rows.toDF("a", "b"), "a", "b")
+      .collect()
+    val nano = math.round(math.log(3.0) / 3.0 * 1e9)
+    assert(out.forall(_.getLong(3) === nano))
+    val mi = BigDecimal(3.0 * nano / 1e9)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.forall(_.getDouble(5) === mi))
+    assert(out.forall(_.getLong(4) === 15L))
+  }
+
+  test("MI: nulls in either column are excluded; invariance") {
+    val rows = Seq(("a", Some(1L)), ("a", None), (null, Some(2L)),
+      ("b", Some(2L)), ("a", Some(1L)), ("b", Some(1L)))
+    val df = rows.toDF("a", "b")
+    val out = Drift.mutualInformation(df, "a", "b").collect()
+    assert(out.map(_.getLong(2)).sum === 4L) // only 4 complete rows
+    val again = Drift.mutualInformation(df.repartition(5), "a", "b")
+      .orderBy("a", "b").collect().toSeq
+    assert(Drift.mutualInformation(df, "a", "b").orderBy("a", "b")
+      .collect().toSeq === again)
+  }
 }
