@@ -595,6 +595,84 @@ object ExprHelpers {
     acc
   }
 
+  /** PQ training assignment: argmin over `cb(j)`'s centroids of the
+    * left-to-right Σ (x−y)² in exact LONG arithmetic — the declarative
+    * `array_min(transform(typedlit(cents), …aggregate(zip_with…)))`
+    * chain as ONE Java loop (the chain is evaluated interpreted with
+    * no CSE: k·ds expression trees per subvector). Semantics pinned to
+    * the chain it replaces: same fold order, ties → lowest centroid
+    * index, null on any null element or out-of-range j. */
+  def pqAssignMicro(sub: org.apache.spark.sql.catalyst.util.ArrayData,
+                    j: Int, cb: Array[Array[Array[Long]]]):
+      java.lang.Integer = {
+    if (j < 0 || j >= cb.length) return null
+    val cents = cb(j)
+    val n = sub.numElements()
+    var best = Long.MaxValue
+    var bestI = -1
+    var i = 0
+    while (i < cents.length) {
+      val c = cents(i)
+      if (c.length == n) {
+        var acc = 0L
+        var e = 0
+        while (e < n) {
+          if (sub.isNullAt(e)) return null
+          val d = sub.getLong(e) - c(e)
+          acc += d * d
+          e += 1
+        }
+        if (acc < best) { best = acc; bestI = i }
+      }
+      i += 1
+    }
+    if (bestI < 0) null else Integer.valueOf(bestI)
+  }
+
+  /** PQ encode: per subspace j, argmin centroid of the left-to-right
+    * DOUBLE Σ ((double)x − y)² over the j-th subvector — the serving
+    * twin of [[pqAssignMicro]] replacing the per-(j,i) interpreted
+    * `aggregate(zip_with…)` chain in [[graft.operators.Similarity
+    * .pqCodes]]. `fk` = 0 when the vector is float (cast each element
+    * to double exactly as the chain's `x.cast("double")`), 1 for
+    * double. Returns the m-byte code array; null on a null element or
+    * a length not divisible into the codebook shape. */
+  def pqEncode(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+               cb: Array[Array[Array[Double]]], fk: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val m = cb.length
+    val ds = cb(0)(0).length
+    if (vec.numElements() < m * ds) return null
+    val out = new Array[Byte](m)
+    var j = 0
+    while (j < m) {
+      val cents = cb(j)
+      var best = Double.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)
+        var acc = 0.0
+        var e = 0
+        while (e < ds) {
+          val idx = j * ds + e
+          if (vec.isNullAt(idx)) return null
+          val x = if (fk == 0) vec.getFloat(idx).toDouble
+                  else vec.getDouble(idx)
+          val t = x - c(e)
+          acc += t * t
+          e += 1
+        }
+        if (acc < best) { best = acc; bestI = i }
+        i += 1
+      }
+      out(j) = bestI.toByte
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      out.map(java.lang.Byte.valueOf))
+  }
+
   /** Truncate at the last space at-or-before maxLen (rfind semantics,
     * reference :110-122). */
   def truncateWords(s: UTF8String, maxLen: Int): UTF8String = {
@@ -899,6 +977,61 @@ case class VecSqDistLong(left: Expression, right: Expression)
       l: Expression, r: Expression): VecSqDistLong = copy(left = l, right = r)
 }
 
+case class PqAssignMicroExpr(left: Expression, right: Expression,
+    cb: Array[Array[Array[Long]]])
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprHelpers.pqAssignMicro(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[Int], cb)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCbL", cb, "long[][][]")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      java.lang.Integer r =
+        graft.functions.ExprHelpers.pqAssignMicro($a, $b, $ref);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.intValue(); }""")
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): PqAssignMicroExpr = copy(left = l, right = r)
+}
+
+case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Double]]])
+    extends UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, ByteType,
+    DoubleType => DT, FloatType => FT}
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  private lazy val fk: Int =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FT => 0
+      case DT => 1
+      case t => throw new IllegalArgumentException(s"pq_encode over $t array")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.pqEncode(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], cb, fk)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCbD", cb, "double[][][]")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData r =
+        graft.functions.ExprHelpers.pqEncode($v, $ref, $fk);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r; }""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}
+
 case class WhitespaceTokens(child: Expression) extends UnaryExpression {
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
@@ -1008,6 +1141,12 @@ object Expressions {
   def vec_sq_dist_long(a: Column, b: Column): Column =
     ColumnBridge.column(
       VecSqDistLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  def pq_assign_micro(sub: Column, j: Column,
+                      cb: Array[Array[Array[Long]]]): Column =
+    ColumnBridge.column(PqAssignMicroExpr(
+      ColumnBridge.expression(sub), ColumnBridge.expression(j), cb))
+  def pq_encode(vec: Column, cb: Array[Array[Array[Double]]]): Column =
+    ColumnBridge.column(PqEncodeExpr(ColumnBridge.expression(vec), cb))
   /** Exact integral division (the SQL `div` operator) as a composable
     * Column — `a.divide(b)` is float division and rounds past 2^53. */
   def int_div(a: Column, b: Column): Column =

@@ -113,6 +113,63 @@ object Drift {
         round(col(s"${Dup}s").cast("double") / lit(1e9), 6).as("kl_nats"))
   }
 
+  /** Pairwise corpus similarity between groups — vocabulary Jaccard
+    * and token-frequency cosine for every (source, source) pair: the
+    * mixture-design diagnostic (two sources this similar are one
+    * source for weighting purposes; a crawl snapshot cosine-drifting
+    * from its predecessor is the corpus-level [[Snapshot]] signal).
+    *
+    * Scale shape: censuses only — the (group, token) census is built
+    * once (ONE corpus pass) and pairs join through the TOKEN, so the
+    * fan-out per token is ≤ G(G−1)/2 with G the (require-bounded ≤
+    * 4096) group count; the pair table is ≤ G² rows. Σc², Σcₐ·c_b
+    * carried exact in DECIMAL(38,0); jaccard = |A∩B|/(|A|+|B|−|A∩B|)
+    * is exact-integer-over-integer, cosine ONE IEEE chain with
+    * correctly-rounded sqrts. Pairs with no shared vocabulary don't
+    * appear (their jaccard/cosine are 0 by definition — emitting G²
+    * zero rows would defeat the census-only shape). Output:
+    * (src_a, src_b, inter_types, jaccard, cosine), src_a < src_b. */
+  def pairwiseSimilarity(df: DataFrame, groupCol: String,
+                         textCol: String): DataFrame = {
+    val toks = df.select(col(groupCol).cast("string").as(s"${Dup}g"),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as(s"${Dup}t"))
+    val census = Parallelism.stage(
+      toks.groupBy(col(s"${Dup}g"), col(s"${Dup}t"))
+        .agg(count(lit(1)).as(s"${Dup}c")))
+    val perG = census.groupBy(col(s"${Dup}g"))
+      .agg(count(lit(1)).as(s"${Dup}v"),
+        sum(col(s"${Dup}c").cast("decimal(38,0)") *
+          col(s"${Dup}c").cast("decimal(38,0)")).as(s"${Dup}sq"))
+    val nG = perG.count() // bounded driver count on the group table
+    require(nG <= 4096, s"$nG groups: the pair table is G² — regroup")
+    // barrier: both sides descend from the same census lineage
+    val left = census.select(col(s"${Dup}g").as("src_a"), col(s"${Dup}t"),
+      col(s"${Dup}c").as(s"${Dup}ca"))
+    val right = Parallelism.barrier(
+      census.select(col(s"${Dup}g").as("src_b"), col(s"${Dup}t"),
+        col(s"${Dup}c").as(s"${Dup}cb")))
+    val pairs = left.join(right, Seq(s"${Dup}t"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("inter_types"),
+        sum(col(s"${Dup}ca").cast("decimal(38,0)") *
+          col(s"${Dup}cb").cast("decimal(38,0)")).as(s"${Dup}dot"))
+    pairs
+      .join(broadcast(perG.select(col(s"${Dup}g").as("src_a"),
+        col(s"${Dup}v").as(s"${Dup}va"), col(s"${Dup}sq").as(s"${Dup}sqa"))),
+        Seq("src_a"))
+      .join(broadcast(perG.select(col(s"${Dup}g").as("src_b"),
+        col(s"${Dup}v").as(s"${Dup}vb"), col(s"${Dup}sq").as(s"${Dup}sqb"))),
+        Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("inter_types"),
+        round(col("inter_types").cast("double") /
+          (col(s"${Dup}va") + col(s"${Dup}vb") - col("inter_types"))
+            .cast("double"), 6).as("jaccard"),
+        round(col(s"${Dup}dot").cast("double") /
+          (sqrt(col(s"${Dup}sqa").cast("double")) *
+            sqrt(col(s"${Dup}sqb").cast("double"))), 6).as("cosine"))
+  }
+
   /** Mutual information between two categorical columns — the
     * dependence monitor (is event mix a function of time-of-day? does
     * label depend on source?): I(A;B) = Σ_ab p_ab·ln(p_ab/(p_a·p_b)),

@@ -219,4 +219,54 @@ object Eval {
         col("psi_term_micro"),
         round(col(s"${Dup}sum").cast("double") / lit(1e6), 6).as("psi"))
   }
+
+  /** Exact two-sample z-test (Welch form with population variances)
+    * between variant 1 and variant 0 of an experiment — the A/B
+    * decision primitive next to [[aucExact]]. The built-in avg/stddev
+    * accumulate float moments in partition order and can never
+    * hash-verify; here all five moments per variant are EXACT integer/
+    * decimal sums over MICRO-quantized values (the q177 Pearson
+    * discipline) and the z statistic is ONE pinned IEEE chain:
+    *
+    *   z = (m₁ − m₀) / √((n₁·ss₁ − s₁²)/n₁³ + (n₀·ss₀ − s₀²)/n₀³)
+    *
+    * (z is invariant to the 1e-6 quantization gauge — numerator and
+    * denominator scale together). The n³ factors divide OUT in double
+    * (an integer n³ overflows 128-bit at ~1e13 rows; the divide-chain
+    * form never does). Inputs: `variantCol` integral 0/1 (other values
+    * excluded), `valueMicroCol` integral micro units. Output one row:
+    * (n_0, n_1, mean_0, mean_1, z) — means in original units, z null
+    * when either arm is empty or both variances are 0. */
+  def abZTest(df: DataFrame, variantCol: String,
+              valueMicroCol: String): DataFrame = {
+    val v = col(variantCol).cast("long")
+    val x = col(valueMicroCol).cast("long")
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = df.filter(v.isin(0L, 1L) && x.isNotNull)
+      .agg(
+        sum(when(v === 0L, 1L).otherwise(0L)).as("n0"),
+        sum(when(v === 0L, x).otherwise(0L)).as("s0"),
+        sum(when(v === 0L, d(x) * d(x)).otherwise(d(lit(0L)))).as("ss0"),
+        sum(when(v === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(v === 1L, x).otherwise(0L)).as("s1"),
+        sum(when(v === 1L, d(x) * d(x)).otherwise(d(lit(0L)))).as("ss1"))
+    def varOverN(n: org.apache.spark.sql.Column, s: org.apache.spark.sql.Column,
+                 ss: org.apache.spark.sql.Column) =
+      (d(n) * ss - d(s) * d(s)).cast("double") /
+        n.cast("double") / n.cast("double") / n.cast("double")
+    val den = sqrt(varOverN(col("n1"), col("s1"), col("ss1")) +
+      varOverN(col("n0"), col("s0"), col("ss0")))
+    val mean = (s: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>
+      round(s.cast("double") / n.cast("double") / lit(1e6), 6)
+    m.select(
+      col("n0").as("n_0"), col("n1").as("n_1"),
+      when(col("n0") > 0, mean(col("s0"), col("n0")))
+        .otherwise(lit(null).cast("double")).as("mean_0"),
+      when(col("n1") > 0, mean(col("s1"), col("n1")))
+        .otherwise(lit(null).cast("double")).as("mean_1"),
+      when(col("n0") > 0 && col("n1") > 0 && den > 0,
+        round((col("s1").cast("double") / col("n1").cast("double") -
+          col("s0").cast("double") / col("n0").cast("double")) / den, 6))
+        .otherwise(lit(null).cast("double")).as("z"))
+  }
 }

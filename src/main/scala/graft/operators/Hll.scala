@@ -96,32 +96,43 @@ object Hll {
     require(cols.nonEmpty, "no columns to sketch")
     val m = 1 << p
     val q = 60 - p
-    // Materialize each column's hash in a projection BELOW the explode:
-    // the bit-smear rank chain references its input ~2^6 times, and a
-    // Generate's generator expression is evaluated without the codegen
-    // subexpression elimination a plain Project gets — inlining the md5
-    // there re-digests every value dozens of times per row (measured
-    // 676 s vs ~8 s on sf0.1 lineitem). Hashing first makes the smear
-    // chain fan out over a cheap long reference. Null values must yield
-    // a null hash EXPLICITLY: md5 is null-preserving but xxhash64 SKIPS
-    // null arguments (an all-null column would otherwise sketch as one
+    // Compute every column's (bucket, rank) in ONE projection BELOW
+    // the explode, behind a barrier. Two optimizer behaviors make the
+    // naive form (hash/smear inside the generator) pathological:
+    // a Generate's generator expression is evaluated INTERPRETED with
+    // no subexpression elimination — the ~20-node smear chain per
+    // element ran 60M interpreted trees (measured 54 s on the 10M-row
+    // events replica vs 9 s this way; the same shape re-digesting md5
+    // measured 676 s on sf0.1 lineitem) — and CollapseProject would
+    // inline a hash projection right back into the generator without
+    // the barrier. The generator here is an array of column
+    // REFERENCES; posexplode's index then keys the name join, so no
+    // per-row string ever materializes. Null values must yield a null
+    // hash EXPLICITLY: md5 is null-preserving but xxhash64 SKIPS null
+    // arguments (an all-null column would otherwise sketch as one
     // distinct value on the fast tier).
-    val hashed = df.select(cols.map(name =>
-      when(col(name).isNotNull,
-        hash60(col(name).cast("string"), portable)).as(s"${Dup}h_$name")): _*)
-    val triples = cols.map { name =>
-      val h = col(s"${Dup}h_$name")
-      when(h.isNotNull, struct(
-        lit(name).as("column"),
-        pmod(h, lit(m.toLong)).as("b"),
-        (lit(q + 1) - bitLength(shiftright(h, p))).cast("int").as("r")))
-    }
-    hashed.select(explode(array(triples: _*)).as("t"))
+    val prepped = graft.ops.Parallelism.barrier(
+      df.select(cols.zipWithIndex.flatMap { case (name, i) =>
+        val h = when(col(name).isNotNull,
+          hash60(col(name).cast("string"), portable))
+        Seq(pmod(h, lit(m.toLong)).as(s"${Dup}b_$i"),
+          (lit(q + 1) - bitLength(shiftright(h, p))).cast("int")
+            .as(s"${Dup}r_$i"))
+      }: _*))
+    val pairs = cols.indices.map(i =>
+      when(col(s"${Dup}b_$i").isNotNull,
+        struct(col(s"${Dup}b_$i").as("b"), col(s"${Dup}r_$i").as("r"))))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val names = cols.zipWithIndex.map { case (n, i) => (i, n) }
+      .toDF(s"${Dup}ci", "column")
+    prepped.select(posexplode(array(pairs: _*)).as(Seq(s"${Dup}ci", "t")))
       .filter(col("t").isNotNull)
-      .select(col("t.column").as("column"), col("t.b").as("b"),
-        col("t.r").as(s"${Dup}r"))
-      .groupBy(col("column"), col("b"))
+      .select(col(s"${Dup}ci"), col("t.b").as("b"), col("t.r").as(s"${Dup}r"))
+      .groupBy(col(s"${Dup}ci"), col("b"))
       .agg(max(col(s"${Dup}r")).as("reg"))
+      .join(broadcast(names), Seq(s"${Dup}ci"))
+      .select(col("column"), col("b"), col("reg"))
   }
 
   /** Register-wise max of two register sets built with the same

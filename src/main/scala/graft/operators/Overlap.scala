@@ -65,4 +65,33 @@ object Overlap {
     Seq(round(p1, 6).as("p1"), round(p2, 6).as("p2"),
       round(bp, 6).as("bp"), round(bleu, 6).as("bleu"))
   }
+
+  /** ROUGE-1/ROUGE-2 recall and F1 (Lin 2004) of candidate vs
+    * reference token arrays — the RECALL-oriented twin of [[bleu2]]
+    * (BLEU asks "is everything the candidate said supported?", ROUGE
+    * asks "did the candidate cover the reference?" — the summary-eval
+    * direction). Same zero-shuffle scan-speed shape and the same
+    * clipped-count kernel: Σ_g min(count_cand(g), count_ref(g)) is
+    * symmetric in its arguments, so ONE overlap per order serves both
+    * precision and recall. ROUGE-L (LCS) is deliberately not offered:
+    * an O(|a|·|b|) per-row dynamic program has no declarative form and
+    * the N-gram variants are the corpus-scale workhorses. Degenerate
+    * rows (empty side at that order) score 0; F1 is 0 when both
+    * precision and recall are. Columns: rouge1_r, rouge1_f, rouge2_r,
+    * rouge2_f — each ONE IEEE chain rounded at 6dp. */
+  def rouge2(cand: Column, ref: Column): Seq[Column] = {
+    def rf(ov: Column, cLen: Column, rLen: Column, tag: String) = {
+      val rec = when(rLen > 0, ov.cast("double") / rLen.cast("double"))
+        .otherwise(lit(0.0))
+      val prec = when(cLen > 0, ov.cast("double") / cLen.cast("double"))
+        .otherwise(lit(0.0))
+      val f = when(prec + rec > 0,
+        lit(2.0) * prec * rec / (prec + rec)).otherwise(lit(0.0))
+      Seq(round(rec, 6).as(s"rouge${tag}_r"), round(f, 6).as(s"rouge${tag}_f"))
+    }
+    val cg = grams2(cand)
+    val rg = grams2(ref)
+    rf(clipped(cand, ref), size(cand), size(ref), "1") ++
+      rf(clipped(cg, rg), size(cg), size(rg), "2")
+  }
 }

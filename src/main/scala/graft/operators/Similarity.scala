@@ -787,7 +787,18 @@ object Similarity {
     * map over the vector column, m·k little distance folds per row,
     * output m BYTES per vector (d/ds·8-fold smaller than the floats;
     * 64× at the q111 shape). */
-  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+  def pqCodes(vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column =
+    // native one-pass kernel — same left-to-right double fold and
+    // lowest-index tie rule as the declarative chain it replaces
+    // (SimilaritySpec kernel≡declarative property); the chain ran k·ds
+    // interpreted expression trees per subvector inside the m-way
+    // array constructor and dominated the q178 100× probe
+    graft.functions.Expressions.pq_encode(vec,
+      codebooks.map(_.map(_.toArray).toArray).toArray)
+
+  /** The retired declarative encode, kept as the kernel's spec twin. */
+  private[graft] def pqCodesDeclarative(
+      vec: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
     val ds = codebooks.head.head.size
     array(codebooks.zipWithIndex.map { case (cents, j) =>
       val sub = slice(vec, j * ds + 1, ds)
@@ -1068,17 +1079,27 @@ object Similarity {
     var cents: Array[Array[Array[Long]]] = Array.tabulate(m, k)((j, c) =>
       init.getOrElse((j, c.toLong), Array.fill(ds)(0L)))
     for (_ <- 0 until iters) {
-      val cbj = element_at(
-        typedlit(cents.map(_.map(_.toSeq).toSeq).toSeq),
-        col("__graft_j") + 1)
-      val bestC = array_min(transform(cbj, (c, i) => struct(
-        aggregate(zip_with(col("__graft_s"), c,
-          (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v).as("d"),
-        i.cast("long").as("c")))).getField("c")
+      // native assignment kernel (same long fold + lowest-index ties
+      // as the typedlit/array_min chain it replaces — SimilaritySpec
+      // property); the chain ran k·ds interpreted trees per subvector
+      val bestC = graft.functions.Expressions.pq_assign_micro(
+        col("__graft_s"), col("__graft_j"), cents).cast("long")
       val upd = meansBy(sv.withColumn("__graft_cl", bestC), col("__graft_cl"))
       cents = Array.tabulate(m, k)((j, c) =>
         upd.getOrElse((j, c.toLong), cents(j)(c)))
     }
     cents.map(_.map(_.map(_ / 1e6).toSeq).toSeq).toSeq
+  }
+
+  /** The retired declarative training assignment, kept as
+    * [[graft.functions.Expressions.pq_assign_micro]]'s spec twin. */
+  private[graft] def pqAssignDeclarative(
+      sub: Column, j: Column, cents: Array[Array[Array[Long]]]): Column = {
+    val cbj = element_at(
+      typedlit(cents.map(_.map(_.toSeq).toSeq).toSeq), j + 1)
+    array_min(transform(cbj, (c, i) => struct(
+      aggregate(zip_with(sub, c,
+        (x, y) => (x - y) * (x - y)), lit(0L), (a, v) => a + v).as("d"),
+      i.cast("long").as("c")))).getField("c")
   }
 }

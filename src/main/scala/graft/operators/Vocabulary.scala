@@ -39,7 +39,10 @@ import graft.ops.Parallelism
   * frequency's ln(f) to integer NANO-nats before the exact integer
   * Σ m·ln(f) (the [[Drift]] discipline — a float Σ over types is
   * order-dependent). α is null when every type has f = 1 (no
-  * evidence). Output: (groupCol, n_tokens, n_types, gini, zipf_alpha),
+  * evidence). Shannon entropy rides along for one more integer sum —
+  * H = ln N − (Σ f·ln f)/N in the same nano-nat discipline (ln V for
+  * a uniform vocabulary, → 0 as one type dominates). Output:
+  * (groupCol, n_tokens, n_types, gini, zipf_alpha, entropy_nats),
   * one row per group present in the input, null metrics for groups
   * with no tokens. */
 object Vocabulary {
@@ -62,7 +65,8 @@ object Vocabulary {
       return df.select(g).distinct()
         .select(g, lit(0L).as("n_tokens"), lit(0L).as("n_types"),
           lit(null).cast("double").as("gini"),
-          lit(null).cast("double").as("zipf_alpha"))
+          lit(null).cast("double").as("zipf_alpha"),
+          lit(null).cast("double").as("entropy_nats"))
         .orderBy(g)
     val width = math.max(1L, ((bounds.getLong(0) - 1L) >> 16) + 1L)
     val bucketed = byf.withColumn(s"${Dup}b",
@@ -92,7 +96,13 @@ object Vocabulary {
             lit(2L))).cast("decimal(38,0)")).as(s"${Dup}T"),
       sum(col(s"${Dup}m").cast("decimal(38,0)") *
         round(log(col(s"${Dup}f").cast("double")) * lit(1e9), 0).cast("long")
-          .cast("decimal(38,0)")).as(s"${Dup}L"))
+          .cast("decimal(38,0)")).as(s"${Dup}L"),
+      // Σ f·m·ln(f) in nano-nats: Shannon entropy telescopes to
+      // ln N − (Σ f·ln f)/N, so ONE more exact integer sum buys it
+      sum(col(s"${Dup}f").cast("decimal(38,0)") *
+        col(s"${Dup}m").cast("decimal(38,0)") *
+        round(log(col(s"${Dup}f").cast("double")) * lit(1e9), 0).cast("long")
+          .cast("decimal(38,0)")).as(s"${Dup}E"))
     val out = shaped.select(g, col("n_tokens"), col("n_types"),
       when(col("n_types") > 1,
         round(lit(2.0) * col(s"${Dup}T").cast("double") /
@@ -103,12 +113,15 @@ object Vocabulary {
       when(col(s"${Dup}L") > 0,
         round(lit(1.0) + col("n_types").cast("double") /
           (col(s"${Dup}L").cast("double") / lit(1e9)), 6))
-        .otherwise(lit(null).cast("double")).as("zipf_alpha"))
+        .otherwise(lit(null).cast("double")).as("zipf_alpha"),
+      round(log(col("n_tokens").cast("double")) -
+        col(s"${Dup}E").cast("double") / lit(1e9) /
+          col("n_tokens").cast("double"), 6).as("entropy_nats"))
     df.select(g).distinct()
       .join(out, Seq(groupCol), "left")
       .select(g, coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_types"), lit(0L)).as("n_types"),
-        col("gini"), col("zipf_alpha"))
+        col("gini"), col("zipf_alpha"), col("entropy_nats"))
       .orderBy(g)
   }
 }

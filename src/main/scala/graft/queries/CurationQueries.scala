@@ -1053,7 +1053,10 @@ object CurationQueries {
       |    sum(m)::BIGINT AS n_types,
       |    sum(f::HUGEINT * (m * s + (m * (m + 1)) // 2)::HUGEINT) AS tt,
       |    sum(m * CAST(round(ln(f::DOUBLE) * 1000000000.0, 0) AS BIGINT))
-      |      ::HUGEINT AS ll
+      |      ::HUGEINT AS ll,
+      |    sum(f::HUGEINT * m::HUGEINT *
+      |      CAST(round(ln(f::DOUBLE) * 1000000000.0, 0) AS BIGINT)::HUGEINT)
+      |      AS ee
       |  FROM ranked GROUP BY 1)
       |SELECT g.source, coalesce(n_tokens, 0) AS n_tokens,
       |  coalesce(n_types, 0) AS n_types,
@@ -1062,10 +1065,47 @@ object CurationQueries {
       |      - (n_types + 1)::DOUBLE / n_types::DOUBLE, 6) END AS gini,
       |  CASE WHEN ll > 0 THEN
       |    round(1.0 + n_types::DOUBLE / (ll::DOUBLE / 1000000000.0), 6)
-      |  END AS zipf_alpha
+      |  END AS zipf_alpha,
+      |  round(ln(n_tokens::DOUBLE)
+      |    - ee::DOUBLE / 1000000000.0 / n_tokens::DOUBLE, 6) AS entropy_nats
       |FROM (SELECT DISTINCT source FROM documents) g
       |LEFT JOIN agg USING (source)
       |ORDER BY source""".stripMargin
+
+  // --- q186: pairwise source similarity ------------------------------------
+
+  /** Vocabulary Jaccard + token-frequency cosine for every source pair
+    * ([[graft.operators.Drift.pairwiseSimilarity]]) — the
+    * mixture-design / crawl-drift diagnostic at the corpus level. */
+  def q186SourceSimilarity(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Drift.pairwiseSimilarity(
+      tp(spark, dir, "documents"), "source", "text")
+      .orderBy("src_a", "src_b")
+
+  val q186Sql: String =
+    """WITH toks AS MATERIALIZED (
+      |  SELECT source AS g,
+      |    unnest(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |      x -> x <> '')) AS t
+      |  FROM documents),
+      |census AS MATERIALIZED (
+      |  SELECT g, t, count(*)::BIGINT AS c FROM toks GROUP BY 1, 2),
+      |perg AS MATERIALIZED (
+      |  SELECT g, count(*)::BIGINT AS v, sum(c::HUGEINT * c::HUGEINT) AS sq
+      |  FROM census GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.g AS src_a, b.g AS src_b, count(*)::BIGINT AS inter_types,
+      |    sum(a.c::HUGEINT * b.c::HUGEINT) AS dotp
+      |  FROM census a JOIN census b ON a.t = b.t AND a.g < b.g
+      |  GROUP BY 1, 2)
+      |SELECT p.src_a, p.src_b, p.inter_types,
+      |  round(p.inter_types::DOUBLE /
+      |    (pa.v + pb.v - p.inter_types)::DOUBLE, 6) AS jaccard,
+      |  round(p.dotp::DOUBLE /
+      |    (sqrt(pa.sq::DOUBLE) * sqrt(pb.sq::DOUBLE)), 6) AS cosine
+      |FROM pairs p JOIN perg pa ON p.src_a = pa.g
+      |JOIN perg pb ON p.src_b = pb.g
+      |ORDER BY src_a, src_b""".stripMargin
 
   // --- q123: length-bucketed inference batching stats ---------------------
 
@@ -1406,6 +1446,70 @@ object CurationQueries {
       |  FROM r1 LEFT JOIN c2 USING (id))
       |SELECT id AS doc_id, r AS rank_micro FROM r2 ORDER BY doc_id""".stripMargin
 
+  // --- q188: PageRank convergence report -----------------------------------
+
+  /** Per-iteration max-delta report over the q133 citation graph
+    * ([[graft.operators.Centrality.pageRankConvergence]], 3 rounds) —
+    * the stop-rule data production runs read to CHOOSE `iters`. The
+    * oracle re-runs all three damped floor-divided rounds AND takes
+    * each round's max |rank − prev| — the convergence feature itself
+    * is cross-engine verified, not just the final ranks. */
+  def q188PageRankConvergence(spark: SparkSession, dir: String)
+      : DataFrame = {
+    val docs = tp(spark, dir, "documents")
+    val n = docs.count()
+    val edges = docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 7 + 1, lit(n)).as("dst"))
+      .union(docs.select(col("doc_id").as("src"),
+        pmod(col("doc_id") * 13 + 3, lit(n)).as("dst")))
+    graft.operators.Centrality.pageRankConvergence(
+        edges, "src", "dst", iters = 3)
+      .select(col("iter").cast("long").as("iter"), col("max_delta_micro"))
+      .orderBy("iter")
+  }
+
+  val q188Sql: String =
+    """WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+      |e AS (
+      |  SELECT doc_id AS src, (doc_id * 7 + 1) % nn.n AS dst
+      |  FROM documents CROSS JOIN nn
+      |  UNION ALL
+      |  SELECT doc_id, (doc_id * 13 + 3) % nn.n
+      |  FROM documents CROSS JOIN nn),
+      |deg AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+      |r0 AS (SELECT doc_id AS id, 1000000::BIGINT AS r FROM documents),
+      |c1 AS (
+      |  SELECT e.dst AS id, sum(r0.r // deg.outdeg)::BIGINT AS s
+      |  FROM e JOIN deg USING (src) JOIN r0 ON r0.id = e.src GROUP BY 1),
+      |r1 AS MATERIALIZED (
+      |  SELECT r0.id,
+      |    (150000 + (850000 * coalesce(c1.s, 0)) // 1000000)::BIGINT AS r
+      |  FROM r0 LEFT JOIN c1 USING (id)),
+      |c2 AS (
+      |  SELECT e.dst AS id, sum(r1.r // deg.outdeg)::BIGINT AS s
+      |  FROM e JOIN deg USING (src) JOIN r1 ON r1.id = e.src GROUP BY 1),
+      |r2 AS MATERIALIZED (
+      |  SELECT r1.id,
+      |    (150000 + (850000 * coalesce(c2.s, 0)) // 1000000)::BIGINT AS r
+      |  FROM r1 LEFT JOIN c2 USING (id)),
+      |c3 AS (
+      |  SELECT e.dst AS id, sum(r2.r // deg.outdeg)::BIGINT AS s
+      |  FROM e JOIN deg USING (src) JOIN r2 ON r2.id = e.src GROUP BY 1),
+      |r3 AS MATERIALIZED (
+      |  SELECT r2.id,
+      |    (150000 + (850000 * coalesce(c3.s, 0)) // 1000000)::BIGINT AS r
+      |  FROM r2 LEFT JOIN c3 USING (id)),
+      |d1 AS (SELECT max(abs(r1.r - r0.r))::BIGINT AS d
+      |       FROM r1 JOIN r0 USING (id)),
+      |d2 AS (SELECT max(abs(r2.r - r1.r))::BIGINT AS d
+      |       FROM r2 JOIN r1 USING (id)),
+      |d3 AS (SELECT max(abs(r3.r - r2.r))::BIGINT AS d
+      |       FROM r3 JOIN r2 USING (id))
+      |SELECT 1::BIGINT AS iter, d AS max_delta_micro FROM d1
+      |UNION ALL SELECT 2, d FROM d2
+      |UNION ALL SELECT 3, d FROM d3
+      |ORDER BY iter""".stripMargin
+
   // --- q157: hubs and authorities (integer-exact HITS) --------------------
 
   /** Two HITS rounds over the same synthesized citation graph as q133 —
@@ -1721,6 +1825,8 @@ object CurationQueries {
     "q176_new_vocab" -> q176NewVocab _,
     "q177_pearson" -> q177Pearson _,
     "q181_vocab_shape" -> q181VocabShape _,
+    "q186_source_similarity" -> q186SourceSimilarity _,
+    "q188_pagerank_convergence" -> q188PageRankConvergence _,
     "q140_winsorize" -> q140Winsorize _,
     "q65_repetition_signals" -> q65Repetition _,
     "q66_pii_scrub" -> q66PiiScrub _,
@@ -1756,6 +1862,8 @@ object CurationQueries {
     "q176_new_vocab" -> q176Sql,
     "q177_pearson" -> q177Sql,
     "q181_vocab_shape" -> q181Sql,
+    "q186_source_similarity" -> q186Sql,
+    "q188_pagerank_convergence" -> q188Sql,
     "q140_winsorize" -> q140Sql,
     "q65_repetition_signals" -> q65Sql,
     "q66_pii_scrub" -> q66Sql,

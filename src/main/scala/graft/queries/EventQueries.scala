@@ -963,6 +963,83 @@ object EventQueries {
       |  x AS n_events, (p - fl)::BIGINT AS cusum_scaled
       |FROM fs ORDER BY event_type, hour""".stripMargin
 
+  // --- q190: exact A/B z-test ------------------------------------------------
+
+  /** Two-sample z over the event `value` with variant = user_id parity
+    * ([[graft.operators.Eval.abZTest]]): exact integer moments over
+    * micro-quantized values, one pinned IEEE chain — the experiment
+    * readout `avg`/`stddev` could never hash-verify. */
+  def q190AbZTest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.abZTest(
+      Tables.events(spark, dir)
+        .select(pmod(col("user_id"), lit(2L)).as("variant"),
+          round(col("value") * lit(1e6), 0).cast("long").as("vm")),
+      "variant", "vm")
+
+  val q190Sql: String =
+    """WITH e AS (
+      |  SELECT user_id % 2 AS v,
+      |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS x
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |m AS (
+      |  SELECT
+      |    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |    sum(CASE WHEN v = 0 THEN x ELSE 0 END)::BIGINT AS s0,
+      |    sum(CASE WHEN v = 0 THEN x::HUGEINT * x::HUGEINT
+      |        ELSE 0::HUGEINT END) AS ss0,
+      |    sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN v = 1 THEN x ELSE 0 END)::BIGINT AS s1,
+      |    sum(CASE WHEN v = 1 THEN x::HUGEINT * x::HUGEINT
+      |        ELSE 0::HUGEINT END) AS ss1
+      |  FROM e),
+      |dd AS (
+      |  SELECT *,
+      |    sqrt((n1::HUGEINT * ss1 - s1::HUGEINT * s1::HUGEINT)::DOUBLE
+      |        / n1::DOUBLE / n1::DOUBLE / n1::DOUBLE
+      |      + (n0::HUGEINT * ss0 - s0::HUGEINT * s0::HUGEINT)::DOUBLE
+      |        / n0::DOUBLE / n0::DOUBLE / n0::DOUBLE) AS den
+      |  FROM m)
+      |SELECT n0 AS n_0, n1 AS n_1,
+      |  CASE WHEN n0 > 0
+      |    THEN round(s0::DOUBLE / n0::DOUBLE / 1000000.0, 6) END AS mean_0,
+      |  CASE WHEN n1 > 0
+      |    THEN round(s1::DOUBLE / n1::DOUBLE / 1000000.0, 6) END AS mean_1,
+      |  CASE WHEN n0 > 0 AND n1 > 0 AND den > 0
+      |    THEN round((s1::DOUBLE / n1::DOUBLE - s0::DOUBLE / n0::DOUBLE)
+      |      / den, 6) END AS z
+      |FROM dd""".stripMargin
+
+  // --- q187: Markov next-event transitions ----------------------------------
+
+  /** First-order transition table over per-user event sequences
+    * ([[graft.operators.Markov.transitions]]): counts, floor-divided
+    * micro probabilities, per-prev ranking — all integer, ordered
+    * deterministically by (ts, event_id). */
+  def q187Transitions(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Markov.transitions(
+      Tables.events(spark, dir), "user_id", "event_type", "ts", "event_id")
+      .orderBy("prev_type", "rank")
+
+  val q187Sql: String =
+    """WITH seq AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS nx
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |    AND ts IS NOT NULL),
+      |census AS (
+      |  SELECT event_type AS prev_type, nx AS next_type,
+      |    count(*)::BIGINT AS n
+      |  FROM seq WHERE nx IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT prev_type, sum(n)::BIGINT AS t FROM census GROUP BY 1)
+      |SELECT c.prev_type, c.next_type, c.n,
+      |  (c.n * 1000000) // t.t AS prob_micro,
+      |  row_number() OVER (PARTITION BY c.prev_type
+      |    ORDER BY c.n DESC, c.next_type)::BIGINT AS rank
+      |FROM census c JOIN tot t USING (prev_type)
+      |ORDER BY prev_type, rank""".stripMargin
+
   // --- q184: event-mix x time-of-day mutual information --------------------
 
   /** MI between event type and hour-of-day ([[graft.operators.Drift
@@ -1002,6 +1079,8 @@ object EventQueries {
     "q179_trending_append" -> q179TrendingAppend _,
     "q182_cusum_hourly" -> q182CusumHourly _,
     "q184_type_hour_mi" -> q184TypeHourMi _,
+    "q187_markov_transitions" -> q187Transitions _,
+    "q190_ab_ztest" -> q190AbZTest _,
     "q175_streaming_trending" -> q175StreamingTrending _,
     "q174_pivot_matrix" -> q174PivotMatrix _,
     "q172_profile_events" -> q172ProfileEvents _,
@@ -1035,6 +1114,8 @@ object EventQueries {
     "q179_trending_append" -> q179Sql,
     "q182_cusum_hourly" -> q182Sql,
     "q184_type_hour_mi" -> q184Sql,
+    "q187_markov_transitions" -> q187Sql,
+    "q190_ab_ztest" -> q190Sql,
     "q144_funnel_4stage" -> q144Sql,
     "q143_streaming_dedup_watermark" -> q143Sql,
     "q142_cohort_retention" -> q142Sql,

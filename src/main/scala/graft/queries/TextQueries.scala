@@ -675,6 +675,69 @@ object TextQueries {
       |    THEN bp * exp((ln(p1) + ln(p2)) / 2.0) ELSE 0.0 END, 6) AS bleu
       |FROM sc ORDER BY doc_id""".stripMargin
 
+  // --- q185: ROUGE-1/2 recall + F1 ----------------------------------------
+
+  /** Row-level ROUGE against the q153 jittered references
+    * ([[graft.operators.Overlap.rouge2]]): the truncated-reference arm
+    * exercises recall < 1 at precision 1, the padded-reference arm the
+    * reverse — both directions of every ratio hash-verified. */
+  def q185Rouge(spark: SparkSession, dir: String): DataFrame = {
+    val w = TextFunctions.tokens(lower(col("text")))
+    val base = tp(spark, dir, "documents")
+      .select(col("doc_id"), w.as("cand"))
+      .withColumn("ref",
+        when(pmod(col("doc_id"), lit(2)) === 0,
+          slice(col("cand"), lit(1),
+            floor(size(col("cand")) * 4 / 5).cast("int")))
+          .otherwise(concat(col("cand"),
+            slice(col("cand"), lit(1),
+              floor(size(col("cand")) / 3).cast("int")))))
+    base.select(col("doc_id") +:
+      graft.operators.Overlap.rouge2(col("cand"), col("ref")): _*)
+      .orderBy("doc_id")
+  }
+
+  val q185Sql: String =
+    """WITH toksl AS (
+      |  SELECT doc_id, list_filter(
+      |    regexp_split_to_array(trim(lower(text)), '\s+'), x -> x <> '') AS w
+      |  FROM documents),
+      |pair AS (
+      |  SELECT doc_id, w AS cand,
+      |    CASE WHEN doc_id % 2 = 0 THEN w[1:(4 * len(w)) // 5]
+      |         ELSE list_concat(w, w[1:len(w) // 3]) END AS ref
+      |  FROM toksl),
+      |grams AS (
+      |  SELECT doc_id, cand, ref,
+      |    [cand[i] || ' ' || cand[i + 1] for i in range(1, len(cand))] AS cg,
+      |    [ref[i] || ' ' || ref[i + 1] for i in range(1, len(ref))] AS rg
+      |  FROM pair),
+      |m AS (
+      |  SELECT doc_id, len(cand) AS c1, len(ref) AS r1,
+      |    len(cg) AS c2, len(rg) AS r2,
+      |    coalesce(list_sum(list_transform(list_distinct(cand),
+      |      g -> least(len(list_filter(cand, x -> x = g)),
+      |                 len(list_filter(ref,  x -> x = g))))), 0) AS ov1,
+      |    coalesce(list_sum(list_transform(list_distinct(cg),
+      |      g -> least(len(list_filter(cg, x -> x = g)),
+      |                 len(list_filter(rg, x -> x = g))))), 0) AS ov2
+      |  FROM grams),
+      |sc AS (
+      |  SELECT doc_id,
+      |    CASE WHEN r1 > 0 THEN ov1::DOUBLE / r1 ELSE 0.0 END AS rec1,
+      |    CASE WHEN c1 > 0 THEN ov1::DOUBLE / c1 ELSE 0.0 END AS pre1,
+      |    CASE WHEN r2 > 0 THEN ov2::DOUBLE / r2 ELSE 0.0 END AS rec2,
+      |    CASE WHEN c2 > 0 THEN ov2::DOUBLE / c2 ELSE 0.0 END AS pre2
+      |  FROM m)
+      |SELECT doc_id,
+      |  round(rec1, 6) AS rouge1_r,
+      |  round(CASE WHEN pre1 + rec1 > 0
+      |    THEN 2.0 * pre1 * rec1 / (pre1 + rec1) ELSE 0.0 END, 6) AS rouge1_f,
+      |  round(rec2, 6) AS rouge2_r,
+      |  round(CASE WHEN pre2 + rec2 > 0
+      |    THEN 2.0 * pre2 * rec2 / (pre2 + rec2) ELSE 0.0 END, 6) AS rouge2_f
+      |FROM sc ORDER BY doc_id""".stripMargin
+
   // --- containment (asymmetric near-dup) --------------------------------
 
   /** Quote detection via exact containment pairs
@@ -1839,6 +1902,7 @@ object TextQueries {
     "q151_heavy_hitters" -> q151HeavyHitters _,
     "q152_bigram_diversity" -> q152BigramDiversity _,
     "q153_bleu" -> q153Bleu _,
+    "q185_rouge" -> q185Rouge _,
     "q158_containment" -> q158Containment _,
     "q166_stemmed_census" -> q166StemmedCensus _,
     "q167_fuzzy_dups" -> q167FuzzyDups _,
@@ -1887,6 +1951,7 @@ object TextQueries {
     "q151_heavy_hitters" -> q151Sql,
     "q152_bigram_diversity" -> q152Sql,
     "q153_bleu" -> q153Sql,
+    "q185_rouge" -> q185Sql,
     "q158_containment" -> q158Sql,
     "q167_fuzzy_dups" -> q167Sql,
     "q171_readability" -> q171Sql,

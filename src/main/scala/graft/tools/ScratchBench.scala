@@ -47,6 +47,43 @@ object ScratchBench {
         graft.operators.Profiler.profile(
           graft.queries.Tables.events(s, d), approxDistinct = true)
       },
+      "profile_events_base" -> { (s, d) =>
+        // the exact tier MINUS count_distinct: isolates the base
+        // aggregation cost from the expand and from the register build
+        val ev = graft.queries.Tables.events(s, d)
+        val aggs = ev.schema.fields.flatMap { f =>
+          Seq(count(col(f.name)), min(col(f.name)).cast("string"),
+            max(col(f.name)).cast("string"))
+        }
+        ev.agg(count(lit(1)), aggs: _*)
+      },
+      "hll_regs_events" -> { (s, d) =>
+        val ev = graft.queries.Tables.events(s, d)
+        graft.operators.Hll.registersByColumn(ev,
+          ev.schema.fields.map(_.name).toSeq, p = 12, portable = false)
+      },
+      "hll_hash_only" -> { (s, d) =>
+        // cost of the 6 per-column xxhash64(cast-to-string) alone
+        val ev = graft.queries.Tables.events(s, d)
+        val hs = ev.schema.fields.map(f => when(col(f.name).isNotNull,
+          pmod(xxhash64(lit("hll"), col(f.name).cast("string")),
+            lit(1L << 60))).as(s"h_${f.name}"))
+        val probes = ev.schema.fields.toSeq.map(f =>
+          sum(pmod(col(s"h_${f.name}"), lit(1000003L))))
+        ev.select(hs.toSeq: _*).agg(probes.head, probes.tail: _*)
+      },
+      "hll_explode_only" -> { (s, d) =>
+        // hash + explode to longs + count: adds the Generate cost
+        val ev = graft.queries.Tables.events(s, d)
+        val hs = ev.schema.fields.map(f => when(col(f.name).isNotNull,
+          pmod(xxhash64(lit("hll"), col(f.name).cast("string")),
+            lit(1L << 60))).as(s"h_${f.name}"))
+        ev.select(hs.toSeq: _*)
+          .select(explode(array(ev.schema.fields.map(f =>
+            col(s"h_${f.name}")).toSeq: _*)).as("h"))
+          .filter(col("h").isNotNull)
+          .agg(count(lit(1)), sum(pmod(col("h"), lit(1000003L))))
+      },
       "winnow_fast" -> { (s, d) =>
         val docs = graft.queries.Tables.tp(s, d, "documents")
         graft.functions.TextFunctions.winnowFingerprints(

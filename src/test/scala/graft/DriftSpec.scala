@@ -79,6 +79,36 @@ class DriftSpec extends SparkSpec {
     assert(Seq("g0", "g1", "g2").forall(g => out("gx") > out(g)))
   }
 
+  test("pairwise similarity: hand-computed Jaccard and cosine") {
+    // A: {a:2, b:1}, B: {a:1, c:1} → inter {a}: 1; |A∪B| = 2+2−1 = 3
+    // dot = 2·1 = 2; ||A||² = 5, ||B||² = 2 → cos = 2/√10
+    val df = Seq(("A", "a a b"), ("B", "a c")).toDF("src", "text")
+    val out = Drift.pairwiseSimilarity(df, "src", "text").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert((r.getString(0), r.getString(1), r.getLong(2)) === (("A", "B", 1L)))
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(3) === rnd(1.0 / 3))
+    assert(r.getDouble(4) === rnd(2.0 / (math.sqrt(5.0) * math.sqrt(2.0))))
+  }
+
+  test("pairwise similarity: identical sources hit 1.0; disjoint absent") {
+    val df = Seq(("x", "p q r p"), ("y", "p q r p"), ("z", "unrelated"))
+      .toDF("src", "text")
+    val out = Drift.pairwiseSimilarity(df, "src", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(("x", "y")) === ((1.0, 1.0)))
+    assert(!out.contains(("x", "z")) && !out.contains(("y", "z")))
+    // invariance
+    val a = Drift.pairwiseSimilarity(df, "src", "text")
+      .orderBy("src_a", "src_b").collect().toSeq
+    val b = Drift.pairwiseSimilarity(df.repartition(5), "src", "text")
+      .orderBy("src_a", "src_b").collect().toSeq
+    assert(a === b)
+  }
+
   test("MI: independent columns score exactly zero") {
     // every (a, b) cell count factorizes (full product, equal counts)
     // → every ratio is exactly 1 → every nano term rounds to 0

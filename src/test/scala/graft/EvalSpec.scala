@@ -132,4 +132,34 @@ class EvalSpec extends SparkSpec {
     assert(winLines.exists(_.contains("__graft_b")),
       s"per-score window not partitioned by bucket:\n$p")
   }
+
+  test("abZTest: hand-computed z = 3, exact means, identical arms z = 0") {
+    // v0 micro {0, 2e6}: mean 1.0, var/n = 5e11; v1 {3e6, 5e6}: mean
+    // 4.0, var/n = 5e11 → den = 1e6, z = (4e6−1e6)/1e6 = 3
+    val rows = Seq((0L, 0L), (0L, 2000000L), (1L, 3000000L), (1L, 5000000L))
+    val r = Eval.abZTest(rows.toDF("v", "x"), "v", "x").head()
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 2L)))
+    assert(r.getDouble(2) === 1.0 && r.getDouble(3) === 4.0)
+    assert(r.getDouble(4) === 3.0)
+    val same = (0 until 40).flatMap(i => Seq((0L, i * 1000L), (1L, i * 1000L)))
+    assert(Eval.abZTest(same.toDF("v", "x"), "v", "x")
+      .head().getDouble(4) === 0.0)
+  }
+
+  test("abZTest: empty arm, zero variance and out-of-domain variants") {
+    val oneArm = Seq((1L, 5L), (1L, 7L), (2L, 9L)) // variant 2 excluded
+    val r = Eval.abZTest(oneArm.toDF("v", "x"), "v", "x").head()
+    assert(r.getLong(0) === 0L && r.getLong(1) === 2L)
+    assert(r.isNullAt(2) && !r.isNullAt(3) && r.isNullAt(4))
+    val const = Seq((0L, 4L), (0L, 4L), (1L, 4L), (1L, 4L))
+    val c = Eval.abZTest(const.toDF("v", "x"), "v", "x").head()
+    assert(c.isNullAt(4)) // both variances zero → undefined z
+  }
+
+  test("abZTest: partitioning invariance") {
+    val rows = (0 until 500).map(i => (i % 2L, (i * 137L) % 90000L))
+    val df = rows.toDF("v", "x")
+    assert(Eval.abZTest(df, "v", "x").collect().toSeq ===
+      Eval.abZTest(df.repartition(11), "v", "x").collect().toSeq)
+  }
 }

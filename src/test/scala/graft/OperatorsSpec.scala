@@ -620,4 +620,35 @@ class OperatorsSpec extends SparkSpec {
     val knn = graft.operators.Similarity.bruteForceTopK(vecs, vecs, 1)
     assert(knn.count() == 2)
   }
+
+  test("PQ native kernels equal the retired declarative chains") {
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(7)
+    // encode: random floats + deliberately duplicated centroids so the
+    // lowest-index tie rule is exercised, not just generic data
+    val cb: Seq[Seq[Seq[Double]]] = Seq.tabulate(4)(j =>
+      Seq.tabulate(8)(i =>
+        if (i == 5) Seq.fill(4)(0.25) // duplicate of i=2 below
+        else if (i == 2) Seq.fill(4)(0.25)
+        else Seq.fill(4)(rnd.nextDouble() * 2 - 1)))
+    val vecs = (0L until 300L)
+      .map(i => (i, Array.fill(16)(rnd.nextFloat() * 2 - 1)))
+      .toDF("vec_id", "embedding")
+    val cmp = vecs.select(
+      Similarity.pqCodes(col("embedding"), cb).as("k"),
+      Similarity.pqCodesDeclarative(col("embedding"), cb).as("d"))
+    assert(cmp.filter(col("k") =!= col("d")).count() === 0)
+    // training assignment: random micro subvectors across all subspaces
+    val cents: Array[Array[Array[Long]]] = Array.fill(4)(
+      Array.fill(8)(Array.fill(4)(rnd.nextLong() % 1000000L)))
+    cents(1)(6) = cents(1)(3).clone() // tie pair in subspace 1
+    val subs = (0 until 400)
+      .map(i => (Seq.fill(4)(rnd.nextLong() % 1000000L), i % 4))
+      .toDF("s", "j")
+    val c2 = subs.select(
+      graft.functions.Expressions.pq_assign_micro(col("s"), col("j"), cents)
+        .cast("long").as("k"),
+      Similarity.pqAssignDeclarative(col("s"), col("j"), cents).as("d"))
+    assert(c2.filter(col("k") =!= col("d")).count() === 0)
+  }
 }

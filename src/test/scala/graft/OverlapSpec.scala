@@ -63,6 +63,31 @@ class OverlapSpec extends SparkSpec {
     assert(df.filter(col("native") =!= col("decl")).count() === 0)
   }
 
+  test("ROUGE: hand-computed recall/F1, symmetry of the overlap") {
+    def rougeOf(c: String, r: String): (Double, Double, Double, Double) = {
+      val row = Seq((c, r)).toDF("c", "r").select(Overlap.rouge2(
+          graft.functions.TextFunctions.tokens(col("c")),
+          graft.functions.TextFunctions.tokens(col("r"))): _*)
+        .head()
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    }
+    // cand "a b c", ref "a b d e": ov1 = 2 → rec 2/4, prec 2/3, F1 4/7
+    // bigrams: cand {ab, bc}, ref {ab, bd, de}: ov2 = 1 → rec 1/3,
+    // prec 1/2, F1 2/5
+    val (r1, f1, r2, f2) = rougeOf("a b c", "a b d e")
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r1 === rnd(0.5) && f1 === rnd(2.0 * (2.0 / 3) * 0.5 / (2.0 / 3 + 0.5)))
+    assert(r2 === rnd(1.0 / 3) &&
+      f2 === rnd(2.0 * 0.5 * (1.0 / 3) / (0.5 + 1.0 / 3)))
+    // identical texts: recall = F1 = 1 at both orders
+    assert(rougeOf("x y z", "x y z") === ((1.0, 1.0, 1.0, 1.0)))
+    // empty/degenerate: zero, never NaN
+    val z = rougeOf("", "a b")
+    assert(z === ((0.0, 0.0, 0.0, 0.0)))
+    assert(rougeOf("q", "q") === ((1.0, 1.0, 0.0, 0.0))) // no bigrams
+  }
+
   test("degenerate rows score zero, not NaN") {
     assert(score("", "a b")._4 === 0.0)
     assert(score("a", "a")._4 === 0.0)       // under 2 tokens: no bigram

@@ -14,6 +14,13 @@ class VocabularySpec extends SparkSpec {
           if (r.isNullAt(3)) None else Some(r.getDouble(3)),
           if (r.isNullAt(4)) None else Some(r.getDouble(4))))).toMap
 
+  private def entropyOf(rows: Seq[(String, String)], src: String) = {
+    val r = Vocabulary.frequencyShape(rows.toDF("src", "text"),
+        "src", "text")
+      .filter(col("src") === src).head()
+    if (r.isNullAt(5)) None else Some(r.getDouble(5))
+  }
+
   test("hand-computed Gini and CSN alpha on a tiny census") {
     // census: a→3, b→1, c→1; sorted f = [1,1,3], V=3, N=5
     // Σ i·f_i = 1·1 + 2·1 + 3·3 = 12; G = 2·12/(3·5) − 4/3 = 4/15
@@ -50,6 +57,20 @@ class VocabularySpec extends SparkSpec {
     val out = shape(Seq(("e", "   "), ("f", "a b a")))
     assert(out("e") === ((0L, 0L, None, None)))
     assert(out("f")._1 === 3L && out("f")._2 === 2L)
+    assert(entropyOf(Seq(("e", "   "), ("f", "a b a")), "e") === None)
+  }
+
+  test("entropy: ln V for uniform vocab, hand-computed skewed case, " +
+      "0 for a single type") {
+    def rnd(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // uniform hapaxes: H = ln 3 exactly (E-sum is 0, N = V = 3)
+    assert(entropyOf(Seq(("u", "p q r")), "u") === Some(rnd(math.log(3.0))))
+    // {a:3, b:1, c:1}: H = ln 5 − 3·round(ln3·1e9)/1e9/5
+    val e = math.log(5.0) - 3.0 * math.round(math.log(3.0) * 1e9) / 1e9 / 5.0
+    assert(entropyOf(Seq(("s", "a a b c"), ("s", "a")), "s") === Some(rnd(e)))
+    // one type only: H = ln N − N·ln(N)/N = 0 exactly
+    assert(entropyOf(Seq(("one", "w w w w")), "one") === Some(0.0))
   }
 
   test("skewed beats uniform on Gini; Zipfy text estimates a sane alpha") {
