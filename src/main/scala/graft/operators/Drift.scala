@@ -113,6 +113,66 @@ object Drift {
         round(col(s"${Dup}s").cast("double") / lit(1e9), 6).as("kl_nats"))
   }
 
+  /** Per-group Jensen–Shannon divergence from the corpus token
+    * distribution — the SYMMETRIC, BOUNDED sibling of [[klDrift]]:
+    * JSD ∈ [0, ln 2] always exists (KL blows up when the corpus has
+    * mass the group lacks in the other direction and its scale is
+    * unbounded), so JSD values are comparable across corpora and
+    * thresholdable ("alert at 0.1 nats") where raw KL is not — the
+    * usual reason production drift monitors publish JSD.
+    *
+    *   JSD(P‖Q) = ½ Σ p·ln(2p/(p+q)) + ½ Σ q·ln(2q/(p+q))
+    *
+    * Scale shape: identical to [[klDrift]] — censuses only, ONE corpus
+    * pass. The subtlety is that the second sum ranges over the WHOLE
+    * corpus vocabulary (q > 0 where p = 0), which would need a G×V
+    * spine; but every absent-token term collapses to q·ln 2, so the
+    * tail telescopes to the CLOSED FORM ½·ln 2·(1 − cov_g) with cov_g
+    * the corpus mass of the group's own types (Σ ct over the group
+    * census / N) — one extra rounded term per group, no spine. Present
+    * tokens have p, q > 0, so no log(0) edge exists anywhere.
+    *
+    * Determinism: per-census-row terms round to integer nano-nats
+    * before exact integer group sums (the [[klDrift]] discipline); the
+    * ½·ln 2 constant embeds as the decimal literal both engines parse
+    * to the same double. Output: (groupCol, n_tokens, jsd_nats),
+    * 6dp, 0 for a group distributed exactly like the corpus. */
+  def jsDrift(df: DataFrame, groupCol: String, textCol: String): DataFrame = {
+    val halfLn2 = 0.34657359027997264 // ln(2)/2, exact double literal
+    val toks = df.select(col(groupCol),
+      explode(TextFunctions.tokens(lower(col(textCol)))).as(s"${Dup}t"))
+    val census = Parallelism.stage(
+      toks.groupBy(col(groupCol), col(s"${Dup}t"))
+        .agg(count(lit(1)).as(s"${Dup}cgt")))
+    val global = census.groupBy(col(s"${Dup}t"))
+      .agg(sum(col(s"${Dup}cgt")).as(s"${Dup}ct"))
+    val perG = census.groupBy(col(groupCol))
+      .agg(sum(col(s"${Dup}cgt")).as(s"${Dup}ng"))
+    val total = perG.agg(sum(col(s"${Dup}ng")).as(s"${Dup}n"))
+    val p = col(s"${Dup}cgt").cast("double") / col(s"${Dup}ng").cast("double")
+    val q = col(s"${Dup}ct").cast("double") / col(s"${Dup}n").cast("double")
+    val m = p + q // = 2·mixture mass
+    val nano = round((p * log(lit(2.0) * p / m) +
+      q * log(lit(2.0) * q / m)) * lit(5e8), 0).cast("long")
+    val grouped = census
+      .join(global, Seq(s"${Dup}t"))
+      .join(perG, Seq(groupCol))
+      .crossJoin(broadcast(total)) // 1-row metrics frame
+      .withColumn(s"${Dup}nano", nano)
+      .groupBy(col(groupCol))
+      .agg(max(col(s"${Dup}ng")).as("n_tokens"), // constant within group
+        sum(col(s"${Dup}nano")).as(s"${Dup}sin"),
+        sum(col(s"${Dup}ct")).as(s"${Dup}cov"), // corpus mass of own types
+        max(col(s"${Dup}n")).as(s"${Dup}nn"))
+    val rem = round((col(s"${Dup}nn") - col(s"${Dup}cov")).cast("double") /
+      col(s"${Dup}nn").cast("double") * lit(halfLn2) * lit(1e9), 0)
+      .cast("long")
+    grouped
+      .select(col(groupCol), col("n_tokens"),
+        round((col(s"${Dup}sin") + rem).cast("double") / lit(1e9), 6)
+          .as("jsd_nats"))
+  }
+
   /** Pairwise corpus similarity between groups — vocabulary Jaccard
     * and token-frequency cosine for every (source, source) pair: the
     * mixture-design diagnostic (two sources this similar are one

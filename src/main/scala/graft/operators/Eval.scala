@@ -220,6 +220,187 @@ object Eval {
         round(col(s"${Dup}sum").cast("double") / lit(1e6), 6).as("psi"))
   }
 
+  /** Exact mean reciprocal rank at k — the first-relevant-result
+    * retrieval metric (the companion to [[rboTruncated]]: RBO compares
+    * two rankings, MRR scores one ranking against relevance labels).
+    * Input: pre-ranked results (`rankCol` 1-based within each
+    * `queryCol` group, any upstream ranker) with a boolean
+    * `relevantCol`. A query's contribution is 1/m for m the smallest
+    * relevant rank ≤ k, else 0; queries with no relevant hit still
+    * count in the denominator (the standard convention).
+    *
+    * Exactness: 1/m is rational, so each hit contributes the INTEGER
+    * weight lcm(1..k)/m and the whole metric is exact integer math +
+    * ONE final division — engine-replayable where a float Σ of
+    * reciprocals is order-dependent (k ≤ 20 keeps lcm(1..20) =
+    * 232 792 560 and the corpus sum inside a long up to ~4e10
+    * queries). Scale shape: one filtered per-query min aggregation +
+    * one distinct count, both map-side combined; no windows, no
+    * driver loops. Output one row: (k, n_queries, n_hit, mrr). */
+  def mrr(df: DataFrame, queryCol: String, rankCol: String,
+          relevantCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 20, s"k=$k out of [1,20] (long-exact weights)")
+    val lcm = (1 to k).foldLeft(BigInt(1))((l, d) => l * d / l.gcd(BigInt(d)))
+    val weights = (1 to k).map(m => (lcm / m).toLong).toArray
+    val hits = df
+      .filter(col(relevantCol).cast("boolean") &&
+        col(rankCol).cast("long").between(1L, k.toLong))
+      .groupBy(col(queryCol))
+      .agg(min(col(rankCol).cast("int")).as(s"${Dup}m"))
+      .agg(count(lit(1)).as(s"${Dup}hit"),
+        coalesce(sum(element_at(lit(weights), col(s"${Dup}m"))), lit(0L))
+          .as(s"${Dup}w"))
+    val nq = df.select(col(queryCol)).distinct()
+      .agg(count(lit(1)).as(s"${Dup}q"))
+    hits.crossJoin(broadcast(nq)) // 1-row metrics frames
+      .select(lit(k).as("k"), col(s"${Dup}q").as("n_queries"),
+        col(s"${Dup}hit").as("n_hit"),
+        when(col(s"${Dup}q") > 0,
+          round(col(s"${Dup}w").cast("double") /
+            (col(s"${Dup}q").cast("double") * lit(lcm.toDouble)), 6))
+          .otherwise(lit(null).cast("double")).as("mrr"))
+  }
+
+  /** Normalized discounted cumulative gain at k, one row per query —
+    * the graded-relevance ranking metric next to [[mrr]]'s binary one.
+    * `rankCol` is the PRESENTED 1-based rank, `gainCol` an integral
+    * non-negative gain (caller quantizes); the ideal ordering re-ranks
+    * the query's full item set by gain (ties broken by presented rank,
+    * so the ideal list is deterministic) and truncates both lists at k.
+    *
+    * The discount is 1/ln(1+r) in BOTH sums — ndcg is exactly the
+    * textbook log2 value (every term scales by the same ln 2, which
+    * cancels in the ratio) while ln() is the one transcendental this
+    * engine already replays bit-exactly in DuckDB (log2() is a
+    * different libm entry point with different rounding). Each term
+    * rounds to the integer GAIN grid before exact integer per-query
+    * sums (the [[Drift.klDrift]] discipline) — deliberately NOT an
+    * extra 1e6 finer: at 1e13-scale terms the double ulp is ~0.008 and
+    * exact-half boundaries occur at ~2^-7 per term, where a 1-ulp
+    * engine difference flips the round (observed); at gain scale the
+    * ulp is ~1e-8 and a boundary hit is measure-zero. Scale shape: the
+    * a per-QUERY window (millions of small partitions, never
+    * SinglePartition); everything else is map-side-combined
+    * aggregation. Output: (queryCol, dcg_micro, idcg_micro, ndcg) —
+    * ndcg null when idcg = 0 (no positive gain anywhere). */
+  def ndcgAt(df: DataFrame, queryCol: String, rankCol: String,
+             gainCol: String, k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= (1 << 16), s"k=$k out of [1, 2^16]")
+    val g = greatest(col(gainCol).cast("long"), lit(0L))
+    val rows = df.filter(col(rankCol).isNotNull && col(gainCol).isNotNull)
+      .select(col(queryCol), col(rankCol).cast("long").as(s"${Dup}r"), g.as(s"${Dup}g"))
+    def termMicro(rank: org.apache.spark.sql.Column) =
+      round(col(s"${Dup}g").cast("double") /
+        log(rank.cast("double") + lit(1.0)), 0).cast("long")
+    val ideal = W.partitionBy(col(queryCol))
+      .orderBy(col(s"${Dup}g").desc, col(s"${Dup}r").asc)
+    val termed = rows
+      .withColumn(s"${Dup}ir", row_number().over(ideal).cast("long"))
+      .withColumn(s"${Dup}dcg",
+        when(col(s"${Dup}r") <= k.toLong, termMicro(col(s"${Dup}r")))
+          .otherwise(lit(0L)))
+      .withColumn(s"${Dup}idcg",
+        when(col(s"${Dup}ir") <= k.toLong, termMicro(col(s"${Dup}ir")))
+          .otherwise(lit(0L)))
+    termed.groupBy(col(queryCol))
+      .agg(sum(col(s"${Dup}dcg")).as("dcg_micro"),
+        sum(col(s"${Dup}idcg")).as("idcg_micro"))
+      .select(col(queryCol), col("dcg_micro"), col("idcg_micro"),
+        when(col("idcg_micro") > 0,
+          round(col("dcg_micro").cast("double") /
+            col("idcg_micro").cast("double"), 6))
+          .otherwise(lit(null).cast("double")).as("ndcg"))
+  }
+
+  /** Cohen's kappa between two binary raters — chance-corrected
+    * agreement, the standard "do the cheap gate and the expensive gate
+    * actually agree" statistic (raw accuracy flatters any pair of
+    * raters that both say 'pass' 95% of the time). Rows with either
+    * rating null are excluded.
+    *
+    *   κ = (p_o − p_e)/(1 − p_e)
+    *     = (n·(n11+n00) − [(n11+n10)(n11+n01) + (n01+n00)(n10+n00)])
+    *       / (n² − [...])
+    *
+    * — a ratio of two EXACT integers (DECIMAL(38,0) products, safe to
+    * ~1e18 rows) with ONE final division; a float p_o/p_e chain would
+    * round twice and drift. Output one row:
+    * (n, n_both, n_neither, n_only_a, n_only_b, po, pe, kappa) —
+    * kappa null when the denominator is 0 (both raters constant). */
+  def cohenKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val a = col(aCol).cast("boolean")
+    val b = col(bCol).cast("boolean")
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = df.filter(a.isNotNull && b.isNotNull).agg(
+      sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+      sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+      sum(when(!a && b, 1L).otherwise(0L)).as("n01"),
+      sum(when(!a && !b, 1L).otherwise(0L)).as("n00"))
+    val n = col("n11") + col("n10") + col("n01") + col("n00")
+    val eSum = d(col("n11") + col("n10")) * d(col("n11") + col("n01")) +
+      d(col("n01") + col("n00")) * d(col("n10") + col("n00"))
+    val num = d(n) * d(col("n11") + col("n00")) - eSum
+    val den = d(n) * d(n) - eSum
+    m.select(
+      n.as("n"), col("n11").as("n_both"), col("n00").as("n_neither"),
+      col("n10").as("n_only_a"), col("n01").as("n_only_b"),
+      when(n > 0, round((col("n11") + col("n00")).cast("double") /
+        n.cast("double"), 6)).otherwise(lit(null).cast("double")).as("po"),
+      when(n > 0, round(eSum.cast("double") /
+        (n.cast("double") * n.cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("pe"),
+      when(den =!= d(lit(0L)),
+        round(num.cast("double") / den.cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("kappa"))
+  }
+
+  /** Pearson chi-square independence test between two categorical
+    * columns — the frequency-table sibling of [[abZTest]] ("did the
+    * treatment change the event MIX", where the z-test asks about a
+    * mean) and the significance layer under [[Drift.mutualInformation]]
+    * (MI measures dependence strength, χ² calibrates it against
+    * sampling noise). Null categories are excluded.
+    *
+    * Per cell, (O−E)²/E with E = R·C/T rewritten over a COMMON exact
+    * numerator: (O·T − R·C)² / (T·R·C) — the squared term is exact in
+    * DECIMAL(38,0) (|O·T| ≤ 1e19 squares inside 1e38), each cell's
+    * term micro-rounds before the exact integer total. Zero-observed
+    * cells contribute E, so the cell frame is the FULL |A|×|B| spine
+    * (two broadcast marginal tables crossed — bounded domain
+    * taxonomies, require-guarded ≤ 2^22 cells total, never row-scale).
+    * Output: one row per spine cell (aCol, bCol, n_ab,
+    * chi2_term_micro) + (n, dof, chi2) repeated — the
+    * [[Drift.mutualInformation]] report shape. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = graft.ops.Parallelism.stage(
+      df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .groupBy(col(aCol), col(bCol))
+        .agg(count(lit(1)).as(s"${Dup}nab")))
+    val byA = cells.groupBy(col(aCol)).agg(sum(col(s"${Dup}nab")).as(s"${Dup}na"))
+    val byB = cells.groupBy(col(bCol)).agg(sum(col(s"${Dup}nab")).as(s"${Dup}nb"))
+    val total = cells.agg(sum(col(s"${Dup}nab")).as(s"${Dup}n"))
+    val Seq(nA, nB) = Seq(byA, byB).map(_.count()) // bounded: marginal tables
+    require(nA * nB <= (1L << 22),
+      s"$nA x $nB cells exceed 2^22: chi-square needs the full spine")
+    val spine = broadcast(byA).crossJoin(broadcast(byB)) // bounded taxonomy cross
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val o = coalesce(col(s"${Dup}nab"), lit(0L))
+    val diff = d(o) * d(col(s"${Dup}n")) - d(col(s"${Dup}na")) * d(col(s"${Dup}nb"))
+    val term = round((diff * diff).cast("double") /
+      (col(s"${Dup}n").cast("double") * col(s"${Dup}na").cast("double") *
+        col(s"${Dup}nb").cast("double")) * lit(1e6), 0).cast("long")
+    val termed = spine
+      .join(cells, Seq(aCol, bCol), "left")
+      .crossJoin(broadcast(total)) // 1-row metrics frame
+      .select(col(aCol), col(bCol), o.as("n_ab"), term.as("chi2_term_micro"))
+    val tot = termed.agg(sum(col("n_ab")).as("n"),
+      sum(col("chi2_term_micro")).as(s"${Dup}s"))
+    termed.crossJoin(broadcast(tot)) // 1-row metrics frame
+      .select(col(aCol), col(bCol), col("n_ab"), col("chi2_term_micro"),
+        col("n"), lit((nA - 1) * (nB - 1)).as("dof"),
+        round(col(s"${Dup}s").cast("double") / lit(1e6), 6).as("chi2"))
+  }
+
   /** Exact two-sample z-test (Welch form with population variances)
     * between variant 1 and variant 0 of an experiment — the A/B
     * decision primitive next to [[aucExact]]. The built-in avg/stddev

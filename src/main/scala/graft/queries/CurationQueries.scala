@@ -486,6 +486,61 @@ object CurationQueries {
       |  round(s::DOUBLE / 1000000000.0, 6) AS kl_nats
       |FROM sc JOIN perg USING (source) ORDER BY source""".stripMargin
 
+  // --- q189: per-source Jensen-Shannon drift --------------------------------
+
+  /** Jensen–Shannon divergence of each source's token distribution
+    * from the corpus ([[graft.operators.Drift.jsDrift]]) — the
+    * symmetric, [0, ln 2]-bounded sibling of q156's KL, the form
+    * production drift monitors threshold ("alert at 0.1 nats") because
+    * its scale is corpus-independent. Same anomaly injection as q156,
+    * so the drifted sources must surface on BOTH metrics; the oracle
+    * replays censuses, the per-term nano-nat chain, AND the
+    * closed-form absent-token tail ½·ln2·(1 − covered corpus mass). */
+  def q189JsDrift(spark: SparkSession, dir: String): DataFrame = {
+    val aug = tp(spark, dir, "documents").select(col("source"),
+      when(col("source").isin("src0", "src1"),
+        concat(col("text"), lit(" anomaly anomaly anomaly")))
+        .otherwise(col("text")).as("page"))
+    graft.operators.Drift.jsDrift(aug, "source", "page")
+      .orderBy("source")
+  }
+
+  val q189Sql: String =
+    """WITH aug AS (
+      |  SELECT source,
+      |    CASE WHEN source IN ('src0', 'src1')
+      |      THEN text || ' anomaly anomaly anomaly' ELSE text END AS page
+      |  FROM documents),
+      |toks AS (
+      |  SELECT source, unnest(list_filter(
+      |    regexp_split_to_array(trim(lower(page)), '\s+'), x -> x <> '')) AS t
+      |  FROM aug),
+      |census AS (SELECT source, t, count(*)::BIGINT AS cgt
+      |           FROM toks GROUP BY 1, 2),
+      |gct AS (SELECT t, sum(cgt)::BIGINT AS ct FROM census GROUP BY 1),
+      |perg AS (SELECT source, sum(cgt)::BIGINT AS ng FROM census GROUP BY 1),
+      |tot AS (SELECT sum(ng)::BIGINT AS n FROM perg),
+      |terms AS (
+      |  SELECT census.source, ct,
+      |    CAST(round((
+      |      (cgt::DOUBLE / ng::DOUBLE) *
+      |        ln((2.0 * (cgt::DOUBLE / ng::DOUBLE)) /
+      |           ((cgt::DOUBLE / ng::DOUBLE) + (ct::DOUBLE / n::DOUBLE))) +
+      |      (ct::DOUBLE / n::DOUBLE) *
+      |        ln((2.0 * (ct::DOUBLE / n::DOUBLE)) /
+      |           ((cgt::DOUBLE / ng::DOUBLE) + (ct::DOUBLE / n::DOUBLE)))
+      |    ) * 500000000.0, 0) AS BIGINT) AS nano
+      |  FROM census JOIN gct USING (t) JOIN perg USING (source)
+      |       CROSS JOIN tot),
+      |sc AS (SELECT source, sum(nano) AS s, sum(ct)::BIGINT AS cov
+      |       FROM terms GROUP BY 1)
+      |SELECT sc.source, perg.ng AS n_tokens,
+      |  round((s + CAST(round(
+      |    (n - cov)::DOUBLE / n::DOUBLE * 0.34657359027997264 * 1000000000.0,
+      |    0) AS BIGINT))::DOUBLE / 1000000000.0, 6) AS jsd_nats
+      |FROM sc JOIN perg USING (source) CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+
   // --- q159: distinctive terms (log-odds z-scores) -------------------------
 
   /** "Fightin' Words" (Monroe et al. 2008) top-3 distinctive terms per
@@ -731,6 +786,78 @@ object CurationQueries {
        |  gap AS gap_micro,
        |  round(gg::DOUBLE / (nn::DOUBLE * 1000000.0), 6) AS ece
        |FROM g, t ORDER BY bin""".stripMargin
+  }
+
+  // --- q193: Cohen's kappa between the cheap and expensive gates ------------
+
+  /** Chance-corrected agreement ([[graft.operators.Eval.cohenKappa]])
+    * between the cheap screen (q30 quality score ≥ 0.5) and the
+    * expensive q67-style gate — the statistic that answers "can the
+    * cheap rater REPLACE the expensive one" where raw accuracy
+    * flatters any two raters that mostly say 'pass' (q163's AUC ranks,
+    * kappa judges the binarized decision). Exact integer contingency
+    * counts, exact integer κ numerator/denominator, ONE division. */
+  def q193Kappa(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val w = tokens(col("text"))
+    val dup = dupFrac(w)
+    val mwl = meanWordLen(w)
+    val stopCt = size(filter(w, t => t.isin("the", "a")))
+    val rated = tp(spark, dir, "documents").select(
+      (round(qualityScore(col("text")) * 1e6, 0).cast("long") >= 500000L)
+        .as("cheap"),
+      (size(w).between(30, 1000) && dup <= 0.55 &&
+        mwl >= 3.0 && mwl <= 6.0 && stopCt >= 1).as("gate"))
+    graft.operators.Eval.cohenKappa(rated, "cheap", "gate")
+  }
+
+  val q193Sql: String = {
+    val stops = graft.functions.TextFunctions.EnglishStopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT text, list_filter(
+       |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |sig AS (
+       |  SELECT text, w, len(w) AS nw,
+       |    CASE WHEN len(w) = 0 THEN 0
+       |      ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END AS dup,
+       |    CASE WHEN len(w) = 0 THEN 0
+       |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS mwl,
+       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS stop_ct
+       |  FROM toks),
+       |r AS (
+       |  SELECT
+       |    (CAST(round(round(
+       |      least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
+       |      (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+       |         / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
+       |      least((CASE WHEN len(w) = 0 THEN 0
+       |        ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
+       |    6) * 1000000.0, 0) AS BIGINT) >= 500000) AS a,
+       |    (nw BETWEEN 30 AND 1000 AND dup <= 0.55
+       |      AND mwl >= 3.0 AND mwl <= 6.0 AND stop_ct >= 1) AS b
+       |  FROM sig),
+       |m AS (
+       |  SELECT
+       |    sum(CASE WHEN a AND b THEN 1 ELSE 0 END)::BIGINT AS n11,
+       |    sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n10,
+       |    sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END)::BIGINT AS n01,
+       |    sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END)::BIGINT AS n00
+       |  FROM r),
+       |k AS (
+       |  SELECT n11 + n10 + n01 + n00 AS n, n11, n00, n10, n01,
+       |    ((n11 + n10)::HUGEINT * (n11 + n01)::HUGEINT +
+       |     (n01 + n00)::HUGEINT * (n10 + n00)::HUGEINT) AS es
+       |  FROM m)
+       |SELECT n, n11 AS n_both, n00 AS n_neither,
+       |  n10 AS n_only_a, n01 AS n_only_b,
+       |  round((n11 + n00)::DOUBLE / n::DOUBLE, 6) AS po,
+       |  round(es::DOUBLE / (n::DOUBLE * n::DOUBLE), 6) AS pe,
+       |  CASE WHEN n::HUGEINT * n::HUGEINT - es = 0 THEN NULL
+       |    ELSE round((n::HUGEINT * (n11 + n00)::HUGEINT - es)::DOUBLE /
+       |      (n::HUGEINT * n::HUGEINT - es)::DOUBLE, 6) END AS kappa
+       |FROM k""".stripMargin
   }
 
   // --- q165: population stability index between crawls ----------------------
@@ -1815,6 +1942,8 @@ object CurationQueries {
     "q155_kneser_ney" -> q155KneserNey _,
     "q180_kneser_ney_trigram" -> q180KneserNeyTrigram _,
     "q156_kl_drift" -> q156KlDrift _,
+    "q189_js_drift" -> q189JsDrift _,
+    "q193_kappa" -> q193Kappa _,
     "q157_hits" -> q157Hits _,
     "q159_distinctive_terms" -> q159DistinctiveTerms _,
     "q161_mad_outliers" -> q161MadOutliers _,
@@ -1852,6 +1981,8 @@ object CurationQueries {
     "q155_kneser_ney" -> q155Sql,
     "q180_kneser_ney_trigram" -> q180Sql,
     "q156_kl_drift" -> q156Sql,
+    "q189_js_drift" -> q189Sql,
+    "q193_kappa" -> q193Sql,
     "q157_hits" -> q157Sql,
     "q159_distinctive_terms" -> q159Sql,
     "q161_mad_outliers" -> q161Sql,

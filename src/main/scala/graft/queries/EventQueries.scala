@@ -1075,7 +1075,151 @@ object EventQueries {
       |FROM terms t CROSS JOIN tot CROSS JOIN mi
       |ORDER BY t.event_type, t.hod""".stripMargin
 
+  // --- q191: mean reciprocal rank of the first conversion -------------------
+
+  /** MRR@10 ([[graft.operators.Eval.mrr]]) of the first 'purchase' in
+    * each user's time-ordered event stream — "how front-loaded is
+    * conversion", and the declared arm for the exact-rational MRR
+    * primitive (integer lcm(1..10)/m weights, ONE division; any
+    * upstream ranker plugs into the same operator). Deterministic
+    * ranking: (ts, event_id) compound order, the q187 discipline. */
+  def q191Mrr(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("rank", row_number().over(w))
+      .withColumn("rel", col("event_type") === "purchase")
+    graft.operators.Eval.mrr(ranked, "user_id", "rank", "rel", k = 10)
+  }
+
+  val q191Sql: String =
+    """WITH r AS (
+      |  SELECT user_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS rank,
+      |    (event_type = 'purchase') AS rel
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_id IS NOT NULL),
+      |h AS (
+      |  SELECT user_id, min(rank) AS m FROM r
+      |  WHERE rel AND rank BETWEEN 1 AND 10 GROUP BY 1),
+      |agg AS (
+      |  SELECT count(*)::BIGINT AS n_hit,
+      |    coalesce(sum(2520 // m), 0)::BIGINT AS wsum FROM h),
+      |q AS (SELECT count(DISTINCT user_id)::BIGINT AS nq FROM r)
+      |SELECT 10 AS k, nq AS n_queries, n_hit,
+      |  round(wsum::DOUBLE / (nq::DOUBLE * 2520.0), 6) AS mrr
+      |FROM agg, q""".stripMargin
+
+  // --- q192: per-user nDCG@10 of time-order vs value-order -------------------
+
+  /** nDCG@10 ([[graft.operators.Eval.ndcgAt]]) per user, presented
+    * order = event time, gain = micro-quantized event value: does the
+    * session front-load its value? The declared arm for the
+    * graded-relevance ranking metric (micro-rounded ln-discount terms,
+    * exact integer per-query sums, one division per user — the
+    * ln-discount nDCG is EXACTLY the textbook log2 nDCG, the ln 2
+    * cancels in the ratio). The oracle replays presented ranks, the
+    * deterministic ideal re-rank, both term chains, and the ratio. */
+  def q192Ndcg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val ranked = Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull &&
+        col("event_id").isNotNull && col("value").isNotNull)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        round(col("value") * lit(1e6), 0).cast("long").as("gain"))
+      .withColumn("rank", row_number().over(w))
+    graft.operators.Eval.ndcgAt(ranked, "user_id", "rank", "gain", k = 10)
+      .orderBy("user_id")
+  }
+
+  val q192Sql: String =
+    """WITH e AS (
+      |  SELECT user_id,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS r,
+      |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS g0
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_id IS NOT NULL AND value IS NOT NULL),
+      |rr AS (
+      |  SELECT user_id, r, greatest(g0, 0) AS g,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY greatest(g0, 0) DESC, r) AS ir
+      |  FROM e),
+      |t AS (
+      |  SELECT user_id,
+      |    sum(CASE WHEN r <= 10 THEN CAST(round(
+      |      g::DOUBLE / ln(r::DOUBLE + 1.0), 0) AS BIGINT)
+      |      ELSE 0 END)::BIGINT AS dcg_micro,
+      |    sum(CASE WHEN ir <= 10 THEN CAST(round(
+      |      g::DOUBLE / ln(ir::DOUBLE + 1.0), 0) AS BIGINT)
+      |      ELSE 0 END)::BIGINT AS idcg_micro
+      |  FROM rr GROUP BY 1)
+      |SELECT user_id, dcg_micro, idcg_micro,
+      |  CASE WHEN idcg_micro > 0
+      |    THEN round(dcg_micro::DOUBLE / idcg_micro::DOUBLE, 6)
+      |    ELSE NULL END AS ndcg
+      |FROM t ORDER BY user_id""".stripMargin
+
+  // --- q194: chi-square independence of event mix x variant ------------------
+
+  /** Pearson χ² ([[graft.operators.Eval.chiSquare]]) of event type vs
+    * the q190 A/B variant (user parity) — "did the treatment change
+    * the event MIX", the frequency-table sibling of the q190 mean
+    * test and the significance layer under q184's MI. Full |A|×|B|
+    * spine (zero-observed cells contribute E), exact integer
+    * (O·T − R·C)² numerators, micro-rounded terms, integer total. */
+  def q194Chi2(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.chiSquare(
+      Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+        .withColumn("variant", pmod(col("user_id"), lit(2L))),
+      "event_type", "variant")
+      .orderBy("event_type", "variant")
+
+  val q194Sql: String =
+    """WITH e AS (
+      |  SELECT event_type, user_id % 2 AS variant FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |cells AS MATERIALIZED (
+      |  SELECT event_type, variant, count(*)::BIGINT AS nab
+      |  FROM e GROUP BY 1, 2),
+      |ma AS (SELECT event_type, sum(nab)::BIGINT AS na FROM cells GROUP BY 1),
+      |mb AS (SELECT variant, sum(nab)::BIGINT AS nb FROM cells GROUP BY 1),
+      |tot AS (SELECT sum(nab)::BIGINT AS n FROM cells),
+      |spine AS (SELECT ma.event_type, ma.na, mb.variant, mb.nb
+      |          FROM ma CROSS JOIN mb),
+      |terms AS MATERIALIZED (
+      |  SELECT s.event_type, s.variant,
+      |    coalesce(c.nab, 0)::BIGINT AS n_ab,
+      |    CAST(round(
+      |      ((coalesce(c.nab, 0)::HUGEINT * tot.n::HUGEINT
+      |          - s.na::HUGEINT * s.nb::HUGEINT) *
+      |       (coalesce(c.nab, 0)::HUGEINT * tot.n::HUGEINT
+      |          - s.na::HUGEINT * s.nb::HUGEINT))::DOUBLE
+      |      / (tot.n::DOUBLE * s.na::DOUBLE * s.nb::DOUBLE)
+      |      * 1000000.0, 0) AS BIGINT) AS chi2_term_micro
+      |  FROM spine s LEFT JOIN cells c USING (event_type, variant)
+      |  CROSS JOIN tot),
+      |st AS (SELECT sum(n_ab)::BIGINT AS n,
+      |         sum(chi2_term_micro)::BIGINT AS ssum FROM terms),
+      |dof AS (SELECT ((SELECT count(*) FROM ma) - 1) *
+      |               ((SELECT count(*) FROM mb) - 1) AS dof)
+      |SELECT t.event_type, t.variant, t.n_ab, t.chi2_term_micro,
+      |  st.n, dof.dof, round(st.ssum::DOUBLE / 1000000.0, 6) AS chi2
+      |FROM terms t CROSS JOIN st CROSS JOIN dof
+      |ORDER BY t.event_type, t.variant""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_mrr" -> q191Mrr _,
+    "q192_ndcg" -> q192Ndcg _,
+    "q194_chi2" -> q194Chi2 _,
     "q179_trending_append" -> q179TrendingAppend _,
     "q182_cusum_hourly" -> q182CusumHourly _,
     "q184_type_hour_mi" -> q184TypeHourMi _,
@@ -1104,6 +1248,9 @@ object EventQueries {
     "q56_range_join" -> q56RangeJoin _)
 
   val oracles: Map[String, String] = Map(
+    "q191_mrr" -> q191Sql,
+    "q192_ndcg" -> q192Sql,
+    "q194_chi2" -> q194Sql,
     "q160_recency_scores" -> q160Sql,
     "q168_burstiness" -> q168Sql,
     "q169_stickiness" -> q169Sql,

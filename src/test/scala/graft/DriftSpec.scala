@@ -146,4 +146,43 @@ class DriftSpec extends SparkSpec {
     assert(Drift.mutualInformation(df, "a", "b").orderBy("a", "b")
       .collect().toSeq === again)
   }
+
+  test("JSD: a group distributed exactly like the corpus scores zero") {
+    val df = Seq(("g1", "a a b"), ("g2", "a a b")).toDF("g", "text")
+    val out = Drift.jsDrift(df, "g", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(out === Map("g1" -> ((3L, 0.0)), "g2" -> ((3L, 0.0))))
+  }
+
+  test("JSD: disjoint-vocabulary halves hit the hand-computed value") {
+    // Two equal-mass groups with disjoint vocab. For each group, every
+    // own-token has q = p/2, so the in-census half-sum telescopes to
+    // (ln(4/3) + ln(2/3)/2)/2 and the absent-token tail is ln(2)/2 * 1/2;
+    // total = 0.2157616 nats (cross-checked against the direct
+    // 1/2*KL(P||A) + 1/2*KL(M||A) mixture computation).
+    val df = Seq(("g1", "a b c d"), ("g2", "w x y z")).toDF("g", "text")
+    val out = Drift.jsDrift(df, "g", "text")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val expected = 0.5 * (math.log(4.0 / 3.0) + 0.5 * math.log(2.0 / 3.0)) +
+      0.5 * math.log(2.0) * 0.5
+    assert(math.abs(out("g1") - expected) < 2e-6)
+    assert(out("g1") === out("g2")) // symmetric construction
+    // bounded: JSD can never exceed ln 2, even for fully disjoint vocab
+    assert(out("g1") <= math.log(2.0))
+  }
+
+  test("JSD: partitioning-independent and ranks the drifted group top") {
+    val rows = (0 until 300).map(i => (s"g${i % 5}", "common words here")) ++
+      (0 until 40).map(_ => ("g0", "anomaly anomaly anomaly"))
+    val df = rows.toDF("g", "text")
+    val a = Drift.jsDrift(df, "g", "text").orderBy("g").collect().toSeq
+    val b = Drift.jsDrift(df.repartition(7), "g", "text")
+      .orderBy("g").collect().toSeq
+    assert(a === b)
+    val byScore = a.map(r => r.getString(0) -> r.getDouble(2))
+      .sortBy(-_._2)
+    assert(byScore.head._1 === "g0") // the injected-anomaly group leads
+    assert(byScore.head._2 > 0.0)
+  }
 }

@@ -162,4 +162,140 @@ class EvalSpec extends SparkSpec {
     assert(Eval.abZTest(df, "v", "x").collect().toSeq ===
       Eval.abZTest(df.repartition(11), "v", "x").collect().toSeq)
   }
+
+  test("mrr: hand case — 1/3, 1/2, and a miss average to 5/18") {
+    // A hits first at rank 3; B has hits at 2 and 5 (min wins); C never
+    val rows = Seq(
+      ("A", 1, false), ("A", 2, false), ("A", 3, true), ("A", 4, true),
+      ("B", 1, false), ("B", 2, true), ("B", 5, true),
+      ("C", 1, false), ("C", 2, false))
+    val r = Eval.mrr(rows.toDF("q", "rank", "rel"), "q", "rank", "rel", 10)
+      .head()
+    assert((r.getInt(0), r.getLong(1), r.getLong(2)) === ((10, 3L, 2L)))
+    assert(r.getDouble(3) === 0.277778) // (1/3 + 1/2 + 0) / 3 = 5/18
+  }
+
+  test("mrr: hits beyond k don't count; no queries gives null") {
+    val rows = Seq(("A", 11, true), ("A", 1, false))
+    val r = Eval.mrr(rows.toDF("q", "rank", "rel"), "q", "rank", "rel", 10)
+      .head()
+    assert((r.getLong(1), r.getLong(2), r.getDouble(3)) === ((1L, 0L, 0.0)))
+    val empty = Eval.mrr(Seq.empty[(String, Int, Boolean)]
+      .toDF("q", "rank", "rel"), "q", "rank", "rel", 10).head()
+    assert(empty.isNullAt(3))
+  }
+
+  test("mrr: partitioning invariance") {
+    val rows = (0 until 400).map(i =>
+      (s"q${i % 37}", i % 12 + 1, i % 5 == 0))
+    val df = rows.toDF("q", "rank", "rel")
+    assert(Eval.mrr(df, "q", "rank", "rel", 10).collect().toSeq ===
+      Eval.mrr(df.repartition(9), "q", "rank", "rel", 10).collect().toSeq)
+  }
+
+  test("ndcg: a perfectly ordered list scores exactly 1.0") {
+    val rows = (1 to 8).map(r => ("A", r, (100 - r).toLong * 1000000L))
+    val r = Eval.ndcgAt(rows.toDF("q", "rank", "g"), "q", "rank", "g", 10)
+      .head()
+    assert(r.getLong(1) === r.getLong(2)) // dcg == idcg term-for-term
+    assert(r.getDouble(3) === 1.0)
+  }
+
+  test("ndcg: hand-computed reversed-order case and the truncation at k") {
+    // presented gains ascending [1e6, 2e6, 3e6]; ideal is the reverse
+    def term(g: Long, r: Int) = math.round(g.toDouble / math.log(r + 1.0))
+    val rows = Seq(("A", 1, 1000000L), ("A", 2, 2000000L), ("A", 3, 3000000L))
+    val r = Eval.ndcgAt(rows.toDF("q", "rank", "g"), "q", "rank", "g", 10)
+      .head()
+    val dcg = term(1000000L, 1) + term(2000000L, 2) + term(3000000L, 3)
+    val idcg = term(3000000L, 1) + term(2000000L, 2) + term(1000000L, 3)
+    assert((r.getLong(1), r.getLong(2)) === ((dcg, idcg)))
+    assert(r.getDouble(3) === BigDecimal(dcg.toDouble / idcg.toDouble)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // an item presented past k contributes to idcg (it belongs in the
+    // ideal top) but not to dcg — ndcg correctly penalizes burying it
+    val buried = Seq(("A", 1, 1000000L), ("A", 11, 9000000L))
+    val b = Eval.ndcgAt(buried.toDF("q", "rank", "g"), "q", "rank", "g", 10)
+      .head()
+    assert(b.getLong(1) === term(1000000L, 1))
+    assert(b.getLong(2) === term(9000000L, 1) + term(1000000L, 2))
+  }
+
+  test("ndcg: zero-gain query gives null; partitioning invariance") {
+    val zero = Seq(("A", 1, 0L), ("A", 2, 0L))
+    assert(Eval.ndcgAt(zero.toDF("q", "rank", "g"), "q", "rank", "g", 10)
+      .head().isNullAt(3))
+    val rows = (0 until 300).map(i =>
+      (s"q${i % 23}", i % 15 + 1, (i * 91L) % 700000L))
+    val df = rows.toDF("q", "rank", "g")
+    assert(Eval.ndcgAt(df, "q", "rank", "g", 10).orderBy("q")
+      .collect().toSeq ===
+      Eval.ndcgAt(df.repartition(8), "q", "rank", "g", 10).orderBy("q")
+        .collect().toSeq)
+  }
+
+  test("kappa: the classic 0.4 textbook table, perfect and degenerate") {
+    // n11=20 n10=5 n01=10 n00=15: po=0.7, pe=0.5, kappa=0.4
+    val rows = Seq.fill(20)((true, true)) ++ Seq.fill(5)((true, false)) ++
+      Seq.fill(10)((false, true)) ++ Seq.fill(15)((false, false))
+    val r = Eval.cohenKappa(rows.toDF("a", "b"), "a", "b").head()
+    assert(r.getLong(0) === 50L && r.getLong(1) === 20L && r.getLong(2) === 15L)
+    assert(r.getDouble(5) === 0.7 && r.getDouble(6) === 0.5)
+    assert(r.getDouble(7) === 0.4)
+    val perfect = Seq((true, true), (false, false), (true, true))
+    assert(Eval.cohenKappa(perfect.toDF("a", "b"), "a", "b")
+      .head().getDouble(7) === 1.0)
+    val constant = Seq((true, true), (true, true)) // pe = 1 → undefined
+    assert(Eval.cohenKappa(constant.toDF("a", "b"), "a", "b")
+      .head().isNullAt(7))
+  }
+
+  test("kappa: null ratings excluded; partitioning invariance") {
+    val rows = (0 until 200).map { i =>
+      (if (i % 17 == 0) None else Some(i % 3 == 0),
+        if (i % 19 == 0) None else Some(i % 4 == 0))
+    }
+    val df = rows.toDF("a", "b")
+    val r = Eval.cohenKappa(df, "a", "b").head()
+    assert(r.getLong(0) < 200L) // nulls dropped
+    assert(Eval.cohenKappa(df, "a", "b").collect().toSeq ===
+      Eval.cohenKappa(df.repartition(13), "a", "b").collect().toSeq)
+  }
+
+  test("chiSquare: independence is exactly 0; hand-computed 2x2 = 20") {
+    val indep = Seq.fill(10)(("x", 0L)) ++ Seq.fill(10)(("x", 1L)) ++
+      Seq.fill(10)(("y", 0L)) ++ Seq.fill(10)(("y", 1L))
+    val i = Eval.chiSquare(indep.toDF("a", "b"), "a", "b").head()
+    assert(i.getDouble(6) === 0.0)
+    // O = [[30,10],[10,30]]: every E = 20, every term = 5 → chi2 = 20
+    val rows = Seq.fill(30)(("x", 1L)) ++ Seq.fill(10)(("x", 0L)) ++
+      Seq.fill(10)(("y", 1L)) ++ Seq.fill(30)(("y", 0L))
+    val r = Eval.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .orderBy("a", "b").collect()
+    assert(r.length === 4)
+    assert(r.head.getLong(4) === 80L && r.head.getLong(5) === 1L)
+    assert(r.head.getDouble(6) === 20.0)
+    assert(r.forall(_.getLong(3) === 5000000L)) // each term exactly 5
+  }
+
+  test("chiSquare: zero-observed spine cells contribute their E") {
+    // cell (y,1) never observed: E = 2.5 → its term alone is 2.5
+    val rows = Seq.fill(5)(("x", 0L)) ++ Seq.fill(5)(("x", 1L)) ++
+      Seq.fill(10)(("y", 0L))
+    val r = Eval.chiSquare(rows.toDF("a", "b"), "a", "b")
+      .orderBy("a", "b").collect()
+    assert(r.length === 4) // full spine, including the absent cell
+    val absent = r.find(x => x.getString(0) == "y" && x.getLong(1) == 1L).get
+    assert(absent.getLong(2) === 0L)
+    assert(absent.getLong(3) === 2500000L)
+    assert(r.head.getDouble(6) === 6.666666) // Σ micro-rounded terms
+  }
+
+  test("chiSquare: partitioning invariance") {
+    val rows = (0 until 400).map(i => (s"t${i % 5}", i % 2L))
+    val df = rows.toDF("a", "b")
+    assert(Eval.chiSquare(df, "a", "b").orderBy("a", "b").collect().toSeq ===
+      Eval.chiSquare(df.repartition(9), "a", "b").orderBy("a", "b")
+        .collect().toSeq)
+  }
 }
