@@ -220,6 +220,85 @@ object Eval {
         round(col(s"${Dup}sum").cast("double") / lit(1e6), 6).as("psi"))
   }
 
+  /** Doubled tie-averaged ranks for every distinct value of `vCol`:
+    * avg-rank(v) = below(v) + (cnt(v)+1)/2, kept integral as
+    * r2 = 2·below + cnt + 1. The prefix sum runs [[aucExact]]'s
+    * two-level bounded discipline (≤2^16 buckets × ≤2^16 values,
+    * range ≤ 2^32 require-guarded, never SinglePartition). Input:
+    * non-null longs; returns (vCol, <out>). */
+  private def avgRank2(rows: DataFrame, vCol: String,
+                       out: String): DataFrame = {
+    val hist = graft.ops.Parallelism.stage(
+      rows.groupBy(col(vCol)).agg(count(lit(1)).as(s"${Dup}c")))
+    val bounds = hist.agg(min(col(vCol)), max(col(vCol))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    require(hi - lo >= 0 && hi - lo <= (1L << 32),
+      s"value range ${hi - lo} exceeds 2^32: re-quantize upstream " +
+        "(the two-level prefix sum bounds both levels at 2^16)")
+    val width = math.max(1L, ((hi - lo) >> 16) + 1)
+    val bucketed = hist.withColumn(s"${Dup}b",
+      Expressions.int_div(col(vCol) - lit(lo), lit(width)))
+    val offsets = bucketed.groupBy(col(s"${Dup}b"))
+      .agg(sum(col(s"${Dup}c")).as(s"${Dup}bn"))
+      .withColumn(s"${Dup}off",
+        coalesce(sum(col(s"${Dup}bn")).over(
+          W.orderBy(col(s"${Dup}b"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .drop(s"${Dup}bn")
+    val wInB = W.partitionBy(col(s"${Dup}b")).orderBy(col(vCol))
+      .rowsBetween(W.unboundedPreceding, -1)
+    bucketed.join(offsets, Seq(s"${Dup}b"))
+      .withColumn(out,
+        lit(2L) * (col(s"${Dup}off") +
+          coalesce(sum(col(s"${Dup}c")).over(wInB), lit(0L))) +
+          col(s"${Dup}c") + lit(1L))
+      .select(col(vCol), col(out))
+  }
+
+  /** Exact Spearman rank correlation between two integral columns —
+    * the robust sibling of the q177 exact Pearson: invariant to any
+    * monotone transform of either variable, so it answers "does
+    * quality rise with length AT ALL" where Pearson answers "linearly".
+    * Built-in rank-then-corr can never hash-verify (float moments in
+    * partition order, and a global rank() window is the SinglePartition
+    * shape this engine bans).
+    *
+    * Exactness: tie-averaged ranks are half-integers, so DOUBLED ranks
+    * r2 = 2·below + cnt + 1 are exact integers (Pearson is invariant
+    * to the ×2 gauge); each variable's below() runs the [[aucExact]]
+    * two-level bounded prefix sum over its value census, rows join
+    * their ranks back by value (two value-keyed shuffles), and the
+    * five moments are exact DECIMAL(38,0) sums with ONE final IEEE
+    * chain (r2 ≤ 2n+1 keeps n·Σr2² inside DECIMAL(38,0) to ~1e9 rows —
+    * beyond that, re-quantize or shard). Output one row: (n, rho),
+    * rho null when either variable is constant or n = 0. */
+  def spearman(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val rows = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as(s"${Dup}x"),
+        col(yCol).cast("long").as(s"${Dup}y"))
+    if (rows.limit(1).count() == 0) // bounded 1-row probe
+      return rows.sparkSession.sql(
+        "SELECT CAST(0 AS BIGINT) n, CAST(NULL AS DOUBLE) rho")
+    val rx = avgRank2(rows.select(col(s"${Dup}x")), s"${Dup}x", s"${Dup}rx")
+    val ry = avgRank2(rows.select(col(s"${Dup}y")), s"${Dup}y", s"${Dup}ry")
+    val ranked = rows.join(rx, Seq(s"${Dup}x")).join(ry, Seq(s"${Dup}y"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val m = ranked.agg(count(lit(1)).as("n"),
+      sum(col(s"${Dup}rx")).as("sx"), sum(col(s"${Dup}ry")).as("sy"),
+      sum(d(col(s"${Dup}rx")) * d(col(s"${Dup}rx"))).as("sxx"),
+      sum(d(col(s"${Dup}ry")) * d(col(s"${Dup}ry"))).as("syy"),
+      sum(d(col(s"${Dup}rx")) * d(col(s"${Dup}ry"))).as("sxy"))
+    val num = (d(col("n")) * col("sxy") - d(col("sx")) * d(col("sy")))
+      .cast("double")
+    val vx = (d(col("n")) * col("sxx") - d(col("sx")) * d(col("sx")))
+      .cast("double")
+    val vy = (d(col("n")) * col("syy") - d(col("sy")) * d(col("sy")))
+      .cast("double")
+    m.select(col("n"),
+      when(vx > 0 && vy > 0, round(num / sqrt(vx * vy), 6))
+        .otherwise(lit(null).cast("double")).as("rho"))
+  }
+
   /** Exact mean reciprocal rank at k — the first-relevant-result
     * retrieval metric (the companion to [[rboTruncated]]: RBO compares
     * two rankings, MRR scores one ranking against relevance labels).

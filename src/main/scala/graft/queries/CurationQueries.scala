@@ -1146,6 +1146,58 @@ object CurationQueries {
       |  END AS r
       |FROM m ORDER BY source""".stripMargin
 
+  // --- q195: exact Spearman rank correlation --------------------------------
+
+  /** Corpus-wide Spearman between document length and stopword count
+    * ([[graft.operators.Eval.spearman]]) — the same variable pair as
+    * q177's Pearson, so the two arms read together ("0.8 linear vs 0.9
+    * monotone" bounds how nonlinear the relationship is). Tie-averaged
+    * ranks kept exact as DOUBLED integers through the bounded
+    * two-level prefix sum; the oracle replays both rank tables (plain
+    * ordered windows — exactly what the bounded form computes), the
+    * value-keyed joins, and the five-moment one-division chain. */
+  def q195Spearman(spark: SparkSession, dir: String): DataFrame = {
+    val w = tokens(col("text"))
+    val rows = tp(spark, dir, "documents").select(
+      col("n_chars").as("x"),
+      size(filter(w, t => t.isin("the", "a"))).cast("long").as("y"))
+    graft.operators.Eval.spearman(rows, "x", "y")
+  }
+
+  val q195Sql: String =
+    """WITH v AS (
+      |  SELECT n_chars::BIGINT AS x,
+      |    len(list_filter(list_filter(
+      |      regexp_split_to_array(trim(text), '\s+'), t -> t <> ''),
+      |      t -> t IN ('the', 'a')))::BIGINT AS y
+      |  FROM documents),
+      |cx AS (SELECT x, count(*)::BIGINT AS c FROM v GROUP BY 1),
+      |rx AS (
+      |  SELECT x, 2 * coalesce(sum(c) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + c + 1 AS rx FROM cx),
+      |cy AS (SELECT y, count(*)::BIGINT AS c FROM v GROUP BY 1),
+      |ry AS (
+      |  SELECT y, 2 * coalesce(sum(c) OVER (ORDER BY y
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    + c + 1 AS ry FROM cy),
+      |j AS (SELECT rx.rx, ry.ry FROM v
+      |      JOIN rx USING (x) JOIN ry USING (y)),
+      |m AS (
+      |  SELECT count(*)::HUGEINT AS n,
+      |    sum(rx)::HUGEINT AS sx, sum(ry)::HUGEINT AS sy,
+      |    sum(rx::HUGEINT * rx::HUGEINT) AS sxx,
+      |    sum(ry::HUGEINT * ry::HUGEINT) AS syy,
+      |    sum(rx::HUGEINT * ry::HUGEINT) AS sxy
+      |  FROM j)
+      |SELECT n::BIGINT AS n,
+      |  CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+      |        AND (n * syy - sy * sy)::DOUBLE > 0
+      |    THEN round((n * sxy - sx * sy)::DOUBLE /
+      |      sqrt((n * sxx - sx * sx)::DOUBLE * (n * syy - sy * sy)::DOUBLE), 6)
+      |  END AS rho
+      |FROM m""".stripMargin
+
   // --- q181: token-frequency distribution shape ---------------------------
 
   /** Per-source Gini + power-law exponent of the type-frequency
@@ -1953,6 +2005,7 @@ object CurationQueries {
     "q173_rank_agreement" -> q173RankAgreement _,
     "q176_new_vocab" -> q176NewVocab _,
     "q177_pearson" -> q177Pearson _,
+    "q195_spearman" -> q195Spearman _,
     "q181_vocab_shape" -> q181VocabShape _,
     "q186_source_similarity" -> q186SourceSimilarity _,
     "q188_pagerank_convergence" -> q188PageRankConvergence _,
@@ -1992,6 +2045,7 @@ object CurationQueries {
     "q173_rank_agreement" -> q173Sql,
     "q176_new_vocab" -> q176Sql,
     "q177_pearson" -> q177Sql,
+    "q195_spearman" -> q195Sql,
     "q181_vocab_shape" -> q181Sql,
     "q186_source_similarity" -> q186Sql,
     "q188_pagerank_convergence" -> q188Sql,

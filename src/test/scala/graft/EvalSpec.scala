@@ -291,6 +291,65 @@ class EvalSpec extends SparkSpec {
     assert(r.head.getDouble(6) === 6.666666) // Σ micro-rounded terms
   }
 
+  test("spearman: monotone-nonlinear is exactly 1, reversed is -1") {
+    // y = x^3 is monotone: Spearman 1.0 even though Pearson < 1
+    val rows = Seq(3L, 1L, 4L, 2L, 5L).map(x => (x, x * x * x))
+    val r = Eval.spearman(rows.toDF("x", "y"), "x", "y").head()
+    assert(r.getLong(0) === 5L && r.getDouble(1) === 1.0)
+    val rev = rows.map { case (x, y) => (x, -y) }
+    assert(Eval.spearman(rev.toDF("x", "y"), "x", "y")
+      .head().getDouble(1) === -1.0)
+  }
+
+  test("spearman: the textbook 0.6 case and a hand-computed tie case") {
+    // x=[1,2,3,4], y=[2,1,4,3]: rho = 1 - 6*4/(4*15) = 0.6
+    val rows = Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L))
+    assert(Eval.spearman(rows.toDF("x", "y"), "x", "y")
+      .head().getDouble(1) === 0.6)
+    // x=[1,1,2] ties at rank 1.5; y=[1,2,3]: rho = 1.5/sqrt(1.5*2)
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 3L))
+    assert(Eval.spearman(tied.toDF("x", "y"), "x", "y")
+      .head().getDouble(1) === 0.866025)
+  }
+
+  test("spearman: matches a brute-force avg-rank Pearson on wide ranges") {
+    val rnd = new scala.util.Random(33)
+    // spans > 2^16 force the two-level bucket split on both variables
+    val rows = Seq.fill(300)((rnd.nextLong(1L << 28),
+      rnd.nextLong(1L << 28))).map { case (x, y) =>
+      (x, if (x % 3 == 0) x / 2 + y / 4 else y) // correlated-ish
+    }
+    def avgRanks(vs: Seq[Long]): Map[Long, Double] = {
+      val sorted = vs.sorted.zipWithIndex.map { case (v, i) => (v, i + 1.0) }
+      sorted.groupBy(_._1).map { case (v, g) =>
+        v -> g.map(_._2).sum / g.size }
+    }
+    val rxm = avgRanks(rows.map(_._1))
+    val rym = avgRanks(rows.map(_._2))
+    val (xs, ys) = rows.map { case (x, y) => (rxm(x), rym(y)) }.unzip
+    val n = xs.size.toDouble
+    val (mx, my) = (xs.sum / n, ys.sum / n)
+    val cov = xs.zip(ys).map { case (a, b) => (a - mx) * (b - my) }.sum
+    val expect = BigDecimal(cov / math.sqrt(
+      xs.map(a => (a - mx) * (a - mx)).sum *
+        ys.map(b => (b - my) * (b - my)).sum))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (parts <- Seq(1, 7)) {
+      val got = Eval.spearman(rows.toDF("x", "y").repartition(parts),
+        "x", "y").head().getDouble(1)
+      assert(math.abs(got - expect) < 2e-6, s"parts=$parts")
+    }
+  }
+
+  test("spearman: constant column and empty input give null rho") {
+    val const = Seq((1L, 5L), (2L, 5L), (3L, 5L))
+    assert(Eval.spearman(const.toDF("x", "y"), "x", "y")
+      .head().isNullAt(1))
+    val empty = Eval.spearman(Seq.empty[(Long, Long)].toDF("x", "y"),
+      "x", "y").head()
+    assert(empty.getLong(0) === 0L && empty.isNullAt(1))
+  }
+
   test("chiSquare: partitioning invariance") {
     val rows = (0 until 400).map(i => (s"t${i % 5}", i % 2L))
     val df = rows.toDF("a", "b")
