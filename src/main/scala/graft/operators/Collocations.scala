@@ -71,6 +71,56 @@ object Collocations {
     scored.select(col("w1"), col("w2"), col("c12"), pmiCol.as("pmi"))
   }
 
+  /** Dunning (1993) log-likelihood-ratio collocations — the
+    * significance-calibrated sibling of [[pmi]]: PMI over-ranks rare
+    * pairs (two hapaxes co-occurring once score maximal PMI), G²
+    * weighs the evidence, so high-G² pairs are both associated AND
+    * well-attested — the standard collocation extractor for building
+    * phrase vocabularies from a corpus.
+    *
+    * Each bigram gets its own 2×2 contingency over BIGRAM POSITIONS:
+    * rows = "first word is w1", columns = "second word is w2",
+    * marginals derived from the ONE bigram census by rollup (no second
+    * corpus pass, no unigram census needed); G² = 2·Σ kᵢⱼ·ln(kᵢⱼ·B /
+    * (rowᵢ·colⱼ)) with empty cells contributing 0. One IEEE chain per
+    * census row, rounded at 6dp — no cross-row float accumulation
+    * exists, so no rounding discipline is needed beyond the per-row
+    * round. Census-only shuffles; the c12 ≥ minCount filter applies
+    * AFTER marginals so the table stays exact. Output:
+    * (w1, w2, c12, g2). */
+  def logLikelihoodRatio(docs: DataFrame, textCol: String,
+                         minCount: Long = 2L): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val biAll = graft.ops.Parallelism.stage(
+      docs.select(explode(
+          graft.functions.Expressions.word_shingles(toks, 2)).as(s"${Dup}bg"))
+        .groupBy(s"${Dup}bg").agg(count(lit(1)).as("c12"))
+        .withColumn("w1", split_part(col(s"${Dup}bg"), lit(" "), lit(1)))
+        .withColumn("w2", split_part(col(s"${Dup}bg"), lit(" "), lit(2))))
+    val m1 = biAll.groupBy("w1").agg(sum(col("c12")).as(s"${Dup}r1"))
+    val m2 = biAll.groupBy("w2").agg(sum(col("c12")).as(s"${Dup}c1"))
+    val total = biAll.agg(sum(col("c12")).as(s"${Dup}B"))
+    val scored = biAll.filter(col("c12") >= minCount)
+      .join(m1, "w1").join(m2, "w2")
+      .crossJoin(broadcast(total)) // 1-row metrics frame
+    val dbl = (c: Column) => c.cast("double")
+    val bTot = dbl(col(s"${Dup}B"))
+    def cell(k: Column, r: Column, c: Column): Column =
+      when(k > 0, dbl(k) * log(dbl(k) * bTot / (dbl(r) * dbl(c))))
+        .otherwise(lit(0.0))
+    val r1 = col(s"${Dup}r1")
+    val r2 = col(s"${Dup}B") - col(s"${Dup}r1")
+    val c1 = col(s"${Dup}c1")
+    val c2 = col(s"${Dup}B") - col(s"${Dup}c1")
+    val k11 = col("c12")
+    val k12 = r1 - col("c12")
+    val k21 = c1 - col("c12")
+    val k22 = col(s"${Dup}B") - r1 - c1 + col("c12")
+    val g2 = round(lit(2.0) * (cell(k11, r1, c1) + cell(k12, r1, c2) +
+      cell(k21, r2, c1) + cell(k22, r2, c2)), 6)
+    scored.select(col("w1"), col("w2"), col("c12"), g2.as("g2"))
+  }
+
   /** Top-k TF-IDF keywords per document: tf = cnt/len,
     * idf = ln((N+1)/(df+1)) + 1 (the SparseIndex weighting), score
     * rounded at 6dp, ties to the lexicographically smaller term. Output:

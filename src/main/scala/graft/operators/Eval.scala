@@ -433,6 +433,57 @@ object Eval {
         .otherwise(lit(null).cast("double")).as("kappa"))
   }
 
+  /** Fleiss' kappa for m ≥ 2 binary raters — the multi-rater
+    * generalization of [[cohenKappa]]: the agreement statistic for a
+    * JUDGE PANEL (m quality gates, m LLM judges) where Cohen's handles
+    * only a pair. Each row is one subject; `raterCols` are boolean
+    * verdicts; rows with ANY null verdict are excluded (Fleiss assumes
+    * complete panels).
+    *
+    * With binary categories the whole statistic is rational in three
+    * integer sums (N subjects, T = Σ true-votes, S2 = Σ per-subject
+    * (n_true² + n_false²)): P̄ = (S2 − Nm)/(Nm(m−1)), P̄e = (T² +
+    * (M−T)²)/M² with M = Nm, and κ = (P̄ − P̄e)/(1 − P̄e) reduces to a
+    * ratio of two EXACT DECIMAL(38,0) integers with ONE final division
+    * (safe to ~1e11 subjects at m ≤ 8). Output one row:
+    * (n_subjects, m, p_true, pbar, pe, kappa) — kappa null when every
+    * vote is identical (P̄e = 1). */
+  def fleissKappa(df: DataFrame, raterCols: Seq[String]): DataFrame = {
+    require(raterCols.size >= 2 && raterCols.size <= 64,
+      s"${raterCols.size} raters out of [2, 64]")
+    val m = raterCols.size.toLong
+    val complete = raterCols.map(c => col(c).isNotNull).reduce(_ && _)
+    val ntExpr = raterCols
+      .map(c => when(col(c).cast("boolean"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val rows = df.filter(complete).select(ntExpr.as(s"${Dup}nt"))
+    val agg = rows.agg(count(lit(1)).as("n"),
+      sum(col(s"${Dup}nt")).as("t"),
+      sum(d(col(s"${Dup}nt")) * d(col(s"${Dup}nt")) +
+        d(lit(m) - col(s"${Dup}nt")) * d(lit(m) - col(s"${Dup}nt")))
+        .as("s2"))
+    val bigM = d(col("n")) * d(lit(m))
+    val pe2 = d(col("t")) * d(col("t")) +
+      (bigM - d(col("t"))) * (bigM - d(col("t"))) // P̄e · M²
+    val pbarDen = d(col("n")) * d(lit(m)) * d(lit(m - 1))
+    val num = (col("s2") - bigM) * bigM * bigM - pe2 * pbarDen
+    val den = pbarDen * (bigM * bigM - pe2)
+    agg.select(col("n").as("n_subjects"), lit(m).as("m"),
+      when(col("n") > 0, round(col("t").cast("double") /
+        bigM.cast("double"), 6)).otherwise(lit(null).cast("double"))
+        .as("p_true"),
+      when(col("n") > 0, round((col("s2") - bigM).cast("double") /
+        pbarDen.cast("double"), 6)).otherwise(lit(null).cast("double"))
+        .as("pbar"),
+      when(col("n") > 0, round(pe2.cast("double") /
+        (bigM.cast("double") * bigM.cast("double")), 6))
+        .otherwise(lit(null).cast("double")).as("pe"),
+      when(den =!= d(lit(0L)),
+        round(num.cast("double") / den.cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("kappa"))
+  }
+
   /** Pearson chi-square independence test between two categorical
     * columns — the frequency-table sibling of [[abZTest]] ("did the
     * treatment change the event MIX", where the z-test asks about a

@@ -860,6 +860,83 @@ object CurationQueries {
        |FROM k""".stripMargin
   }
 
+  // --- q196: Fleiss' kappa across the three-gate judge panel ----------------
+
+  /** Fleiss' kappa ([[graft.operators.Eval.fleissKappa]]) across THREE
+    * binary raters — the cheap q30 score ≥ 0.5, the expensive
+    * q67-style gate, and a simple length-band gate — the panel
+    * statistic that answers "do our quality gates constitute one
+    * opinion or three" (q193's Cohen handles only the pair). All three
+    * rating chains replay in DuckDB; κ is a ratio of two exact
+    * integers. */
+  def q196FleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.qualityScore
+    val w = tokens(col("text"))
+    val dup = dupFrac(w)
+    val mwl = meanWordLen(w)
+    val stopCt = size(filter(w, t => t.isin("the", "a")))
+    val rated = tp(spark, dir, "documents").select(
+      (round(qualityScore(col("text")) * 1e6, 0).cast("long") >= 500000L)
+        .as("cheap"),
+      (size(w).between(30, 1000) && dup <= 0.55 &&
+        mwl >= 3.0 && mwl <= 6.0 && stopCt >= 1).as("gate"),
+      col("n_chars").between(100L, 2000L).as("lenband"))
+    graft.operators.Eval.fleissKappa(rated, Seq("cheap", "gate", "lenband"))
+  }
+
+  val q196Sql: String = {
+    val stops = graft.functions.TextFunctions.EnglishStopwords
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH toks AS (
+       |  SELECT text, n_chars, list_filter(
+       |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
+       |  FROM documents),
+       |sig AS (
+       |  SELECT text, n_chars, w, len(w) AS nw,
+       |    CASE WHEN len(w) = 0 THEN 0
+       |      ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END AS dup,
+       |    CASE WHEN len(w) = 0 THEN 0
+       |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS mwl,
+       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS stop_ct
+       |  FROM toks),
+       |r AS (
+       |  SELECT
+       |    (CASE WHEN CAST(round(round(
+       |      least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
+       |      (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+       |         / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
+       |      least((CASE WHEN len(w) = 0 THEN 0
+       |        ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
+       |    6) * 1000000.0, 0) AS BIGINT) >= 500000 THEN 1 ELSE 0 END)
+       |    + (CASE WHEN nw BETWEEN 30 AND 1000 AND dup <= 0.55
+       |        AND mwl >= 3.0 AND mwl <= 6.0 AND stop_ct >= 1
+       |        THEN 1 ELSE 0 END)
+       |    + (CASE WHEN n_chars BETWEEN 100 AND 2000 THEN 1 ELSE 0 END)
+       |      AS nt
+       |  FROM sig),
+       |a AS (
+       |  SELECT count(*)::BIGINT AS n, sum(nt)::BIGINT AS t,
+       |    sum(nt::HUGEINT * nt::HUGEINT +
+       |        (3 - nt)::HUGEINT * (3 - nt)::HUGEINT) AS s2
+       |  FROM r),
+       |k AS (
+       |  SELECT n, t, s2,
+       |    n::HUGEINT * 3 AS bm,
+       |    t::HUGEINT * t::HUGEINT +
+       |      (n::HUGEINT * 3 - t::HUGEINT) * (n::HUGEINT * 3 - t::HUGEINT)
+       |      AS pe2,
+       |    n::HUGEINT * 3 * 2 AS pbden
+       |  FROM a)
+       |SELECT n AS n_subjects, 3::BIGINT AS m,
+       |  round(t::DOUBLE / bm::DOUBLE, 6) AS p_true,
+       |  round((s2 - bm)::DOUBLE / pbden::DOUBLE, 6) AS pbar,
+       |  round(pe2::DOUBLE / (bm::DOUBLE * bm::DOUBLE), 6) AS pe,
+       |  CASE WHEN pbden * (bm * bm - pe2) = 0 THEN NULL
+       |    ELSE round(((s2 - bm) * bm * bm - pe2 * pbden)::DOUBLE /
+       |      (pbden * (bm * bm - pe2))::DOUBLE, 6) END AS kappa
+       |FROM k""".stripMargin
+  }
+
   // --- q165: population stability index between crawls ----------------------
 
   /** PSI of the quality-score distribution between the original corpus
@@ -1996,6 +2073,7 @@ object CurationQueries {
     "q156_kl_drift" -> q156KlDrift _,
     "q189_js_drift" -> q189JsDrift _,
     "q193_kappa" -> q193Kappa _,
+    "q196_fleiss_kappa" -> q196FleissKappa _,
     "q157_hits" -> q157Hits _,
     "q159_distinctive_terms" -> q159DistinctiveTerms _,
     "q161_mad_outliers" -> q161MadOutliers _,
@@ -2036,6 +2114,7 @@ object CurationQueries {
     "q156_kl_drift" -> q156Sql,
     "q189_js_drift" -> q189Sql,
     "q193_kappa" -> q193Sql,
+    "q196_fleiss_kappa" -> q196Sql,
     "q157_hits" -> q157Sql,
     "q159_distinctive_terms" -> q159Sql,
     "q161_mad_outliers" -> q161Sql,

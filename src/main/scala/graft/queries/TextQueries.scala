@@ -408,6 +408,55 @@ object TextQueries {
       |JOIN uni u2 ON u2.t = split_part(bg, ' ', 2)
       |ORDER BY w1, w2""".stripMargin
 
+  // --- q197: Dunning log-likelihood-ratio collocations -----------------------
+
+  /** G² collocations ([[graft.operators.Collocations
+    * .logLikelihoodRatio]]) — the significance-calibrated companion to
+    * q148's PMI (PMI over-ranks rare pairs; G² weighs the evidence).
+    * Each bigram's 2×2 positional contingency derives from the ONE
+    * bigram census by rollup; the oracle replays census, marginals,
+    * and the four-cell ln chain per row. */
+  def q197Llr(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Collocations.logLikelihoodRatio(
+      tp(spark, dir, "documents"), "text", minCount = 2L)
+      .orderBy("w1", "w2")
+
+  val q197Sql: String =
+    """WITH toksl AS (
+      |  SELECT list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+      |                     x -> x <> '') AS w
+      |  FROM documents),
+      |big AS (
+      |  SELECT unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))])
+      |    AS bg
+      |  FROM toksl),
+      |census AS MATERIALIZED (
+      |  SELECT split_part(bg, ' ', 1) AS w1, split_part(bg, ' ', 2) AS w2,
+      |    count(*)::BIGINT AS c12
+      |  FROM big GROUP BY 1, 2),
+      |m1 AS (SELECT w1, sum(c12)::BIGINT AS r1 FROM census GROUP BY 1),
+      |m2 AS (SELECT w2, sum(c12)::BIGINT AS c1 FROM census GROUP BY 1),
+      |tot AS (SELECT sum(c12)::BIGINT AS b_ FROM census)
+      |SELECT census.w1, census.w2, c12,
+      |  round(2.0 * (
+      |    (CASE WHEN c12 > 0 THEN c12::DOUBLE *
+      |      ln(c12::DOUBLE * b_::DOUBLE / (r1::DOUBLE * c1::DOUBLE))
+      |      ELSE 0.0 END) +
+      |    (CASE WHEN r1 - c12 > 0 THEN (r1 - c12)::DOUBLE *
+      |      ln((r1 - c12)::DOUBLE * b_::DOUBLE /
+      |         (r1::DOUBLE * (b_ - c1)::DOUBLE)) ELSE 0.0 END) +
+      |    (CASE WHEN c1 - c12 > 0 THEN (c1 - c12)::DOUBLE *
+      |      ln((c1 - c12)::DOUBLE * b_::DOUBLE /
+      |         ((b_ - r1)::DOUBLE * c1::DOUBLE)) ELSE 0.0 END) +
+      |    (CASE WHEN b_ - r1 - c1 + c12 > 0
+      |      THEN (b_ - r1 - c1 + c12)::DOUBLE *
+      |        ln((b_ - r1 - c1 + c12)::DOUBLE * b_::DOUBLE /
+      |           ((b_ - r1)::DOUBLE * (b_ - c1)::DOUBLE)) ELSE 0.0 END)
+      |  ), 6) AS g2
+      |FROM census JOIN m1 USING (w1) JOIN m2 USING (w2) CROSS JOIN tot
+      |WHERE c12 >= 2
+      |ORDER BY census.w1, census.w2""".stripMargin
+
   /** Top-3 TF-IDF keywords per document — the per-doc topical summary
     * (SparseIndex's exact weighting, ranked within each doc: G-parallel
     * small sorts, never a global order). */
@@ -1897,6 +1946,7 @@ object TextQueries {
     "q79_winnowing" -> q79Winnowing _,
     "q147_winnowing_fast" -> q147WinnowingFast _,
     "q148_pmi_collocations" -> q148PmiCollocations _,
+    "q197_llr_collocations" -> q197Llr _,
     "q149_keywords" -> q149Keywords _,
     "q150_hll_distinct" -> q150HllDistinct _,
     "q151_heavy_hitters" -> q151HeavyHitters _,
@@ -1946,6 +1996,7 @@ object TextQueries {
     "q78_neardup_clusters" -> q78Sql,
     "q79_winnowing" -> q79Sql,
     "q148_pmi_collocations" -> q148Sql,
+    "q197_llr_collocations" -> q197Sql,
     "q149_keywords" -> q149Sql,
     "q150_hll_distinct" -> q150Sql,
     "q151_heavy_hitters" -> q151Sql,

@@ -576,6 +576,32 @@ class CurationSpec extends SparkSpec {
     assert(kw.values.forall(_.size <= 2))
   }
 
+  test("G2 collocations: hand case, independence zero, evidence ranking") {
+    // "a b a b c": census ab:2 ba:1 bc:1, B=4. For (a,b): k=[2,0,0,2],
+    // G2 = 2*(2 ln2 + 2 ln2) = 8 ln2 = 5.545177
+    val docs = Seq((1L, "a b a b c")).toDF("doc_id", "text")
+    val g2 = graft.operators.Collocations
+      .logLikelihoodRatio(docs, "text", minCount = 2)
+      .as[(String, String, Long, Double)].collect()
+    assert(g2.toSeq === Seq(("a", "b", 2L, 5.545177)))
+    // exactly independent positional table -> G2 = 0 for every pair
+    val indep = Seq((1L, "a b"), (2L, "a c"), (3L, "d b"), (4L, "d c"))
+      .toDF("doc_id", "text")
+    val z = graft.operators.Collocations
+      .logLikelihoodRatio(indep, "text", minCount = 1)
+      .as[(String, String, Long, Double)].collect()
+    assert(z.length === 4 && z.forall(_._4 === 0.0))
+    // evidence weighing: a 5x-attested pair outranks a hapax pair even
+    // though PMI would favor the rarer one
+    val ev = Seq((1L, "x y x y x y x y x y noise1 noise2 p q"))
+      .toDF("doc_id", "text")
+    val m = graft.operators.Collocations
+      .logLikelihoodRatio(ev, "text", minCount = 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    assert(m(("x", "y")) > m(("p", "q")))
+  }
+
   test("greedy near-dup removal keeps min id, drops confirmed dups only") {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

@@ -291,6 +291,42 @@ class EvalSpec extends SparkSpec {
     assert(r.head.getDouble(6) === 6.666666) // Σ micro-rounded terms
   }
 
+  test("fleissKappa: hand-computed 0.55 case, perfect, degenerate") {
+    // nt per subject = [3, 0, 2] with m=3: S2=23, T=5, N=3
+    // num = 14*81 - 41*18 = 396, den = 18*(81-41) = 720, kappa = 0.55
+    val rows = Seq((true, true, true), (false, false, false),
+      (true, true, false))
+    val r = Eval.fleissKappa(rows.toDF("a", "b", "c"), Seq("a", "b", "c"))
+      .head()
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.555556) // p_true = 5/9
+    assert(r.getDouble(3) === 0.777778) // pbar = 14/18
+    assert(r.getDouble(4) === 0.506173) // pe = 41/81
+    assert(r.getDouble(5) === 0.55)
+    // unanimous mixed-subject panels: pbar = 1, kappa = 1
+    val perfect = Seq((true, true), (false, false), (true, true))
+    assert(Eval.fleissKappa(perfect.toDF("a", "b"), Seq("a", "b"))
+      .head().getDouble(5) === 1.0)
+    // every vote identical: pe = 1 → kappa undefined
+    val const = Seq((true, true), (true, true))
+    assert(Eval.fleissKappa(const.toDF("a", "b"), Seq("a", "b"))
+      .head().isNullAt(5))
+  }
+
+  test("fleissKappa: incomplete panels excluded; invariance") {
+    val rows: Seq[(Option[Boolean], Option[Boolean], Option[Boolean])] =
+      (0 until 120).map { i =>
+        (if (i % 11 == 0) None else Some(i % 2 == 0),
+          Some(i % 3 == 0), Some(i % 2 == 0))
+      }
+    val df = rows.toDF("a", "b", "c")
+    val r = Eval.fleissKappa(df, Seq("a", "b", "c")).head()
+    assert(r.getLong(0) < 120L)
+    assert(Eval.fleissKappa(df, Seq("a", "b", "c")).collect().toSeq ===
+      Eval.fleissKappa(df.repartition(7), Seq("a", "b", "c"))
+        .collect().toSeq)
+  }
+
   test("spearman: monotone-nonlinear is exactly 1, reversed is -1") {
     // y = x^3 is monotone: Spearman 1.0 even though Pearson < 1
     val rows = Seq(3L, 1L, 4L, 2L, 5L).map(x => (x, x * x * x))
