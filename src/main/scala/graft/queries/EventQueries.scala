@@ -1075,6 +1075,76 @@ object EventQueries {
       |FROM terms t CROSS JOIN tot CROSS JOIN mi
       |ORDER BY t.event_type, t.hod""".stripMargin
 
+  // --- q198: streaming stateful funnel ---------------------------------------
+
+  /** The q144 four-stage funnel AS A STREAM
+    * ([[graft.streaming.StatefulFunnel]]): events arrive as two
+    * chronologically-split files (one micro-batch each — a log shipped
+    * in arrival order), per-user funnel state carries ACROSS the batch
+    * boundary, and the drained depths reproduce the batch first-touch
+    * chain exactly — q144's oracle verbatim. Update-mode emissions are
+    * reconciled with max() (depth only grows); the final counts are a
+    * 4-row spine joined to the ≤9-row depth histogram, never a
+    * per-user driver pass. */
+  def q198StreamingFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val stages = Seq("signup", "view", "click", "purchase")
+    val streamDir = java.nio.file.Paths.get(
+      s"/tmp/graft_stream_funnel_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+    val boundaryUs = 1705276800000000L // 2024-01-15T00:00:00Z
+    if (!java.nio.file.Files.exists(streamDir.resolve("a.parquet"))) {
+      java.nio.file.Files.createDirectories(streamDir)
+      val ev = Tables.events(spark, dir).select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_type"))
+      for ((name, cond) <- Seq(
+          ("a.parquet", col("ts_us") < boundaryUs),
+          ("b.parquet", col("ts_us") >= boundaryUs))) {
+        val buildDir = streamDir.resolve(s"_build_$name")
+        ev.filter(cond).coalesce(1)
+          .write.mode("overwrite").parquet(buildDir.toString)
+        val part = {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.list(buildDir).iterator().asScala
+            .find(p => p.getFileName.toString.startsWith("part-") &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .getOrElse(sys.error(s"missing part file for $name"))
+        }
+        java.nio.file.Files.copy(part, streamDir.resolve(name))
+      }
+    }
+    val schema = spark.read.parquet(streamDir.resolve("a.parquet").toString)
+      .schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(streamDir.toString)
+      .as[graft.streaming.StatefulFunnel.Ev]
+    val sinkName = "graft_stream_funnel"
+    val q = graft.streaming.StatefulFunnel.userDepths(stream, stages)
+      .writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val depths = spark.table(sinkName)
+      .groupBy(col("user_id"))
+      .agg(max(col("stages_completed")).as("d"))
+      .groupBy(col("d")).agg(count(lit(1)).as("c")) // ≤ 9 rows
+    val spine = stages.zipWithIndex
+      .map { case (s, i) => (i + 1, s) }.toDF("k", "name")
+    broadcast(spine).join(depths, col("d") >= col("k"))
+      .groupBy(col("k"), col("name"))
+      .agg(sum(col("c")).as("n_users"))
+      .select(concat(col("k").cast("string"), lit("_"), col("name"))
+        .as("stage"), col("n_users"))
+      .orderBy("stage")
+  }
+
+  /** Streaming must not change the funnel answer — q144's oracle
+    * verbatim. */
+  val q198Sql: String = q144Sql
+
   // --- q191: mean reciprocal rank of the first conversion -------------------
 
   /** MRR@10 ([[graft.operators.Eval.mrr]]) of the first 'purchase' in
@@ -1220,6 +1290,7 @@ object EventQueries {
     "q191_mrr" -> q191Mrr _,
     "q192_ndcg" -> q192Ndcg _,
     "q194_chi2" -> q194Chi2 _,
+    "q198_streaming_funnel" -> q198StreamingFunnel _,
     "q179_trending_append" -> q179TrendingAppend _,
     "q182_cusum_hourly" -> q182CusumHourly _,
     "q184_type_hour_mi" -> q184TypeHourMi _,
@@ -1251,6 +1322,7 @@ object EventQueries {
     "q191_mrr" -> q191Sql,
     "q192_ndcg" -> q192Sql,
     "q194_chi2" -> q194Sql,
+    "q198_streaming_funnel" -> q198Sql,
     "q160_recency_scores" -> q160Sql,
     "q168_burstiness" -> q168Sql,
     "q169_stickiness" -> q169Sql,
