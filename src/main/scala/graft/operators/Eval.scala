@@ -299,6 +299,71 @@ object Eval {
         .otherwise(lit(null).cast("double")).as("rho"))
   }
 
+  /** Brown–Forsythe test statistic (the median-based Levene) between
+    * two variants — the VARIANCE-equality companion to [[abZTest]]
+    * (mean) and [[ksTest]] (whole distribution): did the treatment
+    * change the SPREAD? W is the one-way ANOVA F on absolute
+    * deviations from each group's median; the median variant is the
+    * robust form (Brown & Forsythe 1974).
+    *
+    * Exactness: group medians are exact lower medians through
+    * [[RankCuts]]' bounded radix search (no per-group sort); the
+    * deviations are exact integers, the three moments per variant
+    * (n, Σz, Σz²) are exact DECIMAL(38,0) sums, and W's between/within
+    * sums are cleared of rationals by the common factor n₀·n₁·N:
+    *
+    *   B' = S₀²n₁N + S₁²n₀N − S²n₀n₁
+    *   W' = Q·n₀n₁N − S₀²n₁N − S₁²n₀N
+    *   W  = (N−2) · B' / W'   (one pinned IEEE chain)
+    *
+    * The DECIMAL(38,0) bound on S²·n·N means values should be
+    * quantized so Σ|z| stays ≲ 1e15 at the target row count (centi
+    * units for a ~500-range metric at 1e9 rows) — the usual
+    * re-quantize-upstream contract. Output one row:
+    * (n_0, n_1, med_0, med_1, w) — w null when either arm is empty,
+    * N ≤ 2, or the within-group deviation sum is 0. */
+  def brownForsythe(df: DataFrame, variantCol: String,
+                    valueCol: String): DataFrame = {
+    val v = col(variantCol).cast("long")
+    val x = col(valueCol).cast("long")
+    val rows = df.filter(v.isin(0L, 1L) && x.isNotNull)
+      .select(v.as(s"${Dup}v"), x.as(s"${Dup}s"))
+    val hist = rows.groupBy(col(s"${Dup}v"), col(s"${Dup}s"))
+      .agg(count(lit(1)).as(s"${Dup}c"))
+    val med = RankCuts.rankValues(hist, Seq(s"${Dup}v"), s"${Dup}s",
+      s"${Dup}c", Seq(s"${Dup}med" -> RankCuts.ceilRank(1, 2)))
+    val dev = rows.join(broadcast(med), Seq(s"${Dup}v"))
+      .withColumn(s"${Dup}z", abs(col(s"${Dup}s") - col(s"${Dup}med")))
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val z = col(s"${Dup}z")
+    def side(i: Long, c: org.apache.spark.sql.Column) =
+      when(col(s"${Dup}v") === i, c)
+    val m = dev.agg(
+      sum(side(0L, lit(1L)).otherwise(0L)).as("n0"),
+      sum(side(0L, z).otherwise(0L)).as("s0"),
+      sum(side(0L, d(z) * d(z)).otherwise(d(lit(0L)))).as("q0"),
+      max(side(0L, col(s"${Dup}med"))).as("med0"),
+      sum(side(1L, lit(1L)).otherwise(0L)).as("n1"),
+      sum(side(1L, z).otherwise(0L)).as("s1"),
+      sum(side(1L, d(z) * d(z)).otherwise(d(lit(0L)))).as("q1"),
+      max(side(1L, col(s"${Dup}med"))).as("med1"))
+    val nn = col("n0") + col("n1")
+    val ss = col("s0") + col("s1")
+    val qq = col("q0") + col("q1")
+    val b = d(col("s0")) * d(col("s0")) * d(col("n1")) * d(nn) +
+      d(col("s1")) * d(col("s1")) * d(col("n0")) * d(nn) -
+      d(ss) * d(ss) * d(col("n0")) * d(col("n1"))
+    val w = qq * d(col("n0")) * d(col("n1")) * d(nn) -
+      d(col("s0")) * d(col("s0")) * d(col("n1")) * d(nn) -
+      d(col("s1")) * d(col("s1")) * d(col("n0")) * d(nn)
+    m.select(col("n0").as("n_0"), col("n1").as("n_1"),
+      col("med0").as("med_0"), col("med1").as("med_1"),
+      when(col("n0") > 0 && col("n1") > 0 && nn > 2 && w =!= d(lit(0L)),
+        round((nn - lit(2L)).cast("double") * b.cast("double") /
+          w.cast("double"), 6))
+        .otherwise(lit(null).cast("double")).as("w"))
+  }
+
   /** Exact mean reciprocal rank at k — the first-relevant-result
     * retrieval metric (the companion to [[rboTruncated]]: RBO compares
     * two rankings, MRR scores one ranking against relevance labels).
@@ -431,6 +496,80 @@ object Eval {
       when(den =!= d(lit(0L)),
         round(num.cast("double") / den.cast("double"), 6))
         .otherwise(lit(null).cast("double")).as("kappa"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic — the
+    * whole-distribution A/B test next to [[abZTest]] (z asks "did the
+    * mean move", KS asks "did the DISTRIBUTION move anywhere"):
+    * D = max over the merged support of |F₁(x) − F₂(x)|.
+    *
+    * Exactness: at each distinct value, F₁ − F₂ = (cum₁·n₂ − cum₂·n₁)
+    * / (n₁·n₂) with an EXACT integer numerator, so D is the integer
+    * max of |cum₁·n₂ − cum₂·n₁| over distinct values followed by ONE
+    * division — deterministic and engine-replayable where a float CDF
+    * walk is order-dependent. The inclusive cumulative counts run the
+    * [[aucExact]] two-level bounded prefix sum over the shared value
+    * census (≤2^16 buckets × ≤2^16 values, range ≤ 2^32
+    * require-guarded, never an unbounded SinglePartition; numerator ≤
+    * n₁·n₂ caps at DECIMAL(38,0) far past any corpus). `variantCol`
+    * integral 0/1, other values excluded. Output one row:
+    * (n_0, n_1, d_stat) — d_stat null when either sample is empty. */
+  def ksTest(df: DataFrame, variantCol: String,
+             valueCol: String): DataFrame = {
+    val v = col(variantCol).cast("long")
+    val x = col(valueCol).cast("long")
+    val rows = df.filter(v.isin(0L, 1L) && x.isNotNull)
+      .select(v.as(s"${Dup}v"), x.as(s"${Dup}s"))
+    val hist = graft.ops.Parallelism.stage(
+      rows.groupBy(col(s"${Dup}s"))
+        .agg(sum(when(col(s"${Dup}v") === 0L, 1L).otherwise(0L))
+          .as(s"${Dup}c0"),
+          sum(when(col(s"${Dup}v") === 1L, 1L).otherwise(0L))
+            .as(s"${Dup}c1")))
+    val bounds = hist.agg(min(col(s"${Dup}s")), max(col(s"${Dup}s"))).head()
+    if (bounds.isNullAt(0)) // empty input
+      return rows.sparkSession.sql(
+        "SELECT CAST(0 AS BIGINT) n_0, CAST(0 AS BIGINT) n_1, " +
+          "CAST(NULL AS DOUBLE) d_stat")
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    require(hi - lo >= 0 && hi - lo <= (1L << 32),
+      s"value range ${hi - lo} exceeds 2^32: re-quantize upstream " +
+        "(the two-level prefix sum bounds both levels at 2^16)")
+    val width = math.max(1L, ((hi - lo) >> 16) + 1)
+    val bucketed = hist.withColumn(s"${Dup}b",
+      Expressions.int_div(col(s"${Dup}s") - lit(lo), lit(width)))
+    val offsets = bucketed.groupBy(col(s"${Dup}b"))
+      .agg(sum(col(s"${Dup}c0")).as(s"${Dup}b0"),
+        sum(col(s"${Dup}c1")).as(s"${Dup}b1"))
+      .select(col(s"${Dup}b"),
+        coalesce(sum(col(s"${Dup}b0")).over(
+          W.orderBy(col(s"${Dup}b"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+          .as(s"${Dup}off0"),
+        coalesce(sum(col(s"${Dup}b1")).over(
+          W.orderBy(col(s"${Dup}b"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+          .as(s"${Dup}off1"))
+    val wInB = W.partitionBy(col(s"${Dup}b")).orderBy(col(s"${Dup}s"))
+      .rowsBetween(W.unboundedPreceding, 0) // INCLUSIVE cdf
+    val d = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val cum = bucketed.join(offsets, Seq(s"${Dup}b"))
+      .select(
+        (col(s"${Dup}off0") + sum(col(s"${Dup}c0")).over(wInB))
+          .as(s"${Dup}cum0"),
+        (col(s"${Dup}off1") + sum(col(s"${Dup}c1")).over(wInB))
+          .as(s"${Dup}cum1"))
+    val totals = hist.agg(sum(col(s"${Dup}c0")).as("n_0"),
+      sum(col(s"${Dup}c1")).as("n_1"))
+    cum.crossJoin(broadcast(totals)) // 1-row metrics frame
+      .agg(max(col("n_0")).as("n_0"), max(col("n_1")).as("n_1"),
+        max(abs(d(col(s"${Dup}cum0")) * d(col("n_1")) -
+          d(col(s"${Dup}cum1")) * d(col("n_0")))).as(s"${Dup}num"))
+      .select(col("n_0"), col("n_1"),
+        when(col("n_0") > 0 && col("n_1") > 0,
+          round(col(s"${Dup}num").cast("double") /
+            (col("n_0").cast("double") * col("n_1").cast("double")), 6))
+          .otherwise(lit(null).cast("double")).as("d_stat"))
   }
 
   /** Fleiss' kappa for m ≥ 2 binary raters — the multi-rater

@@ -1145,6 +1145,111 @@ object EventQueries {
     * verbatim. */
   val q198Sql: String = q144Sql
 
+  // --- q199: two-sample Kolmogorov-Smirnov A/B distribution test ------------
+
+  /** Exact KS statistic ([[graft.operators.Eval.ksTest]]) between the
+    * two q190 variants' value distributions — the whole-distribution
+    * companion to the mean z-test (a treatment can shift the tails
+    * while leaving the mean fixed; D catches it anywhere on the CDF).
+    * The max CDF gap is an exact integer max (|cum₀·n₁ − cum₁·n₀|)
+    * over the value census followed by one division; the oracle
+    * replays the census, both inclusive cumulations, and the max. */
+  def q199KsTest(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.ksTest(
+      Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(pmod(col("user_id"), lit(2L)).as("variant"),
+          round(col("value") * lit(1e6), 0).cast("long").as("vm")),
+      "variant", "vm")
+
+  val q199Sql: String =
+    """WITH e AS (
+      |  SELECT user_id % 2 AS v,
+      |    CAST(round(value * 1000000.0, 0) AS BIGINT) AS s
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |hist AS (
+      |  SELECT s,
+      |    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+      |    sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+      |  FROM e GROUP BY 1),
+      |cum AS (
+      |  SELECT
+      |    sum(c0) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum0,
+      |    sum(c1) OVER (ORDER BY s
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1
+      |  FROM hist),
+      |t AS (SELECT sum(c0)::BIGINT AS n0, sum(c1)::BIGINT AS n1 FROM hist)
+      |SELECT n0 AS n_0, n1 AS n_1,
+      |  round(max(abs(cum0::HUGEINT * n1::HUGEINT -
+      |                cum1::HUGEINT * n0::HUGEINT))::DOUBLE /
+      |    (n0::DOUBLE * n1::DOUBLE), 6) AS d_stat
+      |FROM cum, t GROUP BY n0, n1""".stripMargin
+
+  // --- q200: Brown-Forsythe variance-equality A/B test -----------------------
+
+  /** Brown–Forsythe W ([[graft.operators.Eval.brownForsythe]]) between
+    * the two q190 variants' CENTI-quantized values — did the treatment
+    * change the spread (q190 tests the mean, q199 the whole CDF, this
+    * the variance, the three standard A/B readouts)? Centi units keep
+    * S²·n·N inside DECIMAL(38,0) to ~1e9 rows (the operator's
+    * documented re-quantize contract); the oracle replays the
+    * RankCuts lower medians, the deviation moments, and the cleared
+    * rational chain. */
+  def q200BrownForsythe(spark: SparkSession, dir: String): DataFrame =
+    graft.operators.Eval.brownForsythe(
+      Tables.events(spark, dir)
+        .filter(col("user_id").isNotNull && col("value").isNotNull)
+        .select(pmod(col("user_id"), lit(2L)).as("variant"),
+          round(col("value") * lit(100.0), 0).cast("long").as("vc")),
+      "variant", "vc")
+
+  val q200Sql: String =
+    """WITH e AS (
+      |  SELECT user_id % 2 AS v,
+      |    CAST(round(value * 100.0, 0) AS BIGINT) AS s
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |h AS (SELECT v, s, count(*)::BIGINT AS c FROM e GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT v, s, sum(c) OVER (PARTITION BY v ORDER BY s) AS cs,
+      |    sum(c) OVER (PARTITION BY v) AS n
+      |  FROM h),
+      |med AS (SELECT v, min(s) AS med FROM cum
+      |        WHERE cs >= (n + 1) // 2 GROUP BY 1),
+      |dev AS (SELECT e.v, m.med, abs(e.s - m.med) AS z
+      |        FROM e JOIN med m USING (v)),
+      |m AS (
+      |  SELECT
+      |    sum(CASE WHEN v = 0 THEN 1 ELSE 0 END)::BIGINT AS n0,
+      |    sum(CASE WHEN v = 0 THEN z ELSE 0 END)::BIGINT AS s0,
+      |    sum(CASE WHEN v = 0 THEN z::HUGEINT * z::HUGEINT
+      |        ELSE 0::HUGEINT END) AS q0,
+      |    max(CASE WHEN v = 0 THEN med END) AS med0,
+      |    sum(CASE WHEN v = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+      |    sum(CASE WHEN v = 1 THEN z ELSE 0 END)::BIGINT AS s1,
+      |    sum(CASE WHEN v = 1 THEN z::HUGEINT * z::HUGEINT
+      |        ELSE 0::HUGEINT END) AS q1,
+      |    max(CASE WHEN v = 1 THEN med END) AS med1
+      |  FROM dev),
+      |k AS (
+      |  SELECT *, (n0 + n1)::HUGEINT AS nn,
+      |    (s0 + s1)::HUGEINT AS ss, q0 + q1 AS qq
+      |  FROM m),
+      |f AS (
+      |  SELECT *,
+      |    s0::HUGEINT * s0::HUGEINT * n1::HUGEINT * nn +
+      |      s1::HUGEINT * s1::HUGEINT * n0::HUGEINT * nn -
+      |      ss * ss * n0::HUGEINT * n1::HUGEINT AS b_,
+      |    qq * n0::HUGEINT * n1::HUGEINT * nn -
+      |      s0::HUGEINT * s0::HUGEINT * n1::HUGEINT * nn -
+      |      s1::HUGEINT * s1::HUGEINT * n0::HUGEINT * nn AS w_
+      |  FROM k)
+      |SELECT n0 AS n_0, n1 AS n_1, med0 AS med_0, med1 AS med_1,
+      |  CASE WHEN n0 > 0 AND n1 > 0 AND nn > 2 AND w_ <> 0
+      |    THEN round((nn - 2)::DOUBLE * b_::DOUBLE / w_::DOUBLE, 6)
+      |  END AS w
+      |FROM f""".stripMargin
+
   // --- q191: mean reciprocal rank of the first conversion -------------------
 
   /** MRR@10 ([[graft.operators.Eval.mrr]]) of the first 'purchase' in
@@ -1291,6 +1396,8 @@ object EventQueries {
     "q192_ndcg" -> q192Ndcg _,
     "q194_chi2" -> q194Chi2 _,
     "q198_streaming_funnel" -> q198StreamingFunnel _,
+    "q199_ks_test" -> q199KsTest _,
+    "q200_brown_forsythe" -> q200BrownForsythe _,
     "q179_trending_append" -> q179TrendingAppend _,
     "q182_cusum_hourly" -> q182CusumHourly _,
     "q184_type_hour_mi" -> q184TypeHourMi _,
@@ -1323,6 +1430,8 @@ object EventQueries {
     "q192_ndcg" -> q192Sql,
     "q194_chi2" -> q194Sql,
     "q198_streaming_funnel" -> q198Sql,
+    "q199_ks_test" -> q199Sql,
+    "q200_brown_forsythe" -> q200Sql,
     "q160_recency_scores" -> q160Sql,
     "q168_burstiness" -> q168Sql,
     "q169_stickiness" -> q169Sql,

@@ -291,6 +291,85 @@ class EvalSpec extends SparkSpec {
     assert(r.head.getDouble(6) === 6.666666) // Σ micro-rounded terms
   }
 
+  test("ksTest: hand case 0.5, identical 0, disjoint 1, empty-arm null") {
+    // sample0 = {1,2}, sample1 = {2,3}: max CDF gap at v=1 is 0.5
+    val rows = Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L))
+    val r = Eval.ksTest(rows.toDF("v", "s"), "v", "s").head()
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) === ((2L, 2L, 0.5)))
+    val same = (0 until 30).flatMap(i => Seq((0L, i * 7L), (1L, i * 7L)))
+    assert(Eval.ksTest(same.toDF("v", "s"), "v", "s")
+      .head().getDouble(2) === 0.0)
+    val disjoint = Seq((0L, 1L), (0L, 2L), (1L, 10L), (1L, 11L))
+    assert(Eval.ksTest(disjoint.toDF("v", "s"), "v", "s")
+      .head().getDouble(2) === 1.0)
+    val oneArm = Seq((0L, 5L), (0L, 6L))
+    assert(Eval.ksTest(oneArm.toDF("v", "s"), "v", "s").head().isNullAt(2))
+    assert(Eval.ksTest(Seq.empty[(Long, Long)].toDF("v", "s"), "v", "s")
+      .head().isNullAt(2))
+  }
+
+  test("ksTest: matches a brute-force CDF walk incl. ties, wide ranges") {
+    val rnd = new scala.util.Random(44)
+    for (span <- Seq(50L, 1L << 28)) {
+      val rows = Seq.fill(400)((rnd.nextInt(2).toLong, rnd.nextLong(span)))
+        .map { case (v, s) => (v, if (v == 1L) s + span / 5 else s) }
+      val s0 = rows.filter(_._1 == 0L).map(_._2).sorted
+      val s1 = rows.filter(_._1 == 1L).map(_._2).sorted
+      val support = (s0 ++ s1).distinct.sorted
+      val expect = BigDecimal(support.map { x =>
+        math.abs(s0.count(_ <= x).toDouble / s0.size -
+          s1.count(_ <= x).toDouble / s1.size)
+      }.max).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      for (parts <- Seq(1, 7)) {
+        val got = Eval.ksTest(rows.toDF("v", "s").repartition(parts),
+          "v", "s").head().getDouble(2)
+        assert(got === expect, s"span=$span parts=$parts")
+      }
+    }
+  }
+
+  test("ksTest: a huge value range is rejected, not silently mis-bucketed") {
+    intercept[IllegalArgumentException] {
+      Eval.ksTest(Seq((0L, 0L), (1L, Long.MaxValue)).toDF("v", "s"),
+        "v", "s").collect()
+    }
+  }
+
+  test("brownForsythe: hand-computed 0.918987, identical arms 0, nulls") {
+    // v0 = {0,10}: lower median 0, z = {0,10}; v1 = {0,2,4}: median 2,
+    // z = {2,0,2}. B' = 484, W' = 1580, W = 3*484/1580 = 0.918987
+    val rows = Seq((0L, 0L), (0L, 10L), (1L, 0L), (1L, 2L), (1L, 4L))
+    val r = Eval.brownForsythe(rows.toDF("v", "x"), "v", "x").head()
+    assert((r.getLong(0), r.getLong(1)) === ((2L, 3L)))
+    assert((r.getLong(2), r.getLong(3)) === ((0L, 2L))) // lower medians
+    assert(r.getDouble(4) === 0.918987)
+    // identical value multisets: B' = 0 exactly
+    val same = (0 until 40).flatMap(i => Seq((0L, i * 3L), (1L, i * 3L)))
+    assert(Eval.brownForsythe(same.toDF("v", "x"), "v", "x")
+      .head().getDouble(4) === 0.0)
+    // zero within-group deviations: W' = 0 -> null
+    val const = Seq((0L, 5L), (0L, 5L), (1L, 7L), (1L, 7L))
+    assert(Eval.brownForsythe(const.toDF("v", "x"), "v", "x")
+      .head().isNullAt(4))
+    // empty arm -> null w, null med for the empty side
+    val one = Seq((1L, 5L), (1L, 9L), (1L, 6L))
+    val o = Eval.brownForsythe(one.toDF("v", "x"), "v", "x").head()
+    assert(o.getLong(0) === 0L && o.isNullAt(2) && o.isNullAt(4))
+  }
+
+  test("brownForsythe: detects a spread change; partitioning invariance") {
+    // same median, double the spread in arm 1
+    val rows = (0 until 200).flatMap { i =>
+      val d = i % 10 - 5
+      Seq((0L, 100L + d), (1L, 100L + 2L * d))
+    }
+    val df = rows.toDF("v", "x")
+    val r = Eval.brownForsythe(df, "v", "x").head()
+    assert(r.getDouble(4) > 10.0) // strong variance signal
+    assert(Eval.brownForsythe(df, "v", "x").collect().toSeq ===
+      Eval.brownForsythe(df.repartition(9), "v", "x").collect().toSeq)
+  }
+
   test("fleissKappa: hand-computed 0.55 case, perfect, degenerate") {
     // nt per subject = [3, 0, 2] with m=3: S2=23, T=5, N=3
     // num = 14*81 - 41*18 = 396, den = 18*(81-41) = 720, kappa = 0.55
