@@ -602,6 +602,46 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"BLEU must not shuffle:\n$p")
   }
 
+  test("spearman/ks: per-value cumulations window BY BUCKET, never global") {
+    // the aucExact two-level discipline: the only single-partition
+    // exchanges allowed are the <=2^16-row bucket-offset windows and
+    // 1-row metric aggregates — per-VALUE windows must carry a
+    // partition spec (windowspecdefinition(__graft_b, ...))
+    val rows = (0 until 500).map(i => ((i % 2).toLong, (i * 37L) % 90000L))
+    for (df <- Seq(
+        graft.operators.Eval.spearman(rows.toDF("v", "x")
+          .withColumnRenamed("v", "y"), "x", "y"),
+        graft.operators.Eval.ksTest(rows.toDF("v", "s"), "v", "s"))) {
+      val p = plan(df)
+      val perValueWindows = p.linesIterator.filter(l =>
+        l.contains("windowspecdefinition(__graft_b")).toSeq
+      assert(perValueWindows.nonEmpty,
+        s"expected bucket-partitioned windows in:\n$p")
+    }
+  }
+
+  test("ndcg: the ideal re-rank windows partition by QUERY") {
+    val rows = (0 until 300).map(i => (s"q${i % 23}", i % 15 + 1, i * 7L))
+    val p = plan(graft.operators.Eval.ndcgAt(
+      rows.toDF("q", "rank", "g"), "q", "rank", "g", 10))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"ndcg must never single-partition:\n$p")
+    assert(p.contains("windowspecdefinition(q#"),
+      s"ideal re-rank must partition by the query column:\n$p")
+  }
+
+  test("chi-square: the only joins are the bounded spine and metric frames") {
+    val rows = (0 until 400).map(i => (s"t${i % 5}", i % 2L))
+    val p = plan(graft.operators.Eval.chiSquare(
+      rows.toDF("a", "b"), "a", "b"))
+    // the marginal-spine cross and the 1-row totals are broadcast;
+    // nothing row-scale may nested-loop
+    assert(!p.contains("CartesianProduct"),
+      s"chi-square must not cartesian:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected the broadcast spine/metrics crosses:\n$p")
+  }
+
   test("reading one shard partition-prunes the others") {
     val out = java.nio.file.Files.createTempDirectory("graft_prune").toString
     val df = (0L until 400L).map(i => (i, s"t$i")).toDF("id", "text")
