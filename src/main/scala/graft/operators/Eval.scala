@@ -441,8 +441,10 @@ object Eval {
     val termed = rows
       .withColumn(s"${Dup}ir", row_number().over(ideal).cast("long"))
       .withColumn(s"${Dup}dcg",
-        when(col(s"${Dup}r") <= k.toLong, termMicro(col(s"${Dup}r")))
-          .otherwise(lit(0L)))
+        // between(1, k): a malformed 0/negative presented rank must not
+        // reach the ln(1+r) discount (ln(1) = 0 divides to infinity)
+        when(col(s"${Dup}r").between(1L, k.toLong),
+          termMicro(col(s"${Dup}r"))).otherwise(lit(0L)))
       .withColumn(s"${Dup}idcg",
         when(col(s"${Dup}ir") <= k.toLong, termMicro(col(s"${Dup}ir")))
           .otherwise(lit(0L)))
