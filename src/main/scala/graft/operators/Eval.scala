@@ -49,8 +49,8 @@ object Eval {
         "SELECT CAST(0 AS BIGINT) n_pos, CAST(0 AS BIGINT) n_neg, " +
           "CAST(NULL AS DOUBLE) auc")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    require(hi - lo >= 0 && hi - lo <= (1L << 32),
-      s"score range ${hi - lo} exceeds 2^32: re-quantize upstream " +
+    require(hi - lo >= 0 && hi - lo < (1L << 32),
+      s"score range ${hi - lo} reaches 2^32: re-quantize upstream " +
         "(the two-level prefix sum bounds both levels at 2^16)")
     val width = math.max(1L, ((hi - lo) >> 16) + 1)
     val bucketed = hist.withColumn(s"${Dup}b",
@@ -232,8 +232,8 @@ object Eval {
       rows.groupBy(col(vCol)).agg(count(lit(1)).as(s"${Dup}c")))
     val bounds = hist.agg(min(col(vCol)), max(col(vCol))).head()
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    require(hi - lo >= 0 && hi - lo <= (1L << 32),
-      s"value range ${hi - lo} exceeds 2^32: re-quantize upstream " +
+    require(hi - lo >= 0 && hi - lo < (1L << 32),
+      s"value range ${hi - lo} reaches 2^32: re-quantize upstream " +
         "(the two-level prefix sum bounds both levels at 2^16)")
     val width = math.max(1L, ((hi - lo) >> 16) + 1)
     val bucketed = hist.withColumn(s"${Dup}b",
@@ -386,7 +386,10 @@ object Eval {
     require(k >= 1 && k <= 20, s"k=$k out of [1,20] (long-exact weights)")
     val lcm = (1 to k).foldLeft(BigInt(1))((l, d) => l * d / l.gcd(BigInt(d)))
     val weights = (1 to k).map(m => (lcm / m).toLong).toArray
-    val hits = df
+    // null queries are excluded at the operator boundary, matching the
+    // null-handling contract of aucExact/cohenKappa/ksTest
+    val base = df.filter(col(queryCol).isNotNull)
+    val hits = base
       .filter(col(relevantCol).cast("boolean") &&
         col(rankCol).cast("long").between(1L, k.toLong))
       .groupBy(col(queryCol))
@@ -394,7 +397,7 @@ object Eval {
       .agg(count(lit(1)).as(s"${Dup}hit"),
         coalesce(sum(element_at(lit(weights), col(s"${Dup}m"))), lit(0L))
           .as(s"${Dup}w"))
-    val nq = df.select(col(queryCol)).distinct()
+    val nq = base.select(col(queryCol)).distinct()
       .agg(count(lit(1)).as(s"${Dup}q"))
     hits.crossJoin(broadcast(nq)) // 1-row metrics frames
       .select(lit(k).as("k"), col(s"${Dup}q").as("n_queries"),
@@ -431,7 +434,8 @@ object Eval {
              gainCol: String, k: Int = 10): DataFrame = {
     require(k >= 1 && k <= (1 << 16), s"k=$k out of [1, 2^16]")
     val g = greatest(col(gainCol).cast("long"), lit(0L))
-    val rows = df.filter(col(rankCol).isNotNull && col(gainCol).isNotNull)
+    val rows = df.filter(col(queryCol).isNotNull &&
+        col(rankCol).isNotNull && col(gainCol).isNotNull)
       .select(col(queryCol), col(rankCol).cast("long").as(s"${Dup}r"), g.as(s"${Dup}g"))
     def termMicro(rank: org.apache.spark.sql.Column) =
       round(col(s"${Dup}g").cast("double") /
@@ -534,8 +538,8 @@ object Eval {
         "SELECT CAST(0 AS BIGINT) n_0, CAST(0 AS BIGINT) n_1, " +
           "CAST(NULL AS DOUBLE) d_stat")
     val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    require(hi - lo >= 0 && hi - lo <= (1L << 32),
-      s"value range ${hi - lo} exceeds 2^32: re-quantize upstream " +
+    require(hi - lo >= 0 && hi - lo < (1L << 32),
+      s"value range ${hi - lo} reaches 2^32: re-quantize upstream " +
         "(the two-level prefix sum bounds both levels at 2^16)")
     val width = math.max(1L, ((hi - lo) >> 16) + 1)
     val bucketed = hist.withColumn(s"${Dup}b",

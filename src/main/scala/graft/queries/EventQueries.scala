@@ -1089,17 +1089,29 @@ object EventQueries {
   def q198StreamingFunnel(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val stages = Seq("signup", "view", "click", "purchase")
+    // Cache keyed on the source file's mtime (regenerated data at the
+    // same path gets a fresh split) and published by a single atomic
+    // directory rename: a crash mid-build leaves only an orphaned temp
+    // dir, never a half-visible cache, and a retry never hits a
+    // FileAlreadyExists on the copy.
+    val srcMtime = java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(s"$dir/events.parquet"))
+      .toMillis
     val streamDir = java.nio.file.Paths.get(
-      s"/tmp/graft_stream_funnel_${dir.replaceAll("[^A-Za-z0-9]", "_")}")
+      s"/tmp/graft_stream_funnel_${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+        s"_$srcMtime")
     val boundaryUs = 1705276800000000L // 2024-01-15T00:00:00Z
-    if (!java.nio.file.Files.exists(streamDir.resolve("a.parquet"))) {
-      java.nio.file.Files.createDirectories(streamDir)
+    if (!java.nio.file.Files.isDirectory(streamDir)) {
+      val tmp = java.nio.file.Files.createTempDirectory(
+        streamDir.getParent, streamDir.getFileName.toString + ".build")
       val ev = Tables.events(spark, dir).select(col("user_id"),
         unix_micros(col("ts")).as("ts_us"), col("event_type"))
       for ((name, cond) <- Seq(
           ("a.parquet", col("ts_us") < boundaryUs),
           ("b.parquet", col("ts_us") >= boundaryUs))) {
-        val buildDir = streamDir.resolve(s"_build_$name")
+        // _build_* stays underscore-prefixed so the file-stream source
+        // ignores it even if it survives in the published dir
+        val buildDir = tmp.resolve(s"_build_$name")
         ev.filter(cond).coalesce(1)
           .write.mode("overwrite").parquet(buildDir.toString)
         val part = {
@@ -1109,7 +1121,19 @@ object EventQueries {
               p.getFileName.toString.endsWith(".parquet"))
             .getOrElse(sys.error(s"missing part file for $name"))
         }
-        java.nio.file.Files.copy(part, streamDir.resolve(name))
+        java.nio.file.Files.copy(part, tmp.resolve(name))
+      }
+      try
+        java.nio.file.Files.move(tmp, streamDir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException |
+            _: java.nio.file.AccessDeniedException =>
+          // another builder won the rename; discard our copy
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
       }
     }
     val schema = spark.read.parquet(streamDir.resolve("a.parquet").toString)
@@ -1133,9 +1157,11 @@ object EventQueries {
       .groupBy(col("d")).agg(count(lit(1)).as("c")) // ≤ 9 rows
     val spine = stages.zipWithIndex
       .map { case (s, i) => (i + 1, s) }.toDF("k", "name")
-    broadcast(spine).join(depths, col("d") >= col("k"))
+    // LEFT join: a stage nobody completed must still emit n_users = 0,
+    // matching the batch funnel and the declared oracle
+    spine.join(broadcast(depths), col("d") >= col("k"), "left")
       .groupBy(col("k"), col("name"))
-      .agg(sum(col("c")).as("n_users"))
+      .agg(coalesce(sum(col("c")), lit(0L)).as("n_users"))
       .select(concat(col("k").cast("string"), lit("_"), col("name"))
         .as("stage"), col("n_users"))
       .orderBy("stage")

@@ -193,6 +193,27 @@ class EvalSpec extends SparkSpec {
       Eval.mrr(df.repartition(9), "q", "rank", "rel", 10).collect().toSeq)
   }
 
+  test("mrr/ndcg: null queries are excluded at the operator boundary") {
+    // same contract as aucExact/cohenKappa/ksTest: a null query must
+    // not count toward n_queries nor form its own hit group
+    val rows = Seq(
+      (Some("A"), 2, true), (Some("B"), 1, false), (None, 1, true))
+    val df = rows.map { case (q, r, rel) => (q.orNull, r, rel) }
+      .toDF("q", "rank", "rel")
+    val clean = rows.collect { case (Some(q), r, rel) => (q, r, rel) }
+      .toDF("q", "rank", "rel")
+    assert(Eval.mrr(df, "q", "rank", "rel", 10).collect().toSeq ===
+      Eval.mrr(clean, "q", "rank", "rel", 10).collect().toSeq)
+    val g = Seq((Some("A"), 1, 5000000L), (Some("A"), 2, 1000000L),
+      (None, 1, 9000000L))
+    val gdf = g.map { case (q, r, x) => (q.orNull, r, x) }
+      .toDF("q", "rank", "g")
+    val gclean = g.collect { case (Some(q), r, x) => (q, r, x) }
+      .toDF("q", "rank", "g")
+    assert(Eval.ndcgAt(gdf, "q", "rank", "g", 10).collect().toSeq ===
+      Eval.ndcgAt(gclean, "q", "rank", "g", 10).collect().toSeq)
+  }
+
   test("ndcg: a perfectly ordered list scores exactly 1.0") {
     val rows = (1 to 8).map(r => ("A", r, (100 - r).toLong * 1000000L))
     val r = Eval.ndcgAt(rows.toDF("q", "rank", "g"), "q", "rank", "g", 10)
