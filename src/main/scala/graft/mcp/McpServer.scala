@@ -10,7 +10,9 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 import org.apache.spark.sql.SparkSession
 
 import graft.llm.LlmClient
-import graft.run.{ConfigLoader, CostEstimator, Enricher, RunRegistry, RunState}
+import graft.run.{ConfigLoader, CostEstimator, Enricher, Observer,
+  ObserverDispatcher, PipelineEvent, ProgressForwarder, RunProgress,
+  RunRegistry, RunState}
 import graft.sources.Sources
 
 /** MCP front door: the engine's pipeline operations as tools over the MCP
@@ -61,10 +63,24 @@ object McpServer {
       val runDir = s"$workDir/$runId"
       registry.register(runId, runDir)
       outputs.put(runId, outputPath)
+      // live mid-run progress: the Enricher's RunProgress events land on
+      // THIS registry row (the Enricher derives its own internal runId
+      // from runDir, so the forwarder re-keys them), making graft_status
+      // show monotone rows/calls/cost while the job is still RUNNING
+      // (reference: ondine/mcp/progress.py)
+      val forwarder = new ProgressForwarder(registry, runId)
+      val progressObs = new ObserverDispatcher().register(new Observer {
+        def onEvent(e: PipelineEvent): Unit = e match {
+          case RunProgress(_, rowsDone, totalRows, calls, spent) =>
+            forwarder.offer(rowsDone, totalRows, calls, spent.toString)
+          case _ => ()
+        }
+      })
       val worker = new Thread(() => {
         try {
           registry.transition(runId, RunState.Running)
-          val r = new Enricher(spec, client, Some(runDir))
+          val r = new Enricher(spec, client, Some(runDir),
+            observers = progressObs)
             .enrich(Sources.read(spark, inputPath))
           Sources.write(r.data, outputPath)
           registry.transition(runId, RunState.Succeeded, rec => rec.copy(
@@ -85,7 +101,8 @@ object McpServer {
       registry.get(runId) match {
         case Some(r) => Map("run_id" -> runId, "state" -> r.state.toString,
           "rows" -> r.rows, "valid_rows" -> r.validRows,
-          "calls" -> r.calls, "cost" -> r.cost, "note" -> r.note)
+          "calls" -> r.calls, "cost" -> r.cost,
+          "total_rows" -> r.totalRows, "note" -> r.note)
         case None => Map("error" -> s"unknown run: $runId")
       }
 

@@ -247,9 +247,19 @@ final class Enricher(
         .select(ColName)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val budgetOn = spec.processing.maxBudget.isDefined
-    var spent =
-      if (budgetOn) priorLedger.map(callCost).getOrElse(JBigDecimal.ZERO)
-      else JBigDecimal.ZERO
+    // prior-attempt counters: spend seeds the budget check, and rows/calls
+    // seed the live-progress counters so a RESUMED run reports a monotone
+    // fraction of the whole input, not just this attempt's slice
+    val (priorCalls, priorCost) = priorLedger match {
+      case Some(l) =>
+        val r = l.dropDuplicates("_attempt", "_call_id")
+          .agg(count(lit(1)).as("_c"), sum("cost").as("_s")).head()
+        (r.getLong(0), if (r.isNullAt(1)) JBigDecimal.ZERO else r.getDecimal(1))
+      case None => (0L, JBigDecimal.ZERO)
+    }
+    var spent = priorCost
+    var rowsDone = doneSet.map(_.count()).getOrElse(0L)
+    var callsDone = priorCalls
 
     var chunks = Vector.empty[DataFrame]
     bounds.zipWithIndex.foreach { case ((lo, hi), chunkIdx) =>
@@ -264,20 +274,23 @@ final class Enricher(
         case Some(done) => slice.join(done, Seq(ColName), "left_anti")
         case None => slice
       }
-      val inv = invokeRows(missing)
-      ledgerDir match {
-        case Some(dir) =>
-          val p = inv.persist(StorageLevel.MEMORY_AND_DISK)
-          p.write.mode("append").parquet(dir)
-          if (budgetOn) spent = spent.add(callCost(p))
-          p.unpersist()
-        case None =>
-          val p = inv.persist(StorageLevel.MEMORY_AND_DISK)
-          if (budgetOn) spent = spent.add(callCost(p)) else p.count()
-          chunks :+= p
-      }
+      val p = invokeRows(missing).persist(StorageLevel.MEMORY_AND_DISK)
+      ledgerDir.foreach(dir => p.write.mode("append").parquet(dir))
+      // one aggregation per chunk over the persisted frame: row count plus
+      // call count/cost via the head-row-of-call marker (all rows of this
+      // chunk share one _attempt, so the marker is exact)
+      val st = p.agg(count(lit(1)).as("_rows"),
+        sum(when(col(ColName) === col("_call_id"), 1L).otherwise(0L))
+          .as("_calls"),
+        sum(when(col(ColName) === col("_call_id"), col("cost"))).as("_cost"))
+        .head()
+      rowsDone += st.getLong(0)
+      callsDone += (if (st.isNullAt(1)) 0L else st.getLong(1))
+      if (!st.isNullAt(2)) spent = spent.add(st.getDecimal(2))
+      if (ledgerDir.isDefined) p.unpersist() else chunks :+= p
       if (budgetOn) budget.check(spent)
       observers.emit(ChunkCompleted(runId, chunkIdx.toLong, spent))
+      observers.emit(RunProgress(runId, rowsDone, nRows, callsDone, spent))
     }
     doneSet.foreach(_.unpersist())
     val invoked = (ledgerDir.flatMap(readLedger(spark, _)) match {
@@ -430,12 +443,6 @@ final class Enricher(
       case _: org.apache.spark.sql.AnalysisException => None
     }
 
-  /** Exact spend: one cost record per (attempt, call). */
-  private def callCost(ledger: DataFrame): JBigDecimal = {
-    val r = ledger.dropDuplicates("_attempt", "_call_id")
-      .agg(sum("cost")).head()
-    if (r.isNullAt(0)) JBigDecimal.ZERO else r.getDecimal(0)
-  }
 }
 
 /** Smart-defaults front door (reference: enrich() one-liner

@@ -12,6 +12,13 @@ sealed trait PipelineEvent { def runId: String }
 final case class RunStarted(runId: String, rows: Option[Long]) extends PipelineEvent
 final case class ChunkCompleted(runId: String, chunkIndex: Long,
     spentSoFar: java.math.BigDecimal) extends PipelineEvent
+/** Live counters at a durable-chunk boundary (reference:
+  * ondine/mcp/progress.py:1-60 — the data a status poller needs for a
+  * RUNNING job). `rowsDone` includes rows completed by prior attempts of
+  * the same runDir, so a resumed run reports a monotone fraction of
+  * `totalRows`. */
+final case class RunProgress(runId: String, rowsDone: Long, totalRows: Long,
+    calls: Long, spentSoFar: java.math.BigDecimal) extends PipelineEvent
 final case class RunCompleted(runId: String, metrics: RunMetrics,
     quality: graft.ops.QualityReport) extends PipelineEvent
 final case class RunFailed(runId: String, error: String) extends PipelineEvent

@@ -183,6 +183,10 @@ final class OtelObserver(
       runs.remove(runId).foreach { st =>
         exportTrace(runId, st, clockNanos(), ok = false, Some(err), _ => ())
       }
+
+    // live counters are the registry's concern (RegistryObserver); the
+    // OTel trace already carries per-chunk spans with spend attributes
+    case _: RunProgress => ()
   }
 }
 

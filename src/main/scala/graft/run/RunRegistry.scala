@@ -19,7 +19,10 @@ final case class RunRecord(
     validRows: Long = 0L,
     calls: Long = 0L,
     cost: String = "0",
-    note: String = "")
+    note: String = "",
+    /** Input-row total of the current attempt — written by live progress
+      * so a poller can render a fraction; 0 until the first chunk lands. */
+    totalRows: Long = 0L)
 
 object RunState {
   val Pending = "PENDING"
@@ -73,6 +76,22 @@ final class RunRegistry(baseDir: String) {
     next
   }
 
+  /** Persist live counters WITHOUT a state transition (reference:
+    * run_registry.py `update_metrics` as used by ondine/mcp/progress.py —
+    * status transitions stay the pipeline's job). Applied only while the
+    * run is RUNNING so a straggling progress write can never clobber the
+    * authoritative counters of a terminal record; returns the updated
+    * record, or None when the run is unknown or not RUNNING. */
+  def updateMetrics(runId: String, rows: Long, calls: Long, cost: String,
+                    totalRows: Long = 0L): Option[RunRecord] =
+    get(runId).filter(_.state == RunState.Running).map { cur =>
+      val next = cur.copy(rows = rows, calls = calls, cost = cost,
+        totalRows = if (totalRows > 0) totalRows else cur.totalRows,
+        updatedMs = System.currentTimeMillis())
+      save(next)
+      next
+    }
+
   def get(runId: String): Option[RunRecord] = {
     val p = fileFor(runId)
     if (!Files.exists(p)) None else Some(parse(Files.readString(p)))
@@ -108,6 +127,7 @@ final class RunRegistry(baseDir: String) {
     s""""state":"${r.state}","created_ms":${r.createdMs},""" +
     s""""updated_ms":${r.updatedMs},"rows":${r.rows},""" +
     s""""valid_rows":${r.validRows},"calls":${r.calls},""" +
+    s""""total_rows":${r.totalRows},""" +
     s""""cost":"${esc(r.cost)}","note":"${esc(r.note)}"}"""
 
   /** Inverse of esc(): one left-to-right scan consuming an escape pair at
@@ -142,19 +162,69 @@ final class RunRegistry(baseDir: String) {
         .findFirstMatchIn(txt).map(_.group(1).toLong).getOrElse(0L)
     RunRecord(str("run_id"), str("run_dir"), str("state"),
       num("created_ms"), num("updated_ms"), num("rows"),
-      num("valid_rows"), num("calls"), str("cost"), str("note"))
+      num("valid_rows"), num("calls"), str("cost"), str("note"),
+      num("total_rows"))
   }
+}
+
+/** Throttled best-effort forwarder of live counters onto ONE registry row
+  * (reference: ondine/mcp/progress.py RegistryProgressObserver — the
+  * forwarder knows which run it serves and which registry to write to,
+  * nothing else). Writes are collapsed to one per `minIntervalMs`, writes
+  * with unchanged rows-done are skipped (no new information), and a write
+  * failure never propagates — the terminal transition is the source of
+  * truth for final state. */
+final class ProgressForwarder(registry: RunRegistry, runId: String,
+                              minIntervalMs: Long = 250L) {
+  private var lastWriteNs = 0L
+  private var lastRows = -1L
+
+  def offer(rowsDone: Long, totalRows: Long, calls: Long,
+            cost: String): Unit = {
+    val now = System.nanoTime()
+    if (rowsDone != lastRows &&
+        (lastWriteNs == 0L ||
+          now - lastWriteNs >= minIntervalMs * 1000000L)) {
+      lastWriteNs = now
+      lastRows = rowsDone
+      try registry.updateMetrics(runId, rowsDone, calls, cost, totalRows)
+      catch { case _: Exception => () }
+    }
+  }
+
+  def reset(): Unit = { lastWriteNs = 0L; lastRows = -1L }
 }
 
 /** Observer wiring the registry into the enrichment lifecycle: RUNNING on
   * start, SUCCEEDED/PARTIAL (some rows without output) on completion,
-  * FAILED with the error note on abort. */
-final class RegistryObserver(registry: RunRegistry, runDir: String)
+  * FAILED with the error note on abort — plus LIVE progress: every
+  * [[RunProgress]] event forwards rows-done/calls/cost onto the durable
+  * record so a status poller (even in another process) sees a RUNNING job
+  * advance (reference: ondine/mcp/progress.py RegistryProgressObserver).
+  *
+  * Progress writes are best-effort and throttled to one per
+  * `minProgressIntervalMs` (reference default 250 ms): progress churns at
+  * every chunk boundary and a registry write per chunk would spam the
+  * store without making human-scale polling any fresher. Writes with
+  * unchanged rows-done are skipped outright (no new information), and a
+  * write failure never kills the run — the terminal transition is the
+  * source of truth. */
+final class RegistryObserver(registry: RunRegistry, runDir: String,
+                             minProgressIntervalMs: Long = 250L)
     extends Observer {
+  private val forwarders =
+    scala.collection.mutable.Map.empty[String, ProgressForwarder]
+  private def forwarder(id: String): ProgressForwarder =
+    forwarders.getOrElseUpdate(id,
+      new ProgressForwarder(registry, id, minProgressIntervalMs))
+
   def onEvent(e: PipelineEvent): Unit = e match {
     case RunStarted(id, _) =>
       if (registry.get(id).isEmpty) registry.register(id, runDir)
       registry.transition(id, RunState.Running)
+      forwarder(id).reset()
+    case RunProgress(id, rowsDone, totalRows, calls, spent) =>
+      forwarder(id).offer(rowsDone, totalRows, calls, spent.toString)
     case RunCompleted(id, m, q) =>
       val to = if (q.validRows + m.skippedRows < m.rows) RunState.Partial
         else RunState.Succeeded

@@ -132,4 +132,41 @@ class McpSpec extends SparkSpec {
       assert(toolJson(read()).path("error").asText.contains("unknown run"))
     }
   }
+
+  test("graft_status reports live progress while a job is RUNNING") {
+    val in = Files.createTempDirectory("graft_mcp_prog_in")
+      .resolve("in.csv").toString
+    Files.writeString(java.nio.file.Paths.get(in),
+      "text\n" + (0 until 40).map(i => s"live $i").mkString("\n"))
+    val outPath = Files.createTempDirectory("graft_mcp_prog_out")
+      .resolve("out.parquet").toString
+    // small chunks + per-call latency so the run spends real time RUNNING
+    val cfg = "dataset:\n  input_columns: [text]\nprompt:\n  " +
+      "template: \"MP: {text}\"\nprocessing:\n  chunk_rows: 5\n" +
+      "output:\n  output_columns: [res]"
+    val work = Files.createTempDirectory("graft_mcp_prog").toString
+    val service = new McpServer.Service(spark,
+      new MockLlmClient(simulatedLatencyMs = 25), work)
+    val runId = service.run(cfg, in, outPath, BigDecimal(5))
+    val snaps = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long)]
+    var state = ""
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (state != "SUCCEEDED" && state != "FAILED" &&
+        System.nanoTime() < deadline) {
+      val s = service.status(runId)
+      state = s("state").toString
+      snaps += ((state, s("rows").asInstanceOf[Long],
+        s("calls").asInstanceOf[Long], s("total_rows").asInstanceOf[Long]))
+      Thread.sleep(20)
+    }
+    assert(state == "SUCCEEDED", s"run ended $state")
+    val mid = snaps.filter(s => s._1 == "RUNNING" && s._2 > 0)
+    assert(mid.nonEmpty, "graft_status never showed mid-run progress")
+    assert(mid.exists(_._2 < 40), "only end-state counters observed")
+    assert(mid.forall(_._4 == 40), "total_rows absent from live status")
+    val rows = snaps.filter(_._1 == "RUNNING").map(_._2).toSeq
+    assert(rows == rows.sorted, "live counters must be monotone")
+    assert(service.status(runId)("rows") == 40L)
+  }
 }

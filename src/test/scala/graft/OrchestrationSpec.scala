@@ -419,6 +419,69 @@ class RunRegistrySpec extends SparkSpec {
     assert(reg.get(runId).get.rows == 30)
   }
 
+  test("registry updateMetrics: persists counters without a state change") {
+    val dir = Files.createTempDirectory("graft_reg_um").toString
+    val reg = new RunRegistry(dir)
+    reg.register("u1", "/tmp/u1")
+    // not RUNNING yet -> refused (status transitions are the pipeline's job)
+    assert(reg.updateMetrics("u1", 5, 1, "0.01", 10).isEmpty)
+    reg.transition("u1", RunState.Running)
+    val upd = reg.updateMetrics("u1", 5, 1, "0.01", 10).get
+    assert(upd.state == RunState.Running && upd.rows == 5 &&
+      upd.calls == 1 && upd.cost == "0.01" && upd.totalRows == 10)
+    // durable: a fresh registry instance (another process) reads them back
+    val back = new RunRegistry(dir).get("u1").get
+    assert(back.rows == 5 && back.totalRows == 10 &&
+      back.state == RunState.Running)
+    // a straggling progress write can never clobber a terminal record
+    reg.transition("u1", RunState.Succeeded, r => r.copy(rows = 10))
+    assert(reg.updateMetrics("u1", 7, 2, "0.02").isEmpty)
+    assert(reg.get("u1").get.rows == 10)
+    assert(reg.updateMetrics("nope", 1, 1, "0").isEmpty) // unknown: no crash
+  }
+
+  test("live progress: the RUNNING registry row advances before completion") {
+    val spark = SparkSpec.session
+    import spark.implicits._
+    val regDir = Files.createTempDirectory("graft_reg_prog").toString
+    val runDir = Files.createTempDirectory("graft_run_prog").toString
+    val reg = new RunRegistry(regDir)
+    val df = (0 until 40).map(i => s"lp $i").toDF("text").repartition(1)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("LP:{text}"),
+      processing = ProcessingSpec(chunkRows = 5), // 8 durable chunks
+      output = OutputSpec(Seq("out")))
+    val enr = new Enricher(spec, new MockLlmClient(simulatedLatencyMs = 25),
+      runDir = Some(runDir),
+      observers = new ObserverDispatcher().register(
+        new RegistryObserver(reg, runDir, minProgressIntervalMs = 0)))
+    @volatile var err: Throwable = null
+    val t = new Thread(() =>
+      try enr.enrich(df) catch { case e: Throwable => err = e })
+    t.start()
+    // poll the DURABLE row exactly like an external graft_status would
+    val snaps =
+      scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    while (t.isAlive && System.nanoTime() < deadline) {
+      reg.list().headOption.foreach(r =>
+        snaps += ((r.state, r.rows, r.calls, r.totalRows)))
+      Thread.sleep(3)
+    }
+    t.join(120000)
+    assert(err == null, s"run failed: $err")
+    val mid = snaps.filter(s => s._1 == RunState.Running && s._2 > 0)
+    assert(mid.nonEmpty, "no mid-run progress observed while RUNNING")
+    assert(mid.exists(_._2 < 40), "only end-state progress observed")
+    assert(mid.forall(_._4 == 40), "total_rows missing from progress rows")
+    assert(mid.forall(s => s._3 > 0), "calls missing from progress rows")
+    val rows = snaps.filter(_._1 == RunState.Running).map(_._2).toSeq
+    assert(rows == rows.sorted, "progress counters must be monotone")
+    val done = reg.list().head
+    assert(done.state == RunState.Succeeded && done.rows == 40)
+  }
+
   test("registry observer: incomplete outputs mark the run PARTIAL") {
     val spark = SparkSpec.session
     import spark.implicits._
