@@ -12,12 +12,14 @@ import graft.sources.Sources
   *
   *   graft.Main process  --config cfg.yaml --input in.csv --output out.parquet
   *                       [--run-dir DIR] [--key-column COL] [--registry DIR]
-  *                       [--otel URL-or-FILE]
+  *                       [--otel URL-or-FILE] [--langfuse URL-or-FILE]
   *   graft.Main estimate --config cfg.yaml --input in.csv
   *   graft.Main submit   --config cfg.yaml --input in.csv --run-dir DIR
   *   graft.Main collect  --config cfg.yaml --input in.csv --run-dir DIR --output out.parquet
   *   graft.Main resume   --config cfg.yaml --input in.csv --run-dir DIR
   *                       --output out.parquet --registry DIR
+  *   graft.Main validate --config cfg.yaml
+  *   graft.Main list-providers
   *   graft.Main list-runs --registry DIR
   *   graft.Main inspect  --registry DIR --run-id ID
   *   graft.Main health   --config cfg.yaml [--input PATH] [--run-dir DIR]
@@ -36,6 +38,19 @@ object Main {
 
     // no-Spark commands: config/filesystem inspection only
     cmd match {
+      case "validate" =>
+        // exit 0 valid / 1 invalid, never starts a Spark session
+        val (code, json) = validateConfig(need("config"))
+        System.out.println(json)
+        if (code != 0) sys.exit(code)
+        return
+      case "list-providers" =>
+        graft.llm.LlmClients.providers.foreach { case (id, sel, desc) =>
+          System.out.println(
+            s"""{"provider":${jsonStr(id)},"selector":${jsonStr(sel)},""" +
+              s""""description":${jsonStr(desc)}}""")
+        }
+        return
       case "health" =>
         // exit 0 healthy / 1 unhealthy — readiness-probe friendly
         val spec = ConfigLoader.fromFile(need("config"))
@@ -102,6 +117,15 @@ object Main {
             else new graft.run.OtelFileSink(target)
           d.register(new graft.run.OtelObserver(sink))
         }
+        // --langfuse http://host (keys from LANGFUSE_* env) or a file path
+        opts.get("langfuse").foreach { target =>
+          val sink =
+            if (target.startsWith("http://") || target.startsWith("https://"))
+              graft.run.LangfuseHttpSink.fromEnv(
+                sys.env.toMap + ("LANGFUSE_HOST" -> target))
+            else new graft.run.LangfuseFileSink(target)
+          d.register(new graft.run.LangfuseObserver(sink))
+        }
         d
       }
 
@@ -152,6 +176,30 @@ object Main {
     } finally spark.stop()
   }
 
+  /** `validate` command body (reference: ondine/cli/main.py:743 — check a
+    * config for errors without executing the pipeline): (exitCode, JSON).
+    * Pure config parsing + spec-combination checks, NO Spark session —
+    * safe as a pre-flight in CI or an Airflow sensor. Public so the spec
+    * suite drives exactly what the CLI wires. */
+  def validateConfig(path: String): (Int, String) =
+    try {
+      val spec = ConfigLoader.fromFile(path)
+      spec.validate()
+      val cols = (s: Seq[String]) => s.map(jsonStr).mkString("[", ",", "]")
+      (0,
+        s"""{"valid":true,"input_columns":${cols(spec.dataset.inputColumns)},""" +
+        s""""output_columns":${cols(spec.output.outputColumns)},""" +
+        s""""model":${jsonStr(spec.llm.model)},""" +
+        s""""batch_size":${spec.prompt.batchSize},""" +
+        s""""concurrency":${spec.llm.concurrency},""" +
+        s""""response_format":${jsonStr(String.valueOf(spec.output.responseFormat))},""" +
+        s""""max_budget":${spec.processing.maxBudget
+            .map(b => jsonStr(b.toString)).getOrElse("null")}}""")
+    } catch {
+      case e: Exception =>
+        (1, s"""{"valid":false,"error":${jsonStr(String.valueOf(e.getMessage))}}""")
+    }
+
   /** JSON string literal with escaping — the batch_fit message embeds the
     * user-supplied model id, which must not break the output JSON. */
   private def jsonStr(s: String): String = "\"" + s.flatMap {
@@ -173,6 +221,8 @@ object Main {
         "--config cfg.yaml --input PATH [--output PATH] [--run-dir DIR] " +
         "[--key-column COL] [--registry DIR]\n" +
         "       graft.Main plan --input PATH --goal TEXT [--budget USD]\n" +
+        "       graft.Main validate --config cfg.yaml\n" +
+        "       graft.Main list-providers\n" +
         "       graft.Main list-runs --registry DIR\n" +
         "       graft.Main inspect --registry DIR --run-id ID\n" +
         "       graft.Main health --config cfg.yaml [--input PATH] [--run-dir DIR]")

@@ -39,6 +39,28 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
   * HTTP client; otherwise the deterministic mock (the zero-egress
   * default). */
 object LlmClients {
+  /** Provider registry for CLI/tool discovery (reference:
+    * ondine/cli/main.py:976 `list-providers`): (id, config selector,
+    * description). Kept next to [[forSpec]] so the list can never drift
+    * from what the factory actually dispatches on. */
+  val providers: Seq[(String, String, String)] = Seq(
+    ("mock", "llm.endpoint unset",
+      "deterministic md5 mock - the zero-egress default; exercises the " +
+        "full template/batch/parse/merge chain with exact Decimal cost"),
+    ("http", "llm.endpoint: http(s)://...",
+      "OpenAI-compatible chat-completions wire: structured-output " +
+        "negotiation with fallback chain, status+body error taxonomy, " +
+        "usage-based Decimal cost, api key via llm.api_key_env"),
+    ("proc", "llm.endpoint: proc:<argv>",
+      "local sidecar process runner (MLX/llama.cpp-style), one shared " +
+        "child per executor JVM"),
+    ("router", "code: RouterClient(weighted clients)",
+      "weighted multi-provider split; per-call model recorded in the " +
+        "ledger for deployment-distribution reporting"),
+    ("cached", "code: CachingClient(inner)",
+      "exact-prompt response cache wrapper - repeat prompts spend " +
+        "nothing and issue no call"))
+
   def forSpec(spec: graft.core.LlmSpec): LlmClient = forSpec(spec, None)
 
   /** With a typed output schema and a real endpoint, the client speaks the

@@ -85,6 +85,47 @@ class HealthCheckSpec extends AnyFunSuite {
     assert(node.get("checks").get(0).get("detail").asText == "path \"x\"\nline")
   }
 
+  test("CLI validate: exit 0 + summary on a good config, 1 + error on bad") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val good = java.nio.file.Files.createTempFile("graft_val_ok", ".yaml")
+    java.nio.file.Files.writeString(good,
+      "dataset:\n  input_columns: [text]\nprompt:\n  " +
+        "template: \"V: {text}\"\n  batch_size: 10\n" +
+        "processing:\n  max_budget: 2.5\n" +
+        "output:\n  output_columns: [res]")
+    val (okCode, okJson) = Main.validateConfig(good.toString)
+    assert(okCode == 0)
+    val ok = om.readTree(okJson)
+    assert(ok.get("valid").asBoolean)
+    assert(ok.get("input_columns").get(0).asText == "text")
+    assert(ok.get("output_columns").get(0).asText == "res")
+    assert(ok.get("batch_size").asInt == 10)
+    assert(ok.get("max_budget").asText == "2.5")
+
+    // spec-combination failure: template var not among input columns
+    val bad = java.nio.file.Files.createTempFile("graft_val_bad", ".yaml")
+    java.nio.file.Files.writeString(bad,
+      "dataset:\n  input_columns: [text]\nprompt:\n  " +
+        "template: \"V: {missing}\"\noutput:\n  output_columns: [res]")
+    val (badCode, badJson) = Main.validateConfig(bad.toString)
+    assert(badCode == 1)
+    val b = om.readTree(badJson)
+    assert(!b.get("valid").asBoolean)
+    assert(b.get("error").asText.contains("missing"))
+
+    // unreadable / nonexistent file is invalid, not a crash
+    assert(Main.validateConfig("/no/such/config.yaml")._1 == 1)
+  }
+
+  test("CLI list-providers registry covers the factory's dispatch arms") {
+    val ids = graft.llm.LlmClients.providers.map(_._1)
+    assert(ids.contains("mock") && ids.contains("http") &&
+      ids.contains("proc"))
+    // every selector names a concrete way to pick the provider
+    assert(graft.llm.LlmClients.providers.forall { case (_, sel, desc) =>
+      sel.nonEmpty && desc.nonEmpty })
+  }
+
   test("builder healthCheck reports on incomplete config without throwing") {
     val s = PipelineBuilder()
       .withTemplate("Q: {q}")
