@@ -11,14 +11,17 @@ import graft.ops.Parallelism
   * all-but-the-top, embedding-drift monitoring, projection features).
   *
   * Scale shape: the corpus is touched ONCE to build d sums and d²
-  * cross-product sums (posexplode² per row is d² codegen'd
-  * multiply-adds, map-side combined — the shuffle carries ≤ d²·parts
-  * rows, never the corpus); everything after runs on the d²-cell
-  * scaled covariance `n·Σvⱼvₖ − Σvⱼ·Σvₖ` — a driver table bounded by
-  * `require(d ≤ 256)` (≤65 536 cells, the RankCuts bounded-collect
-  * discipline). Power iteration is NOT distributed work at d ≤ 256;
-  * distributing 64×64 matrix-vector products would be pure shuffle
-  * theater.
+  * cross-product sums; everything after runs on the d²-cell scaled
+  * covariance `n·Σvⱼvₖ − Σvⱼ·Σvₖ` — a driver table bounded by
+  * `require(d ≤ 1024)` (≤ ~1 M cells, the RankCuts bounded-collect
+  * discipline). Two kernels feed it: d ≤ 64 uses the declarative
+  * posexplode² build (d² codegen'd multiply-adds, map-side combined,
+  * SQL-replayable — the q183 oracle re-runs it); d > 64 uses the
+  * mapPartitions Gramian kernel (same d² multiply-adds per row in one
+  * long-array loop, shuffle = parts·(d²+d+1) labeled partials, no
+  * exploded rows) — exact-integer equal by construction, PcaSpec-proven.
+  * Power iteration is NOT distributed work at d ≤ 1024; distributing
+  * such matrix-vector products would be pure shuffle theater.
   *
   * Exactness (the [[Centrality.hits]] micro discipline on a dense
   * matrix): vectors quantize once to the 1e-6 micro grid; covariance
@@ -92,10 +95,19 @@ object Pca {
   private def microVecs(df: DataFrame, vecCol: String): DataFrame =
     Parallelism.ensure(df).withColumn(s"${Dup}mv", KMeans.microVec(col(vecCol)))
 
-  /** Core: (dim, loadings or null). Bounded driver collect: d ≤ 256 ⇒
-    * ≤65 536 covariance cells. */
-  private[operators] def topComponentVector(
-      df: DataFrame, vecCol: String, iters: Int): (Int, Array[Long]) = {
+  /** Core: (dim, loadings or null). Two covariance kernels behind one
+    * contract, both exact integers: d ≤ 64 keeps the declarative
+    * posexplode² build (d² codegen'd cells, SQL-replayable — the q183
+    * oracle re-runs it verbatim); d > 64 switches to the mapPartitions
+    * Gramian kernel, whose per-row cost is the same d² multiply-adds but
+    * WITHOUT materializing d² exploded rows per input row through the
+    * aggregation — at d = 256 the explode form ships 65 536 rows per
+    * vector into the partial aggregation while the kernel touches one
+    * long array. Bounded driver collect either way: ≤ d² + d + 1
+    * aggregated cells, d require-bounded at 1024 (≤ ~1 M cells). */
+  private[graft] def topComponentVector(
+      df: DataFrame, vecCol: String, iters: Int,
+      forceGramian: Boolean = false): (Int, Array[Long]) = {
     require(iters >= 1 && iters <= 64, s"iters=$iters out of [1,64]")
     val vecs = Parallelism.stage(
       microVecs(df.select(col(vecCol)), vecCol).select(col(s"${Dup}mv")))
@@ -105,26 +117,10 @@ object Pca {
     require(dRow.getInt(0) == dRow.getInt(1),
       s"ragged vectors: dims ${dRow.getInt(0)}..${dRow.getInt(1)}")
     val d = dRow.getInt(0)
-    require(d >= 1 && d <= 256, s"dim=$d out of [1,256]")
-    val e1 = vecs.select(col(s"${Dup}mv"),
-      posexplode(col(s"${Dup}mv")).as(Seq(s"${Dup}j", s"${Dup}vj")))
-    val cells = e1
-      .select(col(s"${Dup}j"), col(s"${Dup}vj"),
-        posexplode(col(s"${Dup}mv")).as(Seq(s"${Dup}k", s"${Dup}vk")))
-      .groupBy(col(s"${Dup}j"), col(s"${Dup}k"))
-      .agg(sum(col(s"${Dup}vj").cast("decimal(38,0)") *
-          col(s"${Dup}vk").cast("decimal(38,0)")).as(s"${Dup}ss"),
-        sum(col(s"${Dup}vj")).as(s"${Dup}sj"),
-        sum(col(s"${Dup}vk")).as(s"${Dup}sk"),
-        count(lit(1)).as(s"${Dup}n"))
-      .collect() // ≤ d² ≤ 65 536 rows — bounded by the require above
-    val c = Array.ofDim[BigInt](d, d)
-    for (r <- cells) {
-      val n = BigInt(r.getLong(5))
-      c(r.getInt(0))(r.getInt(1)) =
-        n * BigInt(r.getDecimal(2).toBigInteger) - // n·Σvⱼvₖ − Σvⱼ·Σvₖ
-          BigInt(r.getLong(3)) * BigInt(r.getLong(4))
-    }
+    require(d >= 1 && d <= 1024, s"dim=$d out of [1,1024]")
+    val c =
+      if (d <= 64 && !forceGramian) posexplodeCovariance(vecs, d)
+      else gramianCovariance(vecs, d)
     val maxAbs = c.flatten.map(_.abs).max
     if (maxAbs == 0) return (d, null)
     // quantize cells to ≤1e6 micro units (eigenvectors are invariant
@@ -141,6 +137,120 @@ object Pca {
       x = y.map(v => floorDiv(v * 1000000, y(piv)))
     }
     (d, x.map(_.toLong))
+  }
+
+  /** Declarative covariance build: posexplode² to d² cells, map-side
+    * combined. Scaled covariance c(j)(k) = n·Σvⱼvₖ − Σvⱼ·Σvₖ. */
+  private def posexplodeCovariance(vecs: DataFrame,
+                                   d: Int): Array[Array[BigInt]] = {
+    val e1 = vecs.select(col(s"${Dup}mv"),
+      posexplode(col(s"${Dup}mv")).as(Seq(s"${Dup}j", s"${Dup}vj")))
+    val cells = e1
+      .select(col(s"${Dup}j"), col(s"${Dup}vj"),
+        posexplode(col(s"${Dup}mv")).as(Seq(s"${Dup}k", s"${Dup}vk")))
+      .groupBy(col(s"${Dup}j"), col(s"${Dup}k"))
+      .agg(sum(col(s"${Dup}vj").cast("decimal(38,0)") *
+          col(s"${Dup}vk").cast("decimal(38,0)")).as(s"${Dup}ss"),
+        sum(col(s"${Dup}vj")).as(s"${Dup}sj"),
+        sum(col(s"${Dup}vk")).as(s"${Dup}sk"),
+        count(lit(1)).as(s"${Dup}n"))
+      .collect() // ≤ d² ≤ 4 096 rows — d ≤ 64 on this path
+    val c = Array.fill[BigInt](d, d)(BigInt(0))
+    for (r <- cells) {
+      val n = BigInt(r.getLong(5))
+      c(r.getInt(0))(r.getInt(1)) =
+        n * BigInt(r.getDecimal(2).toBigInteger) - // n·Σvⱼvₖ − Σvⱼ·Σvₖ
+          BigInt(r.getLong(3)) * BigInt(r.getLong(4))
+    }
+    c
+  }
+
+  /** Gramian kernel for larger d: ONE tight per-partition loop
+    * accumulates n, Σv, and the d×d Gramian Σvvᵀ in long arrays, then
+    * emits d² + d + 1 labeled partials per PARTITION (exact totals as
+    * decimal strings) for a final map-side-combined sum — the shuffle
+    * carries ≤ parts·(d²+d+1) rows, never the corpus, and no exploded
+    * row ever exists. Exactness: element magnitude is require-bounded at
+    * 1e9 micro units (|v| ≤ 1000 in original units — far above any
+    * normalized embedding), so one product fits a long with 4× headroom;
+    * long blocks flush into BigInt before `blockRows · max²` can reach
+    * Long.MaxValue/4, and Σv overflows long only past ~9e9 rows in ONE
+    * partition (an impossible partition size — documented bound).
+    * Every accumulation is exact integer addition, so the result is
+    * bit-identical to the posexplode² build in any row/partition order
+    * (PcaSpec proves equality). */
+  private def gramianCovariance(vecs: DataFrame,
+                                d: Int): Array[Array[BigInt]] = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val totals = vecs.select(col(s"${Dup}mv")).as[Seq[Long]]
+      .mapPartitions { it =>
+        val gBlock = Array.ofDim[Long](d, d)
+        val gExact = Array.fill[BigInt](d, d)(BigInt(0))
+        val s = new Array[Long](d)
+        var n = 0L
+        var blockRows = 0L
+        var maxSq = 1L
+        def flush(): Unit = {
+          var j = 0
+          while (j < d) {
+            val row = gBlock(j)
+            var k = 0
+            while (k < d) {
+              if (row(k) != 0L) { gExact(j)(k) += row(k); row(k) = 0L }
+              k += 1
+            }
+            j += 1
+          }
+          blockRows = 0L
+          maxSq = 1L
+        }
+        while (it.hasNext) {
+          val v = it.next()
+          require(v.length == d, s"ragged vector: ${v.length} != $d")
+          var m = 1L
+          var j = 0
+          while (j < d) {
+            val a = math.abs(v(j))
+            if (a > m) m = a
+            j += 1
+          }
+          require(m <= 1000000000L,
+            s"vector element $m exceeds 1e9 micro units: re-scale upstream")
+          val sq = m * m
+          if (sq > maxSq) maxSq = sq
+          if (blockRows + 1 > Long.MaxValue / 4 / maxSq) flush()
+          j = 0
+          while (j < d) {
+            val vj = v(j)
+            s(j) += vj
+            val row = gBlock(j)
+            var k = 0
+            while (k < d) { row(k) += vj * v(k); k += 1 }
+            j += 1
+          }
+          n += 1L
+          blockRows += 1L
+        }
+        flush()
+        if (n == 0L) Iterator.empty
+        else
+          (Iterator.single((0, n.toString)) ++
+            Iterator.range(0, d).map(j => (1 + j, s(j).toString)) ++
+            Iterator.range(0, d * d).map { i =>
+              (1 + d + i, gExact(i / d)(i % d).toString)
+            }).filter(_._2 != "0")
+      }
+      .toDF(s"${Dup}i", s"${Dup}v")
+      .groupBy(col(s"${Dup}i"))
+      .agg(sum(col(s"${Dup}v").cast("decimal(38,0)")).as(s"${Dup}t"))
+      .collect() // ≤ d² + d + 1 ≤ ~1 M cells — d require-bounded at 1024
+    val t = new Array[BigInt](1 + d + d * d)
+    java.util.Arrays.fill(t.asInstanceOf[Array[AnyRef]], BigInt(0))
+    for (r <- totals) t(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger)
+    val n = t(0)
+    Array.tabulate(d, d)((j, k) =>
+      n * t(1 + d + j * d + k) - t(1 + j) * t(1 + k))
   }
 
   /** Floor division (DuckDB `//` semantics) — BigInt `/` truncates

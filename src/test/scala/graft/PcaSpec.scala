@@ -74,6 +74,59 @@ class PcaSpec extends SparkSpec {
       .collect().toSeq === again)
   }
 
+  test("gramian kernel ≡ posexplode² kernel, bit-for-bit, any partitioning") {
+    // same corpora as above plus a noisy mixture: the mapPartitions
+    // Gramian build must reproduce the declarative cells exactly
+    val cases = Seq(
+      Seq(1.0f, 2.0f, 3.0f, -1.0f).zipWithIndex.map { case (t, i) =>
+        (i.toLong, Seq(t, 2 * t, 0.0f, 0.0f)) },
+      (0L until 40L).map { i =>
+        val s = if (i % 2 == 0) 3.0f else -3.0f
+        val n1 = ((i * 37 % 11).toFloat - 5) / 50
+        val n2 = ((i * 53 % 13).toFloat - 6) / 50
+        (i, Seq(s + n1, s + n2, n1, n2))
+      })
+    for (rows <- cases; parts <- Seq(1, 7)) {
+      val df = rows.toDF("vec_id", "embedding").repartition(parts)
+      val a = Pca.topComponentVector(df, "embedding", 8,
+        forceGramian = false)
+      val b = Pca.topComponentVector(df, "embedding", 8,
+        forceGramian = true)
+      assert(a._1 === b._1)
+      assert(a._2.toSeq === b._2.toSeq)
+    }
+    // degenerate corpus: both kernels agree on null
+    val const = (0L until 5L).map(i => (i, Seq(1.0f, -2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    assert(Pca.topComponentVector(const, "embedding", 8,
+      forceGramian = true)._2 === null)
+  }
+
+  test("d > 64 routes through the gramian kernel and recovers rank-1") {
+    // rank-1 corpus at d = 80: loading j = (j+1)/80, pivot at dim 79
+    val d = 80
+    val base = (0 until d).map(j => (j + 1).toFloat / d)
+    val vs = Seq(1.0f, 2.0f, 3.0f, -1.0f).zipWithIndex.map { case (t, i) =>
+      (i.toLong, base.map(_ * t))
+    }
+    val out = Pca.topComponent(vs.toDF("vec_id", "embedding"), "embedding")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(out.size === d)
+    assert(out(d - 1) === 1000000L)
+    // interior loadings track (j+1)/d on the micro grid (quantization
+    // of the input vectors wiggles the last digit; allow ±2 micro)
+    for (j <- Seq(0, 19, 39, 59))
+      assert(math.abs(out(j) - math.round(1e6 * (j + 1).toDouble / d)) <= 2,
+        s"dim $j: ${out(j)}")
+    // oversized elements are rejected with the re-scale message
+    val big = Seq((0L, Seq(2000.0f, 1.0f)), (1L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pca.topComponentVector(big, "embedding", 2, forceGramian = true)
+    }
+    assert(e.getMessage.contains("re-scale"))
+  }
+
   test("ragged vectors are rejected") {
     val vs = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(1.0f)))
     val e = intercept[Exception] {
