@@ -68,6 +68,105 @@ class StatefulFunnelSpec extends SparkSpec {
     assert(got === Map(7L -> 1))
   }
 
+  /** The pre-r10 semantics: materialize, sort, greedy fold. */
+  private def sortedFold(times: List[Long], evs: Seq[Ev],
+                         st: Seq[String]): List[Long] = {
+    var ts = times
+    evs.sortBy(e => (e.ts_us, e.event_type)).foreach { e =>
+      val k = ts.size
+      if (k < st.size && e.event_type == st(k) &&
+          (k == 0 || e.ts_us > ts.last))
+        ts = ts :+ e.ts_us
+    }
+    ts
+  }
+
+  test("unordered fold ≡ sorted fold on random multisets and edge shapes") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 200) {
+      val n = 1 + rnd.nextInt(60)
+      val evs = (0 until n).map(_ => Ev(1L,
+        rnd.nextInt(20).toLong, stages(rnd.nextInt(3))))
+      // fresh state and a mid-chain prior state
+      for (prior <- Seq(Nil, List(5L))) {
+        val want = sortedFold(prior, evs, stages)
+        val got = StatefulFunnel.fold(prior, evs.iterator, stages)
+        assert(got === want, s"trial $trial prior $prior: $evs")
+      }
+    }
+    // foreign event types are ignored; empty iterator is a no-op
+    assert(StatefulFunnel.fold(Nil,
+      Iterator(Ev(1, 3, "bogus"), Ev(1, 4, "signup")), stages) === List(4L))
+    assert(StatefulFunnel.fold(List(9L), Iterator.empty, stages) === List(9L))
+  }
+
+  test("pathological single-user batch: hot spam folds bounded and exact") {
+    // one user, 60k events in one micro-batch: 50k completed-stage spam
+    // ("signup" repeats), later-stage events delivered BEFORE the
+    // earlier stage, reversed time order — the shape the r9 verdict
+    // flagged as an executor-heap sort-buffer risk
+    val spam = (0 until 50000).map(i => (1L, 10L + (i % 100), "signup"))
+    val chain = Seq((1L, 70000L, "click"), (1L, 50000L, "view"),
+      (1L, 10L, "signup"))
+    val noise = (0 until 10000).map(i =>
+      (1L, (i * 7L) % 9000L, stages((i * 13) % 3)))
+    val all = new scala.util.Random(3).shuffle(spam ++ chain ++ noise)
+    val batch = graft.operators.Funnel.userDepth(
+      all.toDF("user_id", "ts_us", "event_type"),
+      "user_id", "ts_us", "event_type", stages)
+      .as[(Long, Long)].collect().toMap
+    val got = drain(Seq(all), "graft_funnel_t4")
+      .map { case (u, d) => u -> d.toLong }
+    assert(got === batch)
+    // and directly: the fold sees the iterator once, unordered
+    val evs = all.map { case (u, t, s) => Ev(u, t, s) }
+    assert(StatefulFunnel.fold(Nil, evs.iterator, stages).size.toLong ===
+      batch(1L))
+  }
+
+  test("opt-in idle timeout: same answers, state configured for eviction") {
+    val batch1 = Seq((1L, 10L, "signup"), (2L, 8L, "signup"))
+    val batch2 = Seq((1L, 20L, "view"), (2L, 25L, "view"),
+      (2L, 30L, "click"))
+    val dir = Files.createTempDirectory("graft_funnel_to")
+    Seq(batch1, batch2).zipWithIndex.foreach { case (rows, i) =>
+      val build = dir.resolve(s"_build_$i")
+      rows.toDF("user_id", "ts_us", "event_type").coalesce(1)
+        .write.mode("overwrite").parquet(build.toString)
+      import scala.jdk.CollectionConverters._
+      val part = Files.list(build).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.copy(part, dir.resolve(f"batch_$i%02d.parquet"))
+    }
+    val schema = spark.read
+      .parquet(dir.resolve("batch_00.parquet").toString).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(dir.toString).as[Ev]
+    // NOTE: with ProcessingTimeTimeout pending, the engine keeps
+    // scheduling timeout-check batches, so neither AvailableNow nor
+    // processAllAvailable ever settles — poll the sink for the expected
+    // answer, then stop the query explicitly
+    val q = StatefulFunnel.userDepths(stream, stages,
+        idleTimeoutMs = Some(3600L * 1000))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("graft_funnel_t5")
+      .start()
+    val expected = Map(1L -> 2, 2L -> 3)
+    def current() = spark.table("graft_funnel_t5").groupBy($"user_id")
+      .agg(max($"stages_completed").as("d"))
+      .as[(Long, Int)].collect().toMap
+    val deadline = System.nanoTime() + 120L * 1000000000L
+    var got = current()
+    while (got != expected && System.nanoTime() < deadline) {
+      Thread.sleep(200)
+      got = current()
+    }
+    q.stop()
+    q.awaitTermination()
+    assert(got === expected)
+  }
+
   test("matches Funnel.userDepth on a shuffled single batch") {
     val rnd = new scala.util.Random(11)
     val rows = (0 until 400).map { i =>
