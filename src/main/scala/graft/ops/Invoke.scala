@@ -27,24 +27,38 @@ object ClientPool {
   /** Executor count for the per-worker rpm split of NON-coordinated
     * buckets (worker-local limiter at rate = rpm / executors ≈ the global
     * rate; the coordinated buckets need no split — they ARE the global
-    * bucket). local[*] → one JVM → 1. On a cluster:
+    * bucket). local[*] → one JVM → Some(1). On a cluster:
     * `spark.executor.instances` when set; under dynamic allocation (which
     * leaves it unset) the `maxExecutors` bound — dividing by MORE than
-    * the live count under-admits, the safe failure direction, where a
-    * fallback of 1 would multiply aggregate admission by the fleet size.
-    * A deployment with neither conf gets 1 (full rate per executor) —
-    * that configuration cannot be split honestly; use a coordinated
-    * scope (`redis://`/`bucket://`) for exactness. */
-  private[ops] def executorSplit: Int =
+    * the live count under-admits, the safe failure direction. A
+    * deployment with neither conf returns None: that configuration
+    * cannot be split honestly, and [[requireSplit]] REFUSES it for a
+    * worker-local bucket instead of silently granting every executor the
+    * full rate (aggregate admission × fleet size — the one config where
+    * a default multiplies). */
+  private[graft] def splitFor(master: String, instances: Option[String],
+                            maxExecutors: Option[String]): Option[Int] =
+    if (master.startsWith("local")) Some(1)
+    else instances.orElse(maxExecutors)
+      .flatMap(_.toIntOption)
+      .map(math.max(1, _))
+
+  private[ops] def executorSplit: Option[Int] =
     try {
       val conf = org.apache.spark.SparkEnv.get.conf
-      if (conf.get("spark.master", "local").startsWith("local")) 1
-      else conf.getOption("spark.executor.instances")
-        .orElse(conf.getOption("spark.dynamicAllocation.maxExecutors"))
-        .flatMap(_.toIntOption)
-        .map(math.max(1, _))
-        .getOrElse(1)
-    } catch { case _: Throwable => 1 }
+      splitFor(conf.get("spark.master", "local"),
+        conf.getOption("spark.executor.instances"),
+        conf.getOption("spark.dynamicAllocation.maxExecutors"))
+    } catch { case _: Throwable => Some(1) } // off-Spark: one JVM
+
+  /** Fail fast when an uncoordinated rpm cannot be split honestly. */
+  private[graft] def requireSplit(split: Option[Int]): Int =
+    split.getOrElse(throw new IllegalArgumentException(
+      "uncoordinated rate_limit_rpm needs a knowable executor count to " +
+        "split the global rate: set spark.executor.instances or " +
+        "spark.dynamicAllocation.maxExecutors, or use a coordinated " +
+        "scope (redis://host:port/scope, bucket://host:port/scope, or " +
+        "a shared file path) which needs no split"))
 
   /** Parse `host:port` from a scope URI, failing with the scheme's usage
     * message instead of a raw MatchError/NumberFormatException. */
@@ -96,8 +110,12 @@ object ClientPool {
               // the per-worker SPLIT of the shared rate, so an outage
               // degrades to the uncoordinated approximation instead of
               // multiplying the aggregate admission N× (every executor's
-              // breaker opens at once)
-              val split = executorSplit
+              // breaker opens at once). An unknowable count keeps the
+              // legacy full-rate fallback here rather than refusing:
+              // the user DID configure coordination, and a refusal at
+              // breaker-open time would turn a Redis outage into a hard
+              // stop
+              val split = executorSplit.getOrElse(1)
               new RedisBucket(host, port, scope, rpm, burst,
                 fallback = Some(new RateLimiter(
                   math.max(1, rpm / split), math.max(1, burst / split))))
@@ -113,7 +131,7 @@ object ClientPool {
           }
         case Some(f) => new FileCoordinatedBucket(f, rpm, burst)
         case None    =>
-          val split = executorSplit
+          val split = requireSplit(executorSplit)
           new RateLimiter(math.max(1, rpm / split), math.max(1, burst / split))
       })
 

@@ -177,6 +177,31 @@ class RateLimiterSpec extends AnyFunSuite {
     } finally daemon.close()
   }
 
+  test("uncoordinated rpm split: honest counts split, unknowable refuses") {
+    import graft.ops.ClientPool.{splitFor, requireSplit}
+    // local master: one JVM, no split needed
+    assert(splitFor("local[4]", None, None) === Some(1))
+    assert(splitFor("local[*]", Some("8"), None) === Some(1))
+    // static allocation: instances win
+    assert(splitFor("spark://m:7077", Some("8"), None) === Some(8))
+    assert(splitFor("yarn", Some("16"), Some("64")) === Some(16))
+    // dynamic allocation: the maxExecutors bound (under-admits, safe)
+    assert(splitFor("k8s://api", None, Some("64")) === Some(64))
+    // malformed counts don't silently become full-rate-per-executor
+    assert(splitFor("yarn", Some("not-a-number"), None) === None)
+    // neither conf on a cluster master: unknowable
+    assert(splitFor("yarn", None, None) === None)
+    assert(requireSplit(Some(8)) === 8)
+    val e = intercept[IllegalArgumentException] { requireSplit(None) }
+    assert(e.getMessage.contains("coordinated scope"))
+    assert(e.getMessage.contains("spark.executor.instances"))
+    // the local-mode pool path still constructs the worker-local bucket
+    val id = s"splitok-${System.nanoTime()}"
+    assert(graft.ops.ClientPool.limiter(id, 600, 10, None)
+      .isInstanceOf[graft.llm.RateLimiter])
+    graft.ops.ClientPool.shutdown(id)
+  }
+
   test("ClientPool dispatches bucket:// scopes to the socket bucket") {
     val daemon = graft.llm.TokenBucketServer.start()
     try {
