@@ -59,37 +59,37 @@ object Pca {
     * the MAX-normalized top direction (u's largest component is ±1, so
     * pc1 is in original vector units times that gauge — the relative
     * ordering and zero point are what downstream filters read), 6dp.
-    * Null when degenerate. */
+    * Null when degenerate.
+    *
+    * Scale shape (r10): the centered dot Σⱼ(n·vⱼ − Sⱼ)uⱼ telescopes to
+    * n·(v·u) − S·u, where n and the sum vector S already fall out of
+    * the covariance kernel and S·u is ONE driver constant — so the
+    * projection pass is a bare scan with one native long dot
+    * ([[graft.functions.Expressions.vec_dot_long]]) per row: no
+    * per-dimension explode, no broadcast join, no groupBy shuffle
+    * (previously d exploded rows per vector re-aggregated by id). The
+    * per-row dot stays inside a long (|v| ≤ 1e9 micro require-bounded
+    * by the kernel, |u| ≤ 1e6, d ≤ 1024 ⇒ ≤ ~1e18); the n·dot − S·u
+    * lift runs in decimal, the one IEEE division per row is unchanged
+    * term-for-term, so values are bit-identical to the explode form. */
   def projectTop(df: DataFrame, idCol: String, vecCol: String,
                  iters: Int = 8): DataFrame = {
-    val spark = df.sparkSession
-    val (d, u) = topComponentVector(df, vecCol, iters)
+    val (_, u, n, s) = topWithMoments(df, vecCol, iters)
     val vecs = microVecs(df.select(col(idCol), col(vecCol)), vecCol)
     if (u == null)
       return vecs.select(col(idCol), lit(null).cast("double").as("pc1"))
-    // centered dot scaled by n: Σⱼ (n·vⱼ − Sⱼ)·uⱼ — exact in decimal;
-    // μ and u fold in as two broadcast d-row frames
-    val sums = Parallelism.stage(vecs
-      .select(posexplode(col(s"${Dup}mv")).as(Seq(s"${Dup}j", s"${Dup}vj")))
-      .groupBy(col(s"${Dup}j"))
-      .agg(sum(col(s"${Dup}vj")).as(s"${Dup}s"), count(lit(1)).as(s"${Dup}n")))
-    import spark.implicits._
-    val uDf = u.zipWithIndex.map { case (l, j) => (j, l) }
-      .toSeq.toDF(s"${Dup}j", s"${Dup}u")
+    val dotS = s.zip(u).map { case (sj, uj) => sj * BigInt(uj) }.sum
+    val nDec = lit(new java.math.BigDecimal(n.bigInteger))
+      .cast("decimal(38,0)")
+    val dot1 = graft.functions.Expressions
+      .vec_dot_long(col(s"${Dup}mv"), lit(u))
     vecs
+      .filter(col(s"${Dup}mv").isNotNull)
       .select(col(idCol),
-        posexplode(col(s"${Dup}mv")).as(Seq(s"${Dup}j", s"${Dup}vj")))
-      .join(broadcast(sums), Seq(s"${Dup}j"))
-      .join(broadcast(uDf), Seq(s"${Dup}j"))
-      .groupBy(col(idCol))
-      .agg(sum((col(s"${Dup}n").cast("decimal(38,0)") *
-          col(s"${Dup}vj").cast("decimal(38,0)") -
-          col(s"${Dup}s").cast("decimal(38,0)")) *
-        col(s"${Dup}u").cast("decimal(38,0)")).as(s"${Dup}dot"),
-        max(col(s"${Dup}n")).as(s"${Dup}n"))
-      .select(col(idCol),
-        round(col(s"${Dup}dot").cast("double") /
-          (col(s"${Dup}n").cast("double") * lit(1e12)), 6).as("pc1"))
+        round((nDec * dot1.cast("decimal(38,0)") -
+            lit(new java.math.BigDecimal(dotS.bigInteger))
+              .cast("decimal(38,0)")).cast("double") /
+          (nDec.cast("double") * lit(1e12)), 6).as("pc1"))
   }
 
   private def microVecs(df: DataFrame, vecCol: String): DataFrame =
@@ -108,21 +108,31 @@ object Pca {
   private[graft] def topComponentVector(
       df: DataFrame, vecCol: String, iters: Int,
       forceGramian: Boolean = false): (Int, Array[Long]) = {
+    val (d, u, _, _) = topWithMoments(df, vecCol, iters, forceGramian)
+    (d, u)
+  }
+
+  /** Core plus the first moments the projection reuses:
+    * (dim, loadings or null, n, Σv per dim). */
+  private def topWithMoments(
+      df: DataFrame, vecCol: String, iters: Int,
+      forceGramian: Boolean = false)
+      : (Int, Array[Long], BigInt, Array[BigInt]) = {
     require(iters >= 1 && iters <= 64, s"iters=$iters out of [1,64]")
     val vecs = Parallelism.stage(
       microVecs(df.select(col(vecCol)), vecCol).select(col(s"${Dup}mv")))
     val dRow = vecs.agg(min(size(col(s"${Dup}mv"))),
       max(size(col(s"${Dup}mv")))).head()
-    if (dRow.isNullAt(0)) return (0, null)
+    if (dRow.isNullAt(0)) return (0, null, BigInt(0), null)
     require(dRow.getInt(0) == dRow.getInt(1),
       s"ragged vectors: dims ${dRow.getInt(0)}..${dRow.getInt(1)}")
     val d = dRow.getInt(0)
     require(d >= 1 && d <= 1024, s"dim=$d out of [1,1024]")
-    val c =
+    val (c, n, s) =
       if (d <= 64 && !forceGramian) posexplodeCovariance(vecs, d)
       else gramianCovariance(vecs, d)
     val maxAbs = c.flatten.map(_.abs).max
-    if (maxAbs == 0) return (d, null)
+    if (maxAbs == 0) return (d, null, n, s)
     // quantize cells to ≤1e6 micro units (eigenvectors are invariant
     // to positive scaling; floor quantization is replayed by the oracle)
     val q = c.map(_.map(x => floorDiv(x * 1000000, maxAbs)))
@@ -133,16 +143,16 @@ object Pca {
       // signed pivot: max |component|, ties → lowest index; pinning at
       // ±1e6 keeps the sign deterministic across engines
       val piv = (0 until d).maxBy(j => (y(j).abs, BigInt(-j)))
-      if (y(piv) == 0) return (d, null)
+      if (y(piv) == 0) return (d, null, n, s)
       x = y.map(v => floorDiv(v * 1000000, y(piv)))
     }
-    (d, x.map(_.toLong))
+    (d, x.map(_.toLong), n, s)
   }
 
   /** Declarative covariance build: posexplode² to d² cells, map-side
     * combined. Scaled covariance c(j)(k) = n·Σvⱼvₖ − Σvⱼ·Σvₖ. */
-  private def posexplodeCovariance(vecs: DataFrame,
-                                   d: Int): Array[Array[BigInt]] = {
+  private def posexplodeCovariance(vecs: DataFrame, d: Int)
+      : (Array[Array[BigInt]], BigInt, Array[BigInt]) = {
     val e1 = vecs.select(col(s"${Dup}mv"),
       posexplode(col(s"${Dup}mv")).as(Seq(s"${Dup}j", s"${Dup}vj")))
     val cells = e1
@@ -156,13 +166,16 @@ object Pca {
         count(lit(1)).as(s"${Dup}n"))
       .collect() // ≤ d² ≤ 4 096 rows — d ≤ 64 on this path
     val c = Array.fill[BigInt](d, d)(BigInt(0))
+    val s = Array.fill[BigInt](d)(BigInt(0))
+    var n = BigInt(0)
     for (r <- cells) {
-      val n = BigInt(r.getLong(5))
+      n = BigInt(r.getLong(5))
+      s(r.getInt(0)) = BigInt(r.getLong(3))
       c(r.getInt(0))(r.getInt(1)) =
         n * BigInt(r.getDecimal(2).toBigInteger) - // n·Σvⱼvₖ − Σvⱼ·Σvₖ
           BigInt(r.getLong(3)) * BigInt(r.getLong(4))
     }
-    c
+    (c, n, s)
   }
 
   /** Gramian kernel for larger d: ONE tight per-partition loop
@@ -179,11 +192,13 @@ object Pca {
     * Every accumulation is exact integer addition, so the result is
     * bit-identical to the posexplode² build in any row/partition order
     * (PcaSpec proves equality). */
-  private def gramianCovariance(vecs: DataFrame,
-                                d: Int): Array[Array[BigInt]] = {
+  private def gramianCovariance(vecs: DataFrame, d: Int)
+      : (Array[Array[BigInt]], BigInt, Array[BigInt]) = {
     val spark = vecs.sparkSession
     import spark.implicits._
-    val totals = vecs.select(col(s"${Dup}mv")).as[Seq[Long]]
+    // primitive-array decode: a boxed Seq costs an unboxing per element
+    // inside the d-squared hot loop
+    val totals = vecs.select(col(s"${Dup}mv")).as[Array[Long]]
       .mapPartitions { it =>
         val gBlock = Array.ofDim[Long](d, d)
         val gExact = Array.fill[BigInt](d, d)(BigInt(0))
@@ -249,8 +264,9 @@ object Pca {
     java.util.Arrays.fill(t.asInstanceOf[Array[AnyRef]], BigInt(0))
     for (r <- totals) t(r.getInt(0)) = BigInt(r.getDecimal(1).toBigInteger)
     val n = t(0)
-    Array.tabulate(d, d)((j, k) =>
-      n * t(1 + d + j * d + k) - t(1 + j) * t(1 + k))
+    (Array.tabulate(d, d)((j, k) =>
+      n * t(1 + d + j * d + k) - t(1 + j) * t(1 + k)),
+      n, Array.tabulate(d)(j => t(1 + j)))
   }
 
   /** Floor division (DuckDB `//` semantics) — BigInt `/` truncates

@@ -35,6 +35,17 @@ object ScratchBench {
           .groupBy(col("query_id"), col("id"))
           .agg(count(lit(1)).as("band_score"))
       },
+      "pca_project_d256" -> { (s, d) =>
+        // r10 Gramian-kernel probe: a d=256 corpus tiled from the 64-dim
+        // embeddings (per-copy scale so dims aren't exact duplicates);
+        // routes through Pca's mapPartitions Gramian path (d > 64)
+        val em = graft.queries.Tables.tp(s, d, "embeddings")
+        val v256 = flatten(array((0 until 4).map(c =>
+          transform(col("embedding"),
+            x => x * lit(1.0f + c * 0.25f))): _*))
+        graft.operators.Pca.projectTop(
+          em.select(col("vec_id"), v256.as("e256")), "vec_id", "e256")
+      },
       "profile_exact" -> { (s, d) =>
         graft.operators.Profiler.profile(
           s.read.parquet(s"$d/lineitem.parquet"))
