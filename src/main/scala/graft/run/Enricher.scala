@@ -247,18 +247,24 @@ final class Enricher(
         .select(ColName)
         .persist(StorageLevel.MEMORY_AND_DISK))
     val budgetOn = spec.processing.maxBudget.isDefined
+    // the per-chunk/per-ledger counter aggregations exist to feed the
+    // budget check and the live-progress observers — an unobserved,
+    // unbudgeted run skips them entirely (the resume ledger stats in
+    // particular are O(prior ledger) per run)
+    val trackStats = budgetOn || observers.nonEmpty
     // prior-attempt counters: spend seeds the budget check, and rows/calls
     // seed the live-progress counters so a RESUMED run reports a monotone
     // fraction of the whole input, not just this attempt's slice
     val (priorCalls, priorCost) = priorLedger match {
-      case Some(l) =>
+      case Some(l) if trackStats =>
         val r = l.dropDuplicates("_attempt", "_call_id")
           .agg(count(lit(1)).as("_c"), sum("cost").as("_s")).head()
         (r.getLong(0), if (r.isNullAt(1)) JBigDecimal.ZERO else r.getDecimal(1))
-      case None => (0L, JBigDecimal.ZERO)
+      case _ => (0L, JBigDecimal.ZERO)
     }
     var spent = priorCost
-    var rowsDone = doneSet.map(_.count()).getOrElse(0L)
+    var rowsDone =
+      if (trackStats) doneSet.map(_.count()).getOrElse(0L) else 0L
     var callsDone = priorCalls
 
     var chunks = Vector.empty[DataFrame]
@@ -276,21 +282,27 @@ final class Enricher(
       }
       val p = invokeRows(missing).persist(StorageLevel.MEMORY_AND_DISK)
       ledgerDir.foreach(dir => p.write.mode("append").parquet(dir))
-      // one aggregation per chunk over the persisted frame: row count plus
-      // call count/cost via the head-row-of-call marker (all rows of this
-      // chunk share one _attempt, so the marker is exact)
-      val st = p.agg(count(lit(1)).as("_rows"),
-        sum(when(col(ColName) === col("_call_id"), 1L).otherwise(0L))
-          .as("_calls"),
-        sum(when(col(ColName) === col("_call_id"), col("cost"))).as("_cost"))
-        .head()
-      rowsDone += st.getLong(0)
-      callsDone += (if (st.isNullAt(1)) 0L else st.getLong(1))
-      if (!st.isNullAt(2)) spent = spent.add(st.getDecimal(2))
+      if (trackStats) {
+        // one aggregation per chunk over the persisted frame: row count
+        // plus call count/cost via the head-row-of-call marker (all rows
+        // of this chunk share one _attempt, so the marker is exact)
+        val st = p.agg(count(lit(1)).as("_rows"),
+          sum(when(col(ColName) === col("_call_id"), 1L).otherwise(0L))
+            .as("_calls"),
+          sum(when(col(ColName) === col("_call_id"), col("cost")))
+            .as("_cost"))
+          .head()
+        rowsDone += st.getLong(0)
+        callsDone += (if (st.isNullAt(1)) 0L else st.getLong(1))
+        if (!st.isNullAt(2)) spent = spent.add(st.getDecimal(2))
+      } else if (ledgerDir.isEmpty) {
+        p.count() // materialize the chunk before the next slice reuses it
+      }
       if (ledgerDir.isDefined) p.unpersist() else chunks :+= p
       if (budgetOn) budget.check(spent)
       observers.emit(ChunkCompleted(runId, chunkIdx.toLong, spent))
-      observers.emit(RunProgress(runId, rowsDone, nRows, callsDone, spent))
+      if (trackStats)
+        observers.emit(RunProgress(runId, rowsDone, nRows, callsDone, spent))
     }
     doneSet.foreach(_.unpersist())
     val invoked = (ledgerDir.flatMap(readLedger(spark, _)) match {

@@ -106,6 +106,9 @@ final class SparkMetricsObserver(spark: org.apache.spark.sql.SparkSession)
 final class ObserverDispatcher {
   private val observers = ArrayBuffer.empty[Observer]
   def register(o: Observer): this.type = { observers += o; this }
+  /** Producers gate work that exists only to feed observers (live
+    * progress counters) on this — an unobserved run pays nothing. */
+  def nonEmpty: Boolean = observers.nonEmpty
   def emit(e: PipelineEvent): Unit = observers.foreach { o =>
     try o.onEvent(e)
     catch { case ex: Exception =>
