@@ -29,9 +29,13 @@ import graft.sources.Sources
   *     an ASYNC run, returns `run_id` immediately. `budget` is MANDATORY
   *     and must be positive: an LLM tool client must never start an
   *     unbounded spend (server.py:141-151).
-  *   - `graft_status(run_id)` — registry state + metrics so far.
+  *   - `graft_status(run_id)` — registry state + metrics so far; a
+  *     RUNNING job reports LIVE rows/calls/cost/total_rows.
   *   - `graft_collect(run_id)` — terminal state + output location, or an
   *     explicit not-finished/failed answer.
+  *   - `graft_validate(config_yaml)` — config pre-flight without a run
+  *     (CLI `validate` parity); spends nothing.
+  *   - `graft_list_providers()` — the client registry.
   */
 object McpServer {
   val ProtocolVersion = "2024-11-05"
@@ -106,6 +110,32 @@ object McpServer {
         case None => Map("error" -> s"unknown run: $runId")
       }
 
+    /** Config pre-flight without a run (CLI `validate` parity — the
+      * reference checks configuration without executing, cli/main.py
+      * :743): parse + spec-combination checks, spends nothing. */
+    def validate(configYaml: String): Map[String, Any] =
+      try {
+        val spec = ConfigLoader.fromYaml(configYaml)
+        spec.validate()
+        Map("valid" -> true,
+          "input_columns" -> spec.dataset.inputColumns.mkString(","),
+          "output_columns" -> spec.output.outputColumns.mkString(","),
+          "model" -> spec.llm.model,
+          "batch_size" -> spec.prompt.batchSize,
+          "concurrency" -> spec.llm.concurrency,
+          "max_budget" -> spec.processing.maxBudget
+            .map(_.toString).getOrElse("none"))
+      } catch {
+        case e: Exception =>
+          Map("valid" -> false, "error" -> String.valueOf(e.getMessage))
+      }
+
+    /** The client registry (CLI `list-providers` parity). */
+    def listProviders(): Map[String, Any] =
+      Map("providers" -> graft.llm.LlmClients.providers.map {
+        case (pid, sel, desc) => s"$pid | $sel | $desc"
+      }.mkString("\n"))
+
     def collect(runId: String): Map[String, Any] =
       registry.get(runId) match {
         case None => Map("error" -> s"unknown run: $runId")
@@ -141,7 +171,13 @@ object McpServer {
       Seq(("run_id", "string", "id returned by graft_run"))),
     ToolDef("graft_collect",
       "Terminal result of a run: output location on success, error on failure.",
-      Seq(("run_id", "string", "id returned by graft_run"))))
+      Seq(("run_id", "string", "id returned by graft_run"))),
+    ToolDef("graft_validate",
+      "Validate a pipeline config without running it; spends nothing.",
+      Seq(("config_yaml", "string", "pipeline config YAML"))),
+    ToolDef("graft_list_providers",
+      "List the available LLM provider client kinds and how configs select them.",
+      Seq.empty))
 
   /** Newline-delimited JSON-RPC loop over the given streams (the MCP
     * stdio transport). Returns when the input stream closes. */
@@ -247,6 +283,9 @@ object McpServer {
                         BigDecimal(b.asText())))
                     case "graft_status"  => service.status(param("run_id"))
                     case "graft_collect" => service.collect(param("run_id"))
+                    case "graft_validate" =>
+                      service.validate(param("config_yaml"))
+                    case "graft_list_providers" => service.listProviders()
                     case other =>
                       throw new NoSuchElementException(s"unknown tool: $other")
                   }

@@ -71,7 +71,7 @@ class McpSpec extends SparkSpec {
       val tools = read().path("result").path("tools")
       val names = (0 until tools.size).map(tools.get(_).path("name").asText)
       assert(names == Seq("graft_estimate", "graft_run", "graft_status",
-        "graft_collect"))
+        "graft_collect", "graft_validate", "graft_list_providers"))
       assert(tools.get(1).path("inputSchema").path("required").toString
         .contains("budget"))
       // unknown method -> -32601
@@ -130,6 +130,27 @@ class McpSpec extends SparkSpec {
       // unknown run id answers in-band, not with a crash
       w.println(call(15, "graft_collect", "run_id" -> "nope"))
       assert(toolJson(read()).path("error").asText.contains("unknown run"))
+    }
+  }
+
+  test("graft_validate and graft_list_providers answer over the wire") {
+    val good = "dataset:\n  input_columns: [text]\nprompt:\n  " +
+      "template: \"W: {text}\"\noutput:\n  output_columns: [res]"
+    val bad = "dataset:\n  input_columns: [text]\nprompt:\n  " +
+      "template: \"W: {nope}\"\noutput:\n  output_columns: [res]"
+    withServer { (w, read) =>
+      w.println(call(20, "graft_validate", "config_yaml" -> good))
+      val ok = toolJson(read())
+      assert(ok.path("valid").asBoolean)
+      assert(ok.path("input_columns").asText == "text")
+      w.println(call(21, "graft_validate", "config_yaml" -> bad))
+      val no = toolJson(read())
+      assert(!no.path("valid").asBoolean)
+      assert(no.path("error").asText.contains("nope"))
+      w.println(call(22, "graft_list_providers"))
+      val prov = toolJson(read()).path("providers").asText
+      assert(prov.contains("mock") && prov.contains("http") &&
+        prov.contains("proc"))
     }
   }
 
