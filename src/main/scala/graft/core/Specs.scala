@@ -117,6 +117,13 @@ final case class LlmSpec(
       * exact MULTI-host bucket via the [[graft.llm.TokenBucketServer]]
       * daemon. None → per-executor split (rate = rpm / numExecutors). */
     rateLimitScopeFile: Option[String] = None,
+    /** Explicit executor count for the per-worker rpm split. Uncoordinated
+      * buckets on a deployment where Spark's conf can't tell the fleet size
+      * (no `spark.executor.instances`, no dynamic-allocation max) are
+      * REFUSED unless this declares it; for a coordinated (redis://) scope
+      * it pre-declares the breaker-open degraded rate instead of the
+      * full-rate-per-executor legacy fallback. */
+    rateLimitSplit: Option[Int] = None,
     maxRetries: Int = 3,
     /** Exponential backoff base in ms (1x, 2x, 4x..., capped). */
     backoffBaseMs: Long = 10L,

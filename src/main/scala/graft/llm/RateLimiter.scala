@@ -28,6 +28,8 @@ trait GlobalBucket {
 final class RateLimiter(requestsPerMinute: Int, burst: Int)
     extends GlobalBucket {
   require(requestsPerMinute > 0)
+  /** Configured rpm — lets a deployment assert the rate it declared. */
+  private[graft] def ratePerMinute: Int = requestsPerMinute
   private val ratePerMs: Double = requestsPerMinute / 60000.0
   private val capacity: Double = math.max(1, burst).toDouble
   private var tokens: Double = capacity

@@ -51,6 +51,12 @@ final class RedisBucket(
   extends GlobalBucket with AutoCloseable {
   require(requestsPerMinute > 0)
 
+  /** The breaker-open degraded rate, observable at CONFIG time (rpm of
+    * the worker-local fallback bucket, None = no fallback, errors
+    * propagate) — so a deployment can assert the outage behavior it
+    * declared instead of discovering it mid-outage. */
+  private[graft] def fallbackRate: Option[Int] = fallback.map(_.ratePerMinute)
+
   private val capacity: Double = math.max(1, burst).toDouble
   private val ratePerSec: Double = requestsPerMinute / 60.0
   private val tag = s"{$namespace:$scope}"

@@ -69,7 +69,8 @@ object Pca {
     * per-dimension explode, no broadcast join, no groupBy shuffle
     * (previously d exploded rows per vector re-aggregated by id). The
     * per-row dot stays inside a long (|v| ≤ 1e9 micro require-bounded
-    * by the kernel, |u| ≤ 1e6, d ≤ 1024 ⇒ ≤ ~1e18); the n·dot − S·u
+    * by the moments scan for EVERY d — not just the d > 64 kernel —
+    * |u| ≤ 1e6, d ≤ 1024 ⇒ ≤ ~1e18); the n·dot − S·u
     * lift runs in decimal, the one IEEE division per row is unchanged
     * term-for-term, so values are bit-identical to the explode form. */
   def projectTop(df: DataFrame, idCol: String, vecCol: String,
@@ -119,15 +120,28 @@ object Pca {
       forceGramian: Boolean = false)
       : (Int, Array[Long], BigInt, Array[BigInt]) = {
     require(iters >= 1 && iters <= 64, s"iters=$iters out of [1,64]")
+    // null vectors drop here, BEFORE either kernel, so both paths share
+    // one contract (posexplode used to drop them silently while the
+    // Gramian loop NPE'd); n and Σv count non-null vectors only, and
+    // projectTop's own isNotNull filter keeps the projection consistent
     val vecs = Parallelism.stage(
-      microVecs(df.select(col(vecCol)), vecCol).select(col(s"${Dup}mv")))
+      microVecs(df.select(col(vecCol)), vecCol).select(col(s"${Dup}mv"))
+        .filter(col(s"${Dup}mv").isNotNull))
+    // same scan also pins the |element| ≤ 1e9-micro invariant for EVERY
+    // d — the long-dot in projectTop and the Gramian blocks both lean on
+    // it, and the d ≤ 64 posexplode path has no per-row require of its own
     val dRow = vecs.agg(min(size(col(s"${Dup}mv"))),
-      max(size(col(s"${Dup}mv")))).head()
+      max(size(col(s"${Dup}mv"))),
+      max(array_max(transform(col(s"${Dup}mv"),
+        e => abs(e))))).head()
     if (dRow.isNullAt(0)) return (0, null, BigInt(0), null)
     require(dRow.getInt(0) == dRow.getInt(1),
       s"ragged vectors: dims ${dRow.getInt(0)}..${dRow.getInt(1)}")
     val d = dRow.getInt(0)
     require(d >= 1 && d <= 1024, s"dim=$d out of [1,1024]")
+    val maxEl = if (dRow.isNullAt(2)) 0L else dRow.getLong(2)
+    require(maxEl <= 1000000000L,
+      s"vector element $maxEl exceeds 1e9 micro units: re-scale upstream")
     val (c, n, s) =
       if (d <= 64 && !forceGramian) posexplodeCovariance(vecs, d)
       else gramianCovariance(vecs, d)

@@ -18,6 +18,7 @@ import graft.llm._
   * redis_rate_limiter.py's scope-key design ports directly when needed).
   */
 object ClientPool {
+  private val log = org.slf4j.LoggerFactory.getLogger(ClientPool.getClass)
   private val limiters = new ConcurrentHashMap[String, GlobalBucket]()
   private val adaptives = new ConcurrentHashMap[String, AdaptiveLimiter]()
   private val pools = new ConcurrentHashMap[String, ExecutionContextExecutorService]()
@@ -39,9 +40,9 @@ object ClientPool {
   private[graft] def splitFor(master: String, instances: Option[String],
                             maxExecutors: Option[String]): Option[Int] =
     if (master.startsWith("local")) Some(1)
-    else instances.orElse(maxExecutors)
-      .flatMap(_.toIntOption)
-      .map(math.max(1, _))
+    else instances.flatMap(_.toIntOption) // parsed independently: a malformed
+      .orElse(maxExecutors.flatMap(_.toIntOption)) // instances must not hide
+      .map(math.max(1, _)) // a valid maxExecutors bound
 
   private[ops] def executorSplit: Option[Int] =
     try {
@@ -98,9 +99,11 @@ object ClientPool {
     *   - none → per-executor [[RateLimiter]] (rate = rpm / numExecutors)
     */
   def limiter(runId: String, rpm: Int, burst: Int,
-              scopeFile: Option[String] = None): GlobalBucket =
+              scopeFile: Option[String] = None,
+              splitHint: Option[Int] = None): GlobalBucket =
     limiters.computeIfAbsent(
-      s"$runId:$rpm:$burst:${scopeFile.getOrElse("")}", _ => scopeFile match {
+      s"$runId:$rpm:$burst:${scopeFile.getOrElse("")}:${splitHint.getOrElse(0)}",
+      _ => scopeFile match {
         case Some(uri) if uri.startsWith("redis://") =>
           val usage = s"bad redis scope URI (want redis://host:port/scope): $uri"
           uri.stripPrefix("redis://").split("/", 2) match {
@@ -110,12 +113,23 @@ object ClientPool {
               // the per-worker SPLIT of the shared rate, so an outage
               // degrades to the uncoordinated approximation instead of
               // multiplying the aggregate admission N× (every executor's
-              // breaker opens at once). An unknowable count keeps the
-              // legacy full-rate fallback here rather than refusing:
-              // the user DID configure coordination, and a refusal at
-              // breaker-open time would turn a Redis outage into a hard
-              // stop
-              val split = executorSplit.getOrElse(1)
+              // breaker opens at once). An explicit rate_limit_split hint
+              // wins (the user pre-declares the degraded rate); an
+              // unknowable count then keeps the legacy full-rate fallback
+              // rather than refusing — the user DID configure
+              // coordination, and a refusal at breaker-open time would
+              // turn a Redis outage into a hard stop — but the degraded
+              // rate is now DECLARED at config time, not discovered
+              // mid-outage
+              val known = splitHint.orElse(executorSplit)
+              if (known.isEmpty)
+                log.warn("coordinated scope '{}' on a deployment with no " +
+                  "knowable executor count: if the bucket server is " +
+                  "unreachable, the breaker-open fallback admits the FULL " +
+                  "{} rpm PER EXECUTOR (aggregate = rpm x fleet size); " +
+                  "set llm.rate_limit_split or spark.executor.instances " +
+                  "to pre-declare a safe degraded rate", scope, rpm)
+              val split = known.getOrElse(1)
               new RedisBucket(host, port, scope, rpm, burst,
                 fallback = Some(new RateLimiter(
                   math.max(1, rpm / split), math.max(1, burst / split))))
@@ -131,7 +145,7 @@ object ClientPool {
           }
         case Some(f) => new FileCoordinatedBucket(f, rpm, burst)
         case None    =>
-          val split = requireSplit(executorSplit)
+          val split = requireSplit(splitHint.orElse(executorSplit))
           new RateLimiter(math.max(1, rpm / split), math.max(1, burst / split))
       })
 
@@ -246,9 +260,11 @@ object Invoke {
     val maxConc = llm.maxConcurrency
 
     val scopeFile = llm.rateLimitScopeFile
+    val splitHint = llm.rateLimitSplit
     df.mapPartitions { rows =>
       val limiter = rpm.map(r =>
-        ClientPool.limiter(runId, r, math.max(1, r / 10), scopeFile))
+        ClientPool.limiter(runId, r, math.max(1, r / 10), scopeFile,
+          splitHint))
       val adaptive =
         if (adaptiveOn) Some(ClientPool.adaptive(runId, conc, maxConc))
         else None

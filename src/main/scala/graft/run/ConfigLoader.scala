@@ -125,6 +125,7 @@ object ConfigLoader {
         maxConcurrency = num(n, "max_concurrency").getOrElse(64),
         requestsPerMinute = num(n, "requests_per_minute"),
         rateLimitScopeFile = str(n, "rate_limit_scope_file"),
+        rateLimitSplit = num(n, "rate_limit_split"),
         maxRetries = num(n, "max_retries").getOrElse(3),
         backoffBaseMs = num(n, "backoff_base_ms").map(_.toLong).getOrElse(10L),
         backoffCapMs = num(n, "backoff_cap_ms").map(_.toLong).getOrElse(60000L),

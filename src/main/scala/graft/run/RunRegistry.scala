@@ -43,8 +43,23 @@ object RunState {
     Succeeded -> Set.empty)
 }
 
+object RunRegistry {
+  /** One monitor per record file, JVM-wide: registries are constructed
+    * ad-hoc per call site, so serializing read-modify-writes on the
+    * instance would not serialize two instances over the same dir. */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private[run] def jvmLock(key: String): Object =
+    jvmLocks.computeIfAbsent(key, _ => new Object)
+}
+
 /** File-backed registry: one JSON file per run under `baseDir`, written
   * atomically (tmp + move) so a crash mid-update never corrupts a record.
+  * Read-modify-writes ([[transition]], [[updateMetrics]]) additionally
+  * hold a per-run lock — a JVM monitor nested inside an OS file lock —
+  * so a straggling progress write racing a terminal transition (another
+  * thread OR another process, e.g. the MCP server polling a CLI-driven
+  * run) can never re-save a stale RUNNING record over a terminal one.
   * Driver-side only — run cardinality is human-scale, no Spark needed. */
 final class RunRegistry(baseDir: String) {
 
@@ -57,6 +72,20 @@ final class RunRegistry(baseDir: String) {
   private def fileFor(runId: String): Path =
     dir.resolve(runId.replaceAll("[^A-Za-z0-9._-]", "_") + ".json")
 
+  /** Serialize a read-modify-write of one run's record: JVM monitor
+    * (same-process racers) wrapping an OS file lock (cross-process
+    * racers). Lock files start with "." so [[list]] never parses them. */
+  private def withRunLock[A](runId: String)(f: => A): A =
+    RunRegistry.jvmLock(fileFor(runId).toAbsolutePath.toString).synchronized {
+      val lockPath = dir.resolve(
+        "." + runId.replaceAll("[^A-Za-z0-9._-]", "_") + ".lock")
+      val ch = java.nio.channels.FileChannel.open(lockPath,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.WRITE)
+      try { val l = ch.lock(); try f finally l.release() }
+      finally ch.close()
+    }
+
   def register(runId: String, runDir: String): RunRecord = {
     val now = System.currentTimeMillis()
     val rec = RunRecord(runId, runDir, RunState.Pending, now, now)
@@ -65,16 +94,17 @@ final class RunRegistry(baseDir: String) {
   }
 
   def transition(runId: String, to: String,
-                 update: RunRecord => RunRecord = identity): RunRecord = {
-    val cur = get(runId).getOrElse(
-      throw new IllegalStateException(s"unknown run: $runId"))
-    require(RunState.allowed.getOrElse(cur.state, Set.empty).contains(to),
-      s"illegal transition ${cur.state} -> $to for $runId")
-    val next = update(cur).copy(state = to,
-      updatedMs = System.currentTimeMillis())
-    save(next)
-    next
-  }
+                 update: RunRecord => RunRecord = identity): RunRecord =
+    withRunLock(runId) {
+      val cur = get(runId).getOrElse(
+        throw new IllegalStateException(s"unknown run: $runId"))
+      require(RunState.allowed.getOrElse(cur.state, Set.empty).contains(to),
+        s"illegal transition ${cur.state} -> $to for $runId")
+      val next = update(cur).copy(state = to,
+        updatedMs = System.currentTimeMillis())
+      save(next)
+      next
+    }
 
   /** Persist live counters WITHOUT a state transition (reference:
     * run_registry.py `update_metrics` as used by ondine/mcp/progress.py —
@@ -84,12 +114,14 @@ final class RunRegistry(baseDir: String) {
     * record, or None when the run is unknown or not RUNNING. */
   def updateMetrics(runId: String, rows: Long, calls: Long, cost: String,
                     totalRows: Long = 0L): Option[RunRecord] =
-    get(runId).filter(_.state == RunState.Running).map { cur =>
-      val next = cur.copy(rows = rows, calls = calls, cost = cost,
-        totalRows = if (totalRows > 0) totalRows else cur.totalRows,
-        updatedMs = System.currentTimeMillis())
-      save(next)
-      next
+    withRunLock(runId) {
+      get(runId).filter(_.state == RunState.Running).map { cur =>
+        val next = cur.copy(rows = rows, calls = calls, cost = cost,
+          totalRows = if (totalRows > 0) totalRows else cur.totalRows,
+          updatedMs = System.currentTimeMillis())
+        save(next)
+        next
+      }
     }
 
   def get(runId: String): Option[RunRecord] = {

@@ -440,6 +440,42 @@ class RunRegistrySpec extends SparkSpec {
     assert(reg.updateMetrics("nope", 1, 1, "0").isEmpty) // unknown: no crash
   }
 
+  test("registry: racing progress writes never resurrect RUNNING") {
+    // Hammer updateMetrics from stragglers (two registry INSTANCES over
+    // the same dir — the ad-hoc construction pattern) while the run
+    // transitions to SUCCEEDED; the per-run lock serializes the
+    // read-modify-writes, so the terminal record's state and counters
+    // survive every interleaving.
+    val dir = Files.createTempDirectory("graft_reg_race").toString
+    for (round <- 0 until 20) {
+      val id = s"race$round"
+      val reg = new RunRegistry(dir)
+      val straggler = new RunRegistry(dir)
+      reg.register(id, "/tmp/" + id)
+      reg.transition(id, RunState.Running)
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val writers = (0 until 4).map { t =>
+        new Thread(() => {
+          var i = 0L
+          while (!stop.get()) {
+            straggler.updateMetrics(id, i, i, "0.01"); i += 1
+          }
+        })
+      }
+      writers.foreach(_.start())
+      Thread.sleep(2)
+      reg.transition(id, RunState.Succeeded, r => r.copy(rows = 999))
+      stop.set(true); writers.foreach(_.join())
+      val fin = reg.get(id).get
+      assert(fin.state == RunState.Succeeded,
+        s"round $round: straggler resurrected state ${fin.state}")
+      assert(fin.rows == 999,
+        s"round $round: terminal counters clobbered (rows=${fin.rows})")
+      // post-terminal stragglers stay refused
+      assert(straggler.updateMetrics(id, 1, 1, "0").isEmpty)
+    }
+  }
+
   test("live progress: the RUNNING registry row advances before completion") {
     val spark = SparkSpec.session
     import spark.implicits._

@@ -127,6 +127,46 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("re-scale"))
   }
 
+  test("null vectors drop identically on both kernels; projections match") {
+    val live = Seq(1.0f, 2.0f, 3.0f, -1.0f).zipWithIndex.map { case (t, i) =>
+      (i.toLong, Seq(t, 2 * t, 0.0f, 0.0f))
+    }
+    val withNulls = (live.map { case (i, v) => (i, Option(v)) } ++
+      Seq((90L, Option.empty[Seq[Float]]), (91L, Option.empty[Seq[Float]])))
+    val dirty = withNulls.toDF("vec_id", "embedding").repartition(3)
+    val clean = live.toDF("vec_id", "embedding")
+    // both kernels on the dirty frame equal each other AND the null-free
+    // corpus — nulls are dropped BEFORE the kernels, not NPE'd (gramian)
+    // or silently diverging (posexplode)
+    val a = Pca.topComponentVector(dirty, "embedding", 8, forceGramian = false)
+    val b = Pca.topComponentVector(dirty, "embedding", 8, forceGramian = true)
+    val c = Pca.topComponentVector(clean, "embedding", 8)
+    assert(a._2.toSeq === b._2.toSeq && a._2.toSeq === c._2.toSeq)
+    // projections: null rows excluded, values = the null-free corpus's
+    // (n and the mean count non-null vectors only)
+    val proj = Pca.projectTop(dirty, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Pca.projectTop(clean, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(proj === want)
+  }
+
+  test("oversized elements are rejected on the d <= 64 path too") {
+    // the 1e9-micro element bound must hold for EVERY d — the long-dot
+    // in projectTop leans on it even when the posexplode kernel (itself
+    // decimal-exact) is the covariance path
+    val big = Seq((0L, Seq(2000.0f, 1.0f)), (1L, Seq(1.0f, 2.0f)))
+      .toDF("vec_id", "embedding")
+    val e1 = intercept[Exception] {
+      Pca.topComponent(big, "embedding").collect()
+    }
+    assert(e1.getMessage.contains("re-scale"))
+    val e2 = intercept[Exception] {
+      Pca.projectTop(big, "vec_id", "embedding").collect()
+    }
+    assert(e2.getMessage.contains("re-scale"))
+  }
+
   test("ragged vectors are rejected") {
     val vs = Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(1.0f)))
     val e = intercept[Exception] {

@@ -189,6 +189,9 @@ class RateLimiterSpec extends AnyFunSuite {
     assert(splitFor("k8s://api", None, Some("64")) === Some(64))
     // malformed counts don't silently become full-rate-per-executor
     assert(splitFor("yarn", Some("not-a-number"), None) === None)
+    // ...and a malformed instances must NOT hide a valid maxExecutors
+    // bound (each conf parses independently)
+    assert(splitFor("yarn", Some("not-a-number"), Some("64")) === Some(64))
     // neither conf on a cluster master: unknowable
     assert(splitFor("yarn", None, None) === None)
     assert(requireSplit(Some(8)) === 8)
@@ -200,6 +203,34 @@ class RateLimiterSpec extends AnyFunSuite {
     assert(graft.ops.ClientPool.limiter(id, 600, 10, None)
       .isInstanceOf[graft.llm.RateLimiter])
     graft.ops.ClientPool.shutdown(id)
+  }
+
+  test("rate_limit_split hint pre-declares the per-worker rate") {
+    // Uncoordinated bucket: an explicit split hint overrides the
+    // Spark-derived count, so the declared per-worker rate is rpm/hint.
+    val id = s"splithint-${System.nanoTime()}"
+    val l = graft.ops.ClientPool.limiter(id, 600, 40, None, Some(4))
+    assert(l.asInstanceOf[graft.llm.RateLimiter].ratePerMinute === 150)
+    graft.ops.ClientPool.shutdown(id)
+    // Coordinated redis:// scope: the SAME hint pre-declares the
+    // breaker-open degraded rate — the outage behavior is a config-time
+    // fact, not a mid-outage discovery.
+    val redis = new MiniRedis
+    try {
+      val id2 = s"splithint2-${System.nanoTime()}"
+      val r = graft.ops.ClientPool.limiter(id2, 600, 40,
+        Some(s"redis://127.0.0.1:${redis.port}/prov:m"), Some(4))
+        .asInstanceOf[graft.llm.RedisBucket]
+      assert(r.fallbackRate === Some(150))
+      graft.ops.ClientPool.shutdown(id2)
+      // different hints must not share a cached bucket
+      val id3 = s"splithint3-${System.nanoTime()}"
+      val r1 = graft.ops.ClientPool.limiter(id3, 600, 40,
+        Some(s"redis://127.0.0.1:${redis.port}/prov:m"), Some(2))
+        .asInstanceOf[graft.llm.RedisBucket]
+      assert(r1.fallbackRate === Some(300))
+      graft.ops.ClientPool.shutdown(id3)
+    } finally redis.close()
   }
 
   test("ClientPool dispatches bucket:// scopes to the socket bucket") {
