@@ -165,6 +165,11 @@ final class Enricher(
     val aggCols = qualityAggs ++ callAggs
     val row0 = parsed0.agg(aggCols.head, aggCols.tail: _*).head()
 
+    // per-call observability on the fast path: same ledger-shaped columns
+    // ride the persisted frame, so the replay reuses the durable path's
+    // contract (deterministic ids from (runId, attempt, callId))
+    if (observers.wantsCallGrain) replayCallEvents(runId, parsed0)
+
     val needRetry = spec.processing.autoRetryAttempts > 0 &&
       lng(row0, "_blank") > 0
     val parsed1 = if (needRetry) autoRetry(parsed0, formatted, runId)
@@ -330,6 +335,16 @@ final class Enricher(
     val qFrame = parsed0.agg(qualityAggs.head, qualityAggs.tail: _*)
     val row0 = qFrame.crossJoin(callAggFrame).head()
 
+    // per-call observability: replay the materialized ledger into one
+    // LlmCallCompleted per call — the reference's LLMCallEvent grain
+    // (unified_litellm_client.py:473-531) at ZERO hot-path cost, gated on
+    // an observer actually opting in. A resumed run replays the WHOLE
+    // ledger (prior attempts included): exporters derive deterministic
+    // ids from (runId, attempt, callId), so re-emission upserts instead
+    // of double-counting — and a run whose first attempt crashed before
+    // its replay still surfaces every call.
+    if (observers.wantsCallGrain) replayCallEvents(runId, invoked)
+
     val needRetry = spec.processing.autoRetryAttempts > 0 &&
       lng(row0, "_blank") > 0
     val parsed = if (needRetry) autoRetry(parsed0, formatted, runId)
@@ -444,6 +459,37 @@ final class Enricher(
     Quality.noOutputGuard(q, metrics.skippedRows,
       metrics.tokensIn + metrics.tokensOut)
     EnrichResult(finalData, metrics, q)
+  }
+
+  /** Stream the ledger's head-of-call rows (`_row_index == _call_id`
+    * marks exactly one row per call; `skipped` rows never reached the
+    * API, so they carry no call) through the driver in (attempt, call)
+    * order, one [[LlmCallCompleted]] per call. `toLocalIterator` bounds
+    * driver memory at one partition — a million-call ledger replays
+    * without ever materializing on the driver. Auto-retry redo calls are
+    * not ledgered (existing contract) and so not replayed. */
+  private def replayCallEvents(runId: String, ledger: DataFrame): Unit = {
+    val heads = ledger
+      .filter(col(ColName) === col("_call_id") && !col("skipped"))
+      .select(col("_attempt").cast("long"), col("_call_id"), col("model"),
+        col("tokens_in"), col("tokens_out"), col("cost"),
+        col("latency_ms"), col("call_rows").cast("long"),
+        col("result").isNull.as("_failed"))
+      .orderBy(col("_attempt"), col("_call_id"))
+    val it = heads.toLocalIterator()
+    while (it.hasNext) {
+      val r = it.next()
+      observers.emit(LlmCallCompleted(runId,
+        callId = r.getLong(1),
+        attempt = r.getLong(0),
+        model = if (r.isNullAt(2)) null else r.getString(2),
+        tokensIn = if (r.isNullAt(3)) 0L else r.getLong(3),
+        tokensOut = if (r.isNullAt(4)) 0L else r.getLong(4),
+        cost = if (r.isNullAt(5)) JBigDecimal.ZERO else r.getDecimal(5),
+        latencyMs = if (r.isNullAt(6)) 0.0 else r.getDouble(6),
+        callRows = if (r.isNullAt(7)) 0L else r.getLong(7),
+        failed = r.getBoolean(8)))
+    }
   }
 
   private def readLedger(spark: SparkSession, dir: String): Option[DataFrame] =

@@ -20,9 +20,14 @@ import com.fasterxml.jackson.databind.node.ObjectNode
   * the documented envelope every Langfuse SDK ultimately emits, so the
   * output ingests into a real deployment unchanged.
   *
-  * Event mapping (driver-side lifecycle only — per-call granularity
-  * deliberately stays off the hot path, same judgment as the OTel
-  * adapter):
+  * Event mapping (driver-side only — per-call granularity arrives via
+  * the post-run ledger REPLAY, never from the executor hot path; same
+  * judgment as the OTel adapter):
+  *   - LlmCallCompleted → `generation-create` per LLM call with model,
+  *                    usage_details, cost and latency — the reference's
+  *                    LLMCallEvent grain (unified_litellm_client.py:473-531)
+  *                    with ids deterministic from (runId, attempt, callId)
+  *                    so a resumed run's re-replay upserts, not duplicates
   *   - RunStarted   → `trace-create` (id deterministic from the runId —
   *                    32-char lowercase hex, the same rule the reference
   *                    applies via `uuid.hex`; a resumed run EXTENDS its
@@ -43,8 +48,15 @@ import com.fasterxml.jackson.databind.node.ObjectNode
 final class LangfuseObserver(
     sink: LangfuseSink,
     environment: String = "default",
-    clockMs: () => Long = () => System.currentTimeMillis())
+    clockMs: () => Long = () => System.currentTimeMillis(),
+    /** Per-call generations via ledger replay (reference parity:
+      * langfuse sees one generation per LLM call). Default ON — the cost
+      * is post-run and O(calls); switch off for runs where run-grain
+      * aggregates suffice. */
+    callGrain: Boolean = true)
   extends Observer {
+
+  override def wantsCallGrain: Boolean = callGrain
 
   private val mapper = new ObjectMapper()
   private val starts = mutable.Map.empty[String, Long]
@@ -98,6 +110,35 @@ final class LangfuseObserver(
       val md = body.putObject("metadata")
       md.put("chunk_index", idx)
       md.put("cost_spent_usd", spent.doubleValue)
+      send(root)
+
+    case LlmCallCompleted(runId, callId, attempt, model, tIn, tOut, cost,
+        latMs, callRows, failed) =>
+      // one generation per LLM call, replayed from the responses ledger
+      // (reference grain: unified_litellm_client.py:473-531 LLMCallEvent
+      // → langfuse_observer generation). Ids are deterministic from
+      // (runId, attempt, callId): a resumed run re-emits the same ids and
+      // Langfuse upserts — never double-counts.
+      val now = clockMs()
+      val (root, body) = envelope("generation-create",
+        s"$runId:call:$attempt:$callId", now)
+      body.put("id", hex32(s"graft-gen:$runId:$attempt:$callId"))
+      body.put("traceId", traceId(runId))
+      body.put("name", s"llm-call-$callId")
+      body.put("startTime", iso(now - math.max(0L, latMs.toLong)))
+      body.put("endTime", iso(now))
+      if (model != null) body.put("model", model)
+      if (failed) body.put("level", "ERROR")
+      val u = body.putObject("usageDetails")
+      u.put("input", tIn)
+      u.put("output", tOut)
+      u.put("total", tIn + tOut)
+      body.putObject("costDetails").put("total", cost.doubleValue)
+      val md = body.putObject("metadata")
+      md.put("call_id", callId)
+      md.put("attempt", attempt)
+      md.put("call_rows", callRows)
+      md.put("latency_ms", latMs)
       send(root)
 
     case RunCompleted(runId, m, q) =>

@@ -22,9 +22,29 @@ final case class RunProgress(runId: String, rowsDone: Long, totalRows: Long,
 final case class RunCompleted(runId: String, metrics: RunMetrics,
     quality: graft.ops.QualityReport) extends PipelineEvent
 final case class RunFailed(runId: String, error: String) extends PipelineEvent
+/** One LLM call — the reference's per-call observation grain
+  * (ondine/adapters/unified_litellm_client.py:473-531 `LLMCallEvent`:
+  * model, token usage, cost, latency to every observer). On Spark this
+  * grain is NOT emitted from the executor hot path; it is REPLAYED
+  * driver-side from the durable responses ledger after the run's calls
+  * land (see Enricher), so observers that want it
+  * ([[Observer.wantsCallGrain]]) get every call at zero hot-path cost and
+  * unobserved runs pay nothing. `attempt` + `callId` identify the call
+  * durably — exporters derive deterministic event ids from them so a
+  * RESUMED run (which replays the whole ledger, prior attempts included)
+  * upserts rather than double-counts. */
+final case class LlmCallCompleted(runId: String, callId: Long, attempt: Long,
+    model: String, tokensIn: Long, tokensOut: Long,
+    cost: java.math.BigDecimal, latencyMs: Double, callRows: Long,
+    failed: Boolean) extends PipelineEvent
 
 trait Observer extends Serializable {
   def onEvent(e: PipelineEvent): Unit
+  /** Opt-in to [[LlmCallCompleted]] ledger replay. The replay streams
+    * O(calls) rows through the driver and one event per call through
+    * every observer — producers skip it entirely unless some registered
+    * observer returns true. */
+  def wantsCallGrain: Boolean = false
 }
 
 final class LoggingObserver extends Observer {
@@ -109,6 +129,8 @@ final class ObserverDispatcher {
   /** Producers gate work that exists only to feed observers (live
     * progress counters) on this — an unobserved run pays nothing. */
   def nonEmpty: Boolean = observers.nonEmpty
+  /** True iff some observer opted into per-call ledger replay. */
+  def wantsCallGrain: Boolean = observers.exists(_.wantsCallGrain)
   def emit(e: PipelineEvent): Unit = observers.foreach { o =>
     try o.onEvent(e)
     catch { case ex: Exception =>

@@ -30,16 +30,35 @@ final class OtelObserver(
     sink: OtelSink,
     serviceName: String = "graft",
     sparkMetrics: Option[SparkMetricsObserver] = None,
-    clockNanos: () => Long = () => System.currentTimeMillis() * 1000000L)
+    clockNanos: () => Long = () => System.currentTimeMillis() * 1000000L,
+    /** Per-call spans via the Enricher's ledger replay (reference parity:
+      * one span per LLM call). Spans flush in [[OtelObserver.CallBatch]]-
+      * sized OTLP posts on the SAME trace id, so observer memory stays
+      * bounded no matter how many calls a run made. */
+    callGrain: Boolean = true)
   extends Observer {
+
+  override def wantsCallGrain: Boolean = callGrain
 
   private val mapper = new ObjectMapper()
 
   private final case class RunState(
       startNs: Long,
       var lastChunkEndNs: Long,
-      chunkSpans: mutable.ArrayBuffer[ObjectNode])
+      chunkSpans: mutable.ArrayBuffer[ObjectNode],
+      callSpans: mutable.ArrayBuffer[ObjectNode] = mutable.ArrayBuffer.empty)
   private val runs = mutable.Map.empty[String, RunState]
+
+  /** Export buffered call spans as one OTLP post and clear the buffer —
+    * the collector stitches them onto the run trace by trace id. */
+  private def flushCallSpans(runId: String, st: RunState): Unit =
+    if (st.callSpans.nonEmpty) {
+      val root = mapper.createObjectNode()
+      val spans = resourceEnvelope(root, "traces")
+      st.callSpans.foreach(spans.add)
+      st.callSpans.clear()
+      sink.export("traces", mapper.writeValueAsString(root))
+    }
 
   private def hex(s: String, chars: Int): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes(StandardCharsets.UTF_8))
@@ -167,9 +186,34 @@ final class OtelObserver(
         st.lastChunkEndNs = now
       }
 
+    case LlmCallCompleted(runId, callId, attempt, model, tIn, tOut, cost,
+        latMs, callRows, failed) =>
+      runs.get(runId).foreach { st =>
+        val now = clockNanos()
+        // deterministic span id from (runId, attempt, callId): a resumed
+        // run's re-replay exports the SAME ids — idempotent at the store
+        val s = newSpan(runId, "graft.llm_call",
+          spanId(runId, s"call:$attempt:$callId"),
+          Some(spanId(runId, "root")),
+          now - math.max(0L, (latMs * 1e6).toLong), now)
+        val attrs = s.putArray("attributes")
+        attr(attrs, "graft.call_id", callId)
+        attr(attrs, "graft.attempt", attempt)
+        if (model != null) attr(attrs, "gen_ai.response.model", model)
+        attr(attrs, "gen_ai.usage.input_tokens", tIn)
+        attr(attrs, "gen_ai.usage.output_tokens", tOut)
+        attr(attrs, "graft.cost_usd", cost.doubleValue)
+        attr(attrs, "graft.call_rows", callRows)
+        if (failed) s.putObject("status").put("code", 2)
+        st.callSpans += s
+        if (st.callSpans.length >= OtelObserver.CallBatch)
+          flushCallSpans(runId, st)
+      }
+
     case RunCompleted(runId, m, q) =>
       runs.remove(runId).foreach { st =>
         val now = clockNanos()
+        flushCallSpans(runId, st)
         exportTrace(runId, st, now, ok = true, None, { attrs =>
           attr(attrs, "graft.rows", m.rows)
           attr(attrs, "graft.llm_calls", m.calls)
@@ -181,6 +225,7 @@ final class OtelObserver(
 
     case RunFailed(runId, err) =>
       runs.remove(runId).foreach { st =>
+        flushCallSpans(runId, st)
         exportTrace(runId, st, clockNanos(), ok = false, Some(err), _ => ())
       }
 
@@ -225,4 +270,10 @@ final class OtlpHttpSink(endpoint: String,
       throw new RuntimeException(
         s"OTLP export to /v1/$signal failed: HTTP ${resp.statusCode()}")
   }
+}
+
+object OtelObserver {
+  /** Call spans per OTLP post: bounds observer memory at a constant no
+    * matter how many calls the replay streams. */
+  val CallBatch = 512
 }

@@ -167,3 +167,105 @@ class LangfuseSpec extends AnyFunSuite {
       "LANGFUSE_HOST" -> "http://127.0.0.1:1"))
   }
 }
+
+/** End-to-end per-call grain: a durable Enricher run replays its
+  * responses ledger into one `generation-create` per LLM call
+  * (the reference's LLMCallEvent grain), with ids deterministic from
+  * (runId, attempt, callId) so a RESUMED run re-emits the SAME ids —
+  * Langfuse upserts by id, never double-counts. */
+class LangfuseCallGrainSpec extends SparkSpec {
+  import spark.implicits._
+  import graft.core._
+  import graft.llm.MockLlmClient
+
+  private val mapper = new ObjectMapper()
+
+  private final class Collecting extends LangfuseSink {
+    val out = ArrayBuffer.empty[String]
+    def ingest(json: String): Unit = out += json
+  }
+
+  /** (eventId, body) of every generation-create in the sink. */
+  private def generations(sink: Collecting): Seq[(String, JsonNode)] =
+    sink.out.toSeq.flatMap { b =>
+      val arr = mapper.readTree(b).get("batch")
+      (0 until arr.size()).map(arr.get(_))
+    }.filter(_.get("type").asText() == "generation-create")
+      .map(e => e.get("id").asText() -> e.get("body"))
+
+  test("one generation per call; resume replays identical ids") {
+    val dir = Files.createTempDirectory("graft_lf_calls").toString
+    val df = (0 until 30).map(i => s"v $i").toDF("text").repartition(2)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("G:{text}", batchSize = 5),
+      processing = ProcessingSpec(chunkRows = 15),
+      output = OutputSpec(Seq("out")))
+    val sink = new Collecting
+    val obs = new ObserverDispatcher()
+      .register(new LangfuseObserver(sink, clockMs = () => 42L))
+    val r = new Enricher(spec, new MockLlmClient(), Some(dir),
+      observers = obs).enrich(df)
+    // calls = per-(partition, chunk) grouping of 30 rows at batch 5 —
+    // the replay must mirror EXACTLY the run's own call count
+    val nCalls = r.metrics.calls.toInt
+    assert(nCalls >= 6) // ceil(30/5) is the floor; boundaries may split
+
+    val gens = generations(sink)
+    val (calls, aggregate) = gens.partition(_._2.has("metadata"))
+    val callGens = calls.filter(_._2.get("metadata").has("call_id"))
+    assert(callGens.size == nCalls,
+      s"want one generation per call ($nCalls), got ${callGens.size}")
+    assert(aggregate.size + (calls.size - callGens.size) == 1) // run-grain
+    assert(callGens.map(_._1).distinct.size == nCalls,
+      "event ids must differ")
+    // ledger consistency: per-call usage sums to the run totals
+    val tIn = callGens.map(_._2.get("usageDetails").get("input").asLong).sum
+    val tOut = callGens.map(_._2.get("usageDetails").get("output").asLong).sum
+    assert(tIn == r.metrics.tokensIn && tOut == r.metrics.tokensOut)
+    assert(callGens.forall(_._2.get("model") != null))
+
+    // resume: zero new calls, but the replay re-emits the SAME ids from
+    // the durable ledger — a Langfuse deployment upserts, not duplicates
+    val sink2 = new Collecting
+    val obs2 = new ObserverDispatcher()
+      .register(new LangfuseObserver(sink2, clockMs = () => 43L))
+    val before = MockLlmClient.calls.get()
+    new Enricher(spec, new MockLlmClient(), Some(dir),
+      observers = obs2).enrich(df)
+    assert(MockLlmClient.calls.get() == before)
+    val callGens2 = generations(sink2)
+      .filter(_._2.has("metadata"))
+      .filter(_._2.get("metadata").has("call_id"))
+    assert(callGens2.size == nCalls)
+    assert(callGens2.map(_._1).toSet == callGens.map(_._1).toSet,
+      "resume must replay identical event ids")
+
+    // an observer that does NOT opt in sees no per-call events
+    val sink3 = new Collecting
+    val obs3 = new ObserverDispatcher()
+      .register(new LangfuseObserver(sink3, clockMs = () => 44L,
+        callGrain = false))
+    new Enricher(spec, new MockLlmClient(), Some(dir),
+      observers = obs3).enrich(df)
+    assert(generations(sink3).count(
+      g => g._2.has("metadata") && g._2.get("metadata").has("call_id")) == 0)
+  }
+
+  test("fast path (no runDir) replays per-call generations too") {
+    val df = (0 until 12).map(i => s"w $i").toDF("text").repartition(1)
+    val sink = new Collecting
+    val obs = new ObserverDispatcher()
+      .register(new LangfuseObserver(sink, clockMs = () => 7L))
+    val res = new Enricher(PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("F:{text}", batchSize = 4),
+      output = OutputSpec(Seq("out"))),
+      new MockLlmClient(), None, observers = obs).enrich(df)
+    assert(res.metrics.calls == 3)
+    val callGens = generations(sink)
+      .filter(_._2.has("metadata"))
+      .filter(_._2.get("metadata").has("call_id"))
+    assert(callGens.size == 3)
+  }
+}

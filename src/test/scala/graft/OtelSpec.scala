@@ -148,4 +148,50 @@ class OtelSpec extends AnyFunSuite {
         .asText === "graft.run")
     } finally server.stop(0)
   }
+
+  test("per-call spans: deterministic ids, bounded batches, flush at end") {
+    val sink = new Collecting
+    var now = 2000000000L
+    val obs = new OtelObserver(sink, clockNanos = () => now)
+    assert(obs.wantsCallGrain) // reference parity: call grain on by default
+    obs.onEvent(RunStarted("run-c", Some(10)))
+    def call(id: Long) = LlmCallCompleted("run-c", id, attempt = 7L,
+      model = "mock-1", tokensIn = 10, tokensOut = 4,
+      cost = new JBigDecimal("0.001"), latencyMs = 3.0, callRows = 2,
+      failed = id == 1L)
+    // one more than a batch: one full flush mid-run + remainder at end
+    (0L until (OtelObserver.CallBatch + 1L)).foreach(i => obs.onEvent(call(i)))
+    assert(sink.out.count(_._1 == "traces") === 1) // mid-run batch flush
+    obs.onEvent(RunCompleted("run-c", metrics(10), quality))
+    val traceBatches = sink.out.filter(_._1 == "traces").map(_._2)
+    assert(traceBatches.size === 3) // batch + remainder + run trace
+    val callSpans = traceBatches.flatMap { t =>
+      val spans = mapper.readTree(t).at("/resourceSpans/0/scopeSpans/0/spans")
+      (0 until spans.size()).map(spans.get(_))
+    }.filter(_.get("name").asText == "graft.llm_call")
+    assert(callSpans.size === OtelObserver.CallBatch + 1)
+    // deterministic span ids, all distinct, parented to the run root
+    assert(callSpans.map(_.get("spanId").asText).distinct.size ===
+      callSpans.size)
+    val rootId = mapper.readTree(traceBatches.last)
+      .at("/resourceSpans/0/scopeSpans/0/spans/0/spanId").asText
+    assert(callSpans.forall(_.get("parentSpanId").asText == rootId))
+    // failed call carries STATUS_CODE_ERROR; usage attrs ride along
+    val failed = callSpans.filter(s => s.at("/status/code").asInt == 2)
+    assert(failed.size === 1)
+    // replaying the SAME events yields the SAME span ids (resume contract)
+    val sink2 = new Collecting
+    val obs2 = new OtelObserver(sink2, clockNanos = () => now)
+    obs2.onEvent(RunStarted("run-c", Some(10)))
+    obs2.onEvent(call(3L))
+    obs2.onEvent(RunCompleted("run-c", metrics(10), quality))
+    val replayed = sink2.out.filter(_._1 == "traces").map(_._2).flatMap { t =>
+      val spans = mapper.readTree(t).at("/resourceSpans/0/scopeSpans/0/spans")
+      (0 until spans.size()).map(spans.get(_))
+    }.filter(_.get("name").asText == "graft.llm_call")
+    assert(replayed.map(_.get("spanId").asText).toSet.subsetOf(
+      callSpans.map(_.get("spanId").asText).toSet))
+    // opt-out constructs a lifecycle-only observer
+    assert(!new OtelObserver(sink, callGrain = false).wantsCallGrain)
+  }
 }
