@@ -21,7 +21,9 @@ import graft.sources.Sources
   *   graft.Main validate --config cfg.yaml
   *   graft.Main list-providers
   *   graft.Main list-runs --registry DIR
+  *   graft.Main list-checkpoints --registry DIR
   *   graft.Main inspect  --registry DIR --run-id ID
+  *   graft.Main status   --registry DIR --run-id ID
   *   graft.Main health   --config cfg.yaml [--input PATH] [--run-dir DIR]
   *
   * The client is the deterministic mock in this zero-egress build; a real
@@ -62,6 +64,20 @@ object Main {
       case "list-runs" =>
         val reg = new RunRegistry(need("registry"))
         reg.list().foreach(r => System.out.println(reg.render(r)))
+        return
+      case "status" =>
+        // reference `status <run_id>` (ondine/cli/main.py:1125): registry
+        // row + progress fraction; a SUBMITTED_REMOTE run also polls the
+        // provider backend WITHOUT collecting. No Spark session.
+        val (code, lines) = statusJson(need("registry"), need("run-id"))
+        lines.foreach(System.out.println)
+        if (code != 0) sys.exit(code)
+        return
+      case "list-checkpoints" =>
+        // reference `list-checkpoints` (ondine/cli/main.py:836): the
+        // resumable subset of list-runs, each with its ledger stats —
+        // what a user scans before picking a run to resume
+        listCheckpoints(need("registry")).foreach(System.out.println)
         return
       case "inspect" =>
         val reg = new RunRegistry(need("registry"))
@@ -200,6 +216,54 @@ object Main {
         (1, s"""{"valid":false,"error":${jsonStr(String.valueOf(e.getMessage))}}""")
     }
 
+  /** `status` command body (reference: ondine/cli/main.py:1125 — poll the
+    * live status of a run): the registry row, a progress line with the
+    * done/total fraction, and — for a SUBMITTED_REMOTE run — the provider
+    * job id plus a LIVE provider poll, all without collecting results or
+    * starting Spark. Returns (exitCode, output lines); public so the spec
+    * suite drives exactly what the CLI wires. */
+  def statusJson(registryDir: String, runId: String): (Int, Seq[String]) = {
+    val reg = new RunRegistry(registryDir)
+    reg.get(runId) match {
+      case None => (1, Seq(s"""{"error":"unknown run: ${runId}"}"""))
+      case Some(r) =>
+        val pct =
+          if (r.totalRows > 0) r.rows.toDouble / r.totalRows * 100.0 else 0.0
+        val progress =
+          s"""{"progress_pct":${math.round(pct * 10) / 10.0},""" +
+          s""""rows_done":${r.rows},"total_rows":${r.totalRows},""" +
+          s""""cost":${jsonStr(r.cost)}}"""
+        val provider =
+          if (r.state != graft.run.RunState.SubmittedRemote) Nil
+          else graft.run.ProviderBatch.loadState(r.runDir).map { b =>
+            val live = graft.run.ProviderBatch.LocalMockBackend
+              .poll(s"${r.runDir}/provider", b.jobId)
+            s"""{"provider_job_id":${jsonStr(b.jobId)},""" +
+            s""""provider_state":${jsonStr(live)}}"""
+          }.toSeq
+        (0, Seq(reg.render(r), progress) ++ provider)
+    }
+  }
+
+  /** `list-checkpoints` command body (reference: ondine/cli/main.py:836 —
+    * list resumable checkpoints with their progress): the subset of
+    * list-runs whose state the resume path can re-drive (RUNNING = a
+    * crashed attempt, FAILED, PARTIAL — the ledger anti-join skips every
+    * completed call), one line per run with its ledger file stats. */
+  def listCheckpoints(registryDir: String): Seq[String] = {
+    val reg = new RunRegistry(registryDir)
+    val resumable = Set(graft.run.RunState.Running,
+      graft.run.RunState.Failed, graft.run.RunState.Partial)
+    reg.list().filter(r => resumable(r.state)).map { r =>
+      val ledger = new java.io.File(r.runDir, "responses")
+      val files = Option(ledger.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(_.getName.endsWith(".parquet"))
+      reg.render(r).stripSuffix("}") +
+        s""","ledger_files":${files.size},""" +
+        s""""ledger_bytes":${files.map(_.length()).sum}}"""
+    }
+  }
+
   /** JSON string literal with escaping — the batch_fit message embeds the
     * user-supplied model id, which must not break the output JSON. */
   private def jsonStr(s: String): String = "\"" + s.flatMap {
@@ -224,6 +288,8 @@ object Main {
         "       graft.Main validate --config cfg.yaml\n" +
         "       graft.Main list-providers\n" +
         "       graft.Main list-runs --registry DIR\n" +
+        "       graft.Main list-checkpoints --registry DIR\n" +
         "       graft.Main inspect --registry DIR --run-id ID\n" +
+        "       graft.Main status --registry DIR --run-id ID\n" +
         "       graft.Main health --config cfg.yaml [--input PATH] [--run-dir DIR]")
 }

@@ -130,6 +130,23 @@ object McpServer {
           Map("valid" -> false, "error" -> String.valueOf(e.getMessage))
       }
 
+    /** Resumable runs with their ledger stats (CLI `list-checkpoints`
+      * parity — reference cli/main.py:836): RUNNING = a crashed attempt,
+      * FAILED, PARTIAL — the states the resume path can re-drive. */
+    def listCheckpoints(): Map[String, Any] = {
+      val resumable = Set(RunState.Running, RunState.Failed,
+        RunState.Partial)
+      Map("checkpoints" -> registry.list()
+        .filter(r => resumable(r.state)).map { r =>
+          val ledger = new java.io.File(r.runDir, "responses")
+          val files = Option(ledger.listFiles()).map(_.toSeq).getOrElse(Nil)
+            .filter(_.getName.endsWith(".parquet"))
+          s"${r.runId} | ${r.state} | rows=${r.rows}/${r.totalRows} | " +
+            s"cost=${r.cost} | ledger_files=${files.size} | " +
+            s"ledger_bytes=${files.map(_.length()).sum}"
+        }.mkString("\n"))
+    }
+
     /** The client registry (CLI `list-providers` parity). */
     def listProviders(): Map[String, Any] =
       Map("providers" -> graft.llm.LlmClients.providers.map {
@@ -177,6 +194,9 @@ object McpServer {
       Seq(("config_yaml", "string", "pipeline config YAML"))),
     ToolDef("graft_list_providers",
       "List the available LLM provider client kinds and how configs select them.",
+      Seq.empty),
+    ToolDef("graft_list_checkpoints",
+      "List resumable runs (crashed/failed/partial) with their ledger stats.",
       Seq.empty))
 
   /** Newline-delimited JSON-RPC loop over the given streams (the MCP
@@ -286,6 +306,8 @@ object McpServer {
                     case "graft_validate" =>
                       service.validate(param("config_yaml"))
                     case "graft_list_providers" => service.listProviders()
+                    case "graft_list_checkpoints" =>
+                      service.listCheckpoints()
                     case other =>
                       throw new NoSuchElementException(s"unknown tool: $other")
                   }

@@ -46,16 +46,22 @@ object ProviderBatch {
         .write.mode("overwrite").json(s"$workDir/$jobId")
       jobId
     }
-    def poll(jobId: String): String = {
-      // real state, not a stub: the job is done when the result write
-      // committed (Spark's _SUCCESS marker), PENDING before, FAILED if the
-      // dir exists without a committed write
+    def poll(jobId: String): String = LocalMockBackend.poll(workDir, jobId)
+    def collect(jobId: String): String = s"$workDir/$jobId"
+  }
+
+  object LocalMockBackend {
+    /** Poll is a pure filesystem probe — no SparkSession — so a status
+      * CLI can check a SUBMITTED_REMOTE run without starting Spark: the
+      * job is done when the result write committed (Spark's _SUCCESS
+      * marker), PENDING before, FAILED if the dir exists without a
+      * committed write. */
+    def poll(workDir: String, jobId: String): String = {
       val dir = new java.io.File(s"$workDir/$jobId")
       if (new java.io.File(dir, "_SUCCESS").exists()) "SUCCEEDED"
       else if (dir.exists()) "FAILED"
       else "PENDING"
     }
-    def collect(jobId: String): String = s"$workDir/$jobId"
   }
 
   final case class BatchRun(jobId: String, state: String)

@@ -117,6 +117,75 @@ class HealthCheckSpec extends AnyFunSuite {
     assert(Main.validateConfig("/no/such/config.yaml")._1 == 1)
   }
 
+  test("CLI status: registry row + progress + provider poll, no Spark") {
+    import graft.run.{RunRegistry, RunState}
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val regDir = java.nio.file.Files.createTempDirectory("graft_cli_st")
+    val runDir = java.nio.file.Files.createTempDirectory("graft_cli_run")
+    val reg = new RunRegistry(regDir.toString)
+    reg.register("r1", runDir.toString)
+    reg.transition("r1", RunState.Running)
+    reg.updateMetrics("r1", rows = 40, calls = 4, cost = "0.08",
+      totalRows = 100)
+    val (code, lines) = Main.statusJson(regDir.toString, "r1")
+    assert(code == 0 && lines.size == 2) // row + progress, no provider
+    assert(om.readTree(lines.head).get("state").asText == "RUNNING")
+    val prog = om.readTree(lines(1))
+    assert(prog.get("progress_pct").asDouble == 40.0)
+    assert(prog.get("rows_done").asLong == 40)
+    assert(prog.get("total_rows").asLong == 100)
+    assert(prog.get("cost").asText == "0.08")
+    // unknown run: exit 1, an error line, no crash
+    val (badCode, badLines) = Main.statusJson(regDir.toString, "nope")
+    assert(badCode == 1 && badLines.head.contains("unknown run"))
+    // SUBMITTED_REMOTE: the provider job is polled live WITHOUT collecting
+    val reg2 = new RunRegistry(regDir.toString)
+    reg2.register("r2", runDir.toString)
+    reg2.transition("r2", RunState.SubmittedRemote)
+    java.nio.file.Files.writeString(runDir.resolve("registry.json"),
+      """{"job_id":"local-abc","state":"SUBMITTED_REMOTE"}""")
+    val (c2, l2) = Main.statusJson(regDir.toString, "r2")
+    assert(c2 == 0 && l2.size == 3)
+    val prov = om.readTree(l2(2))
+    assert(prov.get("provider_job_id").asText == "local-abc")
+    assert(prov.get("provider_state").asText == "PENDING") // no result dir
+    // a committed provider write polls SUCCEEDED
+    val done = runDir.resolve("provider").resolve("local-abc")
+    java.nio.file.Files.createDirectories(done)
+    java.nio.file.Files.writeString(done.resolve("_SUCCESS"), "")
+    val (_, l3) = Main.statusJson(regDir.toString, "r2")
+    assert(om.readTree(l3(2)).get("provider_state").asText == "SUCCEEDED")
+  }
+
+  test("CLI list-checkpoints: only resumable states, with ledger stats") {
+    import graft.run.{RunRegistry, RunState}
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val regDir = java.nio.file.Files.createTempDirectory("graft_cli_lc")
+    val reg = new RunRegistry(regDir.toString)
+    def mk(id: String, to: Seq[String]): Unit = {
+      val rd = java.nio.file.Files.createTempDirectory(s"graft_lc_$id")
+      reg.register(id, rd.toString)
+      to.foreach(reg.transition(id, _))
+    }
+    mk("done", Seq(RunState.Running, RunState.Succeeded)) // NOT listed
+    mk("crashed", Seq(RunState.Running))                  // listed
+    mk("failed", Seq(RunState.Running, RunState.Failed))  // listed
+    mk("partial", Seq(RunState.Running, RunState.Partial))// listed
+    // give the failed run a ledger file so the stats are non-trivial
+    val failedDir = reg.get("failed").get.runDir
+    val ledger = java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(failedDir, "responses"))
+    java.nio.file.Files.writeString(
+      ledger.resolve("part-0000.snappy.parquet"), "x" * 64)
+    val lines = Main.listCheckpoints(regDir.toString)
+    val byId = lines.map(om.readTree).map(n =>
+      n.get("run_id").asText -> n).toMap
+    assert(byId.keySet == Set("crashed", "failed", "partial"))
+    assert(byId("failed").get("ledger_files").asInt == 1)
+    assert(byId("failed").get("ledger_bytes").asLong == 64)
+    assert(byId("crashed").get("ledger_files").asInt == 0)
+  }
+
   test("CLI list-providers registry covers the factory's dispatch arms") {
     val ids = graft.llm.LlmClients.providers.map(_._1)
     assert(ids.contains("mock") && ids.contains("http") &&

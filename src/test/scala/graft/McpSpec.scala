@@ -71,7 +71,8 @@ class McpSpec extends SparkSpec {
       val tools = read().path("result").path("tools")
       val names = (0 until tools.size).map(tools.get(_).path("name").asText)
       assert(names == Seq("graft_estimate", "graft_run", "graft_status",
-        "graft_collect", "graft_validate", "graft_list_providers"))
+        "graft_collect", "graft_validate", "graft_list_providers",
+        "graft_list_checkpoints"))
       assert(tools.get(1).path("inputSchema").path("required").toString
         .contains("budget"))
       // unknown method -> -32601
@@ -151,6 +152,9 @@ class McpSpec extends SparkSpec {
       val prov = toolJson(read()).path("providers").asText
       assert(prov.contains("mock") && prov.contains("http") &&
         prov.contains("proc"))
+      // list-checkpoints: empty registry -> empty listing, not an error
+      w.println(call(23, "graft_list_checkpoints"))
+      assert(toolJson(read()).path("checkpoints").asText == "")
     }
   }
 
