@@ -354,13 +354,14 @@ object TextQueries {
   /** q79 through the FAST tier — the production knob for the winnowing
     * family: `kgram_rolling_hashes` computes all m gram hashes in one
     * O(m) rolling pass (no per-gram substring, no per-gram digest) and
-    * the native deque window-min selects in O(m). No SQL oracle — the
-    * rolling polynomial is Spark-side-only, which is exactly the trade
-    * the tier documents — so the driver records rows-only; the tier's
-    * correctness (rolling≡direct recurrence, guarantee, tier-mismatch
-    * visibility) is spec-covered in CurationSpec, and the portable q79
-    * stays the hash-verified twin. Same output shape as q79: one row per
-    * (doc, distinct fingerprint). */
+    * the native deque window-min selects in O(m). Hash-verified since
+    * r11: the rolling polynomial + murmur fmix64 is a pure integer
+    * function, and [[OracleSqlGen.q147Sql]] replays it exactly in DuckDB
+    * (Horner mod 2^64 per gram, the fmix pipeline as cascaded CTE
+    * columns) — so this arm gets a hard oracle row, not rows-only. The
+    * tier's kernel contracts (rolling≡direct recurrence, guarantee,
+    * tier-mismatch visibility) stay spec-covered in CurationSpec. Same
+    * output shape as q79: one row per (doc, distinct fingerprint). */
   def q147WinnowingFast(spark: SparkSession, dir: String): DataFrame =
     graft.functions.TextFunctions.winnowFingerprints(
       tp(spark, dir, "documents"), "text", k = 8, w = 4,
@@ -942,11 +943,12 @@ object TextQueries {
     * the reference's FTS5 index gets from SQLite's porter tokenizer,
     * as a codegen'd per-token map ([[graft.functions.Porter]] via the
     * native `porter_stem` Expression; zero shuffle until the census).
-    * No SQL oracle — DuckDB has no Porter stemmer and the 60-rule
-    * algorithm isn't SQL-expressible, so the driver records rows-only
-    * (the q145/q147 tier discipline); the stemmer itself is pinned by
-    * PorterSpec's ~80 canonical paper vectors and the expression ≡
-    * function codegen-parity test. */
+    * Hash-verified since r11: the full rule chain IS SQL-expressible —
+    * [[OracleSqlGen.q166Sql]] replays every paper step over the distinct
+    * token set (c/v form via list_reduce, measure m as 'v+c+' run count,
+    * longest-first CASE arms mirroring the Scala tables), and the same
+    * SQL stems all ~80 PorterSpec canonical vectors verbatim. The
+    * expression ≡ function codegen-parity test stays in PorterSpec. */
   def q166StemmedCensus(spark: SparkSession, dir: String): DataFrame =
     tp(spark, dir, "documents").select(explode(
       transform(TextFunctions.tokens(lower(col("text"))),
@@ -1671,12 +1673,15 @@ object TextQueries {
 
   /** q134 through the xxHash64 FAST tier — the production knob for the
     * hash-bound flat scan (the portable md5 tier costs ~8 digests per
-    * token; xxHash64 is codegen'd and ~2.4× cheaper at 10×). No SQL
-    * oracle — DuckDB has no xxHash64, which is exactly the trade the
-    * tier documents — so the driver records rows-only; the tier's
-    * CORRECTNESS (overestimate guarantee, build/probe agreement,
-    * tier-mismatch failure) is spec-covered in DsirSketchSpec, and the
-    * portable q134 stays the hash-verified twin. */
+    * token; xxHash64 is codegen'd and ~2.4× cheaper at 10×). Hash-
+    * verified since r11: DuckDB has no xxHash64 built-in, but XXH64 is a
+    * published integer algorithm (Collet 2012) and
+    * [[OracleSqlGen.q145Sql]] replays Spark's seed-chained xxhash64
+    * exactly in single-statement SQL (mod-2^64 HUGEINT arithmetic,
+    * little-endian word folds, the avalanche as CTE steps) — a hard
+    * oracle row replaces the old rows-only record. Kernel contracts
+    * (overestimate guarantee, build/probe agreement, tier-mismatch
+    * failure) stay spec-covered in DsirSketchSpec. */
   def q145CmsNoveltyFast(spark: SparkSession, dir: String): DataFrame = {
     import graft.operators.Sketches
     val aug = tp(spark, dir, "documents").select(col("doc_id"),
@@ -2030,5 +2035,11 @@ object TextQueries {
     "q113_substring_dedup" -> q113Sql,
     "q117_seeded_shuffle" -> q117Sql,
     "q118_leakage_safe_split" -> q118Sql,
-    "q121_source_dup_matrix" -> q121Sql)
+    "q121_source_dup_matrix" -> q121Sql,
+    // r11: the three formerly oracle-exempt FAST-tier arms, replayed
+    // exactly in single-statement DuckDB SQL (mod-2^64 HUGEINT
+    // arithmetic / the full Porter rule chain) — see OracleSqlGen
+    "q145_cms_novelty_fast" -> OracleSqlGen.q145Sql,
+    "q147_winnowing_fast" -> OracleSqlGen.q147Sql,
+    "q166_stemmed_census" -> OracleSqlGen.q166Sql)
 }

@@ -2,10 +2,16 @@ package graft
 
 import graft.tools.GoldenHash
 
-/** Regression teeth for the ORACLE-EXEMPT declared arms. q145/q147/q166
-  * are rows-only in the driver's correctness gate by necessity (DuckDB
-  * cannot express xxHash64 or the Porter rules), so a silent output
-  * change there would surface as nothing. This suite pins each arm's
+/** Regression teeth for the FAST-tier declared arms. q145/q147/q166
+  * were rows-only in the driver's correctness gate through round 10;
+  * since r11 each has a REAL DuckDB oracle ([[graft.queries
+  * .OracleSqlGen]] replays xxHash64, the rolling-polynomial fmix64, and
+  * the full Porter chain in single-statement mod-2^64 SQL), so the
+  * driver hash-compares them like every other arm. These pins stay as
+  * belt-and-braces: they catch drift even when the oracle and the arm
+  * change together (both sides of a hash compare moving in lockstep
+  * would pass the driver; the frozen triple would not). This suite pins
+  * each arm's
   * FULL output at sf0.01 — the gate's own scale — as an order-invariant
   * (n_rows, fp_sum, fp_xor) checksum triple ([[GoldenHash.checksum]]:
   * canonical per-row render, salted md5, count/sum-mod-2^61/xor fold),
