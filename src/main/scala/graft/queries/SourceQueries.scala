@@ -165,17 +165,44 @@ object SourceQueries {
     * DocumentLoader scan, where the absent text layer routes extraction
     * through the OCR engine. The oracle recomputes only the printable-
     * ASCII normalization, so the hash matches iff PDF container + Flate
-    * samples + optical recognition all agree on every document. */
+    * samples + optical recognition all agree on every document.
+    *
+    * The 2000-file PDF corpus builds ONCE per source-data version into
+    * an mtime-keyed cache dir published by a single atomic rename
+    * (the q198 stream-split discipline): writing+Flate-compressing 2000
+    * small files per run was the one bench arm whose wall time tracked
+    * /tmp filesystem state instead of plan shape (2.4–5.0 s spread,
+    * BENCH_NOTES r10). The measured operator — the binaryFile scan +
+    * OCR of every page — still runs in full every time. */
   def q96ScannedPdf(spark: SparkSession, dir: String): DataFrame = {
-    val out = s"/tmp/graft_scanned_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
-    val norm = trim(regexp_replace(
-      regexp_replace(col("text"), "[^ -~]", "?"), " +", " "))
-    graft.sources.Pdf.writeDocs(
-      t(spark, dir, "documents")
-        .select(col("doc_id"), substring(norm, 1, 48).as("text"))
-        .filter(col("doc_id") < 2000),
-      out, render = graft.sources.Pdf.writeScanned(_))
-    graft.sources.DocumentLoader.load(spark, out)
+    val srcMtime = java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(s"$dir/documents.parquet")).toMillis
+    val outDir = java.nio.file.Paths.get(
+      s"/tmp/graft_scanned_${dir.replaceAll("[^A-Za-z0-9]", "_")}_$srcMtime")
+    if (!java.nio.file.Files.isDirectory(outDir)) {
+      val tmp = java.nio.file.Files.createTempDirectory(
+        outDir.getParent, outDir.getFileName.toString + ".build")
+      val norm = trim(regexp_replace(
+        regexp_replace(col("text"), "[^ -~]", "?"), " +", " "))
+      graft.sources.Pdf.writeDocs(
+        t(spark, dir, "documents")
+          .select(col("doc_id"), substring(norm, 1, 48).as("text"))
+          .filter(col("doc_id") < 2000),
+        tmp.toString, render = graft.sources.Pdf.writeScanned(_))
+      try
+        java.nio.file.Files.move(tmp, outDir,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+            _: java.nio.file.DirectoryNotEmptyException |
+            _: java.nio.file.AccessDeniedException =>
+          // another builder won the rename; discard our copy
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+    graft.sources.DocumentLoader.load(spark, outDir.toString)
       .select(
         regexp_extract(col("path"), "([0-9-]+)\\.pdf$", 1)
           .cast("long").as("doc_id"),
