@@ -89,10 +89,22 @@ object StatefulFunnel {
   /** One unordered pass + ≤9 successor lookups = the batch min-chain.
     * Package-visible so the spec drives pathological groups directly. */
   private[graft] def fold(times: List[Long], evs: Iterator[Ev],
-                          stages: Seq[String]): List[Long] = {
+                          stages: Seq[String]): List[Long] =
+    foldWithPeak(times, evs, stages)._1
+
+  /** [[fold]] plus the PEAK total buffered candidates observed across
+    * the pass — the spec's teeth for the documented memory envelope:
+    * stages along the completed greedy chain stay within one prune
+    * interval (the descending-order hot user keeps beating the current
+    * successor, and each prune clears the backlog), while stages beyond
+    * the first incomplete one retain exactly the distinct candidate
+    * times a correct answer provably needs (the documented
+    * bounded-memory impossibility under adversarial order). */
+  private[graft] def foldWithPeak(times: List[Long], evs: Iterator[Ev],
+                                  stages: Seq[String]): (List[Long], Int) = {
     val completed = times.size
     val remaining = stages.size - completed
-    if (remaining <= 0) return times
+    if (remaining <= 0) return (times, 0)
     val lastDone = times.lastOption.getOrElse(Long.MinValue)
     val bufs =
       Array.fill(remaining)(new java.util.TreeSet[java.lang.Long]())
@@ -113,6 +125,7 @@ object StatefulFunnel {
     }
 
     var sincePrune = 0
+    var peak = 0
     while (evs.hasNext) {
       val e = evs.next()
       val k = stages.indexOf(e.event_type)
@@ -122,6 +135,11 @@ object StatefulFunnel {
         bufs(k - completed).add(e.ts_us)
         sincePrune += 1
         if (sincePrune >= 64) { prune(); sincePrune = 0 }
+        // track the buffered-candidate peak (≤ 9 O(1) size reads)
+        var s = 0
+        var j = 0
+        while (j < remaining) { s += bufs(j).size; j += 1 }
+        if (s > peak) peak = s
       }
     }
     prune()
@@ -135,6 +153,6 @@ object StatefulFunnel {
       prev = succ
       j += 1
     }
-    out
+    (out, peak)
   }
 }

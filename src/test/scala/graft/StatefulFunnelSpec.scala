@@ -124,6 +124,48 @@ class StatefulFunnelSpec extends SparkSpec {
       batch(1L))
   }
 
+  test("adversarial descending hot user: buffer peak obeys the envelope") {
+    // The documented memory contract, measured instead of prosed:
+    //
+    // (a) a stage whose predecessor chain is COMPLETE holds at most one
+    //     prune interval of candidates even under the worst shape — a
+    //     hot user spamming strictly DESCENDING times, where every
+    //     event beats the current successor and so can never be
+    //     discarded on sight
+    val four = Seq("signup", "view", "click", "purchase")
+    val desc = (0 until 100000).map(i => Ev(1L, 1000000L - i, "view"))
+    val (out, peak) =
+      StatefulFunnel.foldWithPeak(List(100L), desc.iterator, four)
+    assert(out === List(100L, 900001L)) // min qualifying time, exact
+    assert(peak <= 64 + four.size,
+      s"completed-chain stage must stay within one prune interval, peak=$peak")
+
+    // (b) a stage BEYOND the first incomplete one retains exactly the
+    //     distinct candidate times — no fewer (a later-revealed
+    //     threshold is a successor query; dropping any candidate can
+    //     make some final answer wrong — the documented bounded-memory
+    //     impossibility) and no more (duplicates dedupe on sight)
+    val dup = (0 until 60000).map(i => Ev(1L, 500000L - (i % 30000), "view"))
+    val (out2, peak2) =
+      StatefulFunnel.foldWithPeak(Nil, dup.iterator, four)
+    assert(out2 === Nil) // no signup ever arrived
+    assert(peak2 === 30000,
+      s"awaiting stage must hold exactly the distinct candidates, peak=$peak2")
+    // ...and those retained candidates are exactly enough: the same
+    // multiset plus a late first-stage completion recovers the chain
+    val withSignup = dup :+ Ev(1L, 470001L, "signup")
+    assert(StatefulFunnel.fold(Nil, withSignup.iterator, four) ===
+      List(470001L, 470002L))
+
+    // (c) in-order delivery (the documented discipline): the buffers
+    //     never exceed one candidate per remaining stage
+    val ordered = (0 until 10000).map(i =>
+      Ev(1L, 10L + i, four((i % 4))))
+    val (_, peak3) = StatefulFunnel.foldWithPeak(Nil, ordered.iterator, four)
+    assert(peak3 <= 64 + four.size,
+      s"in-order delivery must stay within the envelope, peak=$peak3")
+  }
+
   test("opt-in idle timeout: same answers, state configured for eviction") {
     val batch1 = Seq((1L, 10L, "signup"), (2L, 8L, "signup"))
     val batch2 = Seq((1L, 20L, "view"), (2L, 25L, "view"),
