@@ -413,6 +413,41 @@ object ExprHelpers {
     acc
   }
 
+  /** [[vecDotLong]] with a per-element magnitude bound on the LEFT
+    * array, checked inside the same native loop (one compare per
+    * element — the codegen'd cost of the invariant a caller's long
+    * arithmetic depends on; a separate declarative scan with an
+    * `aggregate` lambda fold was a measured 1.6× on the PCA probe,
+    * because Spark's higher-order array lambdas evaluate interpreted).
+    * Violation throws with the caller-actionable message instead of
+    * silently overflowing. */
+  def vecDotLongBounded(a: org.apache.spark.sql.catalyst.util.ArrayData,
+                        b: org.apache.spark.sql.catalyst.util.ArrayData,
+                        aKind: Int, bKind: Int,
+                        boundAbs: Long): java.lang.Long = {
+    val n = a.numElements()
+    if (b.numElements() != n) return null
+    def get(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+            i: Int, kind: Int): Long = kind match {
+      case 0 => arr.getByte(i).toLong
+      case 1 => arr.getShort(i).toLong
+      case 2 => arr.getInt(i).toLong
+      case _ => arr.getLong(i)
+    }
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      val x = get(a, i, aKind)
+      if (math.abs(x) > boundAbs)
+        throw new IllegalArgumentException(
+          s"vector element $x exceeds $boundAbs: re-scale upstream")
+      acc += x * get(b, i, bKind)
+      i += 1
+    }
+    acc
+  }
+
   /** Whitespace tokenization in one scan — the native form of
     * `filter(split(trim(c), "\\s+"), t => t =!= "")`. The composed
     * chain's value is exactly the maximal runs of non-whitespace
@@ -839,7 +874,8 @@ case class VecDot(left: Expression, right: Expression)
       l: Expression, r: Expression): VecDot = copy(left = l, right = r)
 }
 
-case class VecDotLong(left: Expression, right: Expression)
+case class VecDotLong(left: Expression, right: Expression,
+                      boundAbs: Long = 0L)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types.{ArrayType, ByteType, IntegerType, ShortType}
   override def nullable: Boolean = true
@@ -855,16 +891,24 @@ case class VecDotLong(left: Expression, right: Expression)
     }
   private lazy val (ak, bk) = (kind(left), kind(right))
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    ExprHelpers.vecDotLong(
-      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
-      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ak, bk)
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val bd = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    if (boundAbs > 0L) ExprHelpers.vecDotLongBounded(ad, bd, ak, bk, boundAbs)
+    else ExprHelpers.vecDotLong(ad, bd, ak, bk)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Long r = graft.functions.ExprHelpers.vecDotLong($a, $b, $ak, $bk);
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val call =
+        if (boundAbs > 0L)
+          s"graft.functions.ExprHelpers.vecDotLongBounded($a, $b, $ak, $bk, ${boundAbs}L)"
+        else s"graft.functions.ExprHelpers.vecDotLong($a, $b, $ak, $bk)"
+      s"""
+      java.lang.Long r = $call;
       if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.longValue(); }""")
+      else { ${ev.value} = r.longValue(); }"""
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): VecDotLong = copy(left = l, right = r)
@@ -1122,6 +1166,13 @@ object Expressions {
   def vec_dot_long(a: Column, b: Column): Column =
     ColumnBridge.column(
       VecDotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  /** [[vec_dot_long]] that additionally enforces |element| ≤ boundAbs on
+    * the left array inside the native loop — the zero-extra-pass way to
+    * pin an overflow invariant the caller's long arithmetic needs. */
+  def vec_dot_long_bounded(a: Column, b: Column, boundAbs: Long): Column =
+    ColumnBridge.column(
+      VecDotLong(ColumnBridge.expression(a), ColumnBridge.expression(b),
+        boundAbs))
   def whitespace_tokens(c: Column): Column =
     ColumnBridge.column(WhitespaceTokens(ColumnBridge.expression(c)))
   def porter_stem(c: Column): Column =

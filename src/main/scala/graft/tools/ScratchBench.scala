@@ -46,6 +46,17 @@ object ScratchBench {
         graft.operators.Pca.projectTop(
           em.select(col("vec_id"), v256.as("e256")), "vec_id", "e256")
       },
+      "pca_project_d2048" -> { (s, d) =>
+        // r11 tree-kernel ceiling probe: a d=2048 corpus tiled 32× from
+        // the 64-dim embeddings (per-copy scale so dims aren't exact
+        // duplicates); routes the tree-reduced 128-bit Gramian
+        val em = graft.queries.Tables.tp(s, d, "embeddings")
+        val v2048 = flatten(array((0 until 32).map(c =>
+          transform(col("embedding"),
+            x => x * lit(1.0f + c * 0.03f))): _*))
+        graft.operators.Pca.projectTop(
+          em.select(col("vec_id"), v2048.as("e2048")), "vec_id", "e2048")
+      },
       "profile_exact" -> { (s, d) =>
         graft.operators.Profiler.profile(
           s.read.parquet(s"$d/lineitem.parquet"))

@@ -127,6 +127,52 @@ class PcaSpec extends SparkSpec {
     assert(e.getMessage.contains("re-scale"))
   }
 
+  test("d = 2048 routes the tree-reduced 128-bit kernel and stays exact") {
+    // rank-1 corpus at the NEW dimension ceiling: loading j tracks
+    // (j+1)/d with the pivot pinned at dim d-1 — closed-form expected
+    // output, so this is an exactness proof, not just a smoke test.
+    // Mixed-sign weights exercise the 128-bit signed carry path.
+    val d = 2048
+    val base = (0 until d).map(j => (j + 1).toFloat / d)
+    val vs = Seq(1.0f, -2.0f, 3.0f, -1.0f).zipWithIndex.map { case (t, i) =>
+      (i.toLong, base.map(_ * t))
+    }
+    for (parts <- Seq(1, 7)) {
+      val out = Pca.topComponent(
+          vs.toDF("vec_id", "embedding").repartition(parts), "embedding")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(out.size === d)
+      assert(out(d - 1) === 1000000L)
+      for (j <- Seq(0, 511, 1023, 1535))
+        assert(math.abs(out(j) - math.round(1e6 * (j + 1).toDouble / d)) <= 2,
+          s"parts=$parts dim $j: ${out(j)}")
+    }
+    // beyond the ceiling still refuses loudly
+    val tooBig = Seq((0L, (0 until 2049).map(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      Pca.topComponent(tooBig, "embedding").collect()
+    }
+    assert(e.getMessage.contains("2048"))
+  }
+
+  test("128-bit accumulator carries match BigInt on adversarial sums") {
+    // many rows alternating near the long-block flush boundary with
+    // mixed signs: the per-partition long blocks flush repeatedly and
+    // the 128-bit cells absorb both carry directions; equality against
+    // the decimal-exact posexplode build proves the arithmetic
+    val vs = (0L until 400L).map { i =>
+      val s = if (i % 2 == 0) 999.0f else -998.5f // ~1e9 micro units
+      (i, Seq(s, -s, s * 0.5f))
+    }
+    for (parts <- Seq(1, 7)) {
+      val df = vs.toDF("vec_id", "embedding").repartition(parts)
+      val a = Pca.topComponentVector(df, "embedding", 8, forceGramian = false)
+      val b = Pca.topComponentVector(df, "embedding", 8, forceGramian = true)
+      assert(a._2.toSeq === b._2.toSeq, s"parts=$parts")
+    }
+  }
+
   test("null vectors drop identically on both kernels; projections match") {
     val live = Seq(1.0f, 2.0f, 3.0f, -1.0f).zipWithIndex.map { case (t, i) =>
       (i.toLong, Seq(t, 2 * t, 0.0f, 0.0f))
@@ -151,20 +197,21 @@ class PcaSpec extends SparkSpec {
     assert(proj === want)
   }
 
-  test("oversized elements are rejected on the d <= 64 path too") {
-    // the 1e9-micro element bound must hold for EVERY d — the long-dot
-    // in projectTop leans on it even when the posexplode kernel (itself
-    // decimal-exact) is the covariance path
+  test("oversized elements are rejected where long arithmetic relies on them") {
+    // the 1e9-micro element bound is enforced at the two points that
+    // DEPEND on it: the projection's native long dot (per element,
+    // every d — including the d <= 64 posexplode covariance path, which
+    // is itself decimal-exact and so needs no bound of its own) and the
+    // d > 64 Gramian kernel (per row)
     val big = Seq((0L, Seq(2000.0f, 1.0f)), (1L, Seq(1.0f, 2.0f)))
       .toDF("vec_id", "embedding")
     val e1 = intercept[Exception] {
-      Pca.topComponent(big, "embedding").collect()
-    }
-    assert(e1.getMessage.contains("re-scale"))
-    val e2 = intercept[Exception] {
       Pca.projectTop(big, "vec_id", "embedding").collect()
     }
-    assert(e2.getMessage.contains("re-scale"))
+    assert(e1.getMessage.contains("re-scale"))
+    // the decimal-exact covariance alone accepts the same corpus: the
+    // loadings of the rank-deficient 2-vector cloud still compute
+    assert(Pca.topComponent(big, "embedding").collect().length === 2)
   }
 
   test("ragged vectors are rejected") {
