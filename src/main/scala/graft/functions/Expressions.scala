@@ -610,6 +610,77 @@ object ExprHelpers {
       .fromPrimitiveArray(out)
   }
 
+  /** DSIR feature bucket of one salted gram (`a`, or the bigram
+    * `a + ' ' + b` when b is non-null): the 60-bit md5 prefix mod
+    * `buckets` — byte-identical to
+    * `pmod(conv(substring(md5(concat("dsir|", g)), 1, 15), 16, 10), buckets)`
+    * without materializing the concatenated gram string or the hex. */
+  private def dsirBucket(md: java.security.MessageDigest,
+                         a: Array[Byte], b: Array[Byte],
+                         buckets: Int): Int = {
+    md.reset()
+    md.update(DsirSalt)
+    md.update(a)
+    if (b != null) { md.update(' '.toByte); md.update(b) }
+    (nibbles60(md.digest(), 0) % buckets).toInt
+  }
+  private[this] val DsirSalt =
+    "dsir|".getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** All DSIR feature buckets of a word array — unigrams then word
+    * bigrams, the [[graft.operators.Dsir]] gram order — ONE md5 per gram
+    * and no per-gram concat/hex/conv round-trip (the declarative chain's
+    * cost). Null word → null (parity with the md5-of-null-concat form). */
+  def dsirBuckets(words: org.apache.spark.sql.catalyst.util.ArrayData,
+                  buckets: Int):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = words.numElements()
+    if (n == 0) return emptyLongArray
+    val md = md5Local.get()
+    val out = new Array[Long](2 * n - 1)
+    val bytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) return null
+      bytes(i) = words.getUTF8String(i).getBytes
+      out(i) = dsirBucket(md, bytes(i), null, buckets)
+      i += 1
+    }
+    i = 0
+    while (i < n - 1) {
+      out(n + i) = dsirBucket(md, bytes(i), bytes(i + 1), buckets)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
+  /** DSIR per-document log-weight: Σ lut[bucket(gram)] over unigrams +
+    * word bigrams in ONE pass — the native form of
+    * `aggregate(grams, 0L, (acc, g) -> acc + element_at(lut, bucket(g)+1))`,
+    * whose lambda evaluates interpreted per gram (concat + md5 + hex
+    * parse + pmod + element_at per step). Exact integer sum, order-
+    * independent; `lut.length` IS the bucket count. Null word → null. */
+  def dsirLogw(words: org.apache.spark.sql.catalyst.util.ArrayData,
+               lut: org.apache.spark.sql.catalyst.util.ArrayData)
+      : java.lang.Long = {
+    val n = words.numElements()
+    val buckets = lut.numElements()
+    val md = md5Local.get()
+    var acc = 0L
+    var prev: Array[Byte] = null
+    var i = 0
+    while (i < n) {
+      if (words.isNullAt(i)) return null
+      val w = words.getUTF8String(i).getBytes
+      acc += lut.getLong(dsirBucket(md, w, null, buckets))
+      if (prev != null) acc += lut.getLong(dsirBucket(md, prev, w, buckets))
+      prev = w
+      i += 1
+    }
+    acc
+  }
+
   /** Exact long squared distance Σ(x−y)² of two integral arrays — the
     * native `aggregate(zip_with(v, cent, (x−y)²), 0L, +)` with the same
     * fold null semantics as [[vecDotLong]] (length mismatch or null
@@ -914,6 +985,47 @@ case class VecDotLong(left: Expression, right: Expression,
       l: Expression, r: Expression): VecDotLong = copy(left = l, right = r)
 }
 
+case class DsirBuckets(child: Expression, buckets: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(w: Any): Any =
+    ExprHelpers.dsirBuckets(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], buckets)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, w => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData r =
+        graft.functions.ExprHelpers.dsirBuckets($w, $buckets);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r; }""")
+
+  override protected def withNewChildInternal(c: Expression): DsirBuckets =
+    copy(child = c)
+}
+
+case class DsirLogw(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(w: Any, lut: Any): Any =
+    ExprHelpers.dsirLogw(
+      w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      lut.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (w, lut) => s"""
+      java.lang.Long r = graft.functions.ExprHelpers.dsirLogw($w, $lut);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r.longValue(); }""")
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DsirLogw = copy(left = l, right = r)
+}
+
 case class SortedSetOps(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = org.apache.spark.sql.types.StructType(
@@ -1166,6 +1278,16 @@ object Expressions {
   def vec_dot_long(a: Column, b: Column): Column =
     ColumnBridge.column(
       VecDotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  /** DSIR feature buckets of a word array (unigrams then bigrams), one
+    * md5 per gram — see [[ExprHelpers.dsirBuckets]]. */
+  def dsir_buckets(words: Column, buckets: Int): Column =
+    ColumnBridge.column(
+      DsirBuckets(ColumnBridge.expression(words), buckets))
+  /** DSIR per-document log-weight Σ lut[bucket(gram)] in one pass — see
+    * [[ExprHelpers.dsirLogw]]. */
+  def dsir_logw(words: Column, lut: Column): Column =
+    ColumnBridge.column(
+      DsirLogw(ColumnBridge.expression(words), ColumnBridge.expression(lut)))
   /** [[vec_dot_long]] that additionally enforces |element| ≤ boundAbs on
     * the left array inside the native loop — the zero-extra-pass way to
     * pin an overflow invariant the caller's long arithmetic needs. */

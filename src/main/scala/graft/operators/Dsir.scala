@@ -39,14 +39,19 @@ object Dsir {
 
   private val Dup = "__graft_"
 
-  /** Lowercased whitespace unigrams ++ "w1 w2" bigrams — the feature
-    * grams. Unigrams cannot contain spaces, so the two spaces can share
-    * one array without collisions. */
-  private def gramArr(textCol: Column): Column = {
-    // null text must mean ZERO grams (score 0, like the oracle's
-    // left-join + coalesce), not a null score column
-    val w = coalesce(TextFunctions.tokens(lower(textCol)),
+  /** Word array of a document; null text must mean ZERO grams (score 0,
+    * like the oracle's left-join + coalesce), not a null score column.
+    * The native bucket/score kernels derive unigrams + word bigrams from
+    * this directly — gram strings never materialize. */
+  private def wordsOf(textCol: Column): Column =
+    coalesce(TextFunctions.tokens(lower(textCol)),
       array().cast("array<string>"))
+
+  /** The declarative gram/bucket chain the native kernels replace — kept
+    * (private[graft]) as the spec's parity reference: DsirSketchSpec
+    * proves `dsir_buckets`/`dsir_logw` value-identical to this form. */
+  private[graft] def gramArr(textCol: Column): Column = {
+    val w = wordsOf(textCol)
     // native one-pass shingle kernel — identical "w1 w2" strings to the
     // zip_with-of-two-slices form (see TextFunctions.shingles)
     concat(w, graft.functions.Expressions.word_shingles(w, 2))
@@ -56,7 +61,7 @@ object Dsir {
     * `buckets` (same md5 formula every other sampling/hashing operator
     * uses — DuckDB replays it as `('0x'||substr(md5(...),1,15))::UBIGINT
     * % buckets`). */
-  private def bucketOf(g: Column, buckets: Int): Column =
+  private[graft] def bucketOf(g: Column, buckets: Int): Column =
     pmod(TextFunctions.hash64(concat(lit("dsir|"), g)), lit(buckets.toLong))
 
   /** Importance-score `df` against the target slice `targetPred` and
@@ -80,12 +85,15 @@ object Dsir {
     require(keepFrac > 0 && keepFrac < 1, "keepFrac must be in (0,1)")
 
     // --- model: one pass, both censuses at once --------------------------
+    // grams never materialize as strings: the native kernel emits each
+    // document's BUCKET array directly (one md5 per gram, no per-gram
+    // concat/hex/conv chain), so only small longs ride the explode
     val grams = df.select(
-      explode(gramArr(col(textCol))).as(s"${Dup}g"),
+      explode(graft.functions.Expressions.dsir_buckets(
+        wordsOf(col(textCol)), buckets)).as(s"${Dup}b"),
       when(targetPred, 1L).otherwise(0L).as(s"${Dup}tf"))
     val census = Parallelism.stage(
-      grams.select(bucketOf(col(s"${Dup}g"), buckets).as(s"${Dup}b"),
-          col(s"${Dup}tf"))
+      grams
         .groupBy(col(s"${Dup}b"))
         .agg(count(lit(1)).as(s"${Dup}rc"), sum(col(s"${Dup}tf")).as(s"${Dup}tc")))
     val totals = census.agg(
@@ -110,13 +118,17 @@ object Dsir {
       .foreach(r => model(r.getLong(0).toInt) = r.getLong(1))
 
     // --- scoring: pure map over a broadcast literal ----------------------
+    // one native pass per document (Σ lut[bucket] over unigrams +
+    // bigrams): the aggregate(element_at(lut, bucketOf(t)+1)) fold this
+    // replaces ran its lambda INTERPRETED per gram — concat + md5 + hex
+    // parse + pmod + array lookup per step (the r11 PCA lesson applied);
+    // values identical, DsirSketchSpec proves the parity
     val lut = lit(model)
-    val g = gramArr(col(textCol))
+    val w = wordsOf(col(textCol))
     val scored = Parallelism.stage(df.select(col(idCol),
-      size(g).cast("long").as("n_grams"),
-      aggregate(g, lit(0L), (acc, t) =>
-        acc + element_at(lut, (bucketOf(t, buckets) + 1).cast("int")))
-        .as("logw_micro")))
+      // |grams| = |w| + max(|w|−1, 0) — unigrams plus word bigrams
+      greatest(size(w).cast("long") * 2 - 1, lit(0L)).as("n_grams"),
+      graft.functions.Expressions.dsir_logw(w, lut).as("logw_micro")))
 
     // --- global quantile cut over the value-distinct histogram -----------
     // exact ceil((1−keepFrac)·n) through the 1e-6 integer grid — for the

@@ -29,6 +29,47 @@ class DsirSketchSpec extends SparkSpec {
       .toDF("doc_id", "text", "source")
   }
 
+  test("dsir: native bucket/score kernels equal the declarative chain") {
+    // the r11 native kernels (one md5 per gram, no concat/hex/conv, no
+    // interpreted aggregate lambda) must reproduce the declarative
+    // gramArr/bucketOf form bit-for-bit — that form is what the q124
+    // oracle replays in DuckDB
+    import org.apache.spark.sql.functions._
+    val docs = corpus(3).select(col("doc_id"), col("text"))
+      .unionByName(Seq(
+        (900L, "single"), (901L, ""), (902L, "  "),
+        (903L, null.asInstanceOf[String]),
+        (904L, "ünïcode tokens with ünïcode bytes"))
+        .toDF("doc_id", "text"))
+    val buckets = 64 // small so collisions genuinely occur
+    val w = coalesce(graft.functions.TextFunctions.tokens(lower(col("text"))),
+      array().cast("array<string>"))
+    // bucket arrays: native vs declarative transform over gram strings
+    val both = docs.select(col("doc_id"),
+      graft.functions.Expressions.dsir_buckets(w, buckets).as("nat"),
+      transform(graft.operators.Dsir.gramArr(col("text")),
+        g => graft.operators.Dsir.bucketOf(g, buckets)).as("dec"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Long](1) === r.getSeq[Long](2),
+        s"doc ${r.getLong(0)}: bucket arrays differ")
+    }
+    // log-weight: native one-pass fold vs aggregate(element_at) fold
+    val lutArr = Array.tabulate(buckets)(i => (i * 37L - 1000L))
+    val lut = lit(lutArr)
+    val scores = docs.select(col("doc_id"),
+      graft.functions.Expressions.dsir_logw(w, lut).as("nat"),
+      aggregate(graft.operators.Dsir.gramArr(col("text")), lit(0L),
+        (acc, t) => acc + element_at(lut,
+          (graft.operators.Dsir.bucketOf(t, buckets) + 1).cast("int")))
+        .as("dec"))
+      .collect()
+    scores.foreach { r =>
+      assert(r.getLong(1) === r.getLong(2),
+        s"doc ${r.getLong(0)}: ${r.getLong(1)} != ${r.getLong(2)}")
+    }
+  }
+
   test("dsir: target-like docs outscore junk and fill the kept quarter") {
     val out = Dsir.importanceWeights(corpus(), "doc_id", "text",
       targetPred = col("source") === "wiki", buckets = 2048, keepFrac = 0.25)
