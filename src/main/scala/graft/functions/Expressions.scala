@@ -681,6 +681,43 @@ object ExprHelpers {
     acc
   }
 
+  /** Symmetric int8 quantization codes of a float/double vector —
+    * code_i = round(v_i·127 / max|v|), all-zero for a zero vector — in
+    * ONE native pass. Bit-identical to the declarative
+    * aggregate(max-abs) + transform(round·cast) chain it replaces
+    * (whose two lambdas evaluate INTERPRETED per element): Spark's
+    * Round(double, 0) is `BigDecimal.decimal(x).setScale(0, HALF_UP)`,
+    * replicated here term for term — a float `floor(x+0.5)` shortcut
+    * disagrees on values one ulp under .5. Null element → null result
+    * (the declarative form nulls the CELL; every int8 consumer nulls on
+    * a null cell, so the forms are consumer-equivalent — spec-pinned). */
+  def int8Codes(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+                kind: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = vec.numElements()
+    @inline def at(i: Int): Double =
+      if (kind == 0) vec.getFloat(i).toDouble else vec.getDouble(i)
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      val a = math.abs(at(i))
+      if (a > m) m = a
+      i += 1
+    }
+    val out = new Array[Byte](n)
+    if (m != 0.0) {
+      i = 0
+      while (i < n) {
+        out(i) = scala.math.BigDecimal.decimal(at(i) * 127.0 / m)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble.toByte
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
+  }
+
   /** Exact long squared distance Σ(x−y)² of two integral arrays — the
     * native `aggregate(zip_with(v, cent, (x−y)²), 0L, +)` with the same
     * fold null semantics as [[vecDotLong]] (length mismatch or null
@@ -1006,6 +1043,35 @@ case class DsirBuckets(child: Expression, buckets: Int)
     copy(child = c)
 }
 
+case class Int8Codes(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType => DT,
+    FloatType => FT}
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+
+  private lazy val kind: Int =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FT => 0
+      case DT => 1
+      case t => throw new IllegalArgumentException(s"int8_codes over $t array")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.int8Codes(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], kind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData r =
+        graft.functions.ExprHelpers.int8Codes($v, $kind);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r; }""")
+
+  override protected def withNewChildInternal(c: Expression): Int8Codes =
+    copy(child = c)
+}
+
 case class DsirLogw(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def nullable: Boolean = true
@@ -1278,6 +1344,10 @@ object Expressions {
   def vec_dot_long(a: Column, b: Column): Column =
     ColumnBridge.column(
       VecDotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  /** Symmetric int8 quantization codes in one native pass — see
+    * [[ExprHelpers.int8Codes]]. */
+  def int8_codes(vec: Column): Column =
+    ColumnBridge.column(Int8Codes(ColumnBridge.expression(vec)))
   /** DSIR feature buckets of a word array (unigrams then bigrams), one
     * md5 per gram — see [[ExprHelpers.dsirBuckets]]. */
   def dsir_buckets(words: Column, buckets: Int): Column =

@@ -434,8 +434,15 @@ object Similarity {
     * one byte per dimension — 4× smaller than float32, the standard
     * memory-bound ANN trade (FAISS SQ8). A zero vector quantizes to
     * all-zero codes. Rounding is half-away-from-zero in both Spark and
-    * DuckDB, so codes are engine-reproducible. */
-  def int8Codes(vec: Column): Column = {
+    * DuckDB, so codes are engine-reproducible. r11: one native pass
+    * ([[graft.functions.Expressions.int8_codes]]) — the declarative
+    * max-fold + per-element round chain ran BOTH its lambdas interpreted
+    * per element; value-identical, OperatorsSpec compares the forms. */
+  def int8Codes(vec: Column): Column =
+    graft.functions.Expressions.int8_codes(vec)
+
+  /** The retired declarative form, kept as the kernel's spec twin. */
+  private[graft] def int8CodesDeclarative(vec: Column): Column = {
     val mx = aggregate(vec, lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
     // bind the max ONCE per row via a 1-element transform: HOF lambdas

@@ -274,6 +274,33 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(0L, 10L, 20L))
   }
 
+  test("int8 native kernel equals the declarative round chain bit-for-bit") {
+    // the r11 one-pass kernel must reproduce the retired declarative
+    // aggregate(max-abs) + transform(round) form exactly — including the
+    // half-up rounding on adversarial near-.5 ratios, where a float
+    // floor(x+0.5) shortcut diverges by one code
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(11)
+    val vecs = (0L until 200L).map { i =>
+      val d = 1 + rnd.nextInt(24)
+      (i, Array.fill(d)((rnd.nextFloat() * 2 - 1) *
+        math.pow(10, rnd.nextInt(5) - 2).toFloat))
+    } ++ Seq(
+      (900L, Array(0.0f, 0.0f)),              // zero vector
+      (901L, Array(1.0f)),                    // single element -> 127
+      (902L, Array(-3.5f, 7.0f, 1.75f)),      // exact .5 ratios
+      (903L, Array(Float.MinPositiveValue, 1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val both = df.select(col("vec_id"),
+      Similarity.int8Codes(col("embedding")).as("nat"),
+      Similarity.int8CodesDeclarative(col("embedding")).as("dec"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[Byte](1) === r.getSeq[Byte](2),
+        s"vec ${r.getLong(0)}")
+    }
+  }
+
   test("int8 quantization: exact codes, scale cancellation, top-k recall") {
     import graft.operators.Similarity
     val df = Seq(
