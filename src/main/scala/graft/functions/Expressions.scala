@@ -681,6 +681,68 @@ object ExprHelpers {
     acc
   }
 
+  /** Per-JVM memo of sign-LSH hyperplane components: global plane gp →
+    * the component vector for every dim seen so far. The component is a
+    * PURE function of (gp, dim) — `hash64("plane<gp>|<dim>") mod 20011
+    * / 10005.5 − 1` — yet the declarative form recomputed the salted
+    * md5 (plus the concat and hex parse) per ELEMENT per ROW inside an
+    * interpreted lambda; here each (gp, dim) digests once per executor
+    * and every row after that pays d array reads per plane. Grown by
+    * full recompute under a lock when a larger d appears (amortized
+    * once); bounded by planes×dims actually used. */
+  private[this] val lshPlaneCache =
+    new java.util.concurrent.ConcurrentHashMap[Integer, Array[Double]]()
+  private def lshComponents(gp: Int, d: Int): Array[Double] = {
+    val cur = lshPlaneCache.get(gp)
+    if (cur != null && cur.length >= d) return cur
+    lshPlaneCache.synchronized {
+      val again = lshPlaneCache.get(gp)
+      if (again != null && again.length >= d) return again
+      val out = new Array[Double](d)
+      val md = md5Local.get()
+      var i = 0
+      while (i < d) {
+        md.reset()
+        md.update(s"plane$gp|$i"
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        out(i) = (nibbles60(md.digest(), 0) % 20011L).toDouble / 10005.5 - 1.0
+        i += 1
+      }
+      lshPlaneCache.put(gp, out)
+      out
+    }
+  }
+
+  /** Sign-LSH bucket key of a float/double vector: one bit per
+    * hyperplane = sign of ⟨v, w_p⟩, planes tableSalt·numPlanes ..
+    * +numPlanes−1. Bit-identical to the declarative
+    * aggregate(zip_with(vec, sequence, x·planeComponent)) fold: same
+    * element-order left-to-right double summation, same per-term IEEE
+    * ops, same strict `> 0` sign rule; a null element makes every
+    * plane's projection null, which the declarative when() maps to bit
+    * 0 — bucket 0 — reproduced here. */
+  def lshBucket(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+                kind: Int, numPlanes: Int, tableSalt: Int): Long = {
+    val d = vec.numElements()
+    var i = 0
+    while (i < d) { if (vec.isNullAt(i)) return 0L; i += 1 }
+    var bucket = 0L
+    var p = 0
+    while (p < numPlanes) {
+      val comp = lshComponents(tableSalt * numPlanes + p, d)
+      var acc = 0.0
+      i = 0
+      while (i < d) {
+        val x = if (kind == 0) vec.getFloat(i).toDouble else vec.getDouble(i)
+        acc += x * comp(i)
+        i += 1
+      }
+      if (acc > 0.0) bucket += (1L << p)
+      p += 1
+    }
+    bucket
+  }
+
   /** Symmetric int8 quantization codes of a float/double vector —
     * code_i = round(v_i·127 / max|v|), all-zero for a zero vector — in
     * ONE native pass. Bit-identical to the declarative
@@ -1043,6 +1105,34 @@ case class DsirBuckets(child: Expression, buckets: Int)
     copy(child = c)
 }
 
+case class LshBucket(child: Expression, numPlanes: Int, tableSalt: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, DoubleType => DT,
+    FloatType => FT}
+  override def nullable: Boolean = true
+  override def dataType: DataType = LongType
+
+  private lazy val kind: Int =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FT => 0
+      case DT => 1
+      case t => throw new IllegalArgumentException(s"lsh_bucket over $t array")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.lshBucket(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      kind, numPlanes, tableSalt)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"""
+      ${ev.value} = graft.functions.ExprHelpers.lshBucket(
+        $v, $kind, $numPlanes, $tableSalt);""")
+
+  override protected def withNewChildInternal(c: Expression): LshBucket =
+    copy(child = c)
+}
+
 case class Int8Codes(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   import org.apache.spark.sql.types.{ArrayType, ByteType, DoubleType => DT,
@@ -1344,6 +1434,11 @@ object Expressions {
   def vec_dot_long(a: Column, b: Column): Column =
     ColumnBridge.column(
       VecDotLong(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  /** Sign-LSH bucket key in one native pass over a memoized plane
+    * table — see [[ExprHelpers.lshBucket]]. */
+  def lsh_bucket(vec: Column, numPlanes: Int, tableSalt: Int = 0): Column =
+    ColumnBridge.column(
+      LshBucket(ColumnBridge.expression(vec), numPlanes, tableSalt))
   /** Symmetric int8 quantization codes in one native pass — see
     * [[ExprHelpers.int8Codes]]. */
   def int8_codes(vec: Column): Column =

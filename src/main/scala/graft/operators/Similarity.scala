@@ -64,8 +64,18 @@ object Similarity {
 
   /** Sign-LSH bucket key: one bit per hyperplane = sign of <v, w_p>.
     * `tableSalt` selects an independent plane set (table t uses planes
-    * t*numPlanes .. t*numPlanes+numPlanes-1); 0 = the single-table key. */
-  def lshBucket(vec: Column, numPlanes: Int, tableSalt: Int = 0): Column = {
+    * t*numPlanes .. t*numPlanes+numPlanes-1); 0 = the single-table key.
+    * r11: one native pass over a per-executor memoized plane table
+    * ([[graft.functions.Expressions.lsh_bucket]]) — the declarative
+    * fold re-derived each plane component (salted md5 + hex parse) per
+    * ELEMENT per ROW inside interpreted lambdas; value-identical,
+    * OperatorsSpec compares the forms. */
+  def lshBucket(vec: Column, numPlanes: Int, tableSalt: Int = 0): Column =
+    graft.functions.Expressions.lsh_bucket(vec, numPlanes, tableSalt)
+
+  /** The retired declarative form, kept as the kernel's spec twin. */
+  private[graft] def lshBucketDeclarative(vec: Column, numPlanes: Int,
+                                          tableSalt: Int = 0): Column = {
     val bits = (0 until numPlanes).map { p =>
       val proj = aggregate(
         zip_with(vec, sequence(lit(0), size(vec) - 1),

@@ -274,6 +274,28 @@ class OperatorsSpec extends SparkSpec {
     assert(kept == Set(0L, 10L, 20L))
   }
 
+  test("lsh native kernel equals the declarative plane fold bit-for-bit") {
+    // same element-order double summation, same strict > 0 sign rule,
+    // same salted-md5 plane components (now memoized per executor) —
+    // across plane counts, table salts, dims, and sign-mixed scales
+    import graft.operators.Similarity
+    val rnd = new scala.util.Random(19)
+    val vecs = (0L until 300L).map { i =>
+      val d = 1 + rnd.nextInt(40)
+      (i, Array.fill(d)((rnd.nextFloat() * 2 - 1) *
+        math.pow(10, rnd.nextInt(4) - 1).toFloat))
+    } ++ Seq((900L, Array(0.0f, 0.0f))) // zero vector: no bit fires
+    val df = vecs.toDF("vec_id", "embedding")
+    for ((planes, salt) <- Seq((4, 0), (8, 0), (4, 3), (12, 7))) {
+      val both = df.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), planes, salt).as("nat"),
+        Similarity.lshBucketDeclarative(col("embedding"), planes, salt)
+          .as("dec")).collect()
+      both.foreach(r => assert(r.getLong(1) === r.getLong(2),
+        s"planes=$planes salt=$salt vec ${r.getLong(0)}"))
+    }
+  }
+
   test("int8 native kernel equals the declarative round chain bit-for-bit") {
     // the r11 one-pass kernel must reproduce the retired declarative
     // aggregate(max-abs) + transform(round) form exactly — including the
