@@ -23,6 +23,7 @@ import graft.sources.Sources
   *   graft.Main list-runs --registry DIR
   *   graft.Main list-checkpoints --registry DIR
   *   graft.Main inspect  --registry DIR --run-id ID
+  *   graft.Main inspect  --input PATH [--head N]
   *   graft.Main status   --registry DIR --run-id ID
   *   graft.Main health   --config cfg.yaml [--input PATH] [--run-dir DIR]
   *
@@ -79,6 +80,9 @@ object Main {
         // what a user scans before picking a run to resume
         listCheckpoints(need("registry")).foreach(System.out.println)
         return
+      case "inspect" if opts.contains("input") =>
+        () // reference `inspect -i FILE` (cli/main.py:906) — file preview
+           // needs a Spark read; falls through to the Spark section
       case "inspect" =>
         val reg = new RunRegistry(need("registry"))
         reg.get(need("run-id")) match {
@@ -109,6 +113,15 @@ object Main {
     spark.sparkContext.setLogLevel("WARN")
 
     try {
+      // reference `inspect -i FILE [--head N]` (cli/main.py:906): file
+      // info + per-column dtype/null census + a head preview — the
+      // pre-flight a user runs before writing a config
+      if (cmd == "inspect") {
+        inspectInput(spark, need("input"),
+          opts.get("head").flatMap(_.toIntOption).getOrElse(5))
+          .foreach(System.out.println)
+        return
+      }
       // "plan" needs no config file — the planner drafts the spec itself
       if (cmd == "plan") {
         val input = Sources.read(spark, need("input"))
@@ -216,6 +229,35 @@ object Main {
         (1, s"""{"valid":false,"error":${jsonStr(String.valueOf(e.getMessage))}}""")
     }
 
+  /** `inspect --input` command body (reference: ondine/cli/main.py:906 —
+    * file info, per-column dtypes with null counts, first-N preview):
+    * one summary line, one line per column (null census from a single
+    * aggregation pass), then `head` rows as JSON. Suffix dispatch and
+    * schema come from the same [[Sources.read]] every pipeline command
+    * uses, so what inspect shows is exactly what process will read.
+    * Public so the spec suite drives exactly what the CLI wires. */
+  def inspectInput(spark: org.apache.spark.sql.SparkSession, path: String,
+                   head: Int): Seq[String] = {
+    val df = Sources.read(spark, path)
+    val fields = df.schema.fields.toSeq
+    val countCols = org.apache.spark.sql.functions.count(
+      org.apache.spark.sql.functions.lit(1)) +: fields.map(f =>
+      org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.when(
+          org.apache.spark.sql.functions.col(f.name).isNull, 1L)
+          .otherwise(0L)))
+    val stats = df.agg(countCols.head, countCols.tail: _*).head()
+    val rows = stats.getLong(0)
+    val summary = s"""{"path":${jsonStr(path)},"rows":$rows,""" +
+      s""""columns":${fields.length}}"""
+    val colLines = fields.zipWithIndex.map { case (f, i) =>
+      val nulls = if (stats.isNullAt(i + 1)) 0L else stats.getLong(i + 1)
+      s"""{"column":${jsonStr(f.name)},""" +
+        s""""type":${jsonStr(f.dataType.simpleString)},"nulls":$nulls}"""
+    }
+    (summary +: colLines) ++ df.limit(head).toJSON.collect().toSeq
+  }
+
   /** `status` command body (reference: ondine/cli/main.py:1125 — poll the
     * live status of a run): the registry row, a progress line with the
     * done/total fraction, and — for a SUBMITTED_REMOTE run — the provider
@@ -290,6 +332,7 @@ object Main {
         "       graft.Main list-runs --registry DIR\n" +
         "       graft.Main list-checkpoints --registry DIR\n" +
         "       graft.Main inspect --registry DIR --run-id ID\n" +
+        "       graft.Main inspect --input PATH [--head N]\n" +
         "       graft.Main status --registry DIR --run-id ID\n" +
         "       graft.Main health --config cfg.yaml [--input PATH] [--run-dir DIR]")
 }

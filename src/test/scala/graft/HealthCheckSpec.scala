@@ -287,3 +287,38 @@ class ModelContextLimitsSpec extends AnyFunSuite {
     assert(ok.batchFit.isEmpty)
   }
 }
+
+/** CLI `inspect --input` (reference cli/main.py:906 file preview) —
+  * needs a SparkSession, so it lives in its own SparkSpec suite. */
+class CliInspectSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("inspect --input: summary, column null census, head preview") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val dir = java.nio.file.Files.createTempDirectory("graft_cli_insp")
+    val p = dir.resolve("in.csv").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+      "id,text,score\n1,alpha,0.5\n2,,1.5\n3,gamma,\n4,delta,2.0\n")
+    val lines = Main.inspectInput(spark, p, head = 2)
+    val summary = om.readTree(lines.head)
+    assert(summary.get("rows").asLong == 4)
+    assert(summary.get("columns").asInt == 3)
+    val cols = lines.slice(1, 4).map(om.readTree)
+    val byName = cols.map(n => n.get("column").asText -> n).toMap
+    assert(byName.keySet == Set("id", "text", "score"))
+    assert(byName("text").get("nulls").asLong == 1)
+    assert(byName("score").get("nulls").asLong == 1)
+    assert(byName("id").get("nulls").asLong == 0)
+    // head rows ride as JSON, exactly `head` of them
+    val headRows = lines.drop(4)
+    assert(headRows.size == 2)
+    assert(om.readTree(headRows.head).get("text").asText == "alpha")
+    // parquet goes through the same suffix dispatch
+    val pq = dir.resolve("in.parquet").toString
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      .coalesce(1).write.mode("overwrite").parquet(pq)
+    val pl = Main.inspectInput(spark, pq, head = 5)
+    assert(om.readTree(pl.head).get("rows").asLong == 2)
+    assert(pl.drop(3).size == 2) // head larger than the file: all rows
+  }
+}
