@@ -267,7 +267,10 @@ object Main {
   def statusJson(registryDir: String, runId: String): (Int, Seq[String]) = {
     val reg = new RunRegistry(registryDir)
     reg.get(runId) match {
-      case None => (1, Seq(s"""{"error":"unknown run: ${runId}"}"""))
+      case None =>
+        // jsonStr: a user-supplied run id holding a quote or backslash
+        // must not break the error JSON
+        (1, Seq(s"""{"error":${jsonStr(s"unknown run: $runId")}}"""))
       case Some(r) =>
         val pct =
           if (r.totalRows > 0) r.rows.toDouble / r.totalRows * 100.0 else 0.0

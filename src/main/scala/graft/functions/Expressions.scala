@@ -718,9 +718,11 @@ object ExprHelpers {
     * +numPlanes−1. Bit-identical to the declarative
     * aggregate(zip_with(vec, sequence, x·planeComponent)) fold: same
     * element-order left-to-right double summation, same per-term IEEE
-    * ops, same strict `> 0` sign rule; a null element makes every
-    * plane's projection null, which the declarative when() maps to bit
-    * 0 — bucket 0 — reproduced here. */
+    * ops, same sign rule — including Spark's NaN ordering, where
+    * `NaN > 0` is TRUE (a NaN projection sets the plane bit; Java's
+    * `>` alone would clear it); a null element makes every plane's
+    * projection null, which the declarative when() maps to bit 0 —
+    * bucket 0 — reproduced here. */
   def lshBucket(vec: org.apache.spark.sql.catalyst.util.ArrayData,
                 kind: Int, numPlanes: Int, tableSalt: Int): Long = {
     val d = vec.numElements()
@@ -737,7 +739,7 @@ object ExprHelpers {
         acc += x * comp(i)
         i += 1
       }
-      if (acc > 0.0) bucket += (1L << p)
+      if (acc > 0.0 || java.lang.Double.isNaN(acc)) bucket += (1L << p)
       p += 1
     }
     bucket
@@ -752,7 +754,15 @@ object ExprHelpers {
     * replicated here term for term — a float `floor(x+0.5)` shortcut
     * disagrees on values one ulp under .5. Null element → null result
     * (the declarative form nulls the CELL; every int8 consumer nulls on
-    * a null cell, so the forms are consumer-equivalent — spec-pinned). */
+    * a null cell, so the forms are consumer-equivalent — spec-pinned).
+    * A non-finite element → all-zero codes (the declared contract,
+    * guarded identically in the declarative twin): greatest() makes the
+    * max NaN/Inf (Spark NaN orders above everything), and without the
+    * guard ONE dirty embedding element kills the whole job —
+    * BigDecimal.decimal throws on NaN here, and under Spark 4's default
+    * ANSI mode `cast(NaN as tinyint)` throws in the declarative chain.
+    * All-zero is deterministic, ANSI-independent, and already what a
+    * zero vector yields. */
   def int8Codes(vec: org.apache.spark.sql.catalyst.util.ArrayData,
                 kind: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = vec.numElements()
@@ -762,7 +772,11 @@ object ExprHelpers {
     var i = 0
     while (i < n) {
       if (vec.isNullAt(i)) return null
-      val a = math.abs(at(i))
+      val x = at(i)
+      if (!java.lang.Double.isFinite(x))
+        return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+          .fromPrimitiveArray(new Array[Byte](n))
+      val a = math.abs(x)
       if (a > m) m = a
       i += 1
     }

@@ -63,6 +63,13 @@ object Pca {
     * ordering and zero point are what downstream filters read), 6dp.
     * Null when degenerate.
     *
+    * Row contract: rows whose vector is NULL are DROPPED — in both the
+    * normal branch (a null vector has no projection) and the degenerate
+    * zero-covariance branch (which emits the same row set with null
+    * pc1), so the output row set does not depend on which branch ran.
+    * PcaSpec pins this. Callers wanting null-vector rows preserved
+    * left-join pc1 back on idCol.
+    *
     * Scale shape (r10): the centered dot Σⱼ(n·vⱼ − Sⱼ)uⱼ telescopes to
     * n·(v·u) − S·u, where n and the sum vector S already fall out of
     * the covariance kernel and S·u is ONE driver constant — so the

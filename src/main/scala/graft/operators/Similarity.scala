@@ -451,7 +451,13 @@ object Similarity {
   def int8Codes(vec: Column): Column =
     graft.functions.Expressions.int8_codes(vec)
 
-  /** The retired declarative form, kept as the kernel's spec twin. */
+  /** The retired declarative form, kept as the kernel's spec twin.
+    * Non-finite guard (r12): any NaN/Inf element makes the greatest()
+    * max non-finite (Spark NaN orders above everything), and under
+    * Spark 4's default ANSI mode `cast(NaN as tinyint)` THROWS — one
+    * dirty embedding element killing the job. Both forms instead pin
+    * the contract: non-finite vector → all-zero codes (deterministic,
+    * ANSI-independent, and what the zero-vector case already yields). */
   private[graft] def int8CodesDeclarative(vec: Column): Column = {
     val mx = aggregate(vec, lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
@@ -460,7 +466,8 @@ object Similarity {
     // lambda would re-run the full-vector aggregate for every element
     // (O(d^2) per row)
     element_at(transform(array(mx), m =>
-      transform(vec, x => when(m === 0.0, lit(0))
+      transform(vec, x => when(m === 0.0 || isnan(m) ||
+          m === lit(Double.PositiveInfinity), lit(0))
         .otherwise(round(x.cast("double") * 127.0 / m)).cast("tinyint"))), 1)
   }
 

@@ -74,9 +74,17 @@ final class RunRegistry(baseDir: String) {
 
   /** Serialize a read-modify-write of one run's record: JVM monitor
     * (same-process racers) wrapping an OS file lock (cross-process
-    * racers). Lock files start with "." so [[list]] never parses them. */
+    * racers). The monitor key is the NORMALIZED absolute record path:
+    * two registries over the same baseDir via different spellings
+    * ("runs" vs "./runs" vs "a/../runs") must share one monitor, or the
+    * second FileChannel.lock() on the same underlying file in one JVM
+    * throws OverlappingFileLockException instead of serializing.
+    * (Symlink aliases would need toRealPath, which requires the path to
+    * exist — out of scope for a registry that creates its own dir.)
+    * Lock files start with "." so [[list]] never parses them. */
   private def withRunLock[A](runId: String)(f: => A): A =
-    RunRegistry.jvmLock(fileFor(runId).toAbsolutePath.toString).synchronized {
+    RunRegistry.jvmLock(fileFor(runId).toAbsolutePath.normalize.toString)
+      .synchronized {
       val lockPath = dir.resolve(
         "." + runId.replaceAll("[^A-Za-z0-9._-]", "_") + ".lock")
       val ch = java.nio.channels.FileChannel.open(lockPath,
@@ -85,6 +93,21 @@ final class RunRegistry(baseDir: String) {
       try { val l = ch.lock(); try f finally l.release() }
       finally ch.close()
     }
+
+  /** Drop the dotfile lock once a run reaches SUCCEEDED — the only state
+    * with NO outgoing transitions, so a late racer re-creating the lock
+    * file performs no write behind it (updateMetrics filters on RUNNING;
+    * transition out of SUCCEEDED is illegal). Unlinking a lock file a
+    * waiter still has open is the classic double-hold race, which is why
+    * this NEVER runs for resumable states (FAILED/PARTIAL re-enter
+    * RUNNING); for SUCCEEDED both would-be holders are read-only no-ops.
+    * Bounds dotfile growth to the set of non-terminal runs. The JVM
+    * monitor map entry stays (one small Object per run id — removal is
+    * racy against a thread already synchronized on it). */
+  private def dropLockFile(runId: String): Unit =
+    try Files.deleteIfExists(dir.resolve(
+      "." + runId.replaceAll("[^A-Za-z0-9._-]", "_") + ".lock"))
+    catch { case _: Exception => () }
 
   def register(runId: String, runDir: String): RunRecord = {
     val now = System.currentTimeMillis()
@@ -103,6 +126,7 @@ final class RunRegistry(baseDir: String) {
       val next = update(cur).copy(state = to,
         updatedMs = System.currentTimeMillis())
       save(next)
+      if (to == RunState.Succeeded) dropLockFile(runId)
       next
     }
 

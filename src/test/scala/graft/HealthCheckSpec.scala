@@ -138,6 +138,10 @@ class HealthCheckSpec extends AnyFunSuite {
     // unknown run: exit 1, an error line, no crash
     val (badCode, badLines) = Main.statusJson(regDir.toString, "nope")
     assert(badCode == 1 && badLines.head.contains("unknown run"))
+    // a run id holding a quote/backslash must still produce VALID json
+    val (qc, ql) = Main.statusJson(regDir.toString, """no"pe\""")
+    assert(qc == 1 &&
+      om.readTree(ql.head).get("error").asText == """unknown run: no"pe\""")
     // SUBMITTED_REMOTE: the provider job is polled live WITHOUT collecting
     val reg2 = new RunRegistry(regDir.toString)
     reg2.register("r2", runDir.toString)

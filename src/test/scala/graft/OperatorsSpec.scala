@@ -284,7 +284,15 @@ class OperatorsSpec extends SparkSpec {
       val d = 1 + rnd.nextInt(40)
       (i, Array.fill(d)((rnd.nextFloat() * 2 - 1) *
         math.pow(10, rnd.nextInt(4) - 1).toFloat))
-    } ++ Seq((900L, Array(0.0f, 0.0f))) // zero vector: no bit fires
+    } ++ Seq(
+      (900L, Array(0.0f, 0.0f)),   // zero vector: no bit fires
+      // non-finite projections: Spark NaN orders above 0, so a NaN
+      // projection SETS the plane bit — bare Java `> 0` (false for NaN)
+      // would silently clear it
+      (904L, Array(Float.NaN, 1.0f)),
+      (905L, Array(Float.PositiveInfinity, -0.25f)),
+      (906L, Array(Float.NegativeInfinity, 0.5f)),
+      (907L, Array(Float.PositiveInfinity, Float.NegativeInfinity)))
     val df = vecs.toDF("vec_id", "embedding")
     for ((planes, salt) <- Seq((4, 0), (8, 0), (4, 3), (12, 7))) {
       val both = df.select(col("vec_id"),
@@ -311,7 +319,15 @@ class OperatorsSpec extends SparkSpec {
       (900L, Array(0.0f, 0.0f)),              // zero vector
       (901L, Array(1.0f)),                    // single element -> 127
       (902L, Array(-3.5f, 7.0f, 1.75f)),      // exact .5 ratios
-      (903L, Array(Float.MinPositiveValue, 1.0f)))
+      (903L, Array(Float.MinPositiveValue, 1.0f)),
+      // non-finite elements: the pinned contract is all-zero codes in
+      // BOTH forms — unguarded, one dirty element killed the whole job
+      // (BigDecimal.decimal(NaN) in the kernel; ANSI cast(NaN as
+      // tinyint) in the declarative chain)
+      (904L, Array(Float.NaN, 1.0f)),
+      (905L, Array(Float.PositiveInfinity, 0.5f)),
+      (906L, Array(-1.0f, Float.NegativeInfinity)),
+      (907L, Array(Float.NaN, Float.PositiveInfinity)))
     val df = vecs.toDF("vec_id", "embedding")
     val both = df.select(col("vec_id"),
       Similarity.int8Codes(col("embedding")).as("nat"),
@@ -320,6 +336,12 @@ class OperatorsSpec extends SparkSpec {
     both.foreach { r =>
       assert(r.getSeq[Byte](1) === r.getSeq[Byte](2),
         s"vec ${r.getLong(0)}")
+    }
+    // absolute pin, not just parity: every non-finite vector quantizes
+    // to all-zero codes of the input length
+    both.filter(_.getLong(0) >= 904L).foreach { r =>
+      assert(r.getSeq[Byte](1).forall(_ == 0) && r.getSeq[Byte](1).size == 2,
+        s"vec ${r.getLong(0)} not all-zero")
     }
   }
 

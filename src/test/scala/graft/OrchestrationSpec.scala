@@ -476,6 +476,38 @@ class RunRegistrySpec extends SparkSpec {
     }
   }
 
+  test("registry: aliased baseDir spellings share one lock; SUCCEEDED drops it") {
+    // Two registries over the SAME dir via different spellings must land
+    // on one JVM monitor (normalized key) — otherwise the second
+    // FileChannel.lock() in this JVM throws OverlappingFileLockException
+    // instead of serializing. Hammer both concurrently to surface it.
+    val base = Files.createTempDirectory("graft_reg_alias")
+    val reg = new RunRegistry(base.toString)
+    val aliased = new RunRegistry(
+      base.getParent.toString + "/./" + base.getFileName.toString)
+    reg.register("a1", "/tmp/a1")
+    reg.transition("a1", RunState.Running)
+    val boom = new java.util.concurrent.atomic.AtomicReference[Throwable]()
+    val threads = Seq(reg, aliased, reg, aliased).zipWithIndex.map {
+      case (r, t) => new Thread(() => {
+        try { var i = 0; while (i < 200) { r.updateMetrics("a1", i, i, "0"); i += 1 } }
+        catch { case e: Throwable => boom.compareAndSet(null, e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(boom.get() == null, s"aliased registries collided: ${boom.get()}")
+    // lock-file lifecycle: present while resumable, dropped on SUCCEEDED
+    // (the only state with no outgoing transitions)
+    val lockFile = base.resolve(".a1.lock")
+    assert(Files.exists(lockFile))
+    reg.transition("a1", RunState.Failed)
+    assert(Files.exists(lockFile), "FAILED is resumable; lock must stay")
+    reg.transition("a1", RunState.Running)
+    aliased.transition("a1", RunState.Succeeded)
+    assert(!Files.exists(lockFile), "SUCCEEDED must drop the dotfile lock")
+    assert(reg.get("a1").get.state == RunState.Succeeded)
+  }
+
   test("live progress: the RUNNING registry row advances before completion") {
     val spark = SparkSpec.session
     import spark.implicits._

@@ -50,6 +50,15 @@ class PcaSpec extends SparkSpec {
     val proj = Pca.projectTop(vs.toDF("vec_id", "embedding"),
       "vec_id", "embedding").collect()
     assert(proj.length === 5 && proj.forall(_.isNullAt(1)))
+    // row contract: null-vector rows are DROPPED by the degenerate
+    // branch too — the output row set must not depend on which branch
+    // ran (pre-r12 the degenerate branch kept them with null pc1 while
+    // the normal branch dropped them)
+    val dirty = (vs.map { case (i, v) => (i, Some(v)) } :+
+      (99L, Option.empty[Seq[Float]])).toDF("vec_id", "embedding")
+    val dproj = Pca.projectTop(dirty, "vec_id", "embedding").collect()
+    assert(dproj.length === 5 && dproj.forall(_.isNullAt(1)))
+    assert(!dproj.map(_.getLong(0)).contains(99L))
   }
 
   test("noisy dominant direction separates mixture halves; invariance") {
