@@ -13,16 +13,21 @@ import graft.ops.Parallelism
   * Scale shape: the corpus is touched ONCE to build d sums and d²
   * cross-product sums; everything after runs on the d²-cell scaled
   * covariance `n·Σvⱼvₖ − Σvⱼ·Σvₖ` — a driver table bounded by
-  * `require(d ≤ 2048)` (≤ ~4.2 M cells arriving as ONE compact
-  * long-pair array, the RankCuts bounded-collect discipline). Two
-  * kernels feed it: d ≤ 64 uses the declarative
+  * `require(d ≤ 4096)` (the RankCuts bounded-collect discipline;
+  * 4096 is where the projection's per-row long dot d·1e9·1e6 would
+  * next lose its 2× headroom under Long.MaxValue). Two kernels feed
+  * it: d ≤ 64 uses the declarative
   * posexplode² build (d² codegen'd multiply-adds, map-side combined,
-  * SQL-replayable — the q183 oracle re-runs it); d > 64 uses the
+  * SQL-replayable — the q183/q201 oracles re-run it); d > 64 uses the
   * mapPartitions Gramian kernel (same d² multiply-adds per row in one
-  * long-array loop, per-partition partials tree-reduced as 128-bit
-  * long pairs — no exploded rows, no labeled-cell shuffle)
+  * long-array loop, per-partition partials reduced as 128-bit
+  * long pairs — no exploded rows, no labeled-cell shuffle): up to
+  * d = 2048 the partials tree-reduce as ONE array (≤ 67 MB); past it
+  * they ride as ≤ 2048²-cell column blocks reduced independently per
+  * block key (r12 — one reducer never receives more than one block's
+  * worth of partials, so partial size stays flat as d grows)
   * — exact-integer equal by construction, PcaSpec-proven.
-  * Power iteration is NOT distributed work at d ≤ 2048; distributing
+  * Power iteration is NOT distributed work at d ≤ 4096; distributing
   * such matrix-vector products would be pure shuffle theater.
   *
   * Exactness (the [[Centrality.hits]] micro discipline on a dense
@@ -80,7 +85,7 @@ object Pca {
     * per-row dot stays inside a long (|v| ≤ 1e9 micro enforced
     * per-element INSIDE the native dot for EVERY d — not just the
     * d > 64 kernel's per-row require —
-    * |u| ≤ 1e6, d ≤ 2048 ⇒ ≤ ~2.1e18); the n·dot − S·u
+    * |u| ≤ 1e6, d ≤ 4096 ⇒ ≤ ~4.1e18); the n·dot − S·u
     * lift runs in decimal, the one IEEE division per row is unchanged
     * term-for-term, so values are bit-identical to the explode form. */
   def projectTop(df: DataFrame, idCol: String, vecCol: String,
@@ -124,8 +129,8 @@ object Pca {
     * aggregation — at d = 256 the explode form ships 65 536 rows per
     * vector into the partial aggregation while the kernel touches one
     * long array. Bounded driver collect either way: ≤ d² + d + 1
-    * aggregated cells, d require-bounded at 2048 (≤ ~4.2 M cells as one
-    * compact long-pair array via treeReduce). */
+    * aggregated cells, d require-bounded at 4096 (as compact long-pair
+    * arrays via treeReduce, block-keyed past d = 2048). */
   private[graft] def topComponentVector(
       df: DataFrame, vecCol: String, iters: Int,
       forceGramian: Boolean = false): (Int, Array[Long]) = {
@@ -158,22 +163,62 @@ object Pca {
     require(dRow.getInt(0) == dRow.getInt(1),
       s"ragged vectors: dims ${dRow.getInt(0)}..${dRow.getInt(1)}")
     val d = dRow.getInt(0)
-    require(d >= 1 && d <= 2048, s"dim=$d out of [1,2048]")
-    val (c, n, s) =
-      if (d <= 64 && !forceGramian) posexplodeCovariance(vecs, d)
-      else gramianCovariance(vecs, d)
-    val maxAbs = c.flatten.map(_.abs).max
+    require(d >= 1 && d <= 4096, s"dim=$d out of [1,4096]")
+    // cellAt streams covariance cells instead of materializing a d×d
+    // BigInt matrix: at d = 3072 a resident matrix would be ~9.4 M
+    // BigInt objects; each cell is cheap to recompute (one 128-bit
+    // decode + two small multiplies), paid twice (max-abs scan, then
+    // quantization) against zero residency
+    val (cellAt, n, s): ((Int, Int) => BigInt, BigInt, Array[BigInt]) =
+      if (d <= 64 && !forceGramian) {
+        val (c, n0, s0) = posexplodeCovariance(vecs, d)
+        ((j: Int, k: Int) => c(j)(k), n0, s0)
+      } else {
+        val (combined, n0, s0) = gramianCovariance(vecs, d)
+        ((j: Int, k: Int) =>
+          n0 * toBigInt(combined, 1 + d + j * d + k) - s0(j) * s0(k),
+          n0, s0)
+      }
+    var maxAbs = BigInt(0)
+    var jj = 0
+    while (jj < d) {
+      var kk = 0
+      while (kk < d) {
+        val a = cellAt(jj, kk).abs
+        if (a > maxAbs) maxAbs = a
+        kk += 1
+      }
+      jj += 1
+    }
     if (maxAbs == 0) return (d, null, n, s)
     // quantize cells to ≤1e6 micro units (eigenvectors are invariant
     // to positive scaling; floor quantization is replayed by the oracle)
     // — after which the matvec fits PLAIN LONGS with exactness to spare
-    // (|q| ≤ 1e6, |x| ≤ 1e6, d ≤ 2048 ⇒ |y| ≤ ~2.1e15 « 2^63): the
+    // (|q| ≤ 1e6, |x| ≤ 1e6, d ≤ 4096 ⇒ |y| ≤ ~4.1e15 « 2^63): the
     // same iteration in BigInt was ~34 M object multiplies at d = 2048
     // (~20 s of driver time per call, r11 measured); only the
-    // normalization's y·1e6 (≤ ~2.1e21) needs BigInt, d ops per round.
+    // normalization's y·1e6 (≤ ~4.1e21) needs BigInt, d ops per round.
     // Values are bit-identical — long arithmetic is exact in range.
-    val q = Array.tabulate(d, d)((j, k) =>
-      floorDiv(c(j)(k) * 1000000, maxAbs).toLong)
+    //
+    // The floor division itself runs on a GUARDED double fast path
+    // (r12): x̃ = c·1e6/maxAbs in doubles carries ≤ ~4.4e-16 relative
+    // error (4 roundings), i.e. ≤ ~4.4e-10 absolute at |x| ≤ 1e6 — so
+    // when x̃ sits ≥ 1e-6 from both neighboring integers, floor(x̃) IS
+    // the exact floor; only boundary-adjacent cells (exact multiples
+    // included: the guard catches both sides of the interval) fall back
+    // to the exact BigInt division. Per-cell BigInt divide/mod was 27 s
+    // of driver time at d = 3072 (9.4 M cells, measured); the fast path
+    // is two double ops and a compare. Values identical by the bound.
+    val maxAbsD = maxAbs.toDouble
+    def quantCell(c: BigInt): Long =
+      if (c.signum == 0) 0L
+      else {
+        val x = c.toDouble * 1000000.0 / maxAbsD
+        val f = math.floor(x)
+        if (x - f > 1e-6 && f + 1.0 - x > 1e-6) f.toLong
+        else floorDiv(c * 1000000, maxAbs).toLong
+      }
+    val q = Array.tabulate(d, d)((j, k) => quantCell(cellAt(j, k)))
     var x = Array.fill(d)(1000000L)
     for (_ <- 0 until iters) {
       val y = new Array[Long](d)
@@ -249,18 +294,38 @@ object Pca {
     a(2 * i + 1) = nl
   }
 
-  private def toBigInt(acc: Array[Long], i: Int): BigInt =
+  /** Decode 128-bit cell i to BigInt with shift/mask arithmetic only —
+    * the obvious `BigInt(Long.toUnsignedString(lo))` allocates and
+    * parses a decimal string PER CELL, which at d = 3072 (9.4 M cells
+    * × two driver passes) was ~half the probe's wall time (r12). */
+  private[operators] def toBigInt(acc: Array[Long], i: Int): BigInt = {
+    val lo = acc(2 * i + 1)
     (BigInt(acc(2 * i)) << 64) +
-      BigInt(java.lang.Long.toUnsignedString(acc(2 * i + 1)))
+      (BigInt(lo >>> 32) << 32) + BigInt(lo & 0xFFFFFFFFL)
+  }
+
+  /** Cells per reduce block: one block is at most a d = 2048 partial
+    * (~67 MB of long pairs) — past that, partials split into
+    * column-range blocks reduced independently so no reducer's inbox
+    * grows with d (at d = 4096 a monolithic tree-reduce would hand each
+    * depth-2 reducer √parts × 268 MB). */
+  private val BlockCells = 2048 * 2048
 
   /** Gramian kernel for larger d: ONE tight per-partition loop
     * accumulates n, Σv, and the d×d Gramian Σvvᵀ in long blocks that
     * flush into a 128-bit (hi, lo) long-pair accumulator, and the
-    * per-partition partials tree-reduce (r11 — replacing the labeled-
+    * per-partition partials reduce (r11 — replacing the labeled-
     * rows shuffle, whose parts·(d²+d+1) row machinery was the d > 1024
     * scale ceiling) into ONE compact array on the driver: 2·(d²+d+1)
     * longs ≈ 67 MB at d = 2048, no Row objects, no shuffle of exploded
-    * cells, tree depth 2 so no single reducer sees every partial.
+    * cells. Up to [[BlockCells]] the reduce is a depth-2 treeReduce (no
+    * single reducer sees every partial); past it (d > 2048) each
+    * partial is sliced into ≤ [[BlockCells]]-cell blocks and
+    * reduceByKey merges each block INDEPENDENTLY (r12) — per-reducer
+    * traffic stays ≤ one block × parts, flat in d, and the driver
+    * reassembles the ≤ 5 collected blocks. Returns the raw interleaved
+    * (hi, lo) accumulator — the caller decodes cells lazily — plus n
+    * and Σv.
     * Exactness: element magnitude is require-bounded at 1e9 micro units
     * (|v| ≤ 1000 in original units — far above any normalized
     * embedding), so one product fits a long with 4× headroom; long
@@ -268,10 +333,11 @@ object Pca {
     * the 128-bit cells absorb ~1.7e20 rows per partition before THEY
     * could wrap (unreachable — documented bound). Every accumulation is
     * exact integer addition, so the result is bit-identical to the
-    * posexplode² build in any row/partition order (PcaSpec proves
-    * equality, and proves the 128-bit carry path on sign-mixed data). */
-  private def gramianCovariance(vecs: DataFrame, d: Int)
-      : (Array[Array[BigInt]], BigInt, Array[BigInt]) = {
+    * posexplode² build in any row/partition/reduce order (PcaSpec
+    * proves equality, and proves the 128-bit carry path on sign-mixed
+    * data). */
+  private[operators] def gramianCovariance(vecs: DataFrame, d: Int)
+      : (Array[Long], BigInt, Array[BigInt]) = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val cells = 1 + d + d * d // [n, s(0..d-1), g(row-major)]
@@ -279,24 +345,47 @@ object Pca {
     // inside the d-squared hot loop
     val partials = vecs.select(col(s"${Dup}mv")).as[Array[Long]]
       .mapPartitions { it =>
-        val gBlock = Array.ofDim[Long](d, d)
+        // r12 kernel shape — the naive row-at-a-time build streamed the
+        // ENTIRE d² long block through RAM per input row (at d = 3072:
+        // 150 MB × rows of read+write traffic — measured memory-bound at
+        // ~35 s for 20k rows on 32 cores). Two exact-arithmetic-neutral
+        // restructurings:
+        //   • row tiling: buffer up to B rows column-major and add their
+        //     combined outer-product sum into gBlock in ONE pass — block
+        //     traffic drops B-fold; the B-element inner loop runs in L1;
+        //   • symmetry: Σvvᵀ is symmetric, so only the upper triangle
+        //     accumulates (half the multiplies, half the block traffic)
+        //     and flush mirrors each cell into (k, j) — bit-identical
+        //     because the mirrored value IS the (k, j) sum.
+        // Long addition is associative/commutative, so regrouping per
+        // tile changes nothing; overflow guards are per-tile now (see
+        // drain) with the same cell ≤ blockRows·maxSq ≤ Long.Max/4
+        // invariant as before.
+        val B = 32
+        val gBlock = Array.ofDim[Long](d, d) // upper triangle (k ≥ j)
         val acc = new Array[Long](2 * cells)
         // Σv stays a plain long per dim for the whole partition — it
         // overflows only past ~9.2e9 rows in ONE partition (impossible;
         // the pre-r11 kernel documented the same bound) — and lands in
         // the 128-bit cells once at partition end
         val s = new Array[Long](d)
+        val bufT = new Array[Long](d * B) // column-major: (j, b) → j·B + b
         var n = 0L
-        var blockRows = 0L
-        var maxSq = 1L
+        var cnt = 0        // rows currently buffered
+        var batchMaxSq = 1L
+        var blockRows = 0L // rows accumulated in gBlock since last flush
+        var maxSq = 1L     // max element² among those rows
         def flush(): Unit = {
           var j = 0
           while (j < d) {
             val row = gBlock(j)
-            var k = 0
+            var k = j
             while (k < d) {
-              if (row(k) != 0L) {
-                add128(acc, 1 + d + j * d + k, row(k)); row(k) = 0L
+              val v = row(k)
+              if (v != 0L) {
+                add128(acc, 1 + d + j * d + k, v)
+                if (k != j) add128(acc, 1 + d + k * d + j, v)
+                row(k) = 0L
               }
               k += 1
             }
@@ -305,33 +394,66 @@ object Pca {
           blockRows = 0L
           maxSq = 1L
         }
+        // add buffered rows [from, until) into the upper triangle: for
+        // each (j, k ≥ j) one L1-resident loop over the tile's rows
+        def tile(from: Int, until: Int): Unit = {
+          var j = 0
+          while (j < d) {
+            val jb = j * B
+            val row = gBlock(j)
+            var k = j
+            while (k < d) {
+              val kb = k * B
+              var a = 0L
+              var b = from
+              while (b < until) { a += bufT(jb + b) * bufT(kb + b); b += 1 }
+              row(k) += a
+              k += 1
+            }
+            j += 1
+          }
+        }
+        def drain(): Unit = if (cnt > 0) {
+          if (batchMaxSq > maxSq) maxSq = batchMaxSq
+          var start = 0
+          while (start < cnt) {
+            var cap = Long.MaxValue / 4 / maxSq - blockRows
+            if (cap <= 0L) {
+              flush() // resets maxSq; pending rows still carry batchMaxSq
+              maxSq = batchMaxSq
+              cap = Long.MaxValue / 4 / maxSq
+            }
+            // cap ≥ 2 after a flush (maxSq ≤ 1e18 ⇒ Long.Max/4/maxSq ≥ 2)
+            val take = math.min((cnt - start).toLong, cap).toInt
+            tile(start, start + take)
+            blockRows += take
+            start += take
+          }
+          cnt = 0
+          batchMaxSq = 1L
+        }
         while (it.hasNext) {
           val v = it.next()
           require(v.length == d, s"ragged vector: ${v.length} != $d")
           var m = 1L
           var j = 0
           while (j < d) {
-            val a = math.abs(v(j))
+            val vj = v(j)
+            val a = math.abs(vj)
             if (a > m) m = a
+            s(j) += vj
+            bufT(j * B + cnt) = vj
             j += 1
           }
           require(m <= 1000000000L,
             s"vector element $m exceeds 1e9 micro units: re-scale upstream")
           val sq = m * m
-          if (sq > maxSq) maxSq = sq
-          if (blockRows + 1 > Long.MaxValue / 4 / maxSq) flush()
-          j = 0
-          while (j < d) {
-            val vj = v(j)
-            s(j) += vj
-            val row = gBlock(j)
-            var k = 0
-            while (k < d) { row(k) += vj * v(k); k += 1 }
-            j += 1
-          }
+          if (sq > batchMaxSq) batchMaxSq = sq
           n += 1L
-          blockRows += 1L
+          cnt += 1
+          if (cnt == B) drain()
         }
+        drain()
         flush()
         if (n == 0L) Iterator.empty
         else {
@@ -342,22 +464,49 @@ object Pca {
         }
       }
       .rdd
-    val combined = partials.treeReduce({ (a, b) =>
-      var i = 0
-      while (i < cells) { merge128(a, b, i); i += 1 }
-      a
-    }, depth = 2)
+    val combined: Array[Long] =
+      if (cells <= BlockCells)
+        partials.treeReduce({ (a, b) =>
+          var i = 0
+          while (i < cells) { merge128(a, b, i); i += 1 }
+          a
+        }, depth = 2)
+      else {
+        // block-keyed reduce: slice every partial into ≤ BlockCells-cell
+        // column ranges; each block id reduces on its own reducer, so no
+        // task ever holds more than (parts of) one block. 128-bit cell
+        // addition is associative and commutative, so the reduce order
+        // per block is free.
+        val nb = (cells + BlockCells - 1) / BlockCells
+        val merged = partials
+          .flatMap { acc =>
+            (0 until nb).iterator.map { b =>
+              val lo = b * BlockCells
+              val hi = math.min(cells, lo + BlockCells)
+              (b, java.util.Arrays.copyOfRange(acc, 2 * lo, 2 * hi))
+            }
+          }
+          .reduceByKey({ (x, y) =>
+            var i = 0
+            val m = x.length / 2
+            while (i < m) { merge128(x, y, i); i += 1 }
+            x
+          }, numPartitions = nb)
+          .collect()
+        val full = new Array[Long](2 * cells)
+        for ((b, arr) <- merged)
+          System.arraycopy(arr, 0, full, 2 * b * BlockCells, arr.length)
+        full
+      }
     val n = toBigInt(combined, 0)
-    (Array.tabulate(d, d)((j, k) =>
-      n * toBigInt(combined, 1 + d + j * d + k) -
-        toBigInt(combined, 1 + j) * toBigInt(combined, 1 + k)),
-      n, Array.tabulate(d)(j => toBigInt(combined, 1 + j)))
+    (combined, n, Array.tabulate(d)(j => toBigInt(combined, 1 + j)))
   }
 
   /** Floor division (DuckDB `//` semantics) — BigInt `/` truncates
-    * toward zero, which disagrees on negative operands. */
+    * toward zero, which disagrees on negative operands. One `/%`
+    * instead of separate `/` and `%` (each is a full Knuth division). */
   private def floorDiv(a: BigInt, b: BigInt): BigInt = {
-    val qq = a / b
-    if ((a % b) != 0 && ((a < 0) != (b < 0))) qq - 1 else qq
+    val (qq, rr) = a /% b
+    if (rr != 0 && ((a < 0) != (b < 0))) qq - 1 else qq
   }
 }

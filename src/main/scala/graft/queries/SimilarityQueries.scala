@@ -1095,18 +1095,20 @@ object SimilarityQueries {
       t(spark, dir, "embeddings"), "vec_id", "embedding", PcaIters)
       .orderBy("vec_id")
 
-  val q183Sql: String = {
+  /** Shared PCA-projection oracle builder: everything after the `mv`
+    * CTE (micro-quantized vectors) is IDENTICAL between q183 (raw d=64
+    * embeddings) and q201 (a d=256 tiled corpus that routes Spark's
+    * Gramian kernel) — the kernels are exact-integer equal by
+    * construction (PcaSpec), so ONE replay covers both dispatches. */
+  private def pcaProjectSql(mvCte: String): String = {
     // floor division a // b with DuckDB's truncate-toward-zero `//`
     def fdiv(a: String, b: String): String =
       s"(($a) // ($b) - CASE WHEN ($a) % ($b) <> 0 AND " +
         s"((($a) < 0) <> (($b) < 0)) THEN 1 ELSE 0 END)"
     val sb = new StringBuilder
+    sb ++= mvCte
     sb ++=
-      """WITH mv AS MATERIALIZED (
-        |  SELECT vec_id, list_transform(embedding,
-        |    x -> CAST(round((x::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS v
-        |  FROM embeddings),
-        |ex AS MATERIALIZED (
+      """ex AS MATERIALIZED (
         |  SELECT vec_id, unnest(v) AS vj,
         |    generate_subscripts(v, 1) - 1 AS j
         |  FROM mv),
@@ -1151,8 +1153,46 @@ object SimilarityQueries {
     sb.toString
   }
 
+  val q183Sql: String = pcaProjectSql(
+    """WITH mv AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(round((x::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |""".stripMargin)
+
+  // --- q201: PCA projection at d = 256 (Gramian kernel dispatch) -----------
+
+  /** Same projection as q183 on a d = 256 corpus: the 64-dim embedding
+    * tiled ×4 with per-copy float scales (1, 1.25, 1.5, 1.75 — exactly
+    * representable, so FLOAT×FLOAT is the same IEEE single rounding in
+    * both engines; copies aren't exact duplicates). d > 64 dispatches
+    * [[graft.operators.Pca]]'s mapPartitions Gramian kernel — this arm
+    * puts the kernel that real embedding dims (256–3072) actually run
+    * under the cross-engine oracle, where q183 (d = 64) replays only
+    * the declarative posexplode² build. */
+  def q201PcaProjectD256(spark: SparkSession, dir: String): DataFrame = {
+    val em = t(spark, dir, "embeddings")
+    val v256 = flatten(array((0 until 4).map(c =>
+      transform(col("embedding"), x => x * lit(1.0f + c * 0.25f))): _*))
+    graft.operators.Pca.projectTop(
+      em.select(col("vec_id"), v256.as("e256")), "vec_id", "e256", PcaIters)
+      .orderBy("vec_id")
+  }
+
+  val q201Sql: String = pcaProjectSql(
+    """WITH mv AS MATERIALIZED (
+      |  SELECT vec_id, list_transform(flatten([
+      |      list_transform(embedding, x -> x * CAST(1.0 AS FLOAT)),
+      |      list_transform(embedding, x -> x * CAST(1.25 AS FLOAT)),
+      |      list_transform(embedding, x -> x * CAST(1.5 AS FLOAT)),
+      |      list_transform(embedding, x -> x * CAST(1.75 AS FLOAT))]),
+      |    x -> CAST(round((x::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS v
+      |  FROM embeddings),
+      |""".stripMargin)
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q183_pca_project" -> q183PcaProject _,
+    "q201_pca_project_d256" -> q201PcaProjectD256 _,
     "q129_kmeans" -> q129KMeans _,
     "q131_ivf_trained" -> q131IvfTrained _,
     "q40_ann_brute_topk" -> q40BruteForceTopK _,
@@ -1188,6 +1228,7 @@ object SimilarityQueries {
     "q112_ann_ivf_pq" -> q112Sql,
     "q178_ann_pq_trained" -> q178Sql,
     "q183_pca_project" -> q183Sql,
+    "q201_pca_project_d256" -> q201Sql,
     "q114_semdedup" -> q114Sql,
     "q119_dense_index" -> q109Sql) // identical semantics by construction
 }

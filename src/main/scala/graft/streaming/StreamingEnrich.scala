@@ -22,12 +22,28 @@ import graft.run.{BudgetExceededException, Enricher}
 object StreamingEnrich {
 
   /** Wire a streaming DataFrame through enrichment into `sink`.
-    * Returns the started query (AvailableNow when `drainAll`). */
+    * Returns the started query (AvailableNow when `drainAll`).
+    *
+    * Durability at the CALL grain (r12): with `runDir` set, each
+    * micro-batch enriches against its OWN chunked response ledger
+    * (`runDir/batch_<id>` — per-batch, so ledger reads never grow with
+    * stream length). Structured Streaming replays an uncommitted batch
+    * wholesale after a crash; the replayed Enricher anti-joins its
+    * partial ledger and re-invokes ONLY the calls whose chunk never
+    * landed — a kill -9 mid-batch loses zero completed-chunk work and
+    * double-invokes nothing durable (StreamingCrashArm proves it with a
+    * JVM halt; StreamingEnrichSpec replays a committed batch for the
+    * zero-new-calls assert). `keyColumn` must uniquely key rows WITHIN
+    * a batch (cross-batch uniqueness not required — ledgers are
+    * batch-scoped). The sink still owns idempotent delivery of the
+    * replayed batch's rows (overwrite-by-batchId or dedup-at-read). */
   def start(stream: DataFrame, spec: PipelineSpec, client: LlmClient,
             checkpointDir: String,
             sink: (DataFrame, Long) => Unit,
             maxBudget: Option[BigDecimal] = None,
-            drainAll: Boolean = true): StreamingQuery = {
+            drainAll: Boolean = true,
+            runDir: Option[String] = None,
+            keyColumn: Option[String] = None): StreamingQuery = {
     // strip the budget from the per-batch spec: enforcement is cumulative
     // across batches out here, not per-batch in there
     val batchSpec = spec.copy(processing =
@@ -37,7 +53,9 @@ object StreamingEnrich {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val r = new Enricher(batchSpec, client).enrich(batch)
+          val batchLedger = runDir.map(d => f"$d/batch_$batchId%06d")
+          val r = new Enricher(batchSpec, client, batchLedger, keyColumn)
+            .enrich(batch)
           sink(r.data, batchId)
           spent = spent.add(r.metrics.cost)
           maxBudget.foreach { cap =>

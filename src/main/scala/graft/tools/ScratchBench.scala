@@ -57,6 +57,18 @@ object ScratchBench {
         graft.operators.Pca.projectTop(
           em.select(col("vec_id"), v2048.as("e2048")), "vec_id", "e2048")
       },
+      "pca_project_d3072" -> { (s, d) =>
+        // r12 block-keyed-reduce probe: a d=3072 corpus tiled 48× from
+        // the 64-dim embeddings (per-copy scale so dims aren't exact
+        // duplicates); cells = 3072²+3073 > 2048², so the Gramian
+        // partials ride as 3 independent column blocks
+        val em = graft.queries.Tables.tp(s, d, "embeddings")
+        val v3072 = flatten(array((0 until 48).map(c =>
+          transform(col("embedding"),
+            x => x * lit(1.0f + c * 0.02f))): _*))
+        graft.operators.Pca.projectTop(
+          em.select(col("vec_id"), v3072.as("e3072")), "vec_id", "e3072")
+      },
       "profile_exact" -> { (s, d) =>
         graft.operators.Profiler.profile(
           s.read.parquet(s"$d/lineitem.parquet"))

@@ -339,6 +339,67 @@ class StreamingEnrichSpec extends SparkSpec {
     assert(got.size == 40)
     assert(got("msg 7") == MockLlmClient.md5Hex("S:msg 7"))
   }
+
+  test("replayed micro-batch re-invokes nothing durable (per-batch ledger)") {
+    // the engine-side replay contract: delete the LAST commit marker from
+    // the checkpoint — exactly the on-disk state a kill -9 leaves when a
+    // batch's work finished but its commit never landed — and restart.
+    // Structured Streaming re-runs that batch wholesale; with runDir set,
+    // the batch's own response ledger anti-joins every completed call
+    // away, so the replay costs ZERO LLM invocations and the sink sees
+    // the same rows again (idempotent delivery is the sink's half).
+    val srcDir = Files.createTempDirectory("graft_replay_in").toString
+    val ckpt = Files.createTempDirectory("graft_replay_ckpt").toString
+    val ledger = Files.createTempDirectory("graft_replay_ledger").toString
+    for (f <- 0 until 4)
+      (0 until 10).map(i => (f * 10 + i, s"msg ${f * 10 + i}"))
+        .toDF("id", "text").coalesce(1).write.parquet(s"$srcDir/f$f")
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("R:{text}", batchSize = 5),
+      output = OutputSpec(Seq("out")))
+    val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    def run(): Unit = {
+      val stream = spark.readStream
+        .schema("id INT, text STRING")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(s"$srcDir/*")
+      val q = graft.streaming.StreamingEnrich.start(
+        stream, spec, new MockLlmClient(), ckpt,
+        (batch, bid) => batch.select("id").as[Int]
+          .collect().foreach(i => sunk.add((i, bid))),
+        runDir = Some(ledger), keyColumn = Some("id"))
+      q.awaitTermination()
+      // a restart reuses the checkpoint's query id; wait for the manager
+      // to deregister the terminated run or the restart trips the
+      // concurrent-checkpoint guard
+      val dl = System.nanoTime() + 30L * 1000000000L
+      while (spark.streams.active.nonEmpty && System.nanoTime() < dl)
+        Thread.sleep(10)
+    }
+    run()
+    import scala.jdk.CollectionConverters._
+    assert(sunk.asScala.map(_._1).toSet.size == 40)
+    val lastCommit = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
+    val replayedBatch = lastCommit.getName.toInt
+    // drop the Hadoop ChecksumFileSystem sibling too — a real crash loses
+    // both or neither; a dangling .crc makes the re-commit rename throw
+    // FileAlreadyExists (misread as a concurrent query)
+    new java.io.File(lastCommit.getParent, s".$replayedBatch.crc").delete()
+    assert(lastCommit.delete())
+    val callsBefore = MockLlmClient.calls.get()
+    run()
+    assert(MockLlmClient.calls.get() == callsBefore,
+      "replayed batch must re-invoke zero calls — its ledger is complete")
+    // the replayed batch re-delivered its full row set (sink idempotency
+    // is the sink's contract; delivery itself must be whole)
+    val redelivered = sunk.asScala.toSeq
+      .filter(_._2 == replayedBatch.toLong).map(_._1)
+    assert(redelivered.toSet.size == 10 &&
+      redelivered.size == 20, s"got ${redelivered.size} deliveries")
+    assert(sunk.asScala.map(_._1).toSet.size == 40)
+  }
 }
 
 class RunRegistrySpec extends SparkSpec {
@@ -506,6 +567,46 @@ class RunRegistrySpec extends SparkSpec {
     aliased.transition("a1", RunState.Succeeded)
     assert(!Files.exists(lockFile), "SUCCEEDED must drop the dotfile lock")
     assert(reg.get("a1").get.state == RunState.Succeeded)
+  }
+
+  test("registry: cross-PROCESS contention never resurrects a terminal run") {
+    // a second JVM (graft.tools.RegistryContender) hammers updateMetrics
+    // on the same record file while THIS process lands the terminal
+    // transition mid-stream — the interleaving the OS file lock exists
+    // for (the JVM monitor can't serialize another process). After both
+    // settle: state is SUCCEEDED, the terminal metrics are intact (a
+    // stale RUNNING save from the contender would clobber rows), and the
+    // contender reports it STOPPED because updateMetrics returned None.
+    val dir = Files.createTempDirectory("graft_reg_xproc").toString
+    val reg = new RunRegistry(dir)
+    reg.register("xp", "/tmp/xp")
+    reg.transition("xp", RunState.Running)
+    val javaBin = sys.props("java.home") + "/bin/java"
+    def contend(millis: String): Process =
+      new ProcessBuilder(javaBin, "-Xmx256m", "-cp",
+        sys.props("java.class.path"),
+        "graft.tools.RegistryContender", dir, "xp", millis)
+        .redirectErrorStream(true).start()
+    val proc = contend("8000")
+    // wait until the contender demonstrably writes from its process
+    val deadline = System.nanoTime() + 20L * 1000000000L
+    while (reg.get("xp").exists(_.rows == 0L) &&
+           System.nanoTime() < deadline) Thread.sleep(5)
+    assert(reg.get("xp").exists(_.rows > 0L), "contender never wrote")
+    reg.transition("xp", RunState.Succeeded,
+      r => r.copy(rows = 999999L, validRows = 999999L))
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(out.contains("STOPPED"), s"contender output: $out")
+    val rec = reg.get("xp").get
+    assert(rec.state == RunState.Succeeded)
+    assert(rec.rows == 999999L,
+      s"terminal metrics clobbered by a cross-process racer: ${rec.rows}")
+    // a LATE contender (fresh process, post-terminal) is a pure no-op
+    val late = contend("500")
+    assert(late.waitFor(30, java.util.concurrent.TimeUnit.SECONDS))
+    assert(reg.get("xp").get.rows == 999999L &&
+      reg.get("xp").get.state == RunState.Succeeded)
   }
 
   test("live progress: the RUNNING registry row advances before completion") {

@@ -156,13 +156,36 @@ class PcaSpec extends SparkSpec {
         assert(math.abs(out(j) - math.round(1e6 * (j + 1).toDouble / d)) <= 2,
           s"parts=$parts dim $j: ${out(j)}")
     }
+  }
+
+  test("d = 3072 routes the block-keyed reduce and stays exact") {
+    // rank-1 corpus past the one-array treeReduce ceiling (cells =
+    // 3072² + 3073 > 2048², so the partials slice into 3 column blocks
+    // merged by independent reducers — the r12 path): same closed-form
+    // expected output as the d = 2048 arm, across partitionings, so
+    // block slicing/reassembly is proven exact, not just non-crashing.
+    val d = 3072
+    val base = (0 until d).map(j => (j + 1).toFloat / d)
+    val vs = Seq(1.0f, -2.0f, 3.0f, -1.0f).zipWithIndex.map { case (t, i) =>
+      (i.toLong, base.map(_ * t))
+    }
+    for (parts <- Seq(1, 3)) {
+      val out = Pca.topComponent(
+          vs.toDF("vec_id", "embedding").repartition(parts), "embedding")
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(out.size === d)
+      assert(out(d - 1) === 1000000L)
+      for (j <- Seq(0, 767, 1535, 2303))
+        assert(math.abs(out(j) - math.round(1e6 * (j + 1).toDouble / d)) <= 2,
+          s"parts=$parts dim $j: ${out(j)}")
+    }
     // beyond the ceiling still refuses loudly
-    val tooBig = Seq((0L, (0 until 2049).map(_.toFloat)))
+    val tooBig = Seq((0L, (0 until 4097).map(_.toFloat)))
       .toDF("vec_id", "embedding")
     val e = intercept[Exception] {
       Pca.topComponent(tooBig, "embedding").collect()
     }
-    assert(e.getMessage.contains("2048"))
+    assert(e.getMessage.contains("4096"))
   }
 
   test("128-bit accumulator carries match BigInt on adversarial sums") {

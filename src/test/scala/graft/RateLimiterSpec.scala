@@ -368,3 +368,95 @@ class RateLimiterSpec extends AnyFunSuite {
     } finally redis.close()
   }
 }
+
+/** 429-storm integration arc (r12): the full Invoke path — Enricher +
+  * HttpLlmClient + the shared token bucket — against a REAL loopback
+  * HTTP server that issues one Retry-After mid-run under multi-partition
+  * concurrent load. Asserts the two things unit tests can't: the
+  * AGGREGATE admitted request stream obeys the configured token-bucket
+  * law at the server (admission count measured per arrival), and a
+  * server penalty stalls EVERY concurrent caller of the bucket, not just
+  * the throttled one.
+  */
+class RateLimitStormSpec extends SparkSpec {
+  import java.net.InetSocketAddress
+  import java.nio.charset.StandardCharsets
+  import com.sun.net.httpserver.{HttpExchange, HttpServer}
+  import graft.core._
+  import graft.llm.HttpLlmClient
+  import graft.run.Enricher
+
+  test("aggregate admission obeys the configured bucket; retry-after stalls all callers") {
+    val arrivals = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val reqCount = new java.util.concurrent.atomic.AtomicInteger(0)
+    val stormAt = 30          // the Nth request draws the 429
+    val retryAfterSec = 2
+    @volatile var penaltyIssuedAtMs = 0L
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    server.setExecutor(java.util.concurrent.Executors.newFixedThreadPool(16))
+    server.createContext("/v1", (ex: HttpExchange) => {
+      arrivals.add(System.nanoTime() / 1000000L)
+      val n = reqCount.incrementAndGet()
+      val (status, body) =
+        if (n == stormAt) {
+          penaltyIssuedAtMs = System.nanoTime() / 1000000L
+          ex.getResponseHeaders.add("Retry-After", retryAfterSec.toString)
+          (429, """{"error":{"message":"Rate limit reached, slow down"}}""")
+        } else (200,
+          """{"model":"m","choices":[{"message":{"role":"assistant",""" +
+          """"content":"ok"}}],"usage":{"prompt_tokens":1,"completion_tokens":1}}""")
+      val bytes = body.getBytes(StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(status, bytes.length)
+      val os = ex.getResponseBody
+      os.write(bytes); os.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      import spark.implicits._
+      val rows = (0 until 40).map(i => s"row $i").toDF("text")
+        .repartition(8) // multi-partition: concurrent callers share the bucket
+      val rpm = 240 // 4/s; ClientPool burst = rpm/10 = 24
+      val spec = PipelineSpec(
+        dataset = DatasetSpec(Seq("text")),
+        prompt = PromptSpec("P:{text}", batchSize = 1),
+        llm = LlmSpec(concurrency = 8, requestsPerMinute = Some(rpm),
+          maxRetries = 2),
+        output = OutputSpec(Seq("out")))
+      val client = new HttpLlmClient(
+        s"http://127.0.0.1:$port/v1", "m", timeoutMs = 20000L)
+      val r = new Enricher(spec, client).enrich(rows)
+      // every row healed through the retry — the storm lost nothing
+      assert(r.data.filter(org.apache.spark.sql.functions.col("out")
+        .isNotNull).count() == 40)
+      assert(reqCount.get() == 41, s"expected 40 + 1 retry, got ${reqCount.get()}")
+
+      // (1) token-bucket law at the SERVER: the i-th arrival (0-based)
+      // can only exist once burst + rate·t tokens were issued — slack 3
+      // for clock skew between acquire and arrival. Host slowness only
+      // DELAYS arrivals, so the assert is noise-immune in one direction.
+      import scala.jdk.CollectionConverters._
+      val ts = arrivals.asScala.toSeq.sorted
+      val t0 = ts.head
+      val burst = rpm / 10
+      ts.zipWithIndex.foreach { case (t, i) =>
+        val issued = burst + (t - t0) * rpm / 60000.0
+        assert(i <= issued + 3,
+          s"arrival $i at +${t - t0}ms outruns the bucket (issued ≈ $issued)")
+      }
+
+      // (2) penalize-drain propagation: after the 429, the bucket stalls
+      // ALL callers until the retry-after deadline. In-flight requests
+      // land within moments of the penalty; nothing NEW may arrive in the
+      // heart of the stall window.
+      assert(penaltyIssuedAtMs > 0L)
+      val inStall = ts.count(t => t > penaltyIssuedAtMs + 800 &&
+        t < penaltyIssuedAtMs + retryAfterSec * 1000L - 300)
+      assert(inStall == 0,
+        s"$inStall arrivals inside the retry-after stall window")
+      // and the run did resume after the deadline (the retried call +
+      // any remaining admissions)
+      assert(ts.exists(_ >= penaltyIssuedAtMs + retryAfterSec * 1000L - 100))
+    } finally server.stop(0)
+  }
+}
