@@ -156,17 +156,13 @@ object CurationQueries {
   }
 
   val q67Sql: String =
-    """WITH toks AS (
+    s"""WITH toks AS (
       |  SELECT doc_id,
-      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
       |  FROM documents),
       |sig AS (
       |  SELECT doc_id, len(w) AS n_words,
-      |    CASE WHEN len(w) = 0 THEN 0
-      |      ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END AS dup,
-      |    CASE WHEN len(w) = 0 THEN 0
-      |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS mwl,
-      |    len(list_filter(w, x -> x IN ('the', 'a'))) AS stop_ct
+      |    ${OracleCtes.gopherSignalExprs}
       |  FROM toks)
       |SELECT doc_id, n_words, round(dup, 6) AS dup_word_frac,
       |  round(mwl, 6) AS mean_wlen, stop_ct,
@@ -672,23 +668,13 @@ object CurationQueries {
        |  FROM documents),
        |sig AS (
        |  SELECT doc_id, text, w, len(w) AS nw,
-       |    CASE WHEN len(w) = 0 THEN 0
-       |      ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END AS dup,
-       |    CASE WHEN len(w) = 0 THEN 0
-       |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS mwl,
-       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS stop_ct
+       |    ${OracleCtes.gopherSignalExprs}
        |  FROM toks),
        |lab AS (
        |  SELECT
        |    (nw BETWEEN 30 AND 1000 AND dup <= 0.55
        |      AND mwl >= 3.0 AND mwl <= 6.0 AND stop_ct >= 1) AS y,
-       |    CAST(round(round(
-       |      least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
-       |      (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-       |         / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
-       |      least((CASE WHEN len(w) = 0 THEN 0
-       |        ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
-       |    6) * 1000000.0, 0) AS BIGINT) AS s
+       |    ${OracleCtes.qualityMicroExpr} AS s
        |  FROM sig),
        |hist AS (
        |  SELECT s, sum(CASE WHEN y THEN 1 ELSE 0 END)::BIGINT AS p,
@@ -710,13 +696,7 @@ object CurationQueries {
   private def qualityMicroSql(src: String): String = {
     val stops = graft.functions.TextFunctions.EnglishStopwords
       .map(s => s"'$s'").mkString(", ")
-    s"""SELECT CAST(round(round(
-       |      least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
-       |      (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-       |         / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
-       |      least((CASE WHEN len(w) = 0 THEN 0
-       |        ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
-       |    6) * 1000000.0, 0) AS BIGINT) AS s
+    s"""SELECT ${OracleCtes.qualityMicroExpr} AS s
        |  FROM (SELECT text, list_filter(
        |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
        |    FROM $src) tt""".stripMargin
@@ -754,23 +734,13 @@ object CurationQueries {
        |  FROM documents),
        |sig AS (
        |  SELECT text, w, len(w) AS nw,
-       |    CASE WHEN len(w) = 0 THEN 0
-       |      ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END AS dup,
-       |    CASE WHEN len(w) = 0 THEN 0
-       |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS mwl,
-       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS stop_ct
+       |    ${OracleCtes.gopherSignalExprs}
        |  FROM toks),
        |lab AS (
        |  SELECT
        |    (nw BETWEEN 30 AND 1000 AND dup <= 0.55
        |      AND mwl >= 3.0 AND mwl <= 6.0 AND stop_ct >= 1) AS y,
-       |    CAST(round(round(
-       |      least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
-       |      (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-       |         / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
-       |      least((CASE WHEN len(w) = 0 THEN 0
-       |        ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
-       |    6) * 1000000.0, 0) AS BIGINT) AS s
+       |    ${OracleCtes.qualityMicroExpr} AS s
        |  FROM sig),
        |pb AS (
        |  SELECT least(greatest((s * 10) // 1000000, 0), 9) AS bin,
@@ -820,21 +790,11 @@ object CurationQueries {
        |  FROM documents),
        |sig AS (
        |  SELECT text, w, len(w) AS nw,
-       |    CASE WHEN len(w) = 0 THEN 0
-       |      ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END AS dup,
-       |    CASE WHEN len(w) = 0 THEN 0
-       |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS mwl,
-       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS stop_ct
+       |    ${OracleCtes.gopherSignalExprs}
        |  FROM toks),
        |r AS (
        |  SELECT
-       |    (CAST(round(round(
-       |      least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
-       |      (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-       |         / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
-       |      least((CASE WHEN len(w) = 0 THEN 0
-       |        ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
-       |    6) * 1000000.0, 0) AS BIGINT) >= 500000) AS a,
+       |    (${OracleCtes.qualityMicroExpr} >= 500000) AS a,
        |    (nw BETWEEN 30 AND 1000 AND dup <= 0.55
        |      AND mwl >= 3.0 AND mwl <= 6.0 AND stop_ct >= 1) AS b
        |  FROM sig),
@@ -893,21 +853,11 @@ object CurationQueries {
        |  FROM documents),
        |sig AS (
        |  SELECT text, n_chars, w, len(w) AS nw,
-       |    CASE WHEN len(w) = 0 THEN 0
-       |      ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END AS dup,
-       |    CASE WHEN len(w) = 0 THEN 0
-       |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS mwl,
-       |    len(list_filter(w, x -> x IN ('the', 'a'))) AS stop_ct
+       |    ${OracleCtes.gopherSignalExprs}
        |  FROM toks),
        |r AS (
        |  SELECT
-       |    (CASE WHEN CAST(round(round(
-       |      least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
-       |      (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-       |         / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
-       |      least((CASE WHEN len(w) = 0 THEN 0
-       |        ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
-       |    6) * 1000000.0, 0) AS BIGINT) >= 500000 THEN 1 ELSE 0 END)
+       |    (CASE WHEN ${OracleCtes.qualityMicroExpr} >= 500000 THEN 1 ELSE 0 END)
        |    + (CASE WHEN nw BETWEEN 30 AND 1000 AND dup <= 0.55
        |        AND mwl >= 3.0 AND mwl <= 6.0 AND stop_ct >= 1
        |        THEN 1 ELSE 0 END)
@@ -1041,11 +991,7 @@ object CurationQueries {
        |  FROM documents),
        |q AS (
        |  SELECT doc_id, round(
-       |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
-       |    (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-       |       / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
-       |    least((CASE WHEN len(w) = 0 THEN 0
-       |      ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
+       |    ${OracleCtes.qualityScoreExpr},
        |  6) AS qs
        |  FROM toks),
        |ra AS (SELECT doc_id, row_number() OVER (ORDER BY qs DESC, doc_id) AS r
@@ -1479,17 +1425,13 @@ object CurationQueries {
   }
 
   val q116Sql: String =
-    """WITH toks0 AS (
+    s"""WITH toks0 AS (
       |  SELECT doc_id, text,
-      |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+      |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
       |  FROM documents),
       |sig AS (
       |  SELECT doc_id, text, w, len(w) AS n_words,
-      |    CASE WHEN len(w) = 0 THEN 0
-      |      ELSE (len(w) - len(list_distinct(w)))::DOUBLE / len(w) END AS dup,
-      |    CASE WHEN len(w) = 0 THEN 0
-      |      ELSE list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) END AS mwl,
-      |    len(list_filter(w, x -> x IN ('the', 'a'))) AS stop_ct
+      |    ${OracleCtes.gopherSignalExprs}
       |  FROM toks0),
       |passed AS (
       |  SELECT doc_id, text, len(w) AS n_tokens FROM sig

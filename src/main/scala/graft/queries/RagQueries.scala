@@ -170,23 +170,12 @@ object RagQueries {
   }
 
   val q62Sql: String = {
-    val shingleCte =
-      """toksq AS (
-        |  SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
-        |  FROM documents),
-        |shq AS (
-        |  SELECT doc_id, list_distinct(CASE WHEN len(w) < 3 THEN []::VARCHAR[]
-        |    ELSE [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)] END) AS shingles
-        |  FROM toksq)""".stripMargin
-    val bandMins = (0 until 8).map(b =>
-      s"min(('0x' || substr(sha256('${b / 4}|' || s), ${1 + (b % 4) * 15}, 15))::UBIGINT)::BIGINT AS band_$b")
-      .mkString(",\n  ")
+    val shingleCte = OracleCtes.shingleCtes(3, toksAlias = "toksq",
+      shAlias = "shq")
+    val bandMins = OracleCtes.bandMinExprs(8)
     // unpivot the 8 band columns to (id, band_idx, band_val) rows —
     // mirrors the Spark side's posexplode + bucket join
-    val bandUnion = (0 until 8).map(b =>
-      s"SELECT doc_id AS id, $b AS band_idx, band_$b AS band_val FROM bands")
-      .mkString("\n  UNION ALL ")
+    val bandUnion = OracleCtes.bandUnpivot(8)
     s"""WITH $sparseCtes,
        |lex AS (SELECT query_id, id, rank FROM ranked WHERE rank <= 20),
        |$shingleCte,

@@ -258,11 +258,7 @@ object SimilarityQueries {
       s"""(list_sum(list_transform(list_zip($a, $b), x -> x[1] * x[2])) /
          |  (sqrt(list_sum(list_transform($a, x -> x * x))) *
          |   sqrt(list_sum(list_transform($b, x -> x * x)))))""".stripMargin
-    s"""WITH qm AS (
-       |  SELECT vec_id,
-       |    list_transform(embedding,
-       |      x -> CAST(round((x::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS v
-       |  FROM embeddings),
+    s"""WITH ${OracleCtes.microVecCte("qm")},
        |flat0 AS (
        |  SELECT vec_id % $NumCentroids AS j, unnest(v) AS x,
        |    unnest(range(1, len(v) + 1)) AS i
@@ -869,11 +865,7 @@ object SimilarityQueries {
          |      AS BIGINT) AS mm""".stripMargin
     val train = new StringBuilder
     train ++=
-      s"""WITH mvq AS (
-         |  SELECT vec_id,
-         |    list_transform(embedding,
-         |      x -> CAST(round((x::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS v
-         |  FROM embeddings),
+      s"""WITH ${OracleCtes.microVecCte("mvq")},
          |js AS (SELECT unnest(generate_series(0, ${m - 1})) AS j),
          |sv AS (
          |  SELECT vec_id, j, list_slice(v, j*$ds + 1, j*$ds + $ds) AS s
@@ -1021,11 +1013,7 @@ object SimilarityQueries {
   }
 
   val q129Sql: String =
-    """WITH q AS (
-      |  SELECT vec_id,
-      |    list_transform(embedding,
-      |      x -> CAST(round((x::DOUBLE) * 1000000.0, 0) AS BIGINT)) AS v
-      |  FROM embeddings),
+    s"""WITH ${OracleCtes.microVecCte("q")},
       |flat0 AS (
       |  SELECT vec_id % 4 AS j, unnest(v) AS x,
       |    unnest(range(1, len(v) + 1)) AS i
@@ -1101,10 +1089,7 @@ object SimilarityQueries {
     * Gramian kernel) — the kernels are exact-integer equal by
     * construction (PcaSpec), so ONE replay covers both dispatches. */
   private def pcaProjectSql(mvCte: String): String = {
-    // floor division a // b with DuckDB's truncate-toward-zero `//`
-    def fdiv(a: String, b: String): String =
-      s"(($a) // ($b) - CASE WHEN ($a) % ($b) <> 0 AND " +
-        s"((($a) < 0) <> (($b) < 0)) THEN 1 ELSE 0 END)"
+    import OracleCtes.fdiv
     val sb = new StringBuilder
     sb ++= mvCte
     sb ++=

@@ -37,11 +37,7 @@ object TextQueries {
        |  round(CASE WHEN len(w) = 0 THEN 0
        |    ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END, 6) AS stop_ratio,
        |  round(
-       |    least(length(text)::DOUBLE / 500.0, 1.0) * 0.4 +
-       |    (1.0 - least((length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
-       |       / CASE WHEN length(text)=0 THEN 1 ELSE length(text) END * 5.0, 1.0)) * 0.3 +
-       |    least((CASE WHEN len(w) = 0 THEN 0
-       |      ELSE len(list_filter([lower(x) for x in w], x -> x IN ($stops)))::DOUBLE / len(w) END) * 4.0, 1.0) * 0.3,
+       |    ${OracleCtes.qualityScoreExpr},
        |  6) AS quality
        |FROM toks ORDER BY doc_id""".stripMargin
   }
@@ -99,21 +95,10 @@ object TextQueries {
       NumBands, ShingleK).orderBy("doc_id")
 
   /** Shared SQL fragment: distinct word 3-shingles per doc. */
-  private val shingleCte: String =
-    s"""toks AS (
-       |  SELECT doc_id,
-       |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
-       |  FROM documents),
-       |sh AS (
-       |  SELECT doc_id, list_distinct(CASE WHEN len(w) < $ShingleK THEN []::VARCHAR[]
-       |    ELSE [array_to_string(w[i:i+${ShingleK - 1}], ' ')
-       |          for i in range(1, len(w) - ${ShingleK - 2})] END) AS shingles
-       |  FROM toks)""".stripMargin
+  private val shingleCte: String = OracleCtes.shingleCtes(ShingleK)
 
   val q33Sql: String = {
-    val bands = (0 until NumBands).map(b =>
-      s"min(('0x' || substr(sha256('${b / 4}|' || s), ${1 + (b % 4) * 15}, 15))::UBIGINT)::BIGINT AS band_$b")
-      .mkString(",\n  ")
+    val bands = OracleCtes.bandMinExprs(NumBands)
     s"""WITH $shingleCte
        |SELECT doc_id, $bands
        |FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
@@ -139,9 +124,7 @@ object TextQueries {
   }
 
   val q75Sql: String = {
-    val bandMins = (0 until NumBands).map(b =>
-      s"min(('0x' || substr(sha256('${b / 4}|' || s), ${1 + (b % 4) * 15}, 15))::UBIGINT)::BIGINT AS band_$b")
-      .mkString(",\n  ")
+    val bandMins = OracleCtes.bandMinExprs(NumBands)
     val bandList = (0 until NumBands).map(b => s"band_$b").mkString(", ")
     s"""WITH $shingleCte,
        |bands AS (
@@ -172,9 +155,7 @@ object TextQueries {
   /** Shared CTE chain ending in `jac` (confirmed pair jaccards) — used by
     * q34 (pairs) and q76 (greedy keep-min removal). */
   private val nearDupCtes: String = {
-    val bandMins = (0 until NumBands).map(b =>
-      s"min(('0x' || substr(sha256('${b / 4}|' || s), ${1 + (b % 4) * 15}, 15))::UBIGINT)::BIGINT AS band_$b")
-      .mkString(",\n  ")
+    val bandMins = OracleCtes.bandMinExprs(NumBands)
     val bandList = (0 until NumBands).map(b => s"band_$b").mkString(", ")
     s"""$shingleCte,
        |bands AS (
