@@ -48,6 +48,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     composed(ext, "graft_lang_id", TextFunctions.langId)
     composed(ext, "graft_token_count", c =>
       TextFunctions.tokenCount(c).cast("int"))
+    composed(ext, "graft_micro_vec", graft.functions.Expressions.micro_vec)
     ext.injectFunction((
       new FunctionIdentifier("graft_nfc"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),

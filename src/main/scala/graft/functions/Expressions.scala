@@ -794,6 +794,74 @@ object ExprHelpers {
       .fromPrimitiveArray(out)
   }
 
+  /** 1e-6 micro quantization of a float/double vector in ONE native
+    * pass — value-identical to the declarative
+    * `transform(v, x → round(x·1e6, 0).cast(long))` it replaces (whose
+    * lambda evaluates INTERPRETED per element, with Spark's Round
+    * allocating a BigDecimal from `Double.toString` per cell). Per-cell
+    * semantics replicated exactly:
+    *   - the product x·1e6 is the same IEEE double multiply;
+    *   - Round(double, 0) is half-up on the SHORTEST-DECIMAL rendering
+    *     of the double. A plain `floor(v + 0.5)` disagrees one ulp
+    *     under .5, so the kernel floors directly when the fractional
+    *     part is ≥ 1e-6 away from the .5 boundary (the shortest-decimal
+    *     perturbation is < ulp(1e9)/2 ≈ 1.2e-7, so the side of the
+    *     boundary is provably unchanged) and replays the exact
+    *     BigDecimal HALF_UP rule only in the boundary zone;
+    *   - null element → null cell (Round and cast are null-preserving);
+    *   - non-finite element → null cell, pinned absolutely in the spec
+    *     (the declarative chain's `cast(NaN as long)` THROWS under
+    *     Spark 4's default ANSI mode — the kernel keeps a dirty
+    *     embedding cell from killing the job, the [[int8Codes]]
+    *     discipline).
+    * Returns UnsafeArrayData on the no-null fast path, GenericArrayData
+    * when any cell is null. */
+  def microVec(vec: org.apache.spark.sql.catalyst.util.ArrayData,
+               kind: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = vec.numElements()
+    @inline def at(i: Int): Double =
+      if (kind == 0) vec.getFloat(i).toDouble else vec.getDouble(i)
+    @inline def cell(x: Double): Long = {
+      val v = x * 1000000.0
+      val f = math.floor(v)
+      val frac = v - f
+      // fast path sound while ulp(v)/2 < the 1e-6 margin, i.e. |v| ≤ 4e9
+      // (ulp(4e9) ≈ 9.5e-7); bigger magnitudes replay BigDecimal always
+      if (math.abs(v) <= 4.0e9 && math.abs(frac - 0.5) > 1e-6) {
+        if (frac < 0.5) f.toLong else f.toLong + 1L
+      } else
+        scala.math.BigDecimal.decimal(v)
+          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+          .toDouble.toLong
+    }
+    var hasNull = false
+    var i = 0
+    while (i < n && !hasNull) {
+      if (vec.isNullAt(i) || !java.lang.Double.isFinite(at(i))) hasNull = true
+      i += 1
+    }
+    if (!hasNull) {
+      val out = new Array[Long](n)
+      i = 0
+      while (i < n) { out(i) = cell(at(i)); i += 1 }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) =
+          if (vec.isNullAt(i)) null
+          else {
+            val x = at(i)
+            if (!java.lang.Double.isFinite(x)) null else Long.box(cell(x))
+          }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+  }
+
   /** Exact long squared distance Σ(x−y)² of two integral arrays — the
     * native `aggregate(zip_with(v, cent, (x−y)²), 0L, +)` with the same
     * fold null semantics as [[vecDotLong]] (length mismatch or null
@@ -1176,6 +1244,37 @@ case class Int8Codes(child: Expression)
     copy(child = c)
 }
 
+case class MicroVec(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  import org.apache.spark.sql.types.{ArrayType, LongType,
+    DoubleType => DT, FloatType => FT}
+  override def nullable: Boolean = true
+  // containsNull = true: a null (or non-finite) input element yields a
+  // null cell — the same schema the transform(round·cast) twin produced
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  private lazy val kind: Int =
+    child.dataType.asInstanceOf[ArrayType].elementType match {
+      case FT => 0
+      case DT => 1
+      case t => throw new IllegalArgumentException(s"micro_vec over $t array")
+    }
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.microVec(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], kind)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => s"""
+      org.apache.spark.sql.catalyst.util.ArrayData r =
+        graft.functions.ExprHelpers.microVec($v, $kind);
+      if (r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = r; }""")
+
+  override protected def withNewChildInternal(c: Expression): MicroVec =
+    copy(child = c)
+}
+
 case class DsirLogw(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def nullable: Boolean = true
@@ -1457,6 +1556,10 @@ object Expressions {
     * [[ExprHelpers.int8Codes]]. */
   def int8_codes(vec: Column): Column =
     ColumnBridge.column(Int8Codes(ColumnBridge.expression(vec)))
+  /** 1e-6 micro quantization of a float/double vector in one native
+    * pass — see [[ExprHelpers.microVec]]. */
+  def micro_vec(vec: Column): Column =
+    ColumnBridge.column(MicroVec(ColumnBridge.expression(vec)))
   /** DSIR feature buckets of a word array (unigrams then bigrams), one
     * md5 per gram — see [[ExprHelpers.dsirBuckets]]. */
   def dsir_buckets(words: Column, buckets: Int): Column =

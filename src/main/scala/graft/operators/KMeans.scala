@@ -44,8 +44,19 @@ object KMeans {
   final case class Model(centroids: Array[Array[Long]],
                          assignments: DataFrame)
 
-  /** 1e-6 quantization of a float/double vector column. */
+  /** 1e-6 quantization of a float/double vector column — native
+    * one-pass kernel (r12); the retired declarative form (an
+    * interpreted transform lambda + a Double.toString-backed BigDecimal
+    * Round per cell — the dominant fixed scan cost of every micro-exact
+    * vector operator) stays below for the spec-level parity proof. */
   def microVec(vecCol: Column): Column =
+    graft.functions.Expressions.micro_vec(vecCol)
+
+  /** Declarative twin of [[microVec]] — values identical on finite
+    * cells (OperatorsSpec compares the forms, boundary cases included);
+    * production keeps the kernel, which additionally nulls non-finite
+    * cells instead of throwing under ANSI. */
+  private[graft] def microVecDeclarative(vecCol: Column): Column =
     transform(vecCol, x => round(x.cast("double") * 1e6, 0).cast("long"))
 
   /** Exact squared distance between a micro vector column and a pinned

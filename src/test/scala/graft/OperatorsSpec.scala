@@ -345,6 +345,57 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("micro_vec native kernel equals the declarative round chain bit-for-bit") {
+    // the r12 one-pass kernel must reproduce the retired
+    // transform(round(x·1e6).cast(long)) form exactly on finite cells —
+    // including half-up at the .5 boundary (x = k + 0.5 micro exactly,
+    // negative halves, and the one-ulp-under-.5 doubles where a naive
+    // floor(v + 0.5) rounds the wrong way) and null-cell preservation
+    import graft.operators.KMeans
+    val rnd = new scala.util.Random(12)
+    val fvecs: Seq[(Long, Seq[Option[Float]])] =
+      (0L until 200L).map { i =>
+        val d = 1 + rnd.nextInt(24)
+        (i, Seq.fill(d)(Some((rnd.nextFloat() * 2 - 1) *
+          math.pow(10, rnd.nextInt(6) - 3).toFloat)))
+      } ++ Seq(
+        (900L, Seq(Some(0.0f), Some(-0.0f))),
+        (901L, Seq(Some(2.5e-6f), Some(-2.5e-6f))), // exact ±.5 micro
+        (902L, Seq(Some(1.0000005f), Some(-1.0000005f))),
+        (903L, Seq(Some(999.999f), Some(-999.999f))),
+        (904L, Seq(Some(1.5f), None, Some(-0.5f))), // null cell rides
+        (905L, Seq(Some(Float.MinPositiveValue))))
+    val fdf = fvecs.toDF("vec_id", "embedding")
+    fdf.select(col("vec_id"),
+      KMeans.microVec(col("embedding")).as("nat"),
+      KMeans.microVecDeclarative(col("embedding")).as("dec"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Any](1) === r.getSeq[Any](2), s"vec ${r.getLong(0)}")
+      }
+    // double input too (kind = 1), with adversarial one-ulp-under-.5
+    // values that only the guarded boundary fallback gets right
+    val dvecs: Seq[(Long, Seq[Option[Double]])] = Seq(
+      (0L, Seq(Some(0.49999999999999994e-6), Some(4.9999999999e-7))),
+      (1L, Seq(Some(2.4999999999999996e-6), Some(-2.4999999999999996e-6))),
+      (2L, (0 until 64).map(j => Some(j * 1.7e-5 + 5e-7)).toSeq),
+      (3L, Seq(Some(123.4567895), Some(-123.4567895))))
+    dvecs.toDF("vec_id", "embedding").select(col("vec_id"),
+      KMeans.microVec(col("embedding")).as("nat"),
+      KMeans.microVecDeclarative(col("embedding")).as("dec"))
+      .collect().foreach { r =>
+        assert(r.getSeq[Any](1) === r.getSeq[Any](2), s"vec ${r.getLong(0)}")
+      }
+    // absolute pin: non-finite cells null out (the declarative chain
+    // would THROW under ANSI — the kernel keeps a dirty cell from
+    // killing the job, like int8_codes)
+    val dirty = Seq((0L, Seq(Some(1.0f), Some(Float.NaN),
+      Some(Float.PositiveInfinity), Some(Float.NegativeInfinity))))
+      .toDF("vec_id", "embedding")
+    val cells = dirty.select(KMeans.microVec(col("embedding")))
+      .head().getSeq[Any](0)
+    assert(cells === Seq(1000000L, null, null, null))
+  }
+
   test("int8 quantization: exact codes, scale cancellation, top-k recall") {
     import graft.operators.Similarity
     val df = Seq(
