@@ -295,6 +295,27 @@ class PlanSpec extends SparkSpec {
       s"corpus-wide window sort detected:\n${windows.mkString("\n")}")
   }
 
+  test("pca projection at d > 64 is a bare scan: native dot, no explode, no join") {
+    // q201's returned frame is the per-row PROJECTION pass (the d = 256
+    // Gramian covariance runs eagerly during construction — d > 64
+    // dispatches the mapPartitions kernel by the topWithMoments branch,
+    // PcaSpec proves the two kernels bit-equal); what a cluster
+    // re-executes per row must be ONE scan with the native bounded long
+    // dot: no Generate (the retired d-exploded form), no join, no
+    // groupBy re-aggregation — the only exchange is the final orderBy
+    val p = plan(
+      graft.queries.SimilarityQueries.q201PcaProjectD256(spark, dir))
+    assert(p.toLowerCase.contains("vecdotlong"),
+      s"native long dot missing from the projection plan:\n$p")
+    assert(!p.contains("Generate"),
+      s"projection must not explode dimensions:\n$p")
+    assert(!p.contains("Join"), s"projection must not join:\n$p")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.forall(l => l.contains("rangepartitioning") ||
+      l.contains("REPARTITION")),
+      s"unexpected exchange beyond orderBy/parallelize:\n${exchanges.mkString("\n")}")
+  }
+
   test("dense index query: probed clusters prune list partitions at the scan") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val ix = java.nio.file.Files.createTempDirectory("graft_dix_plan").toString
