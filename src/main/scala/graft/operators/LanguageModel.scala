@@ -50,12 +50,17 @@ object LanguageModel {
     coalesce(graft.functions.Expressions.word_shingles(w, 2),
       array().cast("array<string>"))
 
-  /** Per-document bigram-LM score: (idCol, n_bigrams, lm_bits).
+  /** Per-document bigram-LM score: (idCol, passthrough..., n_bigrams,
+    * lm_bits).
     * `lm_bits` = mean negative log2 P(w2|w1) over the doc's bigrams with
     * add-one smoothing (P = (c12+1)/(c1+V)); null when the doc has < 2
     * tokens (no bigrams). Tokenization = lowercased whitespace split,
-    * matching [[TextFunctions.tokens]]. */
-  def bigramBits(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * matching [[TextFunctions.tokens]].
+    * `passthrough` columns of `df` ride the EXISTING id-spine join (r12)
+    * — a caller that needs them alongside the score (perplexityBuckets'
+    * group label) previously paid a second row-scale id join. */
+  def bigramBits(df: DataFrame, idCol: String, textCol: String,
+                 passthrough: Seq[String] = Nil): DataFrame = {
     val toks = df.select(col(idCol), tokCol(textCol).as(s"${Dup}w"))
     val w = col(s"${Dup}w")
     val bigrams = toks.select(col(idCol), bigramArr(w).as(s"${Dup}bg"))
@@ -79,11 +84,11 @@ object LanguageModel {
         count(lit(1)).as("n_bigrams"))
       .withColumn("lm_bits",
         round((-col(s"${Dup}s")).cast("double") / col("n_bigrams") / 1e6, 6))
-    df.select(col(idCol))
+    df.select(col(idCol) +: passthrough.map(col): _*)
       .join(scored, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        col("lm_bits"))
+      .select(col(idCol) +: passthrough.map(col) :+
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams") :+
+        col("lm_bits"): _*)
   }
 
   /** Broadcast pruned-LM scoring — the 100 TB shape the [[bigramBits]]
@@ -110,7 +115,8 @@ object LanguageModel {
     * counts — map-side combined, text never shuffles); only the pruned
     * head (≤ topN rows, explicitly bounded) is collected. */
   def bigramBitsBroadcast(df: DataFrame, idCol: String, textCol: String,
-      topN: Int, oovMicro: Option[Long] = None): DataFrame = {
+      topN: Int, oovMicro: Option[Long] = None,
+      passthrough: Seq[String] = Nil): DataFrame = {
     require(topN >= 1 && topN <= 5000000,
       s"topN=$topN: the pruned head collects to the driver (bounded)")
     val toks = df.select(tokCol(textCol).as(s"${Dup}w"))
@@ -158,7 +164,8 @@ object LanguageModel {
         when(col("n_bigrams") > 0,
           round((-col(s"${Dup}s")).cast("double") / col("n_bigrams") / 1e6, 6))
           .otherwise(lit(null).cast("double")))
-      .select(col(idCol), col("n_bigrams"), col("lm_bits"))
+      .select(col(idCol) +: passthrough.map(col) :+
+        col("n_bigrams") :+ col("lm_bits"): _*)
   }
 
   /** Kneser–Ney smoothed bigram scoring (Kneser & Ney 1995; the
@@ -346,13 +353,17 @@ object LanguageModel {
     // q110/100 TB shape: zero bigram-keyed exchanges); the tercile
     // machinery downstream is identical either way, and whenever every
     // doc's bigrams sit in the head the buckets match the exact path
+    // the group label rides bigramBits' OWN id-spine join (r12) — the
+    // second row-scale id join this method used to pay is gone
     val scored = topN match {
-      case Some(n) => bigramBitsBroadcast(df, idCol, textCol, n)
-      case None    => bigramBits(df, idCol, textCol)
+      case Some(n) =>
+        bigramBitsBroadcast(df, idCol, textCol, n,
+          passthrough = Seq(groupCol))
+      case None => bigramBits(df, idCol, textCol,
+        passthrough = Seq(groupCol))
     }
-    val g = df.select(col(idCol), col(groupCol))
-      .join(scored.filter(col("lm_bits").isNotNull)
-        .select(col(idCol), col("lm_bits")), Seq(idCol))
+    val g = scored.filter(col("lm_bits").isNotNull)
+      .select(col(idCol), col(groupCol), col("lm_bits"))
       .transform(graft.ops.Parallelism.stage) // histogram + assign reuse
     // tercile cuts through RankCuts' bounded radix search: a per-group
     // cumulative window still serializes a one-language corpus (the
