@@ -80,7 +80,11 @@ object StreamingCrashArm {
         // rewrites its own slice, never duplicating committed ones
         (data, batchId) => data.select("id", "sentiment")
           .write.mode("overwrite").parquet(f"$outDir/batch_$batchId%06d"),
-        runDir = Some(ledgerDir), keyColumn = Some("id"))
+        runDir = Some(ledgerDir), keyColumn = Some("id"),
+        // the arm MEASURES the ledgers after the run (durable rows,
+        // re-invocation check); production default deletes committed
+        // batches' ledgers as the stream advances
+        retainLedgers = true)
       q.awaitTermination()
     }
 

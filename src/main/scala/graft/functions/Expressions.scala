@@ -808,58 +808,52 @@ object ExprHelpers {
     *     perturbation is < ulp(1e9)/2 ≈ 1.2e-7, so the side of the
     *     boundary is provably unchanged) and replays the exact
     *     BigDecimal HALF_UP rule only in the boundary zone;
-    *   - null element → null cell (Round and cast are null-preserving);
-    *   - non-finite element → null cell, pinned absolutely in the spec
-    *     (the declarative chain's `cast(NaN as long)` THROWS under
-    *     Spark 4's default ANSI mode — the kernel keeps a dirty
-    *     embedding cell from killing the job, the [[int8Codes]]
-    *     discipline).
-    * Returns UnsafeArrayData on the no-null fast path, GenericArrayData
-    * when any cell is null. */
+    *   - a DIRTY vector — any null cell, or any element whose scaled
+    *     value x·1e6 is non-finite — quantizes to a null VECTOR,
+    *     pinned absolutely in the spec. The declarative chain either
+    *     nulled the CELL (null input) or THREW under Spark 4's default
+    *     ANSI mode (`cast(NaN as long)`); every micro consumer
+    *     null-poisons on a null cell anyway (vec_dot_long & co. return
+    *     null), so collapsing to a null vector at the source is
+    *     consumer-equivalent for clean-ish data AND gives the operators
+    *     one uniform contract: dirty vectors behave exactly like null
+    *     vectors (droppable with one isNotNull — r12 code review found
+    *     that a null CELL reaching Pca's posexplode covariance produced
+    *     silently inconsistent n vs Σ, and the Gramian's primitive
+    *     decode NPE'd). */
   def microVec(vec: org.apache.spark.sql.catalyst.util.ArrayData,
                kind: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = vec.numElements()
-    @inline def at(i: Int): Double =
-      if (kind == 0) vec.getFloat(i).toDouble else vec.getDouble(i)
-    @inline def cell(x: Double): Long = {
-      val v = x * 1000000.0
+    @inline def at(i: Int): Double = kind match {
+      case 0 => vec.getFloat(i).toDouble
+      case 1 => vec.getDouble(i)
+      case 2 => vec.getInt(i).toDouble
+      case _ => vec.getLong(i).toDouble
+    }
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (vec.isNullAt(i)) return null
+      val v = at(i) * 1000000.0
+      // the guard is on the SCALED value: a finite-but-huge element
+      // (|x| > ~1.8e302) overflows the multiply, and
+      // BigDecimal.decimal(Infinity) throws
+      if (!java.lang.Double.isFinite(v)) return null
       val f = math.floor(v)
       val frac = v - f
       // fast path sound while ulp(v)/2 < the 1e-6 margin, i.e. |v| ≤ 4e9
       // (ulp(4e9) ≈ 9.5e-7); bigger magnitudes replay BigDecimal always
-      if (math.abs(v) <= 4.0e9 && math.abs(frac - 0.5) > 1e-6) {
-        if (frac < 0.5) f.toLong else f.toLong + 1L
-      } else
-        scala.math.BigDecimal.decimal(v)
-          .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
-          .toDouble.toLong
-    }
-    var hasNull = false
-    var i = 0
-    while (i < n && !hasNull) {
-      if (vec.isNullAt(i) || !java.lang.Double.isFinite(at(i))) hasNull = true
+      out(i) =
+        if (math.abs(v) <= 4.0e9 && math.abs(frac - 0.5) > 1e-6) {
+          if (frac < 0.5) f.toLong else f.toLong + 1L
+        } else
+          scala.math.BigDecimal.decimal(v)
+            .setScale(0, scala.math.BigDecimal.RoundingMode.HALF_UP)
+            .toDouble.toLong
       i += 1
     }
-    if (!hasNull) {
-      val out = new Array[Long](n)
-      i = 0
-      while (i < n) { out(i) = cell(at(i)); i += 1 }
-      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-        .fromPrimitiveArray(out)
-    } else {
-      val out = new Array[Any](n)
-      i = 0
-      while (i < n) {
-        out(i) =
-          if (vec.isNullAt(i)) null
-          else {
-            val x = at(i)
-            if (!java.lang.Double.isFinite(x)) null else Long.box(cell(x))
-          }
-        i += 1
-      }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(out)
   }
 
   /** Exact long squared distance Σ(x−y)² of two integral arrays — the
@@ -1246,17 +1240,33 @@ case class Int8Codes(child: Expression)
 
 case class MicroVec(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
-  import org.apache.spark.sql.types.{ArrayType, LongType,
+  import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
     DoubleType => DT, FloatType => FT}
   override def nullable: Boolean = true
-  // containsNull = true: a null (or non-finite) input element yields a
-  // null cell — the same schema the transform(round·cast) twin produced
+  // containsNull = true kept for schema parity with the retired
+  // transform(round·cast) twin (cells are never null at runtime — a
+  // dirty vector nulls WHOLE, see ExprHelpers.microVec)
   override def dataType: DataType = ArrayType(LongType, containsNull = true)
+
+  // reject unsupported element types at ANALYSIS time, not mid-job on
+  // an executor (the declarative twin accepted any castable numeric;
+  // the kernel covers the four the operators feed it)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FT | DT | IntegerType | LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"micro_vec expects array<float|double|int|long>, got $t")
+    }
 
   private lazy val kind: Int =
     child.dataType.asInstanceOf[ArrayType].elementType match {
       case FT => 0
       case DT => 1
+      case IntegerType => 2
+      case LongType => 3
       case t => throw new IllegalArgumentException(s"micro_vec over $t array")
     }
 

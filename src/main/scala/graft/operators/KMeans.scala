@@ -52,10 +52,11 @@ object KMeans {
   def microVec(vecCol: Column): Column =
     graft.functions.Expressions.micro_vec(vecCol)
 
-  /** Declarative twin of [[microVec]] — values identical on finite
-    * cells (OperatorsSpec compares the forms, boundary cases included);
-    * production keeps the kernel, which additionally nulls non-finite
-    * cells instead of throwing under ANSI. */
+  /** Declarative twin of [[microVec]] — values identical on clean
+    * (non-null, finite) vectors (OperatorsSpec compares the forms,
+    * boundary cases included); production keeps the kernel, which
+    * additionally nulls a DIRTY vector whole (any null/non-finite cell)
+    * instead of throwing under ANSI or emitting a poisoned cell. */
   private[graft] def microVecDeclarative(vecCol: Column): Column =
     transform(vecCol, x => round(x.cast("double") * 1e6, 0).cast("long"))
 

@@ -68,11 +68,12 @@ object Pca {
     * ordering and zero point are what downstream filters read), 6dp.
     * Null when degenerate.
     *
-    * Row contract: rows whose vector is NULL are DROPPED — in both the
-    * normal branch (a null vector has no projection) and the degenerate
-    * zero-covariance branch (which emits the same row set with null
-    * pc1), so the output row set does not depend on which branch ran.
-    * PcaSpec pins this. Callers wanting null-vector rows preserved
+    * Row contract: rows whose vector is NULL or DIRTY (any null or
+    * non-finite cell — micro_vec nulls those vectors whole, r12) are
+    * DROPPED — in both the normal branch (no projection exists) and the
+    * degenerate zero-covariance branch (which emits the same row set
+    * with null pc1), so the output row set does not depend on which
+    * branch ran. PcaSpec pins this. Callers wanting such rows preserved
     * left-join pc1 back on idCol.
     *
     * Scale shape (r10): the centered dot Σⱼ(n·vⱼ − Sⱼ)uⱼ telescopes to
@@ -91,11 +92,14 @@ object Pca {
   def projectTop(df: DataFrame, idCol: String, vecCol: String,
                  iters: Int = 8): DataFrame = {
     val (_, u, n, s) = topWithMoments(df, vecCol, iters)
-    // null rows drop on the RAW column (microVec is null-preserving, so
-    // this admits the same rows as filtering mv — without making the
-    // interpreted transform() lambda evaluate twice per row)
-    val vecs = microVecs(df.select(col(idCol), col(vecCol))
-      .filter(col(vecCol).isNotNull), vecCol)
+    // null rows pre-drop on the RAW column (cheap), then DIRTY vectors
+    // (any null or non-finite cell — micro_vec nulls those WHOLE, r12)
+    // drop on the quantized column behind a barrier, so the kernel
+    // evaluates once and the row set matches the covariance side exactly
+    val vecs = Parallelism.barrier(
+        microVecs(df.select(col(idCol), col(vecCol))
+          .filter(col(vecCol).isNotNull), vecCol))
+      .filter(col(s"${Dup}mv").isNotNull)
     if (u == null)
       return vecs.select(col(idCol), lit(null).cast("double").as("pc1"))
     val dotS = s.zip(u).map { case (sj, uj) => sj * BigInt(uj) }.sum
@@ -157,6 +161,11 @@ object Pca {
     val vecs = Parallelism.stage(
       microVecs(df.select(col(vecCol)).filter(col(vecCol).isNotNull),
         vecCol).select(col(s"${Dup}mv")))
+      // dirty vectors (any null/non-finite cell) arrive as null micro
+      // vectors (r12 micro_vec contract) and drop HERE — after the
+      // staged materialization, before either kernel — so both kernels
+      // and the projection see one row set
+      .filter(col(s"${Dup}mv").isNotNull)
     val dRow = vecs.agg(min(size(col(s"${Dup}mv"))),
       max(size(col(s"${Dup}mv")))).head()
     if (dRow.isNullAt(0)) return (0, null, BigInt(0), null)
@@ -465,7 +474,11 @@ object Pca {
       }
       .rdd
     val combined: Array[Long] =
-      if (cells <= BlockCells)
+      // dispatch on d, not on cells vs BlockCells: at d = 2048 the
+      // partial is d²+d+1 cells — marginally OVER BlockCells, but the
+      // documented (and r11-benchmarked) single-array treeReduce path
+      // is exactly right for it; blocks exist for d > 2048
+      if (d <= 2048)
         partials.treeReduce({ (a, b) =>
           var i = 0
           while (i < cells) { merge128(a, b, i); i += 1 }

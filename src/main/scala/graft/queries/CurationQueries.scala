@@ -660,8 +660,6 @@ object CurationQueries {
   }
 
   val q163Sql: String = {
-    val stops = graft.functions.TextFunctions.EnglishStopwords
-      .map(s => s"'$s'").mkString(", ")
     s"""WITH toks AS (
        |  SELECT doc_id, text,
        |    list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
@@ -694,8 +692,6 @@ object CurationQueries {
   /** The q30 quality score in micro units, as a DuckDB subquery over
     * `src` (doc_id, text, ...) — shared by the q164/q165 oracles. */
   private def qualityMicroSql(src: String): String = {
-    val stops = graft.functions.TextFunctions.EnglishStopwords
-      .map(s => s"'$s'").mkString(", ")
     s"""SELECT ${OracleCtes.qualityMicroExpr} AS s
        |  FROM (SELECT text, list_filter(
        |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
@@ -726,8 +722,6 @@ object CurationQueries {
   }
 
   val q164Sql: String = {
-    val stops = graft.functions.TextFunctions.EnglishStopwords
-      .map(s => s"'$s'").mkString(", ")
     s"""WITH toks AS (
        |  SELECT text, list_filter(
        |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
@@ -782,8 +776,6 @@ object CurationQueries {
   }
 
   val q193Sql: String = {
-    val stops = graft.functions.TextFunctions.EnglishStopwords
-      .map(s => s"'$s'").mkString(", ")
     s"""WITH toks AS (
        |  SELECT text, list_filter(
        |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w
@@ -845,8 +837,6 @@ object CurationQueries {
   }
 
   val q196Sql: String = {
-    val stops = graft.functions.TextFunctions.EnglishStopwords
-      .map(s => s"'$s'").mkString(", ")
     s"""WITH toks AS (
        |  SELECT text, n_chars, list_filter(
        |    regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w

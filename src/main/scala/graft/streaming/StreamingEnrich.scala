@@ -36,14 +36,22 @@ object StreamingEnrich {
     * zero-new-calls assert). `keyColumn` must uniquely key rows WITHIN
     * a batch (cross-batch uniqueness not required — ledgers are
     * batch-scoped). The sink still owns idempotent delivery of the
-    * replayed batch's rows (overwrite-by-batchId or dedup-at-read). */
+    * replayed batch's rows (overwrite-by-batchId or dedup-at-read).
+    *
+    * A batch's ledger is only useful until the engine COMMITS that
+    * batch (a committed batch never replays), so once batch N's sink
+    * returns, the ledgers of batches < N are dead weight — on an
+    * unbounded stream they would grow runDir forever. They are deleted
+    * best-effort by default; `retainLedgers = true` keeps them (the
+    * crash-arm measurement reads them post-run). */
   def start(stream: DataFrame, spec: PipelineSpec, client: LlmClient,
             checkpointDir: String,
             sink: (DataFrame, Long) => Unit,
             maxBudget: Option[BigDecimal] = None,
             drainAll: Boolean = true,
             runDir: Option[String] = None,
-            keyColumn: Option[String] = None): StreamingQuery = {
+            keyColumn: Option[String] = None,
+            retainLedgers: Boolean = false): StreamingQuery = {
     // strip the budget from the per-batch spec: enforcement is cumulative
     // across batches out here, not per-batch in there
     val batchSpec = spec.copy(processing =
@@ -57,6 +65,21 @@ object StreamingEnrich {
           val r = new Enricher(batchSpec, client, batchLedger, keyColumn)
             .enrich(batch)
           sink(r.data, batchId)
+          // previous batches are committed by the time this one runs
+          // (micro-batches execute sequentially) — their ledgers can
+          // never be read again; drop them so runDir stays bounded
+          if (!retainLedgers) runDir.foreach { d =>
+            val dirs = Option(new java.io.File(d).listFiles())
+              .getOrElse(Array.empty)
+            dirs.filter { f =>
+              f.getName.startsWith("batch_") &&
+                f.getName.drop(6).forall(_.isDigit) &&
+                f.getName.drop(6).toLong < batchId
+            }.foreach { f =>
+              try new scala.reflect.io.Directory(f).deleteRecursively()
+              catch { case _: Exception => () }
+            }
+          }
           spent = spent.add(r.metrics.cost)
           maxBudget.foreach { cap =>
             if (spent.compareTo(cap.bigDecimal) > 0)

@@ -363,7 +363,6 @@ class OperatorsSpec extends SparkSpec {
         (901L, Seq(Some(2.5e-6f), Some(-2.5e-6f))), // exact ±.5 micro
         (902L, Seq(Some(1.0000005f), Some(-1.0000005f))),
         (903L, Seq(Some(999.999f), Some(-999.999f))),
-        (904L, Seq(Some(1.5f), None, Some(-0.5f))), // null cell rides
         (905L, Seq(Some(Float.MinPositiveValue))))
     val fdf = fvecs.toDF("vec_id", "embedding")
     fdf.select(col("vec_id"),
@@ -385,15 +384,36 @@ class OperatorsSpec extends SparkSpec {
       .collect().foreach { r =>
         assert(r.getSeq[Any](1) === r.getSeq[Any](2), s"vec ${r.getLong(0)}")
       }
-    // absolute pin: non-finite cells null out (the declarative chain
-    // would THROW under ANSI — the kernel keeps a dirty cell from
-    // killing the job, like int8_codes)
-    val dirty = Seq((0L, Seq(Some(1.0f), Some(Float.NaN),
-      Some(Float.PositiveInfinity), Some(Float.NegativeInfinity))))
+    // absolute pin: a DIRTY vector (null cell, non-finite cell, or a
+    // finite element whose x·1e6 overflows to Infinity) nulls WHOLE —
+    // the declarative chain would THROW under ANSI on non-finite and
+    // emit a poisoned null cell on null input (which r12 code review
+    // showed corrupts the posexplode covariance and NPEs the Gramian
+    // decode); one uniform null-vector contract lets every consumer
+    // drop dirt with a single isNotNull
+    val dirty = Seq(
+      (0L, Seq(Some(1.0f), Some(Float.NaN))),
+      (1L, Seq(Some(Float.PositiveInfinity))),
+      (2L, Seq(Some(1.5f), None, Some(-0.5f))),
+      (3L, Seq(Some(1.0f), Some(2.0f)))) // clean control
       .toDF("vec_id", "embedding")
-    val cells = dirty.select(KMeans.microVec(col("embedding")))
-      .head().getSeq[Any](0)
-    assert(cells === Seq(1000000L, null, null, null))
+    val got = dirty.select(col("vec_id"),
+      KMeans.microVec(col("embedding")).as("mv"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(got === Map(0L -> true, 1L -> true, 2L -> true, 3L -> false))
+    // finite-but-huge double element: x·1e6 = Infinity must null, not
+    // throw from BigDecimal.decimal(Infinity)
+    val huge = Seq((0L, Seq(1.0e303))).toDF("vec_id", "embedding")
+    assert(huge.select(KMeans.microVec(col("embedding"))).head().isNullAt(0))
+    // int/long element types quantize exactly (the declarative twin
+    // accepted any castable numeric; analysis rejects others loudly)
+    val ints = Seq((0L, Seq(1, -2, 0))).toDF("vec_id", "embedding")
+    assert(ints.select(KMeans.microVec(col("embedding"))).head()
+      .getSeq[Long](0) === Seq(1000000L, -2000000L, 0L))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((0L, Seq("a"))).toDF("vec_id", "embedding")
+        .select(KMeans.microVec(col("embedding"))).head()
+    }
   }
 
   test("int8 quantization: exact codes, scale cancellation, top-k recall") {

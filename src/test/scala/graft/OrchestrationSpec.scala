@@ -380,6 +380,11 @@ class StreamingEnrichSpec extends SparkSpec {
     run()
     import scala.jdk.CollectionConverters._
     assert(sunk.asScala.map(_._1).toSet.size == 40)
+    // committed batches' ledgers are dropped as the stream advances
+    // (default retainLedgers = false): only the LAST batch's survives
+    assert(new java.io.File(ledger).listFiles()
+      .map(_.getName).filter(_.startsWith("batch_")).toSeq
+      == Seq("batch_000003"))
     val lastCommit = new java.io.File(s"$ckpt/commits").listFiles()
       .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
     val replayedBatch = lastCommit.getName.toInt

@@ -229,6 +229,31 @@ class PcaSpec extends SparkSpec {
     assert(proj === want)
   }
 
+  test("dirty vectors (NaN / null cell) drop like null vectors on both kernels") {
+    // the r12 micro_vec contract: a vector with any null or non-finite
+    // cell quantizes to a null micro vector, and Pca drops it BEFORE
+    // either kernel — loadings and projections must equal the clean
+    // corpus's on both dispatch paths, with the dirty ids absent
+    val live = Seq(1.0f, 2.0f, 3.0f, -1.0f).zipWithIndex.map { case (t, i) =>
+      (i.toLong, Seq(Some(t), Some(2 * t), Some(0.0f), Some(0.0f)))
+    }
+    val dirty = (live ++ Seq(
+      (90L, Seq(Some(Float.NaN), Some(1.0f), Some(0.0f), Some(0.0f))),
+      (91L, Seq(Some(2.0f), None, Some(0.0f), Some(0.0f)))))
+      .toDF("vec_id", "embedding").repartition(3)
+    val clean = live.toDF("vec_id", "embedding")
+    val a = Pca.topComponentVector(dirty, "embedding", 8, forceGramian = false)
+    val b = Pca.topComponentVector(dirty, "embedding", 8, forceGramian = true)
+    val c = Pca.topComponentVector(clean, "embedding", 8)
+    assert(a._2.toSeq === b._2.toSeq && a._2.toSeq === c._2.toSeq)
+    val proj = Pca.projectTop(dirty, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = Pca.projectTop(clean, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(proj === want)
+    assert(!proj.contains(90L) && !proj.contains(91L))
+  }
+
   test("oversized elements are rejected where long arithmetic relies on them") {
     // the 1e9-micro element bound is enforced at the two points that
     // DEPEND on it: the projection's native long dot (per element,

@@ -429,7 +429,10 @@ class RateLimitStormSpec extends SparkSpec {
       // every row healed through the retry — the storm lost nothing
       assert(r.data.filter(org.apache.spark.sql.functions.col("out")
         .isNotNull).count() == 40)
-      assert(reqCount.get() == 41, s"expected 40 + 1 retry, got ${reqCount.get()}")
+      // exactly one deliberate 429; a transient loopback hiccup may add
+      // a retry, never subtract one
+      assert(reqCount.get() >= 41 && reqCount.get() <= 43,
+        s"expected 40 + 1 retry (+slack), got ${reqCount.get()}")
 
       // (1) token-bucket law at the SERVER: the i-th arrival (0-based)
       // can only exist once burst + rate·t tokens were issued — slack 3
@@ -450,7 +453,10 @@ class RateLimitStormSpec extends SparkSpec {
       // land within moments of the penalty; nothing NEW may arrive in the
       // heart of the stall window.
       assert(penaltyIssuedAtMs > 0L)
-      val inStall = ts.count(t => t > penaltyIssuedAtMs + 800 &&
+      // generous in-flight grace (1 s) against GC/scheduler pauses on a
+      // loaded host: an already-admitted request may arrive late, but
+      // nothing NEW may land in the heart of the stall
+      val inStall = ts.count(t => t > penaltyIssuedAtMs + 1000 &&
         t < penaltyIssuedAtMs + retryAfterSec * 1000L - 300)
       assert(inStall == 0,
         s"$inStall arrivals inside the retry-after stall window")
