@@ -752,34 +752,38 @@ object ExprHelpers {
     * (whose two lambdas evaluate INTERPRETED per element): Spark's
     * Round(double, 0) is `BigDecimal.decimal(x).setScale(0, HALF_UP)`,
     * replicated here term for term — a float `floor(x+0.5)` shortcut
-    * disagrees on values one ulp under .5. Null element → null result
-    * (the declarative form nulls the CELL; every int8 consumer nulls on
-    * a null cell, so the forms are consumer-equivalent — spec-pinned).
-    * A non-finite element → all-zero codes (the declared contract,
-    * guarded identically in the declarative twin): greatest() makes the
-    * max NaN/Inf (Spark NaN orders above everything), and without the
-    * guard ONE dirty embedding element kills the whole job —
-    * BigDecimal.decimal throws on NaN here, and under Spark 4's default
-    * ANSI mode `cast(NaN as tinyint)` throws in the declarative chain.
-    * All-zero is deterministic, ANSI-independent, and already what a
-    * zero vector yields. */
+    * disagrees on values one ulp under .5. Dirty-vector contract,
+    * decided over the WHOLE vector (element order must not matter —
+    * [null, NaN] and [NaN, null] are the same dirty vector):
+    * any null cell → null result, else any non-finite cell → all-zero
+    * codes, both pinned identically in the declarative twin. Without
+    * the non-finite guard ONE dirty embedding element kills the whole
+    * job — BigDecimal.decimal throws on NaN here, and under Spark 4's
+    * default ANSI mode `cast(NaN as tinyint)` throws in the declarative
+    * chain. All-zero is deterministic, ANSI-independent, and already
+    * what a zero vector yields. */
   def int8Codes(vec: org.apache.spark.sql.catalyst.util.ArrayData,
                 kind: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
     val n = vec.numElements()
     @inline def at(i: Int): Double =
       if (kind == 0) vec.getFloat(i).toDouble else vec.getDouble(i)
     var m = 0.0
+    var anyNull = false
+    var anyNonFinite = false
     var i = 0
     while (i < n) {
-      if (vec.isNullAt(i)) return null
-      val x = at(i)
-      if (!java.lang.Double.isFinite(x))
-        return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
-          .fromPrimitiveArray(new Array[Byte](n))
-      val a = math.abs(x)
-      if (a > m) m = a
+      if (vec.isNullAt(i)) anyNull = true
+      else {
+        val x = at(i)
+        if (!java.lang.Double.isFinite(x)) anyNonFinite = true
+        else { val a = math.abs(x); if (a > m) m = a }
+      }
       i += 1
     }
+    if (anyNull) return null
+    if (anyNonFinite)
+      return org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+        .fromPrimitiveArray(new Array[Byte](n))
     val out = new Array[Byte](n)
     if (m != 0.0) {
       i = 0
@@ -1111,10 +1115,18 @@ case class VecDot(left: Expression, right: Expression)
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], ak, bk)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Double r = graft.functions.ExprHelpers.vecDot($a, $b, $ak, $bk);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.doubleValue(); }""")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName, NOT a literal local: two kernel instances in one
+      // codegen scope otherwise redefine the variable — janino rejects
+      // the whole generated class and the ENTIRE projection falls back
+      // to interpreted evaluation (the pathology these kernels exist
+      // to avoid)
+      val r = ctx.freshName("r")
+      s"""
+      java.lang.Double $r = graft.functions.ExprHelpers.vecDot($a, $b, $ak, $bk);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.doubleValue(); }"""
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): VecDot = copy(left = l, right = r)
@@ -1150,10 +1162,11 @@ case class VecDotLong(left: Expression, right: Expression,
         if (boundAbs > 0L)
           s"graft.functions.ExprHelpers.vecDotLongBounded($a, $b, $ak, $bk, ${boundAbs}L)"
         else s"graft.functions.ExprHelpers.vecDotLong($a, $b, $ak, $bk)"
+      val r = ctx.freshName("r")
       s"""
-      java.lang.Long r = $call;
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.longValue(); }"""
+      java.lang.Long $r = $call;
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.longValue(); }"""
     })
 
   override protected def withNewChildrenInternal(
@@ -1171,11 +1184,14 @@ case class DsirBuckets(child: Expression, buckets: Int)
       w.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], buckets)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, w => s"""
-      org.apache.spark.sql.catalyst.util.ArrayData r =
+    nullSafeCodeGen(ctx, ev, w => {
+      val r = ctx.freshName("r")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
         graft.functions.ExprHelpers.dsirBuckets($w, $buckets);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r; }""")
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r; }"""
+    })
 
   override protected def withNewChildInternal(c: Expression): DsirBuckets =
     copy(child = c)
@@ -1228,11 +1244,14 @@ case class Int8Codes(child: Expression)
       v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], kind)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v => s"""
-      org.apache.spark.sql.catalyst.util.ArrayData r =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
         graft.functions.ExprHelpers.int8Codes($v, $kind);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r; }""")
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r; }"""
+    })
 
   override protected def withNewChildInternal(c: Expression): Int8Codes =
     copy(child = c)
@@ -1275,11 +1294,14 @@ case class MicroVec(child: Expression)
       v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], kind)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v => s"""
-      org.apache.spark.sql.catalyst.util.ArrayData r =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
         graft.functions.ExprHelpers.microVec($v, $kind);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r; }""")
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r; }"""
+    })
 
   override protected def withNewChildInternal(c: Expression): MicroVec =
     copy(child = c)
@@ -1296,10 +1318,13 @@ case class DsirLogw(left: Expression, right: Expression)
       lut.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (w, lut) => s"""
-      java.lang.Long r = graft.functions.ExprHelpers.dsirLogw($w, $lut);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.longValue(); }""")
+    nullSafeCodeGen(ctx, ev, (w, lut) => {
+      val r = ctx.freshName("r")
+      s"""
+      java.lang.Long $r = graft.functions.ExprHelpers.dsirLogw($w, $lut);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.longValue(); }"""
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): DsirLogw = copy(left = l, right = r)
@@ -1403,10 +1428,13 @@ case class VecSqDistLong(left: Expression, right: Expression)
       b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Long r = graft.functions.ExprHelpers.vecSqDistLong($a, $b);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.longValue(); }""")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+      java.lang.Long $r = graft.functions.ExprHelpers.vecSqDistLong($a, $b);
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.longValue(); }"""
+    })
 
   override protected def withNewChildrenInternal(
       l: Expression, r: Expression): VecSqDistLong = copy(left = l, right = r)
@@ -1425,11 +1453,14 @@ case class PqAssignMicroExpr(left: Expression, right: Expression,
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqCbL", cb, "long[][][]")
-    nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      java.lang.Integer r =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val r = ctx.freshName("r")
+      s"""
+      java.lang.Integer $r =
         graft.functions.ExprHelpers.pqAssignMicro($a, $b, $ref);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r.intValue(); }""")
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r.intValue(); }"""
+    })
   }
 
   override protected def withNewChildrenInternal(
@@ -1456,11 +1487,14 @@ case class PqEncodeExpr(child: Expression, cb: Array[Array[Array[Double]]])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val ref = ctx.addReferenceObj("pqCbD", cb, "double[][][]")
-    nullSafeCodeGen(ctx, ev, v => s"""
-      org.apache.spark.sql.catalyst.util.ArrayData r =
+    nullSafeCodeGen(ctx, ev, v => {
+      val r = ctx.freshName("r")
+      s"""
+      org.apache.spark.sql.catalyst.util.ArrayData $r =
         graft.functions.ExprHelpers.pqEncode($v, $ref, $fk);
-      if (r == null) { ${ev.isNull} = true; }
-      else { ${ev.value} = r; }""")
+      if ($r == null) { ${ev.isNull} = true; }
+      else { ${ev.value} = $r; }"""
+    })
   }
 
   override protected def withNewChildInternal(c: Expression): PqEncodeExpr =

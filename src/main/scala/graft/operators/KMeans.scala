@@ -76,10 +76,22 @@ object KMeans {
 
   /** Label `df` with the nearest of `centroids`: adds `cluster` and
     * `dist` columns (exact integer micro² distance). `vecCol` is the
-    * RAW float vector column; quantization happens here. */
+    * RAW float vector column; quantization happens here. Rows whose
+    * vector is null or DIRTY (any null/non-finite cell — micro_vec
+    * nulls those whole) DROP, the [[Pca.projectTop]] row contract:
+    * without the drop a null micro distance silently argmins every
+    * dirty row into cluster 0. The barrier keeps the kernel evaluated
+    * once (a predicate on the derived column would otherwise collapse
+    * into the projection and re-run it per row). */
   def assign(df: DataFrame, vecCol: String,
-             centroids: Array[Array[Long]]): DataFrame =
-    assignOn(df, microVec(col(vecCol)), centroids)
+             centroids: Array[Array[Long]]): DataFrame = {
+    val mv = "__graft_amv"
+    val clean = graft.ops.Parallelism.barrier(
+        df.filter(col(vecCol).isNotNull)
+          .withColumn(mv, microVec(col(vecCol))))
+      .filter(col(mv).isNotNull)
+    assignOn(clean, col(mv), centroids).drop(mv)
+  }
 
   /** [[assign]] against an already-quantized micro vector expression —
     * the training loop quantizes ONCE into a staged column and reuses
@@ -120,20 +132,29 @@ object KMeans {
   }
 
   /** Train k-means with `iters` Lloyd rounds from the deterministic
-    * `id % k` seeding. Requires a non-null fixed-dimension vector
-    * column and non-negative ids. */
+    * `id % k` seeding. Requires a fixed-dimension vector column and
+    * non-negative ids; rows whose vector is null or dirty (any
+    * null/non-finite cell) drop before training, the [[Pca]] contract. */
   def fit(df: DataFrame, idCol: String, vecCol: String, k: Int,
           iters: Int): Model = {
     require(k >= 1 && k <= 65536, s"k=$k out of range")
     require(iters >= 1, "iters must be >= 1")
-    val dim = df.select(size(col(vecCol))).head().getInt(0)
-    require(dim >= 1, "empty vectors")
     // quantize ONCE behind a stage barrier: every iteration's
     // assignment and per-dim update reads the same materialized micro
-    // column instead of re-running the float->micro transform per pass
+    // column instead of re-running the float->micro transform per pass.
+    // DIRTY vectors (null, or any null/non-finite cell — micro_vec
+    // nulls those whole) drop AFTER the staged materialization, the
+    // Pca contract: letting a null micro vector reach meansBy inflates
+    // count(1) against null-skipping sums (silently biased centroids),
+    // and reach assignOn argmins the row into cluster 0 with dist=null
     val mv = "__graft_mv"
     val q = graft.ops.Parallelism.stage(
       df.withColumn(mv, microVec(col(vecCol))))
+      .filter(col(mv).isNotNull)
+    // dimension from the CLEAN rows (size(null) on a dirty first row
+    // would read as null), failing fast on an all-dirty corpus
+    val dim = q.select(size(col(mv))).head().getInt(0)
+    require(dim >= 1, "empty vectors")
     // init: micro-mean of each id-residue class; a class can only be
     // empty when the corpus has < k rows — then seed at the origin
     val init = meansBy(q, mv, pmod(col(idCol), lit(k.toLong)), dim)

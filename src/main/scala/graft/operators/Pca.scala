@@ -188,10 +188,14 @@ object Pca {
           n0 * toBigInt(combined, 1 + d + j * d + k) - s0(j) * s0(k),
           n0, s0)
       }
+    // the covariance is symmetric by construction (both kernels mirror
+    // their products), so every driver-side d² pass needs only the
+    // upper triangle — the 128-bit decode + two BigInt multiplies per
+    // cellAt were otherwise paid twice (9.4 M extra decodes at d = 3072)
     var maxAbs = BigInt(0)
     var jj = 0
     while (jj < d) {
-      var kk = 0
+      var kk = jj
       while (kk < d) {
         val a = cellAt(jj, kk).abs
         if (a > maxAbs) maxAbs = a
@@ -219,15 +223,18 @@ object Pca {
     // of driver time at d = 3072 (9.4 M cells, measured); the fast path
     // is two double ops and a compare. Values identical by the bound.
     val maxAbsD = maxAbs.toDouble
-    def quantCell(c: BigInt): Long =
-      if (c.signum == 0) 0L
-      else {
-        val x = c.toDouble * 1000000.0 / maxAbsD
-        val f = math.floor(x)
-        if (x - f > 1e-6 && f + 1.0 - x > 1e-6) f.toLong
-        else floorDiv(c * 1000000, maxAbs).toLong
+    val q = Array.ofDim[Long](d, d)
+    jj = 0
+    while (jj < d) {
+      var kk = jj
+      while (kk < d) {
+        val v = quantCell(cellAt(jj, kk), maxAbs, maxAbsD)
+        q(jj)(kk) = v
+        q(kk)(jj) = v
+        kk += 1
       }
-    val q = Array.tabulate(d, d)((j, k) => quantCell(cellAt(j, k)))
+      jj += 1
+    }
     var x = Array.fill(d)(1000000L)
     for (_ <- 0 until iters) {
       val y = new Array[Long](d)
@@ -522,4 +529,20 @@ object Pca {
     val (qq, rr) = a /% b
     if (rr != 0 && ((a < 0) != (b < 0))) qq - 1 else qq
   }
+
+  /** floor(c·1e6 / maxAbs) through the guarded double fast path (see
+    * the quantization comment in [[topWithMoments]]): doubles when the
+    * quotient sits ≥ 1e-6 from both neighboring integers, exact BigInt
+    * floor division only in the boundary zone. Shared with the phase
+    * probe so its timings measure the SHIPPED per-cell rule
+    * (`maxAbsD` is `maxAbs.toDouble`, hoisted by the caller). */
+  private[operators] def quantCell(c: BigInt, maxAbs: BigInt,
+                                   maxAbsD: Double): Long =
+    if (c.signum == 0) 0L
+    else {
+      val x = c.toDouble * 1000000.0 / maxAbsD
+      val f = math.floor(x)
+      if (x - f > 1e-6 && f + 1.0 - x > 1e-6) f.toLong
+      else floorDiv(c * 1000000, maxAbs).toLong
+    }
 }

@@ -452,12 +452,15 @@ object Similarity {
     graft.functions.Expressions.int8_codes(vec)
 
   /** The retired declarative form, kept as the kernel's spec twin.
-    * Non-finite guard (r12): any NaN/Inf element makes the greatest()
-    * max non-finite (Spark NaN orders above everything), and under
-    * Spark 4's default ANSI mode `cast(NaN as tinyint)` THROWS — one
-    * dirty embedding element killing the job. Both forms instead pin
-    * the contract: non-finite vector → all-zero codes (deterministic,
-    * ANSI-independent, and what the zero-vector case already yields). */
+    * Dirty-vector guards (r12), decided over the WHOLE vector so
+    * element order never matters ([null, NaN] ≡ [NaN, null]): any null
+    * cell → null vector (greatest() would otherwise SKIP the null and
+    * let the non-finite rule zero it — diverging from the kernel); else
+    * any NaN/Inf element makes the greatest() max non-finite (Spark NaN
+    * orders above everything) → all-zero codes. Without the guards one
+    * dirty embedding element kills the job under Spark 4's default ANSI
+    * mode (`cast(NaN as tinyint)` THROWS). All-zero is deterministic,
+    * ANSI-independent, and what the zero-vector case already yields. */
   private[graft] def int8CodesDeclarative(vec: Column): Column = {
     val mx = aggregate(vec, lit(0.0),
       (acc, x) => greatest(acc, abs(x.cast("double"))))
@@ -465,10 +468,12 @@ object Similarity {
     // get no cross-expression CSE, so inlining `mx` into the per-element
     // lambda would re-run the full-vector aggregate for every element
     // (O(d^2) per row)
-    element_at(transform(array(mx), m =>
-      transform(vec, x => when(m === 0.0 || isnan(m) ||
-          m === lit(Double.PositiveInfinity), lit(0))
-        .otherwise(round(x.cast("double") * 127.0 / m)).cast("tinyint"))), 1)
+    when(exists(vec, x => x.isNull), lit(null).cast("array<tinyint>"))
+      .otherwise(element_at(transform(array(mx), m =>
+        transform(vec, x => when(m === 0.0 || isnan(m) ||
+            m === lit(Double.PositiveInfinity), lit(0))
+          .otherwise(round(x.cast("double") * 127.0 / m))
+          .cast("tinyint"))), 1))
   }
 
   /** Exact integer dot product of two int8 code vectors (long
@@ -1059,14 +1064,24 @@ object Similarity {
     val corpus =
       if (trainStride == 1L) corpusAll
       else corpusAll.filter(col(idCol).cast("long") % trainStride === 0)
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    // dimension from the first NON-NULL vector (size(null) reads as a
+    // null cell that head().getInt would NPE on)
+    val dim = corpus.filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol))).head().getInt(0)
     require(dim % m == 0, s"vector dim $dim not divisible by m=$m")
     val ds = dim / m
     // one micro-quantize + subspace explode, staged so every
-    // iteration's assignment and update reads the materialized rows
+    // iteration's assignment and update reads the materialized rows.
+    // DIRTY vectors (null / any null or non-finite cell — micro_vec
+    // nulls those whole) drop before the slice, the KMeans.fit
+    // contract: a null micro vector slices to null subvectors whose
+    // meansBy count(1) inflates against null-skipping sums. The
+    // barrier keeps the kernel single-eval under the filter.
     val sv = graft.ops.Parallelism.stage(
-      corpus.select(col(idCol).cast("long").as("__graft_id"),
-          KMeans.microVec(col(vecCol)).as("__graft_mv"))
+      graft.ops.Parallelism.barrier(
+          corpus.select(col(idCol).cast("long").as("__graft_id"),
+            KMeans.microVec(col(vecCol)).as("__graft_mv")))
+        .filter(col("__graft_mv").isNotNull)
         .select(col("__graft_id"),
           posexplode(array((0 until m).map(j =>
             slice(col("__graft_mv"), j * ds + 1, ds)): _*))
@@ -1084,7 +1099,11 @@ object Similarity {
             Array.tabulate(ds)(i => KMeans.intMean(r.getLong(3 + i), n))
         }.toMap
     }
-    val n = corpus.count()
+    // seed stride over the CLEAN vector count (sv carries m staged rows
+    // per surviving vector) — counting dirty rows here would shift
+    // every seed choice, so dirt would change the training even though
+    // no dirty row participates
+    val n = sv.count() / m
     val stride = math.max(1L, n / k)
     // seeds stride over the sample ORDINAL (id div trainStride — exact
     // for dense ids; identity when the cap doesn't bind), so a capped

@@ -109,12 +109,22 @@ final class RunRegistry(baseDir: String) {
       "." + runId.replaceAll("[^A-Za-z0-9._-]", "_") + ".lock"))
     catch { case _: Exception => () }
 
-  def register(runId: String, runDir: String): RunRecord = {
-    val now = System.currentTimeMillis()
-    val rec = RunRecord(runId, runDir, RunState.Pending, now, now)
-    save(rec)
-    rec
-  }
+  /** Create the run record if absent; an EXISTING record is returned
+    * unchanged (never clobbered back to PENDING) — a re-register would
+    * otherwise resurrect a terminal run behind [[transition]]'s state
+    * machine, and resurrecting SUCCEEDED in particular re-opens the
+    * deleted-lock-file double-hold race [[dropLockFile]] reasons about.
+    * Held under the run lock so two racing get-then-register callers
+    * (e.g. RegistryObserver's RunStarted) resolve to one save. */
+  def register(runId: String, runDir: String): RunRecord =
+    withRunLock(runId) {
+      get(runId).getOrElse {
+        val now = System.currentTimeMillis()
+        val rec = RunRecord(runId, runDir, RunState.Pending, now, now)
+        save(rec)
+        rec
+      }
+    }
 
   def transition(runId: String, to: String,
                  update: RunRecord => RunRecord = identity): RunRecord =

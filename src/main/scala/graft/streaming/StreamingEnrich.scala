@@ -67,18 +67,25 @@ object StreamingEnrich {
           sink(r.data, batchId)
           // previous batches are committed by the time this one runs
           // (micro-batches execute sequentially) — their ledgers can
-          // never be read again; drop them so runDir stays bounded
+          // never be read again; drop them so runDir stays bounded.
+          // Hadoop FileSystem, not java.io.File: the ledgers are
+          // written via Spark parquet, so runDir may be hdfs://, s3a://
+          // etc. — a local-only listing silently never deletes there
           if (!retainLedgers) runDir.foreach { d =>
-            val dirs = Option(new java.io.File(d).listFiles())
-              .getOrElse(Array.empty)
-            dirs.filter { f =>
-              f.getName.startsWith("batch_") &&
-                f.getName.drop(6).forall(_.isDigit) &&
-                f.getName.drop(6).toLong < batchId
-            }.foreach { f =>
-              try new scala.reflect.io.Directory(f).deleteRecursively()
-              catch { case _: Exception => () }
-            }
+            try {
+              val base = new org.apache.hadoop.fs.Path(d)
+              val fs = base.getFileSystem(
+                batch.sparkSession.sessionState.newHadoopConf())
+              fs.listStatus(base).foreach { st =>
+                val name = st.getPath.getName
+                val digits = name.stripPrefix("batch_")
+                if (st.isDirectory && name.startsWith("batch_") &&
+                    digits.nonEmpty && digits.length <= 18 &&
+                    digits.forall(_.isDigit) && digits.toLong < batchId)
+                  try fs.delete(st.getPath, true)
+                  catch { case _: Exception => () }
+              }
+            } catch { case _: Exception => () }
           }
           spent = spent.add(r.metrics.cost)
           maxBudget.foreach { cap =>

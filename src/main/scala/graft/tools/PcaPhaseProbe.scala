@@ -41,18 +41,34 @@ object PcaPhaseProbe {
     println(s"n=$n cells=${combined.length / 2}")
     def cellAt(j: Int, k: Int): BigInt =
       n * Pca.toBigInt(combined, 1 + d + j * d + k) - s(j) * s(k)
+    // upper-triangle scans + the shipped guarded-double quantCell, so
+    // the phase timings measure production's per-cell rule (an earlier
+    // draft timed the retired full-square truncating BigInt division)
     val maxAbs = t("maxabs") {
       var m = BigInt(0)
       var j = 0
       while (j < d) {
-        var k = 0
+        var k = j
         while (k < d) { val a = cellAt(j, k).abs; if (a > m) m = a; k += 1 }
         j += 1
       }
       m
     }
     val q = t("quantize") {
-      Array.tabulate(d, d)((j, k) => ((cellAt(j, k) * 1000000) / maxAbs).toLong)
+      val maxAbsD = maxAbs.toDouble
+      val out = Array.ofDim[Long](d, d)
+      var j = 0
+      while (j < d) {
+        var k = j
+        while (k < d) {
+          val v = Pca.quantCell(cellAt(j, k), maxAbs, maxAbsD)
+          out(j)(k) = v
+          out(k)(j) = v
+          k += 1
+        }
+        j += 1
+      }
+      out
     }
     t("power8") {
       var x = Array.fill(d)(1000000L)

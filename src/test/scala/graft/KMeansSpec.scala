@@ -135,4 +135,28 @@ class KMeansSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), s"assign must not shuffle:\n$p")
   }
+
+  test("dirty vectors drop from fit and assign instead of skewing them") {
+    // micro_vec nulls a dirty vector (any null/non-finite cell) WHOLE;
+    // fit and assign must DROP those rows — before the r12 fix a null
+    // micro vector inflated meansBy's count(1) against null-skipping
+    // sums (silently biased centroids) and argmin'd into cluster 0
+    // with a null distance
+    val clean = blobs()
+    val dirty = clean.unionByName(Seq(
+        (9001L, Array(Float.NaN, 1.0f)),
+        (9002L, Array(1.0f, Float.PositiveInfinity)),
+        (9003L, null.asInstanceOf[Array[Float]]))
+      .toDF("id", "vec"))
+    val mc = KMeans.fit(clean, "id", "vec", k = 3, iters = 3)
+    val md = KMeans.fit(dirty, "id", "vec", k = 3, iters = 3)
+    assert(md.centroids.map(_.toSeq).toSeq ===
+      mc.centroids.map(_.toSeq).toSeq,
+      "dirty rows changed the trained centroids")
+    val assigned = KMeans.assign(dirty, "vec", mc.centroids)
+    assert(assigned.filter(col("id") >= 9001L).count() === 0L,
+      "dirty rows survived assign")
+    assert(assigned.count() === clean.count())
+    assert(assigned.filter(col("dist").isNull).count() === 0L)
+  }
 }

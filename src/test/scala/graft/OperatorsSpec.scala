@@ -343,6 +343,26 @@ class OperatorsSpec extends SparkSpec {
       assert(r.getSeq[Byte](1).forall(_ == 0) && r.getSeq[Byte](1).size == 2,
         s"vec ${r.getLong(0)} not all-zero")
     }
+    // null-cell vectors — including MIXED dirt (a null cell AND a
+    // non-finite cell, both orders): the contract is decided over the
+    // whole vector, null wins, so element order must not matter. An
+    // earlier kernel decided on the FIRST dirty cell it met ([null,
+    // NaN] → null but [NaN, null] → zeros) while the twin's
+    // null-skipping greatest() zeroed both
+    val mixed: Seq[(Long, Seq[Option[Float]])] = Seq(
+      (910L, Seq(None, Some(Float.NaN))),
+      (911L, Seq(Some(Float.NaN), None)),
+      (912L, Seq(Some(1.0f), None)),
+      (913L, Seq(None, Some(1.0f))))
+    mixed.toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        Similarity.int8Codes(col("embedding")).as("nat"),
+        Similarity.int8CodesDeclarative(col("embedding")).as("dec"))
+      .collect().foreach { r =>
+        assert(r.isNullAt(1) && r.isNullAt(2),
+          s"vec ${r.getLong(0)}: a null cell must null the vector " +
+            "WHOLE in both forms")
+      }
   }
 
   test("micro_vec native kernel equals the declarative round chain bit-for-bit") {

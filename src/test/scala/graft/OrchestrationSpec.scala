@@ -359,6 +359,12 @@ class StreamingEnrichSpec extends SparkSpec {
       prompt = PromptSpec("R:{text}", batchSize = 5),
       output = OutputSpec(Seq("out")))
     val sunk = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long)]()
+    // adversarial stray: a dir named exactly "batch_" (prefix, zero
+    // digits) once threw NumberFormatException inside the cleanup
+    // filter — "".toLong after a vacuously-true forall(isDigit) —
+    // killing the foreachBatch and the query; it must be skipped and
+    // left in place
+    Files.createDirectories(java.nio.file.Paths.get(ledger, "batch_"))
     def run(): Unit = {
       val stream = spark.readStream
         .schema("id INT, text STRING")
@@ -381,10 +387,11 @@ class StreamingEnrichSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(sunk.asScala.map(_._1).toSet.size == 40)
     // committed batches' ledgers are dropped as the stream advances
-    // (default retainLedgers = false): only the LAST batch's survives
+    // (default retainLedgers = false): only the LAST batch's survives,
+    // plus the digitless stray the cleanup must ignore
     assert(new java.io.File(ledger).listFiles()
-      .map(_.getName).filter(_.startsWith("batch_")).toSeq
-      == Seq("batch_000003"))
+      .map(_.getName).filter(_.startsWith("batch_")).sorted.toSeq
+      == Seq("batch_", "batch_000003"))
     val lastCommit = new java.io.File(s"$ckpt/commits").listFiles()
       .filter(_.getName.forall(_.isDigit)).maxBy(_.getName.toInt)
     val replayedBatch = lastCommit.getName.toInt
@@ -428,6 +435,29 @@ class RunRegistrySpec extends SparkSpec {
     assert(back.note == "said \"ok\"\nline2")
     assert(back.state == RunState.Succeeded)
     assert(new RunRegistry(dir).list().map(_.runId) == Seq("run one"))
+  }
+
+  test("re-registering an existing run never resurrects it to PENDING") {
+    // register() is create-if-absent: a second register of the same id
+    // must return the existing record unchanged — an unconditional save
+    // would drive a terminal run back to PENDING behind transition()'s
+    // state machine (and re-open the dropped-lock-file race on
+    // SUCCEEDED, whose safety argument is that nothing writes after it)
+    val dir = Files.createTempDirectory("graft_reg_rr").toString
+    val reg = new RunRegistry(dir)
+    reg.register("rr", "/tmp/rr")
+    reg.transition("rr", RunState.Running)
+    val done = reg.transition("rr", RunState.Succeeded,
+      r => r.copy(rows = 7, validRows = 7))
+    val again = reg.register("rr", "/tmp/somewhere-else")
+    assert(again.state == RunState.Succeeded && again.rows == 7L &&
+      again.runDir == "/tmp/rr",
+      s"re-register clobbered the record: $again")
+    assert(reg.get("rr").get == done, "record on disk changed")
+    // and RUNNING can still not be re-entered from SUCCEEDED
+    intercept[IllegalArgumentException] {
+      reg.transition("rr", RunState.Running)
+    }
   }
 
   test("registry notes round-trip for adversarial escape sequences") {

@@ -50,6 +50,22 @@ class RecallSpec extends SparkSpec {
     assert(r >= 0.90, s"trained-exact pq recall@$k=$r")
   }
 
+  test("dirty vectors drop from pqTrainExact instead of skewing codebooks") {
+    // a dirty vector (null / NaN cell) becomes a null micro vector,
+    // whose null subspace slices once inflated meansBy's count(1)
+    // against null-skipping sums — silently biased codebooks. The r12
+    // contract drops the row; codebooks must be unchanged by dirt
+    import spark.implicits._
+    val clean = Similarity.pqTrainExact(emb, 4, 8, iters = 2)
+    val nanVec = Array.tabulate(64)(i => if (i == 3) Float.NaN else i * 0.1f)
+    val dirty = emb.select("vec_id", "embedding").unionByName(Seq(
+        (900001L, nanVec),
+        (900002L, null.asInstanceOf[Array[Float]]))
+      .toDF("vec_id", "embedding"))
+    val trained = Similarity.pqTrainExact(dirty, 4, 8, iters = 2)
+    assert(trained == clean, "dirty rows changed the trained codebooks")
+  }
+
   test("trained PQ (production shape) recovers high recall") {
     val cbT = Similarity.pqTrain(emb, 8, 64, iters = 5, sampleCap = 1000)
     val r = recallOf(Similarity.pqAdcRefineTopK(queries, emb, k, cbT,
