@@ -68,5 +68,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         WordBoundaryTruncate(args.head, maxLen)
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_term_counts"),
+      new ExpressionInfo(classOf[graft.functions.TermCounts].getName,
+        "graft_term_counts"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "graft_term_counts(array<string>)")
+        graft.functions.TermCounts(args.head)
+      }))
   }
 }

@@ -363,6 +363,51 @@ object ExprHelpers {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Distinct terms of a token array with their in-row counts, as
+    * (term, cnt) structs in first-occurrence order — ONE native pass.
+    * This is the per-document half of an inverted-index build: the
+    * exploded output is value-identical to
+    * `explode(toks) → groupBy(id, term).count()`, but aggregating
+    * WITHIN the row needs no exchange, so the row-scale shuffle that
+    * a postings build previously paid for term frequencies (plus the
+    * second groupBy + join that re-attached document length) vanishes
+    * — only the vocab-sized document-frequency census still shuffles.
+    * Null tokens (possible for array columns not produced by the
+    * tokenizer) aggregate under one null term, mirroring SQL GROUP BY
+    * null semantics; a downstream inner equi-join on term drops them,
+    * exactly as it dropped the null-term group before. Term bytes are
+    * cloned so the output never aliases a reusable input buffer. */
+  def termCounts(toks: org.apache.spark.sql.catalyst.util.ArrayData):
+      org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = toks.numElements()
+    if (n == 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.empty[AnyRef])
+    // LinkedHashMap: deterministic first-occurrence order (matches the
+    // declarative array_distinct twin); UTF8String hashes/compares by
+    // bytes. Values are one-slot arrays to avoid per-increment boxing.
+    val m = new java.util.LinkedHashMap[UTF8String, Array[Long]](
+      math.min(n * 2, 1 << 16))
+    var i = 0
+    while (i < n) {
+      val t = if (toks.isNullAt(i)) null else toks.getUTF8String(i)
+      val slot = m.get(t)
+      if (slot == null) m.put(if (t == null) null else t.clone(), Array(1L))
+      else slot(0) += 1L
+      i += 1
+    }
+    val out = new Array[AnyRef](m.size)
+    val it = m.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(Array[Any](e.getKey, e.getValue()(0)))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Left-to-right double dot product of two numeric arrays — the
     * native form of `aggregate(zip_with(a, b, x*y), 0.0, +)`, with the
     * fold's exact null semantics: zip_with pads a length mismatch with
@@ -1095,6 +1140,27 @@ case class WordShingles(child: Expression, k: Int) extends UnaryExpression {
     copy(child = c)
 }
 
+case class TermCounts(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("term", StringType,
+        nullable = true),
+      org.apache.spark.sql.types.StructField("cnt", LongType,
+        nullable = false))),
+    containsNull = false)
+
+  override def nullSafeEval(v: Any): Any =
+    ExprHelpers.termCounts(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.ExprHelpers.termCounts($c)")
+
+  override protected def withNewChildInternal(c: Expression): TermCounts =
+    copy(child = c)
+}
+
 case class VecDot(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   import org.apache.spark.sql.types.{ArrayType, DoubleType => DT, FloatType => FT}
@@ -1585,6 +1651,21 @@ object Expressions {
     ColumnBridge.column(SimhashAgg(ColumnBridge.expression(c), bits))
   def word_shingles(c: Column, k: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), k))
+  /** Per-row (term, cnt) structs in first-occurrence order — the
+    * shuffle-free half of an inverted-index build; see
+    * [[ExprHelpers.termCounts]]. */
+  def term_counts(c: Column): Column =
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(c)))
+  /** Interpreted O(n·distinct) twin of [[term_counts]], kept only as the
+    * parity oracle for the native kernel (spec-compared): array_distinct
+    * preserves first-occurrence order, so element order and values must
+    * match the one-pass LinkedHashMap exactly. */
+  private[graft] def term_counts_declarative(c: Column): Column = {
+    import org.apache.spark.sql.functions._
+    transform(array_distinct(c), t => struct(
+      t.as("term"),
+      size(filter(c, x => x <=> t)).cast("long").as("cnt")))
+  }
   def vec_dot(a: Column, b: Column): Column =
     ColumnBridge.column(
       VecDot(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -129,16 +129,22 @@ object Collocations {
   def keywords(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 5): DataFrame = {
     val n = docs.count()
-    val postings = docs
-      .select(col(idCol), explode(
-        TextFunctions.tokens(lower(col(textCol)))).as("term"))
-      .groupBy(idCol, "term").agg(count(lit(1)).as(s"${Dup}cnt"))
-    val docLen = postings.groupBy(idCol)
-      .agg(sum(s"${Dup}cnt").as(s"${Dup}len"))
-    val df_ = postings.groupBy("term")
-      .agg(countDistinct(idCol).as(s"${Dup}df"))
-    val scored = postings
-      .join(docLen, idCol)
+    // r12: in-row term_counts kernel — tf and doc length need no
+    // exchange (the SparseIndex.build shape); only the vocab-sized df
+    // census shuffles, and count(*) over per-doc-deduped rows replaces
+    // countDistinct's per-group hash sets
+    val posted = docs
+      .select(col(idCol),
+        TextFunctions.tokens(lower(col(textCol))).as(s"${Dup}toks"))
+      .select(col(idCol),
+        size(col(s"${Dup}toks")).cast("long").as(s"${Dup}len"),
+        explode(graft.functions.Expressions.term_counts(
+          col(s"${Dup}toks"))).as(s"${Dup}tc"))
+      .select(col(idCol), col(s"${Dup}tc.term").as("term"),
+        col(s"${Dup}tc.cnt").as(s"${Dup}cnt"), col(s"${Dup}len"))
+    val df_ = posted.groupBy("term")
+      .agg(count(lit(1)).as(s"${Dup}df"))
+    val scored = posted
       .join(df_, "term")
       .withColumn("score", round(
         (col(s"${Dup}cnt").cast("double") / col(s"${Dup}len").cast("double")) *

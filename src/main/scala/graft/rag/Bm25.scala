@@ -31,7 +31,14 @@ object Bm25 {
   final case class Index(postings: DataFrame, docLens: DataFrame,
                          df: DataFrame, nDocs: Long, sumLen: Long)
 
-  /** Build the BM25 statistics over `docs(idCol, textCol)`. */
+  /** Build the BM25 statistics over `docs(idCol, textCol)`.
+    *
+    * r12: term frequencies aggregate WITHIN the row (the native
+    * term_counts kernel), so the postings census needs NO exchange at
+    * all — and the per-doc length rides each posting row, which lets
+    * [[search]] skip the row-scale docLens join entirely (the doc-length
+    * table no longer shuffles at query time; it survives only for the
+    * N/Σdl totals and the public Index shape). */
   def build(docs: DataFrame, idCol: String, textCol: String): Index = {
     val toks = docs.select(col(idCol).as("doc"),
       coalesce(TextFunctions.tokens(lower(col(textCol))),
@@ -39,9 +46,12 @@ object Bm25 {
     val lens = Parallelism.stage(toks.select(col("doc"),
       size(col("__graft_w")).cast("long").as("dl")))
     val postings = Parallelism.stage(
-      toks.select(col("doc"), explode(col("__graft_w")).as("term"))
-        .groupBy(col("term"), col("doc"))
-        .agg(count(lit(1)).as("tf")))
+      toks.select(col("doc"),
+          size(col("__graft_w")).cast("long").as("dl"),
+          explode(graft.functions.Expressions.term_counts(col("__graft_w")))
+            .as("tc"))
+        .select(col("tc.term").as("term"), col("doc"),
+          col("tc.cnt").as("tf"), col("dl")))
     val dfTable = Parallelism.stage(
       postings.groupBy(col("term"))
         .agg(count(lit(1)).as("df")))
@@ -69,10 +79,11 @@ object Bm25 {
     val dlD = col("dl").cast("double")
     val term = idf * (tfD * lit(k1 + 1.0)) /
       (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD * n) / sl))
+    // dl rides the postings rows (build r12), so no docLens join — the
+    // only row-scale relation a query touches is its own terms' postings
     val scored = qterms
       .join(index.postings, Seq("term"))
       .join(index.df, Seq("term"))
-      .join(index.docLens, Seq("doc"))
       .withColumn("__graft_micro", round(term * 1e6, 0).cast("long"))
       .groupBy(col("query_id"), col("doc"))
       .agg(sum(col("__graft_micro")).as("__graft_s"))

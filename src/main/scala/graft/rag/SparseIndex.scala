@@ -37,6 +37,45 @@ object SparseIndex {
   def build(docs0: DataFrame, idCol: String, textCol: String): SparseIndexFrames = {
     val docs = graft.ops.Parallelism.ensure(docs0)
     val n = docs.count()
+    // r12: term frequencies aggregate WITHIN the row (native term_counts
+    // kernel), so the postings relation is narrow until the ONE shuffle
+    // that matters — the vocab-sized document-frequency census, whose
+    // groupBy(term) partitioning is exactly the index's serving layout.
+    // The retired shape (buildDeclarative below, spec-compared) paid a
+    // row-scale groupBy(id, term) plus TWO row-scale joins (doc length
+    // by id, df by term) for the same postings; doc length now rides
+    // each exploded row as size(tokens) — zero exchanges.
+    val posted = docs
+      .select(col(idCol).as("id"),
+        tokens(lower(col(textCol))).as("__graft_toks"))
+      .select(col("id"), size(col("__graft_toks")).cast("long").as("len"),
+        explode(graft.functions.Expressions.term_counts(col("__graft_toks")))
+          .as("tc"))
+      .select(col("id"), col("tc.term").as("term"), col("tc.cnt").as("cnt"),
+        col("len"))
+    // term_counts already dedups per doc, so df is count(*), map-side
+    // combined — countDistinct's per-group hash set is unnecessary
+    val df_ = posted.groupBy("term").agg(count(lit(1)).as("df"))
+    val postings = posted
+      .join(df_, "term")
+      .withColumn("w",
+        round((col("cnt") / col("len")) *
+          (log(lit((n + 1).toDouble) / (col("df") + 1)) + 1.0), 12)
+          .cast("decimal(18,12)"))
+      .select("id", "term", "w")
+    val norms = postings
+      .withColumn("w2", (col("w") * col("w")).cast("decimal(38,24)"))
+      .groupBy("id").agg(sqrt(sum("w2").cast("double")).as("norm"))
+    SparseIndexFrames(postings, norms, df_, n)
+  }
+
+  /** The pre-r12 build — row-scale groupBy(id, term) + docLen/df joins.
+    * Kept only as the parity oracle for the term_counts shape above
+    * (RagSpec compares postings/norms/docFreqs frame-for-frame). */
+  private[graft] def buildDeclarative(docs0: DataFrame, idCol: String,
+                                      textCol: String): SparseIndexFrames = {
+    val docs = graft.ops.Parallelism.ensure(docs0)
+    val n = docs.count()
     val postings0 = docs
       .select(col(idCol).as("id"),
         explode(tokens(lower(col(textCol)))).as("term"))

@@ -304,6 +304,34 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
+  test("term_counts native kernel equals the declarative distinct+filter twin") {
+    // one-pass LinkedHashMap vs array_distinct + per-term filter count:
+    // same (term, cnt) values, same first-occurrence element ORDER, null
+    // tokens grouped under one null term (SQL GROUP BY semantics), empty
+    // array -> empty array, null array -> null
+    import graft.functions.Expressions
+    val rnd = new scala.util.Random(23)
+    val words = Vector("the", "a", "spark", "café", "añejo", "ZEBRA", "", "x")
+    val docs = (0L until 200L).map { i =>
+      val n = rnd.nextInt(30)
+      (i, Seq.fill(n)(words(rnd.nextInt(words.size))))
+    } ++ Seq(
+      (900L, Seq.empty[String]),
+      (901L, null.asInstanceOf[Seq[String]]),
+      (902L, Seq(null.asInstanceOf[String], "t", null, "t")),
+      (903L, Seq("solo")))
+    val df = docs.toDF("id", "toks")
+    val both = df.select(col("id"),
+      Expressions.term_counts(col("toks")).as("nat"),
+      Expressions.term_counts_declarative(col("toks")).as("dec")).collect()
+    both.foreach { r =>
+      assert(r.isNullAt(1) === r.isNullAt(2), s"null mismatch id ${r.getLong(0)}")
+      if (!r.isNullAt(1))
+        assert(r.getSeq[Any](1) === r.getSeq[Any](2),
+          s"value/order mismatch id ${r.getLong(0)}")
+    }
+  }
+
   test("int8 native kernel equals the declarative round chain bit-for-bit") {
     // the r11 one-pass kernel must reproduce the retired declarative
     // aggregate(max-abs) + transform(round) form exactly — including the

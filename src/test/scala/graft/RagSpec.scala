@@ -260,6 +260,62 @@ class RagSpec extends SparkSpec {
     assert(dup === out.map { case (d, (_, s)) => d -> s })
   }
 
+  test("r12 sparse build (term_counts kernel) equals the retired declarative build") {
+    // the shuffle-free postings shape must reproduce the old
+    // groupBy(id, term) + docLen/df joins frame-for-frame: postings
+    // weights (exact decimals), norms (exact doubles — decimal group
+    // sums are order-independent), document frequencies, corpus size
+    val docs = Seq(
+      (1L, "the quick the quick brown fox"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "Añejo café AÑEJO café the"),
+      (5L, "zebra"),
+      (6L, "the the the quick"))
+      .toDF("id", "text")
+    val a = SparseIndex.build(docs, "id", "text")
+    val b = SparseIndex.buildDeclarative(docs, "id", "text")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    assert(a.corpusSize === b.corpusSize)
+    assert(canon(a.postings) === canon(b.postings))
+    assert(canon(a.norms) === canon(b.norms))
+    assert(canon(a.docFreqs) === canon(b.docFreqs))
+    // and through search: identical ranked output on the same queries
+    val qs = Seq((1L, "the quick café"), (2L, "zebra missingterm"))
+      .toDF("qid", "qtext")
+    val sa = SparseIndex.search(a, qs, "qid", "qtext", k = 10)
+      .collect().map(_.toSeq).toSet
+    val sb = SparseIndex.search(b, qs, "qid", "qtext", k = 10)
+      .collect().map(_.toSeq).toSet
+    assert(sa === sb)
+  }
+
+  test("r12 bm25 postings (term_counts kernel) equal the explode+groupBy census") {
+    import graft.rag.Bm25
+    import graft.functions.TextFunctions
+    val docs = Seq(
+      (1L, "zebra zebra the quick"),
+      (2L, ""),
+      (3L, null.asInstanceOf[String]),
+      (4L, "the cat the cat the"))
+      .toDF("id", "text")
+    val idx = Bm25.build(docs, "id", "text")
+    val old = docs.select(col("id").as("doc"),
+        explode(coalesce(TextFunctions.tokens(lower(col("text"))),
+          array().cast("array<string>"))).as("term"))
+      .groupBy("term", "doc").agg(count(lit(1)).as("tf"))
+      .collect().map(_.toSeq).toSet
+    assert(idx.postings.select("term", "doc", "tf")
+      .collect().map(_.toSeq).toSet === old)
+    // dl riding the postings equals the docLens relation it replaced
+    val viaPostings = idx.postings.select("doc", "dl").distinct()
+      .collect().map(_.toSeq).toSet
+    val viaLens = idx.docLens.collect().map(_.toSeq).toSet
+    // postings only cover docs WITH terms; docLens covers all docs
+    assert(viaPostings.subsetOf(viaLens))
+  }
+
   test("bm25 scores are independent of partitioning") {
     import graft.rag.Bm25
     def run(parts: Int) = {
