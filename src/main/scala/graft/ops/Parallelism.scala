@@ -51,6 +51,26 @@ object Parallelism {
       df.checkpoint(eager = true)
     else df.localCheckpoint(eager = true)
 
+  /** Runs `f` with `spark.sql.shuffle.partitions` temporarily set to
+    * `n`, restoring the previous value afterwards — the state-partition
+    * sizing lever for bounded streaming drains. Stateful streaming
+    * operators keep one state store per shuffle partition (stream-stream
+    * joins: FOUR — left/right × keyToNumValues/keyWithIndexToValue),
+    * each paying per-micro-batch open/commit/maintenance machinery, so
+    * a drain's wall-time is dominated by state-partition COUNT rather
+    * than data volume at bench scale — and a production job sizes this
+    * deliberately per stream. Wrap the WHOLE start→awaitTermination
+    * span (start() is async; restoring before the first batch plans
+    * would race). Only for queries on FRESH (temp) checkpoints: an
+    * existing checkpoint's state cannot be repartitioned. */
+  def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
+                               n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val old = spark.conf.get(key)
+    spark.conf.set(key, n.toString)
+    try f finally spark.conf.set(key, old)
+  }
+
   def ensure(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
     // inputFiles is a metadata lookup; the file count bounds the scan's

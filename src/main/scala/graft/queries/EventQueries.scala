@@ -58,13 +58,17 @@ object EventQueries {
       .parquet(streamDir.toString))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val query = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // bounded drain: per-micro-batch state-store machinery scales with
+    // the state-partition count, not the data (see q130 / Parallelism)
+    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
+      val query = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.table(sinkName)
       .select(col("window.start").cast("string").as("hour"),
         col("event_type"), col("n"))
@@ -103,13 +107,17 @@ object EventQueries {
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val query = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // bounded drain: per-micro-batch state-store machinery scales with
+    // the state-partition count, not the data (see q130 / Parallelism)
+    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
+      val query = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.table(sinkName)
       .select(col("event_type"), col("n"))
       .orderBy("event_type")
@@ -266,13 +274,17 @@ object EventQueries {
       .groupBy(col("pass_filter"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("long")
         .as("total_tokens"))
-    val query = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // bounded drain: per-micro-batch state-store machinery scales with
+    // the state-partition count, not the data (see q130 / Parallelism)
+    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
+      val query = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.table(sinkName)
       .select(col("pass_filter"), col("n_docs"), col("total_tokens"))
       .orderBy("pass_filter")
@@ -340,13 +352,20 @@ object EventQueries {
         col("click_ts") >= col("err_ts") - expr("INTERVAL 1 HOUR") &&
         col("click_ts") <= col("err_ts"))
     val sinkName = "graft_stream_ssj"
-    val query = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // a stream-stream join holds FOUR state stores per shuffle
+    // partition — state-partition count, not data volume, dominates a
+    // drain this size (measured 0.44x at 8 vs 32); fresh temp
+    // checkpoint each run, so the state-repartition restriction never
+    // binds. See Parallelism.withShufflePartitions.
+    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
+      val query = joined.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.table(sinkName)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
@@ -484,13 +503,17 @@ object EventQueries {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val query = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // bounded drain: per-micro-batch state-store machinery scales with
+    // the state-partition count, not the data (see q130 / Parallelism)
+    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
+      val query = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.table(sinkName)
       .select(col("event_type"), col("n"))
       .orderBy("event_type")
@@ -798,13 +821,17 @@ object EventQueries {
       .parquet(streamDir.toString))
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val query = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // bounded drain: per-micro-batch state-store machinery scales with
+    // the state-partition count, not the data (see q130 / Parallelism)
+    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
+      val query = stream.writeStream
+        .outputMode("complete")
+        .format("memory")
+        .queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     val w = Window.partitionBy(col("ws"))
       .orderBy(desc("n"), col("event_type"))
     spark.table(sinkName)
@@ -878,13 +905,17 @@ object EventQueries {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    val query = stream.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    // bounded drain: per-micro-batch state-store machinery scales with
+    // the state-partition count, not the data (see q130 / Parallelism)
+    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
+      val query = stream.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     val w = Window.partitionBy(col("ws"))
       .orderBy(desc("n"), col("event_type"))
     spark.table(sinkName)
@@ -1143,14 +1174,18 @@ object EventQueries {
       .parquet(streamDir.toString)
       .as[graft.streaming.StatefulFunnel.Ev]
     val sinkName = "graft_stream_funnel"
-    val q = graft.streaming.StatefulFunnel.userDepths(stream, stages)
-      .writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(sinkName)
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // bounded drain: per-micro-batch state-store machinery scales with
+    // the state-partition count, not the data (see q130 / Parallelism)
+    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
+      val q = graft.streaming.StatefulFunnel.userDepths(stream, stages)
+        .writeStream
+        .outputMode("update")
+        .format("memory")
+        .queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val depths = spark.table(sinkName)
       .groupBy(col("user_id"))
       .agg(max(col("stages_completed")).as("d"))
