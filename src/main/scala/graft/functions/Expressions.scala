@@ -386,8 +386,9 @@ object ExprHelpers {
     // LinkedHashMap: deterministic first-occurrence order (matches the
     // declarative array_distinct twin); UTF8String hashes/compares by
     // bytes. Values are one-slot arrays to avoid per-increment boxing.
+    // min BEFORE the ×2: n * 2 wraps negative for n ≥ 2^30-element arrays
     val m = new java.util.LinkedHashMap[UTF8String, Array[Long]](
-      math.min(n * 2, 1 << 16))
+      math.min(n, 1 << 15) * 2)
     var i = 0
     while (i < n) {
       val t = if (toks.isNullAt(i)) null else toks.getUTF8String(i)

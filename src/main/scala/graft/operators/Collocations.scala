@@ -129,21 +129,14 @@ object Collocations {
   def keywords(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 5): DataFrame = {
     val n = docs.count()
-    // r12: in-row term_counts kernel — tf and doc length need no
-    // exchange (the SparseIndex.build shape); only the vocab-sized df
-    // census shuffles, and count(*) over per-doc-deduped rows replaces
-    // countDistinct's per-group hash sets
-    val posted = docs
-      .select(col(idCol),
-        TextFunctions.tokens(lower(col(textCol))).as(s"${Dup}toks"))
-      .select(col(idCol),
-        size(col(s"${Dup}toks")).cast("long").as(s"${Dup}len"),
-        explode(graft.functions.Expressions.term_counts(
-          col(s"${Dup}toks"))).as(s"${Dup}tc"))
-      .select(col(idCol), col(s"${Dup}tc.term").as("term"),
-        col(s"${Dup}tc.cnt").as(s"${Dup}cnt"), col(s"${Dup}len"))
-    val df_ = posted.groupBy("term")
-      .agg(count(lit(1)).as(s"${Dup}df"))
+    // r12: the shared shuffle-free postings front half (in-row
+    // term_counts; see SparseIndex.termPostings for the shape and the
+    // one-row-per-id contract) — only the vocab-sized df census shuffles
+    val (posted0, df0) =
+      graft.rag.SparseIndex.termPostings(docs, idCol, textCol)
+    val posted = posted0.select(col(s"${Dup}pid").as(idCol),
+      col(s"${Dup}term").as("term"), col(s"${Dup}cnt"), col(s"${Dup}len"))
+    val df_ = df0.select(col(s"${Dup}term").as("term"), col(s"${Dup}df"))
     val scored = posted
       .join(df_, "term")
       .withColumn("score", round(

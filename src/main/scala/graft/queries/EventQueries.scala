@@ -34,6 +34,28 @@ object EventQueries {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin
 
+  /** Drains a streaming frame into a fresh memory sink with
+    * Trigger.AvailableNow and returns the sink table. The drain runs at
+    * a bounded state-partition count: per-micro-batch state-store
+    * machinery scales with partitions, not data (a stream-stream join
+    * holds four stores per partition) — see
+    * [[graft.ops.Parallelism.withShufflePartitions]]. Fresh temp
+    * checkpoints each run, so the state-repartition restriction never
+    * binds. */
+  private def drainToMemory(spark: SparkSession, stream: DataFrame,
+      mode: String, sinkName: String, statePartitions: Int = 8): DataFrame = {
+    graft.ops.Parallelism.withShufflePartitions(spark, statePartitions) {
+      val query = stream.writeStream
+        .outputMode(mode)
+        .format("memory")
+        .queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
+    spark.table(sinkName)
+  }
+
   /** The same tumbling-window aggregate through Structured Streaming:
     * parquet file stream → event-time window() agg → complete-mode memory
     * sink. Proves the engine's streaming path computes exactly the batch
@@ -58,18 +80,7 @@ object EventQueries {
       .parquet(streamDir.toString))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    // bounded drain: per-micro-batch state-store machinery scales with
-    // the state-partition count, not the data (see q130 / Parallelism)
-    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
-      val query = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(sinkName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    }
-    spark.table(sinkName)
+    drainToMemory(spark, stream, "complete", sinkName)
       .select(col("window.start").cast("string").as("hour"),
         col("event_type"), col("n"))
       .orderBy("hour", "event_type")
@@ -107,18 +118,7 @@ object EventQueries {
       .dropDuplicates("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    // bounded drain: per-micro-batch state-store machinery scales with
-    // the state-partition count, not the data (see q130 / Parallelism)
-    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
-      val query = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(sinkName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    }
-    spark.table(sinkName)
+    drainToMemory(spark, stream, "complete", sinkName)
       .select(col("event_type"), col("n"))
       .orderBy("event_type")
   }
@@ -274,18 +274,7 @@ object EventQueries {
       .groupBy(col("pass_filter"))
       .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).cast("long")
         .as("total_tokens"))
-    // bounded drain: per-micro-batch state-store machinery scales with
-    // the state-partition count, not the data (see q130 / Parallelism)
-    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
-      val query = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(sinkName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    }
-    spark.table(sinkName)
+    drainToMemory(spark, stream, "complete", sinkName)
       .select(col("pass_filter"), col("n_docs"), col("total_tokens"))
       .orderBy("pass_filter")
   }
@@ -352,21 +341,9 @@ object EventQueries {
         col("click_ts") >= col("err_ts") - expr("INTERVAL 1 HOUR") &&
         col("click_ts") <= col("err_ts"))
     val sinkName = "graft_stream_ssj"
-    // a stream-stream join holds FOUR state stores per shuffle
-    // partition — state-partition count, not data volume, dominates a
-    // drain this size (measured 0.44x at 8 vs 32); fresh temp
-    // checkpoint each run, so the state-repartition restriction never
-    // binds. See Parallelism.withShufflePartitions.
-    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
-      val query = joined.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(sinkName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    }
-    spark.table(sinkName)
+    // measured 0.44x at 8 vs 32 state partitions (four stores per
+    // partition for a stream-stream join) — see drainToMemory
+    drainToMemory(spark, joined, "append", sinkName)
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_pairs"),
         countDistinct(col("error_id")).as("n_errors_with_click"))
@@ -503,18 +480,7 @@ object EventQueries {
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"))
-    // bounded drain: per-micro-batch state-store machinery scales with
-    // the state-partition count, not the data (see q130 / Parallelism)
-    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
-      val query = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(sinkName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    }
-    spark.table(sinkName)
+    drainToMemory(spark, stream, "complete", sinkName)
       .select(col("event_type"), col("n"))
       .orderBy("event_type")
   }
@@ -821,20 +787,10 @@ object EventQueries {
       .parquet(streamDir.toString))
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    // bounded drain: per-micro-batch state-store machinery scales with
-    // the state-partition count, not the data (see q130 / Parallelism)
-    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
-      val query = stream.writeStream
-        .outputMode("complete")
-        .format("memory")
-        .queryName(sinkName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    }
+    val sunk = drainToMemory(spark, stream, "complete", sinkName)
     val w = Window.partitionBy(col("ws"))
       .orderBy(desc("n"), col("event_type"))
-    spark.table(sinkName)
+    sunk
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 2)
@@ -905,20 +861,10 @@ object EventQueries {
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
-    // bounded drain: per-micro-batch state-store machinery scales with
-    // the state-partition count, not the data (see q130 / Parallelism)
-    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
-      val query = stream.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(sinkName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
-    }
+    val sunk = drainToMemory(spark, stream, "append", sinkName)
     val w = Window.partitionBy(col("ws"))
       .orderBy(desc("n"), col("event_type"))
-    spark.table(sinkName)
+    sunk
       .select(col("window.start").as("ws"), col("event_type"), col("n"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= 2)
@@ -1174,19 +1120,9 @@ object EventQueries {
       .parquet(streamDir.toString)
       .as[graft.streaming.StatefulFunnel.Ev]
     val sinkName = "graft_stream_funnel"
-    // bounded drain: per-micro-batch state-store machinery scales with
-    // the state-partition count, not the data (see q130 / Parallelism)
-    graft.ops.Parallelism.withShufflePartitions(spark, 8) {
-      val q = graft.streaming.StatefulFunnel.userDepths(stream, stages)
-        .writeStream
-        .outputMode("update")
-        .format("memory")
-        .queryName(sinkName)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-    }
-    val depths = spark.table(sinkName)
+    val depths = drainToMemory(spark,
+      graft.streaming.StatefulFunnel.userDepths(stream, stages).toDF(),
+      "update", sinkName)
       .groupBy(col("user_id"))
       .agg(max(col("stages_completed")).as("d"))
       .groupBy(col("d")).agg(count(lit(1)).as("c")) // ≤ 9 rows

@@ -45,13 +45,12 @@ object Bm25 {
         array().cast("array<string>")).as("__graft_w"))
     val lens = Parallelism.stage(toks.select(col("doc"),
       size(col("__graft_w")).cast("long").as("dl")))
-    val postings = Parallelism.stage(
-      toks.select(col("doc"),
-          size(col("__graft_w")).cast("long").as("dl"),
-          explode(graft.functions.Expressions.term_counts(col("__graft_w")))
-            .as("tc"))
-        .select(col("tc.term").as("term"), col("doc"),
-          col("tc.cnt").as("tf"), col("dl")))
+    val postings = Parallelism.stage {
+      val (posted, _) = SparseIndex.termPostings(docs, idCol, textCol)
+      posted.select(col("__graft_term").as("term"),
+        col("__graft_pid").as("doc"), col("__graft_cnt").as("tf"),
+        col("__graft_len").as("dl"))
+    }
     val dfTable = Parallelism.stage(
       postings.groupBy(col("term"))
         .agg(count(lit(1)).as("df")))

@@ -34,28 +34,54 @@ object SparseIndex {
     * worst re-derivation by reading document frequencies from `docFreqs`
     * (the narrow postings0 aggregate) instead of re-aggregating the fully
     * joined+weighted postings chain. */
+  /** Shuffle-free postings front half shared by [[build]], [[Bm25]] and
+    * [[graft.operators.Collocations.keywords]]: one in-row term_counts
+    * pass yields (__graft_pid, __graft_term, __graft_cnt, __graft_len)
+    * rows — term frequency AND document length with zero exchanges —
+    * plus the vocab-sized document-frequency census (count(*) over
+    * per-doc-deduped rows; countDistinct's per-group hash sets are
+    * unnecessary).
+    *
+    * CONTRACT: one input row per document id. The in-row aggregation
+    * treats every ROW as its own document, so duplicate-id rows post
+    * independently (each counts in df; norms sum across them); the
+    * retired groupBy(id, term) build instead merged duplicate-id rows
+    * into one logical document. All in-repo callers feed id-unique
+    * frames (the parquet tables' keys). */
+  private[graft] def termPostings(docs: DataFrame, idCol: String,
+                                  textCol: String): (DataFrame, DataFrame) = {
+    val posted = docs
+      .select(col(idCol).as("__graft_pid"),
+        tokens(lower(col(textCol))).as("__graft_toks"))
+      .select(col("__graft_pid"),
+        size(col("__graft_toks")).cast("long").as("__graft_len"),
+        explode(graft.functions.Expressions.term_counts(col("__graft_toks")))
+          .as("__graft_tc"))
+      .select(col("__graft_pid"),
+        col("__graft_tc.term").as("__graft_term"),
+        col("__graft_tc.cnt").as("__graft_cnt"), col("__graft_len"))
+    val df_ = posted.groupBy("__graft_term")
+      .agg(count(lit(1)).as("__graft_df"))
+    (posted, df_)
+  }
+
   def build(docs0: DataFrame, idCol: String, textCol: String): SparseIndexFrames = {
     val docs = graft.ops.Parallelism.ensure(docs0)
     val n = docs.count()
     // r12: term frequencies aggregate WITHIN the row (native term_counts
-    // kernel), so the postings relation is narrow until the ONE shuffle
-    // that matters — the vocab-sized document-frequency census, whose
-    // groupBy(term) partitioning is exactly the index's serving layout.
-    // The retired shape (buildDeclarative below, spec-compared) paid a
-    // row-scale groupBy(id, term) plus TWO row-scale joins (doc length
-    // by id, df by term) for the same postings; doc length now rides
-    // each exploded row as size(tokens) — zero exchanges.
-    val posted = docs
-      .select(col(idCol).as("id"),
-        tokens(lower(col(textCol))).as("__graft_toks"))
-      .select(col("id"), size(col("__graft_toks")).cast("long").as("len"),
-        explode(graft.functions.Expressions.term_counts(col("__graft_toks")))
-          .as("tc"))
-      .select(col("id"), col("tc.term").as("term"), col("tc.cnt").as("cnt"),
-        col("len"))
-    // term_counts already dedups per doc, so df is count(*), map-side
-    // combined — countDistinct's per-group hash set is unnecessary
-    val df_ = posted.groupBy("term").agg(count(lit(1)).as("df"))
+    // kernel via termPostings), so the postings relation is narrow until
+    // the ONE shuffle that matters — the vocab-sized document-frequency
+    // census, whose groupBy(term) partitioning is exactly the index's
+    // serving layout. The retired shape (buildDeclarative below,
+    // spec-compared) paid a row-scale groupBy(id, term) plus TWO
+    // row-scale joins (doc length by id, df by term) for the same
+    // postings; doc length now rides each exploded row — zero exchanges.
+    val (posted0, df0) = termPostings(docs, idCol, textCol)
+    val posted = posted0.select(col("__graft_pid").as("id"),
+      col("__graft_term").as("term"), col("__graft_cnt").as("cnt"),
+      col("__graft_len").as("len"))
+    val df_ = df0.select(col("__graft_term").as("term"),
+      col("__graft_df").as("df"))
     val postings = posted
       .join(df_, "term")
       .withColumn("w",

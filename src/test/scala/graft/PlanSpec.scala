@@ -416,6 +416,30 @@ class PlanSpec extends SparkSpec {
       s"corpus vectors/codes crossed a shuffle:\n${exchanges.mkString("\n")}")
   }
 
+  test("sparse index build: per-doc stats never shuffle, text never shuffles") {
+    // the r12 termPostings shape: term frequency and doc length
+    // aggregate IN-ROW (term_counts kernel), so the only corpus-side
+    // exchanges left are the vocab-sized df census and the postings
+    // join — both keyed on term — plus the norms groupBy(id). The
+    // retired build's groupBy(id, term) census and docLen-by-id join
+    // must never come back: no exchange may carry the per-doc len (it
+    // rides the rows), and document text must never cross a shuffle.
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val idx = graft.rag.SparseIndex.build(docs, "doc_id", "text")
+    val p = plan(idx.postings)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, "expected the term-keyed census exchange")
+    assert(exchanges.forall(l => !l.contains("text#")),
+      s"doc text crossed a shuffle:\n${exchanges.mkString("\n")}")
+    // every exchange in the POSTINGS build keys on term; an id-keyed
+    // exchange means the groupBy(id, term) census or the docLen-by-id
+    // join came back
+    assert(exchanges.forall(l => !l.contains("id#")),
+      s"id-keyed exchange in the postings build:\n${exchanges.mkString("\n")}")
+    assert(!p.contains("Exchange SinglePartition"),
+      s"single-partition exchange in the postings build:\n$p")
+  }
+
   test("bigram LM: corpus text never crosses an exchange") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val p = plan(graft.operators.LanguageModel.bigramBits(
