@@ -76,12 +76,18 @@ object SparseIndex {
     // spec-compared) paid a row-scale groupBy(id, term) plus TWO
     // row-scale joins (doc length by id, df by term) for the same
     // postings; doc length now rides each exploded row — zero exchanges.
-    val (posted0, df0) = termPostings(docs, idCol, textCol)
-    val posted = posted0.select(col("__graft_pid").as("id"),
-      col("__graft_term").as("term"), col("__graft_cnt").as("cnt"),
-      col("__graft_len").as("len"))
-    val df_ = df0.select(col("__graft_term").as("term"),
-      col("__graft_df").as("df"))
+    // staged: postings, norms, AND the df census all read the one
+    // materialized tokenize+term_counts pass instead of re-deriving it
+    // (search consumes postings and norms — two full re-tokenizations
+    // otherwise). The pre-r12 "nothing cached" measurement predates the
+    // narrow shape; re-measured with stage (lineage truncation, not an
+    // InMemoryRelation) on the term_counts build.
+    val (posted0, _) = termPostings(docs, idCol, textCol)
+    val posted = graft.ops.Parallelism.stage(
+      posted0.select(col("__graft_pid").as("id"),
+        col("__graft_term").as("term"), col("__graft_cnt").as("cnt"),
+        col("__graft_len").as("len")))
+    val df_ = posted.groupBy("term").agg(count(lit(1)).as("df"))
     val postings = posted
       .join(df_, "term")
       .withColumn("w",
