@@ -125,7 +125,9 @@ object Collocations {
     * idf = ln((N+1)/(df+1)) + 1 (the SparseIndex weighting), score
     * rounded at 6dp, ties to the lexicographically smaller term. Output:
     * (idCol, rank, term, score). The window partitions BY DOCUMENT —
-    * G-parallel small sorts, never a global order. */
+    * G-parallel small sorts, never a global order.
+    * PRECONDITION: one input row per `idCol` value (duplicate-id rows
+    * post as independent documents — see SparseIndex.termPostings). */
   def keywords(docs: DataFrame, idCol: String, textCol: String,
                k: Int = 5): DataFrame = {
     val n = docs.count()

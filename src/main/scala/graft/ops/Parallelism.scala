@@ -45,11 +45,63 @@ object Parallelism {
     * executor-resident (an executor lost afterwards fails the job, and
     * dynamic allocation can reclaim the executor under it) — a cluster
     * deployment of the iterative/staged operators should set a
-    * checkpoint dir. */
-  def stage(df: DataFrame): DataFrame =
-    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
-      df.checkpoint(eager = true)
-    else df.localCheckpoint(eager = true)
+    * checkpoint dir.
+    *
+    * That contract is ENFORCED, not just documented: on a non-local
+    * master with no checkpoint dir, stage() warns loudly once per
+    * session — or refuses outright when
+    * `graft.stage.requireCheckpointDir=true` (the strict setting for
+    * clusters running dynamic allocation, where the silent
+    * localCheckpoint trade is never acceptable). */
+  def stage(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isDefined) df.checkpoint(eager = true)
+    else {
+      val strict = df.sparkSession.conf
+        .get("graft.stage.requireCheckpointDir", "false").toBoolean
+      stageFallback(sc.master, strict) match {
+        case StageFallback.Refuse =>
+          throw new IllegalStateException(
+            "graft.stage.requireCheckpointDir=true but no checkpoint dir " +
+              s"is set on non-local master '${sc.master}': call " +
+              "sc.setCheckpointDir (localCheckpoint is not fault-tolerant " +
+              "under executor loss / dynamic allocation)")
+        case StageFallback.Warn =>
+          if (warnedLocalCheckpoint.compareAndSet(false, true))
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              "Parallelism.stage: no checkpoint dir on non-local master " +
+                s"'${sc.master}' — falling back to localCheckpoint, which " +
+                "FAILS THE JOB on executor loss and is unsafe under " +
+                "dynamic allocation. Set sc.setCheckpointDir for reliable " +
+                "checkpoints (graft.stage.requireCheckpointDir=true to " +
+                "refuse instead).")
+          df.localCheckpoint(eager = true)
+        case StageFallback.Silent =>
+          df.localCheckpoint(eager = true)
+      }
+    }
+  }
+
+  /** What [[stage]] does when no checkpoint dir is set — pure so the
+    * non-local branches are testable without constructing a cluster
+    * session. Local masters (local[*], local-cluster test rigs) keep the
+    * silent localCheckpoint: executors live in/with the driver JVM, so
+    * "executor loss" means the job is gone anyway. */
+  sealed trait StageFallback
+  object StageFallback {
+    case object Silent extends StageFallback
+    case object Warn extends StageFallback
+    case object Refuse extends StageFallback
+  }
+  private[graft] def stageFallback(master: String,
+                                   strict: Boolean): StageFallback = {
+    val local = master.startsWith("local")
+    if (local) StageFallback.Silent
+    else if (strict) StageFallback.Refuse
+    else StageFallback.Warn
+  }
+  private val warnedLocalCheckpoint =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Runs `f` with `spark.sql.shuffle.partitions` temporarily set to
     * `n`, restoring the previous value afterwards — the state-partition
@@ -62,7 +114,14 @@ object Parallelism {
     * deliberately per stream. Wrap the WHOLE start→awaitTermination
     * span (start() is async; restoring before the first batch plans
     * would race). Only for queries on FRESH (temp) checkpoints: an
-    * existing checkpoint's state cannot be repartitioned. */
+    * existing checkpoint's state cannot be repartitioned.
+    *
+    * NOT concurrency-safe: this mutates the session-global conf, so two
+    * overlapping spans on ONE SparkSession race — a finally can restore
+    * the other span's temporary value, and any unrelated query planned
+    * inside the span runs at `n` partitions. Callers that drain streams
+    * concurrently must give each drain its own session
+    * (`spark.newSession()` shares the SparkContext but isolates conf). */
   def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
                                n: Int)(f: => T): T = {
     val key = "spark.sql.shuffle.partitions"

@@ -41,10 +41,14 @@ object EventQueries {
     * holds four stores per partition) — see
     * [[graft.ops.Parallelism.withShufflePartitions]]. Fresh temp
     * checkpoints each run, so the state-repartition restriction never
-    * binds. */
+    * binds. The default count reads the session conf
+    * `graft.stream.drainStatePartitions` (8 where unset — measured best
+    * on this bench host) so a deployment tunes it without code changes. */
   private def drainToMemory(spark: SparkSession, stream: DataFrame,
-      mode: String, sinkName: String, statePartitions: Int = 8): DataFrame = {
-    graft.ops.Parallelism.withShufflePartitions(spark, statePartitions) {
+      mode: String, sinkName: String, statePartitions: Int = 0): DataFrame = {
+    val n = if (statePartitions > 0) statePartitions
+      else spark.conf.get("graft.stream.drainStatePartitions", "8").toInt
+    graft.ops.Parallelism.withShufflePartitions(spark, n) {
       val query = stream.writeStream
         .outputMode(mode)
         .format("memory")

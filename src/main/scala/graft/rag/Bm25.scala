@@ -33,6 +33,11 @@ object Bm25 {
 
   /** Build the BM25 statistics over `docs(idCol, textCol)`.
     *
+    * PRECONDITION: one input row per `idCol` value — each ROW posts as
+    * its own document (duplicate-id rows count separately in df; their
+    * scores sum), per SparseIndex.termPostings's in-row contract. Dedup
+    * first if ids can repeat.
+    *
     * r12: term frequencies aggregate WITHIN the row (the native
     * term_counts kernel), so the postings census needs NO exchange at
     * all — and the per-doc length rides each posting row, which lets

@@ -24,16 +24,6 @@ import graft.functions.TextFunctions.tokens
   */
 object SparseIndex {
 
-  /** Weighted postings (id, term, w) + per-doc norms + per-term document
-    * frequencies from a corpus.
-    * Deliberately NOTHING here is cached: measured on this workload (cold,
-    * sf0.1), persisting the small aggregates or the narrow postings0 both
-    * cost 1.6-1.7x the no-persist plan — the InMemoryRelation defeats
-    * downstream join planning and its materialization barrier serializes
-    * work the optimizer otherwise overlaps. `search` still avoids the
-    * worst re-derivation by reading document frequencies from `docFreqs`
-    * (the narrow postings0 aggregate) instead of re-aggregating the fully
-    * joined+weighted postings chain. */
   /** Shuffle-free postings front half shared by [[build]], [[Bm25]] and
     * [[graft.operators.Collocations.keywords]]: one in-row term_counts
     * pass yields (__graft_pid, __graft_term, __graft_cnt, __graft_len)
@@ -65,6 +55,11 @@ object SparseIndex {
     (posted, df_)
   }
 
+  /** Builds the index frames. PRECONDITION: one input row per `idCol`
+    * value — each ROW posts as its own document (duplicate-id rows count
+    * separately in df and their norms/scores sum), per
+    * [[termPostings]]'s in-row aggregation contract. Dedup first
+    * (e.g. `dropDuplicates(idCol)`) if ids can repeat. */
   def build(docs0: DataFrame, idCol: String, textCol: String): SparseIndexFrames = {
     val docs = graft.ops.Parallelism.ensure(docs0)
     val n = docs.count()

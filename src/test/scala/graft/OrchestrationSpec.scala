@@ -769,3 +769,48 @@ object PoisonOnceClient {
   val armed = new java.util.concurrent.atomic.AtomicBoolean(false)
   val delivered = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }
+
+/** Parallelism.stage's cluster contract: the localCheckpoint fallback is
+  * silent ONLY on local masters; a non-local master with no checkpoint
+  * dir warns, or refuses under graft.stage.requireCheckpointDir. */
+class StageGuardSpec extends SparkSpec {
+  import graft.ops.Parallelism
+  import Parallelism.StageFallback._
+
+  test("fallback decision fires exactly on (non-local AND no checkpoint dir)") {
+    // local masters: silent regardless of strictness (executor loss == driver loss)
+    for (m <- Seq("local", "local[4]", "local[*]", "local-cluster[2,1,1024]");
+         strict <- Seq(true, false))
+      assert(Parallelism.stageFallback(m, strict) == Silent, s"$m strict=$strict")
+    // cluster masters: warn by default, refuse under the strict conf
+    for (m <- Seq("spark://host:7077", "yarn", "k8s://https://host:6443")) {
+      assert(Parallelism.stageFallback(m, strict = false) == Warn, m)
+      assert(Parallelism.stageFallback(m, strict = true) == Refuse, m)
+    }
+  }
+
+  test("stage on a local master never refuses, even under the strict conf") {
+    import spark.implicits._
+    spark.conf.set("graft.stage.requireCheckpointDir", "true")
+    try {
+      val staged = Parallelism.stage(Seq(1, 2, 3).toDF("v"))
+      assert(staged.collect().map(_.getInt(0)).sorted.sameElements(Array(1, 2, 3)))
+    } finally spark.conf.unset("graft.stage.requireCheckpointDir")
+  }
+
+  test("with a checkpoint dir set, stage takes the reliable-checkpoint path") {
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val dir = Files.createTempDirectory("graft_stage_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val staged = Parallelism.stage(Seq(4, 5).toDF("v"))
+      assert(staged.collect().map(_.getInt(0)).sorted.sameElements(Array(4, 5)))
+      // reliable checkpoints materialize files under the configured dir
+      def anyFile(f: java.io.File): Boolean =
+        f.isFile || Option(f.listFiles()).exists(_.exists(anyFile))
+      assert(anyFile(new java.io.File(dir)),
+        "reliable checkpoint must write under the checkpoint dir")
+    } finally sc.setCheckpointDir(null) // restore the no-dir default for other suites
+  }
+}
