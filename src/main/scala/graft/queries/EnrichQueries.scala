@@ -322,6 +322,56 @@ object EnrichQueries {
       |SELECT 'm-b' AS model, CAST(c // 2 AS BIGINT) AS n_calls FROM n
       |ORDER BY model""".stripMargin
 
+  /** Mock with a FIXED provider-reported latency — the injected signal
+    * for the latency-routing oracle (RouterClient.Reported reads
+    * LlmResponse.latencyMs, so the arm is exact, not wall-clock-bound). */
+  private final class FixedLatencyMock(name: String, reportMs: Double)
+      extends graft.llm.LlmClient {
+    private val inner = new MockLlmClient(name)
+    def model: String = name
+    def invoke(p: String, s: Option[String]): graft.llm.LlmResponse =
+      inner.invoke(p, s).copy(latencyMs = reportMs)
+  }
+
+  /** Adaptive latency routing end-to-end: a LatencyBased router over a
+    * slow and a fast deployment (injected reported latencies), one
+    * sequential partition. The router probes each unmeasured deployment
+    * exactly once (declaration order), then every remaining call routes
+    * to the fast one — the deployment split must shift to n-1 : 1, not
+    * the 50:50 a static strategy would give (reference:
+    * router_strategies.py:28-35 latency-based-routing). Per-call serving
+    * deployment lands in the ledger's `model` column, like q88. */
+  def qRouterLatency(spark: SparkSession, dir: String): DataFrame = {
+    import graft.core._
+    import graft.llm.RouterClient
+    val docs = tp(spark, dir, "documents").filter(col("doc_id") < 100)
+      .repartition(1)
+    val runDir = java.nio.file.Files
+      .createTempDirectory("graft_router_q202").toString
+    val router = new RouterClient(
+      Seq((new FixedLatencyMock("m-slow", 100.0), 1.0),
+        (new FixedLatencyMock("m-fast", 1.0), 1.0)),
+      RouterClient.LatencyBased,
+      latencySource = RouterClient.Reported)
+    val spec = PipelineSpec(
+      dataset = DatasetSpec(inputColumns = Seq("text")),
+      prompt = PromptSpec("L: {text}"),
+      llm = LlmSpec(concurrency = 1),
+      output = OutputSpec(Seq("out")))
+    new graft.run.Enricher(spec, router, Some(runDir), Some("doc_id"))
+      .enrich(docs)
+    spark.read.parquet(runDir + "/responses")
+      .groupBy("model").agg(count(lit(1)).as("n_calls"))
+      .orderBy("model")
+  }
+
+  val qRouterLatencySql: String =
+    """WITH n AS (SELECT count(*) AS c FROM documents WHERE doc_id < 100)
+      |SELECT 'm-fast' AS model, CAST(c - 1 AS BIGINT) AS n_calls FROM n
+      |UNION ALL
+      |SELECT 'm-slow' AS model, CAST(1 AS BIGINT) AS n_calls FROM n
+      |ORDER BY model""".stripMargin
+
   /** DataLoaderStage filters end-to-end: the spec's equality filters must
     * subset the input BEFORE any spend (Catalyst pushes them to the scan)
     * — the oracle enriches only the lang='en' rows. */
@@ -608,6 +658,7 @@ object EnrichQueries {
     "q86_cost_ledger" -> qCostLedger _,
     "q87_quality_report" -> qQualityReport _,
     "q88_router_split" -> qRouterSplit _,
+    "q202_router_latency" -> qRouterLatency _,
     "q90_enrich_filtered" -> qEnrichFiltered _,
     "q91_streaming_enrich" -> qStreamingEnrich _,
     "q92_composer_chain" -> qComposerChain _,
@@ -629,6 +680,7 @@ object EnrichQueries {
     "q86_cost_ledger" -> qCostLedgerSql,
     "q87_quality_report" -> qQualityReportSql,
     "q88_router_split" -> qRouterSplitSql,
+    "q202_router_latency" -> qRouterLatencySql,
     "q90_enrich_filtered" -> qEnrichFilteredSql,
     "q91_streaming_enrich" -> qStreamingEnrichSql,
     "q92_composer_chain" -> qComposerChainSql,

@@ -1,0 +1,224 @@
+package graft
+
+import java.util.concurrent.{ConcurrentLinkedQueue, CountDownLatch, Executors, TimeUnit}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm._
+
+/** Routing-strategy semantics and the circuit breaker
+  * (reference: ondine/core/router_strategies.py:10-84,
+  * unified_litellm_client.py:553-705). Latency arcs inject REPORTED
+  * latencies (RouterClient.Reported) so assertions are exact, not
+  * wall-clock-dependent; concurrency arcs hammer from many threads the
+  * way Invoke's partition threads do. */
+class RouterClientSpec extends AnyFunSuite {
+
+  /** Deterministic client: fixed reported latency, fixed token counts,
+    * fixed per-call cost, optional scripted failures. */
+  private final class FixedClient(
+      name: String,
+      reportMs: Double,
+      tokens: Long = 10L,
+      costPerCall: java.math.BigDecimal = java.math.BigDecimal.ZERO,
+      failFirstN: Int = 0) extends LlmClient {
+    val calls = new AtomicInteger(0)
+    def model: String = name
+    def invoke(prompt: String, sys: Option[String]): LlmResponse = {
+      val n = calls.incrementAndGet()
+      if (n <= failFirstN) throw new NetworkError(s"$name scripted fail $n")
+      LlmResponse(s"$name:$prompt", tokens / 2, tokens - tokens / 2, name,
+        costPerCall, reportMs)
+    }
+  }
+
+  private def latencyRouter(ds: (LlmClient, Double)*) =
+    new RouterClient(ds, RouterClient.LatencyBased,
+      latencySource = RouterClient.Reported)
+
+  test("latency-based: probes unmeasured deployments once, then routes to the fastest") {
+    val slow = new FixedClient("m-slow", 100.0)
+    val fast = new FixedClient("m-fast", 1.0)
+    val r = latencyRouter(slow -> 1.0, fast -> 1.0)
+    (1 to 20).foreach(i => r.invoke(s"p$i", None))
+    // call 1 probes m-slow, call 2 probes m-fast, 3..20 all go fast
+    assert(slow.calls.get() == 1)
+    assert(fast.calls.get() == 19)
+  }
+
+  test("latency-based: the split SHIFTS inside one router when a deployment degrades") {
+    // m-a is fast for its first 10 calls, then degrades to 500 ms
+    val aCalls = new AtomicInteger(0)
+    val a = new LlmClient {
+      def model = "m-a"
+      def invoke(p: String, s: Option[String]): LlmResponse = {
+        val n = aCalls.incrementAndGet()
+        LlmResponse("a", 1, 1, model, java.math.BigDecimal.ZERO,
+          if (n <= 10) 1.0 else 500.0)
+      }
+    }
+    val b = new FixedClient("m-b", 50.0)
+    val r = latencyRouter(a -> 1.0, b -> 1.0)
+    (1 to 10).foreach(i => r.invoke(s"x$i", None))
+    // probe, probe, then all to the fast deployment
+    assert(aCalls.get() == 9 && b.calls.get() == 1)
+    // a degrades: one 500 ms sample pushes a's EWMA (0.7*1 + 0.3*500 ≈ 151)
+    // past b's 50 ms — every later call shifts to b
+    (1 to 10).foreach(i => r.invoke(s"y$i", None))
+    assert(b.calls.get() >= 8, s"traffic must shift to m-b, got b=${b.calls.get()}")
+    assert(aCalls.get() <= 12)
+  }
+
+  test("least-busy: a blocked deployment sheds concurrent calls to the idle one") {
+    val inA = new CountDownLatch(1)
+    val releaseA = new CountDownLatch(1)
+    val aCalls = new AtomicInteger(0)
+    val blockingA = new LlmClient {
+      def model = "m-block"
+      def invoke(p: String, s: Option[String]): LlmResponse = {
+        aCalls.incrementAndGet()
+        inA.countDown()
+        releaseA.await(10, TimeUnit.SECONDS)
+        LlmResponse("a", 1, 1, model, java.math.BigDecimal.ZERO, 1.0)
+      }
+    }
+    val idle = new FixedClient("m-idle", 1.0)
+    val r = new RouterClient(Seq(blockingA -> 1.0, idle -> 1.0),
+      RouterClient.LeastBusy)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      // first call ties at 0 in-flight -> declaration order -> m-block
+      pool.submit(new Runnable { def run(): Unit = r.invoke("one", None) })
+      assert(inA.await(10, TimeUnit.SECONDS), "first call must reach m-block")
+      // while m-block holds one in-flight, new calls must go to m-idle
+      (1 to 5).foreach(i => r.invoke(s"two$i", None))
+      assert(aCalls.get() == 1)
+      assert(idle.calls.get() == 5)
+    } finally { releaseA.countDown(); pool.shutdown() }
+  }
+
+  test("usage-based: cumulative token load evens out across unequal responders") {
+    val heavy = new FixedClient("m-heavy", 1.0, tokens = 100L)
+    val light = new FixedClient("m-light", 1.0, tokens = 10L)
+    val r = new RouterClient(Seq(heavy -> 1.0, light -> 1.0),
+      RouterClient.UsageBased)
+    (1 to 22).foreach(i => r.invoke(s"u$i", None))
+    // heavy costs 10x tokens per call, so light should serve ~10x calls
+    assert(light.calls.get() > heavy.calls.get() * 5,
+      s"light=${light.calls.get()} heavy=${heavy.calls.get()}")
+    assert(heavy.calls.get() >= 2, "heavy still probed as usage accrues")
+  }
+
+  test("cost-based: routes to the observed-cheapest deployment after probing") {
+    val pricey = new FixedClient("m-pricey", 1.0,
+      costPerCall = new java.math.BigDecimal("0.10"))
+    val cheap = new FixedClient("m-cheap", 1.0,
+      costPerCall = new java.math.BigDecimal("0.01"))
+    val r = new RouterClient(Seq(pricey -> 1.0, cheap -> 1.0),
+      RouterClient.CostBased)
+    (1 to 20).foreach(i => r.invoke(s"c$i", None))
+    assert(pricey.calls.get() == 1 && cheap.calls.get() == 19)
+  }
+
+  test("circuit breaker: allowedFails consecutive failures cool the deployment down, " +
+    "cooldown excludes it, expiry re-probes it") {
+    val clock = new AtomicLong(1000000L)
+    val bad = new FixedClient("m-bad", 1.0, failFirstN = Int.MaxValue)
+    val good = new FixedClient("m-good", 50.0)
+    val events = new ConcurrentLinkedQueue[(String, Int, Long)]()
+    val listener = new RouterClient.CooldownListener {
+      def onCooldown(m: String, f: Int, cd: Long, reason: String): Unit =
+        events.add((m, f, cd))
+    }
+    val r = new RouterClient(Seq(bad -> 1.0, good -> 1.0),
+      RouterClient.LatencyBased, allowedFails = 2, cooldownMs = 5000L,
+      onCooldown = listener, latencySource = RouterClient.Reported,
+      nowMs = () => clock.get())
+    // c1: bad probed (unmeasured first), fails #1, fails over to good
+    // c2: bad still unmeasured -> probed again, fails #2 -> COOLDOWN, over to good
+    r.invoke("c1", None); r.invoke("c2", None)
+    assert(bad.calls.get() == 2)
+    assert(events.size() == 1)
+    val (m, f, cd) = events.peek()
+    assert(m == "m-bad" && f == 2 && cd == 5000L)
+    // c3/c4: bad is cooling -> good picked DIRECTLY (bad untouched)
+    r.invoke("c3", None); r.invoke("c4", None)
+    assert(bad.calls.get() == 2)
+    assert(good.calls.get() == 4)
+    // clock past the window: bad is eligible again and (still unmeasured)
+    // probed first
+    clock.addAndGet(6000L)
+    r.invoke("c5", None)
+    assert(bad.calls.get() == 3, "expired cooldown must re-probe the deployment")
+  }
+
+  test("fail open: when every deployment is cooling, the router still serves") {
+    val clock = new AtomicLong(50000L)
+    val flaky = new FixedClient("m-flaky", 1.0, failFirstN = 2)
+    val r = new RouterClient(Seq(flaky -> 1.0),
+      RouterClient.RoundRobin, allowedFails = 2, cooldownMs = 60000L,
+      nowMs = () => clock.get())
+    intercept[LlmError](r.invoke("f1", None))
+    intercept[LlmError](r.invoke("f2", None)) // enters cooldown
+    // sole deployment cooling -> fail open, call still lands (and heals)
+    val resp = r.invoke("f3", None)
+    assert(resp.text.startsWith("m-flaky"))
+  }
+
+  test("rate-limit errors count toward cooldown but are never failed over") {
+    val limited = new LlmClient {
+      val calls = new AtomicInteger(0)
+      def model = "m-429"
+      def invoke(p: String, s: Option[String]): LlmResponse = {
+        calls.incrementAndGet()
+        throw new RateLimitError("429", Some(1000L))
+      }
+    }
+    val backup = new FixedClient("m-backup", 1.0)
+    val r = new RouterClient(Seq(limited -> 1.0, backup -> 1.0),
+      RouterClient.RoundRobin, allowedFails = 1, cooldownMs = 60000L)
+    intercept[RateLimitError](r.invoke("rl", None))
+    assert(backup.calls.get() == 0, "429 must propagate, not fail over")
+    // the 429 streak cooled m-429 down: next pick skips it entirely
+    r.invoke("rl2", None)
+    assert(backup.calls.get() == 1)
+  }
+
+  test("thread safety: 16 threads x 200 calls, counters conserve and in-flight drains") {
+    val a = new FixedClient("t-a", 1.0)
+    val b = new FixedClient("t-b", 2.0)
+    for (strategy <- Seq[RouterClient.Strategy](RouterClient.Weighted,
+      RouterClient.RoundRobin, RouterClient.LeastBusy,
+      RouterClient.UsageBased, RouterClient.LatencyBased)) {
+      a.calls.set(0); b.calls.set(0)
+      val r = new RouterClient(Seq(a -> 1.0, b -> 1.0), strategy,
+        latencySource = RouterClient.Reported)
+      val pool = Executors.newFixedThreadPool(16)
+      val done = new CountDownLatch(16)
+      val errs = new ConcurrentLinkedQueue[Throwable]()
+      (1 to 16).foreach { t =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            try (1 to 200).foreach(i => r.invoke(s"t$t-$i", None))
+            catch { case e: Throwable => errs.add(e) }
+            finally done.countDown()
+          }
+        })
+      }
+      assert(done.await(60, TimeUnit.SECONDS), s"$strategy hung")
+      pool.shutdown()
+      assert(errs.isEmpty, s"$strategy threw: ${errs.peek()}")
+      assert(a.calls.get() + b.calls.get() == 3200, s"$strategy lost calls")
+      assert(r.stateSnapshot.forall(_._2 == 0), s"$strategy leaked in-flight")
+    }
+  }
+
+  test("round-robin over two deployments still alternates strictly when single-threaded") {
+    val a = new FixedClient("rr-a", 1.0)
+    val b = new FixedClient("rr-b", 1.0)
+    val r = new RouterClient(Seq(a -> 1.0, b -> 1.0), RouterClient.RoundRobin)
+    (1 to 10).foreach(i => r.invoke(s"r$i", None))
+    assert(a.calls.get() == 5 && b.calls.get() == 5)
+  }
+}
