@@ -193,4 +193,100 @@ class OcrSpec extends AnyFunSuite {
     assert(docs("png") == msg)
     assert(docs("txt") == "plain note")
   }
+
+  // ---- sidecar engine (the Tesseract-class drop-in seam) ----
+
+  private def python3: Option[String] =
+    Seq("/usr/bin/python3", "/usr/local/bin/python3").find(p =>
+      new java.io.File(p).canExecute)
+
+  /** Deterministic mock OCR sidecar: replies "dim:WxH:sha8" computed from
+    * the ACTUAL decoded PNG bytes (w/h unpacked from the IHDR), so the
+    * arc proves an intact raster crossed the process boundary; a 1-px-wide
+    * image draws a per-image error; a 2-px-wide image kills the child. */
+  private lazy val sidecar: java.nio.file.Path = {
+    val p = Files.createTempFile("graft_ocr_sidecar", ".py")
+    Files.writeString(p,
+      """import sys, json, base64, hashlib, struct
+        |for line in sys.stdin:
+        |    req = json.loads(line)
+        |    raw = base64.b64decode(req["png_b64"])
+        |    w, h = struct.unpack(">II", raw[16:24])
+        |    if w == 1:
+        |        out = {"id": req["id"], "error": "unreadable"}
+        |    elif w == 2:
+        |        sys.exit(3)
+        |    else:
+        |        out = {"id": req["id"],
+        |               "text": "dim:%dx%d:%s" % (w, h, hashlib.sha1(raw).hexdigest()[:8])}
+        |    sys.stdout.write(json.dumps(out) + "\n")
+        |    sys.stdout.flush()
+        |""".stripMargin)
+    p
+  }
+
+  private def withSidecarEngine[A](f: graft.sources.ProcessOcrEngine => A): A = {
+    val py = python3.getOrElse(cancel("python3 not available"))
+    val e = new graft.sources.ProcessOcrEngine(
+      Seq(py, sidecar.toString), timeoutMs = 15000L)
+    try f(e) finally graft.sources.ProcessOcrEngine.shutdownAll()
+  }
+
+  private def pngSha8(img: java.awt.image.BufferedImage): String = {
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    java.security.MessageDigest.getInstance("SHA-1")
+      .digest(bos.toByteArray).map("%02x".format(_)).mkString.take(8)
+  }
+
+  test("sidecar engine round-trips the exact raster to a real child process") {
+    withSidecarEngine { e =>
+      val img = GlyphOcr.render("HELLO 42")
+      assert(e.recognize(img) ===
+        s"dim:${img.getWidth}x${img.getHeight}:${pngSha8(img)}")
+    }
+  }
+
+  test("sidecar per-image error yields empty text (pipeline stays total)") {
+    withSidecarEngine { e =>
+      val bad = new java.awt.image.BufferedImage(1, 5,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      assert(e.recognize(bad) === "")
+      // and the child is still healthy for the next image
+      val ok = GlyphOcr.render("X")
+      assert(e.recognize(ok).startsWith("dim:"))
+    }
+  }
+
+  test("a dead sidecar fails the call loudly, then respawns on the next one") {
+    withSidecarEngine { e =>
+      val killer = new java.awt.image.BufferedImage(2, 5,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      intercept[RuntimeException](e.recognize(killer))
+      // respawned child serves the follow-up call
+      val ok = GlyphOcr.render("BACK")
+      assert(e.recognize(ok).startsWith("dim:"))
+    }
+  }
+
+  test("ocrImages runs the sidecar engine inside executor tasks") {
+    withSidecarEngine { e =>
+      val spark = SparkSpec.session
+      import scala.jdk.CollectionConverters._
+      val rows = (0 until 8).map { i =>
+        org.apache.spark.sql.Row(i, GlyphOcr.renderPng(s"ROW $i"))
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("img",
+          org.apache.spark.sql.types.BinaryType)))
+      val df = spark.createDataFrame(rows.asJava, schema).repartition(4)
+      val out = Ocr.ocrImages(df, "img", engine = e)
+        .select("id", "ocr_text").collect()
+      assert(out.length == 8)
+      assert(out.forall(_.getString(1).startsWith("dim:")),
+        "every task must reach the shared per-JVM sidecar")
+    }
+  }
 }
