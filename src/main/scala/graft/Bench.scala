@@ -180,6 +180,68 @@ object Bench {
         System.err.println(s"[bench] WARN expected 100k rows, got ${r.metrics.rows}")
     }
 
+    // Durability gate in the standing record (not a timing race — runs
+    // ONCE regardless of reps): a child JVM streams the 100k corpus and
+    // hard-halts (kill -9 semantics: Runtime.halt, no hooks) mid-micro-
+    // batch at 60% of calls; a second child resumes from the checkpoint.
+    // rows_lost != 0 or reinvoked_durable != 0 marks the arm FAILED in
+    // the published JSON — durability regression becomes a bench failure,
+    // not a manual check. Timing recorded = the resume child's own
+    // wall_sec (engine work; child JVM boot excluded), comparable to the
+    // reference's 3.40 s resume arm at the same 100k scale.
+    if (wanted("stream_crash_resume")) {
+      val name = "stream_crash_resume"
+      results(name) = try {
+        val work = s"/tmp/graft_bench_scrash_$cpus"
+        new scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
+        val javaBin = s"${System.getProperty("java.home")}/bin/java"
+        val cp = System.getProperty("java.class.path")
+        // Spark-on-JDK17 module opens (launcher JavaModuleOptions set)
+        val addOpens = Seq(
+          "java.base/java.lang", "java.base/java.lang.invoke",
+          "java.base/java.lang.reflect", "java.base/java.io",
+          "java.base/java.net", "java.base/java.nio",
+          "java.base/java.util", "java.base/java.util.concurrent",
+          "java.base/java.util.concurrent.atomic",
+          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+          "java.base/sun.security.action", "java.base/sun.util.calendar"
+        ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        def child(phase: String): (Int, String) = {
+          val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx8g",
+            "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+            "-cp", cp, "graft.StreamingCrashArm", phase, work)
+          val pb = new ProcessBuilder(cmd: _*)
+          pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+          val p = pb.start()
+          val out = new String(p.getInputStream.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          p.waitFor()
+          (p.exitValue(), out)
+        }
+        val (crashExit, _) = child("crash")
+        require(crashExit != 0, s"crash phase must halt the JVM, exited 0")
+        val (resumeExit, resumeOut) = child("resume")
+        require(resumeExit == 0, s"resume phase failed (exit $resumeExit)")
+        def field(k: String): Long =
+          s""""$k":(-?\\d+)""".r.findFirstMatchIn(resumeOut)
+            .map(_.group(1).toLong)
+            .getOrElse(sys.error(s"no $k in resume output: $resumeOut"))
+        val lost = field("rows_lost")
+        val reinvoked = field("reinvoked_durable_rows")
+        require(lost == 0, s"STREAMING DURABILITY REGRESSION: $lost rows lost")
+        require(reinvoked == 0,
+          s"STREAMING DURABILITY REGRESSION: $reinvoked durable rows re-invoked")
+        val wall = """"wall_sec":([0-9.]+)""".r.findFirstMatchIn(resumeOut)
+          .map(_.group(1).toDouble)
+          .getOrElse(sys.error(s"no wall_sec in resume output"))
+        Some(wall)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] stream_crash_resume FAILED: ${e.getMessage}")
+        failed += name
+        None
+      }
+    }
+
     val qs = results.map { case (k, v) =>
       "\"" + k + "\":" + v.map(t => f"$t%.3f").getOrElse("null") }
       .mkString("{", ",", "}")
