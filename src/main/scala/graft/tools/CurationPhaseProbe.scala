@@ -49,7 +49,8 @@ object CurationPhaseProbe {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }.min
 
-    mat(spark.read.parquet(s"$dir/region.parquet")) // warmup
+    // warmup (sf100 ships only the big tables; documents always exists)
+    mat(docs.limit(100))
     val prefixes = Seq(
       "1_gopher_filter" -> (() => mat(passed)),
       "2_exact_dedup" -> (() => mat(deduped)),
