@@ -212,6 +212,35 @@ object RouterClient {
                    reason: String): Unit = ()
   }
 
+  /** Bridges trips into the observer stack as
+    * [[graft.run.ProviderCooldown]] events. The dispatcher itself is
+    * driver-side and non-serializable, so the listener carries only a
+    * registry KEY: where the router fires in the driver JVM (local mode,
+    * driver-side calls) the key resolves and the event reaches every
+    * registered observer; on a remote executor the lookup misses and the
+    * trip writes to the executor log instead — a cooldown never silently
+    * vanishes, and closures never drag the dispatcher across the wire. */
+  final class BridgedCooldownListener(key: String, runId: String = "")
+      extends CooldownListener {
+    def onCooldown(model: String, failCount: Int, cooldownMs: Long,
+                   reason: String): Unit = {
+      val d = bridges.get(key)
+      if (d != null)
+        d.emit(graft.run.ProviderCooldown(runId, model, failCount,
+          cooldownMs, reason))
+      else
+        System.err.println(s"[graft] provider cooldown: $model " +
+          s"($failCount consecutive failures, ${cooldownMs}ms): $reason")
+    }
+  }
+  /** Driver-side registration for [[BridgedCooldownListener]] keys. */
+  def registerCooldownBridge(key: String,
+                             d: graft.run.ObserverDispatcher): Unit =
+    bridges.put(key, d)
+  def unregisterCooldownBridge(key: String): Unit = bridges.remove(key)
+  private val bridges =
+    new ConcurrentHashMap[String, graft.run.ObserverDispatcher]()
+
   private val EwmaAlpha = 0.3
 
   /** Per-deployment routing state. Latency/cost EWMAs are updated under

@@ -37,6 +37,13 @@ final case class LlmCallCompleted(runId: String, callId: Long, attempt: Long,
     model: String, tokensIn: Long, tokensOut: Long,
     cost: java.math.BigDecimal, latencyMs: Double, callRows: Long,
     failed: Boolean) extends PipelineEvent
+/** A router circuit-breaker trip (reference: ProviderCooldownEvent,
+  * ondine/adapters/unified_litellm_client.py:662-705 — deployment,
+  * reason, cooldown duration, fail count; run ids are zeroed there too,
+  * since the router outlives any single run). Emitted through
+  * [[graft.llm.RouterClient.BridgedCooldownListener]]. */
+final case class ProviderCooldown(runId: String, deployment: String,
+    failCount: Int, cooldownMs: Long, reason: String) extends PipelineEvent
 
 trait Observer extends Serializable {
   def onEvent(e: PipelineEvent): Unit

@@ -221,4 +221,38 @@ class RouterClientSpec extends AnyFunSuite {
     (1 to 10).foreach(i => r.invoke(s"r$i", None))
     assert(a.calls.get() == 5 && b.calls.get() == 5)
   }
+
+  test("cooldown trips bridge into the observer stack as ProviderCooldown events") {
+    val collector = new graft.run.CollectingObserver
+    val dispatcher = new graft.run.ObserverDispatcher().register(collector)
+    val key = "rcs-bridge-test"
+    RouterClient.registerCooldownBridge(key, dispatcher)
+    try {
+      val bad = new FixedClient("m-trip", 1.0, failFirstN = 2)
+      val ok = new FixedClient("m-ok", 1.0)
+      val r = new RouterClient(Seq(bad -> 1.0, ok -> 1.0),
+        RouterClient.RoundRobin, allowedFails = 2, cooldownMs = 60000L,
+        onCooldown = new RouterClient.BridgedCooldownListener(key, "run-7"))
+      // round-robin alternation: c1 -> bad (fail#1, over to ok), c2 -> ok,
+      // c3 -> bad (fail#2 -> TRIP, over to ok)
+      (1 to 3).foreach(i => r.invoke(s"b$i", None))
+      import scala.jdk.CollectionConverters._
+      val cooldowns = collector.events.asScala.collect {
+        case e: graft.run.ProviderCooldown => e }.toSeq
+      assert(cooldowns.size == 1)
+      assert(cooldowns.head ==
+        graft.run.ProviderCooldown("run-7", "m-trip", 2, 60000L,
+          cooldowns.head.reason))
+      assert(cooldowns.head.reason.contains("scripted fail"))
+      // unregistered key degrades to the executor-log path, never throws
+      RouterClient.unregisterCooldownBridge(key)
+      val bad2 = new FixedClient("m-trip2", 1.0, failFirstN = 2)
+      val r2 = new RouterClient(Seq(bad2 -> 1.0, ok -> 1.0),
+        RouterClient.RoundRobin, allowedFails = 2, cooldownMs = 60000L,
+        onCooldown = new RouterClient.BridgedCooldownListener(key))
+      (1 to 3).foreach(i => r2.invoke(s"c$i", None))
+      assert(collector.events.asScala.collect {
+        case e: graft.run.ProviderCooldown => e }.size == 1)
+    } finally RouterClient.unregisterCooldownBridge(key)
+  }
 }
