@@ -196,16 +196,10 @@ object Bench {
         new scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
         val javaBin = s"${System.getProperty("java.home")}/bin/java"
         val cp = System.getProperty("java.class.path")
-        // Spark-on-JDK17 module opens (launcher JavaModuleOptions set)
-        val addOpens = Seq(
-          "java.base/java.lang", "java.base/java.lang.invoke",
-          "java.base/java.lang.reflect", "java.base/java.io",
-          "java.base/java.net", "java.base/java.nio",
-          "java.base/java.util", "java.base/java.util.concurrent",
-          "java.base/java.util.concurrent.atomic",
-          "java.base/sun.nio.ch", "java.base/sun.nio.cs",
-          "java.base/sun.security.action", "java.base/sun.util.calendar"
-        ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+        // Spark-on-JDK17 module opens from the canonical launcher source —
+        // never a hand-copied list that diverges on a Spark upgrade
+        val addOpens = org.apache.spark.launcher.JavaModuleOptions
+          .defaultModuleOptionArray().toSeq
         def child(phase: String): (Int, String) = {
           val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx8g",
             "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
@@ -213,9 +207,17 @@ object Bench {
           val pb = new ProcessBuilder(cmd: _*)
           pb.redirectError(ProcessBuilder.Redirect.INHERIT)
           val p = pb.start()
+          // bound the child: a stalled stream must publish as a FAILED arm,
+          // never hang the bench ("a failing arm must never kill the bench").
+          // stdout is one JSON line, far below the pipe buffer, so waiting
+          // before draining cannot deadlock on a full pipe.
+          val done = p.waitFor(15, java.util.concurrent.TimeUnit.MINUTES)
+          if (!done) {
+            p.destroyForcibly().waitFor()
+            sys.error(s"$phase child exceeded 15 minutes; killed")
+          }
           val out = new String(p.getInputStream.readAllBytes(),
             java.nio.charset.StandardCharsets.UTF_8)
-          p.waitFor()
           (p.exitValue(), out)
         }
         val (crashExit, _) = child("crash")

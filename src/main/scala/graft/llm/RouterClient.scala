@@ -77,23 +77,26 @@ final class RouterClient(
   override def model: String =
     deployments.map(_._1.model).mkString("router[", ",", "]")
 
-  private def states: Array[DeploymentState] =
-    RouterClient.states.computeIfAbsent(routerId,
-      _ => Array.fill(deployments.size)(new DeploymentState))
+  private def states: RouterState =
+    RouterClient.stateFor(routerId, deployments.size)
 
   /** Deployment indices eligible right now: everyone outside a cooldown
     * window, or everyone (fail open) when all are cooling. */
-  private def eligible(st: Array[DeploymentState]): IndexedSeq[Int] = {
+  private def eligible(st: RouterState): IndexedSeq[Int] = {
     val now = nowMs()
     val open = deployments.indices.filter(i => !st(i).cooling(now))
     if (open.nonEmpty) open else deployments.indices
   }
 
-  private def pick(prompt: String, st: Array[DeploymentState]): Int = {
+  private def pick(prompt: String, st: RouterState): Int = {
     val cands = eligible(st)
     strategy match {
       case RoundRobin =>
-        cands(((rr.getAndIncrement() % cands.size) + cands.size).toInt % cands.size)
+        // the cursor lives in the shared per-JVM state: every task-closure
+        // copy of this router advances ONE sequence, so a multi-partition
+        // run still alternates globally instead of each task restarting at
+        // deployment 0
+        cands(((st.rr.getAndIncrement() % cands.size) + cands.size).toInt % cands.size)
       case Weighted =>
         // deterministic: hash the prompt into [0, sum of candidate weights)
         val w = cands.map(i => deployments(i)._2)
@@ -115,8 +118,6 @@ final class RouterClient(
     }
   }
 
-  private val rr = new AtomicLong(0)
-
   private def recordSuccess(s: DeploymentState, r: LlmResponse,
                             wallMs: Double): Unit = {
     val lat = latencySource match {
@@ -131,10 +132,14 @@ final class RouterClient(
 
   private def recordFailure(idx: Int, s: DeploymentState,
                             e: Throwable): Unit = {
+    // incrementAndGet hands each integer of a streak to exactly ONE
+    // thread, so trip on == (not >=): concurrent failures can never fire
+    // duplicate cooldown events, and the additive reset preserves
+    // increments that raced past the threshold instead of erasing them
     val fails = s.consecFails.incrementAndGet()
-    if (fails >= allowedFails) {
+    if (fails == allowedFails) {
       s.cooldownUntil.set(nowMs() + cooldownMs)
-      s.consecFails.set(0)
+      s.consecFails.addAndGet(-allowedFails)
       try onCooldown.onCooldown(deployments(idx)._1.model, fails,
         cooldownMs, String.valueOf(e.getMessage))
       catch { case _: Exception => () } // observability must never break routing
@@ -271,9 +276,34 @@ object RouterClient {
       }
   }
 
+  /** One router's shared per-JVM state: per-deployment stats plus the
+    * round-robin cursor (shared so task-closure copies advance one
+    * global sequence). */
+  private final class RouterState(n: Int) {
+    private val ds = Array.fill(n)(new DeploymentState)
+    val rr = new AtomicLong(0)
+    def apply(i: Int): DeploymentState = ds(i)
+  }
+
   /** JVM-wide (per-executor) routing state, keyed by router id — shared
-    * across the task-closure copies of one router. Entries are small and
-    * bounded by the number of distinct routers constructed in the
-    * process (human-scale). */
-  private val states = new ConcurrentHashMap[String, Array[DeploymentState]]()
+    * across the task-closure copies of one router. Entries are tiny but
+    * routers can be constructed per pipeline run, so the map is BOUNDED:
+    * past MaxStates the oldest entry is evicted FIFO (a still-live
+    * router whose state was evicted lazily restarts from fresh counters
+    * — graceful degradation, never unbounded growth). */
+  private val MaxStates = 65536
+  private val states = new ConcurrentHashMap[String, RouterState]()
+  private val stateKeys = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private def stateFor(id: String, n: Int): RouterState = {
+    val s = states.computeIfAbsent(id, k => { stateKeys.add(k); new RouterState(n) })
+    var guard = 8 // bounded pass: racing evictors each take a few, never spin
+    while (states.size() > MaxStates && guard > 0) {
+      guard -= 1
+      val k = stateKeys.poll()
+      if (k == null) guard = 0
+      else if (k == id) stateKeys.add(k) // never evict the state just handed out
+      else states.remove(k)
+    }
+    s
+  }
 }

@@ -44,10 +44,6 @@ object CurationPhaseProbe {
 
     def mat(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    def best(f: => Unit): Double =
-      (1 to reps).map { _ =>
-        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-      }.min
 
     // warmup (sf100 ships only the big tables; documents always exists)
     mat(docs.limit(100))
@@ -56,11 +52,18 @@ object CurationPhaseProbe {
       "2_exact_dedup" -> (() => mat(deduped)),
       "3_pack_bins" -> (() => mat(packed)),
       "4_bin_stats" -> (() => mat(full)))
-    var prev = 0.0
-    val out = prefixes.map { case (name, f) =>
-      val t = best(f())
-      val delta = t - prev
-      prev = t
+    // one COHERENT sequence per rep (cumulatives measured together), then
+    // report the rep with the smallest full-pipeline time — deltas can
+    // never go negative from mixing minima of independent reps
+    val repRuns: Seq[Seq[Double]] = (1 to reps).map { _ =>
+      prefixes.map { case (_, f) =>
+        val t0 = System.nanoTime(); f(); (System.nanoTime() - t0) / 1e9
+      }
+    }
+    val bestRep = repRuns.minBy(_.last)
+    val out = prefixes.zipWithIndex.map { case ((name, _), i) =>
+      val t = bestRep(i)
+      val delta = t - (if (i == 0) 0.0 else bestRep(i - 1))
       f""""$name":{"cumulative":$t%.2f,"delta":$delta%.2f}"""
     }
     println(s"""{"probe":"curation_e2e","sf":"$dir","reps":$reps,${out.mkString(",")}}""")

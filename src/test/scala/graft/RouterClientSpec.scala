@@ -255,4 +255,54 @@ class RouterClientSpec extends AnyFunSuite {
         case e: graft.run.ProviderCooldown => e }.size == 1)
     } finally RouterClient.unregisterCooldownBridge(key)
   }
+
+  test("concurrent failures fire exactly ONE cooldown event per trip") {
+    // 16 threads each fail once against a single always-failing deployment
+    // (fail-open keeps routing to it); allowedFails=16 means the atomic
+    // counter hands the value 16 to exactly one thread -> exactly one event
+    val bad = new FixedClient("m-race", 1.0, failFirstN = Int.MaxValue)
+    val events = new ConcurrentLinkedQueue[String]()
+    val listener = new RouterClient.CooldownListener {
+      def onCooldown(m: String, f: Int, cd: Long, reason: String): Unit =
+        events.add(m)
+    }
+    val r = new RouterClient(Seq(bad -> 1.0), RouterClient.RoundRobin,
+      allowedFails = 16, cooldownMs = 60000L, onCooldown = listener)
+    val pool = Executors.newFixedThreadPool(16)
+    val done = new CountDownLatch(16)
+    (1 to 16).foreach { t =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          try r.invoke(s"race$t", None)
+          catch { case _: LlmError => () }
+          finally done.countDown()
+        }
+      })
+    }
+    assert(done.await(30, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(events.size() == 1,
+      s"one trip must fire one event, got ${events.size()}")
+  }
+
+  test("round-robin cursor is SHARED across serialized task copies") {
+    val r = new RouterClient(
+      Seq((new MockLlmClient("rr-x"), 1.0), (new MockLlmClient("rr-y"), 1.0)),
+      RouterClient.RoundRobin)
+    // java-serialize the router the way a task closure would
+    val bos = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos).writeObject(r)
+    val copy = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+      .readObject().asInstanceOf[RouterClient]
+    // interleave calls across the original and the copy: a per-instance
+    // cursor would give xyxy from EACH (skewing multi-partition runs);
+    // the shared cursor keeps one strict global alternation
+    val models = (1 to 8).map { i =>
+      (if (i % 2 == 0) copy else r).invoke(s"m$i", None).model
+    }
+    assert(models.count(_ == "rr-x") == 4 && models.count(_ == "rr-y") == 4)
+    assert(models.sliding(2).forall(p => p.head != p(1)),
+      s"strict global alternation expected, got $models")
+  }
 }
