@@ -100,11 +100,24 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
+    // Arms that write and re-scan a many-tiny-file corpus (500-2000 PDFs):
+    // their first rep measures cold-page-cache small-file IO, not engine
+    // speed — twice (r12, r13) a cross-round delta on them cost a full
+    // adjudication cycle that ended at "page-cache temperature". One
+    // throwaway warm rep before the timed reps makes the recorded min a
+    // steady-state engine measurement.
+    val fileCorpusArms = Set("q95_pdf_roundtrip", "q96_scanned_pdf")
+
     // 1. the full query inventory (cache cleared between runs so
     // operator-internal persists don't leak memory pressure across runs)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => wanted(name) }
       .foreach { case (name, fn) =>
+        if (fileCorpusArms(name)) {
+          try { materialize(fn(spark, sfDir)); spark.catalog.clearCache() }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] warm rep failed ($name): ${e.getMessage}") }
+        }
         results(name) = timeBest(name,
           { materialize(fn(spark, sfDir)) },
           () => spark.catalog.clearCache())

@@ -106,16 +106,30 @@ final class RouterClient(
         cands.zip(w).find { case (_, wi) => acc += wi; u < acc }
           .map(_._1).getOrElse(cands.last)
       case LatencyBased =>
-        cands.find(i => !st(i).hasLatency)
-          .getOrElse(cands.minBy(i => st(i).ewmaLatencyMs))
+        pickProbeAware(cands, st, i => st(i).hasLatency,
+          i => st(i).ewmaLatencyMs)
       case LeastBusy =>
         cands.minBy(i => st(i).inFlight.get())
       case UsageBased =>
         cands.minBy(i => st(i).totalTokens.get())
       case CostBased =>
-        cands.find(i => !st(i).hasCost)
-          .getOrElse(cands.minBy(i => st(i).ewmaCost))
+        pickProbeAware(cands, st, i => st(i).hasCost, i => st(i).ewmaCost)
     }
+  }
+
+  /** Measured-EWMA strategies probe every unmeasured deployment before
+    * comparing averages. Cold-start diversity: among the unmeasured, take
+    * the one with the FEWEST in-flight calls (ties to declaration order)
+    * — a plain `find` would stampede every concurrent partition thread
+    * onto the first unmeasured deployment until its first sample lands,
+    * because none of them has a measurement yet. inFlight increments
+    * before the call, so concurrent cold threads fan out across the
+    * unmeasured set instead. */
+  private def pickProbeAware(cands: IndexedSeq[Int], st: RouterState,
+      measured: Int => Boolean, score: Int => Double): Int = {
+    val unmeasured = cands.filterNot(measured)
+    if (unmeasured.nonEmpty) unmeasured.minBy(i => st(i).inFlight.get())
+    else cands.minBy(score)
   }
 
   private def recordSuccess(s: DeploymentState, r: LlmResponse,
@@ -140,8 +154,11 @@ final class RouterClient(
     if (fails == allowedFails) {
       s.cooldownUntil.set(nowMs() + cooldownMs)
       s.consecFails.addAndGet(-allowedFails)
+      // truncate like the reference's ProviderCooldownEvent
+      // (str(exception)[:500]) — a huge provider error body must not
+      // flow verbatim into every observer and executor-log line
       try onCooldown.onCooldown(deployments(idx)._1.model, fails,
-        cooldownMs, String.valueOf(e.getMessage))
+        cooldownMs, String.valueOf(e.getMessage).take(500))
       catch { case _: Exception => () } // observability must never break routing
     }
   }
@@ -288,22 +305,27 @@ object RouterClient {
   /** JVM-wide (per-executor) routing state, keyed by router id — shared
     * across the task-closure copies of one router. Entries are tiny but
     * routers can be constructed per pipeline run, so the map is BOUNDED:
-    * past MaxStates the oldest entry is evicted FIFO (a still-live
-    * router whose state was evicted lazily restarts from fresh counters
-    * — graceful degradation, never unbounded growth). */
+    * past MaxStates the LEAST-RECENTLY-USED entry is evicted (access-order
+    * LinkedHashMap) — eviction pressure from churned short-lived routers
+    * lands on genuinely idle states, never on a router that is actively
+    * invoking (every invoke touches its state, moving it to the tail), so
+    * a live router's breaker/EWMA/cooldown state survives arbitrarily many
+    * later constructions. An evicted-then-revived router restarts from
+    * fresh counters — graceful degradation, never unbounded growth. One
+    * short lock per invoke; invocations are network-latency-scale, so the
+    * monitor is uncontended in practice. */
   private val MaxStates = 65536
-  private val states = new ConcurrentHashMap[String, RouterState]()
-  private val stateKeys = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-  private def stateFor(id: String, n: Int): RouterState = {
-    val s = states.computeIfAbsent(id, k => { stateKeys.add(k); new RouterState(n) })
-    var guard = 8 // bounded pass: racing evictors each take a few, never spin
-    while (states.size() > MaxStates && guard > 0) {
-      guard -= 1
-      val k = stateKeys.poll()
-      if (k == null) guard = 0
-      else if (k == id) stateKeys.add(k) // never evict the state just handed out
-      else states.remove(k)
+  private val states =
+    new java.util.LinkedHashMap[String, RouterState](1024, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, RouterState]): Boolean =
+        size() > MaxStates
     }
-    s
+  private def stateFor(id: String, n: Int): RouterState = states.synchronized {
+    val s = states.get(id) // access-order get = LRU touch
+    if (s != null) s
+    else { val ns = new RouterState(n); states.put(id, ns); ns }
   }
+  /** Test hook: current registry size. */
+  private[graft] def stateCount: Int = states.synchronized(states.size())
 }

@@ -48,8 +48,8 @@ object Parallelism {
     * checkpoint dir.
     *
     * That contract is ENFORCED, not just documented: on a non-local
-    * master with no checkpoint dir, stage() warns loudly once per
-    * session — or refuses outright when
+    * master with no checkpoint dir, stage() warns loudly on every
+    * fallback — or refuses outright when
     * `graft.stage.requireCheckpointDir=true` (the strict setting for
     * clusters running dynamic allocation, where the silent
     * localCheckpoint trade is never acceptable). */
@@ -67,8 +67,11 @@ object Parallelism {
               "sc.setCheckpointDir (localCheckpoint is not fault-tolerant " +
               "under executor loss / dynamic allocation)")
         case StageFallback.Warn =>
-          if (warnedLocalCheckpoint.compareAndSet(false, true))
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          // every time, not once-per-process: a process-global warn-once
+          // flag silences the warning for every LATER SparkSession in the
+          // same JVM; the fallback is rare enough on a real cluster that
+          // repeating the line costs nothing and hides nothing
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
               "Parallelism.stage: no checkpoint dir on non-local master " +
                 s"'${sc.master}' — falling back to localCheckpoint, which " +
                 "FAILS THE JOB on executor loss and is unsafe under " +
@@ -100,9 +103,6 @@ object Parallelism {
     else if (strict) StageFallback.Refuse
     else StageFallback.Warn
   }
-  private val warnedLocalCheckpoint =
-    new java.util.concurrent.atomic.AtomicBoolean(false)
-
   /** Runs `f` with `spark.sql.shuffle.partitions` temporarily set to
     * `n`, restoring the previous value afterwards — the state-partition
     * sizing lever for bounded streaming drains. Stateful streaming

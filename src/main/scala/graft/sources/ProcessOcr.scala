@@ -58,15 +58,37 @@ final class ProcessOcrEngine(
         throw new java.io.UncheckedIOException(
           s"OCR sidecar write failed: ${e.getMessage}", e)
       }
-    val reply =
-      try fut.get(timeoutMs, TimeUnit.MILLISECONDS)
-      catch {
+    // Activity-aware deadline: `timeoutMs` bounds time WITHOUT ANY REPLY
+    // from the child, not wall time in line. Requests serialize on one
+    // stdin, so a wide partition of slow pages can queue a page behind
+    // many others — evicting on the first raw timeout would close() the
+    // SHARED per-executor child and failAll() every other in-flight page
+    // (one wedged page cascading into executor-wide task retries).
+    // Eviction is reserved for a child that is DEAD or has produced
+    // nothing at all for a full timeout window (truly wedged); a busy
+    // child that keeps replying extends the wait up to MaxWaitRounds
+    // windows, past which THIS page fails without killing the child.
+    var rounds = 0
+    while (true) {
+      try {
+        val reply = fut.get(timeoutMs, TimeUnit.MILLISECONDS)
+        return if (reply.has("error")) "" // per-image failure → total
+          else reply.path("text").asText("")
+      } catch {
         case _: TimeoutException =>
-          // a hung-but-alive engine (wedged on one page) must not wedge
-          // every retry too: evict so the next call respawns a fresh child
-          child.abandon(id)
-          evict(command, child)
-          throw new RuntimeException(s"OCR sidecar timed out after ${timeoutMs}ms")
+          rounds += 1
+          if (!child.alive) {
+            child.abandon(id); evict(command, child)
+            throw new RuntimeException("OCR sidecar died (process exited)")
+          } else if (child.nanosSinceLastReply >= timeoutMs * 1000000L) {
+            child.abandon(id); evict(command, child)
+            throw new RuntimeException(
+              s"OCR sidecar wedged (no reply to any request for ${timeoutMs}ms); evicted")
+          } else if (rounds >= MaxWaitRounds) {
+            child.abandon(id) // give up on THIS page; the child lives on
+            throw new RuntimeException(
+              s"OCR page timed out after $rounds x ${timeoutMs}ms behind a busy sidecar")
+          } // replies are flowing — healthy queue wait, keep waiting
         case e: InterruptedException =>
           child.abandon(id); throw new RuntimeException(e)
         case e: java.util.concurrent.ExecutionException =>
@@ -74,12 +96,15 @@ final class ProcessOcrEngine(
           throw new RuntimeException(
             s"OCR sidecar died: ${e.getCause.getMessage}")
       }
-    if (reply.has("error")) "" // per-image failure → unreadable input
-    else reply.path("text").asText("")
+    }
+    throw new IllegalStateException("unreachable")
   }
 }
 
 object ProcessOcrEngine {
+  /** Max full timeout windows one page waits behind a busy-but-replying
+    * sidecar before failing (without evicting the shared child). */
+  private val MaxWaitRounds = 10
   private val mapper = new ObjectMapper()
   private val children = new ConcurrentHashMap[String, Child]()
 
@@ -113,8 +138,12 @@ object ProcessOcrEngine {
     private val pending = new ConcurrentHashMap[Long, CompletableFuture[JsonNode]]()
     private val ids = new AtomicLong(0L)
     @volatile private var dead = false
+    /** Liveness signal for the activity-aware timeout: any stdout line
+      * counts — a child emitting replies (to anyone) is busy, not wedged. */
+    private val lastReplyNanos = new AtomicLong(System.nanoTime())
 
     def alive: Boolean = !dead && proc.isAlive
+    def nanosSinceLastReply: Long = System.nanoTime() - lastReplyNanos.get()
 
     private val reader = new Thread(() => {
       val in = new BufferedReader(new InputStreamReader(
@@ -122,6 +151,7 @@ object ProcessOcrEngine {
       try {
         var line = in.readLine()
         while (line != null) {
+          lastReplyNanos.set(System.nanoTime())
           val node = try Some(mapper.readTree(line))
             catch { case _: Exception => None } // stray stdout must not kill routing
           for (n <- node if n.has("id")) {

@@ -43,6 +43,31 @@ object Sources {
       spark.read.json(path)
     else if (lower.endsWith(".xlsx"))
       Xlsx.read(spark, path, opts.header) // driver-side; see Xlsx scaladoc
+    else if (lower.endsWith(".xls")) {
+      // The reference accepts legacy .xls via pandas
+      // (ondine/stages/data_loader_stage.py:95-108). Files named .xls are
+      // frequently mislabeled modern workbooks, so dispatch on CONTENT:
+      // a zip magic (PK) is SpreadsheetML and reads through the xlsx
+      // reader; a genuine CFB/BIFF container gets a loud, typed,
+      // actionable rejection instead of the generic suffix fall-through.
+      val magic = {
+        val in = new java.io.FileInputStream(path)
+        try { val b = new Array[Byte](8); in.read(b); b } finally in.close()
+      }
+      if (magic(0) == 'P'.toByte && magic(1) == 'K'.toByte)
+        Xlsx.read(spark, path, opts.header) // mislabeled xlsx
+      else if (magic.take(4).sameElements(
+          Array(0xD0, 0xCF, 0x11, 0xE0).map(_.toByte)))
+        throw new IllegalArgumentException(
+          s"$path is a legacy BIFF (.xls) workbook, which this engine does " +
+            "not read — re-save it as .xlsx or export to .csv and load that " +
+            "instead (every other behavior is identical; only the container " +
+            "parser differs)")
+      else
+        throw new IllegalArgumentException(
+          s"$path has a .xls suffix but is neither a zip (xlsx) nor a CFB " +
+            "(BIFF) container — not an Excel workbook?")
+    }
     else
       throw new IllegalArgumentException(s"unsupported source suffix: $path")
   }

@@ -269,6 +269,66 @@ class OcrSpec extends AnyFunSuite {
     }
   }
 
+  /** Sidecar that sleeps 250 ms before every reply — healthy but busy:
+    * pages queue behind each other on the serialized stdin. */
+  private lazy val slowSidecar: java.nio.file.Path = {
+    val p = Files.createTempFile("graft_ocr_slow_sidecar", ".py")
+    Files.writeString(p,
+      """import sys, json, time
+        |for line in sys.stdin:
+        |    req = json.loads(line)
+        |    time.sleep(0.25)
+        |    sys.stdout.write(json.dumps({"id": req["id"], "text": "slowpage"}) + "\n")
+        |    sys.stdout.flush()
+        |""".stripMargin)
+    p
+  }
+
+  test("queue wait behind a busy-but-replying sidecar does not evict the shared child") {
+    val py = python3.getOrElse(cancel("python3 not available"))
+    // 6 pages, 250 ms serialized each: the LAST page's reply lands ~1.5 s
+    // in — far past the 600 ms single-window timeout. The old first-raw-
+    // timeout eviction close()d the shared child here, failAll()ing every
+    // other in-flight page; the activity-aware deadline keeps waiting
+    // while replies flow, so every page must succeed on ONE child.
+    val e = new graft.sources.ProcessOcrEngine(
+      Seq(py, slowSidecar.toString), timeoutMs = 600L)
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(6)
+      val futs = (0 until 6).map { i =>
+        pool.submit(new java.util.concurrent.Callable[String] {
+          def call(): String = e.recognize(GlyphOcr.render(s"PAGE $i"))
+        })
+      }
+      val texts = futs.map(_.get(30, java.util.concurrent.TimeUnit.SECONDS))
+      pool.shutdown()
+      assert(texts.forall(_ == "slowpage"),
+        s"all queued pages must survive one slow neighbor: $texts")
+    } finally graft.sources.ProcessOcrEngine.shutdownAll()
+  }
+
+  /** Sidecar that consumes requests and never replies — truly wedged. */
+  private lazy val wedgedSidecar: java.nio.file.Path = {
+    val p = Files.createTempFile("graft_ocr_wedged_sidecar", ".py")
+    Files.writeString(p,
+      """import sys
+        |for line in sys.stdin:
+        |    pass
+        |""".stripMargin)
+    p
+  }
+
+  test("a truly wedged sidecar (zero replies for a full window) is evicted loudly") {
+    val py = python3.getOrElse(cancel("python3 not available"))
+    val e = new graft.sources.ProcessOcrEngine(
+      Seq(py, wedgedSidecar.toString), timeoutMs = 400L)
+    try {
+      val ex = intercept[RuntimeException](e.recognize(GlyphOcr.render("X")))
+      assert(ex.getMessage.contains("wedged"),
+        s"expected wedged-eviction error, got: ${ex.getMessage}")
+    } finally graft.sources.ProcessOcrEngine.shutdownAll()
+  }
+
   test("ocrImages runs the sidecar engine inside executor tasks") {
     withSidecarEngine { e =>
       val spark = SparkSpec.session

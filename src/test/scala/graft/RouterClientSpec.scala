@@ -305,4 +305,75 @@ class RouterClientSpec extends AnyFunSuite {
     assert(models.sliding(2).forall(p => p.head != p(1)),
       s"strict global alternation expected, got $models")
   }
+
+  /** Client that blocks inside invoke until released — the cold-start
+    * stampede probe: while thread 1 is still measuring deployment 0, a
+    * find()-first rule would send thread 2 to deployment 0 TOO. */
+  private final class BlockingClient(name: String, release: CountDownLatch,
+      started: ConcurrentLinkedQueue[String]) extends LlmClient {
+    def model: String = name
+    def invoke(p: String, s: Option[String]): LlmResponse = {
+      started.add(name)
+      release.await(10, TimeUnit.SECONDS)
+      LlmResponse(name, 1, 1, name, java.math.BigDecimal.ZERO, 1.0)
+    }
+  }
+
+  private def coldStartArc(strategy: RouterClient.Strategy): Unit = {
+    val started = new ConcurrentLinkedQueue[String]()
+    val release = new CountDownLatch(1)
+    val r = new RouterClient(
+      Seq(new BlockingClient("m-a", release, started) -> 1.0,
+        new BlockingClient("m-b", release, started) -> 1.0),
+      strategy, latencySource = RouterClient.Reported)
+    val pool = Executors.newFixedThreadPool(2)
+    try {
+      val f1 = pool.submit(new Runnable {
+        def run(): Unit = r.invoke("p1", None) })
+      // wait until thread 1 is INSIDE m-a's invoke (inFlight(m-a)=1), so
+      // thread 2's pick sees the in-flight probe deterministically
+      val t0 = System.nanoTime()
+      while (started.size() < 1 && System.nanoTime() - t0 < 10e9)
+        Thread.sleep(2)
+      assert(started.size() == 1, "thread 1 never started")
+      val f2 = pool.submit(new Runnable {
+        def run(): Unit = r.invoke("p2", None) })
+      val t1 = System.nanoTime()
+      while (started.size() < 2 && System.nanoTime() - t1 < 10e9)
+        Thread.sleep(2)
+      release.countDown()
+      f1.get(10, TimeUnit.SECONDS); f2.get(10, TimeUnit.SECONDS)
+      import scala.jdk.CollectionConverters._
+      assert(started.asScala.toSet == Set("m-a", "m-b"),
+        s"concurrent cold threads must probe DIFFERENT unmeasured " +
+          s"deployments, got ${started.asScala.toList}")
+    } finally { release.countDown(); pool.shutdown() }
+  }
+
+  test("latency-based cold start: concurrent threads fan out across unmeasured deployments") {
+    coldStartArc(RouterClient.LatencyBased)
+  }
+
+  test("cost-based cold start: concurrent threads fan out across unmeasured deployments") {
+    coldStartArc(RouterClient.CostBased)
+  }
+
+  test("state registry eviction is LRU: an actively-invoking router survives 66k churned routers") {
+    val keeper = new RouterClient(
+      Seq(new FixedClient("m-keep", 1.0) -> 1.0), RouterClient.RoundRobin)
+    keeper.invoke("p", None)
+    assert(keeper.stateSnapshot.head._3 == 10L) // tokens from call 1
+    // churn one-shot routers past the 65536-state bound, touching the
+    // keeper every 8192 constructions: under FIFO eviction the keeper
+    // (oldest key) dies regardless of activity and its counters restart;
+    // under LRU every touch moves it to the tail and its state survives
+    val touches = (1 to 66000).count { i =>
+      new RouterClient(Seq(new FixedClient(s"m-churn-$i", 1.0) -> 1.0))
+        .invoke("p", None)
+      if (i % 8192 == 0) { keeper.invoke("p", None); true } else false
+    }
+    assert(keeper.stateSnapshot.head._3 == 10L * (1 + touches),
+      "keeper's accumulated token counter must survive the churn intact")
+    assert(RouterClient.stateCount <= 65536, "registry must stay bounded")
+  }
 }

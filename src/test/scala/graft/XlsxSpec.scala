@@ -99,6 +99,35 @@ class XlsxSpec extends SparkSpec {
     assert(back(3) == ((4L, null, Some("fr"))), s"mid-row null shifted: ${back(3)}")
   }
 
+  test(".xls dispatch: mislabeled zip reads as xlsx; real BIFF rejects loudly and typed") {
+    // (a) a modern workbook renamed .xls is dispatched on CONTENT (PK
+    // magic) and reads fine — the common mislabel case
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val dir = Files.createTempDirectory("graft_xls")
+    val asXlsx = s"$dir/t.xlsx"
+    Xlsx.write(df, asXlsx)
+    val asXls = s"$dir/t.xls"
+    Files.copy(java.nio.file.Path.of(asXlsx), java.nio.file.Path.of(asXls))
+    val back = Sources.read(spark, asXls)
+    assert(back.count() == 2 && back.columns.toSeq == Seq("id", "v"))
+
+    // (b) a genuine CFB/BIFF container gets the actionable rejection
+    val biff = s"$dir/legacy.xls"
+    Files.write(java.nio.file.Path.of(biff),
+      Array(0xD0, 0xCF, 0x11, 0xE0, 0xA1, 0xB1, 0x1A, 0xE1).map(_.toByte)
+        ++ new Array[Byte](512))
+    val e1 = intercept[IllegalArgumentException](Sources.read(spark, biff))
+    assert(e1.getMessage.contains("BIFF") && e1.getMessage.contains(".xlsx"),
+      s"rejection must name the format and the fix: ${e1.getMessage}")
+
+    // (c) not-an-Excel-container bytes get their own message
+    val junk = s"$dir/junk.xls"
+    Files.write(java.nio.file.Path.of(junk),
+      "this is not a workbook".getBytes(StandardCharsets.UTF_8))
+    val e2 = intercept[IllegalArgumentException](Sources.read(spark, junk))
+    assert(e2.getMessage.contains("neither"), e2.getMessage)
+  }
+
   test("column index arithmetic covers multi-letter references") {
     assert(Xlsx.colIndex("A1") == 0)
     assert(Xlsx.colIndex("Z9") == 25)
