@@ -33,6 +33,7 @@ final class PipelineBuilder private () {
   private var evidenceCorpusOpt: Option[DataFrame] = None
   private var runDirOpt: Option[String] = None
   private var keyColumnOpt: Option[String] = None
+  private var responseCache: Option[graft.llm.ResponseCacheBackend] = None
   private val dispatcher = new ObserverDispatcher
 
   // --- dataset ----------------------------------------------------------
@@ -129,6 +130,24 @@ final class PipelineBuilder private () {
     this
   }
 
+  // --- response cache (reference: with_redis_cache / with_disk_cache,
+  // ondine/api/pipeline_builder.py:1362-1409 — identical requests = zero
+  // new spend, shared across executors/hosts) ----------------------------
+  /** Share responses through a Redis server mid-run. Outage degrades to
+    * the in-JVM tier via the backend's breaker; never fails the run. */
+  def withRedisCache(host: String = "localhost", port: Int = 6379,
+                     ttlSeconds: Int = 3600): this.type = {
+    responseCache = Some(
+      new graft.llm.RedisResponseCache(host, port, ttlSeconds = ttlSeconds))
+    this
+  }
+  /** Share responses through a (shared-filesystem) directory.
+    * ttlSeconds = 0 keeps entries forever. */
+  def withDiskCache(dir: String, ttlSeconds: Long = 0L): this.type = {
+    responseCache = Some(new graft.llm.DiskResponseCache(dir, ttlSeconds))
+    this
+  }
+
   // --- execution --------------------------------------------------------
   def withClient(c: LlmClient): this.type = { clientOpt = Some(c); this }
   def withRunDir(dir: String): this.type = { runDirOpt = Some(dir); this }
@@ -187,7 +206,16 @@ final class PipelineBuilder private () {
         else None)))
       .getOrElse(throw new IllegalArgumentException(
         "withClient(...) or withEndpoint(...) is required before run()"))
-    new Enricher(build(), client, runDirOpt, keyColumnOpt, dispatcher,
+    // cache wrap is outermost so a hit skips the whole client stack;
+    // the L1 name is model-scoped — all runs of one model in this JVM
+    // share it (keys already include model + system + prompt)
+    val cached = responseCache match {
+      case Some(b) =>
+        new graft.llm.CachingClient(client,
+          cacheName = s"builder:${client.model}", backend = Some(b))
+      case None => client
+    }
+    new Enricher(build(), cached, runDirOpt, keyColumnOpt, dispatcher,
       evidenceCorpusOpt).enrich(df)
   }
 }

@@ -99,6 +99,14 @@ final class MiniRedis(bindPort: Int = 0) extends AutoCloseable {
       s":$n\r\n"
     case "GET" =>
       sweep(cmd(1)); bulk(strings.get(cmd(1)).orNull)
+    case "SET" =>
+      // SET key value [PX ms] — the response-cache store shape
+      strings(cmd(1)) = cmd(2)
+      expiries.remove(cmd(1))
+      val px = cmd.indexWhere(_.equalsIgnoreCase("PX"))
+      if (px >= 3 && cmd.length > px + 1)
+        expiries(cmd(1)) = System.currentTimeMillis() + cmd(px + 1).toLong
+      "+OK\r\n"
     case other => s"-ERR unknown command '$other'\r\n"
   }
 
