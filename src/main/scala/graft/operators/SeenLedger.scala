@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lifecycle contract for the incremental-dedup seen ledger — the
+  * standing fingerprint store that [[Dedup.dropSeenBefore]] probes
+  * across crawls. Without maintenance the ledger only ever grows and
+  * every crawl re-appends the duplicates it just dropped; this object
+  * pins the three missing contracts:
+  *
+  *  - '''dedupe-on-append''': [[append]] writes only fingerprints not
+  *    already present, so after N crawls the ledger holds exactly the
+  *    distinct content mass ever seen — never N× it. The new-vs-standing
+  *    check is the same bloom-prefilter + anti-join-confirm shape as
+  *    `dropSeenBefore` itself (join input ∝ duplicate rate).
+  *  - '''fingerprint-prefix partitioning''': the ledger is laid out as
+  *    `fp_prefix=XX/` (first two hex chars, 256-way). A probe that knows
+  *    its incoming prefixes ([[probeFor]]) prunes the scan at the
+  *    FileIndex — a small delta crawl reads only the partitions it can
+  *    possibly collide with, not the whole standing corpus's ledger.
+  *  - '''retention''': every entry carries the caller's `crawl_id` of
+  *    FIRST sight. [[compact]] can drop crawls by id — the documented
+  *    trade being that content first seen in an expired crawl becomes
+  *    re-admissible (exactly the web-crawl "recrawl window" semantics).
+  *    Compaction also rewrites each partition to one file, healing the
+  *    small-file accretion of many appends.
+  *
+  * 100 TB shape: the ledger is fingerprints only (16 B hex + crawl id),
+  * never text; appends shuffle hashes only; the 256-way prefix layout
+  * keeps every partition independently compactable and lets a cluster
+  * run compaction as 256 parallel single-partition rewrites.
+  */
+object SeenLedger {
+  val FingerprintCol = "content_hash"
+  val CrawlCol = "crawl_id"
+  val PrefixCol = "fp_prefix"
+
+  private def withPrefix(df: DataFrame): DataFrame =
+    df.withColumn(PrefixCol, substring(col(FingerprintCol), 1, 2))
+
+  /** The standing ledger at `path`; empty (correct schema) if absent —
+    * a first crawl needs no bootstrap step. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    if (!exists(spark, path))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          s"$FingerprintCol STRING, $CrawlCol STRING, $PrefixCol STRING"))
+    else spark.read.parquet(path)
+  }
+
+  /** Append crawl `crawlId`'s fingerprints (a frame with a
+    * `content_hash` column, e.g. [[Dedup.exactGroups]] output),
+    * deduped against the standing ledger: only FIRST-sight fingerprints
+    * land, under the crawl id of first sight. Returns rows appended.
+    *
+    * The standing side compresses into one bloom filter and prefilters
+    * the incoming map-side (no false negatives); only bloom-positive
+    * fingerprints — prior dupes plus the fpp sliver — pay the exact
+    * anti-join confirm, so append cost tracks the NEW mass, not the
+    * ledger size. */
+  def append(fingerprints: DataFrame, path: String, crawlId: String): Long = {
+    val spark = fingerprints.sparkSession
+    val fresh0 = fingerprints.select(col(FingerprintCol)).distinct()
+    val novel =
+      if (!exists(spark, path)) fresh0
+      else {
+        val standing = spark.read.parquet(path).select(col(FingerprintCol))
+        val standingCached = standing
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nSeen = standingCached.count()
+          if (nSeen == 0L) fresh0
+          else {
+            val bloom = BloomBuild.bloomBytes(
+              standingCached, xxhash64(col(FingerprintCol)), nSeen)
+            val might = BloomBuild.mightContain(
+              bloom, xxhash64(col(FingerprintCol)))
+            fresh0.filter(!might).unionByName(
+              fresh0.filter(might)
+                .join(standing, Seq(FingerprintCol), "left_anti"))
+          }
+        } finally standingCached.unpersist(blocking = false)
+      }
+    val out = withPrefix(novel.withColumn(CrawlCol, lit(crawlId)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = out.count()
+      if (n > 0L)
+        // cluster by the partition column first: without it every write
+        // task owns rows of ~all 256 prefixes and one append fans out to
+        // tasks×256 tiny files; clustered, each prefix directory gains
+        // ONE file per append
+        out.repartition(col(PrefixCol))
+          .write.mode("append").partitionBy(PrefixCol).parquet(path)
+      n
+    } finally out.unpersist(blocking = false)
+  }
+
+  /** Partition-pruned probe view: the ledger rows that could possibly
+    * match `incoming` — the FileIndex skips every `fp_prefix=` directory
+    * whose prefix no incoming fingerprint carries. Feed the result to
+    * [[Dedup.dropSeenBefore]] in place of the full ledger. The prefix
+    * set costs one pass over incoming's fingerprints (bounded ≤256
+    * values); worth it when the delta crawl is small against a standing
+    * corpus — at full 256-prefix saturation it degrades gracefully to
+    * the unpruned scan. */
+  def probeFor(spark: SparkSession, path: String, incoming: DataFrame,
+               textCol: String): DataFrame = {
+    val ledger = read(spark, path)
+    val prefixes = incoming
+      .select(substring(graft.functions.TextFunctions
+        .fingerprint(col(textCol)), 1, 2).as(PrefixCol))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (prefixes.size >= 256) ledger // saturated: pruning buys nothing
+    else ledger.filter(col(PrefixCol).isInCollection(prefixes))
+  }
+
+  /** Rewrite the ledger: drop entries whose first-sight crawl is not in
+    * `retainCrawls` (None = keep all), re-dedupe defensively (min crawl
+    * id wins if external writers raced), and emit ONE file per prefix
+    * partition — the small-file heal for a ledger that took many
+    * appends. Returns rows retained.
+    *
+    * The rewrite stages to `<path>.compacting` then swaps directories,
+    * so a crash mid-compact leaves the original ledger intact (the
+    * stale staging dir is re-used/overwritten by the next attempt). */
+  def compact(spark: SparkSession, path: String,
+              retainCrawls: Option[Set[String]] = None): Long = {
+    if (!exists(spark, path)) return 0L
+    val kept0 = spark.read.parquet(path)
+    val kept1 = retainCrawls match {
+      case Some(keep) => kept0.filter(col(CrawlCol).isInCollection(keep.toSeq))
+      case None => kept0
+    }
+    val kept = kept1
+      .groupBy(col(FingerprintCol))
+      .agg(min(col(CrawlCol)).as(CrawlCol))
+    val staging = s"$path.compacting"
+    // one file per prefix directory: repartition BY the partition column
+    // so each write task owns whole partitions
+    withPrefix(kept)
+      .repartition(col(PrefixCol))
+      .write.mode("overwrite").partitionBy(PrefixCol).parquet(staging)
+    val n = spark.read.parquet(staging).count()
+    // Hadoop FS, not java.io: the ledger lives wherever the corpus does
+    // (HDFS / object store via committers), and rename-swap semantics
+    // come from the store's FileSystem implementation
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(hPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), hPath))
+      throw new java.io.IOException(
+        s"compact swap failed: $staging -> $path (ledger preserved at staging)")
+    n
+  }
+
+  private def exists(spark: SparkSession, path: String): Boolean = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(hPath) && fs.listStatus(hPath).nonEmpty
+  }
+}

@@ -163,6 +163,90 @@ class CurationSpec extends SparkSpec {
     assert(none.count() == 3)
   }
 
+  test("seen-ledger lifecycle: N crawls append only distinct mass; retention re-admits; compact heals files") {
+    import graft.operators.SeenLedger
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_seen_ledger").toString + "/ledger"
+    def fps(texts: String*) = graft.operators.Dedup.exactGroups(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "doc_id", "text")
+
+    // three crawls with heavy overlap: dedupe-on-append keeps the ledger
+    // at the DISTINCT mass, with each fingerprint under its FIRST crawl
+    val n1 = SeenLedger.append(fps("alpha", "beta"), path, "crawl-1")
+    val n2 = SeenLedger.append(fps("beta", "gamma"), path, "crawl-2")
+    val n3 = SeenLedger.append(fps("alpha", "beta", "gamma"), path, "crawl-3")
+    assert((n1, n2, n3) == ((2L, 1L, 0L)),
+      s"appended counts must be first-sight only: ($n1,$n2,$n3)")
+    val ledger = SeenLedger.read(spark, path)
+    assert(ledger.count() == 3, "ledger holds exactly the distinct mass")
+    val byCrawl = ledger.groupBy("crawl_id").count()
+      .as[(String, Long)].collect().toMap
+    assert(byCrawl == Map("crawl-1" -> 2L, "crawl-2" -> 1L),
+      s"first-sight attribution: $byCrawl")
+
+    // the ledger drives dropSeenBefore exactly like an in-memory one
+    val incoming = Seq((100L, "beta"), (101L, "delta")).toDF("doc_id", "text")
+    val kept = graft.operators.Dedup
+      .dropSeenBefore(incoming, ledger, "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(101L))
+
+    // retention: dropping crawl-2 re-admits gamma (the documented trade),
+    // and compaction leaves ONE file per prefix directory
+    val retained = SeenLedger.compact(spark, path,
+      retainCrawls = Some(Set("crawl-1")))
+    assert(retained == 2L)
+    val kept2 = graft.operators.Dedup
+      .dropSeenBefore(
+        Seq((200L, "gamma"), (201L, "alpha")).toDF("doc_id", "text"),
+        SeenLedger.read(spark, path), "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept2 == Seq(200L), "expired crawl's content is re-admissible")
+    val prefixDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("fp_prefix="))
+    assert(prefixDirs.nonEmpty)
+    prefixDirs.foreach { d =>
+      val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"compact must leave one file per prefix, ${d.getName} has ${parts.length}")
+    }
+
+    // crash-safe swap: compacting again with everything retained is a
+    // no-op rewrite that still succeeds after the directory dance
+    assert(SeenLedger.compact(spark, path) == 2L)
+  }
+
+  test("seen-ledger probe is partition-pruned at the FileIndex") {
+    import graft.operators.SeenLedger
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_seen_probe").toString + "/ledger"
+    // enough distinct docs that the ledger spans many prefixes
+    val corpus = (0 until 300).map(i => (i.toLong, s"standing doc $i"))
+      .toDF("doc_id", "text")
+    SeenLedger.append(
+      graft.operators.Dedup.exactGroups(corpus, "doc_id", "text"),
+      path, "crawl-0")
+    val incoming = Seq((1000L, "standing doc 7"), (1001L, "brand new"))
+      .toDF("doc_id", "text")
+    val probe = SeenLedger.probeFor(spark, path, incoming, "text")
+    // correctness: pruned probe drives the same drop decision
+    val kept = graft.operators.Dedup
+      .dropSeenBefore(incoming, probe, "text")
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(1001L))
+    // plan: the prefix set reaches the scan as a PartitionFilter —
+    // the FileIndex skips every other fp_prefix= directory
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") && p.contains("fp_prefix"),
+      s"prefix probe did not prune at the FileIndex:\n$p")
+    val pruned = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        s.selectedPartitions.partitionCount
+    }.sum
+    assert(pruned <= 2, s"at most the 2 incoming prefixes may be read: $pruned")
+  }
+
   test("winnowing: density bound and shared-substring guarantee") {
     import graft.functions.TextFunctions.{kgramHashes, winnowSelect}
     import graft.ops.Parallelism.barrier
