@@ -103,31 +103,42 @@ object Parallelism {
     else if (strict) StageFallback.Refuse
     else StageFallback.Warn
   }
-  /** Runs `f` with `spark.sql.shuffle.partitions` temporarily set to
-    * `n`, restoring the previous value afterwards — the state-partition
-    * sizing lever for bounded streaming drains. Stateful streaming
-    * operators keep one state store per shuffle partition (stream-stream
-    * joins: FOUR — left/right × keyToNumValues/keyWithIndexToValue),
-    * each paying per-micro-batch open/commit/maintenance machinery, so
-    * a drain's wall-time is dominated by state-partition COUNT rather
-    * than data volume at bench scale — and a production job sizes this
-    * deliberately per stream. Wrap the WHOLE start→awaitTermination
-    * span (start() is async; restoring before the first batch plans
-    * would race). Only for queries on FRESH (temp) checkpoints: an
-    * existing checkpoint's state cannot be repartitioned.
+  /** Runs `f` against a CLONED session whose
+    * `spark.sql.shuffle.partitions` is pinned to `n` — the
+    * state-partition sizing lever for bounded streaming drains. Stateful
+    * streaming operators keep one state store per shuffle partition
+    * (stream-stream joins: FOUR — left/right ×
+    * keyToNumValues/keyWithIndexToValue), each paying per-micro-batch
+    * open/commit/maintenance machinery, so a drain's wall-time is
+    * dominated by state-partition COUNT rather than data volume at bench
+    * scale — and a production job sizes this deliberately per stream.
+    * Build the stream FROM the session handed to `f` (a plan built on the
+    * parent session plans with the parent's conf) and keep the whole
+    * start→awaitTermination span inside `f`. Only for queries on FRESH
+    * (temp) checkpoints: an existing checkpoint's state cannot be
+    * repartitioned.
     *
-    * NOT concurrency-safe: this mutates the session-global conf, so two
-    * overlapping spans on ONE SparkSession race — a finally can restore
-    * the other span's temporary value, and any unrelated query planned
-    * inside the span runs at `n` partitions. Callers that drain streams
-    * concurrently must give each drain its own session
-    * (`spark.newSession()` shares the SparkContext but isolates conf). */
-  def withShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
-                               n: Int)(f: => T): T = {
-    val key = "spark.sql.shuffle.partitions"
-    val old = spark.conf.get(key)
-    spark.conf.set(key, n.toString)
-    try f finally spark.conf.set(key, old)
+    * Concurrency-safe BY CONSTRUCTION: conf is per-session state, so the
+    * override lives and dies with the clone — two overlapping drains each
+    * plan at their own `n`, unrelated queries on the parent session never
+    * see it, and there is no restore step to race. `newSession()` shares
+    * the SparkContext but starts from the CONTEXT defaults, so the clone
+    * first inherits every modifiable conf the parent session has set
+    * (legacy-parquet flags, drain tuning knobs, SQL extensions state) —
+    * without that, a session-level setting made just before the drain
+    * would silently vanish inside it. */
+  def scopedShufflePartitions[T](spark: org.apache.spark.sql.SparkSession,
+      n: Int)(f: org.apache.spark.sql.SparkSession => T): T = {
+    val scoped = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      // try-set rather than isModifiable-filter: custom (unregistered)
+      // keys like graft.* report non-modifiable yet set() accepts them;
+      // genuinely static confs throw and keep the clone's default
+      if (!scoped.conf.getOption(k).contains(v))
+        try scoped.conf.set(k, v) catch { case NonFatal(_) => }
+    }
+    scoped.conf.set("spark.sql.shuffle.partitions", n.toString)
+    f(scoped)
   }
 
   def ensure(df: DataFrame): DataFrame = {

@@ -39,25 +39,32 @@ object EventQueries {
     * a bounded state-partition count: per-micro-batch state-store
     * machinery scales with partitions, not data (a stream-stream join
     * holds four stores per partition) — see
-    * [[graft.ops.Parallelism.withShufflePartitions]]. Fresh temp
-    * checkpoints each run, so the state-repartition restriction never
-    * binds. The default count reads the session conf
+    * [[graft.ops.Parallelism.scopedShufflePartitions]], which scopes the
+    * override to a cloned session so concurrent drains each plan at
+    * their own count and the caller's conf is never mutated. `mkStream`
+    * must build the stream FROM the session it is handed — a plan built
+    * on the parent session would plan with the parent's partition count.
+    * Fresh temp checkpoints each run, so the state-repartition
+    * restriction never binds. The default count reads the session conf
     * `graft.stream.drainStatePartitions` (8 where unset — measured best
     * on this bench host) so a deployment tunes it without code changes. */
-  private def drainToMemory(spark: SparkSession, stream: DataFrame,
+  private def drainToMemory(spark: SparkSession,
+      mkStream: SparkSession => DataFrame,
       mode: String, sinkName: String, statePartitions: Int = 0): DataFrame = {
     val n = if (statePartitions > 0) statePartitions
       else spark.conf.get("graft.stream.drainStatePartitions", "8").toInt
-    graft.ops.Parallelism.withShufflePartitions(spark, n) {
-      val query = stream.writeStream
+    graft.ops.Parallelism.scopedShufflePartitions(spark, n) { scoped =>
+      val query = mkStream(scoped).writeStream
         .outputMode(mode)
         .format("memory")
         .queryName(sinkName)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       query.awaitTermination()
+      // the memory sink registers its table in the session that started
+      // the query — resolve it there, not on the parent
+      scoped.table(sinkName)
     }
-    spark.table(sinkName)
   }
 
   /** The same tumbling-window aggregate through Structured Streaming:
@@ -79,9 +86,10 @@ object EventQueries {
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$dir/events.parquet"))
     val sinkName = "graft_stream_rollup"
-    val stream = Tables.normalizeTs(spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString))
+    def stream(s: SparkSession) = Tables.normalizeTs(
+      s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString))
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     drainToMemory(spark, stream, "complete", sinkName)
@@ -116,7 +124,7 @@ object EventQueries {
           java.nio.file.Paths.get(s"$dir/events.parquet"))
     }
     val sinkName = "graft_stream_dedup"
-    val stream = spark.readStream.schema(rawSchema)
+    def stream(s: SparkSession) = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
       .dropDuplicates("event_id")
@@ -269,7 +277,7 @@ object EventQueries {
     val pass = when(size(w).between(30, 1000) && dup <= 0.55 &&
       mwl >= 3.0 && mwl <= 6.0 && stopCt >= 1, 1).otherwise(0)
     val sinkName = "graft_stream_curation"
-    val stream = spark.readStream.schema(rawSchema)
+    def stream(s: SparkSession) = s.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
       .withColumn("fp", fingerprint(col("text")))
@@ -330,20 +338,22 @@ object EventQueries {
     if (!java.nio.file.Files.exists(link))
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$dir/events.parquet"))
-    def src = Tables.normalizeTs(spark.readStream.schema(rawSchema)
-      .parquet(streamDir.toString))
-    val errors = src.filter(col("event_type") === "error")
-      .select(col("event_id").as("error_id"), col("user_id"),
-        col("ts").as("err_ts"))
-      .withWatermark("err_ts", "1 hour")
-    val clicks = src.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"),
-        col("user_id").as("click_user"), col("ts").as("click_ts"))
-      .withWatermark("click_ts", "1 hour")
-    val joined = errors.join(clicks,
-      col("user_id") === col("click_user") &&
-        col("click_ts") >= col("err_ts") - expr("INTERVAL 1 HOUR") &&
-        col("click_ts") <= col("err_ts"))
+    def src(s: SparkSession) = Tables.normalizeTs(
+      s.readStream.schema(rawSchema).parquet(streamDir.toString))
+    def joined(s: SparkSession) = {
+      val errors = src(s).filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("err_ts"))
+        .withWatermark("err_ts", "1 hour")
+      val clicks = src(s).filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("click_user"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "1 hour")
+      errors.join(clicks,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("err_ts") - expr("INTERVAL 1 HOUR") &&
+          col("click_ts") <= col("err_ts"))
+    }
     val sinkName = "graft_stream_ssj"
     // measured 0.44x at 8 vs 32 state partitions (four stores per
     // partition for a stream-stream join) — see drainToMemory
@@ -477,9 +487,10 @@ object EventQueries {
           java.nio.file.Paths.get(s"$dir/events.parquet"))
     }
     val sinkName = "graft_stream_wmdedup"
-    val stream = Tables.normalizeTs(spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString))
+    def stream(s: SparkSession) = Tables.normalizeTs(
+      s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString))
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
       .groupBy(col("event_type"))
@@ -786,9 +797,10 @@ object EventQueries {
       java.nio.file.Files.createSymbolicLink(link,
         java.nio.file.Paths.get(s"$dir/events.parquet"))
     val sinkName = "graft_stream_trending"
-    val stream = Tables.normalizeTs(spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString))
+    def stream(s: SparkSession) = Tables.normalizeTs(
+      s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString))
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val sunk = drainToMemory(spark, stream, "complete", sinkName)
@@ -859,9 +871,10 @@ object EventQueries {
       java.nio.file.Files.copy(part, sentinel)
     }
     val sinkName = "graft_stream_trend_append"
-    val stream = Tables.normalizeTs(spark.readStream.schema(rawSchema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(streamDir.toString))
+    def stream(s: SparkSession) = Tables.normalizeTs(
+      s.readStream.schema(rawSchema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(streamDir.toString))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "6 hours"), col("event_type"))
       .agg(count(lit(1)).as("n"))
@@ -1119,13 +1132,13 @@ object EventQueries {
     }
     val schema = spark.read.parquet(streamDir.resolve("a.parquet").toString)
       .schema
-    val stream = spark.readStream.schema(schema)
+    def stream(s: SparkSession) = s.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(streamDir.toString)
       .as[graft.streaming.StatefulFunnel.Ev]
     val sinkName = "graft_stream_funnel"
     val depths = drainToMemory(spark,
-      graft.streaming.StatefulFunnel.userDepths(stream, stages).toDF(),
+      s => graft.streaming.StatefulFunnel.userDepths(stream(s), stages).toDF(),
       "update", sinkName)
       .groupBy(col("user_id"))
       .agg(max(col("stages_completed")).as("d"))

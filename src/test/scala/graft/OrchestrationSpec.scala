@@ -340,6 +340,56 @@ class StreamingEnrichSpec extends SparkSpec {
     assert(got("msg 7") == MockLlmClient.md5Hex("S:msg 7"))
   }
 
+  test("scopedShufflePartitions: concurrent drains at their own counts, parent conf untouched") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val key = "spark.sql.shuffle.partitions"
+    val parentBefore = spark.conf.get(key)
+    // a session-level setting made BEFORE the drain must be visible
+    // inside it (newSession starts from context defaults, so the scope
+    // helper has to copy the parent's modifiable conf across)
+    spark.conf.set("graft.test.scoped_flag", "inherited")
+
+    def drain(n: Int, sink: String): (Long, String, String) =
+      graft.ops.Parallelism.scopedShufflePartitions(spark, n) { scoped =>
+        implicit val sq: org.apache.spark.sql.SQLContext = scoped.sqlContext
+        import scoped.implicits._
+        val ms = MemoryStream[Long]
+        ms.addData(1L to 200L)
+        val q = ms.toDF().groupBy((col("value") % 7).as("k"))
+          .agg(count(lit(1)).as("n"))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(sink)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        assert(scoped.table(sink).count() == 7)
+        val stateParts = q.lastProgress.stateOperators.head
+          .numShufflePartitions
+        (stateParts, scoped.conf.get(key),
+          scoped.conf.get("graft.test.scoped_flag", "missing"))
+      }
+
+    // two drains OVERLAPPING in time on the same parent session — the
+    // exact shape withShufflePartitions' set/restore used to race on
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.global
+    val fa = Future(drain(3, "graft_scoped_drain_a"))
+    val fb = Future(drain(5, "graft_scoped_drain_b"))
+    val (aParts, aConf, aFlag) = Await.result(fa, 120.seconds)
+    val (bParts, bConf, bFlag) = Await.result(fb, 120.seconds)
+
+    assert((aParts, aConf) == ((3L, "3")),
+      s"drain A must run its state at 3 partitions: ($aParts, $aConf)")
+    assert((bParts, bConf) == ((5L, "5")),
+      s"drain B must run its state at 5 partitions: ($bParts, $bConf)")
+    assert(aFlag == "inherited" && bFlag == "inherited",
+      "parent session-level conf must be visible inside the scope")
+    assert(spark.conf.get(key) == parentBefore,
+      "parent session conf must be untouched after both drains")
+  }
+
   test("replayed micro-batch re-invokes nothing durable (per-batch ledger)") {
     // the engine-side replay contract: delete the LAST commit marker from
     // the checkpoint — exactly the on-disk state a kill -9 leaves when a
