@@ -156,6 +156,113 @@ object SeenLedger {
     n
   }
 
+  // --- near-dup signature ledger ---------------------------------------
+
+  /** The fuzzy analog over [[Dedup.minhashSignatures]] rows
+    * (`band_0..band_{n-1}`), the standing store [[Dedup.dropNearSeenBefore]]
+    * probes. Same three contracts as the fingerprint ledger, one layout
+    * difference: the signature ledger partitions by `crawl_id=` instead of
+    * a key prefix. Rationale: a probe consumes the DISTINCT band set, and
+    * incoming band values spread across the full hash space, so no key
+    * prefix could ever prune a probe — the bloom prefilter inside
+    * `dropNearSeenBefore` IS the prune. What the layout can buy instead is
+    * retention: expiring a crawl is a whole-directory drop, and each
+    * append lands as one new directory under its own crawl.
+    *
+    * Dedupe-on-append keys on the FULL band tuple (null-safe — short docs
+    * with all-null bands can never collide and are not stored at all):
+    * bloom on a 64-bit tuple hash prunes map-side, the exact confirm
+    * joins on the band columns themselves, so a hash collision can never
+    * silently drop a novel signature. */
+  def appendSignatures(signatures: DataFrame, path: String,
+      crawlId: String, numBands: Int = 8): Long = {
+    val spark = signatures.sparkSession
+    require((0 until numBands).forall(b =>
+      signatures.columns.contains(s"band_$b")),
+      s"signatures must carry band_0..band_${numBands - 1}")
+    val bandNames = (0 until numBands).map(b => s"band_$b")
+    val bandCols = bandNames.map(col)
+    def tupleHash(df: DataFrame) = xxhash64(
+      bandNames.map(b => coalesce(col(b).cast("string"), lit(" "))): _*)
+    val fresh0 = signatures.select(bandCols: _*)
+      .filter(bandCols.map(_.isNotNull).reduce(_ || _))
+      .distinct()
+    val novel =
+      if (!exists(spark, path)) fresh0
+      else {
+        val standing = spark.read.parquet(path).select(bandCols: _*)
+        val standingCached = standing
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val nSeen = standingCached.count()
+          if (nSeen == 0L) fresh0
+          else {
+            val bloom = BloomBuild.bloomBytes(
+              standingCached, tupleHash(standingCached), nSeen)
+            val might = BloomBuild.mightContain(bloom, tupleHash(fresh0))
+            val in = fresh0.alias("in")
+            val led = standing.alias("led")
+            val sameTuple = bandNames
+              .map(b => col(s"in.$b") <=> col(s"led.$b")).reduce(_ && _)
+            fresh0.filter(!might).unionByName(
+              in.filter(might).join(led, sameTuple, "left_anti"))
+          }
+        } finally standingCached.unpersist(blocking = false)
+      }
+    val out = novel.withColumn(CrawlCol, lit(crawlId))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = out.count()
+      if (n > 0L)
+        out.write.mode("append").partitionBy(CrawlCol).parquet(path)
+      n
+    } finally out.unpersist(blocking = false)
+  }
+
+  /** The standing signature ledger at `path` (band columns + `crawl_id`);
+    * empty with the correct schema if absent. Feed directly to
+    * [[Dedup.dropNearSeenBefore]] — the extra crawl column rides along. */
+  def readSignatures(spark: SparkSession, path: String,
+      numBands: Int = 8): DataFrame = {
+    if (!exists(spark, path)) {
+      val ddl = (0 until numBands).map(b => s"band_$b BIGINT")
+        .mkString(", ") + s", $CrawlCol STRING"
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(ddl))
+    } else spark.read.parquet(path)
+  }
+
+  /** Retention + small-file heal for the signature ledger: drop expired
+    * crawls, defensively re-dedupe tuples (min crawl wins), rewrite one
+    * file per surviving crawl directory, swap atomically. Content first
+    * seen only in an expired crawl becomes re-admissible — the same
+    * recrawl-window trade as [[compact]]. */
+  def compactSignatures(spark: SparkSession, path: String,
+      retainCrawls: Option[Set[String]] = None): Long = {
+    if (!exists(spark, path)) return 0L
+    val kept0 = spark.read.parquet(path)
+    val kept1 = retainCrawls match {
+      case Some(keep) => kept0.filter(col(CrawlCol).isInCollection(keep.toSeq))
+      case None => kept0
+    }
+    val bandNames = kept0.columns.filter(_.startsWith("band_")).toSeq
+    val kept = kept1
+      .groupBy(bandNames.map(col): _*)
+      .agg(min(col(CrawlCol)).as(CrawlCol))
+    val staging = s"$path.compacting"
+    kept.repartition(col(CrawlCol))
+      .write.mode("overwrite").partitionBy(CrawlCol).parquet(staging)
+    val n = spark.read.parquet(staging).count()
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(hPath, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), hPath))
+      throw new java.io.IOException(
+        s"compact swap failed: $staging -> $path (ledger preserved at staging)")
+    n
+  }
+
   private def exists(spark: SparkSession, path: String): Boolean = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())

@@ -213,39 +213,27 @@ final class Enricher(
         .withColumn("_attempt", lit(attemptSalt))
 
     val ledgerDir = runDir.map(_ + "/responses")
-    // Chunk boundaries come from approximate key quantiles, NOT from a
-    // dense [0, max) stride: key columns may be sparse or hashed (string
-    // keys hash to the full long range — a stride loop there would
-    // iterate ~2^63/chunkRows times). Quantile cutoffs give ~chunkRows
-    // rows per slice for ANY key distribution; sentinel end-bounds keep
-    // the slices a complete partition of the key space even when the
-    // quantile sketch is off by a few rows.
+    val hConf = spark.sessionState.newHadoopConf()
+    // stale chunk stagings from crashed/budget-stopped attempts are pure
+    // scratch (every attempt stages its own work set); clear them so
+    // runDir doesn't accrete
+    runDir.foreach { rd =>
+      val root = new org.apache.hadoop.fs.Path(rd)
+      val fs = root.getFileSystem(hConf)
+      if (fs.exists(root))
+        fs.listStatus(root).filter(s => s.isDirectory &&
+            s.getPath.getName.startsWith("chunks_"))
+          .foreach(s => fs.delete(s.getPath, true))
+    }
     val nRows = formatted.agg(count(lit(1)).as("n")).head().getLong(0)
     val chunkRows = spec.processing.chunkRows.toLong
-    val numChunks =
-      if (nRows == 0) 0
-      else math.max(1L, (nRows + chunkRows - 1) / chunkRows).toInt
-    val bounds: Seq[(Option[Long], Option[Long])] =
-      if (numChunks <= 1) {
-        if (nRows == 0) Nil else Seq((None, None))
-      } else {
-        val probes = (1 until numChunks)
-          .map(i => i.toDouble / numChunks).toArray
-        val cuts = formatted
-          .select(col(ColName).cast("double").as("_k"))
-          .stat.approxQuantile("_k", probes, 0.001)
-          .map(_.toLong).toSeq.sorted
-        val los = None +: cuts.map(Option(_))
-        val his = cuts.map(Option(_)) :+ None
-        los.zip(his)
-      }
 
     // The ledger is read ONCE, up front: chunks cover disjoint key ranges,
-    // so newly-invoked rows can never reappear in a later chunk's
-    // anti-join — the done-set needs no per-chunk refresh. Spend is kept
-    // incrementally (prior ledger cost + each chunk's own cost, aggregated
-    // from the chunk's cache before it is released), so per-chunk work is
-    // O(chunk), not O(ledger) — flat in chunk count.
+    // so newly-invoked rows can never reappear downstream — the done-set
+    // needs no per-chunk refresh. Spend is kept incrementally (prior
+    // ledger cost + each chunk's own cost, aggregated from the chunk's
+    // cache before it is released), so per-chunk work is O(chunk), not
+    // O(ledger) — flat in chunk count.
     val priorLedger = ledgerDir.flatMap(readLedger(spark, _))
     val doneSet = priorLedger.map(
       _.filter(col("result").isNotNull || col("skipped"))
@@ -272,43 +260,129 @@ final class Enricher(
       if (trackStats) doneSet.map(_.count()).getOrElse(0L) else 0L
     var callsDone = priorCalls
 
-    var chunks = Vector.empty[DataFrame]
-    bounds.zipWithIndex.foreach { case ((lo, hi), chunkIdx) =>
-      val slice = (lo, hi) match {
-        case (None, None)         => formatted
-        case (None, Some(h))      => formatted.filter(col(ColName) < h)
-        case (Some(l), None)      => formatted.filter(col(ColName) >= l)
-        case (Some(l), Some(h))   =>
-          formatted.filter(col(ColName) >= l && col(ColName) < h)
-      }
-      val missing = doneSet match {
-        case Some(done) => slice.join(done, Seq(ColName), "left_anti")
-        case None => slice
-      }
-      val p = invokeRows(missing).persist(StorageLevel.MEMORY_AND_DISK)
-      ledgerDir.foreach(dir => p.write.mode("append").parquet(dir))
-      if (trackStats) {
-        // one aggregation per chunk over the persisted frame: row count
-        // plus call count/cost via the head-row-of-call marker (all rows
-        // of this chunk share one _attempt, so the marker is exact)
-        val st = p.agg(count(lit(1)).as("_rows"),
-          sum(when(col(ColName) === col("_call_id"), 1L).otherwise(0L))
-            .as("_calls"),
-          sum(when(col(ColName) === col("_call_id"), col("cost")))
-            .as("_cost"))
-          .head()
-        rowsDone += st.getLong(0)
-        callsDone += (if (st.isNullAt(1)) 0L else st.getLong(1))
-        if (!st.isNullAt(2)) spent = spent.add(st.getDecimal(2))
-      } else if (ledgerDir.isEmpty) {
-        p.count() // materialize the chunk before the next slice reuses it
-      }
-      if (ledgerDir.isDefined) p.unpersist() else chunks :+= p
-      if (budgetOn) budget.check(spent)
-      observers.emit(ChunkCompleted(runId, chunkIdx.toLong, spent))
-      if (trackStats)
-        observers.emit(RunProgress(runId, rowsDone, nRows, callsDone, spent))
+    // Work set = input minus ledger, ONE anti-join up front, then (when a
+    // run dir exists) ONE range-partition shuffle staging the remaining
+    // rows to parquet keyed by chunk id — the r14 rework of the chunk
+    // machinery. The previous shape re-scanned the full input once per
+    // chunk (quantile range slice) and re-probed the whole done-set once
+    // per chunk (anti-join): both O(n) per chunk, so a fixed-chunk-size
+    // run was O(n²/chunkRows) — measured 953 s for a 10M-row/100-chunk
+    // fresh run and 518 s for its no-op resume (EnrichLedgerProbe,
+    // BENCH_NOTES r14). Staged, each chunk's read is partition-pruned to
+    // exactly its own rows, per-chunk cost is O(chunk) and the run is
+    // O(n); a fully-covered resume runs ZERO chunks. The staged copy is
+    // prompts-only and transient (cleared once the ledger holds the
+    // results, and on the next attempt's startup) — at scale one extra
+    // prompt write is strictly cheaper than chunks-many input scans.
+    // Budget-only durable runs (no runDir) have no shared filesystem to
+    // stage on and no ledger to anti-join, so they keep the quantile
+    // range slices over the source — their chunks stay memory-resident
+    // anyway.
+    val missingAll = doneSet match {
+      case Some(done) => formatted.join(done, Seq(ColName), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      case None => formatted
     }
+    // exact remaining count (ledger keys need not be a subset of this
+    // input's keys — a caller may enrich a shrunk/grown frame against an
+    // old run dir, so nRows - done.count() could under- or over-shoot)
+    val nMissing = if (doneSet.isDefined) missingAll.count() else nRows
+    val numChunks =
+      if (nMissing == 0) 0
+      else math.max(1L, (nMissing + chunkRows - 1) / chunkRows).toInt
+    val stagingDir = runDir.map(rd => s"$rd/chunks_$attemptSalt")
+    val staged = numChunks > 1 && stagingDir.isDefined
+    val chunkSlices: Seq[() => DataFrame] =
+      if (numChunks == 0) Nil
+      else if (numChunks == 1) Seq(() => missingAll)
+      else if (staged) {
+        val dir = stagingDir.get
+        // stage each chunk as `fanout` consecutive range partitions, not
+        // one: a single-file chunk would read back as ONE task (until
+        // maxPartitionBytes splits it) and pin the whole chunk to one
+        // executor on a cluster. Ascending partition ids over an
+        // ascending range partitioning make id/fanout a contiguous chunk
+        // assignment, so the read-back arrives already split — no second
+        // shuffle per chunk. Fanout is capped so a very-many-chunk run
+        // cannot explode the staging write's task count.
+        val fanout = math.max(1, math.min(
+          spark.sparkContext.defaultParallelism, 65536 / numChunks))
+        missingAll
+          .repartitionByRange(numChunks * fanout, col(ColName))
+          .withColumn("_chunk", (spark_partition_id() / fanout).cast("int"))
+          .write.mode("overwrite").partitionBy("_chunk").parquet(dir)
+        if (doneSet.isDefined) missingAll.unpersist(blocking = false)
+        val root = new org.apache.hadoop.fs.Path(dir)
+        val fs = root.getFileSystem(hConf)
+        // skewed key ranges can leave some of the numChunks partitions
+        // empty (no directory); iterate what was actually written, in
+        // ascending key order
+        fs.listStatus(root)
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith("_chunk="))
+          .map(_.getPath.getName)
+          .sortBy(_.stripPrefix("_chunk=").toInt).toSeq
+          .map(d => () => spark.read.parquet(s"$dir/$d"))
+      } else {
+        // budget-only path: quantile cutoffs give ~chunkRows rows per
+        // slice for ANY key distribution (keys may be sparse or hashed —
+        // a dense stride would iterate ~2^63/chunkRows times); sentinel
+        // end-bounds keep the slices a complete partition of the key
+        // space even when the sketch is off by a few rows
+        val probes = (1 until numChunks)
+          .map(i => i.toDouble / numChunks).toArray
+        val cuts = missingAll
+          .select(col(ColName).cast("double").as("_k"))
+          .stat.approxQuantile("_k", probes, 0.001)
+          .map(_.toLong).toSeq.sorted
+        val los = None +: cuts.map(Option(_))
+        val his = cuts.map(Option(_)) :+ None
+        los.zip(his).map { case (lo, hi) =>
+          () => (lo, hi) match {
+            case (None, None)       => missingAll
+            case (None, Some(h))    => missingAll.filter(col(ColName) < h)
+            case (Some(l), None)    => missingAll.filter(col(ColName) >= l)
+            case (Some(l), Some(h)) =>
+              missingAll.filter(col(ColName) >= l && col(ColName) < h)
+          }
+        }
+      }
+
+    var chunks = Vector.empty[DataFrame]
+    try {
+      chunkSlices.zipWithIndex.foreach { case (mkSlice, chunkIdx) =>
+        val p = invokeRows(mkSlice()).persist(StorageLevel.MEMORY_AND_DISK)
+        ledgerDir.foreach(dir => p.write.mode("append").parquet(dir))
+        if (trackStats) {
+          // one aggregation per chunk over the persisted frame: row count
+          // plus call count/cost via the head-row-of-call marker (all rows
+          // of this chunk share one _attempt, so the marker is exact)
+          val st = p.agg(count(lit(1)).as("_rows"),
+            sum(when(col(ColName) === col("_call_id"), 1L).otherwise(0L))
+              .as("_calls"),
+            sum(when(col(ColName) === col("_call_id"), col("cost")))
+              .as("_cost"))
+            .head()
+          rowsDone += st.getLong(0)
+          callsDone += (if (st.isNullAt(1)) 0L else st.getLong(1))
+          if (!st.isNullAt(2)) spent = spent.add(st.getDecimal(2))
+        } else if (ledgerDir.isEmpty) {
+          p.count() // materialize the chunk before the next slice reuses it
+        }
+        if (ledgerDir.isDefined) p.unpersist() else chunks :+= p
+        if (budgetOn) budget.check(spent)
+        observers.emit(ChunkCompleted(runId, chunkIdx.toLong, spent))
+        if (trackStats)
+          observers.emit(RunProgress(runId, rowsDone, nRows, callsDone, spent))
+      }
+    } finally {
+      // once results are ledgered the staging is scratch — delete it even
+      // on a budget stop (the next attempt re-stages its own remainder)
+      if (staged) {
+        val root = new org.apache.hadoop.fs.Path(stagingDir.get)
+        root.getFileSystem(hConf).delete(root, true)
+      }
+    }
+    if (doneSet.isDefined && !staged) missingAll.unpersist(blocking = false)
     doneSet.foreach(_.unpersist())
     val invoked = (ledgerDir.flatMap(readLedger(spark, _)) match {
       case Some(l) => l
@@ -317,12 +391,16 @@ final class Enricher(
         else chunks.reduce(_ unionByName _)
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
-    // one record per row: prefer non-null results, then latest attempt
+    // one record per row: prefer non-null results, then latest attempt —
+    // scoped to THIS input's keys (left-semi vs the formatted frame): a
+    // standing ledger may hold keys a shrunk input no longer carries, and
+    // quality/row metrics describe the run's input, not ledger history
     val w = Window.partitionBy(col(ColName))
       .orderBy(col("result").isNotNull.desc, col("_attempt").desc)
     val perRow = invoked
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
+      .join(formatted.select(col(ColName)), Seq(ColName), "left_semi")
 
     // ONE action for quality + blank probe + call metrics: the two 1-row
     // aggregates (rows over parsed, calls over the deduplicated ledger —

@@ -247,6 +247,70 @@ class CurationSpec extends SparkSpec {
     assert(pruned <= 2, s"at most the 2 incoming prefixes may be read: $pruned")
   }
 
+  test("signature-ledger lifecycle: first-sight tuples only, crawl-dir layout, retention re-admits") {
+    import graft.operators.{Dedup, SeenLedger}
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sig_ledger").toString + "/ledger"
+    def sigs(rows: (Long, String)*) = Dedup.minhashSignatures(
+      rows.toSeq.toDF("doc_id", "text"), "doc_id", "text", 4, 3)
+
+    // crawl-1: two docs, one too short to shingle (all-null bands — can
+    // never collide, must NOT be stored)
+    val n1 = SeenLedger.appendSignatures(sigs(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different content about spark plans"),
+      (3L, "too short")), path, "crawl-1", numBands = 4)
+    assert(n1 == 2L, s"short doc's null signature must not land: $n1")
+    // crawl-2: one exact re-sight, one novel
+    val n2 = SeenLedger.appendSignatures(sigs(
+      (20L, "the quick brown fox jumps over the lazy dog"),
+      (21L, "brand new material never crawled before today")),
+      path, "crawl-2", numBands = 4)
+    assert(n2 == 1L, "re-sighted signature tuple must not re-land")
+
+    // layout: one directory per crawl
+    val crawlDirs = new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("crawl_id="))
+      .map(_.getName).sorted
+    assert(crawlDirs.toSeq == Seq("crawl_id=crawl-1", "crawl_id=crawl-2"))
+
+    // the ledger drives dropNearSeenBefore as-is (crawl col rides along)
+    val ledger = SeenLedger.readSignatures(spark, path, numBands = 4)
+    val incoming = Seq(
+      (100L, "the quick brown fox jumps over the lazy dog"),
+      (101L, "brand new material never crawled before today"),
+      (102L, "still nothing in common with anything here"))
+      .toDF("doc_id", "text")
+    val kept = Dedup
+      .dropNearSeenBefore(incoming, ledger, "doc_id", "text", 4, 3)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(102L))
+
+    // retention: expiring crawl-2 re-admits its novel doc; compaction
+    // heals each surviving crawl dir to one file
+    val retained = SeenLedger.compactSignatures(spark, path,
+      retainCrawls = Some(Set("crawl-1")))
+    assert(retained == 2L)
+    val kept2 = Dedup.dropNearSeenBefore(incoming,
+        SeenLedger.readSignatures(spark, path, numBands = 4),
+        "doc_id", "text", 4, 3)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept2 == Seq(101L, 102L),
+      "expired crawl's signatures must be re-admissible")
+    new java.io.File(path).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("crawl_id="))
+      .foreach { d =>
+        val parts = d.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(parts.length == 1,
+          s"compact must leave one file per crawl, ${d.getName}: ${parts.length}")
+      }
+    // empty-ledger read keeps the band schema contract
+    val empty = SeenLedger.readSignatures(spark,
+      path + "_nonexistent", numBands = 4)
+    assert(Dedup.dropNearSeenBefore(incoming, empty, "doc_id", "text", 4, 3)
+      .count() == 3)
+  }
+
   test("winnowing: density bound and shared-substring guarantee") {
     import graft.functions.TextFunctions.{kgramHashes, winnowSelect}
     import graft.ops.Parallelism.barrier

@@ -62,6 +62,42 @@ class ResumeSpec extends SparkSpec {
       "fully-cached resume must not re-invoke")
     assert(r.quality.validRows == 30)
   }
+  test("grown/shrunk input vs standing ledger: only truly-missing rows invoked, staging cleaned") {
+    // the staged-chunk path sizes chunks from the EXACT anti-join count,
+    // because ledger keys need not be a subset of the current input's —
+    // a caller may resume a grown or shrunk frame against an old run dir
+    val dir = Files.createTempDirectory("graft_resume_grow").toString
+    def frame(n: Int) = (0 until n).map(i => i.toLong -> s"text $i")
+      .toDF("k", "text")
+    val sp = PipelineSpec(
+      dataset = DatasetSpec(Seq("text")),
+      prompt = PromptSpec("G:{text}", batchSize = 1),
+      processing = ProcessingSpec(chunkRows = 10),
+      output = OutputSpec(Seq("out")))
+    def run(n: Int) =
+      new Enricher(sp, new MockLlmClient(), runDir = Some(dir),
+        keyColumn = Some("k")).enrich(frame(n))
+
+    run(40)
+    // grown: 20 genuinely new rows → exactly 20 invocations, all 60 out
+    val before1 = MockLlmClient.calls.get()
+    val r2 = run(60)
+    assert(MockLlmClient.calls.get() - before1 == 20,
+      "grown input must invoke only the new rows")
+    assert(r2.quality.validRows == 60)
+    // shrunk: ledger now holds MORE keys than the input — zero missing,
+    // zero chunks, zero invocations, and only the input's rows returned
+    val before2 = MockLlmClient.calls.get()
+    val r3 = run(15)
+    assert(MockLlmClient.calls.get() == before2,
+      "shrunk input fully covered by the ledger must invoke nothing")
+    assert(r3.quality.validRows == 15 && r3.data.count() == 15)
+    // chunk stagings are transient scratch: none may outlive a run
+    val stale = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("chunks_"))
+    assert(stale.isEmpty, s"staging dirs left behind: ${stale.mkString(",")}")
+  }
+
   test("string key column: durable run chunks by key quantiles, resumes cleanly") {
     // string keys hash to the full long range - a dense [0,max) stride
     // loop would iterate ~2^63/chunkRows times (this test would hang)
