@@ -1987,7 +1987,43 @@ object CurationQueries {
       |FROM cum JOIN tot USING (source)
       |GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** Seen-ledger lifecycle as a query ([[graft.operators.SeenLedger]]):
+    * three overlapping synthetic crawls carved from the documents table
+    * (crawl c holds docs with doc_id % 3 <= c, so each recrawls
+    * everything the previous one saw), appended in order to a fresh
+    * on-disk ledger. Dedupe-on-append must land every fingerprint
+    * exactly once, under the crawl of FIRST sight — so the per-crawl
+    * ledger counts equal the oracle's min-first-crawl distinct-
+    * fingerprint histogram, and their sum is the corpus's distinct
+    * content mass (the ledger never holds N x it). */
+  def q203SeenLedger(spark: SparkSession, dir: String): DataFrame = {
+    val docs = tp(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q203_ledger").toString + "/ledger"
+    (0 to 2).foreach { c =>
+      graft.operators.SeenLedger.append(
+        graft.operators.Dedup.exactGroups(
+          docs.filter(col("doc_id") % 3 <= c), "doc_id", "text"),
+        path, s"crawl-$c")
+    }
+    graft.operators.SeenLedger.read(spark, path)
+      .groupBy(col("crawl_id"))
+      .agg(count(lit(1)).as("appended"))
+      .orderBy("crawl_id")
+  }
+
+  val q203Sql: String =
+    """WITH fp AS (
+      |  SELECT md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS f,
+      |    CAST(doc_id % 3 AS INTEGER) AS first_crawl
+      |  FROM documents),
+      |firsts AS (SELECT f, min(first_crawl) AS c FROM fp GROUP BY 1)
+      |SELECT 'crawl-' || CAST(c AS VARCHAR) AS crawl_id,
+      |  count(*) AS appended
+      |FROM firsts GROUP BY 1 ORDER BY 1""".stripMargin
+
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q203_seen_ledger" -> q203SeenLedger _,
     "q146_exact_percentiles" -> q146ExactPercentiles _,
     "q103_lm_score" -> q103LmScore _,
     "q110_lm_broadcast" -> q110LmBroadcast _,
@@ -2029,6 +2065,7 @@ object CurationQueries {
     "q77_token_budget" -> q77TokenBudget _)
 
   val oracles: Map[String, String] = Map(
+    "q203_seen_ledger" -> q203Sql,
     "q146_exact_percentiles" -> q146Sql,
     "q103_lm_score" -> q103Sql,
     "q110_lm_broadcast" -> q110Sql,
