@@ -291,7 +291,15 @@ final class Enricher(
       if (nMissing == 0) 0
       else math.max(1L, (nMissing + chunkRows - 1) / chunkRows).toInt
     val stagingDir = runDir.map(rd => s"$rd/chunks_$attemptSalt")
-    val staged = numChunks > 1 && stagingDir.isDefined
+    // below ~1M remaining rows the staging round-trip's fixed job costs
+    // exceed what it saves (A/B in BENCH_NOTES r14: parity at 1M, 4x win
+    // at 10M, ~2x loss at 100k) — small multi-chunk runs keep the
+    // quantile slices, which are cheap at that scale (and on a resume
+    // slice the PERSISTED anti-join result, never re-probing the ledger)
+    val stageMinRows = spark.conf
+      .get("graft.enrich.stageChunksMinRows", "1000000").toLong
+    val staged = numChunks > 1 && stagingDir.isDefined &&
+      nMissing >= stageMinRows
     val chunkSlices: Seq[() => DataFrame] =
       if (numChunks == 0) Nil
       else if (numChunks == 1) Seq(() => missingAll)
@@ -323,11 +331,13 @@ final class Enricher(
           .sortBy(_.stripPrefix("_chunk=").toInt).toSeq
           .map(d => () => spark.read.parquet(s"$dir/$d"))
       } else {
-        // budget-only path: quantile cutoffs give ~chunkRows rows per
-        // slice for ANY key distribution (keys may be sparse or hashed —
-        // a dense stride would iterate ~2^63/chunkRows times); sentinel
-        // end-bounds keep the slices a complete partition of the key
-        // space even when the sketch is off by a few rows
+        // quantile-slice path (budget-only runs with no filesystem to
+        // stage on, and small multi-chunk runs under the staging
+        // threshold): cutoffs give ~chunkRows rows per slice for ANY key
+        // distribution (keys may be sparse or hashed — a dense stride
+        // would iterate ~2^63/chunkRows times); sentinel end-bounds keep
+        // the slices a complete partition of the key space even when the
+        // sketch is off by a few rows
         val probes = (1 until numChunks)
           .map(i => i.toDouble / numChunks).toArray
         val cuts = missingAll
@@ -392,15 +402,21 @@ final class Enricher(
     }).persist(StorageLevel.MEMORY_AND_DISK)
 
     // one record per row: prefer non-null results, then latest attempt —
-    // scoped to THIS input's keys (left-semi vs the formatted frame): a
-    // standing ledger may hold keys a shrunk input no longer carries, and
-    // quality/row metrics describe the run's input, not ledger history
+    // scoped to THIS input's keys (left-semi vs the formatted frame) when
+    // a PRIOR ledger existed: a standing ledger may hold keys a shrunk
+    // input no longer carries, and quality/row metrics describe the run's
+    // input, not ledger history. A fresh run's ledger holds only keys it
+    // just invoked from this input, so the scope join would be a no-op —
+    // skipped to keep the hot path's exchange count unchanged.
     val w = Window.partitionBy(col(ColName))
       .orderBy(col("result").isNotNull.desc, col("_attempt").desc)
-    val perRow = invoked
+    val perRow0 = invoked
       .withColumn("_rk", row_number().over(w))
       .filter(col("_rk") === 1).drop("_rk")
-      .join(formatted.select(col(ColName)), Seq(ColName), "left_semi")
+    val perRow =
+      if (priorLedger.isDefined)
+        perRow0.join(formatted.select(col(ColName)), Seq(ColName), "left_semi")
+      else perRow0
 
     // ONE action for quality + blank probe + call metrics: the two 1-row
     // aggregates (rows over parsed, calls over the deduplicated ledger —

@@ -98,6 +98,38 @@ class ResumeSpec extends SparkSpec {
     assert(stale.isEmpty, s"staging dirs left behind: ${stale.mkString(",")}")
   }
 
+  test("staged-chunk path (threshold forced): chunked run + resume + staging cleanup") {
+    // production engages staging only past ~1M remaining rows; force it
+    // down so the suite drives the staged write/read/delete arc end-to-end
+    val key = "graft.enrich.stageChunksMinRows"
+    spark.conf.set(key, "1")
+    try {
+      val dir = Files.createTempDirectory("graft_resume_staged").toString
+      val df = (0 until 80).map(i => i.toLong -> s"text $i").toDF("k", "text")
+      val sp = PipelineSpec(
+        dataset = DatasetSpec(Seq("text")),
+        prompt = PromptSpec("ST:{text}", batchSize = 1),
+        processing = ProcessingSpec(chunkRows = 20),
+        output = OutputSpec(Seq("out")))
+      def run() = new Enricher(sp, new MockLlmClient(), runDir = Some(dir),
+        keyColumn = Some("k")).enrich(df)
+
+      val r1 = run()
+      assert(r1.quality.validRows == 80)
+      val got = r1.data.select("k", "out").as[(Long, String)].collect().toMap
+      assert(got(7L) == MockLlmClient.md5Hex("ST:text 7"))
+      // resume with a full ledger: zero chunks, zero invocations
+      val before = MockLlmClient.calls.get()
+      val r2 = run()
+      assert(MockLlmClient.calls.get() == before)
+      assert(r2.quality.validRows == 80)
+      // staging is transient scratch in every outcome
+      val stale = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("chunks_"))
+      assert(stale.isEmpty, s"staging left behind: ${stale.mkString(",")}")
+    } finally spark.conf.unset(key)
+  }
+
   test("string key column: durable run chunks by key quantiles, resumes cleanly") {
     // string keys hash to the full long range - a dense [0,max) stride
     // loop would iterate ~2^63/chunkRows times (this test would hang)
