@@ -164,14 +164,53 @@ final class RedisResponseCache(
   * never a torn file. On a shared filesystem this is the cross-process
   * / cross-host tier; TTL (0 = keep forever) is enforced at read time
   * from the file's mtime. IO failures degrade to miss / no-op — the
-  * cache never fails the pipeline. */
-final class DiskResponseCache(dir: String, ttlSeconds: Long = 0L)
+  * cache never fails the pipeline.
+  *
+  * Growth bound: read-time TTL alone never deletes anything (a prompt
+  * cache's keys are mostly never re-requested, so "overwritten by the
+  * next put" never comes), so puts amortize a janitor — every
+  * `sweepEveryPuts` stores sweep ONE rotating shard, deleting expired
+  * entries and crash-stranded `.put*.tmp` files. Over 256 sweeps the
+  * whole cache is covered; no wall-clock spikes, no separate process. */
+final class DiskResponseCache(dir: String, ttlSeconds: Long = 0L,
+    sweepEveryPuts: Int = 4096)
   extends ResponseCacheBackend {
 
   private def pathFor(key: String): Path = {
     val safe = MockLlmClient.md5Hex(key)
     java.nio.file.Paths.get(dir, safe.substring(0, 2), s"$safe.resp")
   }
+
+  @transient private lazy val putCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+  @transient private lazy val sweepShard =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+  private val TmpMaxAgeMs = 3600000L
+
+  private def sweepOneShard(): Unit = {
+    val shard = java.nio.file.Paths.get(dir,
+      f"${sweepShard.getAndIncrement() & 0xff}%02x")
+    if (!Files.isDirectory(shard)) return
+    val now = System.currentTimeMillis()
+    try {
+      val ds = Files.newDirectoryStream(shard)
+      try ds.forEach { f =>
+        try {
+          val name = f.getFileName.toString
+          val age = now - Files.getLastModifiedTime(f).toMillis
+          val dead =
+            (name.endsWith(".resp") && ttlSeconds > 0L &&
+              age > ttlSeconds * 1000L) ||
+            (name.startsWith(".put") && age > TmpMaxAgeMs)
+          if (dead) Files.deleteIfExists(f)
+        } catch { case _: java.io.IOException => () }
+      } finally ds.close()
+    } catch { case _: java.io.IOException => () }
+  }
+
+  /** Test hook: sweep every shard once (production amortizes via put). */
+  private[graft] def sweepAllShards(): Unit =
+    (0 until 256).foreach(_ => sweepOneShard())
 
   def get(key: String): Option[LlmResponse] = {
     val p = pathFor(key)
@@ -199,5 +238,6 @@ final class DiskResponseCache(dir: String, ttlSeconds: Long = 0L)
           Files.move(tmp, p, StandardCopyOption.REPLACE_EXISTING)
       }
     } catch { case _: java.io.IOException => () } // best-effort store
+    if (putCount.incrementAndGet() % sweepEveryPuts == 0) sweepOneShard()
   }
 }

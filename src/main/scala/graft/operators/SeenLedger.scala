@@ -121,13 +121,10 @@ object SeenLedger {
     * `retainCrawls` (None = keep all), re-dedupe defensively (min crawl
     * id wins if external writers raced), and emit ONE file per prefix
     * partition — the small-file heal for a ledger that took many
-    * appends. Returns rows retained.
-    *
-    * The rewrite stages to `<path>.compacting` then swaps directories,
-    * so a crash mid-compact leaves the original ledger intact (the
-    * stale staging dir is re-used/overwritten by the next attempt). */
+    * appends. Returns rows retained. Crash-safety: see [[swapInto]]. */
   def compact(spark: SparkSession, path: String,
               retainCrawls: Option[Set[String]] = None): Long = {
+    heal(spark, path)
     if (!exists(spark, path)) return 0L
     val kept0 = spark.read.parquet(path)
     val kept1 = retainCrawls match {
@@ -137,23 +134,10 @@ object SeenLedger {
     val kept = kept1
       .groupBy(col(FingerprintCol))
       .agg(min(col(CrawlCol)).as(CrawlCol))
-    val staging = s"$path.compacting"
     // one file per prefix directory: repartition BY the partition column
     // so each write task owns whole partitions
-    withPrefix(kept)
-      .repartition(col(PrefixCol))
-      .write.mode("overwrite").partitionBy(PrefixCol).parquet(staging)
-    val n = spark.read.parquet(staging).count()
-    // Hadoop FS, not java.io: the ledger lives wherever the corpus does
-    // (HDFS / object store via committers), and rename-swap semantics
-    // come from the store's FileSystem implementation
-    val hPath = new org.apache.hadoop.fs.Path(path)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(hPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), hPath))
-      throw new java.io.IOException(
-        s"compact swap failed: $staging -> $path (ledger preserved at staging)")
-    n
+    swapInto(spark, withPrefix(kept).repartition(col(PrefixCol)),
+      PrefixCol, path)
   }
 
   // --- near-dup signature ledger ---------------------------------------
@@ -235,11 +219,12 @@ object SeenLedger {
 
   /** Retention + small-file heal for the signature ledger: drop expired
     * crawls, defensively re-dedupe tuples (min crawl wins), rewrite one
-    * file per surviving crawl directory, swap atomically. Content first
-    * seen only in an expired crawl becomes re-admissible — the same
-    * recrawl-window trade as [[compact]]. */
+    * file per surviving crawl directory, swap crash-safely. Content
+    * first seen only in an expired crawl becomes re-admissible — the
+    * same recrawl-window trade as [[compact]]. */
   def compactSignatures(spark: SparkSession, path: String,
       retainCrawls: Option[Set[String]] = None): Long = {
+    heal(spark, path)
     if (!exists(spark, path)) return 0L
     val kept0 = spark.read.parquet(path)
     val kept1 = retainCrawls match {
@@ -250,20 +235,59 @@ object SeenLedger {
     val kept = kept1
       .groupBy(bandNames.map(col): _*)
       .agg(min(col(CrawlCol)).as(CrawlCol))
-    val staging = s"$path.compacting"
-    kept.repartition(col(CrawlCol))
-      .write.mode("overwrite").partitionBy(CrawlCol).parquet(staging)
-    val n = spark.read.parquet(staging).count()
+    swapInto(spark, kept.repartition(col(CrawlCol)), CrawlCol, path)
+  }
+
+  /** Stage `kept` partitioned by `partitionCol` next to `path`, then swap
+    * it in with NO lost-ledger crash window: the live ledger is renamed
+    * ASIDE (`<path>.old`) before the staging renames in, so every crash
+    * point leaves a recoverable copy — [[heal]] (run by read/compact)
+    * renames `.old` back when a crash stranded it. A retention set that
+    * empties the ledger is handled without the parquet-read round-trip
+    * (an empty dynamic-partition staging has no schema-bearing files and
+    * cannot be read back): the ledger directory is simply deleted, and
+    * the next read returns the empty frame. Returns rows retained. */
+  private def swapInto(spark: SparkSession,
+      kept: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+      partitionCol: String, path: String): Long = {
+    val keptCached = kept
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = keptCached.count()
+      val hPath = new org.apache.hadoop.fs.Path(path)
+      val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+      if (n == 0L) { fs.delete(hPath, true); return 0L }
+      val staging = new org.apache.hadoop.fs.Path(s"$path.compacting")
+      val old = new org.apache.hadoop.fs.Path(s"$path.old")
+      keptCached.write.mode("overwrite")
+        .partitionBy(partitionCol).parquet(staging.toString)
+      fs.delete(old, true) // stale aside-copy from a healed prior crash
+      if (fs.exists(hPath) && !fs.rename(hPath, old))
+        throw new java.io.IOException(
+          s"compact swap failed renaming aside: $path -> $old")
+      if (!fs.rename(staging, hPath)) {
+        fs.rename(old, hPath) // restore the live ledger before failing
+        throw new java.io.IOException(
+          s"compact swap failed: $staging -> $path (ledger restored)")
+      }
+      fs.delete(old, true)
+      n
+    } finally keptCached.unpersist(blocking = false)
+  }
+
+  /** Crash recovery for [[swapInto]]: a crash between the aside-rename
+    * and the swap-in leaves the ledger at `<path>.old` and nothing at
+    * `path` — rename it back. Any `<path>.compacting` leftover is a
+    * partial staging and is re-overwritten by the next compact. */
+  private def heal(spark: SparkSession, path: String): Unit = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    fs.delete(hPath, true)
-    if (!fs.rename(new org.apache.hadoop.fs.Path(staging), hPath))
-      throw new java.io.IOException(
-        s"compact swap failed: $staging -> $path (ledger preserved at staging)")
-    n
+    val old = new org.apache.hadoop.fs.Path(s"$path.old")
+    if (!fs.exists(hPath) && fs.exists(old)) fs.rename(old, hPath)
   }
 
   private def exists(spark: SparkSession, path: String): Boolean = {
+    heal(spark, path)
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
     fs.exists(hPath) && fs.listStatus(hPath).nonEmpty

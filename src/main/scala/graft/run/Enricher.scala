@@ -215,15 +215,25 @@ final class Enricher(
     val ledgerDir = runDir.map(_ + "/responses")
     val hConf = spark.sessionState.newHadoopConf()
     // stale chunk stagings from crashed/budget-stopped attempts are pure
-    // scratch (every attempt stages its own work set); clear them so
-    // runDir doesn't accrete
+    // scratch (every attempt stages its own work set); sweep them so
+    // runDir doesn't accrete. Age-gated (default 1 h): concurrent
+    // attempts against one runDir are the registry's job to prevent, but
+    // if one does overlap, its fresh staging must not be deleted from
+    // under its in-flight chunk reads — only stagings old enough to be
+    // from a dead attempt go. The staging name embeds the attempt's
+    // wall-clock salt, so age needs no extra FS metadata call.
     runDir.foreach { rd =>
+      val sweepAgeMs = spark.conf
+        .get("graft.enrich.stagingSweepAgeMs", "3600000").toLong
+      val cutoff = attemptSalt - sweepAgeMs
       val root = new org.apache.hadoop.fs.Path(rd)
       val fs = root.getFileSystem(hConf)
       if (fs.exists(root))
-        fs.listStatus(root).filter(s => s.isDirectory &&
-            s.getPath.getName.startsWith("chunks_"))
-          .foreach(s => fs.delete(s.getPath, true))
+        fs.listStatus(root).filter { s =>
+          s.isDirectory && s.getPath.getName.startsWith("chunks_") &&
+            s.getPath.getName.stripPrefix("chunks_").toLongOption
+              .forall(_ < cutoff)
+        }.foreach(s => fs.delete(s.getPath, true))
     }
     val nRows = formatted.agg(count(lit(1)).as("n")).head().getLong(0)
     val chunkRows = spec.processing.chunkRows.toLong

@@ -247,6 +247,36 @@ class CurationSpec extends SparkSpec {
     assert(pruned <= 2, s"at most the 2 incoming prefixes may be read: $pruned")
   }
 
+  test("ledger compact: empty retention empties, crash-aside heals, append continues") {
+    import graft.operators.{Dedup, SeenLedger}
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ledger_edge").toString + "/ledger"
+    def fps(texts: String*) = Dedup.exactGroups(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(SeenLedger.append(fps("one", "two"), path, "crawl-1") == 2L)
+
+    // retention that matches nothing: ledger empties WITHOUT the
+    // unreadable-empty-staging crash, and life goes on
+    assert(SeenLedger.compact(spark, path,
+      retainCrawls = Some(Set("no-such-crawl"))) == 0L)
+    assert(SeenLedger.read(spark, path).count() == 0)
+    assert(SeenLedger.append(fps("one"), path, "crawl-2") == 1L,
+      "an emptied ledger accepts fresh appends")
+
+    // crash-window heal: simulate a death between the aside-rename and
+    // the swap-in (ledger at <path>.old, nothing at path) — the next
+    // read recovers it instead of silently re-admitting the corpus
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(s"$path.old")))
+    val healed = SeenLedger.read(spark, path)
+    assert(healed.count() == 1, "aside copy must be healed back")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path.old")))
+    assert(SeenLedger.compact(spark, path) == 1L)
+  }
+
   test("signature-ledger lifecycle: first-sight tuples only, crawl-dir layout, retention re-admits") {
     import graft.operators.{Dedup, SeenLedger}
     val path = java.nio.file.Files
