@@ -95,16 +95,25 @@ object StreamingCrashArm {
         System.err.println("[stream-crash] UNEXPECTED: crash phase completed")
         sys.exit(1)
       case "resume" =>
-        // durable calls the halt left behind, across all per-batch ledgers
-        // — read per subdir: the batch the halt tore may hold only a
-        // _temporary skeleton, which breaks a single glob read
+        // durable calls the halt left behind, across all per-batch ledgers.
+        // Fast path: ONE multi-path read + ONE job over the union —
+        // micro-batches partition _row_index, so distinct/group counts
+        // over the union equal the per-batch sums. Fallback: the per-
+        // subdir loop (a torn batch may hold only a _temporary skeleton
+        // that breaks the union read) — correctness identical, just one
+        // job per directory instead of one in total.
         def batchDirs = Option(new java.io.File(ledgerDir).listFiles())
           .getOrElse(Array.empty).filter(_.getName.startsWith("batch_"))
-        def perBatch(f: org.apache.spark.sql.DataFrame => Long): Long =
-          batchDirs.map { d =>
-            try f(spark.read.parquet(s"${d.getPath}/responses"))
-            catch { case _: Throwable => 0L }
-          }.sum
+        def perBatch(f: org.apache.spark.sql.DataFrame => Long): Long = {
+          val paths = batchDirs.map(d => s"${d.getPath}/responses").toSeq
+          if (paths.isEmpty) 0L
+          else (try Some(f(spark.read.parquet(paths: _*)))
+          catch { case _: Throwable => None }).getOrElse(
+            batchDirs.map { d =>
+              try f(spark.read.parquet(s"${d.getPath}/responses"))
+              catch { case _: Throwable => 0L }
+            }.sum)
+        }
         val durableRows = perBatch(_.filter(col("result").isNotNull)
           .select("_row_index").distinct().count())
         val before = MockLlmClient.calls.get()

@@ -235,7 +235,6 @@ final class Enricher(
               .forall(_ < cutoff)
         }.foreach(s => fs.delete(s.getPath, true))
     }
-    val nRows = formatted.agg(count(lit(1)).as("n")).head().getLong(0)
     val chunkRows = spec.processing.chunkRows.toLong
 
     // The ledger is read ONCE, up front: chunks cover disjoint key ranges,
@@ -293,10 +292,33 @@ final class Enricher(
         .persist(StorageLevel.MEMORY_AND_DISK)
       case None => formatted
     }
-    // exact remaining count (ledger keys need not be a subset of this
-    // input's keys — a caller may enrich a shrunk/grown frame against an
-    // old run dir, so nRows - done.count() could under- or over-shoot)
-    val nMissing = if (doneSet.isDefined) missingAll.count() else nRows
+    // ONE up-front pass over the work set: the exact remaining count
+    // (ledger keys need not be a subset of this input's keys — a caller
+    // may enrich a shrunk/grown frame against an old run dir, so
+    // nRows - done.count() could under- or over-shoot) FUSED with a fine
+    // key-percentile sketch that the quantile-slice path reads its chunk
+    // cuts off — previously the count and the approxQuantile were two
+    // full passes (r14: one job per durable run saved; the sketch insert
+    // is O(1)/row against a count that materializes the persisted
+    // anti-join anyway). The sketch grid bounds the chunk count it can
+    // cut for; the (rare) finer-chunked run falls back to one exact
+    // approxQuantile pass below.
+    val sketchGrid = 256
+    val aggRow = missingAll.agg(
+      count(lit(1)).as("_n"),
+      percentile_approx(col(ColName),
+        typedLit((1 until sketchGrid).map(_.toDouble / sketchGrid)),
+        lit(10000)).as("_sketch")).head()
+    val nMissing = aggRow.getLong(0)
+    val keySketch: Seq[Long] =
+      if (aggRow.isNullAt(1)) Nil else aggRow.getSeq[Long](1)
+    // total input rows: only the live-progress observers need it beyond
+    // the chunking math (which runs off nMissing) — an unobserved resume
+    // skips the extra count pass over the full input entirely
+    val nRows =
+      if (doneSet.isEmpty) nMissing
+      else if (trackStats) formatted.agg(count(lit(1)).as("n")).head().getLong(0)
+      else nMissing
     val numChunks =
       if (nMissing == 0) 0
       else math.max(1L, (nMissing + chunkRows - 1) / chunkRows).toInt
@@ -347,13 +369,23 @@ final class Enricher(
         // distribution (keys may be sparse or hashed — a dense stride
         // would iterate ~2^63/chunkRows times); sentinel end-bounds keep
         // the slices a complete partition of the key space even when the
-        // sketch is off by a few rows
-        val probes = (1 until numChunks)
-          .map(i => i.toDouble / numChunks).toArray
-        val cuts = missingAll
-          .select(col(ColName).cast("double").as("_k"))
-          .stat.approxQuantile("_k", probes, 0.001)
-          .map(_.toLong).toSeq.sorted
+        // sketch is off by a few rows. Cuts come off the up-front fused
+        // sketch (zero extra jobs) while the grid can resolve them; a
+        // finer-chunked run than the grid pays the one exact
+        // approxQuantile pass it always used to.
+        val cuts: Seq[Long] =
+          if (numChunks <= sketchGrid && keySketch.size == sketchGrid - 1)
+            (1 until numChunks)
+              .map(i => keySketch(i * sketchGrid / numChunks - 1))
+              .toSeq.sorted
+          else {
+            val probes = (1 until numChunks)
+              .map(i => i.toDouble / numChunks).toArray
+            missingAll
+              .select(col(ColName).cast("double").as("_k"))
+              .stat.approxQuantile("_k", probes, 0.001)
+              .map(_.toLong).toSeq.sorted
+          }
         val los = None +: cuts.map(Option(_))
         val his = cuts.map(Option(_)) :+ None
         los.zip(his).map { case (lo, hi) =>
@@ -418,11 +450,20 @@ final class Enricher(
     // input, not ledger history. A fresh run's ledger holds only keys it
     // just invoked from this input, so the scope join would be a no-op —
     // skipped to keep the hot path's exchange count unchanged.
-    val w = Window.partitionBy(col(ColName))
-      .orderBy(col("result").isNotNull.desc, col("_attempt").desc)
+    // max_by(hash aggregate) instead of the former row_number() window:
+    // the same one exchange, but a partial-aggregating hash stage in
+    // place of a full per-partition SORT of the ledger — duplicates are
+    // rare (task retries, resumed attempts), so the map side combines
+    // almost nothing and the sort was pure overhead (guide §2.3
+    // "aggregate before you shuffle"; r14).
+    val payloadCols = invoked.columns.filterNot(_ == ColName).toSeq
     val perRow0 = invoked
-      .withColumn("_rk", row_number().over(w))
-      .filter(col("_rk") === 1).drop("_rk")
+      .groupBy(col(ColName))
+      .agg(max_by(
+        struct(payloadCols.map(col): _*),
+        struct(col("result").isNotNull, col("_attempt"))).as("_best"))
+      .select(col(ColName) +:
+        payloadCols.map(c => col("_best").getField(c).as(c)): _*)
     val perRow =
       if (priorLedger.isDefined)
         perRow0.join(formatted.select(col(ColName)), Seq(ColName), "left_semi")
@@ -448,6 +489,10 @@ final class Enricher(
     // of double-counting — and a run whose first attempt crashed before
     // its replay still surfaces every call.
     if (observers.wantsCallGrain) replayCallEvents(runId, invoked)
+    // parsed0 (persisted and just materialized by row0) is the only
+    // downstream consumer of the ledger rows — release the ledger cache
+    // now instead of carrying two copies of the run to the session's end
+    invoked.unpersist(blocking = false)
 
     val needRetry = spec.processing.autoRetryAttempts > 0 &&
       lng(row0, "_blank") > 0
