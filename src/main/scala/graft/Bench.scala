@@ -60,6 +60,9 @@ object Bench {
     // fast-fail as a measurement
     def timeBest(name: String, f: => Unit,
                  between: () => Unit = () => ()): Option[Double] = {
+      // label every job with its arm (guide §1.5) so event-log/UI
+      // profiles attribute time to arms instead of one anonymous stream
+      spark.sparkContext.setJobDescription(s"arm:$name")
       val runs = (1 to reps).map { _ =>
         var ok = true
         val t = time { try f catch { case e: Throwable => ok = false
@@ -67,6 +70,7 @@ object Bench {
         between()
         (t, ok)
       }
+      spark.sparkContext.setJobDescription(null)
       val good = runs.collect { case (t, true) => t }
       if (good.nonEmpty) Some(good.min)
       else { failed += name; None }

@@ -48,14 +48,23 @@ object Changepoint {
       .agg(count(lit(1)).as(s"${Dup}x"))
     // hour spine + span length from ONE 1-row bounds aggregate; both
     // stay DataFrames (broadcast 1-row / span-row frames), so no driver
-    // timestamp ever round-trips through a JVM-TZ literal
-    val bounds = rows.agg(min(col(s"${Dup}h")).as(s"${Dup}lo"),
+    // timestamp ever round-trips through a JVM-TZ literal.
+    // bounds/keys derive from `counts`, not the raw rows: every subtree
+    // then shares the one scan+aggregate (ReuseExchange dedupes it)
+    // instead of re-scanning the events table three times with different
+    // projections (r14; guide §2.4). The span is arithmetic off the
+    // bounds — hours are date_trunc'd, so hi−lo is whole hours and
+    // timestampdiff(HOUR)+1 equals the exploded sequence length the
+    // retired span aggregate counted.
+    val bounds = counts.agg(min(col(s"${Dup}h")).as(s"${Dup}lo"),
       max(col(s"${Dup}h")).as(s"${Dup}hi"))
     val hours = bounds.filter(col(s"${Dup}lo").isNotNull)
       .select(explode(sequence(col(s"${Dup}lo"), col(s"${Dup}hi"),
         expr("INTERVAL 1 HOUR"))).as(s"${Dup}h"))
-    val span = hours.agg(count(lit(1)).as(s"${Dup}hspan"))
-    val keys = rows.select(col(keyCol)).distinct()
+    val span = bounds.filter(col(s"${Dup}lo").isNotNull)
+      .select(expr(s"timestampdiff(HOUR, ${Dup}lo, ${Dup}hi) + 1")
+        .cast("long").as(s"${Dup}hspan"))
+    val keys = counts.select(col(keyCol)).distinct()
     // barrier: the spine and the counts share the raw rows' lineage, and
     // joining them would otherwise trip the self-join ambiguity check;
     // the identity pass mints fresh attribute ids on the (bounded

@@ -198,7 +198,14 @@ object Pdf {
         .filter(_.getName.endsWith(".pdf")).foreach(_.delete())
     }
     root.mkdirs()
-    df.select(idCol, textCol).foreachPartition { it: Iterator[Row] =>
+    // spread the render: a filtered scan of a small id range often
+    // arrives as ONE split, serializing every file-create in one task
+    // (event-log: a 2000-file corpus rendered 17 s single-task, pure FS
+    // latency). ensure() repartitions up only when the incoming split
+    // count is far below the session's parallelism — at scale it is a
+    // no-op and the render stays shuffle-free.
+    graft.ops.Parallelism.ensure(df.select(idCol, textCol))
+      .foreachPartition { it: Iterator[Row] =>
       it.foreach { r =>
         val id = r.get(0).toString
         val text = Option(r.getString(1)).getOrElse("")
