@@ -33,6 +33,13 @@ object Bench {
       // not 10x). 8 MB splits a 140 MB lineitem into ~17 scan tasks; on a
       // real many-file cluster layout this knob is moot.
       .config("spark.sql.files.maxPartitionBytes", "8m")
+      // 200+ arms generate far more than the default 100 cached codegen
+      // classes; with the cache evicted between an arm's reps, every rep
+      // re-compiles its whole-stage classes while all its tasks block on
+      // the compile (event-log signature: stage wall >> task CPU). A
+      // janino class is ~10-100 KB — 10k entries is bounded and the
+      // right setting for ANY long-lived many-query application.
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

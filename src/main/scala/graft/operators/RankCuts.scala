@@ -90,11 +90,21 @@ object RankCuts {
     // adaptive pass count: offset keys to start at the global min and run
     // only as many 16-bit levels as the actual key span needs (a narrow
     // metric like a length column resolves in ONE bounded pass; the full
-    // 64-bit double key space needs the four). One 2-long driver collect
-    // over the staged histogram buys it.
-    val kb = hist0staged.agg(min(col(key)), max(col(key))).collect()(0)
+    // 64-bit double key space needs the four). One 3-field driver collect
+    // over the staged histogram buys it — min/max for the span, count for
+    // the small-histogram shortcut: a histogram of <= 2^16 rows TOTAL is
+    // already within the per-partition bound the radix passes exist to
+    // enforce, so the search resolves in ONE shift-0 pass (cell == key)
+    // no matter how wide the key span is. Exactness unchanged — one
+    // level of the radix partition IS the full search; only the three
+    // narrowing passes (each a join + two aggregations) are skipped.
+    // At 100 TB the histogram is corpus-sized and the multi-pass bound
+    // still governs (r14; guide §1.2 "remove passes").
+    val kb = hist0staged
+      .agg(min(col(key)), max(col(key)), count(lit(1))).collect()(0)
     val (offset, shifts) =
       if (kb.isNullAt(0)) (0L, Seq(0)) // empty histogram: trivial plan
+      else if (kb.getLong(2) <= 65536L) (0L, Seq(0))
       else {
         val span = BigInt(kb.getLong(1)) - BigInt(kb.getLong(0))
         if (span > Long.MaxValue / 2) (0L, Seq(48, 32, 16, 0))

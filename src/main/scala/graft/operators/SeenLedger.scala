@@ -39,6 +39,14 @@ object SeenLedger {
   private def withPrefix(df: DataFrame): DataFrame =
     df.withColumn(PrefixCol, substring(col(FingerprintCol), 1, 2))
 
+  /** Pinned partition count for the prefix-clustered writes: all rows of
+    * one prefix land in one task for ANY count (hash partitioning), so
+    * the one-file-per-prefix-dir layout is invariant; the count only
+    * trades task-launch overhead (small scale) against write parallelism
+    * (cluster scale), capped at the 256-way prefix fan-out. */
+  private def writeTasks(spark: SparkSession): Int =
+    math.min(256, math.max(1, spark.sparkContext.defaultParallelism))
+
   /** The standing ledger at `path`; empty (correct schema) if absent —
     * a first crawl needs no bootstrap step. */
   def read(spark: SparkSession, path: String): DataFrame = {
@@ -97,15 +105,21 @@ object SeenLedger {
         // cluster by the partition column first: without it every write
         // task owns rows of ~all 256 prefixes and one append fans out to
         // tasks×256 tiny files; clustered, each prefix directory gains
-        // ONE file per append. The partition count is PINNED at 256 (the
-        // prefix fan-out): a keyed repartition with no count is an AQE
-        // coalesce target, and on a small append AQE folds the whole
-        // write into ONE task that then creates all 256 partition
-        // directories serially — measured 14 s wall / 3.2 s CPU for a
-        // 1.6k-row append (r14 event-log profile), pure file-create
-        // latency. Pinned, the write is ≤256 single-prefix tasks: the
-        // same one-file-per-dir layout, created in parallel.
-        out.repartition(256, col(PrefixCol))
+        // ONE file per append. The partition count is PINNED (a keyed
+        // repartition with no count is an AQE coalesce target, and on a
+        // small append AQE folds the whole write into ONE task that then
+        // creates all 256 partition directories serially — measured 14 s
+        // wall / 3.2 s CPU for a 1.6k-row append, pure file-create
+        // latency) but scale-ADAPTIVE, not a constant: hash partitioning
+        // by the prefix puts every row of one prefix in exactly one task
+        // for ANY count, so min(256, cores) keeps the identical
+        // one-file-per-dir layout while a small-cluster/local append
+        // doesn't pay 256 task launches (each task start deserializes a
+        // gzip-compressed Hadoop conf — measured ~0.2 s/task serialized
+        // on the JVM-global Cleaner lock; r14 guide §2.2 "fewer, larger
+        // tasks"). A real cluster's parallelism caps this at the full
+        // 256-way fan-out.
+        out.repartition(writeTasks(spark), col(PrefixCol))
           .write.mode("append").partitionBy(PrefixCol).parquet(path)
       n
     } finally {
@@ -151,10 +165,11 @@ object SeenLedger {
       .groupBy(col(FingerprintCol))
       .agg(min(col(CrawlCol)).as(CrawlCol))
     // one file per prefix directory: repartition BY the partition column
-    // so each write task owns whole partitions — count pinned at 256 like
-    // [[append]], or AQE folds a small compaction into one serial
-    // 256-directory write task
-    swapInto(spark, withPrefix(kept).repartition(256, col(PrefixCol)),
+    // so each write task owns whole partitions — count pinned (or AQE
+    // folds a small compaction into one serial 256-directory write task)
+    // and scale-adaptive like [[append]]'s
+    swapInto(spark,
+      withPrefix(kept).repartition(writeTasks(spark), col(PrefixCol)),
       PrefixCol, path)
   }
 

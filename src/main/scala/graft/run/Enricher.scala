@@ -456,18 +456,23 @@ final class Enricher(
     // rare (task retries, resumed attempts), so the map side combines
     // almost nothing and the sort was pure overhead (guide §2.3
     // "aggregate before you shuffle"; r14).
+    // a FRESH run's ledger is already unique per key — chunks cover
+    // disjoint key ranges and a write job commits exactly one task
+    // attempt's files — so the dedup exchange only runs when a PRIOR
+    // ledger could have contributed a second attempt for a key (r14:
+    // one shuffle + hash-agg removed from every fresh durable run and
+    // every first-sight streaming micro-batch).
     val payloadCols = invoked.columns.filterNot(_ == ColName).toSeq
-    val perRow0 = invoked
-      .groupBy(col(ColName))
-      .agg(max_by(
-        struct(payloadCols.map(col): _*),
-        struct(col("result").isNotNull, col("_attempt"))).as("_best"))
-      .select(col(ColName) +:
-        payloadCols.map(c => col("_best").getField(c).as(c)): _*)
     val perRow =
-      if (priorLedger.isDefined)
-        perRow0.join(formatted.select(col(ColName)), Seq(ColName), "left_semi")
-      else perRow0
+      if (priorLedger.isEmpty) invoked
+      else invoked
+        .groupBy(col(ColName))
+        .agg(max_by(
+          struct(payloadCols.map(col): _*),
+          struct(col("result").isNotNull, col("_attempt"))).as("_best"))
+        .select(col(ColName) +:
+          payloadCols.map(c => col("_best").getField(c).as(c)): _*)
+        .join(formatted.select(col(ColName)), Seq(ColName), "left_semi")
 
     // ONE action for quality + blank probe + call metrics: the two 1-row
     // aggregates (rows over parsed, calls over the deduplicated ledger —
