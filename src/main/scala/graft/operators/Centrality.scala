@@ -168,10 +168,15 @@ object Centrality {
     require(n <= 1000000L,
       s"$n nodes: micro-integer HITS bounds sums·1e6 to a long — " +
         "run the domain graph, not the doc graph")
-    def normalized(raw: DataFrame, outCol: String): DataFrame = {
+    def normalized(raw0: DataFrame, outCol: String): DataFrame = {
       // raw: (id, __graft_s) partial sums; absent id -> 0. Max over the
       // raw sums is a 1-row metrics frame crossed in; floor-divide
-      // rescales the top node to exactly 1e6.
+      // rescales the top node to exactly 1e6. The sums are STAGED first:
+      // they feed both the max subquery and the node join, and the two
+      // consumers otherwise re-run the whole edge-join aggregation —
+      // twice per normalize, four times per HITS round (r14 plan audit;
+      // guide §2.4 shared subtrees).
+      val raw = graft.ops.Parallelism.stage(raw0)
       val m = raw.agg(max(col("__graft_s")).as("__graft_m"))
       nodes.join(raw, Seq("id"), "left")
         .crossJoin(broadcast(m))

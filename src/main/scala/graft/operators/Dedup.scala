@@ -550,7 +550,13 @@ object Dedup {
       while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
       r
     }
-    pairs.toLocalIterator().forEachRemaining { row =>
+    // ONE collect job, not toLocalIterator: the local iterator runs one
+    // job PER PARTITION (32 single-task jobs per call in the r14 profile)
+    // and buys no memory headroom here — the union-find parent map
+    // already holds every endpoint, so driver memory is O(pairs) either
+    // way, and the caller's smallGraphPairs gate bounded that before
+    // choosing this path.
+    pairs.collect().foreach { row =>
       val (ra, rb) = (root(row.get(0).asInstanceOf[AnyRef]),
         root(row.get(1).asInstanceOf[AnyRef]))
       if (ra != rb) {
