@@ -215,6 +215,17 @@ object Bench {
     // reference's 3.40 s resume arm at the same 100k scale.
     if (wanted("stream_crash_resume")) {
       val name = "stream_crash_resume"
+      // the timed work below runs in CHILD JVMs while this parent idles:
+      // drop the parent's pinned blocks and hint a GC first, so ~200
+      // arms' worth of cached/garbage heap isn't competing with the
+      // children for memory/page cache during the one arm that cannot
+      // min-fold away the interference (isolated A/B: 21-25 s vs 52 s
+      // inside a full record on the same host; guide §5 unpersist-when-
+      // done). Timed region unchanged — the children's own wall is the
+      // measurement.
+      rows100k.unpersist(blocking = true)
+      spark.catalog.clearCache()
+      System.gc()
       results(name) = try {
         val work = s"/tmp/graft_bench_scrash_$cpus"
         new scala.reflect.io.Directory(new java.io.File(work)).deleteRecursively()
@@ -227,6 +238,11 @@ object Bench {
         def child(phase: String): (Int, String) = {
           val cmd = Seq(javaBin) ++ addOpens ++ Seq("-Xmx8g",
             "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+            // same codegen-cache headroom as the parent session: the
+            // drain's ~10 micro-batches × ~10 generated classes each sit
+            // right at the 100-entry default, and an eviction mid-drain
+            // recompiles per batch
+            "-Dspark.sql.codegen.cache.maxEntries=10000",
             "-cp", cp, "graft.StreamingCrashArm", phase, work)
           val pb = new ProcessBuilder(cmd: _*)
           pb.redirectError(ProcessBuilder.Redirect.INHERIT)
