@@ -111,6 +111,36 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed: ${e.getMessage}") }
 
+    // Host-speed probe, sf- and engine-code-independent (r15, the fix for
+    // the enrich-ratio probe bias declared in r14): a fixed synthetic
+    // CPU+shuffle kernel built ONLY from Spark built-ins over range() —
+    // no graft operator code on its path, so optimizing the engine can
+    // never move it, and no testdata on its path, so the scale factor
+    // can't either. Recorded raw (min of 2) alongside the (kept) enrich
+    // ratios; cross-round normalization divides by the r15 pin in
+    // "synthetic_ref_sec". Runs only for full records (a focused
+    // SPARK_GRAFT_ONLY A/B brings its own controls).
+    val syntheticKernelSec: Option[Double] =
+      if (only.nonEmpty) None
+      else {
+        spark.sparkContext.setJobDescription("calibration:synthetic_kernel")
+        val runs = (1 to 2).map { _ =>
+          try Some(time {
+            spark.range(0L, 32000000L, 1L, 64)
+              .select(pmod(xxhash64(col("id")), lit(100000L)).as("k"),
+                // modded so the ANSI-mode sum can never overflow a long
+                pmod(xxhash64(col("id"), lit(1L)), lit(1000000L)).as("h"))
+              .groupBy("k").agg(sum(col("h")).as("s"), count(lit(1)).as("c"))
+              .agg(sum(col("s")), sum(col("c"))).collect()
+          }) catch { case e: Throwable =>
+            System.err.println(s"[bench] synthetic probe failed: ${e.getMessage}")
+            None }
+        }
+        spark.sparkContext.setJobDescription(null)
+        val good = runs.flatten
+        if (good.isEmpty) None else Some(good.min)
+      }
+
     // Arms that write and re-scan a many-tiny-file corpus (500-2000 PDFs):
     // their first rep measures cold-page-cache small-file IO, not engine
     // speed — twice (r12, r13) a cross-round delta on them cost a full
@@ -300,15 +330,40 @@ object Bench {
       "enrich_100k_resume" -> 1.156, "enrich_100k_durable_10chunks" -> 2.736)
     val probeRatios = probeRef.flatMap { case (k, ref) =>
       results.getOrElse(k, None).map(_ / ref) }
+    // the synthetic kernel's r15 pin on the reference host (see above):
+    // host-speed ratio at record time = synthetic_kernel_sec / this
+    val syntheticRef = 0.0 // 0.0 = unpinned; set from the r15 record
+    val synthJson = syntheticKernelSec
+      .map(s => f""","synthetic_kernel_sec":$s%.3f,"synthetic_ref_sec":$syntheticRef%.3f""")
+      .getOrElse("")
     val calibration =
-      if (probeRatios.isEmpty) "null"
+      if (probeRatios.isEmpty && syntheticKernelSec.isEmpty) "null"
+      else if (probeRatios.isEmpty)
+        s"""{"probe":"enrich_arms_vs_r4"$synthJson}"""
       else {
         val sorted = probeRatios.sorted
         val median = sorted(sorted.size / 2)
         f"""{"probe":"enrich_arms_vs_r4","median_speed_ratio":$median%.3f,"ratios":${
-          probeRatios.map(r => f"$r%.3f").mkString("[", ",", "]")}}"""
+          probeRatios.map(r => f"$r%.3f").mkString("[", ",", "]")}$synthJson}"""
       }
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calibration":$calibration,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"calibration":$calibration,"sf":"$sfDir"}"""
+    println(line)
+    // Sidecar copies of the SAME line (r15): the result line is ~6 KB and
+    // consumers that keep only a bounded stdout tail truncate it — every
+    // BENCH_r*.json since round 1 carries "parsed": null. The stdout
+    // contract line stays exactly as before (first and only JSON line);
+    // the sidecars give any consumer the full machine-readable record,
+    // and the short bracket-prefixed summary below fits ANY tail without
+    // being mistakable for the contract line.
+    Seq(java.nio.file.Paths.get("bench_results.json"),
+        java.nio.file.Paths.get(s"/tmp/graft_bench_$cpus.json")).foreach { p =>
+      try java.nio.file.Files.write(p,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] sidecar write failed ($p): ${e.getMessage}") }
+    }
+    println(f"[bench] total=$total%.3f sec arms=${results.size} " +
+      f"failed=${failed.size} sidecar=bench_results.json,/tmp/graft_bench_$cpus.json")
     spark.stop()
   }
 }

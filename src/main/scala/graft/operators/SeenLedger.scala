@@ -47,6 +47,33 @@ object SeenLedger {
   private def writeTasks(spark: SparkSession): Int =
     math.min(256, math.max(1, spark.sparkContext.defaultParallelism))
 
+  /** Parquet read tuned to the ledger's BOUNDED layout (r15). The prefix
+    * tree caps the ledger at 256 directories, which sits above the
+    * default parallel-listing threshold (32) — so every read paid a
+    * distributed listing JOB of one task per directory (measured 0.6–0.8 s
+    * per read at bench scale) where a driver-side threaded listing of
+    * ≤256 dirs is cheap at ANY scale. And ledger files are append-sized
+    * (a few KB of hashes each), so the default 4 MB per-file open cost
+    * split a few hundred files into ~2-file scan tasks (q203 profile:
+    * ~1000 near-empty read tasks per run); 128 KB charges small files
+    * realistically while real bytes still split by maxPartitionBytes —
+    * a compacted multi-GB ledger keeps full scan parallelism (guide §6
+    * small files, §2.2 fewer/larger map tasks). Scoped to a session
+    * CLONE so only ledger reads see these settings; the relation captures
+    * the clone, so downstream planning keeps them wherever the frame is
+    * consumed. */
+  private def readTuned(spark: SparkSession, path: String): DataFrame = {
+    val s = spark.newSession()
+    spark.conf.getAll.foreach { case (k, v) =>
+      if (!s.conf.getOption(k).contains(v))
+        try s.conf.set(k, v)
+        catch { case scala.util.control.NonFatal(_) => }
+    }
+    s.conf.set("spark.sql.sources.parallelPartitionDiscovery.threshold", "257")
+    s.conf.set("spark.sql.files.openCostInBytes", (128L * 1024L).toString)
+    s.read.parquet(path)
+  }
+
   /** The standing ledger at `path`; empty (correct schema) if absent —
     * a first crawl needs no bootstrap step. */
   def read(spark: SparkSession, path: String): DataFrame = {
@@ -55,7 +82,7 @@ object SeenLedger {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(
           s"$FingerprintCol STRING, $CrawlCol STRING, $PrefixCol STRING"))
-    else spark.read.parquet(path)
+    else readTuned(spark, path)
   }
 
   /** Append crawl `crawlId`'s fingerprints (a frame with a
@@ -80,7 +107,7 @@ object SeenLedger {
     val novel =
       if (!exists(spark, path)) fresh0
       else {
-        val standing = spark.read.parquet(path).select(col(FingerprintCol))
+        val standing = readTuned(spark, path).select(col(FingerprintCol))
         val standingCached = standing
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -156,7 +183,7 @@ object SeenLedger {
               retainCrawls: Option[Set[String]] = None): Long = {
     heal(spark, path)
     if (!exists(spark, path)) return 0L
-    val kept0 = spark.read.parquet(path)
+    val kept0 = readTuned(spark, path)
     val kept1 = retainCrawls match {
       case Some(keep) => kept0.filter(col(CrawlCol).isInCollection(keep.toSeq))
       case None => kept0
@@ -209,7 +236,7 @@ object SeenLedger {
     val novel =
       if (!exists(spark, path)) fresh0
       else {
-        val standing = spark.read.parquet(path).select(bandCols: _*)
+        val standing = readTuned(spark, path).select(bandCols: _*)
         val standingCached = standing
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
@@ -252,7 +279,7 @@ object SeenLedger {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(ddl))
-    } else spark.read.parquet(path)
+    } else readTuned(spark, path)
   }
 
   /** Retention + small-file heal for the signature ledger: drop expired
@@ -264,7 +291,7 @@ object SeenLedger {
       retainCrawls: Option[Set[String]] = None): Long = {
     heal(spark, path)
     if (!exists(spark, path)) return 0L
-    val kept0 = spark.read.parquet(path)
+    val kept0 = readTuned(spark, path)
     val kept1 = retainCrawls match {
       case Some(keep) => kept0.filter(col(CrawlCol).isInCollection(keep.toSeq))
       case None => kept0

@@ -106,9 +106,16 @@ object Reranker {
   def rerank(candidates: DataFrame, corpus: DataFrame, queries: DataFrame,
              k: Int, idCol: String = "id", textCol: String = "text",
              qidCol: String = "query_id", qtextCol: String = "qtext"): DataFrame = {
-    val joined = candidates
-      .join(corpus.select(col(idCol), col(textCol)), idCol)
-      .join(queries.select(col(qidCol), col(qtextCol)), qidCol)
+    // join strategy pinned, not estimated (guide §3.1): candidates are a
+    // top-k shortlist (≤ k·|queries| rows by construction) and queries are
+    // the query set — both orders of magnitude below any corpus, while the
+    // corpus side may be 100 TB and must never shuffle for this attach.
+    // Size ESTIMATES after the retriever's window/filter chain are
+    // unknown-large, so without the hint the planner can pick a sort-merge
+    // join that exchanges the corpus by id.
+    val joined = corpus.select(col(idCol), col(textCol))
+      .join(broadcast(candidates), idCol)
+      .join(broadcast(queries.select(col(qidCol), col(qtextCol))), qidCol)
       .withColumn("rerank_score", pairScore(col(qtextCol), col(textCol)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(qidCol))

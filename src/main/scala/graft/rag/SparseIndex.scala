@@ -62,7 +62,12 @@ object SparseIndex {
     * (e.g. `dropDuplicates(idCol)`) if ids can repeat. */
   def build(docs0: DataFrame, idCol: String, textCol: String): SparseIndexFrames = {
     val docs = graft.ops.Parallelism.ensure(docs0)
-    val n = docs.count()
+    // corpus size off the PRE-repartition frame: ensure() may have added
+    // a round-robin exchange, and counting through it pays scan+shuffle+
+    // agg where docs0.count() is a straight scan-count (identical value —
+    // repartition preserves cardinality; r15, guide §2.4 "remove shuffles
+    // outright")
+    val n = docs0.count()
     // r12: term frequencies aggregate WITHIN the row (native term_counts
     // kernel via termPostings), so the postings relation is narrow until
     // the ONE shuffle that matters — the vocab-sized document-frequency
@@ -82,19 +87,34 @@ object SparseIndex {
       posted0.select(col("__graft_pid").as("id"),
         col("__graft_term").as("term"), col("__graft_cnt").as("cnt"),
         col("__graft_len").as("len")))
+    // Staging STOPS at `posted` (r15, measured twice): checkpointing the
+    // weighted postings / df census as well looked like a §2.4
+    // shared-subtree win (norms and the probe dots both re-derive the
+    // weight join), but (a) same-host A/Bs read the decimal
+    // serialize+write+read of the checkpoint at ≈ the cost of one
+    // recompute, and (b) a checkpointed frame loses the child plan's size
+    // estimate, which flipped search's norms join from broadcast to
+    // SortMergeJoin (PlanSpec caught it) — strictly worse at every scale.
     val df_ = posted.groupBy("term").agg(count(lit(1)).as("df"))
-    val postings = posted
+    val postings = weightedPostings(posted, df_, n)
+    val norms = postings
+      .withColumn("w2", (col("w") * col("w")).cast("decimal(38,24)"))
+      .groupBy("id").agg(sqrt(sum("w2").cast("double")).as("norm"))
+    SparseIndexFrames(postings, norms, df_, n)
+  }
+
+  /** The weighted-postings composition over the staged token pass —
+    * factored out so plan audits (PlanSpec) can assert the build's
+    * exchange discipline on the un-staged plan. */
+  private[graft] def weightedPostings(posted: DataFrame, df_ : DataFrame,
+                                      n: Long): DataFrame =
+    posted
       .join(df_, "term")
       .withColumn("w",
         round((col("cnt") / col("len")) *
           (log(lit((n + 1).toDouble) / (col("df") + 1)) + 1.0), 12)
           .cast("decimal(18,12)"))
       .select("id", "term", "w")
-    val norms = postings
-      .withColumn("w2", (col("w") * col("w")).cast("decimal(38,24)"))
-      .groupBy("id").agg(sqrt(sum("w2").cast("double")).as("norm"))
-    SparseIndexFrames(postings, norms, df_, n)
-  }
 
   /** The pre-r12 build — row-scale groupBy(id, term) + docLen/df joins.
     * Kept only as the parity oracle for the term_counts shape above
@@ -130,22 +150,37 @@ object SparseIndex {
     * output: query_id, rank, id, score (6dp, ties broken by id).
     * `broadcastQueries` fits the interactive shape (few queries, huge
     * corpus); pass false when the query side is itself a large table
-    * (e.g. per-row evidence retrieval) and let AQE pick the build side. */
+    * (e.g. per-row evidence retrieval) and let AQE pick the build side.
+    *
+    * PRECONDITION (same as [[build]]'s, r15): one input row per `qidCol`
+    * value — each ROW is its own query. The query-side term frequencies
+    * aggregate WITHIN the row (the term_counts kernel), which removes the
+    * row-scale groupBy(query_id, term) exchange AND the qlen aggregate +
+    * join the exploded shape paid (guide §2.4 — for the
+    * broadcastQueries=false callers the query side is row-scale, so these
+    * were two full shuffles of the query corpus). All in-repo callers
+    * feed id-unique query frames. */
   def search(index: SparseIndexFrames, queries: DataFrame,
              qidCol: String, qtextCol: String, k: Int,
              broadcastQueries: Boolean = true): DataFrame = {
     val n = index.corpusSize
+    // in-row term counts: (query_id, term, cnt, qlen) with zero exchanges
+    // — sum(cnt) over a query's terms equals its token count, so qlen
+    // rides each row as size(toks) instead of a groupBy+join round-trip
     val qpost0 = queries
       .select(col(qidCol).as("query_id"),
-        explode(tokens(lower(col(qtextCol)))).as("term"))
-      .groupBy("query_id", "term").agg(count(lit(1)).as("cnt"))
-    val qlen = qpost0.groupBy("query_id").agg(sum("cnt").as("qlen"))
+        tokens(lower(col(qtextCol))).as("__graft_qtoks"))
+      .select(col("query_id"),
+        size(col("__graft_qtoks")).cast("long").as("qlen"),
+        explode(graft.functions.Expressions.term_counts(col("__graft_qtoks")))
+          .as("__graft_tc"))
+      .select(col("query_id"), col("__graft_tc.term").as("term"),
+        col("__graft_tc.cnt").as("cnt"), col("qlen"))
     // query weights use the INDEX's document frequencies (absent term ->
     // df 0), read from the build-time narrow aggregate — not re-derived
     // from the fully joined+weighted postings chain
     val df_ = index.docFreqs
     val qpost = qpost0
-      .join(qlen, "query_id")
       .join(df_, Seq("term"), "left")
       .withColumn("w_q",
         round((col("cnt") / col("qlen")) *
@@ -177,14 +212,22 @@ object SparseIndex {
 
   /** Reciprocal-rank fusion of two rankings (k=60, the reference constant —
     * store.rs:674-698): rrf = Σ 1/(60+rank), missing side contributes 0.
-    * Deterministic: fixed-order two-term double sum. */
+    *
+    * Shape (r15): union + one sum aggregation on (query_id, id) — the
+    * former FULL OUTER join needed each side exchanged AND sorted for a
+    * sort-merge join (full-outer cannot broadcast), i.e. two shuffles of
+    * the rankings where fusion fundamentally needs one (guide §2.3
+    * "aggregate before you shuffle"). Values are bit-identical to the
+    * join shape: each (query_id, id) has ≤1 row per ranking (rankings are
+    * row_number outputs), so the group sums exactly two terms (IEEE
+    * addition of two doubles is commutative — order can't matter) or one
+    * (x + 0.0 == x for the always-positive 1/(rrfK+rank)). */
   def rrfFuse(a: DataFrame, b: DataFrame, k: Int, rrfK: Int = 60): DataFrame = {
-    val left = a.select(col("query_id"), col("id"), col("rank").as("rank_a"))
-    val right = b.select(col("query_id"), col("id"), col("rank").as("rank_b"))
-    val fused = left.join(right, Seq("query_id", "id"), "full_outer")
-      .withColumn("rrf", round(
-        coalesce(lit(1.0) / (lit(rrfK) + col("rank_a")), lit(0.0)) +
-        coalesce(lit(1.0) / (lit(rrfK) + col("rank_b")), lit(0.0)), 9))
+    val contrib = lit(1.0) / (lit(rrfK) + col("rank"))
+    val fused = a.select(col("query_id"), col("id"), contrib.as("_rrf_c"))
+      .unionByName(b.select(col("query_id"), col("id"), contrib.as("_rrf_c")))
+      .groupBy(col("query_id"), col("id"))
+      .agg(round(sum(col("_rrf_c")), 9).as("rrf"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("rrf").desc, col("id"))
     fused.withColumn("rank", row_number().over(w))
