@@ -70,9 +70,20 @@ object StreamingCrashArm {
       output = OutputSpec(Seq("sentiment")))
 
     def run(client: MockLlmClient): Unit = {
+      // Crash run: 2 files/trigger → 10 micro-batches, the topology the
+      // durability experiment needs (committed batches behind the halt, a
+      // torn batch at it). Resume: the uncommitted batch replays AT ITS
+      // ORIGINAL BOUNDS regardless (the offset log pins its file set —
+      // that replay is what exercises the ledger anti-join), and the
+      // REMAINDER drains at full width, the production restart setting —
+      // r14 profile: each extra micro-batch cost ~20 driver-sequenced
+      // jobs plus commit/planning gaps, ~4 s/batch of pure machinery at
+      // this data size. Durability gates (rows_lost, reinvoked_durable,
+      // min_resume_calls) are computed identically either way.
       val stream = spark.readStream
         .schema("id LONG, review STRING")
-        .option("maxFilesPerTrigger", "2")
+        .option("maxFilesPerTrigger",
+          if (phase == "resume") Files.toString else "2")
         .parquet(srcDir)
       val q = graft.streaming.StreamingEnrich.start(
         stream, spec, client, ckptDir,
